@@ -1,0 +1,65 @@
+package graft.operators
+
+import java.time.LocalDate
+
+import org.apache.spark.sql.SparkSession
+
+/** CLI entry point mirroring the reference's argument surface
+  * (s3_server_access_logs.py:469-534) re-targeted at filesystem paths:
+  *
+  *   --input-root        root dir of raw logs laid out <root>/<bucket>/yyyy/MM/dd/
+  *   --dest-root         output root (the reference's destination bucket+prefix)
+  *   --buckets           comma-separated logged-bucket folder names
+  *                       (replaces the reference's S3 folder listing, O1)
+  *   --lookback-days     default 1 — run-date = today minus lookback
+  *                       (s3_server_access_logs.py:294)
+  *   --start-date        yyyy-MM-dd; with lookback > 1 runs a backfill loop
+  *                       from start-date back to the lookback date
+  *                       (s3_server_access_logs.py:361-368)
+  *   --num-output-files  default 10 (s3_server_access_logs.py:507-511)
+  *   --hive-formatted-folders  year=/month=/day= layout
+  *                       (s3_server_access_logs.py:445-454)
+  *
+  * Dropped relative to the reference: AWS account/region/credential args
+  * (driver-side boto3 plumbing, out of engine scope — SURVEY.md §2 O17).
+  */
+object LogEtlMain {
+  def main(args: Array[String]): Unit = {
+    val opts = args.sliding(2, 2).collect {
+      case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
+    }.toMap
+    def req(k: String): String = opts.getOrElse(k,
+      sys.error(s"missing required --$k (got: ${opts.keys.mkString(", ")})"))
+
+    val inputRoot = req("input-root")
+    val destRoot = req("dest-root")
+    val buckets = req("buckets").split(",").toSeq
+    val lookbackDays = opts.getOrElse("lookback-days", "1").toInt
+    val numOutputFiles = opts.getOrElse("num-output-files", "10").toInt
+    val hive = opts.getOrElse("hive-formatted-folders", "false").toBoolean
+    val startDate = opts.get("start-date").map(LocalDate.parse)
+      .getOrElse(LocalDate.now().minusDays(lookbackDays.toLong))
+    val lookbackDate = LocalDate.now().minusDays(lookbackDays.toLong)
+
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName("s3_server_side_log_compacter")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.speculation", "false")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MILLIS")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val t0 = System.nanoTime()
+      LogEtl.runBackfill(spark, inputRoot, destRoot, buckets,
+        startDate, startDate.isBefore(lookbackDate) match {
+          case true => startDate  // start-date older than lookback: single run
+          case false => lookbackDate
+        }, numOutputFiles, hive)
+      println(f"compaction finished in ${(System.nanoTime() - t0) / 1e9}%.1f sec")
+    } finally spark.stop()
+  }
+}

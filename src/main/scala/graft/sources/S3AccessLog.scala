@@ -1,0 +1,188 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** S3 server-access-log text source: schema + parse (pure column
+  * expressions, zero UDFs).
+  *
+  * Faithful to the reference converter's semantics
+  * (`converters/s3-server-access-log/s3_server_access_logs.py`):
+  *
+  *  - 26-group unanchored regex (s3_server_access_logs.py:25-34); `rlike`
+  *    reproduces Python `re.search` "find anywhere" semantics.
+  *  - `version_id` captures exactly ONE character — `(?P<version>\S)` —
+  *    a reference quirk preserved on purpose (s3_server_access_logs.py:30).
+  *  - Bare `-` decodes to NULL for most fields; the quoted sentinel `"-"`
+  *    decodes to NULL only for referrer/user_agent
+  *    (s3_server_access_logs.py:202-226 vs 212-213). `remote_ip`,
+  *    `requester`, `operation`, `request`, `bucket_owner`, `s3_bucket` are
+  *    NOT sentinel-decoded (a literal `-` passes through), matching the
+  *    reference row constructor exactly.
+  *  - Unmatched lines become an all-NULL dead-letter row carrying the raw
+  *    text in `error_line` (s3_server_access_logs.py:164-193).
+  *  - The timestamp `[30/Jul/2024:13:08:44 +0000]` is sliced between `[`
+  *    and the first space, DISCARDING the zone offset → naive wall-clock
+  *    time (s3_server_access_logs.py:144-154; pinned by
+  *    test_s3_server_access_logs.py:204-209). We parse with
+  *    `try_to_timestamp` so a matched line with a garbage time yields NULL
+  *    instead of the reference's crash (`NoneType.isoformat`,
+  *    s3_server_access_logs.py:197) — documented divergence.
+  *  - Casts: http_status → int, bytes_sent/object_size/total_time/
+  *    turn_around_time → long (s3_server_access_logs.py:204-211,242-247),
+  *    via `try_cast` (NULL on garbage regardless of ANSI mode).
+  */
+object S3AccessLog {
+
+  /** Java-regex translation of S3_ACCESS_LOG_PATTERN
+    * (s3_server_access_logs.py:25-34). Group order = reference order.
+    */
+  val Pattern: String =
+    """(\S+) (\S+) (\[[^\]]*\]) (\S+) (\S+) (\S+) (\S+) (\S+) ("[^"]*"|-) (\S+) (\S+) (\S+) (\S+) (\S+) (\S+) ("[^"]*"|-) ("[^"]*"|-) (\S) (\S+) (\S+) (\S+) (\S+) (\S+) (\S+) (\S+) (\S+)"""
+
+  /** Raw regex group names, 1-based order (s3_server_access_logs.py:25-34). */
+  val GroupNames: Seq[String] = Seq(
+    "owner", "bucket", "time", "ip", "requester", "reqid", "operation",
+    "key", "request", "status", "error", "bytes", "size", "totaltime",
+    "turnaround", "referrer", "useragent", "version", "host_id",
+    "signature_version", "cipher_suite", "auth_type", "host_header",
+    "tls_version", "access_point_arn", "acl_required")
+
+  /** Output schema before the final projection — request_time_string at
+    * position 3 (s3_server_access_logs.py:231-261).
+    */
+  val RawSchema: StructType = StructType(
+    Seq(
+      StructField("bucket_owner", StringType),
+      StructField("s3_bucket", StringType),
+      StructField("request_time_string", StringType),
+      StructField("remote_ip", StringType),
+      StructField("requester", StringType),
+      StructField("request_id", StringType),
+      StructField("operation", StringType),
+      StructField("key", StringType),
+      StructField("request", StringType),
+      StructField("http_status", IntegerType),
+      StructField("error_code", StringType),
+      StructField("bytes_sent", LongType),
+      StructField("object_size", LongType),
+      StructField("total_time", LongType),
+      StructField("turn_around_time", LongType),
+      StructField("referrer", StringType),
+      StructField("user_agent", StringType),
+      StructField("version_id", StringType),
+      StructField("host_id", StringType),
+      StructField("signature_version", StringType),
+      StructField("cipher_suite", StringType),
+      StructField("authentication_type", StringType),
+      StructField("host_header", StringType),
+      StructField("tls_version", StringType),
+      StructField("access_point_arn", StringType),
+      StructField("acl_required", StringType),
+      StructField("error_line", StringType)))
+
+  /** Final column order: request_time (timestamp) replaces
+    * request_time_string at position 3 (s3_server_access_logs.py:405-441).
+    */
+  val OutputColumns: Seq[String] = RawSchema.fieldNames.toSeq
+    .updated(2, "request_time")
+
+  private def nullIfDash(c: Column): Column = nullif(c, lit("-"))
+  private def nullIfQuotedDash(c: Column): Column = nullif(c, lit("\"-\""))
+
+  /** `[30/Jul/2024:13:08:44 +0000]` → naive timestamp, offset discarded
+    * (s3_server_access_logs.py:144-154: slice `[`..first-space, then
+    * dateutil). NULL on garbage instead of the reference's crash.
+    */
+  def parseAccessTime(timeGroup: Column): Column =
+    try_to_timestamp(
+      regexp_extract(timeGroup, """\[([^ \]]+)""", 1),
+      lit("dd/MMM/yyyy:HH:mm:ss"))
+
+  /** Mimics `datetime.isoformat()` at seconds resolution
+    * (s3_server_access_logs.py:197).
+    */
+  def isoFormat(ts: Column): Column = date_format(ts, "yyyy-MM-dd'T'HH:mm:ss")
+
+  /** Typed/NULL-normalized output columns, given an accessor from raw
+    * group name → string Column. Shared by the built-in `regexp_extract`
+    * path and the fused single-pass Catalyst expression path so both are
+    * semantically identical by construction.
+    */
+  def typedColumns(g: String => Column): Seq[Column] = {
+    val ts = parseAccessTime(g("time"))
+    Seq(
+      g("owner").as("bucket_owner"),
+      g("bucket").as("s3_bucket"),
+      ts.as("request_time"),
+      g("ip").as("remote_ip"),
+      g("requester").as("requester"),
+      g("reqid").as("request_id"),
+      g("operation").as("operation"),
+      nullIfDash(g("key")).as("key"),
+      g("request").as("request"),
+      try_cast(nullIfDash(g("status")), IntegerType).as("http_status"),
+      nullIfDash(g("error")).as("error_code"),
+      try_cast(nullIfDash(g("bytes")), LongType).as("bytes_sent"),
+      try_cast(nullIfDash(g("size")), LongType).as("object_size"),
+      try_cast(nullIfDash(g("totaltime")), LongType).as("total_time"),
+      try_cast(nullIfDash(g("turnaround")), LongType).as("turn_around_time"),
+      nullIfQuotedDash(g("referrer")).as("referrer"),
+      nullIfQuotedDash(g("useragent")).as("user_agent"),
+      nullIfDash(g("version")).as("version_id"),
+      nullIfDash(g("host_id")).as("host_id"),
+      nullIfDash(g("signature_version")).as("signature_version"),
+      nullIfDash(g("cipher_suite")).as("cipher_suite"),
+      nullIfDash(g("auth_type")).as("authentication_type"),
+      nullIfDash(g("host_header")).as("host_header"),
+      nullIfDash(g("tls_version")).as("tls_version"),
+      nullIfDash(g("access_point_arn")).as("access_point_arn"),
+      nullIfDash(g("acl_required")).as("acl_required"))
+  }
+
+  private def try_cast(c: Column, t: DataType): Column = c.try_cast(t)
+
+  /** Parse a DataFrame of raw log lines (single string column) into the
+    * typed 27-column table, built-ins only: blank lines dropped
+    * (s3_server_access_logs.py:134-137), unmatched lines dead-lettered.
+    *
+    * `fused = true` routes the 26-way group extraction through the
+    * single-pass [[graft.functions.ParseS3AccessLog]] Catalyst expression
+    * (one regex evaluation per row) instead of 26 `RegExpExtract`s —
+    * same results, ~order-of-magnitude less regex work per row.
+    */
+  def parse(lines: DataFrame, column: String = "value",
+            fused: Boolean = true): DataFrame = {
+    // Python str.strip() removes ALL whitespace; Spark's trim() only 0x20.
+    val v = regexp_replace(col(column), """^\s+|\s+$""", "")
+    val trimmed = lines.select(v.as("value")).filter(col("value") =!= "")
+
+    val names = OutputColumns.filterNot(_ == "error_line")
+    def guarded(matched: Column, cols: Seq[Column]): Seq[Column] =
+      cols.zip(names).map { case (c, n) =>
+        when(matched, c).otherwise(lit(null)).as(n)
+      } :+ when(!matched, col("value")).otherwise(lit(null))
+        .cast(StringType).as("error_line")
+
+    if (fused) {
+      val r = graft.functions.ParseS3AccessLog.parse_s3_access_log(col("value"))
+      val withRaw = trimmed.select(col("value"), r.as("_g"))
+      val matched = col("_g").isNotNull
+      withRaw.select(guarded(matched, typedColumns(col("_g").getField)): _*)
+    } else {
+      val matched = col("value").rlike(Pattern)
+      val byName = GroupNames.zipWithIndex.toMap
+      def g(name: String): Column =
+        regexp_extract(col("value"), Pattern, byName(name) + 1)
+      trimmed.select(guarded(matched, typedColumns(g)): _*)
+    }
+  }
+
+  /** Render a log line from raw field values — inverse of the parser for
+    * ScalaCheck round-trip tests. `time` must include brackets, `request`/
+    * `referrer`/`userAgent` their quotes (or be `-`/`"-"`).
+    */
+  def renderLine(fields: Map[String, String]): String =
+    GroupNames.map(fields(_)).mkString(" ")
+}
