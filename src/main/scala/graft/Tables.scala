@@ -17,11 +17,17 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** `events.ts` is nanosecond-precision in the parquet file; normalize to
-    * micros (Spark's native precision) so results compare with DuckDB.
+  /** `events.ts` is nanosecond-precision parquet, which Spark 4 refuses
+    * outright (PARQUET_TYPE_ILLEGAL). Read it as a raw long via the
+    * legacy conf, truncate ns → µs with integer division (DuckDB's reader
+    * truncates identically), and surface TIMESTAMP_NTZ so downstream
+    * results hash-match the DuckDB oracle.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
-    val df = load(spark, sfDir, "events")
-    df.withColumn("ts", df.col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(spark, sfDir, "events")
+      .withColumn("ts", org.apache.spark.sql.functions
+        .timestamp_micros(org.apache.spark.sql.functions.expr("ts div 1000"))
+        .cast(org.apache.spark.sql.types.TimestampNTZType))
   }
 }

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators over a document corpus (SURVEY.md §2c):
+  * tokenization, term stats, quality scoring, heuristic language ID,
+  * positional fingerprinting. All pure built-in expressions — fully
+  * codegen'd, no UDFs, shuffle only at the aggregations.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens, exploded: (id, tok). */
+  def tokens(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
+
+  /** Corpus-wide term frequencies, top-k (partial agg then global top-k
+    * — never a full sort of the vocabulary).
+    */
+  def termFrequencies(df: DataFrame, idCol: String, textCol: String,
+                      k: Int): DataFrame =
+    tokens(df, idCol, textCol)
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok")).limit(k)
+
+  /** Per-document stats: char count, token count, avg token length,
+    * punctuation ratio, distinct-token ratio.
+    */
+  def docStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val nTok = size(toks).cast(LongType)
+    val nChar = length(col(textCol)).cast(LongType)
+    val nNonSpace = length(regexp_replace(col(textCol), " ", "")).cast(LongType)
+    val nPunct = nChar - length(regexp_replace(col(textCol),
+      """[\p{Punct}]""", "")).cast(LongType)
+    df.select(
+      col(idCol),
+      nChar.as("n_chars"),
+      nTok.as("n_tokens"),
+      size(array_distinct(toks)).cast(LongType).as("n_distinct_tokens"),
+      (nNonSpace.cast(DoubleType) / nTok.cast(DoubleType)).as("avg_token_len"),
+      (nPunct.cast(DoubleType) / nChar.cast(DoubleType)).as("punct_ratio"),
+      (size(array_distinct(toks)).cast(DoubleType) / nTok.cast(DoubleType))
+        .as("distinct_ratio"))
+  }
+
+  /** Tiny embedded stopword sets for the n-gram/stopword-ratio language
+    * heuristic. Real deployments would broadcast a bigger lexicon; the
+    * mechanism (per-token membership → ratio → argmax) is the same.
+    */
+  val StopwordSets: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "zu", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "de", "est"),
+    "es" -> Seq("el", "la", "los", "y", "de", "es"))
+
+  /** Heuristic language ID: stopword-hit ratio per language, label =
+    * argmax when above `threshold`, else "und". Deterministic, exact
+    * double division — oracle-able in SQL.
+    */
+  def languageScore(df: DataFrame, idCol: String, textCol: String,
+                    lang: String, threshold: Double = 0.08): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val stop = StopwordSets(lang)
+    val hits = size(filter(toks,
+      t => stop.map(s => t === s).reduce(_ || _))).cast(LongType)
+    df.select(
+      col(idCol),
+      hits.as("stop_hits"),
+      size(toks).cast(LongType).as("n_tokens"),
+      (hits.cast(DoubleType) / size(toks).cast(DoubleType)).as("stop_ratio"))
+      .withColumn("is_lang", (col("stop_ratio") >= threshold).cast(IntegerType))
+  }
+
+  /** Positional rolling fingerprint: Σ codepoint(c_i)·((i mod 64)+1) —
+    * order-sensitive (an anagram fingerprints differently), overflow-free
+    * in a long, and exactly expressible in ANSI SQL for the oracle.
+    */
+  def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), posexplode(split(col(textCol), "")))
+      .groupBy(idCol)
+      .agg(sum(ascii(col("col")).cast(LongType) *
+        ((col("pos") % 64) + 1).cast(LongType)).as("fp"))
+}

@@ -1,0 +1,270 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.operators.{Dedup, Sessionize, Similarity, TextAnalysis}
+
+/** LLM-data-pipeline operator queries (SURVEY.md §2c): deduplication,
+  * text analysis, similarity search, event/JSON/sessionization — each
+  * driving the corresponding operator in graft.operators, with DuckDB
+  * oracles wherever the semantics are ANSI-SQL-expressible.
+  */
+object PipelineQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ================= deduplication =================
+
+    QueryDef("dd01_exact_dedup",
+      """SELECT doc_id FROM (
+        |  SELECT doc_id, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |  FROM documents) x
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Dedup.exact(docs(s, dir), Seq("text"), col("doc_id"))
+        .select("doc_id").orderBy("doc_id")
+    },
+
+    QueryDef("dd02_hash_dedup",
+      """SELECT doc_id, h FROM (
+        |  SELECT doc_id, sha256(text) AS h,
+        |         row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+        |  FROM documents) x
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Dedup.byContentHash(docs(s, dir), "text", col("doc_id"))
+        .select(col("doc_id"), sha2(col("text"), 256).as("h"))
+        .orderBy("doc_id")
+    },
+
+    // All-pairs word-3-gram Jaccard, top 20 most-similar pairs. The
+    // oracle-checkable baseline for the shingling math; the scale path
+    // is dd04's LSH bucketing (no all-pairs join).
+    QueryDef("dd03_ngram_jaccard",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 3),
+        | sh0 AS (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i FROM w),
+        | sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
+        |        FROM sh0),
+        | sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        | pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+        |           FROM sh a JOIN sh b USING (shingle)
+        |           WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT da, db,
+        |  CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) AS jac
+        |FROM pairs
+        |JOIN sz sa ON sa.doc_id = da
+        |JOIN sz sb ON sb.doc_id = db
+        |ORDER BY jac DESC, da, db LIMIT 20""".stripMargin) { (s, dir) =>
+      val sh = Dedup.shingles(docs(s, dir), "doc_id", "text", 3)
+      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = sh.select(col("doc_id").as("da"), col("shingle"))
+        .join(sh.select(col("doc_id").as("db"), col("shingle")), "shingle")
+        .filter(col("da") < col("db"))
+        .groupBy("da", "db").agg(count(lit(1)).as("inter"))
+      inter
+        .join(sz.select(col("doc_id").as("da"), col("n").as("na")), "da")
+        .join(sz.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+        .select(col("da"), col("db"),
+          (col("inter").cast(DoubleType) /
+            (col("na") + col("nb") - col("inter")).cast(DoubleType)).as("jac"))
+        .orderBy(col("jac").desc, col("da"), col("db"))
+        .limit(20)
+    },
+
+    // MinHash + LSH banding — the at-scale candidate generator. Band
+    // buckets aren't SQL-portable (xxhash64 seeds) → rows-only check.
+    QueryDef.noOracle("dd04_minhash_lsh") { (s, dir) =>
+      Dedup.lshBuckets(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id", "band")
+    },
+
+    QueryDef.noOracle("dd05_simhash") { (s, dir) =>
+      Dedup.simHash(docs(s, dir), "doc_id", "text").orderBy("doc_id")
+    },
+
+    // ================= text analysis =================
+
+    QueryDef("ta01_term_freq",
+      """SELECT tok, count(*) AS n FROM
+        |  (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t
+        |GROUP BY tok ORDER BY n DESC, tok LIMIT 30""".stripMargin) { (s, dir) =>
+      TextAnalysis.termFrequencies(docs(s, dir), "doc_id", "text", 30)
+    },
+
+    QueryDef("ta02_doc_stats",
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+        |SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+        |  CAST(length(replace(text, ' ', '')) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS avg_token_len,
+        |  CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+        |    / CAST(length(text) AS DOUBLE) AS punct_ratio,
+        |  CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS distinct_ratio
+        |FROM t ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      TextAnalysis.docStats(docs(s, dir), "doc_id", "text").orderBy("doc_id")
+    },
+
+    QueryDef("ta03_lang_stats",
+      """SELECT lang, source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin) { (s, dir) =>
+      docs(s, dir).groupBy("lang", "source")
+        .agg(count(lit(1)).as("n"), sum("n_chars").as("total_chars"))
+        .orderBy("lang", "source")
+    },
+
+    QueryDef("ta04_langid_en",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS BIGINT) AS stop_hits,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS DOUBLE)
+        |    / CAST(len(toks) AS DOUBLE) AS stop_ratio,
+        |  CASE WHEN CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS DOUBLE)
+        |    / CAST(len(toks) AS DOUBLE) >= 0.08 THEN 1 ELSE 0 END AS is_lang
+        |FROM t ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      TextAnalysis.languageScore(docs(s, dir), "doc_id", "text", "en")
+        .orderBy("doc_id")
+    },
+
+    QueryDef("ta05_fingerprint",
+      """WITH t AS (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
+        |           FROM documents)
+        |SELECT doc_id,
+        |  CAST(sum(ord(text[i]) * ((i - 1) % 64 + 1)) AS BIGINT) AS fp
+        |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      TextAnalysis.fingerprint(docs(s, dir), "doc_id", "text").orderBy("doc_id")
+    },
+
+    // ================= similarity search =================
+
+    // Brute-force cosine top-5, EXACT decimal formulation: positions
+    // exploded, dot/norms summed as DECIMAL(18,9) products (order-
+    // independent, bit-identical across engines), similarity assembled
+    // from identical doubles. Queries = vec_id < 10.
+    QueryDef("sim01_cosine_exact",
+      """WITH e0 AS (SELECT vec_id, unnest(embedding) AS rawx,
+        |                    unnest(range(1, len(embedding) + 1)) AS i
+        |             FROM embeddings),
+        | e AS (SELECT vec_id, i,
+        |       CAST(CAST(rawx AS DOUBLE) AS DECIMAL(12,6)) AS x FROM e0),
+        | n AS (SELECT vec_id, sum(x * x) AS nrm FROM e GROUP BY vec_id),
+        | d AS (SELECT q.vec_id AS qid, c.vec_id AS cid, sum(q.x * c.x) AS dot
+        |       FROM e q JOIN e c ON q.i = c.i
+        |       WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+        |       GROUP BY 1, 2),
+        | sim AS (SELECT qid, cid,
+        |           CAST(dot AS DOUBLE) /
+        |             sqrt(CAST(nq.nrm AS DOUBLE) * CAST(nc.nrm AS DOUBLE)) AS sim
+        |         FROM d
+        |         JOIN n nq ON nq.vec_id = qid
+        |         JOIN n nc ON nc.vec_id = cid)
+        |SELECT qid, cid, sim, rank FROM
+        |  (SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS BIGINT) AS rank
+        |   FROM sim) r
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin) { (s, dir) =>
+      val e = emb(s, dir)
+        .select(col("vec_id"), posexplode(col("embedding")))
+        .select(col("vec_id"), col("pos"),
+          col("col").cast(DecimalType(12, 6)).as("x"))
+      val n = e.groupBy("vec_id").agg(sum(col("x") * col("x")).as("nrm"))
+      val d = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("pos"), col("x").as("qx"))
+        .join(e.select(col("vec_id").as("cid"), col("pos"), col("x").as("cx")), "pos")
+        .filter(col("qid") =!= col("cid"))
+        .groupBy("qid", "cid").agg(sum(col("qx") * col("cx")).as("dot"))
+      val sims = d
+        .join(n.select(col("vec_id").as("qid"), col("nrm").as("nq")), "qid")
+        .join(n.select(col("vec_id").as("cid"), col("nrm").as("nc")), "cid")
+        .select(col("qid"), col("cid"),
+          (col("dot").cast(DoubleType) /
+            sqrt(col("nq").cast(DoubleType) * col("nc").cast(DoubleType))).as("sim"))
+      sims.withColumn("rank", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid")))
+          .cast(LongType))
+        .filter(col("rank") <= 5)
+        .orderBy("qid", "rank")
+    },
+
+    // Same search through the fast path: higher-order-function cosine
+    // (no explode, codegen'd) + broadcast of the query block. Values are
+    // IEEE-double and summation-order-dependent → rows-only check; its
+    // agreement with sim01 is asserted in SimilaritySpec instead.
+    QueryDef.noOracle("sim02_cosine_topk_hof") { (s, dir) =>
+      val e = emb(s, dir)
+      Similarity.cosineTopK(e.filter(col("vec_id") < 10), e, 5)
+    },
+
+    QueryDef.noOracle("sim03_ann_lsh") { (s, dir) =>
+      val e = emb(s, dir)
+      Similarity.annTopK(e.filter(col("vec_id") < 10), e, 5, bits = 8)
+    },
+
+    // ================= events: JSON / sessions / windows =================
+
+    QueryDef("ev01_json_extract",
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k2,
+        |  event_type
+        |FROM events ORDER BY event_id LIMIT 500""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast(LongType).as("k"),
+        from_json(col("props"), StructType(Seq(StructField("k", LongType))))
+          .getField("k").as("k2"),
+        col("event_type"))
+        .orderBy("event_id").limit(500)
+    },
+
+    QueryDef("ev02_sessionize",
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        | se AS (
+        |  SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM g)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(ts) AS session_start, max(ts) AS session_end,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM se GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin) { (s, dir) =>
+      Sessionize.summarize(Tables.events(s, dir), gapMinutes = 30)
+    },
+
+    QueryDef("ev03_hourly_rollup",
+      """SELECT date_trunc('hour', ts) AS wstart, event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS v
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType).as("v"))
+        .select(col("window.start").as("wstart"), col("event_type"),
+          col("n"), col("v"))
+        .orderBy("wstart", "event_type")
+    },
+
+    // HLL++ sketch — algorithm-specific estimates, no SQL oracle; the
+    // ±5% envelope vs exact distinct is asserted in PipelineSpec.
+    QueryDef.noOracle("ev04_approx_distinct") { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")
+    })
+}

@@ -1,0 +1,423 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** The full relational operator surface (SURVEY.md §2b/§2c "Joins, aggs,
+  * set ops, grouping sets..."), one named query per operator family, each
+  * with a DuckDB oracle. The reference itself has none of these (its only
+  * operators are scan→parse→project→sort→sink); they are the §2c
+  * extension surface that makes this a query engine rather than a
+  * converter.
+  *
+  * Scale notes are per-query: the plan shapes here (broadcast for dims,
+  * partial aggregation, semi/anti instead of distinct-join, window
+  * instead of self-join) are the ones that survive a 1000-executor /
+  * 100 TB deployment.
+  */
+object RelationalQueries {
+
+  /** Exact, order-independent money arithmetic: double → decimal(18,4). */
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 4))
+  private def moneySum(c: Column): Column = sum(dec(c)).cast(DoubleType)
+
+  /** Product operands use narrow decimals so the product precision stays
+    * ≤ 38 in BOTH engines (Spark silently reduces scale past 38, DuckDB
+    * keeps exact — that divergence would break the oracle hash).
+    * `(12,4) * (7,4)` → exact everywhere.
+    */
+  private def decM(c: Column): Column = c.cast(DecimalType(12, 4))
+  private def oneMinus(c: Column): Column =
+    lit(1).cast(DecimalType(5, 4)) - c.cast(DecimalType(6, 4))
+  private def discSum(price: Column, disc: Column): Column =
+    sum(decM(price) * oneMinus(disc)).cast(DoubleType)
+  private val DiscSumSql =
+    "CAST(sum(CAST(%s AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(5,4)) - CAST(%s AS DECIMAL(6,4)))) AS DOUBLE)"
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Register the TPC-H-ish tables as temp views for SQL-text queries
+    * (the same SQL string runs verbatim in DuckDB — zero drift).
+    */
+  private def withViews(s: SparkSession, dir: String): Unit =
+    Tables.all.filterNot(_ == "events").foreach { n =>
+      t(s, dir, n).createOrReplaceTempView(n)
+    }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- aggregation: hash agg with partial (map-side) combine; the
+    // canonical pricing-summary scan+agg. 2 shuffle keys, tiny result.
+    QueryDef("q01_pricing_summary",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_price,
+        |  CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast(TimestampNTZType))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          moneySum(col("l_quantity")).as("sum_qty"),
+          moneySum(col("l_extendedprice")).as("sum_base_price"),
+          discSum(col("l_extendedprice"), col("l_discount")).as("sum_disc_price"),
+          (moneySum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          (moneySum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
+          (moneySum(col("l_discount")) / count(lit(1))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // ---- filter + projection: predicate & column pushdown reach the
+    // parquet scan (PushedFilters on l_shipdate/l_quantity; ReadSchema
+    // of exactly 6 columns).
+    QueryDef("q02_filter_pushdown",
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_quantity < 10
+        |ORDER BY l_orderkey, l_linenumber
+        |LIMIT 100""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast(TimestampNTZType)
+          && col("l_shipdate") < lit("1997-01-01").cast(TimestampNTZType)
+          && col("l_quantity") < 10)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(100)
+    },
+
+    // ---- 3-way join + agg (TPC-H Q3 shape). customer is the small side
+    // → broadcast hint; orders⋈lineitem shuffles on the join key once and
+    // the groupBy reuses that partitioning.
+    QueryDef("q03_shipping_priority",
+      s"""SELECT o_orderkey,
+        |  ${DiscSumSql.format("l_extendedprice", "l_discount")} AS revenue,
+        |  o_orderdate
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1996-03-15 00:00:00'
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_orderkey
+        |LIMIT 10""".stripMargin) { (s, dir) =>
+      val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") < lit("1998-01-01").cast(TimestampNTZType))
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1996-03-15").cast(TimestampNTZType))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"))
+        .agg(discSum(col("l_extendedprice"), col("l_discount")).as("revenue"))
+        .select(col("o_orderkey"), col("revenue"), col("o_orderdate"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    },
+
+    // ---- broadcast dimension join: part is a dim table; explicit
+    // broadcast() keeps the fact-table scan shuffle-free.
+    QueryDef("q04_broadcast_dim",
+      """SELECT p_brand,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(
+          moneySum(col("l_quantity")).as("sum_qty"),
+          moneySum(col("l_extendedprice")).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("p_brand"))
+    },
+
+    // ---- 6-way snowflake join (TPC-H Q5 shape): all dims broadcast,
+    // single shuffle on the fact side for the final agg.
+    QueryDef("q05_region_revenue",
+      s"""SELECT n_name,
+        |  ${DiscSumSql.format("l_extendedprice", "l_discount")} AS revenue
+        |FROM region
+        |JOIN nation ON n_regionkey = r_regionkey
+        |JOIN customer ON c_nationkey = n_nationkey
+        |JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin) { (s, dir) =>
+      val reg = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast(TimestampNTZType)
+          && col("o_orderdate") < lit("1998-01-01").cast(TimestampNTZType))
+      t(s, dir, "lineitem")
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey")
+            && col("s_nationkey") === col("c_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(discSum(col("l_extendedprice"), col("l_discount")).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+
+    // ---- semi join (EXISTS): no row multiplication, no distinct needed —
+    // the shuffle carries only the join key.
+    QueryDef("q06_semi_join",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    // ---- anti join (NOT EXISTS).
+    QueryDef("q07_anti_join",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    // ---- window top-k per group: one shuffle on the partition key; at
+    // scale this replaces the self-join-then-filter anti-pattern.
+    QueryDef("q08_window_topk",
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) x
+        |WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(w).cast(LongType).as("rn"))  // DuckDB row_number → BIGINT
+        .filter(col("rn") <= 3)
+        .orderBy(col("o_custkey"), col("rn"))
+    },
+
+    // ---- running / frame window: cumulative sum + lag over a total
+    // per-customer order (decimal running sum = exact, order-pinned).
+    QueryDef("q09_window_running",
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  row_number() OVER w AS seq,
+        |  lag(o_orderkey) OVER w AS prev_order,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+        |       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, seq""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          row_number().over(w).cast(LongType).as("seq"),
+          lag(col("o_orderkey"), 1).over(w).as("prev_order"),
+          sum(dec(col("o_totalprice")))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast(DoubleType).as("running_total"))
+        .orderBy(col("o_custkey"), col("seq"))
+    },
+
+    // ---- rollup.
+    QueryDef("q10_rollup",
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), moneySum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    },
+
+    // ---- cube.
+    QueryDef("q11_cube",
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("total"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    },
+
+    // ---- distinct aggregation (expand-based multi-distinct).
+    QueryDef("q12_distinct_agg",
+      """SELECT count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps,
+        |  count(DISTINCT l_returnflag) AS n_flags,
+        |  count(*) AS n
+        |FROM lineitem""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem").agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        countDistinct(col("l_returnflag")).as("n_flags"),
+        count(lit(1)).as("n"))
+    },
+
+    // ---- set operations: UNION (distinct), INTERSECT, EXCEPT.
+    QueryDef("q13_setops",
+      """SELECT 'union' AS op, k FROM
+        |  (SELECT c_nationkey AS k FROM customer UNION SELECT s_nationkey FROM supplier) a
+        |UNION ALL
+        |SELECT 'intersect' AS op, k FROM
+        |  (SELECT c_nationkey AS k FROM customer INTERSECT SELECT s_nationkey FROM supplier) b
+        |UNION ALL
+        |SELECT 'except' AS op, k FROM
+        |  (SELECT c_nationkey AS k FROM customer EXCEPT SELECT s_nationkey FROM supplier) c
+        |ORDER BY op, k""".stripMargin) { (s, dir) =>
+      val c = t(s, dir, "customer").select(col("c_nationkey").as("k"))
+      val su = t(s, dir, "supplier").select(col("s_nationkey").as("k"))
+      c.union(su).distinct().select(lit("union").as("op"), col("k"))
+        .unionAll(c.intersect(su).select(lit("intersect").as("op"), col("k")))
+        .unionAll(c.except(su).select(lit("except").as("op"), col("k")))
+        .orderBy(col("op"), col("k"))
+    },
+
+    // ---- global top-k: TakeOrderedAndProject, not a full sort — the
+    // only plan that survives 100 TB for ORDER BY ... LIMIT.
+    QueryDef("q14_topk_global",
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 25""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(25)
+    },
+
+    // ---- string function battery (all codegen'd built-ins).
+    QueryDef("q15_string_fns",
+      """SELECT p_partkey,
+        |  upper(p_brand) AS ub, lower(p_type) AS lt,
+        |  substring(p_name, 1, 8) AS pre, length(p_name) AS len,
+        |  concat(p_brand, '#', p_type) AS ct,
+        |  replace(p_name, ' ', '_') AS un,
+        |  split_part(p_name, ' ', 1) AS w1,
+        |  regexp_replace(p_name, '[aeiou]', '', 'g') AS rr
+        |FROM part ORDER BY p_partkey LIMIT 100""".stripMargin) { (s, dir) =>
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("ub"), lower(col("p_type")).as("lt"),
+        substring(col("p_name"), 1, 8).as("pre"),
+        length(col("p_name")).cast(LongType).as("len"),  // DuckDB length → BIGINT
+        concat(col("p_brand"), lit("#"), col("p_type")).as("ct"),
+        regexp_replace(col("p_name"), lit(" "), lit("_")).as("un"),
+        split_part(col("p_name"), lit(" "), lit(1)).as("w1"),
+        regexp_replace(col("p_name"), lit("[aeiou]"), lit("")).as("rr"))
+        .orderBy("p_partkey").limit(100)
+    },
+
+    // ---- date/time function battery over TIMESTAMP_NTZ.
+    QueryDef("q16_date_fns",
+      """SELECT o_orderkey,
+        |  year(o_orderdate) AS y, month(o_orderdate) AS m, day(o_orderdate) AS d,
+        |  quarter(o_orderdate) AS q,
+        |  CAST(o_orderdate AS DATE) + 30 AS plus30,
+        |  datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS since_epoch,
+        |  last_day(CAST(o_orderdate AS DATE)) AS eom
+        |FROM orders ORDER BY o_orderkey LIMIT 100""".stripMargin) { (s, dir) =>
+      // date-part ints are BIGINT in DuckDB — widen Spark's to match
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast(LongType).as("y"),
+        month(col("o_orderdate")).cast(LongType).as("m"),
+        dayofmonth(col("o_orderdate")).cast(LongType).as("d"),
+        quarter(col("o_orderdate")).cast(LongType).as("q"),
+        date_add(col("o_orderdate").cast(DateType), 30).as("plus30"),
+        datediff(col("o_orderdate").cast(DateType),
+          lit("1995-01-01").cast(DateType)).cast(LongType).as("since_epoch"),
+        last_day(col("o_orderdate").cast(DateType)).as("eom"))
+        .orderBy("o_orderkey").limit(100)
+    },
+
+    // ---- correlated EXISTS subquery via SQL text (same string runs in
+    // DuckDB — Catalyst decorrelates to a semi join).
+    sqlBoth("q19_exists_subquery",
+      """SELECT o_orderkey, o_totalprice FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+        |ORDER BY o_orderkey LIMIT 100""".stripMargin),
+
+    // ---- scalar subquery + HAVING.
+    sqlBoth("q20_having_scalar_subquery",
+      """SELECT c_nationkey,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS bal,
+        |  count(*) AS n
+        |FROM customer
+        |GROUP BY c_nationkey
+        |HAVING CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) >
+        |  (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / count(*)
+        |   FROM customer)
+        |ORDER BY c_nationkey""".stripMargin),
+
+    // ---- grouping sets.
+    sqlBoth("q21_grouping_sets",
+      """SELECT l_returnflag, l_linestatus, count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin),
+
+    // ---- conditional aggregation (pivot-by-hand; BIGINT-pinned).
+    QueryDef("q22_conditional_agg",
+      """SELECT o_orderpriority,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p,
+        |  count(*) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      def flag(v: String) =
+        sum(when(col("o_orderstatus") === v, 1).otherwise(0)).cast(LongType)
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(flag("F").as("n_f"), flag("O").as("n_o"), flag("P").as("n_p"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    })
+
+  /** A query whose Spark implementation IS the oracle SQL text, run
+    * through `spark.sql` over temp views — exercises the SQL front end
+    * (parser/analyzer) as a first-class API surface.
+    */
+  private def sqlBoth(name: String, sql: String): QueryDef =
+    QueryDef(name, sql) { (s, dir) =>
+      withViews(s, dir)
+      s.sql(sql)
+    }
+}
