@@ -1,0 +1,94 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming counterparts of the batch operators: the same
+  * event-stream semantics (hourly rollups, gap sessionization) expressed
+  * over an unbounded source with watermarks for late data.
+  *
+  * The reference has no streaming path — its "stream" is a daily cron
+  * re-invocation with backfill replay (deploy/template.yaml:114-130,
+  * s3_server_access_logs.py:361-368). This module is the §2c/§7
+  * extension: `readStream` → transform → `writeStream`, with event-time
+  * state instead of re-runs.
+  *
+  * Scale posture: both jobs are keyed-state streaming aggregations whose
+  * state is hash-partitioned by group key across executors; watermarks
+  * bound state size (windows expire, sessions time out). No driver-side
+  * state.
+  */
+case class SessionEvent(user_id: Long, ts: Timestamp, value: Double)
+case class SessionAgg(user_id: Long, session_start: Timestamp,
+                      session_end: Timestamp, n_events: Long, sum_value: Double)
+case class SState(start: Long, end: Long, n: Long, total: Double)
+
+object StreamingJobs {
+
+  /** Tumbling-window rollup with watermark: counts + value sums per
+    * (1-hour window, event_type); windows finalize (append-mode emit)
+    * once the watermark passes their end.
+    */
+  def hourlyRollup(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType).as("v"))
+      .select(col("window.start").as("wstart"), col("event_type"),
+        col("n"), col("v"))
+
+  /** Stateful gap sessionization: per-user session state in the state
+    * store, closed sessions emitted when a gap arrives in-stream or the
+    * event-time timeout fires (watermark passed last event + gap).
+    * Mirrors the batch `Sessionize.summarize` semantics.
+    */
+  def sessionize(events: Dataset[SessionEvent], gapMinutes: Int,
+                 watermark: String = "10 minutes"): Dataset[SessionAgg] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+
+    def close(userId: Long, s: SState): SessionAgg =
+      SessionAgg(userId, new Timestamp(s.start), new Timestamp(s.end), s.n, s.total)
+
+    def fn(userId: Long, it: Iterator[SessionEvent],
+           state: GroupState[SState]): Iterator[SessionAgg] = {
+      if (state.hasTimedOut) {
+        val out = state.getOption.map(close(userId, _)).iterator
+        state.remove()
+        out
+      } else {
+        val evs = it.toSeq.sortBy(_.ts.getTime)
+        var cur = state.getOption
+        val closed = Seq.newBuilder[SessionAgg]
+        evs.foreach { e =>
+          val t = e.ts.getTime
+          cur match {
+            case Some(s) if t - s.end > gapMs =>
+              closed += close(userId, s)
+              cur = Some(SState(t, t, 1, e.value))
+            case Some(s) =>
+              cur = Some(SState(s.start, math.max(s.end, t), s.n + 1, s.total + e.value))
+            case None =>
+              cur = Some(SState(t, t, 1, e.value))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.end + gapMs)
+        }
+        closed.result().iterator
+      }
+    }
+
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.multimodal.Multimodal
+
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  lazy val assets = Multimodal.syntheticAssets(spark, 90).cache()
+
+  test("asset table round-trips through parquet with binary payload intact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mm").toString
+    assets.write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir)
+    assert(back.schema("payload").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+    assert(back.count() == 90)
+    val orig = assets.filter($"asset_id" === 7L).head().payload
+    val rt = back.filter($"asset_id" === 7L).head().getAs[Array[Byte]]("payload")
+    assert(orig.sameElements(rt))
+  }
+
+  test("feature extraction: deterministic, right shape, batched") {
+    val f1 = Multimodal.extractFeatures(assets, dim = 32, batchSize = 16)
+      .collect().map(f => f.asset_id -> f.feature.toSeq).toMap
+    val f2 = Multimodal.extractFeatures(assets, dim = 32, batchSize = 64)
+      .collect().map(f => f.asset_id -> f.feature.toSeq).toMap
+    assert(f1.size == 90)
+    assert(f1.values.forall(_.length == 32))
+    assert(f1 == f2)  // batch size must not change results
+    assert(f1(0L) != f1(1L))  // distinct payloads → distinct features
+    assert(f1.values.flatten.forall(v => v >= -1f && v <= 1f))
+  }
+
+  test("resize plan preserves aspect ratio and caps at maxSide") {
+    val plans = Multimodal.resizePlan(assets.toDF(), maxSide = 320).collect()
+    assert(plans.nonEmpty)
+    plans.foreach { r =>
+      val (w, h) = (r.getAs[Int]("target_width"), r.getAs[Int]("target_height"))
+      assert(w <= 320 && h <= 320, r)
+      val ar0 = r.getAs[Int]("width").toDouble / r.getAs[Int]("height")
+      assert(math.abs(w.toDouble / h - ar0) < 0.02, r)
+    }
+  }
+
+  test("resize plan prunes the payload column from the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mm2").toString
+    assets.write.mode("overwrite").parquet(dir)
+    val plan = Multimodal.resizePlan(spark.read.parquet(dir), 320)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema"))
+    assert(!plan.contains("payload"), s"payload not pruned:\n$plan")
+  }
+
+  test("frame sampling: stride respected, capped, video only") {
+    val frames = Multimodal.sampleFrames(assets.toDF(), stride = 30, maxFrames = 5)
+    val byAsset = frames.groupBy("asset_id")
+      .agg(collect_list("frame_idx").as("idx")).collect()
+    assert(byAsset.nonEmpty)
+    byAsset.foreach { r =>
+      val idx = r.getAs[scala.collection.Seq[Int]]("idx").toSeq.sorted
+      assert(idx.size <= 5)
+      assert(idx.zipWithIndex.forall { case (v, i) => v == i * 30 }, r)
+    }
+  }
+}

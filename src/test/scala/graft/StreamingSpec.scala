@@ -1,0 +1,68 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamingJobs
+import graft.streaming.SessionEvent
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("hourly rollup finalizes windows as the watermark advances") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val df = in.toDF().toDF("ts", "event_type", "value")
+    val q = StreamingJobs.hourlyRollup(df, "30 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("rollup_out")
+      .start()
+    in.addData(
+      (ts("2024-01-01 10:05:00"), "click", 1.5),
+      (ts("2024-01-01 10:45:00"), "click", 2.5),
+      (ts("2024-01-01 10:50:00"), "view", 1.0))
+    q.processAllAvailable()
+    // advance watermark far past hour 10
+    in.addData((ts("2024-01-01 13:00:00"), "click", 9.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("rollup_out").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(rows.contains(("2024-01-01 10:00:00.0", "click", 2L, 4.0)), rows)
+    assert(rows.contains(("2024-01-01 10:00:00.0", "view", 1L, 1.0)), rows)
+  }
+
+  test("stateful sessionization closes sessions on gap and on timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[SessionEvent]
+    val q = StreamingJobs.sessionize(in.toDS(), gapMinutes = 30, watermark = "5 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_out")
+      .start()
+    // user 1: two events 10 min apart (one session), then a 2h gap event
+    in.addData(
+      SessionEvent(1L, ts("2024-01-01 09:00:00"), 1.0),
+      SessionEvent(1L, ts("2024-01-01 09:10:00"), 2.0))
+    q.processAllAvailable()
+    in.addData(SessionEvent(1L, ts("2024-01-01 11:30:00"), 5.0))
+    q.processAllAvailable()
+    // push watermark far ahead so the open session times out
+    in.addData(SessionEvent(2L, ts("2024-01-01 23:00:00"), 0.5))
+    q.processAllAvailable()
+    in.addData(SessionEvent(2L, ts("2024-01-02 12:00:00"), 0.5))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sess_out").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getTimestamp(2).toString,
+        r.getLong(3), r.getDouble(4))).toSet
+    assert(rows.contains((1L, "2024-01-01 09:00:00.0", "2024-01-01 09:10:00.0", 2L, 3.0)), rows)
+    assert(rows.contains((1L, "2024-01-01 11:30:00.0", "2024-01-01 11:30:00.0", 1L, 5.0)), rows)
+  }
+}
