@@ -36,40 +36,42 @@ object Dedup {
     exact(df.withColumn("_h", sha2(col(contentCol), 256)), Seq("_h"), tiebreak)
       .drop("_h")
 
-  /** Distinct word n-gram shingles per document: (id, shingle). */
-  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val words = split(col(textCol), " ")
-    df.filter(size(split(col(textCol), " ")) >= n)
-      .select(col(idCol), explode(array_distinct(
-        transform(sequence(lit(0), size(words) - n),
-          i => concat_ws(" ", slice(words, i + 1, lit(n)))))).as("shingle"))
-  }
-
-  /** MinHash row signature, long form: (id, pos, minhash) for
-    * `numHashes` independent hash permutations, computed in one pass
-    * over the shingle set (hash family = seeded xxhash64; map-side
-    * partial min keeps the shuffle at |docs| × numHashes rows).
+  /** Distinct word n-gram shingles per document: (id, shingle). The
+    * words array is materialized by a projection BEFORE the shingle
+    * lambda — referencing `split(...)` inside the lambda would re-split
+    * the text once per shingle index.
     */
-  def minHashLong(sh: DataFrame, idCol: String, numHashes: Int): DataFrame =
-    sh.select(col(idCol), posexplode(
-        transform(sequence(lit(0), lit(numHashes - 1)),
-          i => xxhash64(concat(col("shingle"), lit("#"), i.cast(StringType))))))
-      .groupBy(col(idCol), col("pos"))
-      .agg(min(col("col")).as("minhash"))
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol), split(col(textCol), " ").as("_words"))
+      .filter(size(col("_words")) >= n)
+      .select(col(idCol), explode(array_distinct(
+        transform(sequence(lit(0), size(col("_words")) - n),
+          i => concat_ws(" ", slice(col("_words"), i + 1, lit(n)))))).as("shingle"))
+
+  /** MinHash signatures: (id, sig array<long>[numHashes]), one pass via
+    * the custom [[graft.functions.MinHashAggExpr]] TypedImperativeAggregate
+    * — the shuffle carries ONE fixed-width signature row per document
+    * (map-side partial min), not |shingles| × numHashes exploded rows.
+    */
+  def minHashSignatures(sh: DataFrame, idCol: String, numHashes: Int): DataFrame =
+    sh.groupBy(col(idCol))
+      .agg(graft.functions.MinHashAgg.minhash_sketch(col("shingle"), numHashes)
+        .as("sig"))
 
   /** LSH banding over MinHash signatures: (id, band, bucket). Docs
-    * sharing ≥1 (band, bucket) are near-dup candidates. `bucket` is a
-    * hash of the band's ordered minhash values (sort_array pins the
-    * order — collect_list alone is nondeterministic).
+    * sharing ≥1 (band, bucket) are near-dup candidates. Banding is pure
+    * array slicing over the signature — no extra shuffle beyond the
+    * signature aggregation.
     */
   def lshBuckets(df: DataFrame, idCol: String, textCol: String,
                  shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8): DataFrame = {
-    val rowsPerBand = numHashes / bands
-    minHashLong(shingles(df, idCol, textCol, shingleN), idCol, numHashes)
-      .withColumn("band", (col("pos") / rowsPerBand).cast(IntegerType))
-      .groupBy(col(idCol), col("band"))
-      .agg(xxhash64(to_json(sort_array(collect_list(struct(col("pos"), col("minhash"))))))
-        .as("bucket"))
+    val r = numHashes / bands
+    minHashSignatures(shingles(df, idCol, textCol, shingleN), idCol, numHashes)
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("sig"), b * r + 1, lit(r))))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
   }
 
   /** Near-dup candidate pairs from LSH buckets: only rows sharing a
@@ -88,20 +90,22 @@ object Dedup {
   }
 
   /** 64-bit SimHash per document over whitespace tokens: per-bit
-    * majority vote of token hashes. Laid out as (id, token-hash) ×
-    * 64-bit positions → partial sums — one shuffle of |docs|×64 rows.
+    * majority vote of token hashes. One shuffle of |docs| rows carrying
+    * the token-hash list; the 64-bit vote runs as nested higher-order
+    * aggregates in codegen (vote order is commutative, so collect_list
+    * nondeterminism cannot leak into the result).
     */
   def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
       .select(col(idCol), xxhash64(col("tok")).as("h"))
-      .select(col(idCol), posexplode(
-        transform(sequence(lit(0), lit(63)),
-          b => when(call_function("shiftright", col("h"), b)
-            .bitwiseAND(1) === 1, 1).otherwise(-1))))
-      .groupBy(col(idCol), col("pos"))
-      .agg(sum(col("col")).as("vote"))
       .groupBy(col(idCol))
-      .agg(sum(when(col("vote") > 0,
-        call_function("shiftleft", lit(1L), col("pos"))).otherwise(0L))
+      .agg(collect_list(col("h")).as("hs"))
+      .select(col(idCol), aggregate(
+        sequence(lit(0), lit(63)), lit(0L),
+        (acc, b) => acc + when(
+          aggregate(col("hs"), lit(0),
+            (v, h) => v + when(call_function("shiftright", h, b)
+              .bitwiseAND(1) === 1, 1).otherwise(-1)) > 0,
+          call_function("shiftleft", lit(1L), b)).otherwise(0L))
         .cast(LongType).as("simhash"))
 }

@@ -63,10 +63,14 @@ object PipelineQueries {
         |JOIN sz sa ON sa.doc_id = da
         |JOIN sz sb ON sb.doc_id = db
         |ORDER BY jac DESC, da, db LIMIT 20""".stripMargin) { (s, dir) =>
+      // shingles are joined on their xxhash64 — the shuffle carries
+      // (long, long) rows instead of full shingle strings (collision
+      // probability over a corpus' shingle set is ~|sh|²/2⁶⁴, negligible)
       val sh = Dedup.shingles(docs(s, dir), "doc_id", "text", 3)
+        .select(col("doc_id"), xxhash64(col("shingle")).as("sh64"))
       val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val inter = sh.select(col("doc_id").as("da"), col("shingle"))
-        .join(sh.select(col("doc_id").as("db"), col("shingle")), "shingle")
+      val inter = sh.select(col("doc_id").as("da"), col("sh64"))
+        .join(sh.select(col("doc_id").as("db"), col("sh64")), "sh64")
         .filter(col("da") < col("db"))
         .groupBy("da", "db").agg(count(lit(1)).as("inter"))
       inter

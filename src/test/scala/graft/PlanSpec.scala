@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.exchange.Exchange
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions — the 100 TB design gate (SURVEY.md §4 /
+  * builder contract): filters and projections must reach the parquet
+  * scan, dim joins must broadcast, top-k must not globally sort, and
+  * shuffle counts must stay bounded. These pin the plan SHAPE so a
+  * regression (lost pushdown, broadcast falling back to SMJ+shuffle)
+  * fails CI even while results stay correct.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  def optimized(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, sf)
+
+  def countExchanges(name: String): Int =
+    optimized(name).queryExecution.executedPlan.collect {
+      case e: Exchange => e
+    }.size
+
+  test("q02: predicate and column pushdown reach the parquet scan") {
+    val plan = planOf("q02_filter_pushdown")
+    assert(plan.contains("PushedFilters: ["), plan)
+    assert(plan.contains("l_shipdate"), plan)
+    // scan must read only the 6 referenced columns, not all 11
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_returnflag"), readSchema)
+    assert(!readSchema.contains("l_tax"), readSchema)
+  }
+
+  test("q03/q04/q05: dimension joins broadcast (no shuffle of the fact side for dims)") {
+    for (q <- Seq("q03_shipping_priority", "q04_broadcast_dim", "q05_region_revenue")) {
+      val plan = planOf(q)
+      assert(plan.contains("BroadcastHashJoin"), s"$q missing broadcast:\n$plan")
+    }
+  }
+
+  test("q14: global top-k plans as TakeOrderedAndProject, not a full sort") {
+    val plan = planOf("q14_topk_global")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("SortExec"), plan)
+  }
+
+  test("q06/q07: EXISTS/NOT EXISTS plan as semi/anti hash joins") {
+    assert(planOf("q06_semi_join").contains("LeftSemi"), planOf("q06_semi_join"))
+    assert(planOf("q07_anti_join").contains("LeftAnti"), planOf("q07_anti_join"))
+  }
+
+  test("q01: aggregation runs partial (map-side) before the shuffle") {
+    val plan = planOf("q01_pricing_summary")
+    assert(plan.contains("partial_sum") || plan.contains("partial_count"), plan)
+  }
+
+  test("whole-stage codegen covers the scan→agg pipeline of q01") {
+    val df = optimized("q01_pricing_summary")
+    df.collect()  // finalize the adaptive plan so codegen stages render
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*("), s"no codegen stages:\n$plan")
+  }
+
+  test("shuffle budget: single-agg queries shuffle at most twice (agg + order)") {
+    for (q <- Seq("q01_pricing_summary", "q04_broadcast_dim", "ta03_lang_stats")) {
+      val n = countExchanges(q)
+      assert(n <= 2, s"$q has $n exchanges")
+    }
+  }
+
+  test("sim02 HOF cosine: query side broadcasts, no shuffle of candidates before scoring") {
+    val plan = planOf("sim02_cosine_topk_hof")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("log parser fused path keeps one regex pass (no RegExpExtract chain)") {
+    import org.apache.spark.sql.functions._
+    // non-foldable input so the optimizer can't constant-fold the parse
+    val lines = spark.range(3)
+      .select(concat(lit("line-"), col("id")).as("value"))
+    val fusedPlan = graft.sources.S3AccessLog.parse(lines, fused = true)
+      .queryExecution.optimizedPlan.toString
+    assert(fusedPlan.contains("parse_s3_access_log"), fusedPlan)
+    // the 26-group pattern must appear 0 times (fused) vs 26+ (built-in);
+    // the tiny per-row bracket-token extract for the timestamp is fine
+    val bigPattern = """(\S+) (\S+) (\["""
+    assert(!fusedPlan.contains(bigPattern), fusedPlan)
+    val builtinPlan = graft.sources.S3AccessLog.parse(lines, fused = false)
+      .queryExecution.optimizedPlan.toString
+    assert(builtinPlan.sliding(bigPattern.length).count(_ == bigPattern) >= 26,
+      builtinPlan.take(2000))
+  }
+}
