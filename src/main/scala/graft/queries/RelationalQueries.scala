@@ -394,6 +394,56 @@ object RelationalQueries {
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin),
 
+    // ---- pivot (wide conditional agg). Spark leaves empty cells NULL;
+    // DuckDB's FILTER count yields 0 — NULLIF aligns them (a count can
+    // only be 0 when the cell is empty).
+    QueryDef("q23_pivot",
+      """SELECT o_orderpriority,
+        |  CAST(NULLIF(count(*) FILTER (WHERE o_orderstatus = 'F'), 0) AS BIGINT) AS F,
+        |  CAST(NULLIF(count(*) FILTER (WHERE o_orderstatus = 'O'), 0) AS BIGINT) AS O,
+        |  CAST(NULLIF(count(*) FILTER (WHERE o_orderstatus = 'P'), 0) AS BIGINT) AS P
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .orderBy("o_orderpriority")
+    },
+
+    // ---- exact percentiles (interpolating; SortAggregate path).
+    QueryDef("q24_percentiles",
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.25) AS p25,
+        |  quantile_cont(l_quantity, 0.50) AS p50,
+        |  quantile_cont(l_quantity, 0.75) AS p75,
+        |  min(l_quantity) AS qmin, max(l_quantity) AS qmax
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          percentile(col("l_quantity"), lit(0.25)).as("p25"),
+          percentile(col("l_quantity"), lit(0.50)).as("p50"),
+          percentile(col("l_quantity"), lit(0.75)).as("p75"),
+          min(col("l_quantity")).as("qmin"), max(col("l_quantity")).as("qmax"))
+        .orderBy("l_returnflag")
+    },
+
+    // ---- array aggregation: collect_set + sort (emitted as a joined
+    // string — portable across both engines' array renderings).
+    QueryDef("q25_array_agg",
+      """SELECT l_returnflag,
+        |  array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,
+        |  count(DISTINCT l_linestatus) AS n_statuses
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          concat_ws(",", sort_array(collect_set(col("l_linestatus")))).as("statuses"),
+          countDistinct(col("l_linestatus")).as("n_statuses"))
+        .orderBy("l_returnflag")
+    },
+
     // ---- conditional aggregation (pivot-by-hand; BIGINT-pinned).
     QueryDef("q22_conditional_agg",
       """SELECT o_orderpriority,

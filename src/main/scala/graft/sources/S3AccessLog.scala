@@ -155,7 +155,10 @@ object S3AccessLog {
   def parse(lines: DataFrame, column: String = "value",
             fused: Boolean = true): DataFrame = {
     // Python str.strip() removes ALL whitespace; Spark's trim() only 0x20.
-    val v = regexp_replace(col(column), """^\s+|\s+$""", "")
+    // Character-set trim (linear two-pointer scan) — a `^\s+|\s+$` regex
+    // here costs as much as the whole 26-group parse (the unanchored
+    // alternation attempts a match at every position).
+    val v = trim(col(column), " \t\n\r\f")
     val trimmed = lines.select(v.as("value")).filter(col("value") =!= "")
 
     val names = OutputColumns.filterNot(_ == "error_line")

@@ -209,8 +209,22 @@ object RenderFixtures {
     "bytes" -> bytes, "referrer" -> referrer, "useragent" -> ua,
     "time" -> f"[$day%02d/Jul/2024:$hour%02d:08:44 +0000]")
 
-  val lineGen: Gen[String] = Gen.frequency(
-    8 -> fieldsGen.map(graft.sources.S3AccessLog.renderLine),
-    1 -> Gen.const("garbage line that will not match"),
-    1 -> Gen.alphaNumStr)
+  val lineGen: Gen[String] = {
+    val valid = fieldsGen.map(graft.sources.S3AccessLog.renderLine)
+    Gen.frequency(
+      8 -> valid,
+      1 -> Gen.const("garbage line that will not match"),
+      1 -> Gen.alphaNumStr,
+      // adversarial shapes: the scanner must agree with java.util.regex
+      // on every one of these (search semantics, separators, quoting)
+      1 -> valid.map("JUNK-PREFIX " + _),          // match starts mid-line
+      1 -> valid.map("inner" + _),                 // match starts mid-token
+      1 -> valid.map(_ + " trailing junk after"),  // ignored tail
+      1 -> valid.map(_.replaceFirst(" ", "  ")),   // double space separator
+      1 -> valid.map(_.replaceFirst(" ", "\t")),   // tab separator
+      1 -> valid.map(_.replace("\"HEAD / HTTP/1.1\"", "\"unclosed")),
+      1 -> valid.map(_.replace("[30/Jul/2024:13:08:44 +0000]", "[no-close")),
+      1 -> valid.map(_.replace("[30/Jul/2024:13:08:44 +0000]", "[]")),
+      1 -> valid.map(_.replace(" - ywUV", " -- ywUV")))  // 2-char version
+  }
 }
