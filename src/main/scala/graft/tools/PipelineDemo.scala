@@ -55,6 +55,29 @@ object PipelineDemo {
     println(s"[demo] resize plans: ${Multimodal.resizePlan(assets, 320).count()}")
     println(s"[demo] sampled frames: " +
       s"${Multimodal.sampleFrames(assets, 30, 5).count()}")
+
+    // ---- log table: compact raw logs via ETL, read back date-pruned ----
+    val d = java.time.LocalDate.of(2024, 7, 30)
+    val rawDir = s"$work/rawlogs/b1/2024/07/30"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(rawDir))
+    val sample = (0 until 1000).map(i => graft.sources.S3AccessLog.renderLine(
+      Map("owner" -> s"o$i", "bucket" -> "b1",
+        "time" -> f"[30/Jul/2024:${i % 24}%02d:00:00 +0000]", "ip" -> "1.1.1.1",
+        "requester" -> "r", "reqid" -> s"R$i", "operation" -> "REST.GET.OBJECT",
+        "key" -> s"k/$i", "request" -> "\"GET /k HTTP/1.1\"", "status" -> "200",
+        "error" -> "-", "bytes" -> s"${i * 7}", "size" -> "-", "totaltime" -> "5",
+        "turnaround" -> "4", "referrer" -> "\"-\"", "useragent" -> "\"a/1\"",
+        "version" -> "-", "host_id" -> "h=", "signature_version" -> "SigV4",
+        "cipher_suite" -> "c", "auth_type" -> "AuthHeader", "host_header" -> "hh",
+        "tls_version" -> "TLSv1.3", "access_point_arn" -> "-",
+        "acl_required" -> "-")))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$rawDir/f.log"),
+      sample.mkString("\n").getBytes)
+    graft.operators.LogEtl.runBackfill(spark, s"$work/rawlogs",
+      s"$work/compacted", Seq("b1"), d, d, numOutputFiles = 2)
+    val table = graft.sources.LogTable.read(spark, s"$work/compacted", "b1", d, d)
+    println(s"[demo] log table date-pruned read: ${table.count()} rows, " +
+      s"${table.select("s3_bucket").distinct().count()} bucket")
     spark.stop()
   }
 }
