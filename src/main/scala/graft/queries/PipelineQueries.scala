@@ -262,6 +262,29 @@ object PipelineQueries {
         .orderBy("wstart", "event_type")
     },
 
+    // As-of join: each click joined to the user's most recent prior (or
+    // simultaneous) purchase. Right side pre-aggregated to one row per
+    // (user, ts) so tie-breaking is engine-independent; oracle uses
+    // DuckDB's native ASOF LEFT JOIN.
+    QueryDef("ev05_asof_join",
+      """WITH l AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+        | r AS (SELECT user_id, ts, max(event_id) AS ref_event
+        |       FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+        |SELECT l.user_id, l.event_id, l.ts, r.ref_event
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts
+        |ORDER BY l.user_id, l.event_id""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val l = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val r = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("ref_event"))
+      graft.operators.AsOf.joinAsOf(l, r, "user_id", "ts")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("right_ref_event").as("ref_event"))
+        .orderBy("user_id", "event_id")
+    },
+
     // HLL++ sketch — algorithm-specific estimates, no SQL oracle; the
     // ±5% envelope vs exact distinct is asserted in PipelineSpec.
     QueryDef.noOracle("ev04_approx_distinct") { (s, dir) =>

@@ -49,7 +49,7 @@ object RelationalQueries {
       t(s, dir, n).createOrReplaceTempView(n)
     }
 
-  val defs: Seq[QueryDef] = Seq(
+  private val baseDefs: Seq[QueryDef] = Seq(
 
     // ---- aggregation: hash agg with partial (map-side) combine; the
     // canonical pricing-summary scan+agg. 2 shuffle keys, tiny result.
@@ -461,6 +461,70 @@ object RelationalQueries {
         .orderBy("o_orderpriority")
     })
 
+  private val moreDefs: Seq[QueryDef] = Seq(
+    // ---- non-equi (range/band) join: small band table broadcast, the
+    // predicate evaluated in a BroadcastNestedLoopJoin — the only sane
+    // physical shape for banded joins (never shuffle-sort a theta join).
+    QueryDef("q26_range_join",
+      """WITH bands(band, lo, hi) AS (VALUES
+        |  ('small', 0.0, 10.0), ('medium', 10.0, 25.0), ('large', 25.0, 51.0))
+        |SELECT band, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty
+        |FROM lineitem JOIN bands ON l_quantity >= lo AND l_quantity < hi
+        |GROUP BY band ORDER BY band""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val bands = Seq(("small", 0.0, 10.0), ("medium", 10.0, 25.0),
+        ("large", 25.0, 51.0)).toDF("band", "lo", "hi")
+      t(s, dir, "lineitem")
+        .join(broadcast(bands),
+          col("l_quantity") >= col("lo") && col("l_quantity") < col("hi"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n"), moneySum(col("l_quantity")).as("qty"))
+        .orderBy("band")
+    },
+
+    // ---- multiset set ops (ALL variants keep duplicates).
+    QueryDef("q27_setops_all",
+      """SELECT 'except_all' AS op, k FROM
+        |  (SELECT c_nationkey AS k FROM customer EXCEPT ALL SELECT s_nationkey FROM supplier) a
+        |UNION ALL
+        |SELECT 'intersect_all' AS op, k FROM
+        |  (SELECT c_nationkey AS k FROM customer INTERSECT ALL SELECT s_nationkey FROM supplier) b
+        |ORDER BY op, k""".stripMargin) { (s, dir) =>
+      val c = t(s, dir, "customer").select(col("c_nationkey").as("k"))
+      val su = t(s, dir, "supplier").select(col("s_nationkey").as("k"))
+      c.exceptAll(su).select(lit("except_all").as("op"), col("k"))
+        .unionAll(c.intersectAll(su).select(lit("intersect_all").as("op"), col("k")))
+        .orderBy(col("op"), col("k"))
+    },
+
+    // ---- higher-order array functions as a first-class query surface
+    // (transform/filter/exists/aggregate over a constructed array).
+    QueryDef("q28_higher_order_fns",
+      """WITH t AS (SELECT o_orderkey,
+        |  [o_orderkey % 7, o_orderkey % 5, o_orderkey % 3, o_orderkey % 11] AS xs
+        |  FROM orders)
+        |SELECT o_orderkey,
+        |  CAST(list_sum(list_transform(xs, x -> x * x)) AS BIGINT) AS sum_sq,
+        |  CAST(len(list_filter(xs, x -> x % 2 = 0)) AS BIGINT) AS n_even,
+        |  list_has_any(xs, [0]) AS has_zero,
+        |  array_to_string(list_transform(xs, x -> CAST(x AS VARCHAR)), '-') AS joined
+        |FROM t ORDER BY o_orderkey LIMIT 200""".stripMargin) { (s, dir) =>
+      val xs = array(col("o_orderkey") % 7, col("o_orderkey") % 5,
+        col("o_orderkey") % 3, col("o_orderkey") % 11)
+      t(s, dir, "orders").select(col("o_orderkey"), xs.as("xs"))
+        .select(
+          col("o_orderkey"),
+          aggregate(transform(col("xs"), x => x * x), lit(0L),
+            (acc, x) => acc + x).as("sum_sq"),
+          size(filter(col("xs"), x => x % 2 === 0))
+            .cast(LongType).as("n_even"),
+          exists(col("xs"), x => x === 0).as("has_zero"),
+          array_join(transform(col("xs"),
+            x => x.cast(StringType)), "-").as("joined"))
+        .orderBy("o_orderkey").limit(200)
+    })
+
   /** A query whose Spark implementation IS the oracle SQL text, run
     * through `spark.sql` over temp views — exercises the SQL front end
     * (parser/analyzer) as a first-class API surface.
@@ -470,4 +534,6 @@ object RelationalQueries {
       withViews(s, dir)
       s.sql(sql)
     }
+
+  val defs: Seq[QueryDef] = baseDefs ++ moreDefs
 }

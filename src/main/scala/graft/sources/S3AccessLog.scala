@@ -94,11 +94,32 @@ object S3AccessLog {
   /** `[30/Jul/2024:13:08:44 +0000]` → naive timestamp, offset discarded
     * (s3_server_access_logs.py:144-154: slice `[`..first-space, then
     * dateutil). NULL on garbage instead of the reference's crash.
+    *
+    * Fast path: the bracketed token is fixed-width (`dd/MMM/yyyy:HH:mm:ss`),
+    * so fields come out with substring + a 12-way month decode and
+    * `try_make_timestamp` — an order of magnitude cheaper per row than
+    * `DateTimeFormatter`. Tokens that don't fit the fixed shape fall back
+    * to `try_to_timestamp` with the full pattern (lazy CASE branch), so
+    * semantics are unchanged.
     */
-  def parseAccessTime(timeGroup: Column): Column =
-    try_to_timestamp(
-      regexp_extract(timeGroup, """\[([^ \]]+)""", 1),
-      lit("dd/MMM/yyyy:HH:mm:ss"))
+  def parseAccessTime(timeGroup: Column): Column = {
+    val tok = regexp_extract(timeGroup, """\[([^ \]]+)""", 1)
+    val months = Seq("Jan", "Feb", "Mar", "Apr", "May", "Jun",
+      "Jul", "Aug", "Sep", "Oct", "Nov", "Dec")
+    val mon = array_position(
+      array(months.map(lit): _*), substring(tok, 4, 3)).cast(IntegerType)
+    val fixedShape = length(tok) === 20 &&
+      substring(tok, 3, 1) === "/" && substring(tok, 7, 1) === "/" &&
+      substring(tok, 12, 1) === ":" && substring(tok, 15, 1) === ":" &&
+      substring(tok, 18, 1) === ":" && mon > 0
+    def num(pos: Int, len: Int): Column =
+      substring(tok, pos, len).try_cast(IntegerType)
+    when(fixedShape,
+      call_function("try_make_timestamp",
+        num(8, 4), mon, num(1, 2), num(13, 2), num(16, 2),
+        substring(tok, 19, 2).try_cast(DecimalType(16, 6))))
+      .otherwise(try_to_timestamp(tok, lit("dd/MMM/yyyy:HH:mm:ss")))
+  }
 
   /** Mimics `datetime.isoformat()` at seconds resolution
     * (s3_server_access_logs.py:197).
