@@ -71,6 +71,60 @@ object Similarity {
     df.select(col(idCol), col(vecCol),
       lshSignature(col(vecCol), bits).as("bucket"))
 
+  /** IVF-style ANN: a coarse quantizer of `nlist` centroids (picked
+    * deterministically from the corpus — at scale you'd k-means a
+    * sample, the plumbing is identical), every vector assigned to its
+    * nearest centroid (broadcast centroids, partition-local argmin),
+    * queries probed against their `nprobe` nearest centroid lists only.
+    *
+    * Scale shape: assignment is a narrow broadcast pass; the probe join
+    * is a hash-partitioned equi-join on centroid id — candidate count
+    * per query ≈ nprobe/nlist of the corpus instead of all of it.
+    */
+  def ivfTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+              nlist: Int = 16, nprobe: Int = 4,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    def dbl(c: Column) = transform(c, x => x.cast(DoubleType))
+    def dot(x: Column, y: Column) =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    def withNorm(df: DataFrame, id: String, v: String, n: String): DataFrame =
+      df.select(col(idCol).as(id), dbl(col(vecCol)).as(v))
+        .withColumn(n, sqrt(dot(col(v), col(v))))
+
+    // deterministic coarse centroids: hash-strided sample of the corpus
+    // (at scale: k-means a sample — the probe plumbing is identical)
+    val n = candidates.count()
+    val step = math.max(1L, n / nlist)
+    val centroids = withNorm(
+      candidates.filter(pmod(col(idCol), lit(step)) === 0).limit(nlist),
+      "centroid_id", "cvec", "cnorm")
+
+    // norms precomputed ONCE per vector; per-pair work is a single dot
+    def assign(df: DataFrame, topN: Int, id: String, v: String,
+               nn: String): DataFrame = {
+      val ww = Window.partitionBy(col(id))
+        .orderBy(col("_dist"), col("centroid_id"))
+      withNorm(df, id, v, nn)
+        .crossJoin(broadcast(centroids))
+        .withColumn("_dist",
+          lit(1.0) - dot(col(v), col("cvec")) / (col(nn) * col("cnorm")))
+        .withColumn("_cr", row_number().over(ww))
+        .filter(col("_cr") <= topN)
+        .select(col(id), col(v), col(nn), col("centroid_id"))
+    }
+
+    val assigned = assign(candidates, 1, "cid", "cv", "cn")
+    val probes = assign(queries, nprobe, "qid", "qv", "qn")
+    val wk = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+    probes.join(assigned, "centroid_id")
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("sim"))
+      .withColumn("rank", row_number().over(wk).cast(LongType))
+      .filter(col("rank") <= k)
+      .orderBy("qid", "rank")
+  }
+
   /** ANN top-k through LSH buckets: candidates limited to the query's
     * bucket. Recall < 1 by construction; raise `bits` ↓ bucket size,
     * add multi-probe for recall at scale.

@@ -212,6 +212,12 @@ object PipelineQueries {
       Similarity.annTopK(e.filter(col("vec_id") < 10), e, 5, bits = 8)
     },
 
+    QueryDef.noOracle("sim04_ann_ivf") { (s, dir) =>
+      val e = emb(s, dir)
+      Similarity.ivfTopK(e.filter(col("vec_id") < 10), e, 5,
+        nlist = 16, nprobe = 4)
+    },
+
     // ================= events: JSON / sessions / windows =================
 
     QueryDef("ev01_json_extract",

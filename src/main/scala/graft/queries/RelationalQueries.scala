@@ -535,5 +535,26 @@ object RelationalQueries {
       s.sql(sql)
     }
 
-  val defs: Seq[QueryDef] = baseDefs ++ moreDefs
+  private val windowDefs: Seq[QueryDef] = Seq(
+    // ---- RANGE window frame: peers by value distance (30 days), not
+    // row count — the frame shape row-based windows can't express.
+    QueryDef("q29_range_frame",
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+        |  CAST(count(*) OVER (PARTITION BY o_custkey
+        |                      ORDER BY datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+        |                      RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_last_30d
+        |FROM orders
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, dir) =>
+      val d = datediff(col("o_orderdate").cast(DateType),
+        lit("1995-01-01").cast(DateType)).cast(LongType)
+      val w = Window.partitionBy(col("o_custkey")).orderBy(d)
+        .rangeBetween(-30, Window.currentRow)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), d.as("d"),
+          count(lit(1)).over(w).cast(LongType).as("n_last_30d"))
+        .orderBy("o_custkey", "o_orderkey")
+    })
+
+  val defs: Seq[QueryDef] = baseDefs ++ moreDefs ++ windowDefs
 }

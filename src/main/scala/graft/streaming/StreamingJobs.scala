@@ -42,6 +42,31 @@ object StreamingJobs {
       .select(col("window.start").as("wstart"), col("event_type"),
         col("n"), col("v"))
 
+  /** The reference's compact pipeline as a CONTINUOUS job: tail raw log
+    * text landing under `inputRoot`, parse with the fused parser, write
+    * date-partitioned snappy parquet exactly-once (checkpointed file
+    * sink). Replaces the daily-cron + backfill-replay model
+    * (deploy/template.yaml:114-130) with arrival-time processing.
+    * The batch job's partition-local time sort is omitted — a streaming
+    * sink appends per micro-batch; compact row groups come from the
+    * micro-batch granularity instead.
+    */
+  def streamCompact(spark: org.apache.spark.sql.SparkSession,
+                    inputRoot: String, dest: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val parsed = graft.sources.S3AccessLog.parse(
+      spark.readStream.text(inputRoot))
+    parsed
+      .withColumn("log_date", to_date(col("request_time")))
+      .writeStream
+      .format("parquet")
+      .option("path", dest)
+      .option("checkpointLocation", checkpoint)
+      .option("compression", "snappy")
+      .partitionBy("log_date")
+      .start()
+  }
+
   /** Stateful gap sessionization: per-user session state in the state
     * store, closed sessions emitted when a gap arrives in-stream or the
     * event-time timeout fires (watermark passed last event + gap).

@@ -77,6 +77,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(ann.forall { case (q, c) => q != c })
   }
 
+  test("IVF ANN: sane results and reasonable recall vs brute force") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val brute = SparkEntry.queries("sim01_cosine_exact")(spark, sf)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(e.filter($"vec_id" < 10), e, 5,
+      nlist = 16, nprobe = 8)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(ivf.nonEmpty)
+    assert(ivf.forall { case (q, c) => q != c })
+    // with nprobe=8 of 16 lists, expect to recover a decent share of true top-5
+    val recall = ivf.count(brute.contains).toDouble / brute.size
+    assert(recall >= 0.3, s"IVF recall too low: $recall")
+  }
+
   test("approx_count_distinct within 5% of exact") {
     val ev = Tables.events(spark, sf)
     val rows = ev.groupBy("event_type")

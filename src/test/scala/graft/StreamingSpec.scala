@@ -38,6 +38,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.contains(("2024-01-01 10:00:00.0", "view", 1L, 1.0)), rows)
   }
 
+  test("streamCompact: raw log files stream into date-partitioned parquet") {
+    val work = java.nio.file.Files.createTempDirectory("graft-sc").toString
+    val in = s"$work/in"; java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    def lines(day: Int, n: Int): String = (0 until n).map { i =>
+      graft.sources.S3AccessLog.renderLine(RenderFixtures.baseFields
+        .updated("time", f"[$day%02d/Jul/2024:10:00:00 +0000]")
+        .updated("reqid", s"D$day-$i"))
+    }.mkString("\n")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/a.log"),
+      (lines(1, 40) + "\ngarbage").getBytes)
+    val q = StreamingJobs.streamCompact(spark, in, s"$work/out", s"$work/ckpt")
+    q.processAllAvailable()
+    // second file arrives: picked up incrementally
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/b.log"),
+      lines(2, 25).getBytes)
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.read.parquet(s"$work/out")
+    assert(out.count() == 66)  // 65 parsed + 1 dead letter
+    val byDate = out.groupBy("log_date").count().collect()
+      .map(r => Option(r.getDate(0)).map(_.toString).orNull -> r.getLong(1)).toMap
+    assert(byDate("2024-07-01") == 40L)
+    assert(byDate("2024-07-02") == 25L)
+    assert(byDate(null) == 1L)  // dead letter has no request_time
+  }
+
   test("stateful sessionization closes sessions on gap and on timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
