@@ -84,21 +84,23 @@ object LogEtl {
       .parquet(dest)
 
   /** O15: run-date loop / backfill driver (s3_server_access_logs.py:353-376):
-    * one compact per date in [startDate, lookbackDate], newest first, per
-    * bucket subdirectory.
+    * iterates FORWARD one compact per date from `startDate` up to and
+    * including `endDate` (the reference's `today - lookback_days`
+    * terminus), per bucket subdirectory — matching
+    * `while current_date <= self.lookback_days: ... += 1 day`.
     */
   def runBackfill(spark: SparkSession, inputRoot: String, destRoot: String,
                   buckets: Seq[String], startDate: LocalDate,
-                  lookbackDate: LocalDate, numOutputFiles: Int = 10,
+                  endDate: LocalDate, numOutputFiles: Int = 10,
                   hiveLayout: Boolean = false): Unit = {
     var d = startDate
-    while (!d.isBefore(lookbackDate)) {
+    while (!d.isAfter(endDate)) {
       val raw = DateTimeFormatter.ofPattern("yyyy/MM/dd").format(d)
       buckets.foreach { b =>
         compact(spark, s"$inputRoot/$b/$raw", destPath(destRoot, b, d, hiveLayout),
           numOutputFiles)
       }
-      d = d.minusDays(1)
+      d = d.plusDays(1)
     }
   }
 }

@@ -13,9 +13,11 @@ import org.apache.spark.sql.SparkSession
   *                       (replaces the reference's S3 folder listing, O1)
   *   --lookback-days     default 1 — run-date = today minus lookback
   *                       (s3_server_access_logs.py:294)
-  *   --start-date        yyyy-MM-dd; with lookback > 1 runs a backfill loop
-  *                       from start-date back to the lookback date
+  *   --start-date        yyyy-MM-dd; runs a FORWARD backfill loop from
+  *                       start-date through today minus lookback-days
   *                       (s3_server_access_logs.py:361-368)
+  *   --end-date          engine extension: override the backfill terminus
+  *                       for historical replays
   *   --num-output-files  default 10 (s3_server_access_logs.py:507-511)
   *   --hive-formatted-folders  year=/month=/day= layout
   *                       (s3_server_access_logs.py:445-454)
@@ -37,9 +39,15 @@ object LogEtlMain {
     val lookbackDays = opts.getOrElse("lookback-days", "1").toInt
     val numOutputFiles = opts.getOrElse("num-output-files", "10").toInt
     val hive = opts.getOrElse("hive-formatted-folders", "false").toBoolean
-    val startDate = opts.get("start-date").map(LocalDate.parse)
-      .getOrElse(LocalDate.now().minusDays(lookbackDays.toLong))
+    // reference semantics (s3_server_access_logs.py:361-368): with
+    // --start-date, backfill FORWARD from start-date through
+    // today - lookback-days; otherwise a single run at that terminus.
+    // --end-date (engine extension, not in the reference) overrides the
+    // terminus for historical replays.
     val lookbackDate = LocalDate.now().minusDays(lookbackDays.toLong)
+    val startDate = opts.get("start-date").map(LocalDate.parse)
+      .getOrElse(lookbackDate)
+    val endDateOverride = opts.get("end-date").map(LocalDate.parse)
 
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
@@ -54,11 +62,9 @@ object LogEtlMain {
     spark.sparkContext.setLogLevel("WARN")
     try {
       val t0 = System.nanoTime()
+      val endDate = endDateOverride.getOrElse(lookbackDate)
       LogEtl.runBackfill(spark, inputRoot, destRoot, buckets,
-        startDate, startDate.isBefore(lookbackDate) match {
-          case true => startDate  // start-date older than lookback: single run
-          case false => lookbackDate
-        }, numOutputFiles, hive)
+        startDate, endDate, numOutputFiles, hive)
       println(f"compaction finished in ${(System.nanoTime() - t0) / 1e9}%.1f sec")
     } finally spark.stop()
   }

@@ -218,6 +218,35 @@ object PipelineQueries {
         nlist = 16, nprobe = 4)
     },
 
+    // ================= multimodal (binary columns) =================
+
+    // Deterministic synthetic assets (payload bytes derived from ids) →
+    // batched feature extraction over the BinaryType column. The decode
+    // itself is the documented stub; the schema/batching/plumbing under
+    // test is real. No SQL oracle (binary + mapPartitions) → rows-only;
+    // determinism and batch-shape are pinned in MultimodalSpec.
+    QueryDef.noOracle("mm01_feature_extract") { (s, dir) =>
+      import s.implicits._
+      val assets = graft.multimodal.Multimodal.syntheticAssets(s, 300)
+      graft.multimodal.Multimodal.extractFeatures(assets, dim = 16)
+        .map(f => (f.asset_id, f.kind, f.feature.map(_.toDouble).sum))
+        .toDF("asset_id", "kind", "feature_sum")
+        .orderBy("asset_id")
+    },
+
+    QueryDef.noOracle("mm02_media_plans") { (s, dir) =>
+      val assets = graft.multimodal.Multimodal.syntheticAssets(s, 300).toDF()
+      val resize = graft.multimodal.Multimodal.resizePlan(assets, 320)
+        .select(col("asset_id"), lit("resize").as("plan"),
+          col("target_width").cast(LongType).as("a"),
+          col("target_height").cast(LongType).as("b"))
+      val frames = graft.multimodal.Multimodal.sampleFrames(assets, 30, 5)
+        .select(col("asset_id"), lit("frame").as("plan"),
+          col("frame_idx").cast(LongType).as("a"),
+          col("n_frames").cast(LongType).as("b"))
+      resize.unionAll(frames).orderBy("asset_id", "plan", "a")
+    },
+
     // ================= events: JSON / sessions / windows =================
 
     QueryDef("ev01_json_extract",

@@ -50,7 +50,7 @@ class SkewAndLogTableSpec extends AnyFunSuite {
         lines.mkString("\n").getBytes)
     }
     LogEtl.runBackfill(spark, inRoot, outRoot, Seq("b1"),
-      LocalDate.of(2024, 7, 3), LocalDate.of(2024, 7, 1), numOutputFiles = 1)
+      LocalDate.of(2024, 7, 1), LocalDate.of(2024, 7, 3), numOutputFiles = 1)
     // read only days 2-3 → day-1 rows must be absent
     val df = LogTable.read(spark, outRoot, "b1",
       LocalDate.of(2024, 7, 2), LocalDate.of(2024, 7, 3))
