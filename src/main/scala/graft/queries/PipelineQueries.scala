@@ -297,6 +297,37 @@ object PipelineQueries {
         .orderBy("wstart", "event_type")
     },
 
+    // Spark's native session_window (gap-based session aggregation as a
+    // single groupBy — no window-function passes). Oracle reconstructs
+    // identical sessions via the portable lag/cumsum formulation:
+    // session start = min(ts), session end = max(ts) + gap.
+    QueryDef("ev06_session_window",
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        | se AS (
+        |  SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+        |  FROM g)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  count(*) AS n_events
+        |FROM se GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"),
+          col("n_events"))
+        .orderBy("user_id", "session_start")
+    },
+
     // As-of join: each click joined to the user's most recent prior (or
     // simultaneous) purchase. Right side pre-aggregated to one row per
     // (user, ts) so tie-breaking is engine-independent; oracle uses
