@@ -103,22 +103,30 @@ object S3AccessLog {
     * semantics are unchanged.
     */
   def parseAccessTime(timeGroup: Column): Column = {
-    val tok = regexp_extract(timeGroup, """\[([^ \]]+)""", 1)
+    // Fixed-shape fields are addressed POSITIONALLY on the raw group
+    // ("[dd/MMM/yyyy:HH:mm:ss ...", so field positions shift +1 for the
+    // bracket) — every reference is a plain substring of an attribute.
+    // A shared `tok = regexp_extract(...)` here would re-run the regex
+    // once per reference (~10×/row); the regex now exists only in the
+    // rare non-fixed-shape fallback.
     val months = Seq("Jan", "Feb", "Mar", "Apr", "May", "Jun",
       "Jul", "Aug", "Sep", "Oct", "Nov", "Dec")
     val mon = array_position(
-      array(months.map(lit): _*), substring(tok, 4, 3)).cast(IntegerType)
-    val fixedShape = length(tok) === 20 &&
-      substring(tok, 3, 1) === "/" && substring(tok, 7, 1) === "/" &&
-      substring(tok, 12, 1) === ":" && substring(tok, 15, 1) === ":" &&
-      substring(tok, 18, 1) === ":" && mon > 0
+      array(months.map(lit): _*), substring(timeGroup, 5, 3)).cast(IntegerType)
+    val fixedShape =
+      substring(timeGroup, 4, 1) === "/" && substring(timeGroup, 8, 1) === "/" &&
+      substring(timeGroup, 13, 1) === ":" && substring(timeGroup, 16, 1) === ":" &&
+      substring(timeGroup, 19, 1) === ":" &&
+      substring(timeGroup, 22, 1).isin(" ", "]") && mon > 0
     def num(pos: Int, len: Int): Column =
-      substring(tok, pos, len).try_cast(IntegerType)
+      substring(timeGroup, pos, len).try_cast(IntegerType)
     when(fixedShape,
       call_function("try_make_timestamp",
-        num(8, 4), mon, num(1, 2), num(13, 2), num(16, 2),
-        substring(tok, 19, 2).try_cast(DecimalType(16, 6))))
-      .otherwise(try_to_timestamp(tok, lit("dd/MMM/yyyy:HH:mm:ss")))
+        num(9, 4), mon, num(2, 2), num(14, 2), num(17, 2),
+        substring(timeGroup, 20, 2).try_cast(DecimalType(16, 6))))
+      .otherwise(try_to_timestamp(
+        regexp_extract(timeGroup, """\[([^ \]]+)""", 1),
+        lit("dd/MMM/yyyy:HH:mm:ss")))
   }
 
   /** Mimics `datetime.isoformat()` at seconds resolution
@@ -195,11 +203,19 @@ object S3AccessLog {
       val matched = col("_g").isNotNull
       withRaw.select(guarded(matched, typedColumns(col("_g").getField)): _*)
     } else {
-      val matched = col("value").rlike(Pattern)
+      // materialize the 26 groups in their own projection first — the
+      // typed layer references some groups (notably `time`) many times,
+      // and each reference to an inline regexp_extract would re-run the
+      // full pattern (CollapseProject keeps multi-referenced non-cheap
+      // aliases in their own projection, so this stays one pass/group)
       val byName = GroupNames.zipWithIndex.toMap
-      def g(name: String): Column =
-        regexp_extract(col("value"), Pattern, byName(name) + 1)
-      trimmed.select(guarded(matched, typedColumns(g)): _*)
+      val raws = trimmed.select(
+        col("value") +: GroupNames.map(n =>
+          regexp_extract(col("value"), Pattern, byName(n) + 1)
+            .as(s"_raw_$n")): _*)
+      val matched = col("value").rlike(Pattern)
+      raws.select(guarded(matched,
+        typedColumns(n => col(s"_raw_$n"))): _*)
     }
   }
 
