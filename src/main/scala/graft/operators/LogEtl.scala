@@ -83,6 +83,33 @@ object LogEtl {
       .option("compression", "snappy")
       .parquet(dest)
 
+  /** Spark-native evolution of the reference's Hive layout option
+    * (s3_server_access_logs.py:445-454 only TEMPLATES `year=/month=/day=`
+    * into the destination path; `partitionBy()` is called with an empty
+    * list, s3_server_access_logs.py:443,459-461): here the date parts are
+    * real partition COLUMNS, so any engine reading the table gets
+    * partition pruning from predicates instead of path construction —
+    * one table root, no per-day path fan-out, dynamic overwrite keeps
+    * re-runs idempotent per partition.
+    */
+  def writeHivePartitioned(parsed: DataFrame, destRoot: String,
+                           filesPerDay: Int = 10): Unit =
+    parsed
+      .withColumn("year", org.apache.spark.sql.functions.year(col("request_time")))
+      .withColumn("month", org.apache.spark.sql.functions.month(col("request_time")))
+      .withColumn("day", org.apache.spark.sql.functions.dayofmonth(col("request_time")))
+      // salt within each day so a day spreads over up to filesPerDay
+      // files/tasks (hashing the date columns alone would funnel each
+      // day into a single writer)
+      .repartition(filesPerDay, col("year"), col("month"), col("day"),
+        pmod(xxhash64(col("request_id")), lit(filesPerDay)))
+      .sortWithinPartitions("request_time")
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .option("compression", "snappy")
+      .partitionBy("year", "month", "day")
+      .parquet(destRoot)
+
   /** O15: run-date loop / backfill driver (s3_server_access_logs.py:353-376):
     * iterates FORWARD one compact per date from `startDate` up to and
     * including `endDate` (the reference's `today - lookback_days`

@@ -148,6 +148,22 @@ object PipelineQueries {
       TextAnalysis.fingerprint(docs(s, dir), "doc_id", "text").orderBy("doc_id")
     },
 
+    // BPE-ish subword token counting: tokens = letter runs, digit runs,
+    // or single other non-space chars (the pre-tokenization regex shape
+    // BPE vocabularies train over), via regexp_extract_all — identical
+    // RE2/Java semantics for this pattern class.
+    QueryDef("ta06_bpe_tokens",
+      """SELECT tok, count(*) AS n FROM (
+        |  SELECT unnest(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS tok
+        |  FROM documents) t
+        |GROUP BY tok ORDER BY n DESC, tok LIMIT 40""".stripMargin) { (s, dir) =>
+      docs(s, dir)
+        .select(explode(regexp_extract_all(col("text"),
+          lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), lit(0))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok")).limit(40)
+    },
+
     // ================= similarity search =================
 
     // Brute-force cosine top-5, EXACT decimal formulation: positions
