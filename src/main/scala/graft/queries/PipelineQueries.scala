@@ -63,16 +63,22 @@ object PipelineQueries {
         |JOIN sz sa ON sa.doc_id = da
         |JOIN sz sb ON sb.doc_id = db
         |ORDER BY jac DESC, da, db LIMIT 20""".stripMargin) { (s, dir) =>
-      // shingles are joined on their xxhash64 — the shuffle carries
-      // (long, long) rows instead of full shingle strings (collision
-      // probability over a corpus' shingle set is ~|sh|²/2⁶⁴, negligible)
+      // shingles keyed by xxhash64 (longs shuffle, not strings); pair
+      // generation groups each shingle's doc list ONCE and emits (a,b)
+      // combinations with higher-order functions — one shuffle of
+      // |distinct shingles| small lists instead of a self-join that
+      // re-evaluates the shingle explode on both sides
       val sh = Dedup.shingles(docs(s, dir), "doc_id", "text", 3)
         .select(col("doc_id"), xxhash64(col("shingle")).as("sh64"))
       val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val inter = sh.select(col("doc_id").as("da"), col("sh64"))
-        .join(sh.select(col("doc_id").as("db"), col("sh64")), "sh64")
-        .filter(col("da") < col("db"))
-        .groupBy("da", "db").agg(count(lit(1)).as("inter"))
+      val inter = sh.groupBy("sh64")
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")) > 1)
+        .select(explode(flatten(transform(col("ids"), a =>
+          transform(filter(col("ids"), b => b > a),
+            b => struct(a.as("da"), b.as("db")))))).as("p"))
+        .groupBy(col("p.da").as("da"), col("p.db").as("db"))
+        .agg(count(lit(1)).as("inter"))
       inter
         .join(sz.select(col("doc_id").as("da"), col("n").as("na")), "da")
         .join(sz.select(col("doc_id").as("db"), col("n").as("nb")), "db")
