@@ -17,6 +17,21 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Give a CPU-bound pipeline enough input partitions to feed every
+    * core. Parquet can only split at row-group boundaries, and the
+    * driver's testdata is ONE single-row-group file per table — so a
+    * scan (and everything pipelined into it: projection, parse, partial
+    * aggregation) otherwise runs as a single task no matter how many
+    * cores the session has. At production scale inputs carry thousands
+    * of row groups and this is a no-op: we only add the round-robin
+    * exchange when the scan has fewer partitions than the cluster has
+    * slots, so well-split inputs never pay an extra shuffle.
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val slots = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= slots) df else df.repartition(slots)
+  }
+
   /** `events.ts` is nanosecond-precision parquet, which Spark 4 refuses
     * outright (PARQUET_TYPE_ILLEGAL). Read it as a raw long via the
     * legacy conf, truncate ns → µs with integer division (DuckDB's reader
@@ -24,6 +39,12 @@ object Tables {
     * results hash-match the DuckDB oracle.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
+    // The micros→NTZ cast below renders the instant's wall clock in the
+    // SESSION timezone; every graft entry point pins UTC, and a non-UTC
+    // session would silently shift values vs the DuckDB oracle — fail
+    // loudly here instead.
+    require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+      "graft requires spark.sql.session.timeZone=UTC (events NTZ derivation)")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     load(spark, sfDir, "events")
       .withColumn("ts", org.apache.spark.sql.functions

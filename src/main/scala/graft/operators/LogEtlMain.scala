@@ -26,10 +26,34 @@ import org.apache.spark.sql.SparkSession
   * (driver-side boto3 plumbing, out of engine scope — SURVEY.md §2 O17).
   */
 object LogEtlMain {
+  /** Flags that may appear bare, argparse store_true style
+    * (s3_server_access_logs.py:526-530) — a value is optional.
+    */
+  private val BoolFlags = Set("hive-formatted-folders")
+
+  /** Option parsing that, unlike a pairwise `sliding(2,2)`, survives a
+    * bare boolean flag anywhere in the arg list and rejects malformed
+    * input loudly instead of silently mis-pairing everything after it.
+    */
+  private[operators] def parseOpts(args: Seq[String]): Map[String, String] = {
+    @annotation.tailrec
+    def go(rest: List[String], acc: Map[String, String]): Map[String, String] =
+      rest match {
+        case Nil => acc
+        case k :: tail if k.startsWith("--") =>
+          val key = k.drop(2)
+          tail match {
+            case v :: t2 if !v.startsWith("--") => go(t2, acc + (key -> v))
+            case _ if BoolFlags(key)            => go(tail, acc + (key -> "true"))
+            case _ => sys.error(s"flag --$key requires a value")
+          }
+        case other :: _ => sys.error(s"unexpected argument: $other")
+      }
+    go(args.toList, Map.empty)
+  }
+
   def main(args: Array[String]): Unit = {
-    val opts = args.sliding(2, 2).collect {
-      case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
-    }.toMap
+    val opts = parseOpts(args.toSeq)
     def req(k: String): String = opts.getOrElse(k,
       sys.error(s"missing required --$k (got: ${opts.keys.mkString(", ")})"))
 

@@ -23,15 +23,20 @@ object Skew {
     * replicated `factor`×) on `key`. Row-level results are identical to
     * a plain inner join; only the shuffle distribution changes.
     *
-    * The salt on the skewed side is deterministic (hash of the whole
-    * row's key + a per-row uniform from `rand(seed)`) so retries and
-    * speculative tasks stay consistent.
+    * The salt is a pure function of the left ROW (xxhash64 over every
+    * column plus `seed`), so a task retry or speculative duplicate
+    * recomputes the identical salt even when the upstream is
+    * nondeterministic — unlike `rand()`, whose value depends on
+    * partition index and row order. Hashing the whole row (not just the
+    * key) is what spreads a hot key across `factor` buckets; identical
+    * duplicate rows co-bucket, which is harmless for correctness.
     */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
                  factor: Int, seed: Long = 42L): DataFrame = {
     require(factor > 0, "salt factor must be positive")
     val saltedLeft = left.withColumn("_salt",
-      (rand(seed) * factor).cast(IntegerType))
+      pmod(xxhash64(lit(seed) +: left.columns.map(col): _*), lit(factor))
+        .cast(IntegerType))
     val replicatedRight = right.withColumn("_salt",
       explode(sequence(lit(0), lit(factor - 1))))
     saltedLeft.join(replicatedRight, Seq(key, "_salt")).drop("_salt")
