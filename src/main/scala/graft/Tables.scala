@@ -26,6 +26,11 @@ object Tables {
     * of row groups and this is a no-op: we only add the round-robin
     * exchange when the scan has fewer partitions than the cluster has
     * slots, so well-split inputs never pay an extra shuffle.
+    *
+    * Call this on SCAN DataFrames only: with AQE enabled, `.rdd` on a
+    * plan that already contains exchanges can force query-stage
+    * execution just to count partitions. A bare file scan has no
+    * exchange, so the partition count here is pure planning.
     */
   def spread(df: DataFrame): DataFrame = {
     val slots = df.sparkSession.sparkContext.defaultParallelism
@@ -42,9 +47,15 @@ object Tables {
     // The micros→NTZ cast below renders the instant's wall clock in the
     // SESSION timezone; every graft entry point pins UTC, and a non-UTC
     // session would silently shift values vs the DuckDB oracle — fail
-    // loudly here instead.
-    require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
-      "graft requires spark.sql.session.timeZone=UTC (events NTZ derivation)")
+    // loudly here instead. Accept any UTC-equivalent zone id (UTC,
+    // Etc/UTC, GMT, +00:00, Z) by normalizing to a fixed offset first.
+    val tz = spark.conf.get("spark.sql.session.timeZone")
+    val isUtc =
+      try java.time.ZoneId.of(tz, java.time.ZoneId.SHORT_IDS).normalized() ==
+        java.time.ZoneOffset.UTC
+      catch { case _: java.time.DateTimeException => false }
+    require(isUtc,
+      s"graft requires a UTC session timezone (events NTZ derivation), got '$tz'")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     load(spark, sfDir, "events")
       .withColumn("ts", org.apache.spark.sql.functions

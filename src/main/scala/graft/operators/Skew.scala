@@ -30,16 +30,38 @@ object Skew {
     * partition index and row order. Hashing the whole row (not just the
     * key) is what spreads a hot key across `factor` buckets; identical
     * duplicate rows co-bucket, which is harmless for correctness.
+    *
+    * Only hash-safe columns feed the salt: Map-typed columns (at any
+    * nesting depth) are rejected by xxhash64 unless a legacy conf is
+    * set, so they are skipped — the join key itself is always hashable
+    * (Spark forbids map equi-join keys), so at least one column always
+    * contributes. Columns are referenced via `left(name)` so names
+    * containing dots resolve as whole names, not struct paths. The salt
+    * column name is generated to miss every existing column on both
+    * sides instead of assuming "_salt" is free.
     */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
                  factor: Int, seed: Long = 42L): DataFrame = {
     require(factor > 0, "salt factor must be positive")
-    val saltedLeft = left.withColumn("_salt",
-      pmod(xxhash64(lit(seed) +: left.columns.map(col): _*), lit(factor))
+    def hashable(dt: DataType): Boolean = dt match {
+      case _: MapType    => false
+      case s: StructType => s.fields.forall(f => hashable(f.dataType))
+      case a: ArrayType  => hashable(a.elementType)
+      case _             => true
+    }
+    val hashCols = left.schema.fields.collect {
+      // backtick-quote so dotted names resolve as whole column names
+      case f if hashable(f.dataType) =>
+        left("`" + f.name.replace("`", "``") + "`")
+    }
+    val saltCol = Iterator.from(0).map(i => s"__graft_salt$i")
+      .find(n => !left.columns.contains(n) && !right.columns.contains(n)).get
+    val saltedLeft = left.withColumn(saltCol,
+      pmod(xxhash64(lit(seed) +: hashCols: _*), lit(factor))
         .cast(IntegerType))
-    val replicatedRight = right.withColumn("_salt",
+    val replicatedRight = right.withColumn(saltCol,
       explode(sequence(lit(0), lit(factor - 1))))
-    saltedLeft.join(replicatedRight, Seq(key, "_salt")).drop("_salt")
+    saltedLeft.join(replicatedRight, Seq(key, saltCol)).drop(saltCol)
   }
 
   /** Top-k heavy-hitter keys with counts — the diagnostic used to decide

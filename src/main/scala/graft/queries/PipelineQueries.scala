@@ -15,10 +15,14 @@ import graft.operators.{Dedup, Sessionize, Similarity, TextAnalysis}
   */
 object PipelineQueries {
 
+  // Every pipeline query is CPU-bound on per-row work (shingling,
+  // hashing, HOF dot products) downstream of a single-row-group scan —
+  // spread() the scan so that work parallelizes across all slots
+  // (no-op on well-split inputs; see Tables.spread).
   private def docs(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "documents")
+    Tables.spread(Tables.load(s, dir, "documents"))
   private def emb(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "embeddings")
+    Tables.spread(Tables.load(s, dir, "embeddings"))
 
   val defs: Seq[QueryDef] = Seq(
 

@@ -27,6 +27,27 @@ class SkewAndLogTableSpec extends AnyFunSuite {
     assert(salted.count(_.getLong(0) == 1L) == 1800)
   }
 
+  test("saltedJoin handles map columns, dotted names, and a _salt column") {
+    // left carries: a MapType column (unhashable by xxhash64), a column
+    // named with a dot (breaks bare col()), and a pre-existing "_salt"
+    // column that the generated salt name must not collide with.
+    val left = spark.range(100)
+      .select(($"id" % 5).as("k"), $"id".as("v"),
+        map(lit("a"), $"id").as("props"),
+        ($"id" * 2).as("dotted.name"),
+        lit(99).as("_salt"))
+    val right = Seq((0L, "x"), (1L, "y"), (4L, "z")).toDF("k", "name")
+      .withColumn("_salt", lit(-1))
+    val expected = left.join(right, "k")
+      .select($"k", $"v", $"name").collect().toSet
+    val salted = Skew.saltedJoin(left, right, "k", factor = 4)
+      .select($"k", $"v", $"name").collect().toSet
+    assert(salted == expected)
+    // the user's own _salt columns survive untouched
+    val out = Skew.saltedJoin(left, right, "k", factor = 4)
+    assert(out.columns.count(_ == "_salt") == 2)
+  }
+
   test("keySkewProfile surfaces the hot key first") {
     val df = spark.range(1000)
       .select(when($"id" < 900, 7L).otherwise($"id").as("k"))
