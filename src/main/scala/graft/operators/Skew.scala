@@ -49,7 +49,7 @@ object Skew {
       case a: ArrayType  => hashable(a.elementType)
       case _             => true
     }
-    val hashCols = left.schema.fields.collect {
+    val hashCols = left.schema.fields.toSeq.collect {
       // backtick-quote so dotted names resolve as whole column names
       case f if hashable(f.dataType) =>
         left("`" + f.name.replace("`", "``") + "`")

@@ -73,6 +73,36 @@ object TextAnalysis {
       .withColumn("is_lang", (col("stop_ratio") >= threshold).cast(IntegerType))
   }
 
+  /** Composite document quality score for corpus filtering — the
+    * length/punctuation/stopword-ratio heuristic stack every
+    * training-data pipeline runs before dedup. Signals:
+    *   - stopword ratio vs the language's expected floor (fluency),
+    *   - token count vs a saturation length (substance),
+    *   - punctuation density penalty (boilerplate/markup).
+    * quality = 0.5·min(stop/0.08, 1) + 0.3·min(ntok/100, 1)
+    *         + 0.2·(1 − min(punct/0.2, 1));  keep = quality ≥ 0.5.
+    * Pure double arithmetic in a fixed evaluation order — the DuckDB
+    * oracle reproduces it bit-for-bit.
+    */
+  def qualityScore(df: DataFrame, idCol: String, textCol: String,
+                   lang: String = "en"): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val stop = StopwordSets(lang)
+    val hits = size(filter(toks, t => stop.map(s => t === s).reduce(_ || _)))
+    val stopRatio = hits.cast(DoubleType) / size(toks).cast(DoubleType)
+    val nChar = length(col(textCol))
+    val punctRatio = (nChar - length(regexp_replace(col(textCol),
+      """[\p{Punct}]""", ""))).cast(DoubleType) / nChar.cast(DoubleType)
+    val nTok = size(toks).cast(LongType)
+    df.select(col(idCol), nTok.as("n_tokens"),
+        stopRatio.as("stop_ratio"), punctRatio.as("punct_ratio"))
+      .withColumn("quality",
+        lit(0.5) * least(col("stop_ratio") / 0.08, lit(1.0)) +
+          lit(0.3) * least(col("n_tokens").cast(DoubleType) / 100.0, lit(1.0)) +
+          lit(0.2) * (lit(1.0) - least(col("punct_ratio") / 0.2, lit(1.0))))
+      .withColumn("keep", (col("quality") >= 0.5).cast(IntegerType))
+  }
+
   /** Positional rolling fingerprint: Σ codepoint(c_i)·((i mod 64)+1) —
     * order-sensitive (an anagram fingerprints differently), overflow-free
     * in a long, and exactly expressible in ANSI SQL for the oracle.

@@ -31,7 +31,8 @@ object EtlQueries {
       // line onto a single core. Shuffling 5 narrow lineitem columns is
       // ~100× cheaper than single-threading the parse.
       val li = Tables.spread(Tables.load(s, dir, "lineitem")
-        .select("l_orderkey", "l_suppkey", "l_shipdate", "l_linenumber", "l_partkey"))
+        .select("l_orderkey", "l_suppkey", "l_shipdate", "l_linenumber", "l_partkey"),
+        "l_orderkey", "l_linenumber")
       val lines = li.select(format_string(
         "owner%d bkt%d [%s +0000] 10.0.0.1 arn:aws:iam::1:r REQ%d " +
           "REST.GET.OBJECT key/%d \"GET /k HTTP/1.1\" %d - %d 1024 5 4 " +

@@ -20,9 +20,9 @@ object PipelineQueries {
   // spread() the scan so that work parallelizes across all slots
   // (no-op on well-split inputs; see Tables.spread).
   private def docs(s: SparkSession, dir: String): DataFrame =
-    Tables.spread(Tables.load(s, dir, "documents"))
+    Tables.spread(Tables.load(s, dir, "documents"), "doc_id")
   private def emb(s: SparkSession, dir: String): DataFrame =
-    Tables.spread(Tables.load(s, dir, "embeddings"))
+    Tables.spread(Tables.load(s, dir, "embeddings"), "vec_id")
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -104,6 +104,32 @@ object PipelineQueries {
       Dedup.simHash(docs(s, dir), "doc_id", "text").orderBy("doc_id")
     },
 
+    // Embedding-cosine near-dup: top-20 most-similar pairs among
+    // sign-sketch-blocked candidates. Block key + exact-decimal cosine
+    // are both engine-portable, so unlike dd04/dd05 this near-dup path
+    // has a full DuckDB oracle (hash match, not rows-only).
+    QueryDef("dd06_embedding_neardup",
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings
+        |           WHERE embedding IS NOT NULL AND len(embedding) >= 8),
+        | b AS (SELECT vec_id, embedding,
+        |         array_to_string(list_transform(embedding[1:8],
+        |           x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bk FROM e),
+        | cand AS (SELECT a.vec_id AS va, c.vec_id AS vb, a.embedding AS ea, c.embedding AS eb
+        |          FROM b a JOIN b c ON a.bk = c.bk AND a.vec_id < c.vec_id),
+        | d AS (SELECT va, vb,
+        |         sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(12,6)) * CAST(CAST(y AS DOUBLE) AS DECIMAL(12,6))) AS dot
+        |       FROM (SELECT va, vb, unnest(ea) AS x, unnest(eb) AS y FROM cand) z
+        |       GROUP BY va, vb),
+        | n AS (SELECT vec_id,
+        |         sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(12,6)) * CAST(CAST(x AS DOUBLE) AS DECIMAL(12,6))) AS nrm
+        |       FROM (SELECT vec_id, unnest(embedding) AS x FROM e) z GROUP BY vec_id)
+        |SELECT va, vb,
+        |  CAST(dot AS DOUBLE) / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)) AS sim
+        |FROM d JOIN n na ON na.vec_id = va JOIN n nb ON nb.vec_id = vb
+        |ORDER BY sim DESC, va, vb LIMIT 20""".stripMargin) { (s, dir) =>
+      Dedup.embeddingNearDup(emb(s, dir), k = 20, sketchBits = 8)
+    },
+
     // ================= text analysis =================
 
     QueryDef("ta01_term_freq",
@@ -156,6 +182,30 @@ object PipelineQueries {
         |  CAST(sum(ord(text[i]) * ((i - 1) % 64 + 1)) AS BIGINT) AS fp
         |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
       TextAnalysis.fingerprint(docs(s, dir), "doc_id", "text").orderBy("doc_id")
+    },
+
+    // Composite quality scoring (stopword/length/punctuation signals →
+    // one keep/drop decision per doc) — the corpus-filtering stage of a
+    // training-data pipeline, bit-identical across engines.
+    QueryDef("ta07_quality_score",
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+        | f AS (SELECT doc_id,
+        |   CAST(len(toks) AS BIGINT) AS n_tokens,
+        |   CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS DOUBLE)
+        |     / CAST(len(toks) AS DOUBLE) AS stop_ratio,
+        |   CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+        |     / CAST(length(text) AS DOUBLE) AS punct_ratio
+        | FROM t)
+        |SELECT doc_id, n_tokens, stop_ratio, punct_ratio,
+        |  0.5 * least(stop_ratio / 0.08, 1.0)
+        |    + 0.3 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+        |    + 0.2 * (1.0 - least(punct_ratio / 0.2, 1.0)) AS quality,
+        |  CASE WHEN 0.5 * least(stop_ratio / 0.08, 1.0)
+        |    + 0.3 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+        |    + 0.2 * (1.0 - least(punct_ratio / 0.2, 1.0)) >= 0.5 THEN 1 ELSE 0 END AS keep
+        |FROM f ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      TextAnalysis.qualityScore(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
     },
 
     // BPE-ish subword token counting: tokens = letter runs, digit runs,

@@ -367,6 +367,64 @@ object RelationalQueries {
         .orderBy("o_orderkey").limit(100)
     },
 
+    // ---- LEFT OUTER join with null extension: customers keep a row
+    // even with zero orders. Scale shape: orders is aggregated to one
+    // row per custkey BEFORE the join (map-side-combinable agg), so the
+    // outer join shuffles |custkeys| rows, not |orders| — the
+    // join-then-aggregate formulation the oracle uses would explode the
+    // shuffle at 100 TB. Results are identical.
+    QueryDef("q17_left_outer_join",
+      """WITH o AS (SELECT o_custkey, count(*) AS n_orders,
+        |             sum(CAST(o_totalprice AS DECIMAL(18,4))) AS spent
+        |           FROM orders GROUP BY o_custkey)
+        |SELECT c_custkey,
+        |  CAST(coalesce(n_orders, 0) AS BIGINT) AS n_orders,
+        |  CAST(coalesce(spent, 0) AS DOUBLE) AS total_spent
+        |FROM customer LEFT JOIN o ON o_custkey = c_custkey
+        |ORDER BY c_custkey LIMIT 200""".stripMargin) { (s, dir) =>
+      val o = t(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"), sum(dec(col("o_totalprice"))).as("spent"))
+      t(s, dir, "customer")
+        .join(o, col("o_custkey") === col("c_custkey"), "left")
+        .select(col("c_custkey"),
+          coalesce(col("n_orders"), lit(0L)).cast(LongType).as("n_orders"),
+          coalesce(col("spent"), lit(0)).cast(DoubleType).as("total_spent"))
+        .orderBy("c_custkey").limit(200)
+    },
+
+    // ---- FULL OUTER join: high-balance customer vs supplier counts per
+    // nation; the thresholds are chosen so BOTH sides contribute
+    // unmatched rows at sf0.01 (left-only and right-only nations), i.e.
+    // both null-extension paths execute. Dims broadcast; the outer join
+    // runs over two already-tiny aggregates.
+    QueryDef("q18_full_outer_join",
+      """WITH c AS (SELECT n_name, count(*) AS n_cust FROM customer
+        |           JOIN nation ON c_nationkey = n_nationkey
+        |           WHERE c_acctbal > 9900 GROUP BY n_name),
+        | s AS (SELECT n_name, count(*) AS n_supp FROM supplier
+        |           JOIN nation ON s_nationkey = n_nationkey
+        |           WHERE s_acctbal > 9000 GROUP BY n_name)
+        |SELECT coalesce(c.n_name, s.n_name) AS nation,
+        |  CAST(coalesce(n_cust, 0) AS BIGINT) AS n_cust,
+        |  CAST(coalesce(n_supp, 0) AS BIGINT) AS n_supp
+        |FROM c FULL OUTER JOIN s ON c.n_name = s.n_name
+        |ORDER BY nation""".stripMargin) { (s, dir) =>
+      val nat = t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+      val c = t(s, dir, "customer").filter(col("c_acctbal") > 9900)
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name")).agg(count(lit(1)).as("n_cust"))
+        .select(col("n_name").as("cn"), col("n_cust"))
+      val su = t(s, dir, "supplier").filter(col("s_acctbal") > 9000)
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name")).agg(count(lit(1)).as("n_supp"))
+        .select(col("n_name").as("sn"), col("n_supp"))
+      c.join(su, col("cn") === col("sn"), "full")
+        .select(coalesce(col("cn"), col("sn")).as("nation"),
+          coalesce(col("n_cust"), lit(0L)).cast(LongType).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).cast(LongType).as("n_supp"))
+        .orderBy("nation")
+    },
+
     // ---- correlated EXISTS subquery via SQL text (same string runs in
     // DuckDB — Catalyst decorrelates to a semi join).
     sqlBoth("q19_exists_subquery",

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.MinHashAgg
+import graft.sources.S3AccessLog
+
+/** GraftExtensions: the custom Catalyst expressions must be reachable
+  * from pure SQL text in a session built with the extension, and agree
+  * exactly with their Column-API twins.
+  */
+class ExtensionsSpec extends AnyFunSuite {
+
+  /** A second session over the SHARED SparkContext, with GraftExtensions
+    * installed — never stop() it. Default/active sessions are restored
+    * so later suites keep using the plain test session.
+    */
+  private def withExtSession[A](f: SparkSession => A): A = {
+    SparkTestSession.spark // ensure the shared context exists
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val s = SparkSession.builder()
+        .master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.session.timeZone", "UTC")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      f(s)
+    } finally {
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+
+  test("parse_s3_access_log is SQL-callable and dead-letters garbage") {
+    withExtSession { s =>
+      import s.implicits._
+      val good = S3AccessLog.renderLine(RenderFixtures.baseFields)
+      Seq(good, "not a log line at all").toDF("value")
+        .createOrReplaceTempView("raw_lines")
+      val rows = s.sql(
+        """SELECT parse_s3_access_log(value).bucket AS b,
+          |       parse_s3_access_log(value) IS NULL AS dead
+          |FROM raw_lines ORDER BY dead""".stripMargin).collect()
+      assert(rows(0).getString(0) == "test-bucket" && !rows(0).getBoolean(1))
+      assert(rows(1).isNullAt(0) && rows(1).getBoolean(1))
+    }
+  }
+
+  test("SQL minhash_sketch equals the Column-API aggregate") {
+    withExtSession { s =>
+      import s.implicits._
+      val df = (1 to 200).map(i => (i % 7, s"shingle-$i")).toDF("g", "sh")
+      df.createOrReplaceTempView("sh")
+      val viaSql = s.sql(
+        "SELECT g, minhash_sketch(sh, 16) AS sig FROM sh GROUP BY g")
+        .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+      val viaCol = df.groupBy($"g")
+        .agg(MinHashAgg.minhash_sketch($"sh", 16).as("sig"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+      assert(viaSql == viaCol && viaSql.size == 7)
+      assert(viaSql.values.forall(_.length == 16))
+    }
+  }
+
+  test("minhash_sketch rejects a non-literal k") {
+    withExtSession { s =>
+      import s.implicits._
+      Seq(("a", 4)).toDF("sh", "k").createOrReplaceTempView("bad")
+      val e = intercept[Exception] {
+        s.sql("SELECT minhash_sketch(sh, k) FROM bad").collect()
+      }
+      assert(e.getMessage.contains("minhash_sketch"))
+    }
+  }
+}
