@@ -45,7 +45,10 @@ object EtlQueries {
         col("l_partkey"),
         lit(200) + (col("l_linenumber") % 5),
         col("l_orderkey") % 100000).as("value"))
-      S3AccessLog.parse(lines)
+      // rendered lines are never blank — dropBlanks=false keeps the
+      // render out of a pushed-down scan filter (it would otherwise run
+      // twice per row, single-task, upstream of the spread)
+      S3AccessLog.parse(lines, dropBlanks = false)
         .groupBy(col("s3_bucket"))
         .agg(
           count(lit(1)).as("n_requests"),

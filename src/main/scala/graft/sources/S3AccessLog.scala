@@ -182,13 +182,22 @@ object S3AccessLog {
     * same results, ~order-of-magnitude less regex work per row.
     */
   def parse(lines: DataFrame, column: String = "value",
-            fused: Boolean = true): DataFrame = {
+            fused: Boolean = true, dropBlanks: Boolean = true): DataFrame = {
     // Python str.strip() removes ALL whitespace; Spark's trim() only 0x20.
     // Character-set trim (linear two-pointer scan) — a `^\s+|\s+$` regex
     // here costs as much as the whole 26-group parse (the unanchored
     // alternation attempts a match at every position).
     val v = trim(col(column), " \t\n\r\f")
-    val trimmed = lines.select(v.as("value")).filter(col("value") =!= "")
+    // dropBlanks reproduces the reference's blank-line skip
+    // (s3_server_access_logs.py:134-137) and is right for raw file
+    // input. Pass false when `column` is a COMPUTED never-blank value:
+    // the filter's predicate references the computed column, so Catalyst
+    // substitutes the full expression into a scan-side Filter — the
+    // computation then runs TWICE per row, and (worse) upstream of any
+    // repartition meant to spread it across cores.
+    val projected = lines.select(v.as("value"))
+    val trimmed =
+      if (dropBlanks) projected.filter(col("value") =!= "") else projected
 
     val names = OutputColumns.filterNot(_ == "error_line")
     def guarded(matched: Column, cols: Seq[Column]): Seq[Column] =
