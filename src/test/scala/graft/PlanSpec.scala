@@ -78,6 +78,31 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("q17/q18: outer joins broadcast their small side, keep outer semantics") {
+    val p17 = planOf("q17_left_outer_join")
+    assert(p17.contains("LeftOuter"), p17)
+    assert(p17.contains("TakeOrderedAndProject"), p17)
+    val p18 = planOf("q18_full_outer_join")
+    assert(p18.contains("FullOuter"), p18)
+    assert(p18.contains("BroadcastHashJoin"), p18)
+  }
+
+  test("dd06: near-dup candidates come from a block join, never all-pairs") {
+    val p = planOf("dd06_embedding_neardup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("etl01: the render+parse pipeline spreads across the cluster, render not in scan filter") {
+    val p = planOf("etl01_log_roundtrip")
+    // spread: an exchange below the parse (REPARTITION_BY_COL on testdata's
+    // single-row-group scans); render must not leak into a scan DataFilter
+    val scanLine = p.linesIterator.find(_.contains("FileScan parquet")).get
+    assert(!scanLine.contains("format_string"), scanLine)
+    assert(p.contains("parse_s3_access_log"), p)
+  }
+
   test("log parser fused path keeps one regex pass (no RegExpExtract chain)") {
     import org.apache.spark.sql.functions._
     // non-foldable input so the optimizer can't constant-fold the parse
