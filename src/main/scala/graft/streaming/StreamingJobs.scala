@@ -67,6 +67,47 @@ object StreamingJobs {
       .start()
   }
 
+  /** Streaming exact dedup over a content hash: each distinct payload is
+    * emitted once; duplicate arrivals within the watermark horizon are
+    * dropped, and the hash leaves the state store once the watermark
+    * passes it (bounded state — a plain `dropDuplicates` would pin every
+    * hash ever seen). The 32-byte hash, not the document, is what sits
+    * in state and what the equality check shuffles on — same shape as
+    * the batch [[graft.operators.Dedup.byContentHash]].
+    */
+  def dedupStream(docs: DataFrame, tsCol: String, contentCol: String,
+                  watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("_h", sha2(col(contentCol), 256))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("_h")
+      .drop("_h")
+
+  /** Stream-stream interval join: each click matched to the same user's
+    * purchases landing within `maxLagMinutes` AFTER it. Both sides carry
+    * watermarks and the join condition bounds event-time distance in
+    * both directions, so each side's buffered state is evictable —
+    * the only stream-stream join shape that runs with finite state.
+    */
+  def clickToPurchase(events: DataFrame, maxLagMinutes: Int = 30,
+                      watermark: String = "30 minutes"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", watermark)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("purchase_ts", watermark)
+    clicks.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") +
+          expr(s"INTERVAL $maxLagMinutes MINUTES"))
+      .select(col("user_id"), col("click_id"), col("click_ts"),
+        col("purchase_id"), col("purchase_ts"))
+  }
+
   /** Stateful gap sessionization: per-user session state in the state
     * store, closed sessions emitted when a gap arrives in-stream or the
     * event-time timeout fires (watermark passed last event + gap).

@@ -38,6 +38,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.contains(("2024-01-01 10:00:00.0", "view", 1L, 1.0)), rows)
   }
 
+  test("dedupStream drops in-horizon duplicates, evicts expired state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val df = in.toDF().toDF("ts", "doc_id", "text")
+    val q = StreamingJobs.dedupStream(df, "ts", "text", "10 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out")
+      .start()
+    in.addData(
+      (ts("2024-01-01 10:00:00"), 1L, "alpha"),
+      (ts("2024-01-01 10:01:00"), 2L, "alpha"),   // dup within horizon
+      (ts("2024-01-01 10:02:00"), 3L, "beta"))
+    q.processAllAvailable()
+    // advance watermark past alpha's horizon, then re-send alpha: the
+    // expired hash must have left the state store → alpha emits again
+    in.addData((ts("2024-01-01 11:00:00"), 4L, "gamma"))
+    q.processAllAvailable()
+    in.addData((ts("2024-01-01 11:01:00"), 5L, "alpha"))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dedup_out").collect().map(_.getLong(1)).toSet
+    assert(ids == Set(1L, 3L, 4L, 5L), ids)
+  }
+
+  test("stream-stream interval join matches purchases to prior clicks only within the lag") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, Long, String)]
+    val df = in.toDF().toDF("ts", "event_id", "user_id", "event_type")
+    val q = StreamingJobs.clickToPurchase(df, maxLagMinutes = 30, "20 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssj_out")
+      .start()
+    in.addData(
+      (ts("2024-01-01 10:00:00"), 100L, 7L, "click"),
+      (ts("2024-01-01 10:10:00"), 200L, 7L, "purchase"),  // +10m → match
+      (ts("2024-01-01 11:10:00"), 201L, 7L, "purchase"),  // +70m → too late
+      (ts("2024-01-01 10:05:00"), 202L, 8L, "purchase"),  // other user
+      (ts("2024-01-01 09:50:00"), 203L, 7L, "purchase"))  // BEFORE click
+    q.processAllAvailable()
+    // push watermark so joinable buffers flush
+    in.addData((ts("2024-01-01 13:00:00"), 999L, 9L, "click"))
+    q.processAllAvailable()
+    q.stop()
+    val pairs = spark.table("ssj_out").collect()
+      .map(r => (r.getLong(1), r.getLong(3))).toSet
+    assert(pairs == Set((100L, 200L)), pairs)
+  }
+
   test("streamCompact: raw log files stream into date-partitioned parquet") {
     val work = java.nio.file.Files.createTempDirectory("graft-sc").toString
     val in = s"$work/in"; java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
