@@ -130,6 +130,25 @@ object PipelineQueries {
       Dedup.embeddingNearDup(emb(s, dir), k = 20, sketchBits = 8)
     },
 
+    // Deterministic reproducible subsampling (Sampling.hashSample): the
+    // corpus-curation "take a stable 25%" step. Same predicate text runs
+    // in DuckDB — membership is provably engine-independent.
+    QueryDef("sp01_hash_sample",
+      """SELECT count(*) AS n_sampled,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sampled_value,
+        |  CAST(min(o_orderkey) AS BIGINT) AS first_key,
+        |  CAST(max(o_orderkey) AS BIGINT) AS last_key
+        |FROM orders
+        |WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '40'""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .filter(graft.operators.Sampling.hashSample(col("o_orderkey"), 64))
+        .agg(count(lit(1)).as("n_sampled"),
+          sum(col("o_totalprice").cast(DecimalType(18, 4)))
+            .cast(DoubleType).as("sampled_value"),
+          min(col("o_orderkey")).cast(LongType).as("first_key"),
+          max(col("o_orderkey")).cast(LongType).as("last_key"))
+    },
+
     // ================= text analysis =================
 
     QueryDef("ta01_term_freq",

@@ -425,6 +425,62 @@ object RelationalQueries {
         .orderBy("nation")
     },
 
+    // ---- distribution window functions: ntile / percent_rank /
+    // cume_dist / first_value / nth_value over one window definition.
+    // All are exact small-integer ratios or row picks — engine-portable
+    // bit-for-bit (unlike avg-style aggregates).
+    QueryDef("q30_window_distribution",
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd,
+        |  CAST(first_value(o_orderkey) OVER w AS BIGINT) AS first_ok,
+        |  CAST(nth_value(o_orderkey, 2) OVER w AS BIGINT) AS second_ok
+        |FROM orders
+        |WHERE o_custkey < 40
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+      t(s, dir, "orders").filter(col("o_custkey") < 40)
+        .select(col("o_custkey"), col("o_orderkey"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"),
+          first_value(col("o_orderkey")).over(w).cast(LongType).as("first_ok"),
+          nth_value(col("o_orderkey"), 2).over(w).cast(LongType).as("second_ok"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    // ---- math functions with EXACT cross-engine semantics: abs/floor/
+    // ceil on IEEE doubles, sqrt (correctly rounded per IEEE-754), mod,
+    // sign, greatest/least. Transcendentals (ln/exp/pow) are deliberately
+    // absent — libm vs StrictMath differ in the last ulp and would break
+    // the hash oracle.
+    QueryDef("q31_math_fns",
+      """SELECT l_orderkey, l_linenumber,
+        |  abs(l_discount - 0.05) AS a,
+        |  CAST(floor(l_extendedprice / 1000.0) AS DOUBLE) AS f,
+        |  CAST(ceil(l_extendedprice / 1000.0) AS DOUBLE) AS c,
+        |  sqrt(CAST(l_quantity AS DOUBLE)) AS s,
+        |  CAST(l_orderkey % 7 AS BIGINT) AS m,
+        |  CAST(sign(l_discount - 0.05) AS DOUBLE) AS sg,
+        |  greatest(l_tax, l_discount) AS g,
+        |  least(l_tax, l_discount) AS l
+        |FROM lineitem WHERE l_orderkey < 300
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem").filter(col("l_orderkey") < 300)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          abs(col("l_discount") - 0.05).as("a"),
+          floor(col("l_extendedprice") / 1000.0).cast(DoubleType).as("f"),
+          ceil(col("l_extendedprice") / 1000.0).cast(DoubleType).as("c"),
+          sqrt(col("l_quantity").cast(DoubleType)).as("s"),
+          (col("l_orderkey") % 7).cast(LongType).as("m"),
+          signum(col("l_discount") - 0.05).cast(DoubleType).as("sg"),
+          greatest(col("l_tax"), col("l_discount")).as("g"),
+          least(col("l_tax"), col("l_discount")).as("l"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
     // ---- correlated EXISTS subquery via SQL text (same string runs in
     // DuckDB — Catalyst decorrelates to a semi join).
     sqlBoth("q19_exists_subquery",
