@@ -89,6 +89,79 @@ object Dedup {
       .select("id_a", "id_b").distinct()
   }
 
+  /** All-pairs word-n-gram Jaccard similarities: (da, db, jac) with
+    * da < db. Shingles are keyed by xxhash64 (longs shuffle, not
+    * strings); pair generation groups each shingle's doc list ONCE and
+    * emits combinations with higher-order functions — one shuffle of
+    * |distinct shingles| small lists instead of a self-join that
+    * re-evaluates the shingle explode on both sides. Intentionally
+    * O(pairs-sharing-a-shingle): the verifiable baseline for the
+    * shingling math; LSH banding (lshBuckets) is the 100 TB path.
+    */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3): DataFrame = {
+    val sh = shingles(df, idCol, textCol, n)
+      .select(col(idCol), xxhash64(col("shingle")).as("sh64"))
+    val sz = sh.groupBy(idCol).agg(count(lit(1)).as("n"))
+    val inter = sh.groupBy("sh64")
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(flatten(transform(col("ids"), a =>
+        transform(filter(col("ids"), b => b > a),
+          b => struct(a.as("da"), b.as("db")))))).as("p"))
+      .groupBy(col("p.da").as("da"), col("p.db").as("db"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sz.select(col(idCol).as("da"), col("n").as("na")), "da")
+      .join(sz.select(col(idCol).as("db"), col("n").as("nb")), "db")
+      .select(col("da"), col("db"),
+        (col("inter").cast(DoubleType) /
+          (col("na") + col("nb") - col("inter")).cast(DoubleType)).as("jac"))
+  }
+
+  /** Connected components over an undirected edge list (src, dst) —
+    * near-dup PAIRS become dedup GROUPS only through transitivity
+    * (A~B, B~C ⇒ {A,B,C} even when A≁C), so clustering is the step
+    * between candidate scoring and survivor selection in every dedup
+    * pipeline. Returns (id, cluster) where cluster = min id reachable.
+    *
+    * Iterative min-label propagation: each round every node takes the
+    * min of its own label and its neighbors' labels — converges in
+    * O(component diameter) rounds (near-dup components are shallow;
+    * `maxIter` bounds pathological chains). Each round is one
+    * hash-partitioned join + partial-aggregated min, and
+    * `localCheckpoint` truncates the growing lineage so round N plans
+    * O(1) work, not O(N) — on a cluster with an HDFS checkpoint dir,
+    * `checkpoint()` would make rounds fault-tolerant too.
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = sym
+        .join(labels.select(col("id").as("src"), col("label")), "src")
+        .groupBy(col("dst").as("id")).agg(min(col("label")).as("_nbr"))
+      val next = labels
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("_nbr"), col("label"))).as("label"))
+        .localCheckpoint()
+      converged = next.select(col("id"), col("label").as("_new"))
+        .join(labels, "id")
+        .filter(col("_new") =!= col("label"))
+        .isEmpty
+      labels = next
+      i += 1
+    }
+    labels.select(col("id"), col("label").as("cluster"))
+  }
+
   /** Embedding-cosine near-dup: top-k most-similar vector pairs among
     * candidates sharing a sign-sketch block. The block key is the sign
     * pattern of the first `sketchBits` components — semantically part of

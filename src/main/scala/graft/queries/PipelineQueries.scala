@@ -67,28 +67,7 @@ object PipelineQueries {
         |JOIN sz sa ON sa.doc_id = da
         |JOIN sz sb ON sb.doc_id = db
         |ORDER BY jac DESC, da, db LIMIT 20""".stripMargin) { (s, dir) =>
-      // shingles keyed by xxhash64 (longs shuffle, not strings); pair
-      // generation groups each shingle's doc list ONCE and emits (a,b)
-      // combinations with higher-order functions — one shuffle of
-      // |distinct shingles| small lists instead of a self-join that
-      // re-evaluates the shingle explode on both sides
-      val sh = Dedup.shingles(docs(s, dir), "doc_id", "text", 3)
-        .select(col("doc_id"), xxhash64(col("shingle")).as("sh64"))
-      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val inter = sh.groupBy("sh64")
-        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-        .filter(size(col("ids")) > 1)
-        .select(explode(flatten(transform(col("ids"), a =>
-          transform(filter(col("ids"), b => b > a),
-            b => struct(a.as("da"), b.as("db")))))).as("p"))
-        .groupBy(col("p.da").as("da"), col("p.db").as("db"))
-        .agg(count(lit(1)).as("inter"))
-      inter
-        .join(sz.select(col("doc_id").as("da"), col("n").as("na")), "da")
-        .join(sz.select(col("doc_id").as("db"), col("n").as("nb")), "db")
-        .select(col("da"), col("db"),
-          (col("inter").cast(DoubleType) /
-            (col("na") + col("nb") - col("inter")).cast(DoubleType)).as("jac"))
+      Dedup.jaccardPairs(docs(s, dir), "doc_id", "text", 3)
         .orderBy(col("jac").desc, col("da"), col("db"))
         .limit(20)
     },
@@ -128,6 +107,39 @@ object PipelineQueries {
         |FROM d JOIN n na ON na.vec_id = va JOIN n nb ON nb.vec_id = vb
         |ORDER BY sim DESC, va, vb LIMIT 20""".stripMargin) { (s, dir) =>
       Dedup.embeddingNearDup(emb(s, dir), k = 20, sketchBits = 8)
+    },
+
+    // Near-dup pairs -> dedup GROUPS: connected components (iterative
+    // min-label propagation) over the jac >= 0.5 edge set, so transitive
+    // chains (A~B, B~C) land in one cluster even when A and C don't pair
+    // directly. The recursive-CTE oracle computes the identical fixpoint.
+    QueryDef("dd08_dup_clusters",
+      """WITH RECURSIVE
+        | w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 3),
+        | sh0 AS (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i FROM w),
+        | sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle FROM sh0),
+        | sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        | pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+        |           FROM sh a JOIN sh b USING (shingle)
+        |           WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        | j AS (SELECT da, db FROM pairs
+        |       JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+        |       WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.5),
+        | e AS (SELECT da AS src, db AS dst FROM j UNION ALL SELECT db, da FROM j),
+        | cc AS (
+        |   SELECT src AS id, src AS label FROM e
+        |   UNION
+        |   SELECT e.dst, cc.label FROM cc JOIN e ON cc.id = e.src WHERE cc.label < e.dst
+        | )
+        |SELECT id AS doc_id, CAST(min(label) AS BIGINT) AS cluster
+        |FROM cc GROUP BY id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val edges = Dedup.jaccardPairs(docs(s, dir), "doc_id", "text", 3)
+        .filter(col("jac") >= 0.5)
+        .select(col("da").as("src"), col("db").as("dst"))
+      Dedup.connectedComponents(edges)
+        .select(col("id").as("doc_id"), col("cluster"))
+        .orderBy("doc_id")
     },
 
     // Deterministic reproducible subsampling (Sampling.hashSample): the

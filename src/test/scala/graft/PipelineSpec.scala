@@ -110,6 +110,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(s.count() > 0)
   }
 
+  test("connected components: transitive chains merge, islands stay apart") {
+    // chain 1-2-3 (1~3 only transitively), pair 10-11, singleton edge 20-21
+    val edges = Seq((2L, 1L), (2L, 3L), (10L, 11L), (21L, 20L))
+      .toDF("src", "dst")
+    val cc = Dedup.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc(1L) == 1L && cc(2L) == 1L && cc(3L) == 1L,
+      s"chain not merged: $cc")
+    assert(cc(10L) == 10L && cc(11L) == 10L)
+    assert(cc(20L) == 20L && cc(21L) == 20L)
+  }
+
+  test("connected components: long path converges within diameter rounds") {
+    // path 1-2-3-...-8: min-label needs ~diameter rounds to reach the end
+    val edges = (1L until 8L).map(i => (i, i + 1)).toDF("src", "dst")
+    val cc = Dedup.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 8L).forall(cc(_) == 1L), s"path not fully labeled: $cc")
+  }
+
   test("entry flagship returns daily rollup rows") {
     val df = SparkEntry.entry(spark)
     assert(df.count() > 0)
