@@ -36,6 +36,40 @@ object Dedup {
     exact(df.withColumn("_h", sha2(col(contentCol), 256)), Seq("_h"), tiebreak)
       .drop("_h")
 
+  /** Text canonicalization for "fuzzy-exact" dedup: lowercase, strip
+    * punctuation, collapse whitespace runs, trim. Catches the
+    * reformatted-copy duplicates (case, markup remnants, spacing) that
+    * byte-exact hashing misses while staying a pure deterministic
+    * expression — no similarity join needed.
+    */
+  def canonicalize(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), """[\p{Punct}]""", ""), " +", " "))
+
+  /** Exact dedup on the canonical form: survivor = min `tiebreak` per
+    * canonical-text hash. Same single-shuffle shape as [[byContentHash]],
+    * keyed on the 32-byte hash of the canonical form.
+    */
+  def byCanonicalText(df: DataFrame, textCol: String, tiebreak: Column): DataFrame =
+    exact(df.withColumn("_h", sha2(canonicalize(col(textCol)), 256)),
+      Seq("_h"), tiebreak).drop("_h")
+
+  /** Incremental (registry) dedup — the daily-ingest shape: drop new
+    * rows whose content hash is already in the historical registry, then
+    * dedup within the batch itself. `registry` needs only a `h` column
+    * (the sha-256 content hashes already seen). Anti-join + one
+    * keyed shuffle; at scale the registry is bucketed on `h` so the
+    * anti-join co-locates without a new exchange, and the day's
+    * survivors' hashes append back to the registry.
+    */
+  def incremental(batch: DataFrame, registry: DataFrame, contentCol: String,
+                  tiebreak: Column): DataFrame =
+    exact(
+      batch.withColumn("_h", sha2(col(contentCol), 256))
+        .join(registry.select(col("h").as("_h")), Seq("_h"), "left_anti"),
+      Seq("_h"), tiebreak)
+      .drop("_h")
+
   /** Distinct word n-gram shingles per document: (id, shingle). The
     * words array is materialized by a projection BEFORE the shingle
     * lambda — referencing `split(...)` inside the lambda would re-split

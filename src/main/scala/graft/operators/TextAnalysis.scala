@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -112,4 +113,38 @@ object TextAnalysis {
       .groupBy(idCol)
       .agg(sum(ascii(col("col")).cast(LongType) *
         ((col("pos") % 64) + 1).cast(LongType)).as("fp"))
+
+  /** Per-document top-k TF-IDF terms: (id, tok, tfidf, rank),
+    * tfidf = tf · ln(N / df). Three hash aggregations (tf per (doc,tok),
+    * df per tok, corpus N) and one per-document top-k window — the
+    * document count joins in as a broadcast single-row aggregate, never
+    * a driver-side collect, so the whole computation stays one lazy
+    * plan. The doc-frequency join is keyed on the token (bounded
+    * vocabulary → small shuffle); tfidf is quantized to DECIMAL(18,6)
+    * before ranking so cross-engine 1-ulp `ln` differences can't flip
+    * row hashes or tie order.
+    */
+  def tfIdfTopTerms(df: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    val tf = tokens(df, idCol, textCol)
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val n = df.agg(count(lit(1)).as("n_docs"))
+    val scored = tf
+      .join(docFreq, "tok")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        (col("tf").cast(DoubleType) *
+          log(col("n_docs").cast(DoubleType) / col("df").cast(DoubleType)))
+          .cast(DecimalType(18, 6)))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col(idCol))
+          .orderBy(col("tfidf").desc, col("tok"))).cast(LongType))
+      .filter(col("rank") <= k)
+      // decimal → double for output: scaled int is far below 2^53, so
+      // the conversion is correctly rounded identically in every engine
+      .select(col(idCol), col("tok"),
+        col("tfidf").cast(DoubleType).as("tfidf"), col("rank"))
+  }
 }

@@ -142,6 +142,47 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // "Fuzzy-exact" dedup on the canonical text form (lowercase, strip
+    // punctuation, collapse whitespace): catches reformatted copies that
+    // byte-exact hashing misses, while staying a single keyed shuffle —
+    // no similarity join. Survivor = min doc_id per canonical hash.
+    QueryDef("dd07_canonical_dedup",
+      """WITH c AS (SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', '', 'g'),
+        |       ' +', ' ', 'g')) AS canon
+        |  FROM documents)
+        |SELECT doc_id, sha256(canon) AS h FROM (
+        |  SELECT doc_id, canon,
+        |         row_number() OVER (PARTITION BY canon ORDER BY doc_id) AS rn
+        |  FROM c) x
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Dedup.byCanonicalText(docs(s, dir), "text", col("doc_id"))
+        .select(col("doc_id"),
+          sha2(Dedup.canonicalize(col("text")), 256).as("h"))
+        .orderBy("doc_id")
+    },
+
+    // Incremental (registry) dedup — the daily-ingest shape: new batch
+    // (doc_id >= 250) anti-joined against the already-seen content-hash
+    // registry (doc_id < 250), then deduped within itself. At scale the
+    // registry is bucketed on h so the anti-join needs no new exchange.
+    QueryDef("dd09_incremental_dedup",
+      """WITH reg AS (SELECT DISTINCT sha256(text) AS h FROM documents WHERE doc_id < 250),
+        | nw AS (SELECT doc_id, sha256(text) AS h FROM documents WHERE doc_id >= 250),
+        | flt AS (SELECT nw.* FROM nw WHERE h NOT IN (SELECT h FROM reg)),
+        | k AS (SELECT doc_id, h,
+        |         row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+        |       FROM flt)
+        |SELECT doc_id, h FROM k WHERE rn = 1 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir)
+      val registry = d.filter(col("doc_id") < 250)
+        .select(sha2(col("text"), 256).as("h")).distinct()
+      Dedup.incremental(d.filter(col("doc_id") >= 250), registry,
+          "text", col("doc_id"))
+        .select(col("doc_id"), sha2(col("text"), 256).as("h"))
+        .orderBy("doc_id")
+    },
+
     // Deterministic reproducible subsampling (Sampling.hashSample): the
     // corpus-curation "take a stable 25%" step. Same predicate text runs
     // in DuckDB — membership is provably engine-independent.
@@ -253,6 +294,30 @@ object PipelineQueries {
           lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), lit(0))).as("tok"))
         .groupBy("tok").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("tok")).limit(40)
+    },
+
+    // TF-IDF top terms per document: the distinctive-term extraction
+    // step of corpus analysis. Three hash aggregations + one window
+    // top-k; the corpus size joins in as a broadcast single-row agg.
+    // tfidf is quantized to DECIMAL(18,6) before ranking so 1-ulp ln()
+    // differences between engines can't flip hashes or tie order.
+    QueryDef("ta08_tfidf",
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        | tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
+        | df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+        | n AS (SELECT count(*) AS n_docs FROM documents),
+        | s AS (SELECT tf.doc_id, tf.tok,
+        |         CAST(CAST(tf.tf AS DOUBLE) *
+        |              ln(CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE))
+        |              AS DECIMAL(18,6)) AS q
+        |       FROM tf CROSS JOIN n JOIN df USING (tok))
+        |SELECT doc_id, tok, CAST(q AS DOUBLE) AS tfidf, rank FROM (
+        |  SELECT doc_id, tok, q,
+        |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY q DESC, tok) AS BIGINT) AS rank
+        |  FROM s) r
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin) { (s, dir) =>
+      TextAnalysis.tfIdfTopTerms(docs(s, dir), "doc_id", "text", 3)
+        .orderBy("doc_id", "rank")
     },
 
     // ================= similarity search =================
@@ -456,6 +521,33 @@ object PipelineQueries {
         .select(col("user_id"), col("event_id"), col("ts"),
           col("right_ref_event").as("ref_event"))
         .orderBy("user_id", "event_id")
+    },
+
+    // Ordered-sequence funnel: users reaching view → click-after-view →
+    // purchase-after-click. One filtered user-keyed aggregation per
+    // stage (each shuffle moves only that step's rows), never a
+    // per-step self-join of the whole stream.
+    QueryDef("ev07_funnel",
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |            WHERE event_type = 'view' GROUP BY user_id),
+        | s2 AS (SELECT s1.user_id, t1,
+        |          min(CASE WHEN e.ts >= t1 THEN e.ts END) AS t2
+        |        FROM s1 LEFT JOIN events e
+        |          ON e.user_id = s1.user_id AND e.event_type = 'click'
+        |        GROUP BY s1.user_id, t1),
+        | s3 AS (SELECT s2.user_id, t1, t2,
+        |          min(CASE WHEN e.ts >= t2 THEN e.ts END) AS t3
+        |        FROM s2 LEFT JOIN events e
+        |          ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+        |        GROUP BY s2.user_id, t1, t2)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type, count(t1) AS n_users FROM s3
+        |  UNION ALL SELECT 2, 'click', count(t2) FROM s3
+        |  UNION ALL SELECT 3, 'purchase', count(t3) FROM s3)
+        |ORDER BY step""".stripMargin) { (s, dir) =>
+      graft.operators.Funnel.counts(Tables.events(s, dir),
+          Seq("view", "click", "purchase"))
+        .orderBy("step")
     },
 
     // HLL++ sketch — algorithm-specific estimates, no SQL oracle; the

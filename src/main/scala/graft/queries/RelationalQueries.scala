@@ -637,6 +637,69 @@ object RelationalQueries {
           array_join(transform(col("xs"),
             x => x.cast(StringType)), "-").as("joined"))
         .orderBy("o_orderkey").limit(200)
+    },
+
+    // ---- unpivot (wide → long): the inverse of q23's pivot, as a
+    // native Expand node — each input row fans out to one row per
+    // measure with NO shuffle and no UNION-of-scans (the oracle's
+    // UNION ALL formulation IS the semantic definition, but would scan
+    // the table once per measure; Expand scans once).
+    QueryDef("q32_unpivot",
+      """WITH b AS (SELECT l_orderkey, l_linenumber, l_quantity,
+        |                  l_extendedprice, l_discount
+        |           FROM lineitem WHERE l_orderkey < 300)
+        |SELECT * FROM (
+        |  SELECT l_orderkey, l_linenumber, 'discount' AS metric,
+        |         CAST(l_discount AS DOUBLE) AS value FROM b
+        |  UNION ALL SELECT l_orderkey, l_linenumber, 'extendedprice',
+        |         CAST(l_extendedprice AS DOUBLE) FROM b
+        |  UNION ALL SELECT l_orderkey, l_linenumber, 'quantity',
+        |         CAST(l_quantity AS DOUBLE) FROM b)
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem").filter(col("l_orderkey") < 300)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast(DoubleType).as("quantity"),
+          col("l_extendedprice").cast(DoubleType).as("extendedprice"),
+          col("l_discount").cast(DoubleType).as("discount"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("discount"), col("extendedprice"), col("quantity")),
+          "metric", "value")
+        .orderBy("l_orderkey", "l_linenumber", "metric")
+    },
+
+    // ---- map construction + manipulation (map_from_entries /
+    // map_keys / map_values / element_at / map_filter /
+    // transform_values). Maps can't be hash-compared across engines, so
+    // every output is reduced to deterministic scalars; entry order is
+    // pinned by sorting the entries array BEFORE map construction.
+    QueryDef("q33_map_fns",
+      """WITH base AS (SELECT l_returnflag, l_linestatus, count(*) AS cnt
+        |              FROM lineitem GROUP BY 1, 2)
+        |SELECT l_returnflag,
+        |  array_to_string(list_sort(list(l_linestatus)), ',') AS keys,
+        |  CAST(sum(cnt) AS BIGINT) AS total,
+        |  CAST(coalesce(max(CASE WHEN l_linestatus = 'F' THEN cnt END), 0) AS BIGINT) AS f_cnt,
+        |  coalesce(array_to_string(list_sort(list(l_linestatus) FILTER (WHERE cnt > 1000)), ','), '') AS big_keys,
+        |  CAST(coalesce(max(CASE WHEN l_linestatus = 'O' THEN cnt END), 0) * 2 AS BIGINT) AS o_doubled
+        |FROM base GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      val m = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("l_returnflag"))
+        .agg(map_from_entries(sort_array(collect_list(
+          struct(col("l_linestatus"), col("cnt"))))).as("m"))
+      m.select(
+          col("l_returnflag"),
+          concat_ws(",", map_keys(col("m"))).as("keys"),
+          aggregate(map_values(col("m")), lit(0L), (acc, v) => acc + v)
+            .as("total"),
+          coalesce(element_at(col("m"), "F"), lit(0L)).as("f_cnt"),
+          concat_ws(",", map_keys(map_filter(col("m"),
+            (_, v) => v > 1000))).as("big_keys"),
+          coalesce(element_at(transform_values(col("m"),
+            (_, v) => v * 2), "O"), lit(0L)).as("o_doubled"))
+        .orderBy("l_returnflag")
     })
 
   /** A query whose Spark implementation IS the oracle SQL text, run

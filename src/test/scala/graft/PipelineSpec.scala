@@ -130,6 +130,65 @@ class PipelineSpec extends AnyFunSuite {
     assert((1L to 8L).forall(cc(_) == 1L), s"path not fully labeled: $cc")
   }
 
+  test("funnel: out-of-order steps don't count, ordered paths do") {
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val ev = Seq(
+      // u1: full ordered path
+      (1L, "view", ts(1)), (1L, "click", ts(2)), (1L, "purchase", ts(3)),
+      // u2: purchase BEFORE click — reaches view+click only
+      (2L, "view", ts(1)), (2L, "purchase", ts(2)), (2L, "click", ts(5)),
+      // u3: click only, never viewed — reaches nothing
+      (3L, "click", ts(1)),
+      // u4: view only
+      (4L, "view", ts(9))
+    ).toDF("user_id", "event_type", "ts")
+    val c = graft.operators.Funnel.counts(ev, Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(c == Map(1L -> 3L, 2L -> 2L, 3L -> 1L), s"funnel counts: $c")
+  }
+
+  test("canonicalize: case/punctuation/whitespace variants collapse") {
+    val d = Seq(
+      (1L, "Hello, World!  This is   fine."),
+      (2L, "hello world this is fine"),
+      (3L, "something else entirely")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.byCanonicalText(d, "text", $"doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L), s"survivors: $kept")
+  }
+
+  test("incremental dedup: registry hits dropped, batch self-dedups") {
+    val reg = Seq("old doc").toDF("t")
+      .select(sha2($"t", 256).as("h"))
+    val batch = Seq(
+      (10L, "old doc"),       // already registered -> dropped
+      (11L, "new doc"),       // kept
+      (12L, "new doc"),       // dup within batch -> dropped
+      (13L, "another new")    // kept
+    ).toDF("doc_id", "text")
+    val kept = Dedup.incremental(batch, reg, "text", $"doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(11L, 13L), s"survivors: $kept")
+  }
+
+  test("tf-idf: corpus-wide terms score zero, distinctive terms rank first") {
+    val d = Seq(
+      (1L, "common common rare1 rare1 rare1"),
+      (2L, "common rare2"),
+      (3L, "common rare3")
+    ).toDF("doc_id", "text")
+    val top = graft.operators.TextAnalysis.tfIdfTopTerms(d, "doc_id", "text", 1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(top == Map(1L -> "rare1", 2L -> "rare2", 3L -> "rare3"),
+      s"top terms: $top")
+    val common = graft.operators.TextAnalysis.tfIdfTopTerms(d, "doc_id", "text", 5)
+      .filter($"tok" === "common").select("tfidf")
+      .collect().map(_.getDouble(0))
+    assert(common.forall(_ == 0.0), "corpus-wide term should have idf 0")
+  }
+
   test("entry flagship returns daily rollup rows") {
     val df = SparkEntry.entry(spark)
     assert(df.count() > 0)
