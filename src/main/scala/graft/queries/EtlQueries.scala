@@ -56,5 +56,83 @@ object EtlQueries {
           min(col("request_time")).cast(TimestampNTZType).as("first_request"),
           max(col("http_status")).as("max_status"))
         .orderBy("s3_bucket")
+    },
+
+    // VPC flow-log roundtrip: render one v2 flow record per lineitem
+    // row, parse through VpcFlowLog, aggregate typed fields. Oracle
+    // computes the same aggregate straight from lineitem — any token
+    // swap, sentinel slip, or epoch-conversion bug breaks the hash.
+    QueryDef("etl02_vpc_roundtrip",
+      """SELECT concat('eni-', CAST(l_suppkey % 8 AS VARCHAR)) AS interface_id,
+        |  count(*) AS n_flows,
+        |  CAST(sum(l_orderkey % 65536) AS BIGINT) AS total_bytes,
+        |  CAST(sum(l_linenumber) AS BIGINT) AS total_packets,
+        |  CAST(sum(CASE WHEN l_orderkey % 4 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_reject,
+        |  min(CAST(epoch(CAST(l_shipdate AS TIMESTAMP)) AS BIGINT)) AS first_start
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val li = Tables.spread(Tables.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate", "l_linenumber", "l_partkey"),
+        "l_orderkey", "l_linenumber")
+      val lines = li.select(format_string(
+        "2 123456789012 eni-%d 10.0.0.%d 10.1.0.%d %d %d 6 %d %d %d %d %s OK",
+        col("l_suppkey") % 8,
+        col("l_partkey") % 250,
+        col("l_orderkey") % 250,
+        lit(1024) + (col("l_orderkey") % 60000),
+        lit(443),
+        col("l_linenumber"),
+        col("l_orderkey") % 65536,
+        unix_timestamp(col("l_shipdate")),
+        unix_timestamp(col("l_shipdate")) + 60,
+        when(col("l_orderkey") % 4 === 0, "REJECT").otherwise("ACCEPT"))
+        .as("value"))
+      graft.sources.VpcFlowLog.parse(lines)
+        .groupBy(col("interface_id"))
+        .agg(
+          count(lit(1)).as("n_flows"),
+          sum(col("bytes")).as("total_bytes"),
+          sum(col("packets")).as("total_packets"),
+          sum(when(col("action") === "REJECT", 1L).otherwise(0L)).as("n_reject"),
+          min(unix_timestamp(col("start_ts"))).as("first_start"))
+        .orderBy("interface_id")
+    },
+
+    // ALB access-log roundtrip: quoted-field tokenization, addr:port
+    // splitting, ISO-8601-micros timestamps — aggregated per synthetic
+    // load balancer and hash-checked against lineitem directly.
+    QueryDef("etl03_alb_roundtrip",
+      """SELECT concat('app/lb', CAST(l_suppkey % 5 AS VARCHAR), '/x') AS elb,
+        |  count(*) AS n_requests,
+        |  CAST(sum(l_orderkey % 100000) AS BIGINT) AS total_sent,
+        |  CAST(max(200 + (l_linenumber % 5)) AS INTEGER) AS max_status,
+        |  CAST(min(l_partkey % 30000) AS INTEGER) AS min_client_port,
+        |  min(CAST(l_shipdate AS TIMESTAMP)) AS first_request
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val li = Tables.spread(Tables.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate", "l_linenumber", "l_partkey"),
+        "l_orderkey", "l_linenumber")
+      val iso = date_format(col("l_shipdate"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")
+      val lines = li.select(format_string(
+        "http %s app/lb%d/x 10.0.0.1:%d 10.1.0.1:80 0.001 0.002 0.000 " +
+          "%d 200 321 %d \"GET http://h:80/p?q=%d HTTP/1.1\" \"agent 1.0\" " +
+          "- - arn:aws:elasticloadbalancing:r:1:targetgroup/tg/1 " +
+          "\"Root=1-abc-%d\" \"h.example.com\" \"-\" 0 %s \"forward\" \"-\" \"-\"",
+        iso,
+        col("l_suppkey") % 5,
+        col("l_partkey") % 30000,
+        lit(200) + (col("l_linenumber") % 5),
+        col("l_orderkey") % 100000,
+        col("l_partkey"),
+        col("l_orderkey"),
+        iso).as("value"))
+      graft.sources.AlbAccessLog.parse(lines)
+        .groupBy(col("elb"))
+        .agg(
+          count(lit(1)).as("n_requests"),
+          sum(col("sent_bytes")).as("total_sent"),
+          max(col("elb_status_code")).as("max_status"),
+          min(col("client_port")).as("min_client_port"),
+          min(col("time")).as("first_request"))
+        .orderBy("elb")
     })
 }

@@ -1,0 +1,89 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** AWS ALB access log parser — the other converter family the
+  * reference's README claims ("VPC, S3, ALB", README.md:11) without
+  * implementing. Format per the public AWS docs: space-separated with
+  * double-quoted free-text fields (request line, user agent, actions,
+  * …), `-` / `"-"` as no-data sentinels.
+  *
+  * Parse shape: ONE `regexp_extract_all` tokenization with the
+  * quote-aware pattern `"[^"]*"|\S+` (same tokenizer class the S3
+  * parser's 26-group regex is built from), then typed projections by
+  * position — narrow, codegen'd, no shuffle. Lines with too few tokens
+  * dead-letter into `error_line` like the S3 converter
+  * (s3.py:164-193). Covers the leading 22 fields (through
+  * request_creation_time + actions_executed); trailing fields appended
+  * by newer ALB revisions are ignored rather than failing the parse —
+  * AWS appends columns over time and readers are expected to tolerate
+  * that.
+  */
+object AlbAccessLog {
+
+  private val TokenPattern = "\"[^\"]*\"|\\S+"
+  private val MinTokens = 22
+
+  /** Parse a `value` text column into the typed ALB schema +
+    * `error_line`. Times → TIMESTAMP_NTZ (ALB logs are UTC ISO-8601
+    * with microseconds), ports split from `addr:port` pairs,
+    * processing times → double (−1 sentinel preserved: it is
+    * semantically "no target", distinct from missing).
+    */
+  def parse(lines: DataFrame, column: String = "value"): DataFrame = {
+    val toks = regexp_extract_all(col(column), lit(TokenPattern), lit(0))
+    val ok = size(toks) >= MinTokens
+
+    def raw(i: Int): Column = element_at(toks, i + 1)
+    def unq(i: Int): Column = {
+      val t = raw(i)
+      when(t.rlike("^\".*\"$"), expr_unquote(t)).otherwise(t)
+    }
+    def str(i: Int): Column = nullif(unq(i), lit("-"))
+    def num(i: Int, dt: org.apache.spark.sql.types.DataType): Column =
+      nullif(raw(i), lit("-")).try_cast(dt)
+    def ts(i: Int): Column =
+      to_timestamp(nullif(raw(i), lit("-")),
+        "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'").cast(TimestampNTZType)
+    def addr(i: Int): Column =
+      when(nullif(raw(i), lit("-")).isNotNull,
+        substring_index(raw(i), ":", 1))
+    def port(i: Int): Column =
+      when(raw(i).contains(":"),
+        substring_index(raw(i), ":", -1)).try_cast(IntegerType)
+    def whenOk(c: Column): Column = when(ok, c)
+
+    lines.select(
+      whenOk(str(0)).as("request_type"),
+      whenOk(ts(1)).as("time"),
+      whenOk(str(2)).as("elb"),
+      whenOk(addr(3)).as("client_addr"),
+      whenOk(port(3)).as("client_port"),
+      whenOk(addr(4)).as("target_addr"),
+      whenOk(port(4)).as("target_port"),
+      whenOk(num(5, DoubleType)).as("request_processing_time"),
+      whenOk(num(6, DoubleType)).as("target_processing_time"),
+      whenOk(num(7, DoubleType)).as("response_processing_time"),
+      whenOk(num(8, IntegerType)).as("elb_status_code"),
+      whenOk(num(9, IntegerType)).as("target_status_code"),
+      whenOk(num(10, LongType)).as("received_bytes"),
+      whenOk(num(11, LongType)).as("sent_bytes"),
+      whenOk(str(12)).as("request"),
+      whenOk(str(13)).as("user_agent"),
+      whenOk(str(14)).as("ssl_cipher"),
+      whenOk(str(15)).as("ssl_protocol"),
+      whenOk(str(16)).as("target_group_arn"),
+      whenOk(str(17)).as("trace_id"),
+      whenOk(str(18)).as("domain_name"),
+      whenOk(str(19)).as("chosen_cert_arn"),
+      whenOk(num(20, IntegerType)).as("matched_rule_priority"),
+      whenOk(ts(21)).as("request_creation_time"),
+      when(!ok, col(column)).as("error_line"))
+  }
+
+  /** Strip one leading and trailing double quote. */
+  private def expr_unquote(c: Column): Column =
+    regexp_replace(c, "^\"|\"$", "")
+}

@@ -1,0 +1,112 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{AlbAccessLog, VpcFlowLog}
+
+/** Field-level specs for the VPC flow-log and ALB access-log parsers
+  * (the converter families the reference README claims but never
+  * ships) against sample lines in the documented AWS formats.
+  */
+class LogSourcesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("vpc: v2 line parses every field with correct types") {
+    val line = "2 123456789010 eni-1235b8ca123456789 172.31.16.139 " +
+      "172.31.16.21 20641 22 6 20 4249 1418530010 1418530070 ACCEPT OK"
+    val r = VpcFlowLog.parse(Seq(line).toDF("value")).collect().head
+    assert(r.getAs[Int]("version") == 2)
+    assert(r.getAs[String]("account_id") == "123456789010")
+    assert(r.getAs[String]("interface_id") == "eni-1235b8ca123456789")
+    assert(r.getAs[String]("srcaddr") == "172.31.16.139")
+    assert(r.getAs[Int]("srcport") == 20641)
+    assert(r.getAs[Int]("dstport") == 22)
+    assert(r.getAs[Int]("protocol") == 6)
+    assert(r.getAs[Long]("packets") == 20L)
+    assert(r.getAs[Long]("bytes") == 4249L)
+    assert(r.getAs[java.time.LocalDateTime]("start_ts").toString
+      == "2014-12-14T04:06:50")
+    assert(r.getAs[String]("action") == "ACCEPT")
+    assert(r.getAs[String]("log_status") == "OK")
+    assert(r.getAs[String]("error_line") == null)
+  }
+
+  test("vpc: NODATA record nulls the dash fields, keeps metadata") {
+    val line = "2 123456789010 eni-1235b8ca123456789 - - - - - - - " +
+      "1431280876 1431280934 - NODATA"
+    val r = VpcFlowLog.parse(Seq(line).toDF("value")).collect().head
+    assert(r.getAs[String]("srcaddr") == null)
+    assert(r.isNullAt(r.fieldIndex("srcport")))
+    assert(r.isNullAt(r.fieldIndex("bytes")))
+    assert(r.getAs[String]("action") == null)
+    assert(r.getAs[String]("log_status") == "NODATA")
+    assert(r.getAs[String]("error_line") == null)
+  }
+
+  test("vpc: garbage line dead-letters with all fields null") {
+    val r = VpcFlowLog.parse(Seq("not a flow log").toDF("value"))
+      .collect().head
+    assert((0 until r.length - 1).forall(r.isNullAt))
+    assert(r.getAs[String]("error_line") == "not a flow log")
+  }
+
+  test("alb: documented sample line parses fields, quotes, ports, times") {
+    val line = "http 2018-07-02T22:23:00.186641Z app/my-loadbalancer/50dc6c495c0c9188 " +
+      "192.168.131.39:2817 10.0.0.1:80 0.000 0.001 0.000 200 200 34 366 " +
+      "\"GET http://www.example.com:80/ HTTP/1.1\" \"curl/7.46.0\" - - " +
+      "arn:aws:elasticloadbalancing:us-east-2:123456789012:targetgroup/my-targets/73e2d6bc24d8a067 " +
+      "\"Root=1-58337262-36d228ad5d99923122bbe354\" \"-\" \"-\" 0 " +
+      "2018-07-02T22:22:48.364000Z \"forward\" \"-\" \"-\" \"10.0.0.1:80\" \"200\" \"-\" \"-\""
+    val r = AlbAccessLog.parse(Seq(line).toDF("value")).collect().head
+    assert(r.getAs[String]("request_type") == "http")
+    assert(r.getAs[java.time.LocalDateTime]("time").toString
+      == "2018-07-02T22:23:00.186641")
+    assert(r.getAs[String]("elb") == "app/my-loadbalancer/50dc6c495c0c9188")
+    assert(r.getAs[String]("client_addr") == "192.168.131.39")
+    assert(r.getAs[Int]("client_port") == 2817)
+    assert(r.getAs[String]("target_addr") == "10.0.0.1")
+    assert(r.getAs[Int]("target_port") == 80)
+    assert(r.getAs[Double]("request_processing_time") == 0.000)
+    assert(r.getAs[Int]("elb_status_code") == 200)
+    assert(r.getAs[Long]("received_bytes") == 34L)
+    assert(r.getAs[Long]("sent_bytes") == 366L)
+    assert(r.getAs[String]("request") == "GET http://www.example.com:80/ HTTP/1.1")
+    assert(r.getAs[String]("user_agent") == "curl/7.46.0")
+    assert(r.getAs[String]("ssl_cipher") == null)
+    assert(r.getAs[String]("trace_id") == "Root=1-58337262-36d228ad5d99923122bbe354")
+    assert(r.getAs[String]("domain_name") == null)
+    assert(r.getAs[Int]("matched_rule_priority") == 0)
+    assert(r.getAs[java.time.LocalDateTime]("request_creation_time").toString
+      == "2018-07-02T22:22:48.364")
+    assert(r.getAs[String]("error_line") == null)
+  }
+
+  test("alb: https line with quoted '-' sentinels and -1 times") {
+    val line = "https 2018-07-02T22:23:00.186641Z app/lb/1 10.0.0.2:57834 - " +
+      "-1 -1 -1 503 - 117 507 \"GET https://h:443/ HTTP/1.1\" \"-\" " +
+      "ECDHE-RSA-AES128-GCM-SHA256 TLSv1.2 arn:aws:elb:tg/1 " +
+      "\"Root=1-x\" \"h.example.com\" \"arn:cert\" -1 2018-07-02T22:22:48.364000Z " +
+      "\"waf,forward\" \"-\" \"-\""
+    val r = AlbAccessLog.parse(Seq(line).toDF("value")).collect().head
+    assert(r.getAs[String]("request_type") == "https")
+    assert(r.getAs[String]("target_addr") == null)
+    assert(r.isNullAt(r.fieldIndex("target_port")))
+    assert(r.getAs[Double]("request_processing_time") == -1.0)
+    assert(r.getAs[Int]("elb_status_code") == 503)
+    assert(r.isNullAt(r.fieldIndex("target_status_code")))
+    assert(r.getAs[String]("user_agent") == null)
+    assert(r.getAs[String]("ssl_cipher") == "ECDHE-RSA-AES128-GCM-SHA256")
+    assert(r.getAs[String]("ssl_protocol") == "TLSv1.2")
+    assert(r.getAs[String]("domain_name") == "h.example.com")
+    assert(r.getAs[Int]("matched_rule_priority") == -1)
+    assert(r.getAs[String]("error_line") == null)
+  }
+
+  test("alb: short line dead-letters") {
+    val r = AlbAccessLog.parse(Seq("http too short").toDF("value"))
+      .collect().head
+    assert((0 until r.length - 1).forall(r.isNullAt))
+    assert(r.getAs[String]("error_line") == "http too short")
+  }
+}
