@@ -38,6 +38,23 @@ import graft.sources.S3AccessLog
   */
 object LogEtl {
 
+  /** A convertible log family: its line parser and the timestamp column
+    * the output is partition-locally sorted on (the reference sorts the
+    * S3 family on request_time, s3_server_access_logs.py:442; the same
+    * row-group-stats rationale picks each family's primary time).
+    *
+    * The reference README claims "VPC, S3, ALB" converters but ships
+    * only S3 (README.md:11, converters/ has one subdir) — this registry
+    * is the actual family abstraction: everything downstream of parse
+    * (repartition → sort → snappy parquet → overwrite) is shared.
+    */
+  final case class Format(parse: DataFrame => DataFrame, sortColumn: String)
+
+  val Formats: Map[String, Format] = Map(
+    "s3" -> Format(df => S3AccessLog.parse(df), "request_time"),
+    "vpc" -> Format(df => graft.sources.VpcFlowLog.parse(df), "start_ts"),
+    "alb" -> Format(df => graft.sources.AlbAccessLog.parse(df), "time"))
+
   /** Destination path for one (bucket, runDate): raw `%Y/%m/%d` or Hive
     * `year=%Y/month=%m/day=%d` layout (s3_server_access_logs.py:445-454).
     */
@@ -61,24 +78,30 @@ object LogEtl {
     * `[]` on error → nothing to write) instead of failing the backfill.
     */
   def compact(spark: SparkSession, inputPath: String, dest: String,
-              numOutputFiles: Int = 10, fused: Boolean = true): Unit = {
+              numOutputFiles: Int = 10, fused: Boolean = true,
+              format: String = "s3"): Unit = {
     val hadoopPath = new org.apache.hadoop.fs.Path(inputPath)
     val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(hadoopPath)) {
       System.err.println(s"[log-etl] no input at $inputPath — skipping")
     } else {
-      val parsed = parse(spark.read.text(inputPath), fused)
-      write(parsed, dest, numOutputFiles)
+      val fmt = Formats.getOrElse(format,
+        sys.error(s"unknown log format '$format' (know: ${Formats.keys.mkString(", ")})"))
+      val parsed =
+        if (format == "s3") parse(spark.read.text(inputPath), fused)
+        else fmt.parse(spark.read.text(inputPath))
+      write(parsed, dest, numOutputFiles, fmt.sortColumn)
     }
   }
 
   /** O12–O14: bounded file count, partition-local time sort, snappy
     * parquet, idempotent overwrite (s3_server_access_logs.py:457-463).
     */
-  def write(parsed: DataFrame, dest: String, numOutputFiles: Int = 10): Unit =
+  def write(parsed: DataFrame, dest: String, numOutputFiles: Int = 10,
+            sortColumn: String = "request_time"): Unit =
     parsed
       .repartition(numOutputFiles)
-      .sortWithinPartitions("request_time")
+      .sortWithinPartitions(sortColumn)
       .write.mode("overwrite")
       .option("compression", "snappy")
       .parquet(dest)
@@ -119,13 +142,13 @@ object LogEtl {
   def runBackfill(spark: SparkSession, inputRoot: String, destRoot: String,
                   buckets: Seq[String], startDate: LocalDate,
                   endDate: LocalDate, numOutputFiles: Int = 10,
-                  hiveLayout: Boolean = false): Unit = {
+                  hiveLayout: Boolean = false, format: String = "s3"): Unit = {
     var d = startDate
     while (!d.isAfter(endDate)) {
       val raw = DateTimeFormatter.ofPattern("yyyy/MM/dd").format(d)
       buckets.foreach { b =>
         compact(spark, s"$inputRoot/$b/$raw", destPath(destRoot, b, d, hiveLayout),
-          numOutputFiles)
+          numOutputFiles, format = format)
       }
       d = d.plusDays(1)
     }

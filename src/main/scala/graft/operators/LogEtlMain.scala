@@ -21,6 +21,9 @@ import org.apache.spark.sql.SparkSession
   *   --num-output-files  default 10 (s3_server_access_logs.py:507-511)
   *   --hive-formatted-folders  year=/month=/day= layout
   *                       (s3_server_access_logs.py:445-454)
+  *   --format            engine extension: s3 (default) | vpc | alb —
+  *                       the converter families the reference README
+  *                       names (README.md:11); see LogEtl.Formats
   *
   * Dropped relative to the reference: AWS account/region/credential args
   * (driver-side boto3 plumbing, out of engine scope — SURVEY.md §2 O17).
@@ -63,6 +66,9 @@ object LogEtlMain {
     val lookbackDays = opts.getOrElse("lookback-days", "1").toInt
     val numOutputFiles = opts.getOrElse("num-output-files", "10").toInt
     val hive = opts.getOrElse("hive-formatted-folders", "false").toBoolean
+    val format = opts.getOrElse("format", "s3")
+    require(LogEtl.Formats.contains(format),
+      s"unknown --format '$format' (know: ${LogEtl.Formats.keys.mkString(", ")})")
     // reference semantics (s3_server_access_logs.py:361-368): with
     // --start-date, backfill FORWARD from start-date through
     // today - lookback-days; otherwise a single run at that terminus.
@@ -88,7 +94,7 @@ object LogEtlMain {
       val t0 = System.nanoTime()
       val endDate = endDateOverride.getOrElse(lookbackDate)
       LogEtl.runBackfill(spark, inputRoot, destRoot, buckets,
-        startDate, endDate, numOutputFiles, hive)
+        startDate, endDate, numOutputFiles, hive, format)
       println(f"compaction finished in ${(System.nanoTime() - t0) / 1e9}%.1f sec")
     } finally spark.stop()
   }

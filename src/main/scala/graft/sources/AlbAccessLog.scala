@@ -37,9 +37,12 @@ object AlbAccessLog {
     val ok = size(toks) >= MinTokens
 
     def raw(i: Int): Column = element_at(toks, i + 1)
+    // tokens matching the quote alternative are "..."-delimited by
+    // construction — strip with substring, not another regex per field
     def unq(i: Int): Column = {
       val t = raw(i)
-      when(t.rlike("^\".*\"$"), expr_unquote(t)).otherwise(t)
+      when(t.startsWith("\"") && t.endsWith("\""),
+        t.substr(lit(2), length(t) - 2)).otherwise(t)
     }
     def str(i: Int): Column = nullif(unq(i), lit("-"))
     def num(i: Int, dt: org.apache.spark.sql.types.DataType): Column =
@@ -82,8 +85,4 @@ object AlbAccessLog {
       whenOk(ts(21)).as("request_creation_time"),
       when(!ok, col(column)).as("error_line"))
   }
-
-  /** Strip one leading and trailing double quote. */
-  private def expr_unquote(c: Column): Column =
-    regexp_replace(c, "^\"|\"$", "")
 }

@@ -39,6 +39,32 @@ class LogEtlSpec extends AnyFunSuite {
     assert(back.filter($"error_line".isNotNull).count() == 1)
   }
 
+  test("compact --format vpc/alb: family registry drives parse + sort column") {
+    val vpcIn = tmpDir(); val vpcOut = tmpDir()
+    Files.write(java.nio.file.Paths.get(s"$vpcIn/flows.txt"),
+      (0 until 50).map(i =>
+        s"2 123456789012 eni-$i 10.0.0.1 10.0.0.2 100$i 443 6 5 2048 " +
+          s"${1418530000 + i} ${1418530060 + i} ACCEPT OK").mkString("\n").getBytes)
+    LogEtl.compact(spark, vpcIn, vpcOut, numOutputFiles = 2, format = "vpc")
+    val vpc = spark.read.parquet(vpcOut)
+    assert(vpc.columns.toSeq ==
+      graft.sources.VpcFlowLog.FieldNames :+ "error_line")
+    assert(vpc.count() == 50 && vpc.filter($"bytes" === 2048L).count() == 50)
+
+    val albIn = tmpDir(); val albOut = tmpDir()
+    Files.write(java.nio.file.Paths.get(s"$albIn/reqs.txt"),
+      (0 until 50).map(i =>
+        f"http 2018-07-02T22:23:${i % 60}%02d.000000Z app/lb/1 10.0.0.9:5$i%d 10.0.0.1:80 " +
+          "0.000 0.001 0.000 200 200 34 366 \"GET http://e/ HTTP/1.1\" \"ua\" - - " +
+          "arn:tg \"Root=1-x\" \"-\" \"-\" 0 2018-07-02T22:22:48.364000Z " +
+          "\"forward\" \"-\" \"-\"").mkString("\n").getBytes)
+    LogEtl.compact(spark, albIn, albOut, numOutputFiles = 2, format = "alb")
+    val alb = spark.read.parquet(albOut)
+    assert(alb.count() == 50)
+    assert(alb.filter($"elb" === "app/lb/1").count() == 50)
+    assert(alb.filter($"error_line".isNotNull).count() == 0)
+  }
+
   test("output is sorted by request_time within each partition (s3.py:457-458)") {
     val in = tmpDir(); val out = tmpDir()
     Files.write(java.nio.file.Paths.get(s"$in/part0.txt"),
