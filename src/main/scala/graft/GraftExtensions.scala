@@ -22,6 +22,11 @@ import graft.functions.{MinHashAggExpr, ParseS3AccessLogExpr}
   *     non-matching lines (its `re.search` dead-letter semantics).
   *   - `minhash_sketch(expr, k)` → aggregate MinHash signature
   *     (array<bigint>[k]) of the group's values; `k` must be a literal.
+  *   - `bloom_filter_agg(keyHash, items, bits)` / `might_contain(bf, h)`
+  *     → Spark's internal runtime-filter bloom pair, surfaced for
+  *     explicit build-once-probe-everywhere pruning (the probe requires
+  *     the filter as a literal or scalar subquery, per the expression's
+  *     own contract).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -56,6 +61,49 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             "minhash_sketch expects (expr, <positive int literal>)")
         }
         MinHashAggExpr(children.head, k).toAggregateExpression()
+      }: Expression))
+
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_filter_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        null, "bloom_filter_agg",
+        "_FUNC_(keyHash, expectedItems, numBits) - Aggregates a bloom " +
+          "filter (binary) over xxhash64 key hashes.",
+        "", "", "", "agg_funcs", "0.1.0", "", "scala_udf"),
+      (children: Seq[Expression]) => {
+        val agg = children match {
+          case Seq(h) =>
+            new org.apache.spark.sql.catalyst.expressions.aggregate
+              .BloomFilterAggregate(h)
+          case Seq(h, items) =>
+            new org.apache.spark.sql.catalyst.expressions.aggregate
+              .BloomFilterAggregate(h, items)
+          case Seq(h, items, bits) =>
+            new org.apache.spark.sql.catalyst.expressions.aggregate
+              .BloomFilterAggregate(h, items, bits)
+          case _ => throw new IllegalArgumentException(
+            s"bloom_filter_agg expects 1-3 arguments, got ${children.length}")
+        }
+        agg.toAggregateExpression()
+      }: Expression))
+
+    ext.injectFunction((
+      new FunctionIdentifier("might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        null, "might_contain",
+        "_FUNC_(bloom, keyHash) - Bloom probe: false positives possible, " +
+          "false negatives never. The bloom must be a literal or scalar " +
+          "subquery.",
+        "", "", "", "predicate_funcs", "0.1.0", "", "scala_udf"),
+      (children: Seq[Expression]) => {
+        if (children.length != 2) {
+          throw new IllegalArgumentException(
+            s"might_contain expects 2 arguments, got ${children.length}")
+        }
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children.head, children(1))
       }: Expression))
   }
 }

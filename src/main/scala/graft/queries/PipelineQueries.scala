@@ -550,6 +550,20 @@ object PipelineQueries {
         .orderBy("step")
     },
 
+    // t-digest-style approximate quantiles (percentile_approx) — the
+    // sketch every monitoring rollup runs at scale instead of an exact
+    // global sort. Algorithm-specific values → rows-only check; the
+    // error envelope vs exact percentiles is asserted in PipelineSpec.
+    QueryDef.noOracle("ev08_approx_quantiles") { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(
+          percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50"),
+          percentile_approx(col("value"), lit(0.95), lit(1000)).as("p95"),
+          percentile_approx(col("value"), lit(0.99), lit(1000)).as("p99"))
+        .orderBy("event_type")
+    },
+
     // HLL++ sketch — algorithm-specific estimates, no SQL oracle; the
     // ±5% envelope vs exact distinct is asserted in PipelineSpec.
     QueryDef.noOracle("ev04_approx_distinct") { (s, dir) =>

@@ -700,6 +700,31 @@ object RelationalQueries {
           coalesce(element_at(transform_values(col("m"),
             (_, v) => v * 2), "O"), lit(0L)).as("o_doubled"))
         .orderBy("l_returnflag")
+    },
+
+    // ---- bloom-filter join pruning: the explicit form of Spark's
+    // runtime row-level filtering. A bloom built over the dim keys is
+    // broadcast and applied BEFORE the shuffle — at 100 TB this prunes
+    // the fact table at the scan side so only probable matches move;
+    // the exact semi join afterwards removes the false positives, so
+    // results are bit-identical to the plain semi join the oracle runs.
+    QueryDef("q34_bloom_semi",
+      """SELECT o_orderkey, o_custkey FROM orders
+        |WHERE o_custkey IN
+        |  (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      withViews(s, dir)
+      // the bloom probe (scalar subquery, evaluated once) prunes the
+      // fact scan; the IN semi join removes the false positives, so the
+      // result equals the oracle's plain semi join exactly
+      s.sql("""SELECT o_orderkey, o_custkey FROM orders
+        |WHERE might_contain(
+        |    (SELECT bloom_filter_agg(xxhash64(c_custkey), 10000L, 100000L)
+        |     FROM customer WHERE c_mktsegment = 'BUILDING'),
+        |    xxhash64(o_custkey))
+        |  AND o_custkey IN
+        |    (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |ORDER BY o_orderkey""".stripMargin)
     })
 
   /** A query whose Spark implementation IS the oracle SQL text, run

@@ -189,6 +189,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(common.forall(_ == 0.0), "corpus-wide term should have idf 0")
   }
 
+  test("approx quantiles within tolerance of exact percentiles") {
+    val ev = Tables.events(spark, sf)
+    val approx = SparkEntry.queries("ev08_approx_quantiles")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val exact = ev.groupBy("event_type")
+      .agg(expr("percentile(value, 0.5)").as("p50"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    approx.foreach { case (k, a) =>
+      val x = exact(k)
+      assert(math.abs(a - x) <= math.abs(x) * 0.1 + 1.0,
+        s"$k: approx p50 $a vs exact $x")
+    }
+  }
+
   test("entry flagship returns daily rollup rows") {
     val df = SparkEntry.entry(spark)
     assert(df.count() > 0)

@@ -103,6 +103,39 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("parse_s3_access_log"), p)
   }
 
+  test("q32: unpivot plans as a single-scan Expand, not union-of-scans") {
+    val p = planOf("q32_unpivot")
+    assert(p.contains("Expand"), p)
+    assert(p.linesIterator.count(_.contains("FileScan parquet")) == 1, p)
+    assert(p.contains("PushedFilters: [IsNotNull(l_orderkey), LessThan(l_orderkey,300)"), p)
+  }
+
+  test("ev07: funnel reuses the step-1 exchange instead of re-shuffling per stage") {
+    val df = optimized("ev07_funnel")
+    df.collect()  // finalize adaptive plan so reuse nodes render
+    val p = df.queryExecution.executedPlan.toString
+    // per-step scans push the event_type filter down
+    assert(p.contains("EqualTo(event_type,view)"), p)
+    // counts come from ONE aggregation fanned out by a generator — the
+    // plan must not contain a Union of three independent chains
+    assert(!p.contains("Union"), p)
+    assert(p.contains("Generate"), p)
+  }
+
+  test("etl02/etl03: one text-render scan each, parse stays out of scan filters") {
+    for (q <- Seq("etl02_vpc_roundtrip", "etl03_alb_roundtrip")) {
+      val p = planOf(q)
+      assert(p.linesIterator.count(_.contains("FileScan parquet")) == 1, s"$q:\n$p")
+      val scanLine = p.linesIterator.find(_.contains("FileScan parquet")).get
+      assert(!scanLine.contains("format_string"), s"$q: $scanLine")
+    }
+  }
+
+  test("dd09: registry dedup plans an anti join, not a distinct+outer-join") {
+    val p = planOf("dd09_incremental_dedup")
+    assert(p.contains("LeftAnti"), p)
+  }
+
   test("log parser fused path keeps one regex pass (no RegExpExtract chain)") {
     import org.apache.spark.sql.functions._
     // non-foldable input so the optimizer can't constant-fold the parse
