@@ -64,6 +64,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }: Expression))
 
     ext.injectFunction((
+      new FunctionIdentifier("quote_tokenize"),
+      new ExpressionInfo(classOf[graft.functions.QuoteTokenizeExpr].getName,
+        null, "quote_tokenize",
+        "_FUNC_(line) - Tokenizes a quoted-field space-separated log " +
+          "line; exact '\"[^\"]*\"|\\S+' semantics in one linear scan.",
+        "", "", "", "string_funcs", "0.1.0", "", "scala_udf"),
+      (children: Seq[Expression]) => {
+        if (children.length != 1) {
+          throw new IllegalArgumentException(
+            s"quote_tokenize expects 1 argument, got ${children.length}")
+        }
+        graft.functions.QuoteTokenizeExpr(children.head)
+      }: Expression))
+
+    ext.injectFunction((
       new FunctionIdentifier("bloom_filter_agg"),
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,

@@ -10,10 +10,11 @@ import org.apache.spark.sql.types._
   * double-quoted free-text fields (request line, user agent, actions,
   * …), `-` / `"-"` as no-data sentinels.
   *
-  * Parse shape: ONE `regexp_extract_all` tokenization with the
-  * quote-aware pattern `"[^"]*"|\S+` (same tokenizer class the S3
-  * parser's 26-group regex is built from), then typed projections by
-  * position — narrow, codegen'd, no shuffle. Lines with too few tokens
+  * Parse shape: ONE quote-aware tokenization (the fused
+  * [[graft.functions.QuoteTokenizeExpr]] scanner — exact
+  * `regexp_extract_all(line, `"[^"]*"|\S+`)` semantics in a single
+  * linear scan), then typed projections by position — narrow,
+  * codegen'd, no shuffle. Lines with too few tokens
   * dead-letter into `error_line` like the S3 converter
   * (s3.py:164-193). Covers the leading 22 fields (through
   * request_creation_time + actions_executed); trailing fields appended
@@ -32,8 +33,11 @@ object AlbAccessLog {
     * processing times → double (−1 sentinel preserved: it is
     * semantically "no target", distinct from missing).
     */
-  def parse(lines: DataFrame, column: String = "value"): DataFrame = {
-    val toks = regexp_extract_all(col(column), lit(TokenPattern), lit(0))
+  def parse(lines: DataFrame, column: String = "value",
+            fused: Boolean = true): DataFrame = {
+    val toks =
+      if (fused) graft.functions.QuoteTokenize.quote_tokenize(col(column))
+      else regexp_extract_all(col(column), lit(TokenPattern), lit(0))
     val ok = size(toks) >= MinTokens
 
     def raw(i: Int): Column = element_at(toks, i + 1)

@@ -103,6 +103,42 @@ class LogSourcesSpec extends AnyFunSuite {
     assert(r.getAs[String]("error_line") == null)
   }
 
+  test("quote_tokenize ≡ regexp_extract_all on adversarial token soup") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val chunk = Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(8)),
+      Gen.const("\""), Gen.const("-"), Gen.const(" "), Gen.const("  "),
+      Gen.const("\tx"), Gen.const("\"a b\""), Gen.const("\"unclosed"),
+      Gen.const("mid\"quote"), Gen.const("\"\""), Gen.const("a\"b\"c"))
+    val lineGen = Gen.listOfN(12, chunk).map(_.mkString)
+    val pattern = java.util.regex.Pattern.compile("\"[^\"]*\"|\\S+")
+    (0 until 300).foreach { i =>
+      val line = lineGen(Gen.Parameters.default, Seed(42L + i)).get
+      val m = pattern.matcher(line)
+      val expected = Iterator.continually(m).takeWhile(_.find())
+        .map(_.group()).toList
+      val got = graft.functions.QuoteTokenize
+        .tokenize(org.apache.spark.unsafe.types.UTF8String.fromString(line))
+        .toArray[org.apache.spark.unsafe.types.UTF8String](
+          org.apache.spark.sql.types.StringType)
+        .map(_.toString).toList
+      assert(got == expected, s"line <$line>: $got vs $expected")
+    }
+  }
+
+  test("alb parse: fused tokenizer ≡ regexp path on the sample lines") {
+    val lines = Seq(
+      "http 2018-07-02T22:23:00.186641Z app/lb/1 10.0.0.9:55 10.0.0.1:80 " +
+        "0.000 0.001 0.000 200 200 34 366 \"GET http://e/ HTTP/1.1\" \"ua x\" - - " +
+        "arn:tg \"Root=1-x\" \"-\" \"-\" 0 2018-07-02T22:22:48.364000Z " +
+        "\"forward\" \"-\" \"-\"",
+      "garbage line", "").toDF("value")
+    val a = AlbAccessLog.parse(lines, fused = true).collect().toSeq
+    val b = AlbAccessLog.parse(lines, fused = false).collect().toSeq
+    assert(a == b)
+  }
+
   test("alb: short line dead-letters") {
     val r = AlbAccessLog.parse(Seq("http too short").toDF("value"))
       .collect().head
