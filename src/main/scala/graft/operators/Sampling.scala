@@ -26,6 +26,32 @@ object Sampling {
     */
   def hashSample(key: Column, numerator: Int): Column = {
     require(numerator >= 0 && numerator <= 256, "numerator in [0, 256]")
-    substring(md5(key.cast("string")), 1, 2) < lit(f"$numerator%02x")
+    substring(md5(key.cast("string")), 1, 2) < lit(hexGate(numerator))
+  }
+
+  /** 2-hex-digit gate string; 256 (keep-all) needs a sentinel above any
+    * hex pair — "100" would compare lexicographically BELOW "20".
+    */
+  private def hexGate(n: Int): String = if (n >= 256) "zz" else f"$n%02x"
+
+  /** Stratified hash sampling: a different keep-fraction per stratum
+    * value (e.g. downsample the dominant language, keep the rare ones
+    * whole — the corpus-rebalancing step of every training-data
+    * pipeline). Same md5 gate as [[hashSample]] so membership stays
+    * reproducible and engine-portable; strata missing from `rates` get
+    * `defaultNumerator`. Still a pure per-row filter fused into the
+    * scan: the rate lookup compiles to a CASE chain, no join, no RNG.
+    */
+  def stratifiedHashSample(key: Column, stratum: Column,
+                           rates: Map[String, Int],
+                           defaultNumerator: Int = 0): Column = {
+    (rates.toSeq.sortBy(_._1) :+ ("", defaultNumerator)).foreach { case (_, n) =>
+      require(n >= 0 && n <= 256, "numerator in [0, 256]")
+    }
+    val numerator = rates.toSeq.sortBy(_._1).foldRight(
+      lit(hexGate(defaultNumerator))) { case ((v, n), acc) =>
+      when(stratum === v, lit(hexGate(n))).otherwise(acc)
+    }
+    substring(md5(key.cast("string")), 1, 2) < numerator
   }
 }

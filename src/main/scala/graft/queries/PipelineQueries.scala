@@ -202,6 +202,59 @@ object PipelineQueries {
           max(col("o_orderkey")).cast(LongType).as("last_key"))
     },
 
+    // Stratified reproducible sampling: per-language keep-fractions
+    // (downsample the dominant stratum, keep the rare ones whole) with
+    // the same md5 gate as sp01 — a pure scan-fused filter, no RNG, no
+    // join; the identical CASE predicate runs verbatim in DuckDB.
+    QueryDef("sp02_stratified_sample",
+      """SELECT lang, count(*) AS n_sampled,
+        |  CAST(min(doc_id) AS BIGINT) AS first_doc,
+        |  CAST(max(doc_id) AS BIGINT) AS last_doc
+        |FROM documents
+        |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+        |  CASE WHEN lang = 'en' THEN '20' ELSE 'zz' END
+        |GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      docs(s, dir)
+        .filter(graft.operators.Sampling.stratifiedHashSample(
+          col("doc_id"), col("lang"), Map("en" -> 32), defaultNumerator = 256))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_sampled"),
+          min("doc_id").cast(LongType).as("first_doc"),
+          max("doc_id").cast(LongType).as("last_doc"))
+        .orderBy("lang")
+    },
+
+    // Typo-pair detection over the corpus vocabulary: distinct tokens
+    // blocked by (first char, length band) so only plausible typo pairs
+    // ever meet, then exact Levenshtein distance 1 — the fuzzy-key-
+    // matching step of entity/token normalization. Both engines
+    // implement classic integer edit distance → hash-exact oracle.
+    QueryDef("dd10_typo_pairs",
+      """WITH v AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS tok
+        |           FROM documents),
+        | b AS (SELECT tok, substring(tok, 1, 1) AS c1, length(tok) AS len
+        |       FROM v WHERE length(tok) >= 4)
+        |SELECT a.tok AS tok_a, b.tok AS tok_b,
+        |  CAST(levenshtein(a.tok, b.tok) AS BIGINT) AS dist
+        |FROM b a JOIN b b ON a.c1 = b.c1 AND b.len BETWEEN a.len - 1 AND a.len + 1
+        |WHERE a.tok < b.tok AND levenshtein(a.tok, b.tok) = 1
+        |ORDER BY tok_a, tok_b""".stripMargin) { (s, dir) =>
+      val v = TextAnalysis.tokens(docs(s, dir), "doc_id", "text")
+        .select("tok").distinct()
+        .filter(length(col("tok")) >= 4)
+        .select(col("tok"), substring(col("tok"), 1, 1).as("c1"),
+          length(col("tok")).as("len"))
+      val a = v.select(col("tok").as("tok_a"), col("c1"), col("len").as("la"))
+      val b = v.select(col("tok").as("tok_b"), col("c1"), col("len").as("lb"))
+      a.join(b, Seq("c1"))
+        .filter(col("lb").between(col("la") - 1, col("la") + 1) &&
+          col("tok_a") < col("tok_b") &&
+          levenshtein(col("tok_a"), col("tok_b")) === 1)
+        .select(col("tok_a"), col("tok_b"),
+          levenshtein(col("tok_a"), col("tok_b")).cast(LongType).as("dist"))
+        .orderBy("tok_a", "tok_b")
+    },
+
     // ================= text analysis =================
 
     QueryDef("ta01_term_freq",

@@ -203,6 +203,22 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("stratified sample: 256 keeps a stratum whole, 0 drops it, rates stick") {
+    val d = (0 until 400).map(i =>
+      (i.toLong, if (i % 2 == 0) "en" else "de")).toDF("id", "lang")
+    val kept = d.filter(graft.operators.Sampling.stratifiedHashSample(
+        $"id", $"lang", Map("en" -> 256, "de" -> 0)))
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept.getOrElse("en", 0L) == 200L, s"en not kept whole: $kept")
+    assert(!kept.contains("de"), s"de not dropped: $kept")
+    val quarter = d.filter(graft.operators.Sampling.stratifiedHashSample(
+        $"id", $"lang", Map("en" -> 64), defaultNumerator = 256))
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(quarter("de") == 200L)
+    assert(quarter("en") > 20L && quarter("en") < 80L,
+      s"en ~25% expected: $quarter")
+  }
+
   test("entry flagship returns daily rollup rows") {
     val df = SparkEntry.entry(spark)
     assert(df.count() > 0)
