@@ -38,6 +38,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.contains(("2024-01-01 10:00:00.0", "view", 1L, 1.0)), rows)
   }
 
+  test("late data behind the watermark is dropped, in-horizon late data lands") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val df = in.toDF().toDF("ts", "event_type", "value")
+    val q = StreamingJobs.hourlyRollup(df, "30 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("late_out")
+      .start()
+    in.addData((ts("2024-01-01 12:10:00"), "click", 1.0))
+    q.processAllAvailable()
+    // watermark now 11:40 — hour-10 windows are closed, hour-11 still open
+    in.addData(
+      (ts("2024-01-01 10:15:00"), "click", 100.0), // behind watermark: dropped
+      (ts("2024-01-01 11:50:00"), "click", 2.0))   // in horizon: lands
+    // push the watermark far ahead so every surviving window finalizes
+    in.addData((ts("2024-01-01 15:00:00"), "click", 0.5))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("late_out").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(!rows.exists(_._1.startsWith("2024-01-01 10:")),
+      s"late hour-10 event should have been dropped: $rows")
+    assert(rows.contains(("2024-01-01 11:00:00.0", 1L, 2.0)), rows)
+    assert(rows.contains(("2024-01-01 12:00:00.0", 1L, 1.0)), rows)
+  }
+
   test("dedupStream drops in-horizon duplicates, evicts expired state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
