@@ -1,0 +1,56 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** File-format sink/source roundtrips beyond the primary parquet path:
+  * CSV (with header + explicit schema read-back), JSON lines, and ORC
+  * must all carry a typed slice losslessly. Exact-typed columns only —
+  * text formats can't round-trip binary doubles textually, so doubles
+  * go through an explicit decimal cast, the same discipline the oracle
+  * queries use.
+  */
+class SinksSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def slice() =
+    Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("decimal(12,2)").as("qty"),
+        col("l_returnflag"), col("l_shipdate"))
+      .orderBy("l_orderkey", "l_linenumber")
+      .limit(500)
+
+  private def fingerprint(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.orderBy("l_orderkey", "l_linenumber")
+      .collect().map(_.mkString("|")).toSeq
+
+  test("csv roundtrip: header + schema read-back is lossless") {
+    val dir = Files.createTempDirectory("graft-csv").toString
+    val d = slice()
+    d.write.mode("overwrite").option("header", "true").csv(dir)
+    val back = spark.read.option("header", "true").schema(d.schema).csv(dir)
+    assert(fingerprint(back) == fingerprint(d))
+  }
+
+  test("json-lines roundtrip with schema is lossless") {
+    val dir = Files.createTempDirectory("graft-json").toString
+    val d = slice()
+    d.write.mode("overwrite").json(dir)
+    val back = spark.read.schema(d.schema).json(dir)
+    assert(fingerprint(back) == fingerprint(d))
+  }
+
+  test("orc roundtrip preserves types without a schema hint") {
+    val dir = Files.createTempDirectory("graft-orc").toString
+    val d = slice()
+    d.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.schema == d.schema)
+    assert(fingerprint(back) == fingerprint(d))
+  }
+}
