@@ -181,16 +181,13 @@ object Dedup {
       val nbrMin = sym
         .join(labels.select(col("id").as("src"), col("label")), "src")
         .groupBy(col("dst").as("id")).agg(min(col("label")).as("_nbr"))
-      val next = labels
-        .join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("_nbr"), col("label"))).as("label"))
-        .localCheckpoint()
-      converged = next.select(col("id"), col("label").as("_new"))
-        .join(labels, "id")
-        .filter(col("_new") =!= col("label"))
-        .isEmpty
-      labels = next
+      // one checkpointed join per round serves BOTH the convergence
+      // check and the next label frame — a separate next-vs-previous
+      // join would shuffle the label table a second time every round
+      val joined = labels.join(nbrMin, Seq("id"), "left").localCheckpoint()
+      converged = joined.filter(col("_nbr") < col("label")).isEmpty
+      labels = joined.select(col("id"),
+        least(col("label"), coalesce(col("_nbr"), col("label"))).as("label"))
       i += 1
     }
     labels.select(col("id"), col("label").as("cluster"))

@@ -229,6 +229,9 @@ object PipelineQueries {
     // ever meet, then exact Levenshtein distance 1 — the fuzzy-key-
     // matching step of entity/token normalization. Both engines
     // implement classic integer edit distance → hash-exact oracle.
+    // Known blocking trade-off (standard for candidate generation):
+    // pairs differing in their FIRST character never meet; the oracle
+    // applies the identical blocking so results still hash-match.
     QueryDef("dd10_typo_pairs",
       """WITH v AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS tok
         |           FROM documents),
