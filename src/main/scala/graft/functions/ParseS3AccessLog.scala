@@ -4,7 +4,7 @@ import java.util.regex.{Matcher, Pattern}
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graft.bridge
 import org.apache.spark.sql.types._
@@ -25,7 +25,9 @@ import graft.sources.S3AccessLog
   * [[graft.sources.S3AccessLog.typedColumns]]).
   */
 case class ParseS3AccessLogExpr(child: Expression)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
 
   override def dataType: DataType =
     StructType(S3AccessLog.GroupNames.map(StructField(_, StringType, nullable = true)))

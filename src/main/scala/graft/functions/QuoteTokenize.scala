@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.bridge
@@ -18,7 +18,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * allocation beyond the output strings. Equivalence with the real
   * regex is pinned by a property sweep in LogSourcesSpec.
   */
-case class QuoteTokenizeExpr(child: Expression) extends UnaryExpression {
+case class QuoteTokenizeExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 

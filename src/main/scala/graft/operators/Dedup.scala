@@ -177,6 +177,10 @@ object Dedup {
       .localCheckpoint()
     var converged = false
     var i = 0
+    // the round's checkpoint only needs to outlive the NEXT round's
+    // materialization — unpersist the previous one each round so
+    // executor storage holds O(1) label-table copies, not O(rounds)
+    var prevCp: DataFrame = labels
     while (!converged && i < maxIter) {
       val nbrMin = sym
         .join(labels.select(col("id").as("src"), col("label")), "src")
@@ -185,11 +189,20 @@ object Dedup {
       // check and the next label frame — a separate next-vs-previous
       // join would shuffle the label table a second time every round
       val joined = labels.join(nbrMin, Seq("id"), "left").localCheckpoint()
+      prevCp.unpersist()
+      prevCp = joined
       converged = joined.filter(col("_nbr") < col("label")).isEmpty
       labels = joined.select(col("id"),
         least(col("label"), coalesce(col("_nbr"), col("label"))).as("label"))
       i += 1
     }
+    sym.unpersist()
+    // silence here would return plausible-but-WRONG groups (a transitive
+    // chain split mid-way) — fail loudly instead; callers with genuinely
+    // deep components raise maxIter
+    if (!converged) sys.error(
+      s"connectedComponents did not converge in $maxIter rounds — " +
+        "component diameter exceeds maxIter; raise it")
     labels.select(col("id"), col("label").as("cluster"))
   }
 

@@ -45,8 +45,10 @@ object Funnel {
   /** Funnel counts: one row per step with the number of users whose
     * ordered path reached it. All step counts come from ONE global
     * aggregation over the step-times frame (count(t_k) ignores nulls),
-    * then fan out to rows with the `stack` generator — a union of
+    * then fan out to rows with an explode generator — a union of
     * per-step aggregates would re-plan the whole chain per branch.
+    * Built from typed Columns, never interpolated SQL text, so step
+    * names with quotes/backslashes pass through verbatim.
     */
   def counts(events: DataFrame, steps: Seq[String],
              userCol: String = "user_id", typeCol: String = "event_type",
@@ -55,10 +57,11 @@ object Funnel {
     val agg = times.agg(
       count(col("t_1")).as("n_1"),
       (2 to steps.length).map(i => count(col(s"t_$i")).as(s"n_$i")): _*)
-    val stackArgs = steps.zipWithIndex.map { case (step, i) =>
-      s"CAST(${i + 1} AS BIGINT), '${step.replace("'", "''")}', n_${i + 1}"
-    }.mkString(", ")
-    agg.selectExpr(
-      s"stack(${steps.length}, $stackArgs) AS (step, event_type, n_users)")
+    val rows = steps.zipWithIndex.map { case (step, i) =>
+      struct(lit((i + 1).toLong).as("step"), lit(step).as("event_type"),
+        col(s"n_${i + 1}").as("n_users"))
+    }
+    agg.select(explode(array(rows: _*)).as("s"))
+      .select(col("s.step"), col("s.event_type"), col("s.n_users"))
   }
 }

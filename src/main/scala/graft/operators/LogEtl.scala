@@ -48,12 +48,16 @@ object LogEtl {
     * is the actual family abstraction: everything downstream of parse
     * (repartition → sort → snappy parquet → overwrite) is shared.
     */
-  final case class Format(parse: DataFrame => DataFrame, sortColumn: String)
+  final case class Format(parse: (DataFrame, Boolean) => DataFrame,
+                          sortColumn: String)
 
   val Formats: Map[String, Format] = Map(
-    "s3" -> Format(df => S3AccessLog.parse(df), "request_time"),
-    "vpc" -> Format(df => graft.sources.VpcFlowLog.parse(df), "start_ts"),
-    "alb" -> Format(df => graft.sources.AlbAccessLog.parse(df), "time"))
+    "s3" -> Format((df, fused) => S3AccessLog.parse(df, fused = fused),
+      "request_time"),
+    "vpc" -> Format((df, _) => graft.sources.VpcFlowLog.parse(df),
+      "start_ts"),
+    "alb" -> Format((df, fused) =>
+      graft.sources.AlbAccessLog.parse(df, fused = fused), "time"))
 
   /** Destination path for one (bucket, runDate): raw `%Y/%m/%d` or Hive
     * `year=%Y/month=%m/day=%d` layout (s3_server_access_logs.py:445-454).
@@ -87,10 +91,8 @@ object LogEtl {
     } else {
       val fmt = Formats.getOrElse(format,
         sys.error(s"unknown log format '$format' (know: ${Formats.keys.mkString(", ")})"))
-      val parsed =
-        if (format == "s3") parse(spark.read.text(inputPath), fused)
-        else fmt.parse(spark.read.text(inputPath))
-      write(parsed, dest, numOutputFiles, fmt.sortColumn)
+      write(fmt.parse(spark.read.text(inputPath), fused), dest,
+        numOutputFiles, fmt.sortColumn)
     }
   }
 

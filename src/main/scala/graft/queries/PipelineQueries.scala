@@ -253,8 +253,10 @@ object PipelineQueries {
         .filter(col("lb").between(col("la") - 1, col("la") + 1) &&
           col("tok_a") < col("tok_b") &&
           levenshtein(col("tok_a"), col("tok_b")) === 1)
-        .select(col("tok_a"), col("tok_b"),
-          levenshtein(col("tok_a"), col("tok_b")).cast(LongType).as("dist"))
+        // the filter pins the distance to exactly 1 — projecting the
+        // literal avoids re-running the O(len²) DP per surviving row
+        // (Catalyst does not CSE across Filter and Project)
+        .select(col("tok_a"), col("tok_b"), lit(1L).as("dist"))
         .orderBy("tok_a", "tok_b")
     },
 

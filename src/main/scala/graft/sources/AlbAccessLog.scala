@@ -17,10 +17,10 @@ import org.apache.spark.sql.types._
   * codegen'd, no shuffle. Lines with too few tokens
   * dead-letter into `error_line` like the S3 converter
   * (s3.py:164-193). Covers the leading 22 fields (through
-  * request_creation_time + actions_executed); trailing fields appended
-  * by newer ALB revisions are ignored rather than failing the parse —
-  * AWS appends columns over time and readers are expected to tolerate
-  * that.
+  * request_creation_time); trailing fields appended by newer ALB
+  * revisions (actions_executed, redirect_url, error_reason, …) are
+  * ignored rather than failing the parse — AWS appends columns over
+  * time and readers are expected to tolerate that.
   */
 object AlbAccessLog {
 

@@ -130,6 +130,19 @@ class PipelineSpec extends AnyFunSuite {
     assert((1L to 8L).forall(cc(_) == 1L), s"path not fully labeled: $cc")
   }
 
+  test("connected components: deep chain fails loudly at maxIter, converges when raised") {
+    // path of 12 nodes has diameter 11 > maxIter=5: silent truncation
+    // would split the group — it must throw instead
+    val edges = (1L until 12L).map(i => (i, i + 1)).toDF("src", "dst")
+    val e = intercept[RuntimeException] {
+      Dedup.connectedComponents(edges, maxIter = 5).collect()
+    }
+    assert(e.getMessage.contains("did not converge"), e.getMessage)
+    val cc = Dedup.connectedComponents(edges, maxIter = 15)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 12L).forall(cc(_) == 1L), s"$cc")
+  }
+
   test("funnel: out-of-order steps don't count, ordered paths do") {
     import java.sql.Timestamp
     def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
