@@ -67,6 +67,32 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("quote_tokenize is SQL-callable and type-checks its argument") {
+    withExtSession { s =>
+      val toks = s.sql(
+        """SELECT quote_tokenize('a "b c" d') AS t""").collect().head
+        .getSeq[String](0)
+      assert(toks == Seq("a", "\"b c\"", "d"), toks)
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        s.sql("SELECT quote_tokenize(42)").collect()
+      }
+      assert(e.getMessage.toLowerCase.contains("type"), e.getMessage)
+    }
+  }
+
+  test("bloom_filter_agg + might_contain: no false negatives via SQL") {
+    withExtSession { s =>
+      import s.implicits._
+      (1L to 100L).toDF("k").createOrReplaceTempView("keys")
+      val hits = s.sql(
+        """SELECT count(*) AS n FROM keys
+          |WHERE might_contain(
+          |  (SELECT bloom_filter_agg(xxhash64(k), 100L, 10000L) FROM keys),
+          |  xxhash64(k))""".stripMargin).collect().head.getLong(0)
+      assert(hits == 100L, s"bloom dropped real keys: $hits/100")
+    }
+  }
+
   test("minhash_sketch rejects a non-literal k") {
     withExtSession { s =>
       import s.implicits._
