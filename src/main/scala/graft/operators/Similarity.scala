@@ -27,18 +27,46 @@ object Similarity {
     dot(da, db) / (sqrt(dot(da, da)) * sqrt(dot(db, db)))
   }
 
+  /** Exact-decimal cosine: same one-pass higher-order-function shape as
+    * [[cosine]] (no explode, no position join) but every product is a
+    * DECIMAL(12,6)×DECIMAL(12,6) and the fold accumulates DECIMAL(38,12)
+    * — exact and summation-order-independent, so the resulting doubles
+    * are bit-identical to the sim01 posexplode/groupBy formulation AND to
+    * a DuckDB `sum(decimal)` over `unnest` — which is what upgrades the
+    * HOF fast path from a rows-only check to a full hash-match oracle.
+    */
+  def cosineExact(a: Column, b: Column): Column = {
+    def dec(c: Column) =
+      transform(c, x => x.cast(DoubleType).cast(DecimalType(12, 6)))
+    def dot(x: Column, y: Column) =
+      // the fold must return the accumulator's exact type; decimal
+      // addition widens precision, so cast back (lossless: scale stays
+      // 12 and DECIMAL(38,12) has ample headroom for |v|≤1e6 elements)
+      aggregate(zip_with(x, y, (p, q) => p * q),
+        lit(0).cast(DecimalType(38, 12)),
+        (acc, v) => (acc + v).cast(DecimalType(38, 12)))
+    val (da, db) = (dec(a), dec(b))
+    dot(da, db).cast(DoubleType) /
+      sqrt(dot(da, da).cast(DoubleType) * dot(db, db).cast(DoubleType))
+  }
+
   /** Brute-force cosine top-k: every vector of `queries` scored against
     * every vector of `candidates` (self-pairs excluded), window top-k
     * per query. `queries` is broadcast — the fact side never shuffles.
+    * `exact = true` scores with [[cosineExact]] (cross-engine
+    * deterministic decimal sums) instead of IEEE-double [[cosine]].
     */
   def cosineTopK(queries: DataFrame, candidates: DataFrame, k: Int,
-                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                 idCol: String = "vec_id", vecCol: String = "embedding",
+                 exact: Boolean = false): DataFrame = {
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
     val c = candidates.select(col(idCol).as("cid"), col(vecCol).as("cv"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("sim").desc, col("cid"))
+    val score = if (exact) cosineExact(col("qv"), col("cv"))
+                else cosine(col("qv"), col("cv"))
     c.join(broadcast(q), col("qid") =!= col("cid"))
-      .select(col("qid"), col("cid"), cosine(col("qv"), col("cv")).as("sim"))
+      .select(col("qid"), col("cid"), score.as("sim"))
       .withColumn("rank", row_number().over(w).cast(LongType))
       .filter(col("rank") <= k)
       .select("qid", "cid", "sim", "rank")
@@ -71,6 +99,34 @@ object Similarity {
     df.select(col(idCol), col(vecCol),
       lshSignature(col(vecCol), bits).as("bucket"))
 
+  /** `tables` independent `bits`-bit signatures per vector (table t uses
+    * hyperplanes seeded t*bits+j, so no plane is shared). One signature
+    * of b bits has collision probability p^b for per-bit agreement p —
+    * hopeless for moderate-cosine neighbors (p=⅔, b=8 ⇒ 4%); L
+    * independent tables lift it to 1−(1−p^b)^L (b=4, L=8 ⇒ ~83%), the
+    * standard recall lever for hyperplane LSH. Output one row per
+    * (vector, table): (id, vec, table, bucket).
+    */
+  def lshTables(df: DataFrame, bits: Int, tables: Int,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    def sig(t: Column): Column = {
+      val planes = (0 until bits).map { j =>
+        val proj = aggregate(
+          zip_with(col(vecCol), sequence(lit(0), size(col(vecCol)) - 1), (x, p) =>
+            x.cast(DoubleType) *
+              (when(pmod(xxhash64(t * bits + j, p), lit(2)) === 0, 1.0)
+                .otherwise(-1.0))),
+          lit(0.0), (acc, v) => acc + v)
+        when(proj > 0, call_function("shiftleft", lit(1L), lit(j))).otherwise(0L)
+      }
+      planes.reduce(_ + _)
+    }
+    df.select(col(idCol), col(vecCol),
+      posexplode(transform(sequence(lit(0), lit(tables - 1)), sig(_))))
+      .withColumnRenamed("pos", "table")
+      .withColumnRenamed("col", "bucket")
+  }
+
   /** IVF-style ANN: a coarse quantizer of `nlist` centroids (picked
     * deterministically from the corpus — at scale you'd k-means a
     * sample, the plumbing is identical), every vector assigned to its
@@ -91,12 +147,18 @@ object Similarity {
       df.select(col(idCol).as(id), dbl(col(vecCol)).as(v))
         .withColumn(n, sqrt(dot(col(v), col(v))))
 
-    // deterministic coarse centroids: hash-strided sample of the corpus
-    // (at scale: k-means a sample — the probe plumbing is identical)
-    val n = candidates.count()
-    val step = math.max(1L, n / nlist)
+    // deterministic coarse centroids picked ENTIRELY in-plan: min id per
+    // pmod(xxhash64(id), nlist) hash bucket — ≤ nlist well-spread ids
+    // with no driver-side action (an earlier candidates.count() here cost
+    // a full extra pass over the corpus before the real job). At scale
+    // you'd k-means a sample instead; the probe plumbing is identical.
+    val centroidIds = candidates
+      .groupBy(pmod(xxhash64(col(idCol)), lit(nlist)).as("_b"))
+      .agg(min(col(idCol)).as("_cid"))
+      .select(col("_cid"))
     val centroids = withNorm(
-      candidates.filter(pmod(col(idCol), lit(step)) === 0).limit(nlist),
+      candidates.join(broadcast(centroidIds), col(idCol) === col("_cid"))
+        .drop("_cid"),
       "centroid_id", "cvec", "cnorm")
 
     // norms precomputed ONCE per vector; per-pair work is a single dot
@@ -125,23 +187,36 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
-  /** ANN top-k through LSH buckets: candidates limited to the query's
-    * bucket. Recall < 1 by construction; raise `bits` ↓ bucket size,
-    * add multi-probe for recall at scale.
+  /** ANN top-k through multi-table LSH: candidate pairs = union over
+    * `tables` independent signature tables of same-bucket meetings
+    * (measured on the test corpus: one 8-bit table recalls ~0% of true
+    * top-5 — moderate-cosine neighbors almost never agree on all 8
+    * random hyperplanes — while 4 bits × 8 tables recalls the majority),
+    * then exact cosine + top-k on the deduped candidates.
+    *
+    * Scale shape: the table join shuffles (id, table, bucket) triples —
+    * never vectors; vectors re-join by id afterwards (queries broadcast,
+    * candidates hash join). Recall < 1 by construction; raise `tables`
+    * for recall, `bits` for precision.
     */
   def annTopK(queries: DataFrame, candidates: DataFrame, k: Int,
-              bits: Int = 8,
+              bits: Int = 4, tables: Int = 8,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = lshBuckets(queries, bits, idCol, vecCol)
-      .select(col(idCol).as("qid"), col(vecCol).as("qv"), col("bucket"))
-    val c = lshBuckets(candidates, bits, idCol, vecCol)
-      .select(col(idCol).as("cid"), col(vecCol).as("cv"), col("bucket"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
-    q.join(c, Seq("bucket"))
+    val qb = lshTables(queries, bits, tables, idCol, vecCol)
+      .select(col(idCol).as("qid"), col("table"), col("bucket"))
+    val cb = lshTables(candidates, bits, tables, idCol, vecCol)
+      .select(col(idCol).as("cid"), col("table"), col("bucket"))
+    val pairs = qb.join(cb, Seq("table", "bucket"))
       .filter(col("qid") =!= col("cid"))
+      .select("qid", "cid").distinct()
+    val qv = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+    val cv = candidates.select(col(idCol).as("cid"), col(vecCol).as("cv"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+    pairs.join(broadcast(qv), "qid").join(cv, "cid")
       .select(col("qid"), col("cid"), cosine(col("qv"), col("cv")).as("sim"))
       .withColumn("rank", row_number().over(w).cast(LongType))
       .filter(col("rank") <= k)
+      .select("qid", "cid", "sim", "rank")
       .orderBy("qid", "rank")
   }
 }

@@ -15,13 +15,24 @@ import graft.operators.{Dedup, Sessionize, Similarity, TextAnalysis}
   */
 object PipelineQueries {
 
-  // Every pipeline query is CPU-bound on per-row work (shingling,
-  // hashing, HOF dot products) downstream of a single-row-group scan —
-  // spread() the scan so that work parallelizes across all slots
-  // (no-op on well-split inputs; see Tables.spread).
+  // spread() is NOT free: on a 5k-row table it is a 32-way exchange that
+  // costs more than it buys unless the downstream per-row work dwarfs the
+  // scan (measured: the round-3 unconditional spread regressed the cheap
+  // ta01–ta06 aggregations 2–4× while halving the shingling/HOF-heavy
+  // queries). The deciding signal is downstream CPU per row — something
+  // only the call site knows — so the choice is per query family:
+  //   docs/emb       plain scan — cheap projections + aggregations whose
+  //                  first shuffle is the groupBy itself
+  //   docsWide/embWide  spread — shingling / MinHash / per-position or
+  //                  HOF vector math pipelined into the scan task, where
+  //                  one unsplit row group serializes all the CPU
   private def docs(s: SparkSession, dir: String): DataFrame =
-    Tables.spread(Tables.load(s, dir, "documents"), "doc_id")
+    Tables.load(s, dir, "documents")
   private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+  private def docsWide(s: SparkSession, dir: String): DataFrame =
+    Tables.spread(Tables.load(s, dir, "documents"), "doc_id")
+  private def embWide(s: SparkSession, dir: String): DataFrame =
     Tables.spread(Tables.load(s, dir, "embeddings"), "vec_id")
 
   val defs: Seq[QueryDef] = Seq(
@@ -67,7 +78,7 @@ object PipelineQueries {
         |JOIN sz sa ON sa.doc_id = da
         |JOIN sz sb ON sb.doc_id = db
         |ORDER BY jac DESC, da, db LIMIT 20""".stripMargin) { (s, dir) =>
-      Dedup.jaccardPairs(docs(s, dir), "doc_id", "text", 3)
+      Dedup.jaccardPairs(docsWide(s, dir), "doc_id", "text", 3)
         .orderBy(col("jac").desc, col("da"), col("db"))
         .limit(20)
     },
@@ -75,12 +86,12 @@ object PipelineQueries {
     // MinHash + LSH banding — the at-scale candidate generator. Band
     // buckets aren't SQL-portable (xxhash64 seeds) → rows-only check.
     QueryDef.noOracle("dd04_minhash_lsh") { (s, dir) =>
-      Dedup.lshBuckets(docs(s, dir), "doc_id", "text")
+      Dedup.lshBuckets(docsWide(s, dir), "doc_id", "text")
         .orderBy("doc_id", "band")
     },
 
     QueryDef.noOracle("dd05_simhash") { (s, dir) =>
-      Dedup.simHash(docs(s, dir), "doc_id", "text").orderBy("doc_id")
+      Dedup.simHash(docsWide(s, dir), "doc_id", "text").orderBy("doc_id")
     },
 
     // Embedding-cosine near-dup: top-20 most-similar pairs among
@@ -106,7 +117,7 @@ object PipelineQueries {
         |  CAST(dot AS DOUBLE) / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)) AS sim
         |FROM d JOIN n na ON na.vec_id = va JOIN n nb ON nb.vec_id = vb
         |ORDER BY sim DESC, va, vb LIMIT 20""".stripMargin) { (s, dir) =>
-      Dedup.embeddingNearDup(emb(s, dir), k = 20, sketchBits = 8)
+      Dedup.embeddingNearDup(embWide(s, dir), k = 20, sketchBits = 8)
     },
 
     // Near-dup pairs -> dedup GROUPS: connected components (iterative
@@ -134,7 +145,7 @@ object PipelineQueries {
         | )
         |SELECT id AS doc_id, CAST(min(label) AS BIGINT) AS cluster
         |FROM cc GROUP BY id ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val edges = Dedup.jaccardPairs(docs(s, dir), "doc_id", "text", 3)
+      val edges = Dedup.jaccardPairs(docsWide(s, dir), "doc_id", "text", 3)
         .filter(col("jac") >= 0.5)
         .select(col("da").as("src"), col("db").as("dst"))
       Dedup.connectedComponents(edges)
@@ -405,7 +416,7 @@ object PipelineQueries {
         |  (SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS BIGINT) AS rank
         |   FROM sim) r
         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin) { (s, dir) =>
-      val e = emb(s, dir)
+      val e = embWide(s, dir)
         .select(col("vec_id"), posexplode(col("embedding")))
         .select(col("vec_id"), col("pos"),
           col("col").cast(DecimalType(12, 6)).as("x"))
