@@ -52,10 +52,49 @@ object Tables {
     * results hash-match the DuckDB oracle.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
-    // The micros→NTZ cast below renders the instant's wall clock in the
-    // SESSION timezone; every graft entry point pins UTC, and a non-UTC
-    // session would silently shift values vs the DuckDB oracle — fail
-    // loudly here instead. Accept any UTC-equivalent zone id (UTC,
+    prepareEventsRead(spark)
+    deriveTs(load(spark, sfDir, "events"))
+  }
+
+  /** The same events table as an UNBOUNDED source (file-stream scan of
+    * the identical parquet), with the identical ns→µs truncation — so a
+    * streaming job over it is oracle-comparable row-for-row with the
+    * batch plans. Two streaming-specific differences: the file source
+    * needs an explicit schema (with the nanos-as-long conf the raw `ts`
+    * arrives as LONG), and `ts` stays plain TIMESTAMP because Spark
+    * refuses watermarks on TIMESTAMP_NTZ
+    * (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE) — the UTC guard makes the
+    * wall clock identical, and consumers cast window bounds back to NTZ
+    * at the output boundary.
+    */
+  def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    prepareEventsRead(spark)
+    val raw = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    // two FileStreamSource quirks of streaming a single FILE: the path
+    // must be a GLOB (for a non-glob path the source force-injects
+    // basePath = the path itself into the per-batch read, which fails
+    // "Option 'basePath' must be a directory"), and the real basePath
+    // must then be supplied explicitly
+    spark.readStream.schema(raw).option("basePath", sfDir)
+      .parquet(s"$sfDir/events.parque[t]")
+      .withColumn("ts", org.apache.spark.sql.functions
+        .timestamp_micros(org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
+
+  private def deriveTs(df: DataFrame): DataFrame =
+    df.withColumn("ts", org.apache.spark.sql.functions
+      .timestamp_micros(org.apache.spark.sql.functions.expr("ts div 1000"))
+      .cast(org.apache.spark.sql.types.TimestampNTZType))
+
+  private def prepareEventsRead(spark: SparkSession): Unit = {
+    // The micros→NTZ cast in deriveTs renders the instant's wall clock
+    // in the SESSION timezone; every graft entry point pins UTC, and a
+    // non-UTC session would silently shift values vs the DuckDB oracle —
+    // fail loudly here instead. Accept any UTC-equivalent zone id (UTC,
     // Etc/UTC, GMT, +00:00, Z) by normalizing to a fixed offset first.
     val tz = spark.conf.get("spark.sql.session.timeZone")
     val isUtc =
@@ -65,9 +104,5 @@ object Tables {
     require(isUtc,
       s"graft requires a UTC session timezone (events NTZ derivation), got '$tz'")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, sfDir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions
-        .timestamp_micros(org.apache.spark.sql.functions.expr("ts div 1000"))
-        .cast(org.apache.spark.sql.types.TimestampNTZType))
   }
 }

@@ -39,12 +39,17 @@ object Similarity {
     def dec(c: Column) =
       transform(c, x => x.cast(DoubleType).cast(DecimalType(12, 6)))
     def dot(x: Column, y: Column) =
-      // the fold must return the accumulator's exact type; decimal
-      // addition widens precision, so cast back (lossless: scale stays
-      // 12 and DECIMAL(38,12) has ample headroom for |v|≤1e6 elements)
+      // the accumulator must be SMALL enough that each fold step's add
+      // stays inside DECIMAL's 38-digit budget: products are
+      // DECIMAL(25,12), and (30,12)+(25,12) needs (31,12) — exact. A
+      // (38,12) accumulator would push the add to (39,12), which Spark
+      // silently re-scales to (38,11) — ROUNDING every step (measured:
+      // ~4e-11 drift vs the exact sum, enough to break hash-match). The
+      // cast back to (30,12) is lossless: 18 integer digits of headroom
+      // vs |x|≤1e6, 64-element vectors.
       aggregate(zip_with(x, y, (p, q) => p * q),
-        lit(0).cast(DecimalType(38, 12)),
-        (acc, v) => (acc + v).cast(DecimalType(38, 12)))
+        lit(0).cast(DecimalType(30, 12)),
+        (acc, v) => (acc + v).cast(DecimalType(30, 12)))
     val (da, db) = (dec(a), dec(b))
     dot(da, db).cast(DoubleType) /
       sqrt(dot(da, da).cast(DoubleType) * dot(db, db).cast(DoubleType))

@@ -35,6 +35,82 @@ object PipelineQueries {
   private def embWide(s: SparkSession, dir: String): DataFrame =
     Tables.spread(Tables.load(s, dir, "embeddings"), "vec_id")
 
+  /** The exact-decimal cosine top-5 oracle (DuckDB): shared verbatim by
+    * sim01 (posexplode/groupBy formulation) and sim02 (one-pass HOF
+    * formulation) — both assemble the same exact decimal sums into the
+    * same IEEE doubles, so ONE SQL text hash-matches both plans.
+    */
+  private val CosineExactTopkSql: String =
+    """WITH e0 AS (SELECT vec_id, unnest(embedding) AS rawx,
+      |                    unnest(range(1, len(embedding) + 1)) AS i
+      |             FROM embeddings),
+      | e AS (SELECT vec_id, i,
+      |       CAST(CAST(rawx AS DOUBLE) AS DECIMAL(12,6)) AS x FROM e0),
+      | n AS (SELECT vec_id, sum(x * x) AS nrm FROM e GROUP BY vec_id),
+      | d AS (SELECT q.vec_id AS qid, c.vec_id AS cid, sum(q.x * c.x) AS dot
+      |       FROM e q JOIN e c ON q.i = c.i
+      |       WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+      |       GROUP BY 1, 2),
+      | sim AS (SELECT qid, cid,
+      |           CAST(dot AS DOUBLE) /
+      |             sqrt(CAST(nq.nrm AS DOUBLE) * CAST(nc.nrm AS DOUBLE)) AS sim
+      |         FROM d
+      |         JOIN n nq ON nq.vec_id = qid
+      |         JOIN n nc ON nc.vec_id = cid)
+      |SELECT qid, cid, sim, rank FROM
+      |  (SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS BIGINT) AS rank
+      |   FROM sim) r
+      |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
+  /** Memory-sink name sequence for st01: Verify and Bench call each
+    * query several times in one session; each run gets a fresh sink so a
+    * prior run's table can't shadow the new results.
+    */
+  private val StSinkSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Single-row ANN recall invariant: n_exact = |exact top-k pairs| and
+    * a floor flag (hits·100 ≥ n_exact·floorPct, integer arithmetic — no
+    * float compare). The DuckDB side derives n_exact from corpus counts
+    * and pins recall_ok = 1, so a recall regression OR a broken
+    * brute-force baseline breaks the hash match.
+    */
+  private def recallFloor(exact: DataFrame, ann: DataFrame,
+                          floorPct: Int): DataFrame =
+    exact.select("qid", "cid")
+      .join(ann.select(col("qid"), col("cid"), lit(1L).as("_hit")),
+        Seq("qid", "cid"), "left")
+      .agg(count(lit(1)).cast(LongType).as("n_exact"),
+        coalesce(sum(col("_hit")), lit(0L)).as("_hits"))
+      .select(col("n_exact"),
+        when(col("_hits") * 100 >= col("n_exact") * floorPct, 1L)
+          .otherwise(0L).as("recall_ok"))
+
+  /** The dd03/dd08 word-3-gram Jaccard pipeline as DuckDB CTEs, ending
+    * in `j(da, db)` = pairs with jac ≥ `minJac` — the shared scaffold of
+    * the dd04/dd05 containment/envelope invariants.
+    */
+  private def highJacCte(minJac: Double): String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+       |           WHERE len(string_split(text, ' ')) >= 3),
+       | sh0 AS (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i FROM w),
+       | sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle FROM sh0),
+       | sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       | pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+       |           FROM sh a JOIN sh b USING (shingle)
+       |           WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+       | j AS (SELECT da, db FROM pairs
+       |       JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+       |       WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= $minJac)""".stripMargin
+
+  /** High-Jaccard pairs (da < db, jac ≥ minJac) from the Spark side of
+    * the same pipeline.
+    */
+  private def highJacPairs(s: SparkSession, dir: String,
+                           minJac: Double): DataFrame =
+    Dedup.jaccardPairs(docsWide(s, dir), "doc_id", "text", 3)
+      .filter(col("jac") >= minJac)
+      .select("da", "db")
+
   val defs: Seq[QueryDef] = Seq(
 
     // ================= deduplication =================
@@ -83,15 +159,41 @@ object PipelineQueries {
         .limit(20)
     },
 
-    // MinHash + LSH banding — the at-scale candidate generator. Band
-    // buckets aren't SQL-portable (xxhash64 seeds) → rows-only check.
-    QueryDef.noOracle("dd04_minhash_lsh") { (s, dir) =>
-      Dedup.lshBuckets(docsWide(s, dir), "doc_id", "text")
-        .orderBy("doc_id", "band")
+    // MinHash + LSH banding — the at-scale candidate generator. The
+    // xxhash64-seeded band buckets aren't SQL-portable, but the
+    // CONTAINMENT CONTRACT is: every pair with Jaccard ≥ 0.7 must land
+    // in at least one shared band bucket (32 hashes × 8 bands ⇒ miss
+    // probability (1−0.7⁴)^8 ≈ 0.1% per pair; measured 0 misses at
+    // sf0.001–0.1). DuckDB computes the high-Jaccard pair count + a
+    // zero-miss literal; Spark computes both from the actual LSH
+    // buckets, so a banding regression hash-mismatches the gate.
+    QueryDef("dd04_minhash_lsh",
+      highJacCte(0.7) +
+        "\nSELECT count(*) AS n_high_pairs, CAST(0 AS BIGINT) AS n_missed FROM j") { (s, dir) =>
+      val cand = Dedup.minHashCandidates(docsWide(s, dir), "doc_id", "text")
+        .select(col("id_a").as("da"), col("id_b").as("db"), lit(1L).as("_c"))
+      highJacPairs(s, dir, 0.7)
+        .join(cand, Seq("da", "db"), "left")
+        .agg(count(lit(1)).cast(LongType).as("n_high_pairs"),
+          coalesce(sum(when(col("_c").isNull, 1L).otherwise(0L)), lit(0L))
+            .as("n_missed"))
     },
 
-    QueryDef.noOracle("dd05_simhash") { (s, dir) =>
-      Dedup.simHash(docsWide(s, dir), "doc_id", "text").orderBy("doc_id")
+    // SimHash envelope contract: 64-bit signatures of pairs with
+    // Jaccard ≥ 0.7 must sit within hamming distance 16 (a quarter of
+    // the bits; random pairs center at 32 with σ=4, so ≤16 is a
+    // > 4σ separation — measured maxima 9/5/12 at sf0.001/0.01/0.1).
+    QueryDef("dd05_simhash",
+      highJacCte(0.7) +
+        "\nSELECT count(*) AS n_high_pairs, CAST(0 AS BIGINT) AS n_hamming_gt16 FROM j") { (s, dir) =>
+      val sh = Dedup.simHash(docsWide(s, dir), "doc_id", "text")
+      highJacPairs(s, dir, 0.7)
+        .join(sh.select(col("doc_id").as("da"), col("simhash").as("sa")), "da")
+        .join(sh.select(col("doc_id").as("db"), col("simhash").as("sb")), "db")
+        .agg(count(lit(1)).cast(LongType).as("n_high_pairs"),
+          coalesce(sum(when(
+            bit_count(col("sa").bitwiseXOR(col("sb"))) > 16, 1L).otherwise(0L)),
+            lit(0L)).as("n_hamming_gt16"))
     },
 
     // Embedding-cosine near-dup: top-20 most-similar pairs among
@@ -395,27 +497,7 @@ object PipelineQueries {
     // exploded, dot/norms summed as DECIMAL(18,9) products (order-
     // independent, bit-identical across engines), similarity assembled
     // from identical doubles. Queries = vec_id < 10.
-    QueryDef("sim01_cosine_exact",
-      """WITH e0 AS (SELECT vec_id, unnest(embedding) AS rawx,
-        |                    unnest(range(1, len(embedding) + 1)) AS i
-        |             FROM embeddings),
-        | e AS (SELECT vec_id, i,
-        |       CAST(CAST(rawx AS DOUBLE) AS DECIMAL(12,6)) AS x FROM e0),
-        | n AS (SELECT vec_id, sum(x * x) AS nrm FROM e GROUP BY vec_id),
-        | d AS (SELECT q.vec_id AS qid, c.vec_id AS cid, sum(q.x * c.x) AS dot
-        |       FROM e q JOIN e c ON q.i = c.i
-        |       WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
-        |       GROUP BY 1, 2),
-        | sim AS (SELECT qid, cid,
-        |           CAST(dot AS DOUBLE) /
-        |             sqrt(CAST(nq.nrm AS DOUBLE) * CAST(nc.nrm AS DOUBLE)) AS sim
-        |         FROM d
-        |         JOIN n nq ON nq.vec_id = qid
-        |         JOIN n nc ON nc.vec_id = cid)
-        |SELECT qid, cid, sim, rank FROM
-        |  (SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS BIGINT) AS rank
-        |   FROM sim) r
-        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin) { (s, dir) =>
+    QueryDef("sim01_cosine_exact", CosineExactTopkSql) { (s, dir) =>
       val e = embWide(s, dir)
         .select(col("vec_id"), posexplode(col("embedding")))
         .select(col("vec_id"), col("pos"),
@@ -440,23 +522,46 @@ object PipelineQueries {
     },
 
     // Same search through the fast path: higher-order-function cosine
-    // (no explode, codegen'd) + broadcast of the query block. Values are
-    // IEEE-double and summation-order-dependent → rows-only check; its
-    // agreement with sim01 is asserted in SimilaritySpec instead.
-    QueryDef.noOracle("sim02_cosine_topk_hof") { (s, dir) =>
+    // (no explode, no position join, one codegen'd pass per pair) in the
+    // EXACT decimal formulation (Similarity.cosineExact) — every sum is
+    // order-independent decimal arithmetic, so the resulting doubles are
+    // bit-identical to sim01's posexplode plan AND to the DuckDB oracle:
+    // the identical SQL hash-matches both formulations.
+    QueryDef("sim02_cosine_topk_hof", CosineExactTopkSql) { (s, dir) =>
       val e = emb(s, dir)
-      Similarity.cosineTopK(e.filter(col("vec_id") < 10), e, 5)
+      Similarity.cosineTopK(e.filter(col("vec_id") < 10), e, 5, exact = true)
     },
 
-    QueryDef.noOracle("sim03_ann_lsh") { (s, dir) =>
+    // ANN-LSH correctness contract: approximate results have no
+    // row-for-row oracle, but the RECALL FLOOR is one — the tuned
+    // 4-bit × 8-table candidate generator must recover ≥60% of the true
+    // top-5 pairs (measured 0.76 at sf0.01; one 8-bit table recalls
+    // ~0.20 — the misconfiguration this row would have caught). DuckDB
+    // computes n_exact from corpus counts and the floor flag as a
+    // constant; Spark computes both from the actual ANN output, so a
+    // recall regression (or a broken brute-force baseline) hash-mismatches.
+    QueryDef("sim03_ann_lsh",
+      """SELECT CAST(q.nq * least(5, c.n_all - 1) AS BIGINT) AS n_exact,
+        |  CAST(1 AS BIGINT) AS recall_ok
+        |FROM (SELECT count(*) AS nq FROM embeddings WHERE vec_id < 10) q,
+        |     (SELECT count(*) AS n_all FROM embeddings) c""".stripMargin) { (s, dir) =>
       val e = emb(s, dir)
-      Similarity.annTopK(e.filter(col("vec_id") < 10), e, 5, bits = 8)
+      val q = e.filter(col("vec_id") < 10)
+      recallFloor(Similarity.cosineTopK(q, e, 5),
+        Similarity.annTopK(q, e, 5), floorPct = 60)
     },
 
-    QueryDef.noOracle("sim04_ann_ivf") { (s, dir) =>
+    // IVF recall floor (measured 0.84 at sf0.01) — same contract shape
+    // as sim03.
+    QueryDef("sim04_ann_ivf",
+      """SELECT CAST(q.nq * least(5, c.n_all - 1) AS BIGINT) AS n_exact,
+        |  CAST(1 AS BIGINT) AS recall_ok
+        |FROM (SELECT count(*) AS nq FROM embeddings WHERE vec_id < 10) q,
+        |     (SELECT count(*) AS n_all FROM embeddings) c""".stripMargin) { (s, dir) =>
       val e = emb(s, dir)
-      Similarity.ivfTopK(e.filter(col("vec_id") < 10), e, 5,
-        nlist = 16, nprobe = 4)
+      val q = e.filter(col("vec_id") < 10)
+      recallFloor(Similarity.cosineTopK(q, e, 5),
+        Similarity.ivfTopK(q, e, 5, nlist = 16, nprobe = 4), floorPct = 70)
     },
 
     // ================= multimodal (binary columns) =================
@@ -619,27 +724,89 @@ object PipelineQueries {
         .orderBy("step")
     },
 
-    // t-digest-style approximate quantiles (percentile_approx) — the
-    // sketch every monitoring rollup runs at scale instead of an exact
-    // global sort. Algorithm-specific values → rows-only check; the
-    // error envelope vs exact percentiles is asserted in PipelineSpec.
-    QueryDef.noOracle("ev08_approx_quantiles") { (s, dir) =>
+    // The hourly rollup as a STRUCTURED STREAMING job in the gate: the
+    // same events flow through a file-stream source → watermarked
+    // tumbling-window aggregation → append-mode memory sink. All files
+    // arrive in micro-batch 0 (watermark still at epoch, so nothing is
+    // late-dropped); the watermark then advances to max(ts) − 1h and the
+    // no-data batch emits every FINALIZED window — i.e. window end <
+    // watermark. The DuckDB oracle reproduces exactly that horizon in
+    // batch SQL: wstart + 2h < max(ts). Windows inside the final horizon
+    // stay in state, unemitted — that is the append-mode contract, and
+    // the oracle's WHERE clause is its batch translation.
+    QueryDef("st01_stream_hourly",
+      """SELECT date_trunc('hour', ts) AS wstart, event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS v
+        |FROM events
+        |WHERE date_trunc('hour', ts) + INTERVAL 2 HOUR < (SELECT max(ts) FROM events)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      val sink = s"st01_sink_${StSinkSeq.incrementAndGet()}"
+      val q = graft.streaming.StreamingJobs
+        .hourlyRollup(Tables.eventsStream(s, dir), watermark = "1 hour")
+        .writeStream.outputMode("append")
+        .format("memory").queryName(sink)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      // the stream runs on plain TIMESTAMP (watermark constraint — see
+      // Tables.eventsStream); UTC session ⇒ the NTZ cast here renders
+      // the same wall clock the batch/oracle plans carry end-to-end
+      s.table(sink)
+        .select(col("wstart").cast(TimestampNTZType).as("wstart"),
+          col("event_type"), col("n"), col("v"))
+        .orderBy("wstart", "event_type")
+    },
+
+    // Approximate quantiles (percentile_approx) — the sketch every
+    // monitoring rollup runs at scale instead of an exact global sort.
+    // The sketch's actual guarantee is RANK accuracy (±1/accuracy of the
+    // target rank), not value accuracy — tiny groups make value-relerr
+    // meaningless (approx returns an observed element, exact percentile
+    // interpolates between two: measured 25% value gap at sf0.001 vs
+    // 1.6% at sf0.01). So the invariant pins rank: each approx
+    // percentile must lie within the exact [p−0.05, p+0.05] value band.
+    // DuckDB computes the group sizes + a constant flag; Spark computes
+    // the flag from the real sketch, so an accuracy regression
+    // hash-mismatches.
+    QueryDef("ev08_approx_quantiles",
+      """SELECT event_type, count(*) AS n, CAST(1 AS BIGINT) AS rank_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
       Tables.events(s, dir)
         .groupBy("event_type")
         .agg(
-          percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50"),
-          percentile_approx(col("value"), lit(0.95), lit(1000)).as("p95"),
-          percentile_approx(col("value"), lit(0.99), lit(1000)).as("p99"))
+          count(lit(1)).as("n"),
+          percentile_approx(col("value"), lit(0.5), lit(1000)).as("_a50"),
+          percentile_approx(col("value"), lit(0.95), lit(1000)).as("_a95"),
+          percentile_approx(col("value"), lit(0.99), lit(1000)).as("_a99"),
+          expr("percentile(value, 0.45)").as("_lo50"),
+          expr("percentile(value, 0.55)").as("_hi50"),
+          expr("percentile(value, 0.90)").as("_lo95"),
+          expr("percentile(value, 0.94)").as("_lo99"),
+          max(col("value")).as("_hi"))
+        .select(col("event_type"), col("n"),
+          when(col("_a50").between(col("_lo50"), col("_hi50")) &&
+               col("_a95").between(col("_lo95"), col("_hi")) &&
+               col("_a99").between(col("_lo99"), col("_hi")), 1L)
+            .otherwise(0L).as("rank_ok"))
         .orderBy("event_type")
     },
 
-    // HLL++ sketch — algorithm-specific estimates, no SQL oracle; the
-    // ±5% envelope vs exact distinct is asserted in PipelineSpec.
-    QueryDef.noOracle("ev04_approx_distinct") { (s, dir) =>
+    // HLL++ distinct-count sketch: the estimate is algorithm-specific,
+    // but the ±5% envelope vs the EXACT distinct count (which both
+    // engines compute identically) is the correctness contract —
+    // rsd = 0.02, measured relerr 0/0/0.004 at sf0.001/0.01/0.1.
+    QueryDef("ev04_approx_distinct",
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        |  count(*) AS n, CAST(1 AS BIGINT) AS within_5pct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
       Tables.events(s, dir)
         .groupBy("event_type")
-        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("_apx"),
+          countDistinct(col("user_id")).as("exact_users"),
           count(lit(1)).as("n"))
+        .select(col("event_type"), col("exact_users"), col("n"),
+          when(abs(col("_apx") - col("exact_users")).cast(DoubleType) <=
+            col("exact_users").cast(DoubleType) * 0.05, 1L)
+            .otherwise(0L).as("within_5pct"))
         .orderBy("event_type")
     })
 }

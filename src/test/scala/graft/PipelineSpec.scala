@@ -48,33 +48,49 @@ class PipelineSpec extends AnyFunSuite {
       s"unrelated hamming ${hamming(h(1L), h(3L))}")
   }
 
-  test("HOF cosine top-k agrees with the exact decimal formulation") {
+  test("cosineExact HOF is BIT-IDENTICAL to the posexplode decimal formulation") {
+    // the whole point of the exact-decimal fold: order-independent sums
+    // → the same doubles as sim01's groupBy plan → one shared DuckDB
+    // oracle hash-matches both. Exact equality, not tolerance.
     val exact = SparkEntry.queries("sim01_cosine_exact")(spark, sf)
-      .select("qid", "cid", "rank").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .select("qid", "cid", "sim", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
     val hof = SparkEntry.queries("sim02_cosine_topk_hof")(spark, sf)
-      .select("qid", "cid", "rank").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .select("qid", "cid", "sim", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
     assert(exact.toSet == hof.toSet,
-      s"rankings diverge: ${exact.toSet.diff(hof.toSet)} vs ${hof.toSet.diff(exact.toSet)}")
+      s"not bit-identical: ${exact.toSet.diff(hof.toSet)} vs ${hof.toSet.diff(exact.toSet)}")
   }
 
-  test("HOF cosine values within fp tolerance of exact") {
-    val exact = SparkEntry.queries("sim01_cosine_exact")(spark, sf)
-      .select("qid", "cid", "sim").collect()
-      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
-    val hof = SparkEntry.queries("sim02_cosine_topk_hof")(spark, sf)
-      .select("qid", "cid", "sim").collect()
-      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
-    exact.foreach { case (k, v) =>
-      assert(math.abs(hof(k) - v) < 1e-5, s"$k: $v vs ${hof(k)}")
-    }
-  }
-
-  test("ANN LSH results are a subset of brute-force candidates with same scoring") {
+  test("ANN LSH at the tuned default config clears the 60% recall floor") {
+    // the r4 regression this pins: a bits=8 single-table-style override
+    // collapsed recall to 0.20 — the tuned 4-bit × 8-table default
+    // measures 0.74/0.76/0.68 at sf0.001/0.01/0.1 (InvariantProbe)
     val e = Tables.load(spark, sf, "embeddings")
-    val ann = Similarity.annTopK(e.filter($"vec_id" < 10), e, 5, bits = 8)
+    val brute = SparkEntry.queries("sim01_cosine_exact")(spark, sf)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.annTopK(e.filter($"vec_id" < 10), e, 5)
       .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1)))
-    assert(ann.nonEmpty)
     assert(ann.forall { case (q, c) => q != c })
+    val recall = ann.count(brute.contains).toDouble / brute.size
+    assert(recall >= 0.6, s"ANN LSH recall below floor: $recall")
+  }
+
+  test("lshTables: per-table signatures are independent and bits-bounded") {
+    val e = Tables.load(spark, sf, "embeddings").limit(100)
+    val sigs = Similarity.lshTables(e, bits = 4, tables = 8)
+      .select("vec_id", "table", "bucket").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // one row per (vector, table); every bucket within the 4-bit range
+    assert(sigs.length == 100 * 8)
+    assert(sigs.forall { case (_, _, b) => b >= 0 && b < 16 }, "bucket out of 4-bit range")
+    // tables use DISTINCT hyperplanes (seeds t*bits+j): two tables
+    // agreeing on every vector's bucket would mean shared planes
+    val byTable = sigs.groupBy(_._2)
+      .map { case (t, rs) => t -> rs.sortBy(_._1).map(_._3).toSeq }
+    for (t1 <- 0 until 8; t2 <- (t1 + 1) until 8)
+      assert(byTable(t1) != byTable(t2),
+        s"tables $t1 and $t2 produced identical bucket assignments")
   }
 
   test("IVF ANN: sane results and reasonable recall vs brute force") {
@@ -202,18 +218,56 @@ class PipelineSpec extends AnyFunSuite {
     assert(common.forall(_ == 0.0), "corpus-wide term should have idf 0")
   }
 
-  test("approx quantiles within tolerance of exact percentiles") {
-    val ev = Tables.events(spark, sf)
-    val approx = SparkEntry.queries("ev08_approx_quantiles")(spark, sf)
-      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-    val exact = ev.groupBy("event_type")
-      .agg(expr("percentile(value, 0.5)").as("p50"))
-      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-    approx.foreach { case (k, a) =>
-      val x = exact(k)
-      assert(math.abs(a - x) <= math.abs(x) * 0.1 + 1.0,
-        s"$k: approx p50 $a vs exact $x")
+  test("approx quantiles sit inside the exact ±5%-rank band (the gate invariant)") {
+    // value-relerr is meaningless at tiny group sizes (the sketch
+    // returns an observed element, exact percentile interpolates —
+    // measured 25% value gap at sf0.001); the sketch's real guarantee
+    // is rank accuracy, which is what ev08 now pins
+    val rows = SparkEntry.queries("ev08_approx_quantiles")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (et, ok) =>
+      assert(ok == 1L, s"$et: approx percentile outside the rank envelope")
     }
+  }
+
+  test("dd04/dd05 invariants hold at sf0.001: LSH containment, simhash envelope") {
+    val dd04 = SparkEntry.queries("dd04_minhash_lsh")(spark, sf).collect()(0)
+    assert(dd04.getLong(0) > 0, "no high-Jaccard pairs — invariant vacuous")
+    assert(dd04.getLong(1) == 0L, s"LSH missed ${dd04.getLong(1)} high-Jaccard pairs")
+    val dd05 = SparkEntry.queries("dd05_simhash")(spark, sf).collect()(0)
+    assert(dd05.getLong(0) > 0)
+    assert(dd05.getLong(1) == 0L, s"${dd05.getLong(1)} pairs beyond hamming 16")
+  }
+
+  test("st01 streaming rollup equals the batch rollup inside the watermark horizon") {
+    // append-mode emits exactly the finalized windows: end < max(ts)−1h.
+    // The batch translation of that horizon must match row-for-row —
+    // same decimal sums, same doubles.
+    val streamed = SparkEntry.queries("st01_stream_hourly")(spark, sf)
+      .collect().map(r => (r.get(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+    val ev = Tables.events(spark, sf)
+    val mx = ev.agg(max($"ts")).collect()(0)
+      .getAs[java.time.LocalDateTime](0)
+    val batch = SparkEntry.queries("ev03_hourly_rollup")(spark, sf)
+      .filter($"wstart" < lit(mx.minusHours(2)))
+      .collect().map(r => (r.get(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(streamed.nonEmpty, "no finalized windows emitted")
+    assert(streamed.toSet == batch.toSet,
+      s"stream vs batch diverge: ${streamed.toSet.diff(batch.toSet)} / ${batch.toSet.diff(streamed.toSet)}")
+  }
+
+  test("connected components: symmetrization is direction-invariant") {
+    // the explode-based symmetrization must behave exactly like
+    // union(e, e.swap): flipping every edge's direction (and mixing
+    // directions) cannot change the clustering
+    val fwd = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("src", "dst")
+    val mixed = Seq((2L, 1L), (2L, 3L), (11L, 10L)).toDF("src", "dst")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Dedup.connectedComponents(df).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run(fwd) == run(mixed))
+    assert(run(fwd) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
   test("stratified sample: 256 keeps a stratum whole, 0 drops it, rates stick") {
