@@ -20,12 +20,16 @@ case class MediaFeature(asset_id: Long, kind: String, feature: Array[Float])
   * resize / frame-sample implemented as batched partition-local
   * transforms.
   *
-  * STUB BOUNDARY: this container has no image/audio codecs, so
-  * `decodeStub` is a deterministic fake (hash-derived floats) standing in
-  * for a real decoder — clearly marked below. Everything AROUND the stub
-  * is the real engine surface: binary-safe schema, partition-batched
-  * execution (the JVM analog of a vectorized/Arrow-batched UDF), typed
-  * metadata projections, and deterministic frame sampling.
+  * DECODE BOUNDARY: images are REAL — synthetic assets carry actual PNG
+  * payloads (`javax.imageio`, in-JVM, public API) and feature extraction
+  * decodes them and pools grid luminance, exactly the
+  * decode→pool shape of a production image featurizer. Audio/video
+  * codecs don't ship in this JVM, so those two kinds go through
+  * `decodeStub` (a deterministic fake, clearly marked below); swapping
+  * it for a codec touches nothing around it: the binary-safe schema,
+  * partition-batched execution (the JVM analog of a vectorized/Arrow-
+  * batched UDF), typed metadata projections and deterministic frame
+  * sampling are the real engine surface either way.
   *
   * Scale posture: payloads never enter a shuffle wider than their
   * partition (mapPartitions only); metadata-only plans (resizePlan,
@@ -45,8 +49,11 @@ object Multimodal {
     StructField("mime", StringType, nullable = true)))
 
   /** Deterministic synthetic asset table (no media files ship with the
-    * testdata): payload bytes derived from sha-256 of the id — stable
-    * across runs, unique per asset.
+    * testdata). Image assets carry REAL PNG payloads: a seed-derived
+    * pixel texture encoded with `javax.imageio` at the asset's
+    * metadata dimensions (PNG is lossless, so decode→pool downstream is
+    * exact and stable across runs). Audio/video payloads are raw
+    * seed-derived bytes standing in for undecodable codec streams.
     */
   def syntheticAssets(spark: SparkSession, n: Int,
                       payloadBytes: Int = 4096): Dataset[MediaAsset] = {
@@ -56,10 +63,19 @@ object Multimodal {
       val kind = kinds((i % 3).toInt)
       val md = java.security.MessageDigest.getInstance("SHA-256")
       val seed = md.digest(s"asset-$i".getBytes("UTF-8"))
-      val payload = Array.tabulate[Byte](payloadBytes)(j => seed((j % 32)))
+      // image dims stay modest (≤ 280×210) so encoding n assets is a
+      // per-row cost of a few ms; audio/video keep the larger source
+      // dims in their metadata — nothing decodes those here
+      val (w, h) = kind match {
+        case "image" => (160 + (i % 4).toInt * 40, 120 + (i % 4).toInt * 30)
+        case "audio" => (0, 0)
+        case _       => (640 + (i % 4).toInt * 160, 480 + (i % 4).toInt * 120)
+      }
+      val payload =
+        if (kind == "image") encodePng(seed, w, h)
+        else Array.tabulate[Byte](payloadBytes)(j => seed((j % 32)))
       MediaAsset(i, kind, payload,
-        width = if (kind != "audio") 640 + (i % 4).toInt * 160 else 0,
-        height = if (kind != "audio") 480 + (i % 4).toInt * 120 else 0,
+        width = w, height = h,
         sample_rate = if (kind == "audio") 16000 else 0,
         n_frames = if (kind == "video") 240 + (i % 60).toInt else 1,
         mime = kind match {
@@ -70,13 +86,75 @@ object Multimodal {
     }
   }
 
-  /** ======== STUB: deterministic fake decoder ========
-    * Stands in for codec + model inference (e.g. JPEG decode → CNN
+  /** Deterministic RGB texture → PNG bytes. Pixel (x,y) channels are
+    * pure functions of the 32-byte seed, so the encoded payload is
+    * stable across runs and distinct across assets.
+    */
+  private[multimodal] def encodePng(seed: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        def ch(c: Int): Int = seed(((x * 31 + y * 17 + c * 7) & 0x7fffffff) % 32) & 0xff
+        img.setRGB(x, y, (ch(0) << 16) | (ch(1) << 8) | ch(2))
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** REAL image decode + feature pooling: `javax.imageio` PNG decode
+    * (lossless — bit-exact pixels), then mean luminance over a
+    * ⌈√dim⌉-wide grid of cells, normalized to [-1, 1] — the classic
+    * decode→pool featurizer shape a CNN embedding slots into. Undecodable
+    * bytes fall back to [[decodeStub]] so a corrupt row degrades instead
+    * of killing the partition (the dead-letter philosophy of the log
+    * parsers, applied to media).
+    */
+  private[graft] def decodeImage(payload: Array[Byte], dim: Int): Array[Float] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: java.io.IOException => null }
+    if (img == null || img.getWidth == 0 || img.getHeight == 0)
+      return decodeStub(payload, dim)
+    val gw = math.ceil(math.sqrt(dim.toDouble)).toInt
+    val gh = (dim + gw - 1) / gw
+    val out = new Array[Float](dim)
+    var j = 0
+    while (j < dim) {
+      val (cx, cy) = (j % gw, j / gw)
+      val x0 = cx * img.getWidth / gw; val x1 = math.max(x0 + 1, (cx + 1) * img.getWidth / gw)
+      val y0 = cy * img.getHeight / gh; val y1 = math.max(y0 + 1, (cy + 1) * img.getHeight / gh)
+      var sum = 0L; var n = 0
+      var y = y0
+      while (y < math.min(y1, img.getHeight)) {
+        var x = x0
+        while (x < math.min(x1, img.getWidth)) {
+          val rgb = img.getRGB(x, y)
+          // integer ITU-R 601 luma — no float accumulation order to vary
+          sum += (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+          n += 1; x += 1
+        }
+        y += 1
+      }
+      out(j) = if (n == 0) 0f else (sum.toDouble / n / 127.5 - 1.0).toFloat
+      j += 1
+    }
+    out
+  }
+
+  /** ======== STUB: deterministic fake decoder (audio/video only) ========
+    * Stands in for codec + model inference (e.g. AAC decode → audio
     * embedding). Real deployments swap ONLY this function; the batched
     * partition plumbing around it is production-shaped. Output: `dim`
     * floats in [-1, 1], a pure function of the payload bytes.
     */
-  private[multimodal] def decodeStub(payload: Array[Byte], dim: Int): Array[Float] = {
+  private[graft] def decodeStub(payload: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
     var h = 1125899906842597L
     var i = 0
@@ -102,8 +180,12 @@ object Multimodal {
       it.grouped(batchSize).flatMap { batch =>
         // batch boundary = where a real impl would hand an Arrow batch
         // to the codec/model runtime
-        batch.iterator.map(a =>
-          MediaFeature(a.asset_id, a.kind, decodeStub(a.payload, dim)))
+        batch.iterator.map { a =>
+          val feat =
+            if (a.kind == "image") decodeImage(a.payload, dim)
+            else decodeStub(a.payload, dim)
+          MediaFeature(a.asset_id, a.kind, feat)
+        }
       }
     }
   }

@@ -35,6 +35,30 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f1.values.flatten.forall(v => v >= -1f && v <= 1f))
   }
 
+  test("image payloads are REAL PNGs: imageio decodes them at the metadata dims") {
+    val imgs = assets.filter($"kind" === "image").collect()
+    assert(imgs.nonEmpty)
+    imgs.take(8).foreach { a =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(a.payload))
+      assert(img != null, s"asset ${a.asset_id}: payload is not a decodable image")
+      assert(img.getWidth == a.width && img.getHeight == a.height,
+        s"asset ${a.asset_id}: decoded ${img.getWidth}x${img.getHeight}, metadata ${a.width}x${a.height}")
+    }
+  }
+
+  test("image features come from the codec path, not the stub; corrupt bytes degrade") {
+    val a = assets.filter($"kind" === "image").head()
+    val viaCodec = Multimodal.decodeImage(a.payload, 16).toSeq
+    val viaStub = Multimodal.decodeStub(a.payload, 16).toSeq
+    assert(viaCodec != viaStub,
+      "image decode fell through to the stub on a valid PNG")
+    // grid-pooled luminance of a valid image is never the stub's PRNG
+    // pattern; corrupt payload must degrade to the stub, not throw
+    val corrupt = Multimodal.decodeImage(Array[Byte](1, 2, 3), 16).toSeq
+    assert(corrupt == Multimodal.decodeStub(Array[Byte](1, 2, 3), 16).toSeq)
+  }
+
   test("resize plan preserves aspect ratio and caps at maxSide") {
     val plans = Multimodal.resizePlan(assets.toDF(), maxSide = 320).collect()
     assert(plans.nonEmpty)
