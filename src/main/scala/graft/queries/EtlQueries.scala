@@ -106,7 +106,8 @@ object EtlQueries {
         |  CAST(sum(l_orderkey % 100000) AS BIGINT) AS total_sent,
         |  CAST(max(200 + (l_linenumber % 5)) AS INTEGER) AS max_status,
         |  CAST(min(l_partkey % 30000) AS INTEGER) AS min_client_port,
-        |  min(CAST(l_shipdate AS TIMESTAMP)) AS first_request
+        |  min(CAST(l_shipdate AS TIMESTAMP)) AS first_request,
+        |  CAST(sum(CASE WHEN l_orderkey % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_waf
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
       val li = Tables.spread(Tables.load(s, dir, "lineitem")
         .select("l_orderkey", "l_suppkey", "l_shipdate", "l_linenumber", "l_partkey"),
@@ -116,7 +117,7 @@ object EtlQueries {
         "http %s app/lb%d/x 10.0.0.1:%d 10.1.0.1:80 0.001 0.002 0.000 " +
           "%d 200 321 %d \"GET http://h:80/p?q=%d HTTP/1.1\" \"agent 1.0\" " +
           "- - arn:aws:elasticloadbalancing:r:1:targetgroup/tg/1 " +
-          "\"Root=1-abc-%d\" \"h.example.com\" \"-\" 0 %s \"forward\" \"-\" \"-\"",
+          "\"Root=1-abc-%d\" \"h.example.com\" \"-\" 0 %s \"%s\" \"-\" \"-\"",
         iso,
         col("l_suppkey") % 5,
         col("l_partkey") % 30000,
@@ -124,7 +125,12 @@ object EtlQueries {
         col("l_orderkey") % 100000,
         col("l_partkey"),
         col("l_orderkey"),
-        iso).as("value"))
+        iso,
+        // a TRAILING field (ALB revision ≥ actions_executed) carrying
+        // data — the oracle recomputes the same predicate from lineitem,
+        // so dropping or mis-indexing the trailing reads breaks the hash
+        when(col("l_orderkey") % 3 === 0, "waf,forward")
+          .otherwise("forward")).as("value"))
       graft.sources.AlbAccessLog.parse(lines)
         .groupBy(col("elb"))
         .agg(
@@ -132,7 +138,9 @@ object EtlQueries {
           sum(col("sent_bytes")).as("total_sent"),
           max(col("elb_status_code")).as("max_status"),
           min(col("client_port")).as("min_client_port"),
-          min(col("time")).as("first_request"))
+          min(col("time")).as("first_request"),
+          sum(when(col("actions_executed") === "waf,forward", 1L)
+            .otherwise(0L)).as("n_waf"))
         .orderBy("elb")
     })
 }

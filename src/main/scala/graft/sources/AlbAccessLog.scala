@@ -16,11 +16,14 @@ import org.apache.spark.sql.types._
   * linear scan), then typed projections by position — narrow,
   * codegen'd, no shuffle. Lines with too few tokens
   * dead-letter into `error_line` like the S3 converter
-  * (s3.py:164-193). Covers the leading 22 fields (through
-  * request_creation_time); trailing fields appended by newer ALB
-  * revisions (actions_executed, redirect_url, error_reason, …) are
-  * ignored rather than failing the parse — AWS appends columns over
-  * time and readers are expected to tolerate that.
+  * (s3.py:164-193). The leading 22 fields (through
+  * request_creation_time) are required; the fields appended by newer
+  * ALB revisions — actions_executed, redirect_url, error_reason,
+  * target_port_list, target_status_code_list, classification,
+  * classification_reason, conn_trace_id — are typed as TOLERANT reads:
+  * null when a line predates them, parsed when present, and anything
+  * beyond conn_trace_id is ignored. AWS appends columns over time and
+  * readers are expected to tolerate both directions.
   */
 object AlbAccessLog {
 
@@ -61,6 +64,9 @@ object AlbAccessLog {
       when(raw(i).contains(":"),
         substring_index(raw(i), ":", -1)).try_cast(IntegerType)
     def whenOk(c: Column): Column = when(ok, c)
+    // trailing fields: present only in newer log revisions — read when
+    // the line is long enough, null otherwise (tolerant reader)
+    def trail(i: Int): Column = when(ok && size(toks) > i, str(i))
 
     lines.select(
       whenOk(str(0)).as("request_type"),
@@ -87,6 +93,14 @@ object AlbAccessLog {
       whenOk(str(19)).as("chosen_cert_arn"),
       whenOk(num(20, IntegerType)).as("matched_rule_priority"),
       whenOk(ts(21)).as("request_creation_time"),
+      trail(22).as("actions_executed"),
+      trail(23).as("redirect_url"),
+      trail(24).as("error_reason"),
+      trail(25).as("target_port_list"),
+      trail(26).as("target_status_code_list"),
+      trail(27).as("classification"),
+      trail(28).as("classification_reason"),
+      trail(29).as("conn_trace_id"),
       when(!ok, col(column)).as("error_line"))
   }
 }

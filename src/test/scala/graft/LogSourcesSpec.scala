@@ -79,7 +79,29 @@ class LogSourcesSpec extends AnyFunSuite {
     assert(r.getAs[Int]("matched_rule_priority") == 0)
     assert(r.getAs[java.time.LocalDateTime]("request_creation_time").toString
       == "2018-07-02T22:22:48.364")
+    // trailing fields (newer ALB revisions), typed + sentinel-stripped
+    assert(r.getAs[String]("actions_executed") == "forward")
+    assert(r.getAs[String]("redirect_url") == null)
+    assert(r.getAs[String]("target_port_list") == "10.0.0.1:80")
+    assert(r.getAs[String]("target_status_code_list") == "200")
+    assert(r.getAs[String]("classification") == null)
+    // this 29-token line predates conn_trace_id → tolerant null
+    assert(r.getAs[String]("conn_trace_id") == null)
     assert(r.getAs[String]("error_line") == null)
+  }
+
+  test("alb: tolerant reader — a 22-field line parses with null trailing fields") {
+    val line = "http 2018-07-02T22:23:00.186641Z app/lb/1 10.0.0.9:55 10.0.0.1:80 " +
+      "0.000 0.001 0.000 200 200 34 366 \"GET http://e/ HTTP/1.1\" \"ua\" - - " +
+      "arn:tg \"Root=1-x\" \"-\" \"-\" 0 2018-07-02T22:22:48.364000Z"
+    val r = AlbAccessLog.parse(Seq(line).toDF("value")).collect().head
+    assert(r.getAs[String]("elb") == "app/lb/1")
+    assert(r.getAs[String]("error_line") == null, "old-revision line must not dead-letter")
+    Seq("actions_executed", "redirect_url", "error_reason", "target_port_list",
+      "target_status_code_list", "classification", "classification_reason",
+      "conn_trace_id").foreach { f =>
+      assert(r.isNullAt(r.fieldIndex(f)), s"$f should be null on a 22-field line")
+    }
   }
 
   test("alb: https line with quoted '-' sentinels and -1 times") {
@@ -100,6 +122,9 @@ class LogSourcesSpec extends AnyFunSuite {
     assert(r.getAs[String]("ssl_protocol") == "TLSv1.2")
     assert(r.getAs[String]("domain_name") == "h.example.com")
     assert(r.getAs[Int]("matched_rule_priority") == -1)
+    assert(r.getAs[String]("actions_executed") == "waf,forward")
+    assert(r.getAs[String]("error_reason") == null)
+    assert(r.isNullAt(r.fieldIndex("target_port_list")), "absent trailing field")
     assert(r.getAs[String]("error_line") == null)
   }
 
