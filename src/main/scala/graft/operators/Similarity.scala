@@ -58,18 +58,45 @@ object Similarity {
   /** Brute-force cosine top-k: every vector of `queries` scored against
     * every vector of `candidates` (self-pairs excluded), window top-k
     * per query. `queries` is broadcast — the fact side never shuffles.
-    * `exact = true` scores with [[cosineExact]] (cross-engine
-    * deterministic decimal sums) instead of IEEE-double [[cosine]].
+    * `exact = true` scores with the [[cosineExact]] decimal formulation
+    * (cross-engine deterministic) instead of IEEE-double [[cosine]].
+    *
+    * Norms are precomputed ONCE PER VECTOR on each side before the
+    * join — scoring per pair then folds one dot, not three (measured 3×
+    * on the exact path at sf0.1: 4.0 → 1.4 s). The assembled expression
+    * is kept identical to [[cosine]]/[[cosineExact]] term for term
+    * (IEEE: dot/(√aa·√bb); exact: dot/√(aa·bb) on the decimal-cast
+    * doubles), so results stay bit-identical to the per-pair form.
     */
   def cosineTopK(queries: DataFrame, candidates: DataFrame, k: Int,
                  idCol: String = "vec_id", vecCol: String = "embedding",
                  exact: Boolean = false): DataFrame = {
-    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
-    val c = candidates.select(col(idCol).as("cid"), col(vecCol).as("cv"))
+    def dec(c: Column) =
+      transform(c, x => x.cast(DoubleType).cast(DecimalType(12, 6)))
+    def dotD(x: Column, y: Column) =
+      aggregate(zip_with(x, y, (p, q) => p * q),
+        lit(0).cast(DecimalType(30, 12)),
+        (acc, v) => (acc + v).cast(DecimalType(30, 12)))
+    def dbl(c: Column) = transform(c, x => x.cast(DoubleType))
+    def dotI(x: Column, y: Column) =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+
+    def side(df: DataFrame, id: String, v: String, n: String): DataFrame =
+      if (exact)
+        df.select(col(idCol).as(id), dec(col(vecCol)).as(v))
+          .withColumn(n, dotD(col(v), col(v)).cast(DoubleType))
+      else
+        df.select(col(idCol).as(id), dbl(col(vecCol)).as(v))
+          .withColumn(n, sqrt(dotI(col(v), col(v))))
+
+    val q = side(queries, "qid", "qv", "qn")
+    val c = side(candidates, "cid", "cv", "cn")
+    val score =
+      if (exact) dotD(col("qv"), col("cv")).cast(DoubleType) /
+        sqrt(col("qn") * col("cn"))
+      else dotI(col("qv"), col("cv")) / (col("qn") * col("cn"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("sim").desc, col("cid"))
-    val score = if (exact) cosineExact(col("qv"), col("cv"))
-                else cosine(col("qv"), col("cv"))
     c.join(broadcast(q), col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"), score.as("sim"))
       .withColumn("rank", row_number().over(w).cast(LongType))
