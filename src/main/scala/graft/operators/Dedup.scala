@@ -153,6 +153,29 @@ object Dedup {
           (col("na") + col("nb") - col("inter")).cast(DoubleType)).as("jac"))
   }
 
+  /** Benchmark decontamination — the training-data stage that removes
+    * (or flags) training documents overlapping an evaluation set, so
+    * benchmark answers don't leak into the corpus. A training doc is
+    * contaminated when it shares ≥1 word n-gram with any holdout doc;
+    * returns (id, n_hits) per contaminated doc, n_hits = how many of its
+    * distinct shingles appear anywhere in the holdout.
+    *
+    * Scale shape: the holdout is a BENCHMARK — thousands of docs against
+    * a 100 TB corpus — so its distinct shingles broadcast and the
+    * training side streams through a map-side hash join: no shuffle of
+    * corpus shingles at all. (A >broadcast-threshold holdout degrades
+    * gracefully to a shuffled equi-join on the shingle key.)
+    */
+  def contaminationHits(training: DataFrame, holdout: DataFrame,
+                        idCol: String, textCol: String, n: Int = 5): DataFrame = {
+    val holdSh = shingles(holdout, idCol, textCol, n)
+      .select("shingle").distinct()
+    shingles(training, idCol, textCol, n)
+      .join(broadcast(holdSh), "shingle")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
   /** Connected components over an undirected edge list (src, dst) —
     * near-dup PAIRS become dedup GROUPS only through transitivity
     * (A~B, B~C ⇒ {A,B,C} even when A≁C), so clustering is the step

@@ -373,6 +373,28 @@ object PipelineQueries {
         .orderBy("tok_a", "tok_b")
     },
 
+    // Benchmark decontamination: holdout = every 50th doc (the stand-in
+    // eval set), training = the rest; flag training docs sharing any
+    // word-5-gram with the holdout, with per-doc hit counts. Both
+    // engines compute the identical shingle join → full hash match.
+    QueryDef("dd11_decontamination",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 5),
+        | sh0 AS (SELECT doc_id, ws, unnest(range(1, len(ws) - 3)) AS i FROM w),
+        | sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+4], ' ') AS shingle FROM sh0),
+        | hold AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
+        | tr AS (SELECT * FROM sh WHERE doc_id % 50 <> 0)
+        |SELECT tr.doc_id, count(*) AS n_hits
+        |FROM tr JOIN hold USING (shingle)
+        |GROUP BY tr.doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val d = docsWide(s, dir)
+      Dedup.contaminationHits(
+        d.filter(col("doc_id") % 50 =!= 0),
+        d.filter(col("doc_id") % 50 === 0),
+        "doc_id", "text", n = 5)
+        .orderBy("doc_id")
+    },
+
     // ================= text analysis =================
 
     QueryDef("ta01_term_freq",

@@ -177,6 +177,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(c == Map(1L -> 3L, 2L -> 2L, 3L -> 1L), s"funnel counts: $c")
   }
 
+  test("decontamination: planted benchmark overlap flagged, clean docs pass") {
+    val hold = Seq(
+      (100L, "the capital of france is paris and the capital of italy is rome"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "quiz answer the capital of france is paris obviously my friend"),
+      (2L, "completely unrelated text about spark catalyst optimizer internals here"))
+      .toDF("doc_id", "text")
+    val hits = Dedup.contaminationHits(train, hold, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits.contains(1L) && hits(1L) >= 2L, s"contaminated doc missed: $hits")
+    assert(!hits.contains(2L), s"clean doc flagged: $hits")
+  }
+
   test("canonicalize: case/punctuation/whitespace variants collapse") {
     val d = Seq(
       (1L, "Hello, World!  This is   fine."),
