@@ -47,7 +47,26 @@ object Bench {
                 catch { case e: Throwable => Some(e.getClass.getSimpleName) }
       (name, (System.nanoTime() - t0) / 1e9, err)
     }
+    // calibration probe for the ~1-in-7 JVM slow-mode (BENCH_NOTES.md):
+    // a fixed pure-CPU mixing loop that takes ~40ms under C2 and many ×
+    // that when the JVM is in its deopt/interpreter mode. Timed before
+    // and after the sweeps and reported in the JSON, so an inflated run
+    // is IDENTIFIABLE from its own artifact instead of looking like a
+    // regression. (The mode spans whole runs, so min-of-passes can't
+    // mask it; detection is the honest remedy.)
+    def calibMs(): Double = {
+      var h = 0x9e3779b97f4a7c15L; var i = 0
+      val t0 = System.nanoTime()
+      while (i < 20000000) {
+        h ^= h >>> 33; h *= 0xff51afd7ed558ccdL; h ^= h >>> 29; i += 1
+      }
+      val dt = (System.nanoTime() - t0) / 1e6
+      if (h == 42L) println("") // defeat dead-code elimination
+      dt
+    }
+    val calibPre = calibMs()
     val (p1, p2) = (sweep(), sweep())
+    val calibPost = calibMs()
     val results = p1.zip(p2).map { case ((name, t1, e1), (_, t2, e2)) =>
       (name, math.min(t1, t2), e1.orElse(e2))
     }
@@ -56,7 +75,7 @@ object Bench {
     val failed = results.collect { case (k, _, Some(e)) => s""""$k":"$e"""" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"calib_ms":[$calibPre,$calibPost],"sf":"$sfDir"}""")
     spark.stop()
   }
 }
