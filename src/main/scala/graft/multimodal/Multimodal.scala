@@ -20,13 +20,15 @@ case class MediaFeature(asset_id: Long, kind: String, feature: Array[Float])
   * resize / frame-sample implemented as batched partition-local
   * transforms.
   *
-  * DECODE BOUNDARY: images are REAL — synthetic assets carry actual PNG
-  * payloads (`javax.imageio`, in-JVM, public API) and feature extraction
-  * decodes them and pools grid luminance, exactly the
-  * decode→pool shape of a production image featurizer. Audio/video
-  * codecs don't ship in this JVM, so those two kinds go through
-  * `decodeStub` (a deterministic fake, clearly marked below); swapping
-  * it for a codec touches nothing around it: the binary-safe schema,
+  * DECODE BOUNDARY: images and audio are REAL — synthetic assets carry
+  * actual PNG payloads (`javax.imageio`) and actual PCM WAV payloads
+  * (`javax.sound.sampled`), both in-JVM public APIs, and feature
+  * extraction decodes them (grid-luminance pooling for pixels, windowed
+  * mean-amplitude pooling for samples) — exactly the decode→pool shape
+  * of a production featurizer. Only video still goes through
+  * `decodeStub` (a deterministic fake, clearly marked below): no
+  * container/codec for it ships in a bare JVM. Swapping the stub for a
+  * codec touches nothing around it: the binary-safe schema,
   * partition-batched execution (the JVM analog of a vectorized/Arrow-
   * batched UDF), typed metadata projections and deterministic frame
   * sampling are the real engine surface either way.
@@ -71,9 +73,12 @@ object Multimodal {
         case "audio" => (0, 0)
         case _       => (640 + (i % 4).toInt * 160, 480 + (i % 4).toInt * 120)
       }
-      val payload =
-        if (kind == "image") encodePng(seed, w, h)
-        else Array.tabulate[Byte](payloadBytes)(j => seed((j % 32)))
+      val payload = kind match {
+        case "image" => encodePng(seed, w, h)
+        case "audio" => encodeWav(seed, sampleRate = 16000,
+          nSamples = payloadBytes / 2)
+        case _ => Array.tabulate[Byte](payloadBytes)(j => seed((j % 32)))
+      }
       MediaAsset(i, kind, payload,
         width = w, height = h,
         sample_rate = if (kind == "audio") 16000 else 0,
@@ -106,6 +111,73 @@ object Multimodal {
     val out = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", out)
     out.toByteArray
+  }
+
+  /** Deterministic PCM tone mix → WAV bytes (16-bit mono little-endian):
+    * three sine partials whose frequencies/phases derive from the seed,
+    * quantized to shorts — stable across runs, distinct across assets.
+    */
+  private[multimodal] def encodeWav(seed: Array[Byte], sampleRate: Int,
+                                    nSamples: Int): Array[Byte] = {
+    def u(i: Int): Int = seed(i % 32) & 0xff
+    val freqs = Seq(110.0 + u(0) * 8, 220.0 + u(1) * 4, 440.0 + u(2) * 2)
+    val phases = Seq(u(3) / 255.0, u(4) / 255.0, u(5) / 255.0).map(_ * 2 * math.Pi)
+    val pcm = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val t = i.toDouble / sampleRate
+      var s = 0.0
+      var k = 0
+      while (k < 3) { s += math.sin(2 * math.Pi * freqs(k) * t + phases(k)); k += 1 }
+      val q = math.max(-32768, math.min(32767, (s / 3.0 * 30000.0).toInt))
+      pcm(2 * i) = (q & 0xff).toByte; pcm(2 * i + 1) = ((q >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1,
+      true, false)
+    val in = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(in,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** REAL audio decode + feature pooling: `javax.sound.sampled` WAV
+    * decode to PCM shorts, then mean |amplitude| over `dim` equal
+    * windows, normalized to [-1, 1] — the decode→pool shape an audio
+    * embedding slots into. Integer accumulation, so no float order to
+    * vary. Undecodable bytes degrade to [[decodeStub]].
+    */
+  private[graft] def decodeAudio(payload: Array[Byte], dim: Int): Array[Float] = {
+    val pcm =
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try ais.readAllBytes() finally ais.close()
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => null
+        case _: java.io.IOException => null
+      }
+    if (pcm == null || pcm.length < 2) return decodeStub(payload, dim)
+    val n = pcm.length / 2
+    val out = new Array[Float](dim)
+    var j = 0
+    while (j < dim) {
+      val s0 = j * n / dim
+      val s1 = math.max(s0 + 1, (j + 1) * n / dim)
+      var sum = 0L; var i = s0
+      while (i < math.min(s1, n)) {
+        // 16-bit little-endian mono, as written by the WAV container
+        val v = ((pcm(2 * i + 1) << 8) | (pcm(2 * i) & 0xff)).toShort
+        sum += math.abs(v.toLong); i += 1
+      }
+      val cnt = math.min(s1, n) - s0
+      out(j) = if (cnt <= 0) 0f
+               else math.min(1.0, sum.toDouble / cnt / 16384.0 - 1.0).toFloat
+      j += 1
+    }
+    out
   }
 
   /** REAL image decode + feature pooling: `javax.imageio` PNG decode
@@ -148,11 +220,12 @@ object Multimodal {
     out
   }
 
-  /** ======== STUB: deterministic fake decoder (audio/video only) ========
-    * Stands in for codec + model inference (e.g. AAC decode → audio
-    * embedding). Real deployments swap ONLY this function; the batched
-    * partition plumbing around it is production-shaped. Output: `dim`
-    * floats in [-1, 1], a pure function of the payload bytes.
+  /** ======== STUB: deterministic fake decoder (video only) ========
+    * Stands in for the one codec family a bare JVM cannot decode
+    * (mp4/h264 containers). Real deployments swap ONLY this function;
+    * the batched partition plumbing around it is production-shaped.
+    * Output: `dim` floats in [-1, 1], a pure function of the payload
+    * bytes. Also the degradation target for corrupt image/audio bytes.
     */
   private[graft] def decodeStub(payload: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
@@ -181,9 +254,11 @@ object Multimodal {
         // batch boundary = where a real impl would hand an Arrow batch
         // to the codec/model runtime
         batch.iterator.map { a =>
-          val feat =
-            if (a.kind == "image") decodeImage(a.payload, dim)
-            else decodeStub(a.payload, dim)
+          val feat = a.kind match {
+            case "image" => decodeImage(a.payload, dim)
+            case "audio" => decodeAudio(a.payload, dim)
+            case _ => decodeStub(a.payload, dim)
+          }
           MediaFeature(a.asset_id, a.kind, feat)
         }
       }

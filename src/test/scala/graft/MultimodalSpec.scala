@@ -59,6 +59,30 @@ class MultimodalSpec extends AnyFunSuite {
     assert(corrupt == Multimodal.decodeStub(Array[Byte](1, 2, 3), 16).toSeq)
   }
 
+  test("audio payloads are REAL WAVs: javax.sound decodes at the metadata rate") {
+    val auds = assets.filter($"kind" === "audio").collect()
+    assert(auds.nonEmpty)
+    auds.take(8).foreach { a =>
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(a.payload))
+      try {
+        assert(ais.getFormat.getSampleRate.toInt == a.sample_rate,
+          s"asset ${a.asset_id}: rate ${ais.getFormat.getSampleRate} vs metadata ${a.sample_rate}")
+        assert(ais.getFormat.getSampleSizeInBits == 16)
+        assert(ais.getFrameLength > 0)
+      } finally ais.close()
+    }
+  }
+
+  test("audio features come from the codec path; corrupt bytes degrade") {
+    val a = assets.filter($"kind" === "audio").head()
+    val viaCodec = Multimodal.decodeAudio(a.payload, 16).toSeq
+    val viaStub = Multimodal.decodeStub(a.payload, 16).toSeq
+    assert(viaCodec != viaStub, "audio decode fell through to the stub on a valid WAV")
+    val corrupt = Multimodal.decodeAudio(Array[Byte](9, 9, 9), 16).toSeq
+    assert(corrupt == Multimodal.decodeStub(Array[Byte](9, 9, 9), 16).toSeq)
+  }
+
   test("resize plan preserves aspect ratio and caps at maxSide") {
     val plans = Multimodal.resizePlan(assets.toDF(), maxSide = 320).collect()
     assert(plans.nonEmpty)
