@@ -147,4 +147,26 @@ object TextAnalysis {
       .select(col(idCol), col("tok"),
         col("tfidf").cast(DoubleType).as("tfidf"), col("rank"))
   }
+
+  /** PII patterns for corpus scrubbing, applied in order. Deliberately
+    * restricted to the regex subset with identical semantics in Java's
+    * engine and RE2 (character classes + bounded/greedy quantifiers; no
+    * lookaround, no backrefs), so the same pattern text is a
+    * cross-engine oracle. Order matters: emails first, else the phone
+    * pattern could eat digit runs inside an address.
+    */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}" -> "<EMAIL>",
+    "[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}" -> "<PHONE>",
+    "([0-9]{1,3}\\.){3}[0-9]{1,3}" -> "<IP>")
+
+  /** Redact PII spans (default: email, phone, IPv4 — [[PiiPatterns]])
+    * to fixed tokens. A pure narrow projection: regexp_replace chain,
+    * scan-fused, zero shuffle — the shape a 100 TB scrub pass needs.
+    */
+  def redactPii(text: Column,
+                patterns: Seq[(String, String)] = PiiPatterns): Column =
+    patterns.foldLeft(text) { case (acc, (p, tok)) =>
+      regexp_replace(acc, p, tok)
+    }
 }

@@ -489,6 +489,41 @@ object PipelineQueries {
         .orderBy(col("n").desc, col("tok")).limit(40)
     },
 
+    // PII redaction — the corpus-scrubbing stage: render support-ticket
+    // text carrying a real email + TPC-H phone per customer, mask
+    // email/phone/IP spans to fixed tokens, hash-match the redacted
+    // strings. The pattern set is restricted to the Java≡RE2 regex
+    // subset so the identical pattern text runs in DuckDB.
+    QueryDef("ta09_pii_redaction",
+      """SELECT c_custkey,
+        |  regexp_replace(regexp_replace(regexp_replace(
+        |    concat('contact ', c_name, ' at ',
+        |           lower(replace(c_name, ' ', '.')), '@example.com or ',
+        |           CAST(10 + c_custkey % 90 AS VARCHAR), '-',
+        |           CAST(100 + c_custkey % 900 AS VARCHAR), '-',
+        |           CAST(100 + (c_custkey * 7) % 900 AS VARCHAR), '-',
+        |           CAST(1000 + (c_custkey * 13) % 9000 AS VARCHAR),
+        |           ' (last login 10.0.', CAST(c_custkey % 256 AS VARCHAR), '.7)'),
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+        |    '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g') AS redacted
+        |FROM customer ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      // the testdata customer table carries no phone column — derive a
+      // well-formed one from the key, identically in the oracle
+      val k = col("c_custkey")
+      val ticket = concat(lit("contact "), col("c_name"), lit(" at "),
+        lower(translate(col("c_name"), " ", ".")), lit("@example.com or "),
+        (k % 90 + 10).cast(StringType), lit("-"),
+        (k % 900 + 100).cast(StringType), lit("-"),
+        ((k * 7) % 900 + 100).cast(StringType), lit("-"),
+        ((k * 13) % 9000 + 1000).cast(StringType),
+        lit(" (last login 10.0."), (k % 256).cast(StringType), lit(".7)"))
+      Tables.load(s, dir, "customer")
+        .select(col("c_custkey"),
+          TextAnalysis.redactPii(ticket).as("redacted"))
+        .orderBy("c_custkey")
+    },
+
     // TF-IDF top terms per document: the distinctive-term extraction
     // step of corpus analysis. Three hash aggregations + one window
     // top-k; the corpus size joins in as a broadcast single-row agg.

@@ -216,6 +216,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(kept == Set(11L, 13L), s"survivors: $kept")
   }
 
+  test("PII redaction: planted email/phone/ip masked, surrounding text intact") {
+    import graft.operators.TextAnalysis
+    val d = Seq(
+      (1L, "reach me at jane.doe+test@sub.example.co.uk or 25-989-741-2988 from 192.168.1.100 thanks"),
+      (2L, "no pii here just words and numbers like 42 and 7-11"))
+      .toDF("id", "text")
+    val out = d.select($"id", TextAnalysis.redactPii($"text").as("r"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "reach me at <EMAIL> or <PHONE> from <IP> thanks", out(1L))
+    assert(out(2L) == "no pii here just words and numbers like 42 and 7-11", out(2L))
+  }
+
   test("tf-idf: corpus-wide terms score zero, distinctive terms rank first") {
     val d = Seq(
       (1L, "common common rare1 rare1 rare1"),
