@@ -136,6 +136,12 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("LeftAnti"), p)
   }
 
+  test("dd11: decontamination joins corpus shingles against a BROADCAST holdout") {
+    val p = planOf("dd11_decontamination")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), s"corpus shingles should not shuffle for the join:\n$p")
+  }
+
   test("log parser fused path keeps one regex pass (no RegExpExtract chain)") {
     import org.apache.spark.sql.functions._
     // non-foldable input so the optimizer can't constant-fold the parse
