@@ -169,4 +169,39 @@ object TextAnalysis {
     patterns.foldLeft(text) { case (acc, (p, tok)) =>
       regexp_replace(acc, p, tok)
     }
+
+  /** Token-budget sharding: pack documents (in `idCol` order) into
+    * contiguous shards of ≤ `budget` tokens — the sequence-packing step
+    * that turns a curated corpus into bounded training shards. A doc's
+    * shard is `floor(start_offset / budget)` where start_offset is the
+    * running token count before it, so the assignment is a pure function
+    * of the global prefix sum — independent of partitioning.
+    *
+    * Scale shape: NOT a global single-partition window. The prefix sum
+    * distributes classically — range-partition by id, per-partition
+    * local cumsum (keyed window), then a tiny per-partition-totals frame
+    * (one row per partition) carries the prefix offsets back via
+    * broadcast. The only ordered-window pass over all rows runs inside
+    * each range partition; the cross-partition step touches P rows.
+    */
+  def tokenShards(df: DataFrame, idCol: String, textCol: String,
+                  budget: Long): DataFrame = {
+    require(budget > 0, "token budget must be positive")
+    val t = df.select(col(idCol),
+      size(split(col(textCol), " ")).cast(LongType).as("n_tokens"))
+    val local = t.repartitionByRange(col(idCol))
+      .withColumn("_pid", spark_partition_id())
+      .withColumn("_lcum", sum(col("n_tokens")).over(
+        Window.partitionBy(col("_pid")).orderBy(col(idCol))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val prefix = local.groupBy("_pid").agg(max(col("_lcum")).as("_ptot"))
+      .withColumn("_offset", coalesce(sum(col("_ptot")).over(
+        Window.orderBy(col("_pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_pid"), col("_offset"))
+    local.join(broadcast(prefix), "_pid")
+      .select(col(idCol), col("n_tokens"),
+        floor((col("_lcum") + col("_offset") - col("n_tokens")) /
+          budget.toDouble).cast(LongType).as("shard"))
+  }
 }

@@ -524,6 +524,31 @@ object PipelineQueries {
         .orderBy("c_custkey")
     },
 
+    // Token-budget sharding (sequence packing): documents in id order
+    // packed into ≤2000-token shards via a DISTRIBUTED prefix sum (see
+    // TextAnalysis.tokenShards — no global single-partition window).
+    // The oracle computes the same assignment with a plain global
+    // running sum; per-shard rollup hash-matches.
+    QueryDef("ta10_token_shards",
+      """WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents),
+        | c AS (SELECT doc_id, n_tokens,
+        |         sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |       FROM t)
+        |SELECT CAST(floor((cum - n_tokens) / 2000.0) AS BIGINT) AS shard,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  CAST(min(doc_id) AS BIGINT) AS first_doc,
+        |  CAST(max(doc_id) AS BIGINT) AS last_doc
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      TextAnalysis.tokenShards(docs(s, dir), "doc_id", "text", budget = 2000L)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).cast(LongType).as("total_tokens"),
+          min(col("doc_id")).cast(LongType).as("first_doc"),
+          max(col("doc_id")).cast(LongType).as("last_doc"))
+        .orderBy("shard")
+    },
+
     // TF-IDF top terms per document: the distinctive-term extraction
     // step of corpus analysis. Three hash aggregations + one window
     // top-k; the corpus size joins in as a broadcast single-row agg.

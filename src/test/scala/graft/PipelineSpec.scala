@@ -228,6 +228,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(2L) == "no pii here just words and numbers like 42 and 7-11", out(2L))
   }
 
+  test("tokenShards: distributed prefix sum equals the naive global window") {
+    import graft.operators.TextAnalysis
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.load(spark, sf, "documents")
+    val dist = TextAnalysis.tokenShards(d, "doc_id", "text", 500L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val naive = d.select($"doc_id",
+        size(split($"text", " ")).cast("long").as("n_tokens"))
+      .withColumn("cum", sum($"n_tokens").over(
+        Window.orderBy($"doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select($"doc_id", $"n_tokens",
+        floor(($"cum" - $"n_tokens") / 500.0).cast("long").as("shard"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(dist == naive,
+      s"diverges: ${dist.diff(naive).take(5)} vs ${naive.diff(dist).take(5)}")
+    // shards are contiguous id ranges, each started under the budget
+    val byShard = dist.groupBy(_._3).toSeq.sortBy(_._1).map(_._2)
+    val maxIds = byShard.map(_.map(_._1).max)
+    val minIds = byShard.map(_.map(_._1).min)
+    assert(maxIds.init.zip(minIds.tail).forall { case (hi, lo) => hi < lo },
+      "shard id ranges overlap")
+  }
+
   test("tf-idf: corpus-wide terms score zero, distinctive terms rank first") {
     val d = Seq(
       (1L, "common common rare1 rare1 rare1"),
