@@ -838,6 +838,63 @@ object PipelineQueries {
         .orderBy("wstart", "event_type")
     },
 
+    // Stateful sessionization (flatMapGroupsWithState) in the gate: the
+    // custom per-user session state machine, verified cross-engine. In
+    // single-batch processing every non-final session closes in-stream
+    // (the gap arrives in the same group call); each user's FINAL
+    // session sits in state until its event-time timeout fires — which
+    // happens in the no-data batch iff ceil_ms(end + gap) < watermark
+    // (= floor_ms(max(ts)) − delay, strict <). The oracle reconstructs
+    // identical sessions with the portable lag/cumsum formulation and
+    // applies exactly that emission horizon in µs arithmetic (the data
+    // has zero sub-µs, so both engines compute the same integers).
+    // sum_value is deliberately absent: the stream accumulates IEEE
+    // doubles in event order, which no engine-independent SQL pins.
+    QueryDef("st02_stream_sessions",
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        | se AS (
+        |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                             ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM g),
+        | s AS (
+        |  SELECT user_id, sid, min(ts) AS session_start, max(ts) AS session_end,
+        |         count(*) AS n_events
+        |  FROM se GROUP BY user_id, sid),
+        | mx AS (SELECT max(ts) AS mxts FROM events),
+        | last_s AS (SELECT user_id, max(session_start) AS last_start
+        |            FROM s GROUP BY user_id)
+        |SELECT s.user_id, s.session_start, s.session_end, s.n_events
+        |FROM s JOIN last_s USING (user_id), mx
+        |WHERE s.session_start < last_s.last_start
+        |   OR CAST(ceil((epoch_us(s.session_end) + 1800000000) / 1000.0) AS BIGINT)
+        |      < CAST(floor(epoch_us(mx.mxts) / 1000.0) AS BIGINT) - 600000
+        |ORDER BY user_id, session_start""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val sink = s"st02_sink_${StSinkSeq.incrementAndGet()}"
+      val ev = Tables.eventsStream(s, dir)
+        .select(col("user_id"), col("ts"), col("value"))
+        .as[graft.streaming.SessionEvent]
+      val q = graft.streaming.StreamingJobs
+        .sessionize(ev, gapMinutes = 30, watermark = "10 minutes")
+        .toDF()
+        .writeStream.outputMode("append")
+        .format("memory").queryName(sink)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink)
+        .select(col("user_id"),
+          col("session_start").cast(TimestampNTZType).as("session_start"),
+          col("session_end").cast(TimestampNTZType).as("session_end"),
+          col("n_events"))
+        .orderBy("user_id", "session_start")
+    },
+
     // Approximate quantiles (percentile_approx) — the sketch every
     // monitoring rollup runs at scale instead of an exact global sort.
     // The sketch's actual guarantee is RANK accuracy (±1/accuracy of the

@@ -33,10 +33,21 @@ object RelationalQueries {
   private def decM(c: Column): Column = c.cast(DecimalType(12, 4))
   private def oneMinus(c: Column): Column =
     lit(1).cast(DecimalType(5, 4)) - c.cast(DecimalType(6, 4))
+  /** The scale-8 product sum renders as a double through FLOOR-at-4dp
+    * quantization: floor is identical in both engines (no rounding-mode
+    * semantics, unlike a decimal re-scale, which is HALF_UP in Spark),
+    * the scaled integer stays far under 2^53 at test scale so the
+    * BIGINT→DOUBLE conversion is exact everywhere, and the final /1e4
+    * is one correctly-rounded IEEE division. A direct double cast of
+    * the scale-8 decimal diverged by 1 ulp at sf0.1 — DuckDB's
+    * int128/10^8 path vs Spark's BigDecimal.doubleValue round
+    * differently.
+    */
   private def discSum(price: Column, disc: Column): Column =
-    sum(decM(price) * oneMinus(disc)).cast(DoubleType)
+    floor(sum(decM(price) * oneMinus(disc)) * 10000)
+      .cast(LongType).cast(DoubleType) / 10000.0
   private val DiscSumSql =
-    "CAST(sum(CAST(%s AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(5,4)) - CAST(%s AS DECIMAL(6,4)))) AS DOUBLE)"
+    "(CAST(CAST(floor(sum(CAST(%s AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(5,4)) - CAST(%s AS DECIMAL(6,4)))) * 10000) AS BIGINT) AS DOUBLE) / 10000.0)"
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
@@ -57,7 +68,7 @@ object RelationalQueries {
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DOUBLE) AS sum_disc_price,
+        |  (CAST(CAST(floor(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(6,4)))) * 10000) AS BIGINT) AS DOUBLE) / 10000.0) AS sum_disc_price,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_price,
         |  CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_disc,

@@ -112,14 +112,29 @@ object StreamingJobs {
     * store, closed sessions emitted when a gap arrives in-stream or the
     * event-time timeout fires (watermark passed last event + gap).
     * Mirrors the batch `Sessionize.summarize` semantics.
+    *
+    * State tracks MICROSECONDS (the event-time precision Spark encodes),
+    * not `Timestamp.getTime` milliseconds — ms truncation would silently
+    * shift session bounds on µs-precision data and break agreement with
+    * the batch formulation. Only the state-store timeout (a ms API)
+    * rounds, and it rounds UP so a timeout can never fire before
+    * `end + gap`.
     */
   def sessionize(events: Dataset[SessionEvent], gapMinutes: Int,
                  watermark: String = "10 minutes"): Dataset[SessionAgg] = {
     import events.sparkSession.implicits._
-    val gapMs = gapMinutes * 60000L
+    val gapUs = gapMinutes * 60000000L
+
+    def micros(t: Timestamp): Long =
+      t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    def fromMicros(us: Long): Timestamp = {
+      val t = new Timestamp(us / 1000000L * 1000L)
+      t.setNanos((us % 1000000L).toInt * 1000)
+      t
+    }
 
     def close(userId: Long, s: SState): SessionAgg =
-      SessionAgg(userId, new Timestamp(s.start), new Timestamp(s.end), s.n, s.total)
+      SessionAgg(userId, fromMicros(s.start), fromMicros(s.end), s.n, s.total)
 
     def fn(userId: Long, it: Iterator[SessionEvent],
            state: GroupState[SState]): Iterator[SessionAgg] = {
@@ -128,13 +143,13 @@ object StreamingJobs {
         state.remove()
         out
       } else {
-        val evs = it.toSeq.sortBy(_.ts.getTime)
+        val evs = it.toSeq.sortBy(e => micros(e.ts))
         var cur = state.getOption
         val closed = Seq.newBuilder[SessionAgg]
         evs.foreach { e =>
-          val t = e.ts.getTime
+          val t = micros(e.ts)
           cur match {
-            case Some(s) if t - s.end > gapMs =>
+            case Some(s) if t - s.end > gapUs =>
               closed += close(userId, s)
               cur = Some(SState(t, t, 1, e.value))
             case Some(s) =>
@@ -145,7 +160,9 @@ object StreamingJobs {
         }
         cur.foreach { s =>
           state.update(s)
-          state.setTimeoutTimestamp(s.end + gapMs)
+          // ceil to ms: firing 1 ms late is harmless, 1 ms early would
+          // close a session the batch semantics keep open
+          state.setTimeoutTimestamp((s.end + gapUs + 999) / 1000)
         }
         closed.result().iterator
       }

@@ -307,6 +307,30 @@ class PipelineSpec extends AnyFunSuite {
       s"stream vs batch diverge: ${streamed.toSet.diff(batch.toSet)} / ${batch.toSet.diff(streamed.toSet)}")
   }
 
+  test("st02 stateful sessions equal batch sessions inside the timeout horizon") {
+    import java.time.LocalDateTime
+    def us(t: LocalDateTime): Long =
+      t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + t.getNano / 1000
+    val streamed = SparkEntry.queries("st02_stream_sessions")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.get(1).toString, r.get(2).toString, r.getLong(3)))
+      .toSet
+    val mx = us(Tables.events(spark, sf).agg(max($"ts")).collect()(0)
+      .getAs[LocalDateTime](0))
+    val batch = SparkEntry.queries("ev02_sessionize")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getAs[LocalDateTime]("session_start"),
+        r.getAs[LocalDateTime]("session_end"), r.getLong(2)))
+    val lastStart = batch.groupBy(_._1).view.mapValues(_.map(s => us(s._2)).max).toMap
+    val expected = batch.filter { case (u, st, en, _) =>
+      us(st) < lastStart(u) ||
+        (us(en) + 30 * 60000000L + 999) / 1000 < mx / 1000 - 600000
+    }.map { case (u, st, en, n) => (u, st.toString, en.toString, n) }.toSet
+    assert(streamed.nonEmpty)
+    // LocalDateTime.toString matches the NTZ collect rendering on both
+    // sides, so set equality is exact session-boundary equality
+    assert(streamed == expected,
+      s"stream vs batch: ${streamed.diff(expected).take(3)} / ${expected.diff(streamed).take(3)}")
+  }
+
   test("connected components: symmetrization is direction-invariant") {
     // the explode-based symmetrization must behave exactly like
     // union(e, e.swap): flipping every edge's direction (and mixing
