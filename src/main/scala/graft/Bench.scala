@@ -54,19 +54,36 @@ object Bench {
     // is IDENTIFIABLE from its own artifact instead of looking like a
     // regression. (The mode spans whole runs, so min-of-passes can't
     // mask it; detection is the honest remedy.)
-    def calibMs(): Double = {
+    def spin(): Long = {
       var h = 0x9e3779b97f4a7c15L; var i = 0
-      val t0 = System.nanoTime()
       while (i < 20000000) {
         h ^= h >>> 33; h *= 0xff51afd7ed558ccdL; h ^= h >>> 29; i += 1
       }
-      val dt = (System.nanoTime() - t0) / 1e6
-      if (h == 42L) println("") // defeat dead-code elimination
-      dt
+      h
     }
-    val calibPre = calibMs()
+    def calibMs(): Double = {
+      val t0 = System.nanoTime()
+      if (spin() == 42L) println("") // defeat dead-code elimination
+      (System.nanoTime() - t0) / 1e6
+    }
+    // the parallel twin distinguishes the two observed noise modes: JVM
+    // deopt inflates BOTH numbers; external host contention leaves the
+    // single-thread loop healthy while the all-cores wall time (which is
+    // what 32-thread query stages experience) inflates. Healthy: both
+    // ≈ the single-thread figure.
+    def calibParMs(): Double = {
+      val n = cpus.toInt
+      val t0 = System.nanoTime()
+      val ts = (0 until n).map { _ =>
+        val t = new Thread(() => { if (spin() == 42L) println("") })
+        t.start(); t
+      }
+      ts.foreach(_.join())
+      (System.nanoTime() - t0) / 1e6
+    }
+    val (calibPre, calibParPre) = (calibMs(), calibParMs())
     val (p1, p2) = (sweep(), sweep())
-    val calibPost = calibMs()
+    val (calibPost, calibParPost) = (calibMs(), calibParMs())
     val results = p1.zip(p2).map { case ((name, t1, e1), (_, t2, e2)) =>
       (name, math.min(t1, t2), e1.orElse(e2))
     }
@@ -75,7 +92,7 @@ object Bench {
     val failed = results.collect { case (k, _, Some(e)) => s""""$k":"$e"""" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"calib_ms":[$calibPre,$calibPost],"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"calib_ms":[$calibPre,$calibPost],"calib_par_ms":[$calibParPre,$calibParPost],"sf":"$sfDir"}""")
     spark.stop()
   }
 }
