@@ -662,7 +662,35 @@ object PipelineQueries {
         .orderBy("asset_id")
     },
 
-    QueryDef.noOracle("mm02_media_plans") { (s, dir) =>
+    // The metadata-only plans (resize targets, sampled frame indices)
+    // are pure arithmetic over the asset metadata, and the synthetic
+    // metadata is itself a pure function of asset_id — so DuckDB can
+    // recompute the ENTIRE expected output from range(300) and the
+    // generation contract: a full hash-match for the planning half of
+    // the multimodal surface (the payload-decoding half, mm01, stays
+    // rows-only — bytes have no SQL oracle).
+    QueryDef("mm02_media_plans",
+      """WITH ids AS (SELECT unnest(range(300)) AS asset_id),
+        | m AS (SELECT asset_id,
+        |        asset_id % 3 AS k,
+        |        CASE WHEN asset_id % 3 = 0 THEN 160 + (asset_id % 4) * 40
+        |             WHEN asset_id % 3 = 2 THEN 640 + (asset_id % 4) * 160
+        |             ELSE 0 END AS width,
+        |        CASE WHEN asset_id % 3 = 0 THEN 120 + (asset_id % 4) * 30
+        |             WHEN asset_id % 3 = 2 THEN 480 + (asset_id % 4) * 120
+        |             ELSE 0 END AS height,
+        |        CASE WHEN asset_id % 3 = 2 THEN 240 + (asset_id % 60) ELSE 1 END AS n_frames
+        |       FROM ids),
+        | resize AS (SELECT asset_id, 'resize' AS plan,
+        |        CAST(floor(width * least(320.0 / width, 320.0 / height, 1.0)) AS BIGINT) AS a,
+        |        CAST(floor(height * least(320.0 / width, 320.0 / height, 1.0)) AS BIGINT) AS b
+        |      FROM m WHERE k <> 1),
+        | frames AS (SELECT asset_id, 'frame' AS plan,
+        |        CAST(unnest(range(0, least(n_frames - 1, 120) + 1, 30)) AS BIGINT) AS a,
+        |        CAST(n_frames AS BIGINT) AS b
+        |      FROM m WHERE k = 2)
+        |SELECT * FROM (SELECT * FROM resize UNION ALL SELECT * FROM frames)
+        |ORDER BY asset_id, plan, a""".stripMargin) { (s, dir) =>
       val assets = graft.multimodal.Multimodal.syntheticAssets(s, 300).toDF()
       val resize = graft.multimodal.Multimodal.resizePlan(assets, 320)
         .select(col("asset_id"), lit("resize").as("plan"),
