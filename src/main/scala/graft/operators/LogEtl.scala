@@ -57,7 +57,9 @@ object LogEtl {
     "vpc" -> Format((df, _) => graft.sources.VpcFlowLog.parse(df),
       "start_ts"),
     "alb" -> Format((df, fused) =>
-      graft.sources.AlbAccessLog.parse(df, fused = fused), "time"))
+      graft.sources.AlbAccessLog.parse(df, fused = fused), "time"),
+    "cloudfront" -> Format((df, _) =>
+      graft.sources.CloudFrontLog.parse(df), "ts"))
 
   /** Destination path for one (bucket, runDate): raw `%Y/%m/%d` or Hive
     * `year=%Y/month=%m/day=%d` layout (s3_server_access_logs.py:445-454).

@@ -142,5 +142,60 @@ object EtlQueries {
           sum(when(col("actions_executed") === "waf,forward", 1L)
             .otherwise(0L)).as("n_waf"))
         .orderBy("elb")
+    },
+
+    // CloudFront roundtrip: render one W3C tab-separated record per
+    // lineitem row (with the structural #Version/#Fields headers mixed
+    // in via a separate literal frame), parse through CloudFrontLog,
+    // aggregate typed fields including a TRAILING one (c_port) and a
+    // decimal-summed double (time_to_first_byte). The oracle recomputes
+    // everything straight from lineitem.
+    QueryDef("etl04_cloudfront_roundtrip",
+      """SELECT concat('EDGE', CAST(l_suppkey % 6 AS VARCHAR)) AS x_edge_location,
+        |  count(*) AS n_requests,
+        |  CAST(sum(l_orderkey % 100000) AS BIGINT) AS total_bytes,
+        |  CAST(sum(CASE WHEN l_orderkey % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_miss,
+        |  CAST(max(200 + (l_linenumber % 5)) AS INTEGER) AS max_status,
+        |  min(CAST(l_shipdate AS TIMESTAMP)) AS first_ts,
+        |  CAST(sum(CAST(CAST(l_orderkey % 100 AS DOUBLE) / 1000.0 AS DECIMAL(18,4))) AS DOUBLE) AS sum_ttfb,
+        |  CAST(max(10000 + l_partkey % 50000) AS INTEGER) AS max_port
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val li = Tables.spread(Tables.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate", "l_linenumber", "l_partkey"),
+        "l_orderkey", "l_linenumber")
+      val lines = li.select(format_string(
+        "%s\t00:00:00\tEDGE%d\t%d\t10.0.0.%d\tGET\td1.cf.net\t/k/%d\t%d\t-\t" +
+          "Mozilla%%2F5.0\t-\t-\t%s\tREQ%d\thost.example.com\thttps\t%d\t" +
+          "0.002\t-\tTLSv1.3\tC\tHit\tHTTP/2.0\t-\t-\t%d\t%.3f\tHit\t" +
+          "text/html\t512\t-\t-",
+        date_format(col("l_shipdate"), "yyyy-MM-dd"),
+        col("l_suppkey") % 6,
+        col("l_orderkey") % 100000,
+        col("l_partkey") % 250,
+        col("l_partkey"),
+        lit(200) + (col("l_linenumber") % 5),
+        when(col("l_orderkey") % 3 === 0, "Miss").otherwise("Hit"),
+        col("l_orderkey") * 10 + col("l_linenumber"),
+        col("l_linenumber") * 10,
+        lit(10000) + col("l_partkey") % 50000,
+        (col("l_orderkey") % 100).cast(DoubleType) / 1000.0).as("value"))
+      // every real CloudFront file opens with structural comments — mix
+      // them in so the parser's comment-drop path is exercised in-gate
+      val headers = Tables.load(s, dir, "region").limit(1).select(
+        explode(array(lit("#Version: 1.0"),
+          lit("#Fields: date time x-edge-location sc-bytes c-ip"))).as("value"))
+      graft.sources.CloudFrontLog.parse(headers.unionAll(lines))
+        .groupBy(col("x_edge_location"))
+        .agg(
+          count(lit(1)).as("n_requests"),
+          sum(col("sc_bytes")).as("total_bytes"),
+          sum(when(col("x_edge_result_type") === "Miss", 1L).otherwise(0L))
+            .as("n_miss"),
+          max(col("sc_status")).as("max_status"),
+          min(col("ts")).as("first_ts"),
+          sum(col("time_to_first_byte").cast(DecimalType(18, 4)))
+            .cast(DoubleType).as("sum_ttfb"),
+          max(col("c_port")).as("max_port"))
+        .orderBy("x_edge_location")
     })
 }

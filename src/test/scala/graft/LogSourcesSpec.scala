@@ -128,6 +128,43 @@ class LogSourcesSpec extends AnyFunSuite {
     assert(r.getAs[String]("error_line") == null)
   }
 
+  test("cloudfront: documented sample line parses typed fields, trailing included") {
+    val line = Seq("2019-12-04", "21:02:31", "LAX1", "392", "192.0.2.100", "GET",
+      "d111111abcdef8.cloudfront.net", "/index.html", "200", "-", "Mozilla%2F5.0",
+      "-", "-", "Hit", "SOX4xwn4XV6Q4rgb7XiVGOHms==", "d111111abcdef8.cloudfront.net",
+      "https", "23", "0.001", "-", "TLSv1.2", "ECDHE-RSA-AES128-GCM-SHA256", "Hit",
+      "HTTP/2.0", "-", "-", "11040", "0.001", "Hit", "text/html", "78", "-", "-")
+      .mkString("\t")
+    val r = graft.sources.CloudFrontLog.parse(Seq(line).toDF("value")).collect().head
+    assert(r.getAs[java.time.LocalDateTime]("ts").toString == "2019-12-04T21:02:31")
+    assert(r.getAs[String]("x_edge_location") == "LAX1")
+    assert(r.getAs[Long]("sc_bytes") == 392L)
+    assert(r.getAs[Int]("sc_status") == 200)
+    assert(r.getAs[String]("cs_referer") == null)
+    assert(r.getAs[String]("cs_user_agent") == "Mozilla%2F5.0")
+    assert(r.getAs[Double]("time_taken") == 0.001)
+    assert(r.getAs[Int]("c_port") == 11040)
+    assert(r.getAs[Double]("time_to_first_byte") == 0.001)
+    assert(r.getAs[Long]("sc_content_len") == 78L)
+    assert(r.isNullAt(r.fieldIndex("sc_range_start")))
+    assert(r.getAs[String]("error_line") == null)
+  }
+
+  test("cloudfront: comments drop, 26-field classic lines parse, short lines dead-letter") {
+    val classic = (Seq("2019-12-04", "21:02:31", "LAX1", "392", "192.0.2.100", "GET",
+      "h", "/", "200", "-", "UA", "-", "-", "Miss", "R==", "h", "https", "23",
+      "0.001", "-", "TLSv1.2", "C", "Miss", "HTTP/1.1", "-", "-")).mkString("\t")
+    val df = Seq("#Version: 1.0", "#Fields: date time ...", classic, "too\tshort")
+      .toDF("value")
+    val rows = graft.sources.CloudFrontLog.parse(df).collect()
+    assert(rows.length == 2, "comment lines must drop, not dead-letter")
+    val good = rows.find(_.getAs[String]("error_line") == null).get
+    assert(good.getAs[String]("x_edge_result_type") == "Miss")
+    assert(good.isNullAt(good.fieldIndex("c_port")), "trailing field null on classic line")
+    val bad = rows.find(_.getAs[String]("error_line") != null).get
+    assert(bad.getAs[String]("error_line") == "too\tshort")
+  }
+
   test("quote_tokenize ≡ regexp_extract_all on adversarial token soup") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
