@@ -63,6 +63,20 @@ class LogEtlSpec extends AnyFunSuite {
     assert(alb.count() == 50)
     assert(alb.filter($"elb" === "app/lb/1").count() == 50)
     assert(alb.filter($"error_line".isNotNull).count() == 0)
+
+    val cfIn = tmpDir(); val cfOut = tmpDir()
+    Files.write(java.nio.file.Paths.get(s"$cfIn/cf.txt"),
+      ("#Version: 1.0" +: "#Fields: date time x-edge-location" +:
+        (0 until 50).map(i =>
+          Seq(f"2019-12-04\t21:02:${i % 60}%02d", "LAX1", s"${300 + i}",
+            "192.0.2.1", "GET", "h", "/", "200", "-", "UA", "-", "-", "Hit",
+            "R==", "h", "https", "23", "0.001", "-", "TLSv1.2", "C", "Hit",
+            "HTTP/2.0", "-", "-").mkString("\t"))).mkString("\n").getBytes)
+    LogEtl.compact(spark, cfIn, cfOut, numOutputFiles = 2, format = "cloudfront")
+    val cf = spark.read.parquet(cfOut)
+    assert(cf.count() == 50, "headers must drop, data rows survive compact")
+    assert(cf.filter($"error_line".isNotNull).count() == 0)
+    assert(cf.filter($"x_edge_location" === "LAX1").count() == 50)
   }
 
   test("output is sorted by request_time within each partition (s3.py:457-458)") {
