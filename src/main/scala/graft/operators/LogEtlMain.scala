@@ -21,7 +21,7 @@ import org.apache.spark.sql.SparkSession
   *   --num-output-files  default 10 (s3_server_access_logs.py:507-511)
   *   --hive-formatted-folders  year=/month=/day= layout
   *                       (s3_server_access_logs.py:445-454)
-  *   --format            engine extension: s3 (default) | vpc | alb —
+  *   --format            engine extension: s3 (default) | vpc | alb | cloudfront —
   *                       the converter families the reference README
   *                       names (README.md:11); see LogEtl.Formats
   *
