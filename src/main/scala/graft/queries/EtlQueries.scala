@@ -166,7 +166,7 @@ object EtlQueries {
       val lines = li.select(format_string(
         "%s\t00:00:00\tEDGE%d\t%d\t10.0.0.%d\tGET\td1.cf.net\t/k/%d\t%d\t-\t" +
           "Mozilla%%2F5.0\t-\t-\t%s\tREQ%d\thost.example.com\thttps\t%d\t" +
-          "0.002\t-\tTLSv1.3\tC\tHit\tHTTP/2.0\t-\t-\t%d\t%.3f\tHit\t" +
+          "0.002\t-\tTLSv1.3\tC\tHit\tHTTP/2.0\t-\t-\t%d\t0.0%s\tHit\t" +
           "text/html\t512\t-\t-",
         date_format(col("l_shipdate"), "yyyy-MM-dd"),
         col("l_suppkey") % 6,
@@ -178,7 +178,9 @@ object EtlQueries {
         col("l_orderkey") * 10 + col("l_linenumber"),
         col("l_linenumber") * 10,
         lit(10000) + col("l_partkey") % 50000,
-        (col("l_orderkey") % 100).cast(DoubleType) / 1000.0).as("value"))
+        // k in [0,100) → "0.0" + 2-digit k IS the %.3f rendering of
+        // k/1000, without a java.util.Formatter float path per row
+        lpad((col("l_orderkey") % 100).cast(StringType), 2, "0")).as("value"))
       // every real CloudFront file opens with structural comments — mix
       // them in so the parser's comment-drop path is exercised in-gate
       val headers = Tables.load(s, dir, "region").limit(1).select(
