@@ -923,6 +923,38 @@ object PipelineQueries {
         .orderBy("user_id", "session_start")
     },
 
+    // Time-series gap fill: the hourly rollup densified onto the full
+    // hour grid per event_type — absent buckets get n = 0 and carry the
+    // last observed v forward (null before the first observation). The
+    // grid is rollup-sized (hours × types), built from broadcast
+    // aggregates; the fill is one ordered window per key. Forward-filled
+    // doubles are COPIES of decimal-derived values, so they hash-match.
+    QueryDef("ev09_gap_fill",
+      """WITH roll AS (
+        |  SELECT date_trunc('hour', ts) AS wstart, event_type, count(*) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS v
+        |  FROM events GROUP BY 1, 2),
+        | b AS (SELECT min(wstart) AS lo, max(wstart) AS hi FROM roll),
+        | hours AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS wstart FROM b),
+        | et AS (SELECT DISTINCT event_type FROM events),
+        | grid AS (SELECT wstart, event_type FROM hours, et),
+        | j AS (SELECT g.wstart, g.event_type, r.n, r.v
+        |       FROM grid g LEFT JOIN roll r USING (wstart, event_type))
+        |SELECT wstart, event_type, CAST(COALESCE(n, 0) AS BIGINT) AS n,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY wstart
+        |    ROWS UNBOUNDED PRECEDING) AS v
+        |FROM j ORDER BY event_type, wstart""".stripMargin) { (s, dir) =>
+      val roll = Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType).as("v"))
+        .select(col("window.start").as("wstart"), col("event_type"),
+          col("n"), col("v"))
+      graft.operators.TimeSeries.gapFill(roll, "wstart", "event_type",
+          expr("INTERVAL 1 HOUR"), zeroCols = Seq("n"), ffillCols = Seq("v"))
+        .orderBy("event_type", "wstart")
+    },
+
     // Approximate quantiles (percentile_approx) — the sketch every
     // monitoring rollup runs at scale instead of an exact global sort.
     // The sketch's actual guarantee is RANK accuracy (±1/accuracy of the

@@ -228,6 +228,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(2L) == "no pii here just words and numbers like 42 and 7-11", out(2L))
   }
 
+  test("gapFill: planted gaps get zeros and forward-filled gauges, leading nulls stay") {
+    import java.sql.Timestamp
+    def h(n: Int) = Timestamp.valueOf(f"2024-01-01 $n%02d:00:00")
+    // key A observed at hours 0 and 3 (gap at 1,2); key B first observed
+    // at hour 2 (leading hours have nothing to carry)
+    val roll = Seq(
+      ("A", h(0), 5L, 1.5), ("A", h(3), 2L, 9.0),
+      ("B", h(2), 1L, 4.0))
+      .toDF("k", "ts", "n", "v")
+    val filled = graft.operators.TimeSeries.gapFill(roll, "ts", "k",
+        expr("INTERVAL 1 HOUR"), zeroCols = Seq("n"), ffillCols = Seq("v"))
+      .collect().map(r => (r.getString(1), r.getTimestamp(0).toString.take(13),
+        r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double])))
+      .toSet
+    assert(filled == Set(
+      ("A", "2024-01-01 00", 5L, Some(1.5)),
+      ("A", "2024-01-01 01", 0L, Some(1.5)),
+      ("A", "2024-01-01 02", 0L, Some(1.5)),
+      ("A", "2024-01-01 03", 2L, Some(9.0)),
+      ("B", "2024-01-01 00", 0L, None),
+      ("B", "2024-01-01 01", 0L, None),
+      ("B", "2024-01-01 02", 1L, Some(4.0)),
+      ("B", "2024-01-01 03", 0L, Some(4.0))), filled)
+  }
+
   test("tokenShards: distributed prefix sum equals the naive global window") {
     import graft.operators.TextAnalysis
     import org.apache.spark.sql.expressions.Window
