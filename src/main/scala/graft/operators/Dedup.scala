@@ -297,4 +297,35 @@ object Dedup {
               .bitwiseAND(1) === 1, 1).otherwise(-1)) > 0,
           call_function("shiftleft", lit(1L), b)).otherwise(0L))
         .cast(LongType).as("simhash"))
+
+  /** Typo-pair detection over a token vocabulary (the fuzzy-key-matching
+    * step of entity/token normalization): candidates blocked on (first
+    * char, ±1 length band) so only plausible typo pairs ever meet, then
+    * exact Levenshtein distance == 1. Output: `(tok_a, tok_b, dist)`
+    * with `tok_a < tok_b`.
+    *
+    * Known blocking trade-off (standard for candidate generation): pairs
+    * differing in their FIRST character never meet. The dist column is
+    * projected as the literal 1L — the filter already pinned it, and
+    * Catalyst does not CSE the O(len²) DP across Filter and Project.
+    *
+    * Scale posture: the equi-join keys on the block (first char), so the
+    * shuffle carries distinct tokens — bytes, not documents — and the
+    * fan-out is bounded by block size, never all-pairs across the
+    * vocabulary. For vocabularies with heavy first-char skew, widen the
+    * block key (first char + length) or salt the hot block.
+    */
+  def typoPairs(vocab: DataFrame, tokCol: String, minLen: Int = 4): DataFrame = {
+    val v = vocab.select(col(tokCol).as("tok")).distinct()
+      .filter(length(col("tok")) >= minLen)
+      .select(col("tok"), substring(col("tok"), 1, 1).as("_c1"),
+        length(col("tok")).as("_len"))
+    val a = v.select(col("tok").as("tok_a"), col("_c1"), col("_len").as("_la"))
+    val b = v.select(col("tok").as("tok_b"), col("_c1"), col("_len").as("_lb"))
+    a.join(b, Seq("_c1"))
+      .filter(col("_lb").between(col("_la") - 1, col("_la") + 1) &&
+        col("tok_a") < col("tok_b") &&
+        levenshtein(col("tok_a"), col("tok_b")) === 1)
+      .select(col("tok_a"), col("tok_b"), lit(1L).as("dist"))
+  }
 }

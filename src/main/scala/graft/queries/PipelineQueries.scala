@@ -337,39 +337,33 @@ object PipelineQueries {
         .orderBy("lang")
     },
 
-    // Typo-pair detection over the corpus vocabulary: distinct tokens
-    // blocked by (first char, length band) so only plausible typo pairs
-    // ever meet, then exact Levenshtein distance 1 — the fuzzy-key-
-    // matching step of entity/token normalization. Both engines
-    // implement classic integer edit distance → hash-exact oracle.
-    // Known blocking trade-off (standard for candidate generation):
-    // pairs differing in their FIRST character never meet; the oracle
-    // applies the identical blocking so results still hash-match.
+    // Typo-pair detection (Dedup.typoPairs): blocked candidates + exact
+    // Levenshtein distance 1 — the fuzzy-key-matching step of entity/
+    // token normalization. The synthetic corpus vocabulary has no
+    // natural typos (r5: both engines returned 0 rows — trivially
+    // green), so the gate PLANTS known positives: every vocab token is
+    // unioned with a deterministic 1-edit mutation (2nd char → 'q'),
+    // giving 24 real pairs the detector must find at every SF. Both
+    // engines apply the identical mutation and blocking → hash-exact.
     QueryDef("dd10_typo_pairs",
-      """WITH v AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS tok
-        |           FROM documents),
-        | b AS (SELECT tok, substring(tok, 1, 1) AS c1, length(tok) AS len
-        |       FROM v WHERE length(tok) >= 4)
-        |SELECT a.tok AS tok_a, b.tok AS tok_b,
-        |  CAST(levenshtein(a.tok, b.tok) AS BIGINT) AS dist
+      """WITH v0 AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS tok
+        |            FROM documents),
+        | v1 AS (SELECT tok FROM v0 WHERE length(tok) >= 4),
+        | mut AS (SELECT substring(tok, 1, 1) || 'q' || substring(tok, 3) AS tok
+        |         FROM v1),
+        | v AS (SELECT DISTINCT tok FROM (SELECT tok FROM v1
+        |                                 UNION ALL SELECT tok FROM mut)),
+        | b AS (SELECT tok, substring(tok, 1, 1) AS c1, length(tok) AS len FROM v)
+        |SELECT a.tok AS tok_a, b.tok AS tok_b, CAST(1 AS BIGINT) AS dist
         |FROM b a JOIN b b ON a.c1 = b.c1 AND b.len BETWEEN a.len - 1 AND a.len + 1
         |WHERE a.tok < b.tok AND levenshtein(a.tok, b.tok) = 1
         |ORDER BY tok_a, tok_b""".stripMargin) { (s, dir) =>
-      val v = TextAnalysis.tokens(docs(s, dir), "doc_id", "text")
+      val v1 = TextAnalysis.tokens(docs(s, dir), "doc_id", "text")
         .select("tok").distinct()
         .filter(length(col("tok")) >= 4)
-        .select(col("tok"), substring(col("tok"), 1, 1).as("c1"),
-          length(col("tok")).as("len"))
-      val a = v.select(col("tok").as("tok_a"), col("c1"), col("len").as("la"))
-      val b = v.select(col("tok").as("tok_b"), col("c1"), col("len").as("lb"))
-      a.join(b, Seq("c1"))
-        .filter(col("lb").between(col("la") - 1, col("la") + 1) &&
-          col("tok_a") < col("tok_b") &&
-          levenshtein(col("tok_a"), col("tok_b")) === 1)
-        // the filter pins the distance to exactly 1 — projecting the
-        // literal avoids re-running the O(len²) DP per surviving row
-        // (Catalyst does not CSE across Filter and Project)
-        .select(col("tok_a"), col("tok_b"), lit(1L).as("dist"))
+      val mut = v1.select(concat(substring(col("tok"), 1, 1), lit("q"),
+        expr("substring(tok, 3)")).as("tok"))
+      Dedup.typoPairs(v1.unionAll(mut), "tok")
         .orderBy("tok_a", "tok_b")
     },
 

@@ -207,12 +207,18 @@ object RelationalQueries {
     },
 
     // ---- anti join (NOT EXISTS).
+    // customers with no completed ('F') order — the build side is
+    // FILTERED so the survivor set is non-empty at every SF (plain
+    // "no orders at all" matched nobody in the testdata, leaving this
+    // gate row trivially green on 0 rows — r5 verdict item).
     QueryDef("q07_anti_join",
       """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
         |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
       t(s, dir, "customer")
-        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(t(s, dir, "orders").filter(col("o_orderstatus") === "F"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")
     },

@@ -191,6 +191,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(!hits.contains(2L), s"clean doc flagged: $hits")
   }
 
+  test("typoPairs: planted distance-1 twins found, far/first-char pairs not") {
+    val vocab = Seq(
+      "table", "tabls",   // planted distance-1 pair (same first char)
+      "query", "qxery",   // planted distance-1 pair (substitution mid-word)
+      "spark", "shark",   // distance 1, same first char — must be found
+      "spark", "sparkle", // distance 2 — must NOT be found
+      "merge", "verge",   // distance 1 but FIRST char differs — blocked
+      "cat"               // below minLen — ignored
+    ).toDF("tok")
+    val found = Dedup.typoPairs(vocab, "tok")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(found.contains(("table", "tabls")), s"planted pair missed: $found")
+    assert(found.contains(("query", "qxery")), s"planted pair missed: $found")
+    assert(found.contains(("shark", "spark")), s"planted pair missed: $found")
+    assert(!found.exists(p => p._1 == "spark" && p._2 == "sparkle"),
+      "distance-2 pair leaked through")
+    assert(!found.contains(("merge", "verge")),
+      "blocking contract broken: first-char-differing pair met")
+    assert(!found.exists(p => p._1 == "cat" || p._2 == "cat"))
+  }
+
+  test("dd10 gate row is non-empty: planted mutations give the detector rows") {
+    val rows = SparkEntry.queries("dd10_typo_pairs")(spark, sf).collect()
+    assert(rows.length >= 20, s"expected the planted pair set, got ${rows.length}")
+    assert(rows.forall(_.getLong(2) == 1L))
+  }
+
   test("canonicalize: case/punctuation/whitespace variants collapse") {
     val d = Seq(
       (1L, "Hello, World!  This is   fine."),
