@@ -60,35 +60,41 @@ object Multimodal {
   def syntheticAssets(spark: SparkSession, n: Int,
                       payloadBytes: Int = 4096): Dataset[MediaAsset] = {
     import spark.implicits._
-    spark.range(n.toLong).map { i =>
-      val kinds = Seq("image", "audio", "video")
-      val kind = kinds((i % 3).toInt)
-      val md = java.security.MessageDigest.getInstance("SHA-256")
-      val seed = md.digest(s"asset-$i".getBytes("UTF-8"))
-      // image dims stay modest (≤ 280×210) so encoding n assets is a
-      // per-row cost of a few ms; audio/video keep the larger source
-      // dims in their metadata — nothing decodes those here
-      val (w, h) = kind match {
-        case "image" => (160 + (i % 4).toInt * 40, 120 + (i % 4).toInt * 30)
-        case "audio" => (0, 0)
-        case _       => (640 + (i % 4).toInt * 160, 480 + (i % 4).toInt * 120)
-      }
-      val payload = kind match {
-        case "image" => encodePng(seed, w, h)
-        case "audio" => encodeWav(seed, sampleRate = 16000,
-          nSamples = payloadBytes / 2)
-        case _ => Array.tabulate[Byte](payloadBytes)(j => seed((j % 32)))
-      }
-      MediaAsset(i, kind, payload,
-        width = w, height = h,
-        sample_rate = if (kind == "audio") 16000 else 0,
-        n_frames = if (kind == "video") 240 + (i % 60).toInt else 1,
-        mime = kind match {
-          case "image" => "image/png"
-          case "audio" => "audio/wav"
-          case _ => "video/mp4"
-        })
+    spark.range(n.toLong).map(i => makeAsset(i, payloadBytes))
+  }
+
+  /** The generation contract for asset `i` — a pure function of the
+    * asset id, shared by the distributed table ([[syntheticAssets]]) and
+    * the sequential oracle replay ([[checksumOracleSql]]).
+    */
+  private[graft] def makeAsset(i: Long, payloadBytes: Int = 4096): MediaAsset = {
+    val kinds = Seq("image", "audio", "video")
+    val kind = kinds((i % 3).toInt)
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val seed = md.digest(s"asset-$i".getBytes("UTF-8"))
+    // image dims stay modest (≤ 280×210) so encoding n assets is a
+    // per-row cost of a few ms; audio/video keep the larger source
+    // dims in their metadata — nothing decodes those here
+    val (w, h) = kind match {
+      case "image" => (160 + (i % 4).toInt * 40, 120 + (i % 4).toInt * 30)
+      case "audio" => (0, 0)
+      case _       => (640 + (i % 4).toInt * 160, 480 + (i % 4).toInt * 120)
     }
+    val payload = kind match {
+      case "image" => encodePng(seed, w, h)
+      case "audio" => encodeWav(seed, sampleRate = 16000,
+        nSamples = payloadBytes / 2)
+      case _ => Array.tabulate[Byte](payloadBytes)(j => seed((j % 32)))
+    }
+    MediaAsset(i, kind, payload,
+      width = w, height = h,
+      sample_rate = if (kind == "audio") 16000 else 0,
+      n_frames = if (kind == "video") 240 + (i % 60).toInt else 1,
+      mime = kind match {
+        case "image" => "image/png"
+        case "audio" => "audio/wav"
+        case _ => "video/mp4"
+      })
   }
 
   /** Deterministic RGB texture → PNG bytes. Pixel (x,y) channels are
@@ -254,15 +260,58 @@ object Multimodal {
         // batch boundary = where a real impl would hand an Arrow batch
         // to the codec/model runtime
         batch.iterator.map { a =>
-          val feat = a.kind match {
-            case "image" => decodeImage(a.payload, dim)
-            case "audio" => decodeAudio(a.payload, dim)
-            case _ => decodeStub(a.payload, dim)
-          }
-          MediaFeature(a.asset_id, a.kind, feat)
+          MediaFeature(a.asset_id, a.kind, decodeFeature(a, dim))
         }
       }
     }
+  }
+
+  /** Per-kind decode dispatch, shared by the distributed path
+    * ([[extractFeatures]]) and the sequential oracle replay.
+    */
+  private[graft] def decodeFeature(a: MediaAsset, dim: Int): Array[Float] =
+    a.kind match {
+      case "image" => decodeImage(a.payload, dim)
+      case "audio" => decodeAudio(a.payload, dim)
+      case _ => decodeStub(a.payload, dim)
+    }
+
+  /** Order-stable integer checksum of a feature vector: each component
+    * quantized to 1e-6 (the decoders emit values in [-1, 1], so the
+    * quantized longs are exact), folded positionally. Lets a decoded
+    * feature hash-match a precomputed literal without float formatting
+    * ambiguity across engines.
+    */
+  def featureChecksum(feat: Array[Float]): Long = {
+    var h = 1469598103934665603L
+    var j = 0
+    while (j < feat.length) {
+      h = h * 1099511628211L ^ math.rint(feat(j).toDouble * 1e6).toLong
+      j += 1
+    }
+    h
+  }
+
+  /** DuckDB oracle for the decode path: replay the generation contract
+    * SEQUENTIALLY (no Spark — `makeAsset` + `decodeFeature` per id, one
+    * driver-side loop at oracle-construction time) and emit the expected
+    * `(asset_id, kind, feature_checksum)` rows as a literal VALUES
+    * table. The gate then proves the DISTRIBUTED decode — partitioned
+    * scan, batched mapPartitions, shuffle-free payload flow — reproduces
+    * the contract bit-for-bit: a partitioning bug, a batch-boundary bug,
+    * or a nondeterministic decode all flip the hash. (The mm02 pattern,
+    * extended to outputs SQL cannot recompute.)
+    */
+  def checksumOracleSql(n: Int, dim: Int): String = {
+    val rows = (0L until n.toLong).map { i =>
+      val a = makeAsset(i)
+      s"(${a.asset_id}, '${a.kind}', ${featureChecksum(decodeFeature(a, dim))})"
+    }
+    s"""SELECT CAST(asset_id AS BIGINT) AS asset_id, kind,
+       |  CAST(feature_checksum AS BIGINT) AS feature_checksum
+       |FROM (VALUES ${rows.mkString(",\n  ")})
+       |  AS t(asset_id, kind, feature_checksum)
+       |ORDER BY asset_id""".stripMargin
   }
 
   /** Metadata-only resize plan: target dims preserving aspect ratio,

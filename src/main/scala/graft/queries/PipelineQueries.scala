@@ -643,16 +643,21 @@ object PipelineQueries {
     // ================= multimodal (binary columns) =================
 
     // Deterministic synthetic assets (payload bytes derived from ids) →
-    // batched feature extraction over the BinaryType column. The decode
-    // itself is the documented stub; the schema/batching/plumbing under
-    // test is real. No SQL oracle (binary + mapPartitions) → rows-only;
-    // determinism and batch-shape are pinned in MultimodalSpec.
-    QueryDef.noOracle("mm01_feature_extract") { (s, dir) =>
+    // batched feature extraction over the BinaryType column, with a FULL
+    // hash-match oracle: SQL cannot decode PNG/WAV, but the generation
+    // contract is a pure function of asset_id, so the oracle replays it
+    // sequentially at construction time (Multimodal.checksumOracleSql)
+    // and pins each asset's quantized feature checksum as a literal —
+    // the distributed decode (partitioned scan, batched mapPartitions)
+    // must reproduce the sequential contract bit-for-bit.
+    QueryDef("mm01_feature_extract",
+      graft.multimodal.Multimodal.checksumOracleSql(300, 16)) { (s, dir) =>
       import s.implicits._
       val assets = graft.multimodal.Multimodal.syntheticAssets(s, 300)
       graft.multimodal.Multimodal.extractFeatures(assets, dim = 16)
-        .map(f => (f.asset_id, f.kind, f.feature.map(_.toDouble).sum))
-        .toDF("asset_id", "kind", "feature_sum")
+        .map(f => (f.asset_id, f.kind,
+          graft.multimodal.Multimodal.featureChecksum(f.feature)))
+        .toDF("asset_id", "kind", "feature_checksum")
         .orderBy("asset_id")
     },
 

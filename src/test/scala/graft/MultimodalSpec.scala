@@ -35,6 +35,26 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f1.values.flatten.forall(v => v >= -1f && v <= 1f))
   }
 
+  test("sequential contract replay matches the distributed decode exactly") {
+    val distributed = Multimodal.extractFeatures(assets, dim = 16)
+      .collect()
+      .map(f => (f.asset_id, f.kind, Multimodal.featureChecksum(f.feature)))
+      .toSet
+    val replay = (0L until 90L)
+      .map { i =>
+        val a = Multimodal.makeAsset(i)
+        (a.asset_id, a.kind, Multimodal.featureChecksum(Multimodal.decodeFeature(a, 16)))
+      }
+      .toSet
+    assert(distributed == replay)
+  }
+
+  test("checksum oracle SQL embeds one literal row per asset") {
+    val sql = Multimodal.checksumOracleSql(12, 16)
+    assert((0 until 12).forall(i => sql.contains(s"($i, '")))
+    assert(sql.contains("ORDER BY asset_id"))
+  }
+
   test("image payloads are REAL PNGs: imageio decodes them at the metadata dims") {
     val imgs = assets.filter($"kind" === "image").collect()
     assert(imgs.nonEmpty)
