@@ -20,18 +20,18 @@ case class MediaFeature(asset_id: Long, kind: String, feature: Array[Float])
   * resize / frame-sample implemented as batched partition-local
   * transforms.
   *
-  * DECODE BOUNDARY: images and audio are REAL — synthetic assets carry
-  * actual PNG payloads (`javax.imageio`) and actual PCM WAV payloads
-  * (`javax.sound.sampled`), both in-JVM public APIs, and feature
-  * extraction decodes them (grid-luminance pooling for pixels, windowed
-  * mean-amplitude pooling for samples) — exactly the decode→pool shape
-  * of a production featurizer. Only video still goes through
-  * `decodeStub` (a deterministic fake, clearly marked below): no
-  * container/codec for it ships in a bare JVM. Swapping the stub for a
-  * codec touches nothing around it: the binary-safe schema,
-  * partition-batched execution (the JVM analog of a vectorized/Arrow-
-  * batched UDF), typed metadata projections and deterministic frame
-  * sampling are the real engine surface either way.
+  * DECODE BOUNDARY: all three kinds are REAL — synthetic assets carry
+  * actual PNG payloads (`javax.imageio`), actual PCM WAV payloads
+  * (`javax.sound.sampled`) and actual multi-frame animated-GIF video
+  * payloads (`javax.imageio` sequence writer), all in-JVM public APIs,
+  * and feature extraction decodes them (grid-luminance pooling for
+  * pixels — per frame for video, averaged across the frame sequence —
+  * and windowed mean-amplitude pooling for samples): exactly the
+  * decode→pool shape of a production featurizer. GIF stands in for
+  * mp4/h264 (no such codec ships in a bare JVM) but exercises a REAL
+  * multi-frame container decode loop; swapping the codec touches only
+  * `decodeVideo`'s reader. `decodeStub` remains solely as the
+  * corrupt-bytes degradation target.
   *
   * Scale posture: payloads never enter a shuffle wider than their
   * partition (mapPartitions only); metadata-only plans (resizePlan,
@@ -72,28 +72,29 @@ object Multimodal {
     val kind = kinds((i % 3).toInt)
     val md = java.security.MessageDigest.getInstance("SHA-256")
     val seed = md.digest(s"asset-$i".getBytes("UTF-8"))
-    // image dims stay modest (≤ 280×210) so encoding n assets is a
-    // per-row cost of a few ms; audio/video keep the larger source
-    // dims in their metadata — nothing decodes those here
+    // image/video dims stay modest (≤ 400×300) so encoding n assets is
+    // a per-row cost of a few ms; video frame counts are the GIF's REAL
+    // frame counts — metadata and payload agree by construction
     val (w, h) = kind match {
       case "image" => (160 + (i % 4).toInt * 40, 120 + (i % 4).toInt * 30)
       case "audio" => (0, 0)
-      case _       => (640 + (i % 4).toInt * 160, 480 + (i % 4).toInt * 120)
+      case _       => (160 + (i % 4).toInt * 80, 120 + (i % 4).toInt * 60)
     }
+    val nFrames = if (kind == "video") 8 + (i % 4).toInt * 2 else 1
     val payload = kind match {
       case "image" => encodePng(seed, w, h)
       case "audio" => encodeWav(seed, sampleRate = 16000,
         nSamples = payloadBytes / 2)
-      case _ => Array.tabulate[Byte](payloadBytes)(j => seed((j % 32)))
+      case _ => encodeGif(seed, w, h, nFrames)
     }
     MediaAsset(i, kind, payload,
       width = w, height = h,
       sample_rate = if (kind == "audio") 16000 else 0,
-      n_frames = if (kind == "video") 240 + (i % 60).toInt else 1,
+      n_frames = nFrames,
       mime = kind match {
         case "image" => "image/png"
         case "audio" => "audio/wav"
-        case _ => "video/mp4"
+        case _ => "image/gif"
       })
   }
 
@@ -117,6 +118,112 @@ object Multimodal {
     val out = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", out)
     out.toByteArray
+  }
+
+  /** Deterministic multi-frame animation → animated GIF bytes: each
+    * frame is a seed-derived grayscale texture (frame index folded into
+    * the pixel function, so frames differ), written as a full-frame GIF
+    * sequence with `javax.imageio`'s stock GIF writer. Grayscale keeps
+    * the 256-entry GIF palette lossless, so decode→pool downstream is
+    * exact and stable across runs.
+    */
+  private[graft] def encodeGif(seed: Array[Byte], w: Int, h: Int,
+                               nFrames: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < nFrames) {
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            raster.setSample(x, y, 0,
+              seed(((x * 31 + y * 17 + f * 13) & 0x7fffffff) % 32) & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    out.toByteArray
+  }
+
+  /** REAL video decode + feature pooling: `javax.imageio` reads the
+    * animated-GIF container frame by frame (a real multi-frame decoder
+    * seek loop — the same shape an mp4 codec slots into), pooling mean
+    * luminance over a ⌈√dim⌉ grid ACROSS frames with integer
+    * accumulation. Undecodable bytes degrade to [[decodeStub]].
+    */
+  private[graft] def decodeVideo(payload: Array[Byte], dim: Int): Array[Float] = {
+    val iis =
+      try javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      catch { case _: java.io.IOException => null }
+    if (iis == null) return decodeStub(payload, dim)
+    val readers = javax.imageio.ImageIO.getImageReaders(iis)
+    if (!readers.hasNext) { iis.close(); return decodeStub(payload, dim) }
+    val reader = readers.next()
+    try {
+      reader.setInput(iis, false, true)
+      val nf =
+        try reader.getNumImages(true)
+        catch { case _: java.io.IOException => -1 }
+      if (nf <= 0) return decodeStub(payload, dim)
+      val gw = math.ceil(math.sqrt(dim.toDouble)).toInt
+      val gh = (dim + gw - 1) / gw
+      val sums = new Array[Long](dim)
+      val cnts = new Array[Long](dim)
+      var f = 0
+      while (f < nf) {
+        val img = reader.read(f)
+        var j = 0
+        while (j < dim) {
+          val (cx, cy) = (j % gw, j / gw)
+          val x0 = cx * img.getWidth / gw
+          val x1 = math.max(x0 + 1, (cx + 1) * img.getWidth / gw)
+          val y0 = cy * img.getHeight / gh
+          val y1 = math.max(y0 + 1, (cy + 1) * img.getHeight / gh)
+          var y = y0
+          while (y < math.min(y1, img.getHeight)) {
+            var x = x0
+            while (x < math.min(x1, img.getWidth)) {
+              val rgb = img.getRGB(x, y)
+              sums(j) += (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+              cnts(j) += 1; x += 1
+            }
+            y += 1
+          }
+          j += 1
+        }
+        f += 1
+      }
+      val out = new Array[Float](dim)
+      var j = 0
+      while (j < dim) {
+        out(j) = if (cnts(j) == 0) 0f
+                 else (sums(j).toDouble / cnts(j) / 127.5 - 1.0).toFloat
+        j += 1
+      }
+      out
+    } catch {
+      case _: java.io.IOException => decodeStub(payload, dim)
+    } finally {
+      reader.dispose()
+      iis.close()
+    }
   }
 
   /** Deterministic PCM tone mix → WAV bytes (16-bit mono little-endian):
@@ -226,12 +333,12 @@ object Multimodal {
     out
   }
 
-  /** ======== STUB: deterministic fake decoder (video only) ========
-    * Stands in for the one codec family a bare JVM cannot decode
-    * (mp4/h264 containers). Real deployments swap ONLY this function;
-    * the batched partition plumbing around it is production-shaped.
+  /** Deterministic fallback decoder for CORRUPT/undecodable bytes only
+    * (every kind now has a real codec path: PNG, WAV, animated GIF).
     * Output: `dim` floats in [-1, 1], a pure function of the payload
-    * bytes. Also the degradation target for corrupt image/audio bytes.
+    * bytes — a corrupt row degrades to a stable fake feature instead of
+    * killing the partition (the dead-letter philosophy of the log
+    * parsers, applied to media).
     */
   private[graft] def decodeStub(payload: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
@@ -273,7 +380,7 @@ object Multimodal {
     a.kind match {
       case "image" => decodeImage(a.payload, dim)
       case "audio" => decodeAudio(a.payload, dim)
-      case _ => decodeStub(a.payload, dim)
+      case _ => decodeVideo(a.payload, dim)
     }
 
   /** Order-stable integer checksum of a feature vector: each component

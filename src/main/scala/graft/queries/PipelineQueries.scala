@@ -666,26 +666,26 @@ object PipelineQueries {
     // metadata is itself a pure function of asset_id — so DuckDB can
     // recompute the ENTIRE expected output from range(300) and the
     // generation contract: a full hash-match for the planning half of
-    // the multimodal surface (the payload-decoding half, mm01, stays
-    // rows-only — bytes have no SQL oracle).
+    // the multimodal surface (the decoding half, mm01, hash-matches via
+    // the sequential contract replay above).
     QueryDef("mm02_media_plans",
       """WITH ids AS (SELECT unnest(range(300)) AS asset_id),
         | m AS (SELECT asset_id,
         |        asset_id % 3 AS k,
         |        CASE WHEN asset_id % 3 = 0 THEN 160 + (asset_id % 4) * 40
-        |             WHEN asset_id % 3 = 2 THEN 640 + (asset_id % 4) * 160
+        |             WHEN asset_id % 3 = 2 THEN 160 + (asset_id % 4) * 80
         |             ELSE 0 END AS width,
         |        CASE WHEN asset_id % 3 = 0 THEN 120 + (asset_id % 4) * 30
-        |             WHEN asset_id % 3 = 2 THEN 480 + (asset_id % 4) * 120
+        |             WHEN asset_id % 3 = 2 THEN 120 + (asset_id % 4) * 60
         |             ELSE 0 END AS height,
-        |        CASE WHEN asset_id % 3 = 2 THEN 240 + (asset_id % 60) ELSE 1 END AS n_frames
+        |        CASE WHEN asset_id % 3 = 2 THEN 8 + (asset_id % 4) * 2 ELSE 1 END AS n_frames
         |       FROM ids),
         | resize AS (SELECT asset_id, 'resize' AS plan,
         |        CAST(floor(width * least(320.0 / width, 320.0 / height, 1.0)) AS BIGINT) AS a,
         |        CAST(floor(height * least(320.0 / width, 320.0 / height, 1.0)) AS BIGINT) AS b
         |      FROM m WHERE k <> 1),
         | frames AS (SELECT asset_id, 'frame' AS plan,
-        |        CAST(unnest(range(0, least(n_frames - 1, 120) + 1, 30)) AS BIGINT) AS a,
+        |        CAST(unnest(range(0, least(n_frames - 1, 12) + 1, 3)) AS BIGINT) AS a,
         |        CAST(n_frames AS BIGINT) AS b
         |      FROM m WHERE k = 2)
         |SELECT * FROM (SELECT * FROM resize UNION ALL SELECT * FROM frames)
@@ -695,7 +695,7 @@ object PipelineQueries {
         .select(col("asset_id"), lit("resize").as("plan"),
           col("target_width").cast(LongType).as("a"),
           col("target_height").cast(LongType).as("b"))
-      val frames = graft.multimodal.Multimodal.sampleFrames(assets, 30, 5)
+      val frames = graft.multimodal.Multimodal.sampleFrames(assets, 3, 5)
         .select(col("asset_id"), lit("frame").as("plan"),
           col("frame_idx").cast(LongType).as("a"),
           col("n_frames").cast(LongType).as("b"))

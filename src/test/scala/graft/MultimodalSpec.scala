@@ -103,6 +103,40 @@ class MultimodalSpec extends AnyFunSuite {
     assert(corrupt == Multimodal.decodeStub(Array[Byte](9, 9, 9), 16).toSeq)
   }
 
+  test("video payloads are REAL animated GIFs: frame count matches metadata") {
+    val vids = assets.filter($"kind" === "video").collect()
+    assert(vids.nonEmpty)
+    vids.take(4).foreach { a =>
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(a.payload))
+      val reader = javax.imageio.ImageIO.getImageReaders(iis).next()
+      try {
+        reader.setInput(iis, false, true)
+        assert(reader.getFormatName.equalsIgnoreCase("gif"))
+        assert(reader.getNumImages(true) == a.n_frames,
+          s"asset ${a.asset_id}: GIF frames vs metadata n_frames")
+        assert(reader.getWidth(0) == a.width && reader.getHeight(0) == a.height)
+      } finally { reader.dispose(); iis.close() }
+    }
+  }
+
+  test("video features come from the multi-frame codec path; corrupt bytes degrade") {
+    val a = assets.filter($"kind" === "video").head()
+    val viaCodec = Multimodal.decodeVideo(a.payload, 16).toSeq
+    assert(viaCodec != Multimodal.decodeStub(a.payload, 16).toSeq,
+      "video decode fell through to the stub on a valid GIF")
+    // frames differ (frame index folds into the pixel fn), so pooling
+    // over ONLY frame 0 must differ from pooling across the sequence —
+    // proof the decoder actually walks the whole container
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val seed = md.digest(s"asset-${a.asset_id}".getBytes("UTF-8"))
+    val oneFrame = Multimodal.decodeVideo(
+      Multimodal.encodeGif(seed, a.width, a.height, 1), 16).toSeq
+    assert(viaCodec != oneFrame, "multi-frame pooling equals frame-0 pooling")
+    val corrupt = Multimodal.decodeVideo(Array[Byte](9, 9, 9), 16).toSeq
+    assert(corrupt == Multimodal.decodeStub(Array[Byte](9, 9, 9), 16).toSeq)
+  }
+
   test("resize plan preserves aspect ratio and caps at maxSide") {
     val plans = Multimodal.resizePlan(assets.toDF(), maxSide = 320).collect()
     assert(plans.nonEmpty)
@@ -124,14 +158,14 @@ class MultimodalSpec extends AnyFunSuite {
   }
 
   test("frame sampling: stride respected, capped, video only") {
-    val frames = Multimodal.sampleFrames(assets.toDF(), stride = 30, maxFrames = 5)
+    val frames = Multimodal.sampleFrames(assets.toDF(), stride = 3, maxFrames = 5)
     val byAsset = frames.groupBy("asset_id")
       .agg(collect_list("frame_idx").as("idx")).collect()
     assert(byAsset.nonEmpty)
     byAsset.foreach { r =>
       val idx = r.getAs[scala.collection.Seq[Int]]("idx").toSeq.sorted
-      assert(idx.size <= 5)
-      assert(idx.zipWithIndex.forall { case (v, i) => v == i * 30 }, r)
+      assert(idx.size > 1 && idx.size <= 5)
+      assert(idx.zipWithIndex.forall { case (v, i) => v == i * 3 }, r)
     }
   }
 }
