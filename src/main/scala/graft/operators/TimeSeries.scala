@@ -11,35 +11,57 @@ import org.apache.spark.sql.functions._
   *
   * Scale posture: the GRID is rollup-sized, not event-sized — |buckets|
   * × |keys| rows built from two tiny aggregates (global bounds, distinct
-  * keys), both broadcast; the left join back to the rollup is the only
-  * keyed shuffle and carries rollup rows. The forward fill is one
-  * ordered window per key — state is a single value, and at cluster
+  * keys). The key side broadcasts; the bucket frame is generated
+  * DISTRIBUTED via chunked two-level sequence explosion, so fine-grain
+  * frames (1-second steps over months) scale out instead of
+  * materializing one giant array. The left join back to the rollup is
+  * the only keyed shuffle and carries rollup rows. The forward fill is
+  * one ordered window per key — state is a single value, and at cluster
   * scale each key's partition streams independently.
   */
 object TimeSeries {
 
   /** Densify `rollup` onto the full [min, max] bucket grid per key.
     *
+    * The bucket frame is generated DISTRIBUTED, in-plan: a first
+    * `sequence` emits only every `chunkSize`-th bucket (one coarse
+    * chunk-start per ~4k buckets), those chunk rows are shuffled across
+    * the cluster, and each chunk explodes its own sub-range — so the
+    * largest single array is max(chunkSize, n/chunkSize) elements and a
+    * year at 1-second grain (31M buckets) never materializes in one row
+    * (the r5-verdict hardening item). No driver-side action anywhere.
+    *
     * @param rollup    one row per (bucket timestamp, key) — the output
     *                  of a windowed aggregation
     * @param tsCol     bucket timestamp column (regular spacing)
     * @param keyCol    series key column
-    * @param step      bucket width, e.g. `expr("INTERVAL 1 HOUR")`
+    * @param step      bucket width as an ANSI interval, e.g.
+    *                  `expr("INTERVAL '1' HOUR")` (must support `* int`)
     * @param zeroCols  count-like columns: missing buckets become 0
     * @param ffillCols gauge-like columns: missing buckets carry the last
     *                  observed value forward (null before the first
     *                  observation — there is nothing to carry)
+    * @param chunkSize buckets generated per task in the distributed
+    *                  frame (tuning knob; correctness-neutral)
     */
   def gapFill(rollup: DataFrame, tsCol: String, keyCol: String, step: Column,
-              zeroCols: Seq[String], ffillCols: Seq[String]): DataFrame = {
+              zeroCols: Seq[String], ffillCols: Seq[String],
+              chunkSize: Int = 4096): DataFrame = {
     val bounds = rollup.agg(min(col(tsCol)).as("_lo"), max(col(tsCol)).as("_hi"))
-    val buckets = bounds
-      .select(explode(sequence(col("_lo"), col("_hi"), step)).as(tsCol))
+    val chunkStarts = bounds.select(
+      explode(sequence(col("_lo"), col("_hi"), step * lit(chunkSize))).as("_cs"),
+      col("_hi"))
+    val buckets = chunkStarts
+      .repartition(col("_cs"))
+      .select(explode(sequence(col("_cs"),
+        least(col("_cs") + step * lit(chunkSize - 1), col("_hi")),
+        step)).as(tsCol))
     val keys = rollup.select(col(keyCol)).distinct()
-    // grid = buckets × keys: both sides are rollup-derived aggregates
-    // (bounded by bucket count and key cardinality), so the cross join
-    // broadcasts — never proportional to the event volume
-    val grid = broadcast(buckets).crossJoin(broadcast(keys))
+    // grid = buckets × keys: the key side is a distinct aggregate
+    // (bounded by series cardinality) and broadcasts; the bucket side
+    // stays distributed so a fine-grain frame scales out, and for
+    // rollup-grain frames AQE still picks a broadcast for the grid join
+    val grid = buckets.crossJoin(broadcast(keys))
     val joined = grid.join(rollup, Seq(tsCol, keyCol), "left")
     val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

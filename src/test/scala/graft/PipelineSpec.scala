@@ -280,6 +280,22 @@ class PipelineSpec extends AnyFunSuite {
       ("B", "2024-01-01 03", 0L, Some(4.0))), filled)
   }
 
+  test("gapFill: fine-grain frame (1s step, a week) distributes — no giant single array") {
+    import java.sql.Timestamp
+    // two observations a week apart at 1-second grain: 604,800 buckets.
+    // The old single-row sequence() explode built them all in ONE array;
+    // the chunked frame generates ≤4096 per task.
+    val roll = Seq(
+      ("A", Timestamp.valueOf("2024-01-01 00:00:00"), 1L),
+      ("A", Timestamp.valueOf("2024-01-07 23:59:59"), 2L))
+      .toDF("k", "ts", "n")
+    val filled = graft.operators.TimeSeries.gapFill(roll, "ts", "k",
+      expr("INTERVAL 1 SECOND"), zeroCols = Seq("n"), ffillCols = Nil)
+    assert(filled.count() == 6L * 86400L + 86399L + 1L)
+    val nonZero = filled.filter($"n" =!= 0L).orderBy("ts").collect()
+    assert(nonZero.map(_.getLong(2)).toSeq == Seq(1L, 2L))
+  }
+
   test("tokenShards: distributed prefix sum equals the naive global window") {
     import graft.operators.TextAnalysis
     import org.apache.spark.sql.expressions.Window
