@@ -159,18 +159,35 @@ object Similarity {
       .withColumnRenamed("col", "bucket")
   }
 
-  /** IVF-style ANN: a coarse quantizer of `nlist` centroids (picked
-    * deterministically from the corpus — at scale you'd k-means a
-    * sample, the plumbing is identical), every vector assigned to its
-    * nearest centroid (broadcast centroids, partition-local argmin),
-    * queries probed against their `nprobe` nearest centroid lists only.
+  /** IVF-style ANN: a coarse quantizer of `nlist` centroids — real
+    * corpus vectors picked by hash, optionally refined by `iters` Lloyd
+    * rounds of spherical k-means over a deterministic hash SAMPLE of the
+    * corpus, all in-plan — every vector assigned to its nearest centroid
+    * (broadcast centroids, partition-local argmin), queries probed
+    * against their `nprobe` nearest centroid lists only.
+    *
+    * `iters` defaults to 0 on MEASURED evidence: on this near-uniform
+    * synthetic corpus the refinement balances the lists (23–45 members
+    * vs the seeds' skew) but that LOWERS recall at every nprobe
+    * (sf0.01, top-5: 0.84→0.62 @nprobe=4, 0.92→0.78 @nprobe=8), because
+    * with no real cluster structure the skewed Voronoi cells around
+    * actual corpus vectors track neighbor geometry better than
+    * shrunken-norm means — the recall lever here is `nprobe`, not
+    * Lloyd. Corpora with genuine cluster structure are where `iters>0`
+    * pays; the machinery is deterministic either way (DECIMAL mean
+    * accumulation — summation-order-independent, identical centroids
+    * every run; a centroid that attracts no sample members drops out,
+    * standard k-means death).
     *
     * Scale shape: assignment is a narrow broadcast pass; the probe join
     * is a hash-partitioned equi-join on centroid id — candidate count
-    * per query ≈ nprobe/nlist of the corpus instead of all of it.
+    * per query ≈ nprobe/nlist of the corpus instead of all of it. The
+    * k-means refinement touches only sample × nlist pairs per round
+    * (tune `sampleMod` down as the corpus grows).
     */
   def ivfTopK(queries: DataFrame, candidates: DataFrame, k: Int,
               nlist: Int = 16, nprobe: Int = 4,
+              iters: Int = 0, sampleMod: Int = 4,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     def dbl(c: Column) = transform(c, x => x.cast(DoubleType))
     def dot(x: Column, y: Column) =
@@ -179,19 +196,46 @@ object Similarity {
       df.select(col(idCol).as(id), dbl(col(vecCol)).as(v))
         .withColumn(n, sqrt(dot(col(v), col(v))))
 
-    // deterministic coarse centroids picked ENTIRELY in-plan: min id per
+    // seed centroids picked ENTIRELY in-plan: min id per
     // pmod(xxhash64(id), nlist) hash bucket — ≤ nlist well-spread ids
     // with no driver-side action (an earlier candidates.count() here cost
-    // a full extra pass over the corpus before the real job). At scale
-    // you'd k-means a sample instead; the probe plumbing is identical.
+    // a full extra pass over the corpus before the real job)
     val centroidIds = candidates
       .groupBy(pmod(xxhash64(col(idCol)), lit(nlist)).as("_b"))
       .agg(min(col(idCol)).as("_cid"))
       .select(col("_cid"))
-    val centroids = withNorm(
-      candidates.join(broadcast(centroidIds), col(idCol) === col("_cid"))
-        .drop("_cid"),
-      "centroid_id", "cvec", "cnorm")
+    val seeds = candidates
+      .join(broadcast(centroidIds), col(idCol) === col("_cid"))
+      .select(col("_cid").as("centroid_id"), dbl(col(vecCol)).as("cvec"))
+
+    // optional Lloyd refinement on a deterministic 1/sampleMod hash
+    // sample: assign sample vectors to their nearest current centroid
+    // (broadcast), then recompute each centroid as the per-position mean
+    // of its members — the probe math below never assumes exactly nlist
+    // surviving lists
+    val sample = candidates
+      .filter(pmod(xxhash64(col(idCol)), lit(sampleMod)) === 0)
+      .select(col(idCol).as("_sid"), dbl(col(vecCol)).as("_sv"))
+      .withColumn("_sn", sqrt(dot(col("_sv"), col("_sv"))))
+    val refined = (1 to iters).foldLeft(seeds) { (cents, _) =>
+      val cn = cents.withColumn("_cn", sqrt(dot(col("cvec"), col("cvec"))))
+      val wAsg = Window.partitionBy(col("_sid"))
+        .orderBy(col("_d"), col("centroid_id"))
+      sample.crossJoin(broadcast(cn))
+        .withColumn("_d",
+          lit(1.0) - dot(col("_sv"), col("cvec")) / (col("_sn") * col("_cn")))
+        .withColumn("_r", row_number().over(wAsg))
+        .filter(col("_r") === 1)
+        .select(col("centroid_id"), posexplode(col("_sv")))
+        .groupBy(col("centroid_id"), col("pos"))
+        .agg(avg(col("col").cast(DecimalType(25, 12))).cast(DoubleType).as("_m"))
+        .groupBy(col("centroid_id"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("_m")))),
+          s => s.getField("_m")).as("cvec"))
+    }
+    val centroids = refined
+      .withColumn("cnorm", sqrt(dot(col("cvec"), col("cvec"))))
 
     // norms precomputed ONCE per vector; per-pair work is a single dot
     def assign(df: DataFrame, topN: Int, id: String, v: String,

@@ -627,8 +627,11 @@ object PipelineQueries {
         Similarity.annTopK(q, e, 5), floorPct = 60)
     },
 
-    // IVF recall floor (measured 0.84 at sf0.01) — same contract shape
-    // as sim03.
+    // IVF recall floor at 80% — same contract shape as sim03. nprobe=6
+    // is the measured quality lever (0.86/0.88/0.94 across the three
+    // SFs; nprobe=4 sits at 0.84 at sf0.01, too close to the floor).
+    // Lloyd refinement is deliberately OFF: measured, it lowers recall
+    // on this corpus at every nprobe (see Similarity.ivfTopK scaladoc).
     QueryDef("sim04_ann_ivf",
       """SELECT CAST(q.nq * least(5, c.n_all - 1) AS BIGINT) AS n_exact,
         |  CAST(1 AS BIGINT) AS recall_ok
@@ -637,7 +640,7 @@ object PipelineQueries {
       val e = emb(s, dir)
       val q = e.filter(col("vec_id") < 10)
       recallFloor(Similarity.cosineTopK(q, e, 5),
-        Similarity.ivfTopK(q, e, 5, nlist = 16, nprobe = 4), floorPct = 70)
+        Similarity.ivfTopK(q, e, 5, nlist = 16, nprobe = 6), floorPct = 80)
     },
 
     // ================= multimodal (binary columns) =================

@@ -107,6 +107,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"IVF recall too low: $recall")
   }
 
+  test("IVF k-means refinement: deterministic centroids, probe still works") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val q = e.filter($"vec_id" < 10)
+    def run() = Similarity.ivfTopK(q, e, 5, nlist = 16, nprobe = 8, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val r1 = run()
+    assert(r1.nonEmpty && r1.forall { case (qq, cc, _) => qq != cc })
+    // DECIMAL mean accumulation ⇒ identical centroids ⇒ identical output
+    assert(r1 == run(), "refined-centroid IVF is nondeterministic across runs")
+    // refinement must still recover a sane share of true neighbors
+    val brute = SparkEntry.queries("sim01_cosine_exact")(spark, sf)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = r1.map(t => (t._1, t._2)).count(brute.contains).toDouble / brute.size
+    assert(recall >= 0.3, s"refined IVF recall too low: $recall")
+  }
+
   test("approx_count_distinct within 5% of exact") {
     val ev = Tables.events(spark, sf)
     val rows = ev.groupBy("event_type")
