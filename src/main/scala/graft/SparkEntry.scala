@@ -42,4 +42,11 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     all.flatMap(d => d.oracle.map(sql => d.name -> sql)).toMap
+
+  /** Gate rows allowed to return 0 rows at the gate SF. An empty result
+    * hash-matches an empty oracle TRIVIALLY — proving nothing (the
+    * dd10/q07 lesson from r5) — so Verify fails any unannotated empty.
+    * Currently none: every gate row must produce rows.
+    */
+  def emptyByDesign: Set[String] = Set.empty
 }

@@ -16,10 +16,19 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    var emptyViolations = List.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        // row-count audit: a 0-row result hash-matches a 0-row oracle
+        // TRIVIALLY (the dd10/q07 class of dead gate rows) — every gate
+        // row must produce rows at the gate SF unless it is explicitly
+        // annotated empty-by-design
+        val n = spark.read.parquet(s"$outDir/$name").count()
+        if (n == 0 && !SparkEntry.emptyByDesign.contains(name))
+          emptyViolations ::= name
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -39,5 +48,9 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    if (emptyViolations.nonEmpty)
+      sys.error(s"[verify] gate rows returned 0 rows at $sfDir without an " +
+        s"emptyByDesign annotation (trivially-green hash-match): " +
+        emptyViolations.sorted.mkString(", "))
   }
 }

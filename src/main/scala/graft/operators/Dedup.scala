@@ -186,25 +186,30 @@ object Dedup {
     * min of its own label and its neighbors' labels — converges in
     * O(component diameter) rounds (near-dup components are shallow;
     * `maxIter` bounds pathological chains). Each round is one
-    * hash-partitioned join + partial-aggregated min, and
-    * `localCheckpoint` truncates the growing lineage so round N plans
-    * O(1) work, not O(N) — on a cluster with an HDFS checkpoint dir,
-    * `checkpoint()` would make rounds fault-tolerant too.
+    * hash-partitioned join + partial-aggregated min, and a per-round
+    * checkpoint truncates the growing lineage so round N plans O(1)
+    * work, not O(N). `checkpointDir = None` (the local default) uses
+    * `localCheckpoint` — fast, but executor-local and not
+    * fault-tolerant; pass a reliable dir (HDFS/S3 on a cluster) to use
+    * `checkpoint()` instead, making every round recoverable at the cost
+    * of a distributed write per round.
     */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20,
+                          checkpointDir: Option[String] = None): DataFrame = {
+    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
+    def cp(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     // symmetrize with a single explode, NOT union(e, e.swap): union would
     // evaluate the (often expensive) upstream edge pipeline twice before
     // the checkpoint — measured as ~half of dd08's runtime when the edges
     // come out of an all-pairs Jaccard join
-    val sym = edges
+    val sym = cp(edges
       .select(explode(array(
         struct(col("src").as("src"), col("dst").as("dst")),
         struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .localCheckpoint()
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint()
+      .select(col("e.src").as("src"), col("e.dst").as("dst")))
+    var labels = cp(sym.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")))
     var converged = false
     var i = 0
     // the round's checkpoint only needs to outlive the NEXT round's
@@ -218,7 +223,7 @@ object Dedup {
       // one checkpointed join per round serves BOTH the convergence
       // check and the next label frame — a separate next-vs-previous
       // join would shuffle the label table a second time every round
-      val joined = labels.join(nbrMin, Seq("id"), "left").localCheckpoint()
+      val joined = cp(labels.join(nbrMin, Seq("id"), "left"))
       prevCp.unpersist()
       prevCp = joined
       converged = joined.filter(col("_nbr") < col("label")).isEmpty

@@ -154,6 +154,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(cc(20L) == 20L && cc(21L) == 20L)
   }
 
+  test("connected components: reliable checkpoint dir gives identical clusters") {
+    val edges = Seq((2L, 1L), (2L, 3L), (10L, 11L), (21L, 20L), (5L, 6L))
+      .toDF("src", "dst")
+    val local = Dedup.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-cp")
+    val reliable = Dedup.connectedComponents(edges, checkpointDir = Some(dir.toString))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reliable == local)
+    // the fault-tolerant path actually wrote RDD checkpoints to the dir
+    val wrote = java.nio.file.Files.walk(dir).filter(_.toFile.isFile).count()
+    assert(wrote > 0, s"no checkpoint files under $dir")
+  }
+
   test("connected components: long path converges within diameter rounds") {
     // path 1-2-3-...-8: min-label needs ~diameter rounds to reach the end
     val edges = (1L until 8L).map(i => (i, i + 1)).toDF("src", "dst")
