@@ -57,17 +57,25 @@ object Multimodal {
     * exact and stable across runs). Audio/video payloads are raw
     * seed-derived bytes standing in for undecodable codec streams.
     */
+  /** `withPayload = false` skips codec encoding and carries an empty
+    * payload — for metadata-only consumers (resize/frame plans), which
+    * on a real parquet asset table would prune the binary column at the
+    * scan and never pay for bytes; generating payloads they won't read
+    * would misrepresent those plans' cost.
+    */
   def syntheticAssets(spark: SparkSession, n: Int,
-                      payloadBytes: Int = 4096): Dataset[MediaAsset] = {
+                      payloadBytes: Int = 4096,
+                      withPayload: Boolean = true): Dataset[MediaAsset] = {
     import spark.implicits._
-    spark.range(n.toLong).map(i => makeAsset(i, payloadBytes))
+    spark.range(n.toLong).map(i => makeAsset(i, payloadBytes, withPayload))
   }
 
   /** The generation contract for asset `i` — a pure function of the
     * asset id, shared by the distributed table ([[syntheticAssets]]) and
     * the sequential oracle replay ([[checksumOracleSql]]).
     */
-  private[graft] def makeAsset(i: Long, payloadBytes: Int = 4096): MediaAsset = {
+  private[graft] def makeAsset(i: Long, payloadBytes: Int = 4096,
+                               withPayload: Boolean = true): MediaAsset = {
     val kinds = Seq("image", "audio", "video")
     val kind = kinds((i % 3).toInt)
     val md = java.security.MessageDigest.getInstance("SHA-256")
@@ -81,12 +89,14 @@ object Multimodal {
       case _       => (160 + (i % 4).toInt * 80, 120 + (i % 4).toInt * 60)
     }
     val nFrames = if (kind == "video") 8 + (i % 4).toInt * 2 else 1
-    val payload = kind match {
-      case "image" => encodePng(seed, w, h)
-      case "audio" => encodeWav(seed, sampleRate = 16000,
-        nSamples = payloadBytes / 2)
-      case _ => encodeGif(seed, w, h, nFrames)
-    }
+    val payload =
+      if (!withPayload) Array.emptyByteArray
+      else kind match {
+        case "image" => encodePng(seed, w, h)
+        case "audio" => encodeWav(seed, sampleRate = 16000,
+          nSamples = payloadBytes / 2)
+        case _ => encodeGif(seed, w, h, nFrames)
+      }
     MediaAsset(i, kind, payload,
       width = w, height = h,
       sample_rate = if (kind == "audio") 16000 else 0,

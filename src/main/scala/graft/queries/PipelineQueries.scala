@@ -693,7 +693,10 @@ object PipelineQueries {
         |      FROM m WHERE k = 2)
         |SELECT * FROM (SELECT * FROM resize UNION ALL SELECT * FROM frames)
         |ORDER BY asset_id, plan, a""".stripMargin) { (s, dir) =>
-      val assets = graft.multimodal.Multimodal.syntheticAssets(s, 300).toDF()
+      // metadata-only plans: withPayload=false mirrors the pruned scan a
+      // parquet asset table would give these plans (bytes never read)
+      val assets = graft.multimodal.Multimodal
+        .syntheticAssets(s, 300, withPayload = false).toDF()
       val resize = graft.multimodal.Multimodal.resizePlan(assets, 320)
         .select(col("asset_id"), lit("resize").as("plan"),
           col("target_width").cast(LongType).as("a"),
