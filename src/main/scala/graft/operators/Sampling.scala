@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic, engine-portable sampling for reproducible corpus
@@ -53,5 +54,27 @@ object Sampling {
       when(stratum === v, lit(hexGate(n))).otherwise(acc)
     }
     substring(md5(key.cast("string")), 1, 2) < numerator
+  }
+
+  /** Exactly-k-per-stratum sampling: rank rows within each stratum by
+    * md5(key) (ties broken by the key itself — total order, so the
+    * survivor set is unique) and keep the first `k`. The fraction
+    * samplers above can't promise exact counts; this is the "give me
+    * 10,000 eval docs per language, same ones every rerun, any engine"
+    * shape.
+    *
+    * Scale shape: one keyed shuffle on the stratum + a per-stratum
+    * window top-k (rank streams, no full sort of the table: only strata
+    * columns shuffle ordering state). A stratum with fewer than k rows
+    * survives whole.
+    */
+  def exactKPerStratum(df: DataFrame, stratumCol: String, keyCol: String,
+                       k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
+    df.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= k)
+      .drop("_rk")
   }
 }

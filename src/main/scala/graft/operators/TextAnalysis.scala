@@ -204,4 +204,44 @@ object TextAnalysis {
         floor((col("_lcum") + col("_offset") - col("n_tokens")) /
           budget.toDouble).cast(LongType).as("shard"))
   }
+
+  /** Repetition-based quality signals (the Gopher/C4 family of
+    * degenerate-text filters): per document,
+    *   - `top_token_frac`  — share of tokens taken by the single most
+    *     frequent token (catches "a a a a …" spam),
+    *   - `dup_2gram_frac` / `dup_3gram_frac` — fraction of n-grams that
+    *     are repeats of an earlier n-gram (catches looping boilerplate).
+    *
+    * Everything is per-row array math — fully scan-fused, zero shuffle:
+    * the top-token count folds over the SORTED token array tracking the
+    * longest equal-run (O(n log n) per doc, no per-token explode+groupBy
+    * shuffle of the whole corpus), and n-gram dup fractions compare
+    * array sizes against `array_distinct`. Ratios divide exact integer
+    * counts, so the doubles are bit-identical across engines.
+    */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = df.select(col(idCol), split(col(textCol), " ").as("_toks"))
+    def ngr(n: Int): Column =
+      when(size(col("_toks")) >= n,
+        transform(sequence(lit(0), size(col("_toks")) - n),
+          i => concat_ws(" ", slice(col("_toks"), i + 1, lit(n)))))
+        .otherwise(array().cast(ArrayType(StringType)))
+    def dupFrac(g: Column): Column =
+      when(size(g) > 0,
+        (size(g) - size(array_distinct(g))).cast(DoubleType) /
+          size(g).cast(DoubleType))
+        .otherwise(lit(0.0))
+    def run(acc: Column, x: Column): Column =
+      when(x === acc.getField("prev"), acc.getField("run") + 1).otherwise(lit(1L))
+    val topCount = aggregate(array_sort(col("_toks")),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => struct(x.as("prev"), run(acc, x).as("run"),
+        greatest(acc.getField("best"), run(acc, x)).as("best")),
+      acc => acc.getField("best"))
+    base.select(col(idCol),
+      (topCount.cast(DoubleType) / size(col("_toks")).cast(DoubleType))
+        .as("top_token_frac"),
+      dupFrac(ngr(2)).as("dup_2gram_frac"),
+      dupFrac(ngr(3)).as("dup_3gram_frac"))
+  }
 }

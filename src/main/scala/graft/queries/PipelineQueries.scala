@@ -337,6 +337,24 @@ object PipelineQueries {
         .orderBy("lang")
     },
 
+    // Exactly-k-per-stratum sampling: rank by md5(key) within each
+    // stratum, keep the first k — the "same 10k eval docs per language,
+    // every rerun, any engine" shape fraction gates can't promise. The
+    // survivor LIST itself is the gate output, so a single membership
+    // flip anywhere hash-mismatches.
+    QueryDef("sp03_exact_k_sample",
+      """SELECT lang, CAST(doc_id AS BIGINT) AS doc_id FROM (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents) t
+        |WHERE rk <= 10
+        |ORDER BY lang, doc_id""".stripMargin) { (s, dir) =>
+      graft.operators.Sampling.exactKPerStratum(docs(s, dir), "lang", "doc_id", 10)
+        .select(col("lang"), col("doc_id").cast(LongType).as("doc_id"))
+        .orderBy("lang", "doc_id")
+    },
+
     // Typo-pair detection (Dedup.typoPairs): blocked candidates + exact
     // Levenshtein distance 1 — the fuzzy-key-matching step of entity/
     // token normalization. The synthetic corpus vocabulary has no
@@ -541,6 +559,35 @@ object PipelineQueries {
           min(col("doc_id")).cast(LongType).as("first_doc"),
           max(col("doc_id")).cast(LongType).as("last_doc"))
         .orderBy("shard")
+    },
+
+    // Repetition-based quality filters (the Gopher/C4 degenerate-text
+    // family): top-token share + duplicate 2/3-gram fractions, all
+    // scan-fused per-row array math on the Spark side (sorted-array
+    // fold for the top-token run — no corpus-wide explode shuffle); the
+    // oracle recomputes via explode+group, proving the fold. Integer
+    // ratios divide exactly → bit-identical doubles.
+    QueryDef("ta11_repetition",
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        | tok AS (SELECT doc_id, unnest(ws) AS tok FROM d),
+        | tc AS (SELECT doc_id, tok, count(*) AS n FROM tok GROUP BY 1, 2),
+        | top AS (SELECT doc_id, max(n) AS topn, sum(n) AS tot FROM tc GROUP BY 1),
+        | sh2 AS (SELECT doc_id, unnest(range(1, len(ws))) AS i, ws FROM d WHERE len(ws) >= 2),
+        | g2 AS (SELECT doc_id, array_to_string(ws[i:i+1], ' ') AS g FROM sh2),
+        | a2 AS (SELECT doc_id, count(*) AS tot, count(DISTINCT g) AS dis FROM g2 GROUP BY 1),
+        | sh3 AS (SELECT doc_id, unnest(range(1, len(ws) - 1)) AS i, ws FROM d WHERE len(ws) >= 3),
+        | g3 AS (SELECT doc_id, array_to_string(ws[i:i+2], ' ') AS g FROM sh3),
+        | a3 AS (SELECT doc_id, count(*) AS tot, count(DISTINCT g) AS dis FROM g3 GROUP BY 1)
+        |SELECT t.doc_id,
+        |  CAST(t.topn AS DOUBLE) / CAST(t.tot AS DOUBLE) AS top_token_frac,
+        |  CASE WHEN a2.tot > 0 THEN CAST(a2.tot - a2.dis AS DOUBLE) / CAST(a2.tot AS DOUBLE)
+        |       ELSE 0.0 END AS dup_2gram_frac,
+        |  CASE WHEN a3.tot > 0 THEN CAST(a3.tot - a3.dis AS DOUBLE) / CAST(a3.tot AS DOUBLE)
+        |       ELSE 0.0 END AS dup_3gram_frac
+        |FROM top t LEFT JOIN a2 USING (doc_id) LEFT JOIN a3 USING (doc_id)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      TextAnalysis.repetitionStats(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
     },
 
     // TF-IDF top terms per document: the distinctive-term extraction

@@ -310,6 +310,46 @@ class PipelineSpec extends AnyFunSuite {
       ("B", "2024-01-01 03", 0L, Some(4.0))), filled)
   }
 
+  test("exactKPerStratum: exact counts, undersized strata whole, stable survivors") {
+    import graft.operators.Sampling
+    val d = (0L until 100L).map(i => (i, if (i < 90) "big" else "small"))
+      .toDF("id", "s")
+    val out = Sampling.exactKPerStratum(d, "s", "id", 7)
+      .collect().map(r => (r.getString(1), r.getLong(0)))
+    val byS = out.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byS("big").size == 7, s"expected exactly 7: ${byS("big")}")
+    assert(byS("small").size == 7 || byS("small") == (90L until 100L).toSet)
+    // "small" has 10 rows > k=7 → exactly 7; survivors are a pure
+    // function of md5(id), so a rerun (and any repartitioning) agrees
+    assert(byS("small").size == 7)
+    val again = Sampling.exactKPerStratum(d.repartition(13), "s", "id", 7)
+      .collect().map(r => (r.getString(1), r.getLong(0))).toSet
+    assert(again == out.toSet, "survivor set changed under repartitioning")
+    // genuinely undersized stratum survives whole
+    val tiny = Sampling.exactKPerStratum(
+      d.filter($"s" === "small"), "s", "id", 99)
+      .collect().map(_.getLong(0)).toSet
+    assert(tiny == (90L until 100L).toSet)
+  }
+
+  test("repetitionStats: planted degenerate docs score high, diverse docs low") {
+    import graft.operators.TextAnalysis
+    val d = Seq(
+      (1L, "a a a a a a a a"),                 // one token repeated
+      (2L, "x y x y x y x y"),                 // looping 2-gram
+      (3L, "one two three four five six"),     // fully diverse
+      (4L, "solo"))                            // single token (no n-grams)
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionStats(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(out(1L) == ((1.0, 6.0 / 7.0, 5.0 / 6.0)), out(1L))
+    // "x y x y…": 7 bigrams, 2 distinct → 5/7 dup; 6 trigrams, 2 distinct
+    assert(out(2L) == ((0.5, 5.0 / 7.0, 4.0 / 6.0)), out(2L))
+    assert(out(3L) == ((1.0 / 6.0, 0.0, 0.0)), out(3L))
+    assert(out(4L) == ((1.0, 0.0, 0.0)), out(4L))
+  }
+
   test("gapFill: fine-grain frame (1s step, a week) distributes — no giant single array") {
     import java.sql.Timestamp
     // two observations a week apart at 1-second grain: 604,800 buckets.
