@@ -975,6 +975,55 @@ object PipelineQueries {
         .orderBy("user_id", "session_start")
     },
 
+    // Streaming dedup (dropDuplicatesWithinWatermark) in the gate: the
+    // stream carries a coarse content key with many duplicate arrivals;
+    // exactly ONE row per distinct key must emerge. WHICH duplicate
+    // representative emits is processing-order-dependent, so the gate
+    // projects only the key — the emitted KEY SET is deterministic, and
+    // the query deliberately applies no re-distinct, so a key emitted
+    // twice (broken dedup state) hash-mismatches on row count.
+    QueryDef("st03_stream_dedup",
+      """SELECT DISTINCT event_type || '#' || CAST(user_id % 100 AS VARCHAR) AS content
+        |FROM events ORDER BY content""".stripMargin) { (s, dir) =>
+      val sink = s"st03_sink_${StSinkSeq.incrementAndGet()}"
+      val ev = Tables.eventsStream(s, dir)
+        .select(col("ts"), concat(col("event_type"), lit("#"),
+          (col("user_id") % 100).cast("string")).as("content"))
+      val q = graft.streaming.StreamingJobs
+        .dedupStream(ev, "ts", "content", watermark = "1 hour")
+        .writeStream.outputMode("append")
+        .format("memory").queryName(sink)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink).select("content").orderBy("content")
+    },
+
+    // Stream-stream interval join in the gate: clicks matched to the
+    // same user's purchases within 30 minutes AFTER the click, both
+    // sides watermarked (the only finite-state stream-stream join
+    // shape). Inner-join matches emit as rows arrive, so the single-
+    // batch output is exactly the batch interval join — the oracle runs
+    // it directly. IDs only: timestamps add nothing the join condition
+    // didn't already pin.
+    QueryDef("st04_stream_interval_join",
+      """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+        |FROM events c JOIN events p
+        |  ON p.user_id = c.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        |ORDER BY c.user_id, click_id, purchase_id""".stripMargin) { (s, dir) =>
+      val sink = s"st04_sink_${StSinkSeq.incrementAndGet()}"
+      val q = graft.streaming.StreamingJobs
+        .clickToPurchase(Tables.eventsStream(s, dir))
+        .writeStream.outputMode("append")
+        .format("memory").queryName(sink)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink)
+        .select(col("user_id"), col("click_id"), col("purchase_id"))
+        .orderBy("user_id", "click_id", "purchase_id")
+    },
+
     // Time-series gap fill: the hourly rollup densified onto the full
     // hour grid per event_type — absent buckets get n = 0 and carry the
     // last observed v forward (null before the first observation). The
