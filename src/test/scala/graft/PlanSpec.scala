@@ -142,6 +142,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"corpus shingles should not shuffle for the join:\n$p")
   }
 
+  test("ta11: repetition stats stay scan-fused — zero exchanges before the sort") {
+    // per-row array math only; the single exchange is the final orderBy
+    assert(countExchanges("ta11_repetition") <= 1,
+      planOf("ta11_repetition"))
+  }
+
+  test("sp03: exact-k sampling shuffles once on the stratum (plus output sort)") {
+    assert(countExchanges("sp03_exact_k_sample") <= 2,
+      planOf("sp03_exact_k_sample"))
+  }
+
+  test("dd10: typo candidates join on the block key, never all-pairs") {
+    val plan = planOf("dd10_typo_pairs")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("log parser fused path keeps one regex pass (no RegExpExtract chain)") {
     import org.apache.spark.sql.functions._
     // non-foldable input so the optimizer can't constant-fold the parse
