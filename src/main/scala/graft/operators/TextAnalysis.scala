@@ -244,4 +244,36 @@ object TextAnalysis {
       dupFrac(ngr(2)).as("dup_2gram_frac"),
       dupFrac(ngr(3)).as("dup_3gram_frac"))
   }
+
+  /** Winnowing document fingerprints (the MOSS scheme): hash every
+    * word `k`-gram, slide a window of `w` consecutive gram hashes, keep
+    * each window's MINIMUM, emit the distinct selected hashes — one
+    * `(id, fp)` row per fingerprint. Guarantees every shared substring
+    * of ≥ `w + k - 1` tokens between two documents shares at least one
+    * fingerprint, at ~1/w the k-gram count — the sub-document overlap
+    * detector exact dedup can't be and full k-gram sets are too big to
+    * be.
+    *
+    * md5 (not xxhash64) so the fingerprints are engine-portable — the
+    * DuckDB oracle computes identical values. All per-row higher-order
+    * array math, scan-fused, zero shuffle before the output explode;
+    * shrinking trailing windows are excluded (window j exists only while
+    * j + w - 1 grams remain; a doc with fewer than `w` grams emits one
+    * whole-array window).
+    */
+  def winnow(df: DataFrame, idCol: String, textCol: String,
+             k: Int = 3, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, "k and w must be positive")
+    val base = df.select(col(idCol), split(col(textCol), " ").as("_toks"))
+    val grams = when(size(col("_toks")) >= k,
+      transform(sequence(lit(0), size(col("_toks")) - k),
+        i => md5(concat_ws(" ", slice(col("_toks"), i + 1, lit(k))))))
+      .otherwise(array().cast(ArrayType(StringType)))
+    val mins = transform(
+      sequence(lit(0), greatest(size(col("_grams")) - w, lit(0))),
+      j => array_min(slice(col("_grams"), j + 1, lit(w))))
+    base.select(col(idCol), grams.as("_grams"))
+      .filter(size(col("_grams")) > 0)
+      .select(col(idCol), explode(array_distinct(mins)).as("fp"))
+  }
 }

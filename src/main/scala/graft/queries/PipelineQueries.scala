@@ -590,6 +590,29 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // Winnowing fingerprints (MOSS): per-window minimum of md5 3-gram
+    // hashes, window 4 — any ≥6-token overlap between docs shares a
+    // fingerprint. Spark side is scan-fused HOF array math; the oracle
+    // rebuilds the same selection with explode + a ROWS-frame window
+    // min, proving the in-array formulation. md5 keeps the hash values
+    // engine-identical.
+    QueryDef("ta12_winnow",
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        | gr AS (SELECT doc_id, i, md5(array_to_string(ws[i:i+2], ' ')) AS h
+        |        FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i
+        |              FROM d WHERE len(ws) >= 3) t),
+        | wn AS (SELECT doc_id, i,
+        |          min(h) OVER (PARTITION BY doc_id ORDER BY i
+        |                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh,
+        |          count(*) OVER (PARTITION BY doc_id) AS ng
+        |        FROM gr)
+        |SELECT DISTINCT doc_id, mh AS fp
+        |FROM wn WHERE i <= greatest(1, ng - 3)
+        |ORDER BY doc_id, fp""".stripMargin) { (s, dir) =>
+      TextAnalysis.winnow(docs(s, dir), "doc_id", "text", k = 3, w = 4)
+        .orderBy("doc_id", "fp")
+    },
+
     // TF-IDF top terms per document: the distinctive-term extraction
     // step of corpus analysis. Three hash aggregations + one window
     // top-k; the corpus size joins in as a broadcast single-row agg.

@@ -350,6 +350,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(4L) == ((1.0, 0.0, 0.0)), out(4L))
   }
 
+  test("winnow: shared >= w+k-1 token runs share a fingerprint; disjoint docs don't") {
+    import graft.operators.TextAnalysis
+    // docs 1 and 2 share a 7-token run (>= w+k-1 = 6) inside different
+    // surroundings; doc 3 is disjoint vocabulary
+    val shared = "alpha beta gamma delta epsilon zeta eta"
+    val d = Seq(
+      (1L, s"one two $shared three four"),
+      (2L, s"nine eight $shared seven"),
+      (3L, "red green blue cyan magenta yellow black white"))
+      .toDF("doc_id", "text")
+    val fps = TextAnalysis.winnow(d, "doc_id", "text", k = 3, w = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val bySet = fps.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((bySet(1L) & bySet(2L)).nonEmpty,
+      "winnowing guarantee broken: shared 7-token run produced no shared fingerprint")
+    assert((bySet(1L) & bySet(3L)).isEmpty && (bySet(2L) & bySet(3L)).isEmpty)
+    // short doc (fewer than w grams): one whole-array window, 1 fp
+    val tiny = TextAnalysis.winnow(
+      Seq((9L, "a b c d")).toDF("doc_id", "text"), "doc_id", "text", 3, 4)
+      .collect()
+    assert(tiny.length == 1)
+  }
+
   test("gapFill: fine-grain frame (1s step, a week) distributes — no giant single array") {
     import java.sql.Timestamp
     // two observations a week apart at 1-second grain: 604,800 buckets.
