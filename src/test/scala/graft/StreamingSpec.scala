@@ -91,6 +91,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids == Set(1L, 3L, 4L, 5L), ids)
   }
 
+  test("RocksDB state store runs the stateful jobs with identical results") {
+    // cluster state story: heap (HDFSBackedStateStore) is the default,
+    // but 100 TB session/dedup state outgrows executor heaps — RocksDB
+    // spills to local disk with the same semantics. Prove the provider
+    // swap is behavior-neutral on the gate's own stateful query.
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val onHeap = SparkEntry.queries("st02_stream_sessions")(spark, sf).collect()
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rocks = SparkEntry.queries("st02_stream_sessions")(spark, sf).collect()
+      assert(rocks.length == onHeap.length && rocks.sameElements(onHeap),
+        "RocksDB state store changed stateful-session results")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("stream-stream interval join matches purchases to prior clicks only within the lag") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
