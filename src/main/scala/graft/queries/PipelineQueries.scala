@@ -1113,6 +1113,34 @@ object PipelineQueries {
         .orderBy("event_type")
     },
 
+    // Frequency-sketch heavy hitters (approx_top_k, DataSketches
+    // frequent-items — completes the sketch family: HLL distinct,
+    // t-digest quantiles, now item frequency). Contract: the corpus
+    // vocabulary fits the sketch's tracked-item budget, so the sketch
+    // must report every TRUE top-5 token (tie-broken deterministically)
+    // with its EXACT count — n_exact pins both containment and count
+    // fidelity; at vocab >> budget the same row generalizes to the
+    // standard ±εN envelope. The oracle recomputes the true top-5 and
+    // pins (tok, n, found, exact) per row.
+    QueryDef("ev10_approx_topk",
+      """SELECT tok, n, CAST(1 AS BIGINT) AS found, CAST(1 AS BIGINT) AS exact
+        |FROM (SELECT tok, count(*) AS n FROM
+        |        (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t
+        |      GROUP BY tok ORDER BY n DESC, tok LIMIT 5) s
+        |ORDER BY n DESC, tok""".stripMargin) { (s, dir) =>
+      val toks = TextAnalysis.tokens(docs(s, dir), "doc_id", "text")
+      val sk = toks.agg(expr("approx_top_k(tok, 10)").as("_tk"))
+        .select(explode(col("_tk")).as("_e"))
+        .select(col("_e.item").as("tok"), col("_e.count").as("_est"))
+      val truth = toks.groupBy("tok").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("tok")).limit(5)
+      truth.join(sk, Seq("tok"), "left")
+        .select(col("tok"), col("n"),
+          when(col("_est").isNotNull, 1L).otherwise(0L).as("found"),
+          when(col("_est") === col("n"), 1L).otherwise(0L).as("exact"))
+        .orderBy(desc("n"), col("tok"))
+    },
+
     // HLL++ distinct-count sketch: the estimate is algorithm-specific,
     // but the ±5% envelope vs the EXACT distinct count (which both
     // engines compute identically) is the correctness contract —

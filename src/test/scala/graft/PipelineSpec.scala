@@ -123,6 +123,16 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"refined IVF recall too low: $recall")
   }
 
+  test("approx_top_k: planted heavy hitters reported with exact counts") {
+    val d = (Seq.fill(50)("hot") ++ Seq.fill(30)("warm") ++
+      (0 until 40).map(i => s"cold$i")).toDF("tok")
+    val top = d.agg(expr("approx_top_k(tok, 2)").as("tk"))
+      .select(explode($"tk").as("e"))
+      .select($"e.item", $"e.count")
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(top.toSeq == Seq("hot" -> 50L, "warm" -> 30L), top.toSeq)
+  }
+
   test("approx_count_distinct within 5% of exact") {
     val ev = Tables.events(spark, sf)
     val rows = ev.groupBy("event_type")
