@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Embedding-space clustering (SURVEY.md §2c extension surface): the
+  * corpus-partitioning step of curriculum bucketing, topic-balanced
+  * sampling, and IVF index builds.
+  *
+  * Cross-engine determinism design: k-means is famously replay-hostile
+  * (RNG seeds, IEEE summation order, argmin ties). This implementation
+  * removes all three — seeds are hash-picked CORPUS VECTORS (no RNG),
+  * distances fold in exact DECIMAL arithmetic (summation-order
+  * independent, so Spark's position-fold and DuckDB's unnest/groupBy
+  * SUM compute the identical rational number), and the argmin breaks
+  * ties by centroid id. The assignment is therefore a pure function of
+  * the data — the DuckDB oracle hash-matches it row for row.
+  *
+  * Scale shape: seeds/centroids broadcast (k rows); assignment is a
+  * narrow per-row pass producing k candidate rows that collapse via a
+  * map-side partial `min(struct)` BEFORE the keyed shuffle — the only
+  * full-width exchange is |corpus| rows keyed by id. The update step
+  * shuffles (cluster, pos) partial sums — k·dim rows after map-side
+  * combine. General iterative refinement in IEEE doubles (when
+  * cross-engine exactness is not required) lives in
+  * [[Similarity.ivfTopK]]'s spherical-k-means option.
+  */
+object Clustering {
+
+  private def dec(c: Column): Column =
+    transform(c, x => x.cast(DoubleType).cast(DecimalType(12, 6)))
+
+  /** Exact squared euclidean distance between two DECIMAL(12,6) arrays.
+    * Per-position (a-b)² is DECIMAL(27,12); the accumulator adds at
+    * (31,12) and casts back to (30,12) — lossless (18 integer digits vs
+    * |Σ| ≤ dim·(2·10⁶)², the same budget argument as
+    * [[Similarity.cosineExact]]).
+    */
+  private def sqDist(x: Column, c: Column): Column =
+    aggregate(zip_with(x, c, (a, b) => (a - b) * (a - b)),
+      lit(0).cast(DecimalType(30, 12)),
+      (acc, v) => (acc + v).cast(DecimalType(30, 12)))
+
+  /** The k seed centroids: the minimum-id vector of each `id % k`
+    * residue class — deterministic, engine-portable, well spread for
+    * dense id spaces, and requiring no driver-side action.
+    */
+  def seedCentroids(df: DataFrame, k: Int,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val seedIds = df.groupBy((col(idCol) % k).as("_b"))
+      .agg(min(col(idCol)).as("_cid"))
+      .select(col("_cid"))
+    df.join(broadcast(seedIds), col(idCol) === col("_cid"))
+      .select(col("_cid").as("cluster"), dec(col(vecCol)).as("cvec"))
+  }
+
+  /** Assign every vector to its nearest seed centroid (exact decimal
+    * distances, ties to the lower cluster id): (id, cluster). The
+    * argmin is a `min(struct(dist, cluster))` hash aggregation — the k
+    * candidate rows per vector combine map-side, so the exchange
+    * carries one row per vector, not k.
+    */
+  def assignToSeeds(df: DataFrame, k: Int,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val seeds = seedCentroids(df, k, idCol, vecCol)
+    df.select(col(idCol), dec(col(vecCol)).as("_x"))
+      .crossJoin(broadcast(seeds))
+      .groupBy(col(idCol))
+      .agg(min(struct(sqDist(col("_x"), col("cvec")).as("_d"),
+        col("cluster").as("_c"))).as("_best"))
+      .select(col(idCol), col("_best._c").as("cluster"))
+  }
+
+  /** One Lloyd update, summarized exactly: per cluster, the member
+    * count and the L1 norm of the updated mean centroid. Per-position
+    * member sums are exact decimals (order-independent), so
+    * Σ_p |S_p| is exact and the final double `CAST(Σ|S_p|) / n` is the
+    * same IEEE division in every engine. This pins the update step a
+    * full double-precision centroid vector could not (its per-position
+    * output would be 64× wider for no extra signal).
+    */
+  def lloydUpdateStats(df: DataFrame, k: Int,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    val assigned = assignToSeeds(df, k, idCol, vecCol)
+    val members = df.select(col(idCol), dec(col(vecCol)).as("_x"))
+      .join(assigned, idCol)
+    val posSums = members
+      .select(col("cluster"), posexplode(col("_x")))
+      .groupBy(col("cluster"), col("pos"))
+      .agg(sum(col("col")).as("_sp"))
+      .groupBy(col("cluster"))
+      .agg(sum(abs(col("_sp"))).as("_sl1"))
+    val counts = assigned.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_members"))
+    counts.join(posSums, "cluster")
+      .select(col("cluster"), col("n_members"),
+        (col("_sl1").cast(DoubleType) / col("n_members").cast(DoubleType))
+          .as("centroid_l1"))
+  }
+}

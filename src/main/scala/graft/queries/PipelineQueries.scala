@@ -637,6 +637,27 @@ object PipelineQueries {
         .orderBy("doc_id", "rank")
     },
 
+    // Fixed-size chunking with overlap (size=200 chars, stride=150):
+    // the RAG/embedding context-window prep step. The md5 per chunk
+    // pins every chunk boundary byte-exactly while keeping the gate
+    // result narrow; a pure scan-fused explode, no shuffle.
+    QueryDef("ta13_chunking",
+      """WITH t AS (SELECT doc_id, text, length(text) AS len FROM documents),
+        | n AS (SELECT doc_id, text,
+        |         CAST(1 + floor(CAST(greatest(len - 200, 0) + 149 AS DOUBLE) / 150.0) AS BIGINT) AS nc
+        |       FROM t),
+        | c AS (SELECT doc_id, text, unnest(range(0, nc)) AS chunk_id FROM n),
+        | s AS (SELECT doc_id, chunk_id,
+        |         substring(text, CAST(chunk_id * 150 + 1 AS INTEGER), 200) AS ch
+        |       FROM c)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |  md5(ch) AS chunk_md5, CAST(length(ch) AS BIGINT) AS chunk_len
+        |FROM s ORDER BY doc_id, chunk_id""".stripMargin) { (s, dir) =>
+      TextAnalysis.chunkDocs(docs(s, dir), "doc_id", "text",
+        size = 200, stride = 150)
+        .orderBy("doc_id", "chunk_id")
+    },
+
     // ================= similarity search =================
 
     // Brute-force cosine top-5, EXACT decimal formulation: positions
@@ -711,6 +732,81 @@ object PipelineQueries {
       val q = e.filter(col("vec_id") < 10)
       recallFloor(Similarity.cosineTopK(q, e, 5),
         Similarity.ivfTopK(q, e, 5, nlist = 16, nprobe = 6), floorPct = 80)
+    },
+
+    // Symmetric int8 quantization of the embedding column — the 4×
+    // index-compression pass. Per-element IEEE ops with no summation
+    // order involved, so the oracle runs the identical expression tree;
+    // the integer q_sum checksum pins every quantized element.
+    QueryDef("sim05_int8_quant",
+      """WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+        | am AS (SELECT vec_id, max(abs(x)) AS am FROM e GROUP BY vec_id),
+        | q AS (SELECT e.vec_id,
+        |         CASE WHEN am.am = 0 THEN CAST(0 AS BIGINT)
+        |              ELSE CAST(floor(x / am.am * 127.0 + 0.5) AS BIGINT) END AS q
+        |       FROM e JOIN am USING (vec_id))
+        |SELECT vec_id, CAST(sum(q) AS BIGINT) AS q_sum,
+        |  min(q) AS q_min, max(q) AS q_max,
+        |  CAST(sum(CASE WHEN abs(q) = 127 THEN 1 ELSE 0 END) AS BIGINT) AS n_sat
+        |FROM q GROUP BY vec_id ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      Similarity.quantizeInt8(embWide(s, dir)).orderBy("vec_id")
+    },
+
+    // ================= clustering =================
+
+    // k-means seed assignment (k=8): seeds are hash-picked CORPUS
+    // vectors (min id per id%k residue), distances fold in exact
+    // DECIMAL — summation-order independent — and ties break on the
+    // cluster id, so the full 1-nearest-seed assignment is a pure
+    // function of the data that DuckDB hash-matches row for row.
+    QueryDef("km01_kmeans_assign",
+      """WITH e0 AS (SELECT vec_id, unnest(embedding) AS rawx,
+        |                   unnest(range(1, len(embedding) + 1)) AS i
+        |            FROM embeddings),
+        | e AS (SELECT vec_id, i,
+        |         CAST(CAST(rawx AS DOUBLE) AS DECIMAL(12,6)) AS x FROM e0),
+        | sid AS (SELECT min(vec_id) AS cid FROM embeddings GROUP BY vec_id % 8),
+        | c AS (SELECT e.vec_id AS cid, e.i, e.x AS cx
+        |       FROM e JOIN sid ON e.vec_id = sid.cid),
+        | d AS (SELECT e.vec_id, c.cid, sum((e.x - c.cx) * (e.x - c.cx)) AS d
+        |       FROM e JOIN c ON e.i = c.i GROUP BY 1, 2),
+        | a AS (SELECT vec_id, cid,
+        |         row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS r
+        |       FROM d)
+        |SELECT vec_id, CAST(cid AS BIGINT) AS cluster
+        |FROM a WHERE r = 1 ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      graft.operators.Clustering.assignToSeeds(embWide(s, dir), 8)
+        .orderBy("vec_id")
+    },
+
+    // The Lloyd update step on km01's assignment, summarized exactly:
+    // member counts + L1 norm of each updated mean centroid from exact
+    // per-position decimal sums (order-independent), divided once in
+    // identical IEEE doubles.
+    QueryDef("km02_kmeans_update",
+      """WITH e0 AS (SELECT vec_id, unnest(embedding) AS rawx,
+        |                   unnest(range(1, len(embedding) + 1)) AS i
+        |            FROM embeddings),
+        | e AS (SELECT vec_id, i,
+        |         CAST(CAST(rawx AS DOUBLE) AS DECIMAL(12,6)) AS x FROM e0),
+        | sid AS (SELECT min(vec_id) AS cid FROM embeddings GROUP BY vec_id % 8),
+        | c AS (SELECT e.vec_id AS cid, e.i, e.x AS cx
+        |       FROM e JOIN sid ON e.vec_id = sid.cid),
+        | d AS (SELECT e.vec_id, c.cid, sum((e.x - c.cx) * (e.x - c.cx)) AS d
+        |       FROM e JOIN c ON e.i = c.i GROUP BY 1, 2),
+        | a AS (SELECT vec_id, cid,
+        |         row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS r
+        |       FROM d),
+        | m AS (SELECT vec_id, cid FROM a WHERE r = 1),
+        | ps AS (SELECT m.cid, e.i, sum(e.x) AS sp
+        |        FROM m JOIN e USING (vec_id) GROUP BY 1, 2),
+        | l1 AS (SELECT cid, sum(abs(sp)) AS sl1 FROM ps GROUP BY cid),
+        | n AS (SELECT cid, count(*) AS nm FROM m GROUP BY cid)
+        |SELECT CAST(n.cid AS BIGINT) AS cluster, CAST(nm AS BIGINT) AS n_members,
+        |  CAST(sl1 AS DOUBLE) / CAST(nm AS DOUBLE) AS centroid_l1
+        |FROM n JOIN l1 USING (cid) ORDER BY cluster""".stripMargin) { (s, dir) =>
+      graft.operators.Clustering.lloydUpdateStats(embWide(s, dir), 8)
+        .orderBy("cluster")
     },
 
     // ================= multimodal (binary columns) =================
@@ -1159,5 +1255,59 @@ object PipelineQueries {
             col("exact_users").cast(DoubleType) * 0.05, 1L)
             .otherwise(0L).as("within_5pct"))
         .orderBy("event_type")
+    },
+
+    // Sliding-window aggregation (1h window, 15m slide): every event
+    // lands in exactly four overlapping windows. Spark's window() is
+    // epoch-aligned; DuckDB's time_bucket origin (2000-01-03) sits on
+    // the same 15-minute grid, so the bucket frames coincide exactly.
+    QueryDef("ev11_sliding_window",
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        | k AS (SELECT unnest(range(0, 4)) AS k),
+        | w AS (SELECT time_bucket(INTERVAL '15 minutes', e.ts)
+        |                - k.k * INTERVAL '15 minutes' AS window_start,
+        |              e.value
+        |       FROM e CROSS JOIN k)
+        |SELECT window_start, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        |FROM w GROUP BY window_start ORDER BY window_start""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(18, 4)))
+            .cast(DoubleType).as("total_value"))
+        .select(col("window.start").as("window_start"),
+          col("n_events"), col("total_value"))
+        .orderBy("window_start")
+    },
+
+    // Per-event-type z-score outliers (|z| > 3): moments on values
+    // quantized to DECIMAL(12,3); the variance numerator n·Σx²−(Σx)²
+    // stays in EXACT decimal — the naive `ss − n·mean·mean` double form
+    // measured 1 ulp apart between engines (C++ FMA contraction of the
+    // multiply-subtract; the JVM never contracts). What remains is one
+    // division, one sqrt, one subtract, one divide — single correctly
+    // rounded IEEE ops on identical inputs, so flagged rows AND their
+    // z-scores hash-match bit for bit. Stats broadcast back onto the
+    // stream; the events themselves never shuffle.
+    QueryDef("ev12_outliers",
+      """WITH st AS (SELECT event_type, count(*) AS n,
+        |              CAST(sum(CAST(value AS DECIMAL(12,3))) AS DECIMAL(15,3)) AS s,
+        |              CAST(sum(CAST(value AS DECIMAL(12,3)) * CAST(value AS DECIMAL(12,3)))
+        |                   AS DECIMAL(28,6)) AS ss
+        |            FROM events GROUP BY event_type),
+        | ms AS (SELECT event_type,
+        |          CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+        |          sqrt(CAST(CAST(n AS DECIMAL(8,0)) * ss - s * s AS DOUBLE)
+        |               / CAST(n * (n - 1) AS DOUBLE)) AS std
+        |        FROM st)
+        |SELECT e.event_id, e.event_type, CAST(e.value AS DOUBLE) AS value,
+        |  (CAST(CAST(e.value AS DECIMAL(12,3)) AS DOUBLE) - ms.mean) / ms.std AS z
+        |FROM events e JOIN ms USING (event_type)
+        |WHERE abs((CAST(CAST(e.value AS DECIMAL(12,3)) AS DOUBLE) - ms.mean) / ms.std) > 3.0
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      graft.operators.Anomaly.zScoreOutliers(
+        Tables.events(s, dir), "event_type", "value", "event_id")
+        .orderBy("event_id")
     })
 }

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Anomaly, Clustering, Similarity, TextAnalysis}
+
+/** Behavior specs for the round-7 corpus-curation operators: exact-seed
+  * k-means, chunking, int8 quantization, z-score outliers, sliding
+  * windows — planted-structure recovery plus the determinism properties
+  * the oracle gate relies on.
+  */
+class CurationOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  val sf = "/root/testdata/sf0.001"
+
+  /** Three well-separated planted clusters around axis-aligned centers;
+    * ids chosen so each id%3 residue class starts inside a different
+    * cluster (seed 0→cluster A, 1→B, 2→C).
+    */
+  private def plantedVectors = {
+    def around(center: Array[Float], ids: Seq[Long]) =
+      ids.map(i => (i, center.zipWithIndex.map { case (c, p) =>
+        c + ((i + p) % 5).toFloat * 0.01f }))
+    val a = around(Array(10f, 0f, 0f, 0f), Seq(0L, 3L, 6L, 9L))
+    val b = around(Array(0f, 10f, 0f, 0f), Seq(1L, 4L, 7L))
+    val c = around(Array(0f, 0f, 10f, 0f), Seq(2L, 5L, 8L))
+    (a ++ b ++ c).toDF("vec_id", "embedding")
+  }
+
+  test("kmeans: planted clusters are recovered exactly by seed assignment") {
+    val got = Clustering.assignToSeeds(plantedVectors, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // seeds are min id per id%3 class: 0, 1, 2 — each planted cluster
+    // groups with its own seed
+    assert(got == Map(0L -> 0L, 3L -> 0L, 6L -> 0L, 9L -> 0L,
+      1L -> 1L, 4L -> 1L, 7L -> 1L, 2L -> 2L, 5L -> 2L, 8L -> 2L),
+      s"assignment: $got")
+  }
+
+  test("kmeans: assignment is invariant under repartitioning") {
+    val base = Tables.load(spark, sf, "embeddings")
+    val once = Clustering.assignToSeeds(base, 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    val shuffled = Clustering.assignToSeeds(base.repartition(13), 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(once == shuffled)
+  }
+
+  test("kmeans: update stats count every vector exactly once") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val stats = Clustering.lloydUpdateStats(emb, 8).collect()
+    assert(stats.map(_.getLong(1)).sum == emb.count())
+    assert(stats.forall(_.getDouble(2) > 0.0))
+  }
+
+  test("chunking: boundaries, overlap, and the short-doc whole-text chunk") {
+    val text = ('a' to 'z').mkString * 10 // 260 chars
+    val df = Seq((1L, text), (2L, "tiny")).toDF("doc_id", "text")
+    val rows = TextAnalysis.chunkDocs(df, "doc_id", "text", size = 100, stride = 60)
+      .orderBy("doc_id", "chunk_id").collect()
+    val d1 = rows.filter(_.getLong(0) == 1L)
+    // 260 chars, size 100, stride 60 → starts 0/60/120/180: chunk 3
+    // ends past the text (len 80), so no start-240 chunk is emitted
+    assert(d1.map(_.getLong(1)).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(d1.map(_.getLong(3)).toSeq == Seq(100L, 100L, 100L, 80L))
+    // md5s pin the content: chunk 1 covers [60, 160)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String) =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(d1(1).getString(2) == md5hex(text.substring(60, 160)))
+    val d2 = rows.filter(_.getLong(0) == 2L)
+    assert(d2.length == 1 && d2(0).getLong(3) == 4L)
+  }
+
+  test("int8 quantization: absmax element saturates, zero vector is zeros") {
+    val df = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f)), // absmax 1.0 → q = 64, -127, 32
+      (2L, Array(0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.quantizeInt8(df).orderBy("vec_id").collect()
+    assert(got(0).getLong(1) == 64L - 127L + 32L) // q_sum
+    assert(got(0).getLong(2) == -127L && got(0).getLong(3) == 64L)
+    assert(got(0).getLong(4) == 1L) // one saturated element
+    assert(got(1).getLong(1) == 0L && got(1).getLong(4) == 0L)
+  }
+
+  test("int8 quantization stays within [-127, 127] on real embeddings") {
+    val q = Similarity.quantizeInt8(Tables.load(spark, sf, "embeddings"))
+    val bad = q.filter(col("q_min") < -127 || col("q_max") > 127).count()
+    assert(bad == 0)
+  }
+
+  test("z-score outliers: planted extreme flagged, bulk not") {
+    val normal = (1L to 200L).map(i => (i, "a", (i % 10).toDouble))
+    val rows = (normal :+ ((999L, "a", 1000.0))).toDF("event_id", "event_type", "value")
+    val flagged = Anomaly.zScoreOutliers(rows, "event_type", "value", "event_id")
+      .collect()
+    assert(flagged.map(_.getLong(0)).toSet == Set(999L))
+    assert(flagged.head.getDouble(3) > 3.0)
+  }
+
+  test("sliding window: every event lands in exactly four 1h/15m windows") {
+    val ev = Tables.events(spark, sf)
+    val windows = SparkEntry.queries("ev11_sliding_window")(spark, sf)
+    val total = windows.agg(sum("n_events")).collect()(0).getLong(0)
+    assert(total == ev.count() * 4, s"window membership total $total")
+  }
+}

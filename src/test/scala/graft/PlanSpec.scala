@@ -159,6 +159,27 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("ta13/sim05: chunking and quantization stay scan-fused — zero exchanges before the sort") {
+    // per-row explode / per-element array math only
+    for (q <- Seq("ta13_chunking", "sim05_int8_quant")) {
+      assert(countExchanges(q) <= 1, s"$q:\n${planOf(q)}")
+    }
+  }
+
+  test("km01: seed centroids broadcast; the vector side never all-pairs shuffles") {
+    val plan = planOf("km01_kmeans_assign")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the k candidate rows per vector must collapse map-side before the
+    // keyed exchange
+    assert(plan.contains("partial_min") || plan.contains("partial"), plan)
+  }
+
+  test("ev12: group stats broadcast back — the event stream itself never shuffles") {
+    val plan = planOf("ev12_outliers")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("log parser fused path keeps one regex pass (no RegExpExtract chain)") {
     import org.apache.spark.sql.functions._
     // non-foldable input so the optimizer can't constant-fold the parse
