@@ -56,6 +56,36 @@ object Sampling {
     substring(md5(key.cast("string")), 1, 2) < numerator
   }
 
+  /** Temperature-based source rebalancing at α = 0.5: keep-rate per
+    * stratum r = √(n_min/n) — the multilingual-mixing downsampling that
+    * flattens a corpus toward uniform without discarding the smallest
+    * strata (the smallest stratum keeps everything; a stratum 4× its
+    * size keeps half). Rates are DERIVED FROM THE DATA in-plan (counts
+    * → broadcast), unlike [[stratifiedHashSample]]'s caller-fixed map.
+    *
+    * α is fixed at 0.5 deliberately: √ is an IEEE-correctly-rounded
+    * operation, so both engines compute the identical rate double and
+    * the identical floor(256·r) gate; a general `pow(n, α)` is NOT
+    * correctly rounded by libm and could flip the integer gate at a
+    * boundary. Membership stays the same md5 hex-gate as [[hashSample]]
+    * — reproducible, engine-portable, scan-fused but for one broadcast
+    * join of |strata| rows.
+    */
+  def temperatureMixSample(df: DataFrame, stratumCol: String,
+                           keyCol: String): DataFrame = {
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("_n"))
+    val minN = counts.agg(min(col("_n")).as("_nmin"))
+    val gates = counts.crossJoin(broadcast(minN))
+      .withColumn("_num", floor(lit(256.0) *
+        sqrt(col("_nmin").cast("double") / col("_n").cast("double"))).cast("int"))
+      .withColumn("_gate", when(col("_num") >= 256, lit("zz"))
+        .otherwise(format_string("%02x", col("_num"))))
+      .select(col(stratumCol), col("_gate"))
+    df.join(broadcast(gates), stratumCol)
+      .filter(substring(md5(col(keyCol).cast("string")), 1, 2) < col("_gate"))
+      .drop("_gate")
+  }
+
   /** Exactly-k-per-stratum sampling: rank rows within each stratum by
     * md5(key) (ties broken by the key itself — total order, so the
     * survivor set is unique) and keep the first `k`. The fraction

@@ -245,6 +245,48 @@ object TextAnalysis {
       dupFrac(ngr(3)).as("dup_3gram_frac"))
   }
 
+  /** Bigram language-model scoring — the perplexity-style fluency
+    * filter of corpus curation: per document, the mean log conditional
+    * probability ln P(w₂|w₁) = ln(c(w₁w₂)/c(w₁·)) of its bigrams,
+    * where counts come from the corpus itself and the context count
+    * c(w₁·) is the row count of w₁ as a bigram HEAD (so probabilities
+    * per context sum to exactly 1 — self-consistent, no smoothing).
+    * Documents with fewer than 2 tokens have no bigrams and are not
+    * emitted.
+    *
+    * Cross-engine determinism: each bigram's log-probability is
+    * quantized to DECIMAL(18,6) BEFORE the per-document sum (the ta08
+    * pattern — a 1-ulp libm `ln` divergence cannot flip a 6-dp
+    * quantization), so the sums are exact decimals and the final mean
+    * is one identical IEEE division.
+    *
+    * Scale shape: bigram and context counts are vocabulary-bounded
+    * hash aggregations; the score join is keyed on the bigram. No
+    * driver-side state — the "model" stays a distributed table.
+    */
+  def bigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val bi = df.select(col(idCol), explode(
+        when(size(toks) >= 2, transform(sequence(lit(0), size(toks) - 2),
+          i => struct(
+            concat_ws(" ", slice(toks, i + 1, lit(2))).as("bg"),
+            element_at(toks, i + 1).as("w1"))))
+          .otherwise(array().cast(ArrayType(StructType(Seq(
+            StructField("bg", StringType), StructField("w1", StringType))))))).as("_e"))
+      .select(col(idCol), col("_e.bg").as("bg"), col("_e.w1").as("w1"))
+    val bgCount = bi.groupBy("bg").agg(count(lit(1)).as("_cb"))
+    val ctxCount = bi.groupBy("w1").agg(count(lit(1)).as("_cc"))
+    val scored = bi
+      .join(bgCount, "bg").join(ctxCount, "w1")
+      .withColumn("_q",
+        log(col("_cb").cast(DoubleType) / col("_cc").cast(DoubleType))
+          .cast(DecimalType(18, 6)))
+    scored.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum(col("_q")).cast(DoubleType) /
+          count(lit(1)).cast(DoubleType)).as("avg_logprob"))
+  }
+
   /** Fixed-size character chunking with overlap — the context-window
     * prep step of RAG/embedding pipelines: chunk i covers
     * `[i·stride, i·stride + size)`, so consecutive chunks overlap by

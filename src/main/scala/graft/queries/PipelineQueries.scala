@@ -355,6 +355,35 @@ object PipelineQueries {
         .orderBy("lang", "doc_id")
     },
 
+    // Temperature mixing at α=0.5: keep-rate √(n_min/n) per language,
+    // DERIVED from the corpus in-plan (vs sp02's caller-fixed rates) —
+    // the multilingual flattening step. √ is correctly-rounded IEEE, so
+    // both engines compute the identical floor(256·r) gate; membership
+    // is the same portable md5 hex-gate as sp01/sp02.
+    QueryDef("sp04_temperature_mix",
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        | mn AS (SELECT min(n) AS nmin FROM c),
+        | g AS (SELECT lang, CAST(floor(256.0 *
+        |         sqrt(CAST(nmin AS DOUBLE) / CAST(n AS DOUBLE))) AS INTEGER) AS num
+        |       FROM c, mn),
+        | gg AS (SELECT lang,
+        |          CASE WHEN num >= 256 THEN 'zz' ELSE printf('%02x', num) END AS gate
+        |        FROM g)
+        |SELECT d.lang, count(*) AS n_sampled,
+        |  CAST(min(doc_id) AS BIGINT) AS first_doc,
+        |  CAST(max(doc_id) AS BIGINT) AS last_doc
+        |FROM documents d JOIN gg USING (lang)
+        |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < gate
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin) { (s, dir) =>
+      graft.operators.Sampling
+        .temperatureMixSample(docs(s, dir), "lang", "doc_id")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_sampled"),
+          min("doc_id").cast(LongType).as("first_doc"),
+          max("doc_id").cast(LongType).as("last_doc"))
+        .orderBy("lang")
+    },
+
     // Typo-pair detection (Dedup.typoPairs): blocked candidates + exact
     // Levenshtein distance 1 — the fuzzy-key-matching step of entity/
     // token normalization. The synthetic corpus vocabulary has no
@@ -635,6 +664,31 @@ object PipelineQueries {
         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin) { (s, dir) =>
       TextAnalysis.tfIdfTopTerms(docs(s, dir), "doc_id", "text", 3)
         .orderBy("doc_id", "rank")
+    },
+
+    // Bigram-LM fluency scoring: mean ln P(w2|w1) per document with
+    // counts from the corpus itself — the perplexity-filter shape. Each
+    // bigram's log-probability quantizes to DECIMAL(18,6) BEFORE the
+    // per-document sum (the ta08 pattern: a 1-ulp ln() divergence can't
+    // flip a 6-dp quantization), so sums are exact and the mean is one
+    // identical IEEE division.
+    QueryDef("ta14_bigram_lm",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 2),
+        | bg0 AS (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM w),
+        | bg AS (SELECT doc_id, array_to_string(ws[i:i+1], ' ') AS bg,
+        |               ws[i] AS w1 FROM bg0),
+        | cb AS (SELECT bg, count(*) AS cb FROM bg GROUP BY bg),
+        | cc AS (SELECT w1, count(*) AS cc FROM bg GROUP BY w1),
+        | lp AS (SELECT bg.doc_id,
+        |          CAST(ln(CAST(cb.cb AS DOUBLE) / CAST(cc.cc AS DOUBLE))
+        |               AS DECIMAL(18,6)) AS q
+        |        FROM bg JOIN cb USING (bg) JOIN cc USING (w1))
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  CAST(sum(q) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_logprob
+        |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      TextAnalysis.bigramLogProb(docsWide(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
     },
 
     // Fixed-size chunking with overlap (size=200 chars, stride=150):
@@ -1149,6 +1203,37 @@ object PipelineQueries {
     // grid is rollup-sized (hours × types), built from broadcast
     // aggregates; the fill is one ordered window per key. Forward-filled
     // doubles are COPIES of decimal-derived values, so they hash-match.
+    // ev11's sliding rollup as a STRUCTURED STREAMING job: watermarked
+    // 1h/15m sliding windows through a file stream → append-mode memory
+    // sink — st01's finalized-window contract (window emitted iff
+    // wstart + window + delay < max(ts)) applied to overlapping-window
+    // state.
+    QueryDef("st05_stream_sliding",
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        | k AS (SELECT unnest(range(0, 4)) AS k),
+        | w AS (SELECT time_bucket(INTERVAL '15 minutes', e.ts)
+        |                - k.k * INTERVAL '15 minutes' AS window_start,
+        |              e.value
+        |       FROM e CROSS JOIN k),
+        | mx AS (SELECT max(CAST(ts AS TIMESTAMP)) AS mxts FROM events)
+        |SELECT window_start, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        |FROM w, mx
+        |WHERE window_start + INTERVAL 2 HOUR < mxts
+        |GROUP BY window_start ORDER BY window_start""".stripMargin) { (s, dir) =>
+      val sink = s"st05_sink_${StSinkSeq.incrementAndGet()}"
+      val q = graft.streaming.StreamingJobs
+        .slidingRollup(Tables.eventsStream(s, dir), watermark = "1 hour")
+        .writeStream.outputMode("append")
+        .format("memory").queryName(sink)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink)
+        .select(col("window_start").cast(TimestampNTZType).as("window_start"),
+          col("n_events"), col("total_value"))
+        .orderBy("window_start")
+    },
+
     QueryDef("ev09_gap_fill",
       """WITH roll AS (
         |  SELECT date_trunc('hour', ts) AS wstart, event_type, count(*) AS n,
@@ -1255,6 +1340,50 @@ object PipelineQueries {
             col("exact_users").cast(DoubleType) * 0.05, 1L)
             .otherwise(0L).as("within_5pct"))
         .orderBy("event_type")
+    },
+
+    // Fixed-bin value histogram per event type (bin width 50): the
+    // monitoring-distribution shape. bin = floor(v/50) is one IEEE
+    // division + floor on identical doubles — portable; one map-side
+    // combining aggregation, ~|types|·|bins| result rows.
+    QueryDef("ev13_histogram",
+      """SELECT event_type, bin, count(*) AS n,
+        |  CAST(bin AS DOUBLE) * 50.0 AS bin_lo
+        |FROM (SELECT event_type, CAST(floor(value / 50.0) AS BIGINT) AS bin
+        |      FROM events) t
+        |GROUP BY event_type, bin ORDER BY event_type, bin""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          floor(col("value") / 50.0).cast(LongType).as("bin"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("bin_lo", col("bin").cast(DoubleType) * 50.0)
+        .orderBy("event_type", "bin")
+    },
+
+    // Weekly cohort retention: cohort = week of a user's first event;
+    // n_active = users from that cohort active in each later week — the
+    // product-analytics matrix. Both week truncations are Monday-based;
+    // the offset divides an exact multiple-of-7 day difference, so the
+    // integer cast agrees despite Spark truncating and DuckDB rounding.
+    QueryDef("ev14_cohort_retention",
+      """WITH uw AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
+        |            FROM events),
+        | ch AS (SELECT user_id, min(wk) AS cohort FROM uw GROUP BY user_id)
+        |SELECT ch.cohort,
+        |  CAST(datediff('day', ch.cohort, uw.wk) / 7 AS BIGINT) AS week_offset,
+        |  count(*) AS n_active
+        |FROM uw JOIN ch USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      val uw = Tables.events(s, dir)
+        .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+        .distinct()
+      val ch = uw.groupBy("user_id").agg(min(col("wk")).as("cohort"))
+      uw.join(ch, "user_id")
+        .groupBy(col("cohort"),
+          (datediff(col("wk").cast(DateType), col("cohort").cast(DateType)) / 7)
+            .cast(LongType).as("week_offset"))
+        .agg(count(lit(1)).as("n_active"))
+        .orderBy("cohort", "week_offset")
     },
 
     // Sliding-window aggregation (1h window, 15m slide): every event

@@ -742,6 +742,38 @@ object RelationalQueries {
         |  AND o_custkey IN
         |    (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
         |ORDER BY o_orderkey""".stripMargin)
+    },
+
+    // Latest-wins upsert (SCD-1 merge): a derived delta batch (updated
+    // prices for every 10th key + 50 brand-new keys) folded into the
+    // orders snapshot via Merge.upsert — anti join survivors + union,
+    // no window pass; the delta broadcasts so the snapshot never
+    // shuffles. The full merged table is the gate output, so a row
+    // mis-routed to the wrong side of the merge flips the hash.
+    QueryDef("q35_merge_upsert",
+      """WITH u AS (SELECT o_orderkey, o_totalprice + 1000.0 AS o_totalprice,
+        |                  'upd' AS src
+        |           FROM orders WHERE o_orderkey % 10 = 0
+        |           UNION ALL
+        |           SELECT o_orderkey + 200000, o_totalprice, 'ins'
+        |           FROM orders WHERE o_orderkey < 50),
+        | b AS (SELECT o_orderkey, o_totalprice, 'base' AS src FROM orders)
+        |SELECT * FROM (
+        |  SELECT * FROM b WHERE o_orderkey NOT IN (SELECT o_orderkey FROM u)
+        |  UNION ALL SELECT * FROM u)
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val orders = t(s, dir, "orders")
+      val base = orders
+        .select(col("o_orderkey"), col("o_totalprice"), lit("base").as("src"))
+      val upd = orders.filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"),
+          (col("o_totalprice") + 1000.0).as("o_totalprice"),
+          lit("upd").as("src"))
+      val ins = orders.filter(col("o_orderkey") < 50)
+        .select((col("o_orderkey") + 200000).as("o_orderkey"),
+          col("o_totalprice"), lit("ins").as("src"))
+      graft.operators.Merge.upsert(base, upd.unionByName(ins), "o_orderkey")
+        .orderBy("o_orderkey")
     })
 
   /** A query whose Spark implementation IS the oracle SQL text, run

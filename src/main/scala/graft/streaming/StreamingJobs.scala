@@ -42,6 +42,20 @@ object StreamingJobs {
       .select(col("window.start").as("wstart"), col("event_type"),
         col("n"), col("v"))
 
+  /** [[hourlyRollup]]'s sliding twin: 1-hour windows every 15 minutes —
+    * each event feeds four overlapping windows, the freshness/latency
+    * trade monitoring rollups actually run. Same watermark-bounded
+    * keyed state; window count (not event count) bounds state size.
+    */
+  def slidingRollup(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType).as("total_value"))
+      .select(col("window.start").as("window_start"),
+        col("n_events"), col("total_value"))
+
   /** The reference's compact pipeline as a CONTINUOUS job: tail raw log
     * text landing under `inputRoot`, parse with the fused parser, write
     * date-partitioned snappy parquet exactly-once (checkpointed file

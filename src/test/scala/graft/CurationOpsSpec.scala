@@ -102,6 +102,55 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(flagged.head.getDouble(3) > 3.0)
   }
 
+  test("merge upsert: updates win, inserts land, untouched rows survive") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val delta = Seq((2L, "B"), (9L, "X")).toDF("k", "v")
+    val got = graft.operators.Merge.upsert(base, delta, "k")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "a", 2L -> "B", 3L -> "c", 9L -> "X"))
+  }
+
+  test("bigram LM: known corpus scores exactly") {
+    // "a b a b a c": bigrams ab,ba,ab,ba,ac → c(ab)=2 c(ba)=2 c(ac)=1,
+    // contexts a→3 b→2 → P(b|a)=2/3 P(a|b)=1 P(c|a)=1/3
+    val df = Seq((1L, "a b a b a c")).toDF("doc_id", "text")
+    val r = TextAnalysis.bigramLogProb(df, "doc_id", "text").collect()(0)
+    assert(r.getLong(1) == 5L)
+    def q(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val expected = (q(math.log(2.0 / 3.0)) * 2 + q(math.log(1.0)) * 2 +
+      q(math.log(1.0 / 3.0))).toDouble / 5.0
+    assert(math.abs(r.getDouble(2) - expected) < 1e-12,
+      s"got ${r.getDouble(2)} expected $expected")
+  }
+
+  test("temperature mixing keeps the smallest stratum whole, shrinks the biggest") {
+    val d = docs()
+    val byLang = d.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = graft.operators.Sampling
+      .temperatureMixSample(d, "lang", "doc_id")
+      .groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val smallest = byLang.minBy(_._2)._1
+    val biggest = byLang.maxBy(_._2)._1
+    assert(kept(smallest) == byLang(smallest), "smallest stratum must keep all")
+    assert(kept(biggest) < byLang(biggest), "dominant stratum must shrink")
+    // keep-rate of the biggest ≈ √(n_min/n_max), within hash-gate noise
+    val want = math.sqrt(byLang(smallest).toDouble / byLang(biggest))
+    val got = kept(biggest).toDouble / byLang(biggest)
+    assert(math.abs(got - want) < 0.15, s"rate $got vs target $want")
+  }
+
+  private def docs() = Tables.load(spark, sf, "documents")
+
+  test("histogram bins: boundary values bin by floor(v/50)") {
+    import org.apache.spark.sql.functions.{col, floor}
+    val vals = Seq(0.01, 49.99, 50.0, 490.0).toDF("value")
+    val bins = vals.select(floor(col("value") / 50.0).cast("long").as("b"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(bins == Seq(0L, 0L, 1L, 9L))
+  }
+
   test("sliding window: every event lands in exactly four 1h/15m windows") {
     val ev = Tables.events(spark, sf)
     val windows = SparkEntry.queries("ev11_sliding_window")(spark, sf)
