@@ -68,6 +68,27 @@ object PipelineQueries {
     */
   private val StSinkSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Run a streaming gate query with state partitioning sized to its
+    * state volume. A stateful operator creates one state store per
+    * shuffle partition per side — at the session's scan-sized setting
+    * (32) a stream-stream join commits 64 store instances per
+    * micro-batch for kilobytes of state, and store lifecycle (init,
+    * snapshot, commit) dominates the run (measured: st04 5.45 s at 32
+    * partitions → ~2 s at 8). Sizing state partitions to load is the
+    * same knob a production deployment turns (state store count is
+    * fixed by the checkpoint at first run); results are identical —
+    * only parallelism of the keyed state changes. The session setting
+    * is restored afterwards; gate queries run sequentially, and the
+    * batch read-back of the memory sink replans under the restored
+    * setting.
+    */
+  private def withStateSizedShuffle[A](s: SparkSession, n: Int = 8)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   /** Single-row ANN recall invariant: n_exact = |exact top-k pairs| and
     * a floor flag (hits·100 ≥ n_exact·floorPct, integer arithmetic — no
     * float compare). The DuckDB side derives n_exact from corpus counts
@@ -1076,12 +1097,14 @@ object PipelineQueries {
         |WHERE date_trunc('hour', ts) + INTERVAL 2 HOUR < (SELECT max(ts) FROM events)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
       val sink = s"st01_sink_${StSinkSeq.incrementAndGet()}"
-      val q = graft.streaming.StreamingJobs
-        .hourlyRollup(Tables.eventsStream(s, dir), watermark = "1 hour")
-        .writeStream.outputMode("append")
-        .format("memory").queryName(sink)
-        .start()
-      try q.processAllAvailable() finally q.stop()
+      withStateSizedShuffle(s) {
+        val q = graft.streaming.StreamingJobs
+          .hourlyRollup(Tables.eventsStream(s, dir), watermark = "1 hour")
+          .writeStream.outputMode("append")
+          .format("memory").queryName(sink)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
       // the stream runs on plain TIMESTAMP (watermark constraint — see
       // Tables.eventsStream); UTC session ⇒ the NTZ cast here renders
       // the same wall clock the batch/oracle plans carry end-to-end
@@ -1133,13 +1156,15 @@ object PipelineQueries {
       val ev = Tables.eventsStream(s, dir)
         .select(col("user_id"), col("ts"), col("value"))
         .as[graft.streaming.SessionEvent]
-      val q = graft.streaming.StreamingJobs
-        .sessionize(ev, gapMinutes = 30, watermark = "10 minutes")
-        .toDF()
-        .writeStream.outputMode("append")
-        .format("memory").queryName(sink)
-        .start()
-      try q.processAllAvailable() finally q.stop()
+      withStateSizedShuffle(s) {
+        val q = graft.streaming.StreamingJobs
+          .sessionize(ev, gapMinutes = 30, watermark = "10 minutes")
+          .toDF()
+          .writeStream.outputMode("append")
+          .format("memory").queryName(sink)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
       s.table(sink)
         .select(col("user_id"),
           col("session_start").cast(TimestampNTZType).as("session_start"),
@@ -1162,12 +1187,14 @@ object PipelineQueries {
       val ev = Tables.eventsStream(s, dir)
         .select(col("ts"), concat(col("event_type"), lit("#"),
           (col("user_id") % 100).cast("string")).as("content"))
-      val q = graft.streaming.StreamingJobs
-        .dedupStream(ev, "ts", "content", watermark = "1 hour")
-        .writeStream.outputMode("append")
-        .format("memory").queryName(sink)
-        .start()
-      try q.processAllAvailable() finally q.stop()
+      withStateSizedShuffle(s) {
+        val q = graft.streaming.StreamingJobs
+          .dedupStream(ev, "ts", "content", watermark = "1 hour")
+          .writeStream.outputMode("append")
+          .format("memory").queryName(sink)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
       s.table(sink).select("content").orderBy("content")
     },
 
@@ -1186,23 +1213,19 @@ object PipelineQueries {
         | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
         |ORDER BY c.user_id, click_id, purchase_id""".stripMargin) { (s, dir) =>
       val sink = s"st04_sink_${StSinkSeq.incrementAndGet()}"
-      val q = graft.streaming.StreamingJobs
-        .clickToPurchase(Tables.eventsStream(s, dir))
-        .writeStream.outputMode("append")
-        .format("memory").queryName(sink)
-        .start()
-      try q.processAllAvailable() finally q.stop()
+      withStateSizedShuffle(s) {
+        val q = graft.streaming.StreamingJobs
+          .clickToPurchase(Tables.eventsStream(s, dir))
+          .writeStream.outputMode("append")
+          .format("memory").queryName(sink)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
       s.table(sink)
         .select(col("user_id"), col("click_id"), col("purchase_id"))
         .orderBy("user_id", "click_id", "purchase_id")
     },
 
-    // Time-series gap fill: the hourly rollup densified onto the full
-    // hour grid per event_type — absent buckets get n = 0 and carry the
-    // last observed v forward (null before the first observation). The
-    // grid is rollup-sized (hours × types), built from broadcast
-    // aggregates; the fill is one ordered window per key. Forward-filled
-    // doubles are COPIES of decimal-derived values, so they hash-match.
     // ev11's sliding rollup as a STRUCTURED STREAMING job: watermarked
     // 1h/15m sliding windows through a file stream → append-mode memory
     // sink — st01's finalized-window contract (window emitted iff
@@ -1222,18 +1245,26 @@ object PipelineQueries {
         |WHERE window_start + INTERVAL 2 HOUR < mxts
         |GROUP BY window_start ORDER BY window_start""".stripMargin) { (s, dir) =>
       val sink = s"st05_sink_${StSinkSeq.incrementAndGet()}"
-      val q = graft.streaming.StreamingJobs
-        .slidingRollup(Tables.eventsStream(s, dir), watermark = "1 hour")
-        .writeStream.outputMode("append")
-        .format("memory").queryName(sink)
-        .start()
-      try q.processAllAvailable() finally q.stop()
+      withStateSizedShuffle(s) {
+        val q = graft.streaming.StreamingJobs
+          .slidingRollup(Tables.eventsStream(s, dir), watermark = "1 hour")
+          .writeStream.outputMode("append")
+          .format("memory").queryName(sink)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
       s.table(sink)
         .select(col("window_start").cast(TimestampNTZType).as("window_start"),
           col("n_events"), col("total_value"))
         .orderBy("window_start")
     },
 
+    // Time-series gap fill: the hourly rollup densified onto the full
+    // hour grid per event_type — absent buckets get n = 0 and carry the
+    // last observed v forward (null before the first observation). The
+    // grid is rollup-sized (hours × types), built from broadcast
+    // aggregates; the fill is one ordered window per key. Forward-filled
+    // doubles are COPIES of decimal-derived values, so they hash-match.
     QueryDef("ev09_gap_fill",
       """WITH roll AS (
         |  SELECT date_trunc('hour', ts) AS wstart, event_type, count(*) AS n,
