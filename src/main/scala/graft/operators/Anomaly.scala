@@ -21,10 +21,11 @@ import org.apache.spark.sql.types._
   * JVM never does. No multiply-adjacent-add/sub double op survives
   * here, so there is nothing left to contract.
   *
-  * Decimal budget (Spark caps at 38 digits): v (12,3) → Σv at (22,3)
-  * recast (15,3) lossless (|Σv| < 10¹²); v² (25,6) → Σv² recast (28,6)
-  * lossless; n (8,0)·Σv² → (37,6); (Σv)² → (31,6); the subtraction
-  * fits (38,6) exactly.
+  * Decimal budget (Spark caps at 38 digits), sized for 100 TB groups:
+  * v (12,3) → Σv recast (17,3); v² (25,6) → Σv² recast (26,6);
+  * n (11,0)·Σv² → (38,6); (Σv)² → (35,6); the subtraction stays inside
+  * (38,6). Exact for |value| ≤ 10³ and n ≤ 10¹¹ rows per group —
+  * far beyond any per-group event volume this pass would see.
   *
   * Scale shape: one map-side-combining aggregation to |groups| rows,
   * broadcast back onto the stream — the events themselves never
@@ -37,12 +38,12 @@ object Anomaly {
     val v = col(valueCol).cast(DecimalType(12, 3))
     val stats = df.groupBy(col(groupCol)).agg(
       count(lit(1)).as("_n"),
-      sum(v).cast(DecimalType(15, 3)).as("_s"),
-      sum(v * v).cast(DecimalType(28, 6)).as("_ss"))
+      sum(v).cast(DecimalType(17, 3)).as("_s"),
+      sum(v * v).cast(DecimalType(26, 6)).as("_ss"))
       .withColumn("_mean",
         col("_s").cast(DoubleType) / col("_n").cast(DoubleType))
       .withColumn("_num",
-        col("_n").cast(DecimalType(8, 0)) * col("_ss") - col("_s") * col("_s"))
+        col("_n").cast(DecimalType(11, 0)) * col("_ss") - col("_s") * col("_s"))
       .withColumn("_std", sqrt(col("_num").cast(DoubleType) /
         (col("_n") * (col("_n") - 1)).cast(DoubleType)))
       .select(col(groupCol), col("_mean"), col("_std"))

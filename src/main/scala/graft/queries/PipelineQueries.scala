@@ -1226,6 +1226,27 @@ object PipelineQueries {
         .orderBy("user_id", "click_id", "purchase_id")
     },
 
+    // Stream-static join: the unbounded event stream enriched against a
+    // bounded dimension table — stateless (no watermark, no state
+    // store: the static side broadcasts into every micro-batch), the
+    // streaming shape dimension enrichment actually uses. Oracle = the
+    // identical batch join.
+    QueryDef("st06_stream_static_join",
+      """SELECT e.event_id, n.n_name
+        |FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+        |ORDER BY e.event_id""".stripMargin) { (s, dir) =>
+      val sink = s"st06_sink_${StSinkSeq.incrementAndGet()}"
+      val dim = Tables.load(s, dir, "nation")
+      val q = Tables.eventsStream(s, dir)
+        .join(broadcast(dim), (col("user_id") % 25) === col("n_nationkey"))
+        .select(col("event_id"), col("n_name"))
+        .writeStream.outputMode("append")
+        .format("memory").queryName(sink)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink).orderBy("event_id")
+    },
+
     // ev11's sliding rollup as a STRUCTURED STREAMING job: watermarked
     // 1h/15m sliding windows through a file stream → append-mode memory
     // sink — st01's finalized-window contract (window emitted iff
@@ -1452,13 +1473,13 @@ object PipelineQueries {
     // stream; the events themselves never shuffle.
     QueryDef("ev12_outliers",
       """WITH st AS (SELECT event_type, count(*) AS n,
-        |              CAST(sum(CAST(value AS DECIMAL(12,3))) AS DECIMAL(15,3)) AS s,
+        |              CAST(sum(CAST(value AS DECIMAL(12,3))) AS DECIMAL(17,3)) AS s,
         |              CAST(sum(CAST(value AS DECIMAL(12,3)) * CAST(value AS DECIMAL(12,3)))
-        |                   AS DECIMAL(28,6)) AS ss
+        |                   AS DECIMAL(26,6)) AS ss
         |            FROM events GROUP BY event_type),
         | ms AS (SELECT event_type,
         |          CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
-        |          sqrt(CAST(CAST(n AS DECIMAL(8,0)) * ss - s * s AS DOUBLE)
+        |          sqrt(CAST(CAST(n AS DECIMAL(11,0)) * ss - s * s AS DOUBLE)
         |               / CAST(n * (n - 1) AS DOUBLE)) AS std
         |        FROM st)
         |SELECT e.event_id, e.event_type, CAST(e.value AS DOUBLE) AS value,

@@ -774,6 +774,38 @@ object RelationalQueries {
           col("o_totalprice"), lit("ins").as("src"))
       graft.operators.Merge.upsert(base, upd.unionByName(ins), "o_orderkey")
         .orderBy("o_orderkey")
+    },
+
+    // Windowed DISTINCT count: distinct buyers per customer segment
+    // over a trailing 30-day event-time frame — the rolling-reach
+    // metric plain windowed counts can't express. Spark has no
+    // DISTINCT window aggregate, so the implementation is
+    // size(collect_set() OVER RANGE) — per-frame set state, same
+    // semantics as DuckDB's native count(DISTINCT) OVER. The frame
+    // orders on integer epoch days, so both engines bound the same
+    // peers exactly.
+    QueryDef("q36_windowed_distinct",
+      """WITH o AS (SELECT o_orderkey, o_custkey, c_mktsegment,
+        |             CAST(datediff('day', DATE '1995-01-01',
+        |                  CAST(o_orderdate AS DATE)) AS BIGINT) AS d
+        |           FROM orders JOIN customer ON o_custkey = c_custkey)
+        |SELECT o_orderkey, c_mktsegment,
+        |  CAST(count(DISTINCT o_custkey) OVER (PARTITION BY c_mktsegment ORDER BY d
+        |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS BIGINT) AS buyers_30d
+        |FROM o ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val d = datediff(col("o_orderdate").cast(DateType),
+        lit("1995-01-01").cast(DateType)).cast(LongType)
+      val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("d"))
+        .rangeBetween(-30, Window.currentRow)
+      t(s, dir, "orders")
+        .join(t(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("c_mktsegment"), col("o_custkey"),
+          d.as("d"))
+        .select(col("o_orderkey"), col("c_mktsegment"),
+          size(collect_set(col("o_custkey")).over(w))
+            .cast(LongType).as("buyers_30d"))
+        .orderBy("o_orderkey")
     })
 
   /** A query whose Spark implementation IS the oracle SQL text, run

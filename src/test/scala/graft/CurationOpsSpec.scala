@@ -151,6 +151,23 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(bins == Seq(0L, 0L, 1L, 9L))
   }
 
+  test("windowed distinct: collect_set-over-range matches brute force") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, collect_set, size}
+    val rows = Seq((1L, 10L, 0L), (2L, 10L, 5L), (3L, 11L, 20L),
+      (4L, 10L, 40L), (5L, 12L, 45L), (6L, 11L, 100L))
+      .toDF("id", "cust", "d")
+    val w = Window.orderBy(col("d")).rangeBetween(-30, Window.currentRow)
+    val got = rows.select(col("id"), size(collect_set(col("cust")).over(w)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val data = Seq((1L, 10L, 0L), (2L, 10L, 5L), (3L, 11L, 20L),
+      (4L, 10L, 40L), (5L, 12L, 45L), (6L, 11L, 100L))
+    val brute = data.map { case (id, _, d) =>
+      id -> data.filter(t => t._3 >= d - 30 && t._3 <= d).map(_._2).distinct.size
+    }.toMap
+    assert(got == brute, s"got $got want $brute")
+  }
+
   test("sliding window: every event lands in exactly four 1h/15m windows") {
     val ev = Tables.events(spark, sf)
     val windows = SparkEntry.queries("ev11_sliding_window")(spark, sf)
