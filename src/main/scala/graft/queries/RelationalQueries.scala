@@ -806,6 +806,54 @@ object RelationalQueries {
           size(collect_set(col("o_custkey")).over(w))
             .cast(LongType).as("buyers_30d"))
         .orderBy("o_orderkey")
+    },
+
+    // Correlated LATERAL join: top-2 orders per customer by price — the
+    // per-row-subquery shape (SQL:1999 LATERAL, Spark 4 native). One
+    // SQL text runs verbatim in both engines; the tiebreak on
+    // o_orderkey makes the top-2 a total order.
+    sqlBoth("q37_lateral_topk",
+      """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        |FROM customer c,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+        |         WHERE o_custkey = c.c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        |ORDER BY c.c_custkey, o.o_orderkey""".stripMargin),
+
+    // Recursive CTE (Spark 4 WITH RECURSIVE): a data-driven month spine
+    // from min to max order month, left-joined to per-month counts —
+    // the recursive-generation shape ev09 builds with sequence() ranges,
+    // here exercised through the SQL front end's recursion operator.
+    // The upper bound rides ALONG the recursion as a column: a scalar
+    // subquery in the step re-ran the max() aggregate scan on every one
+    // of the ~80 iterations (measured 20 s at sf0.01 → 0.3 s hoisted).
+    // Engine-specific interval syntax, identical results.
+    QueryDef("q38_recursive_cte",
+      """WITH RECURSIVE b AS (
+        |  SELECT date_trunc('month', min(o_orderdate)) AS lo,
+        |         date_trunc('month', max(o_orderdate)) AS hi FROM orders),
+        | months(m, hi) AS (
+        |  SELECT lo, hi FROM b
+        |  UNION ALL
+        |  SELECT m + INTERVAL 1 MONTH, hi FROM months WHERE m < hi),
+        | cnt AS (SELECT date_trunc('month', o_orderdate) AS m, count(*) AS n
+        |         FROM orders GROUP BY 1)
+        |SELECT CAST(months.m AS DATE) AS month,
+        |  CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n_orders
+        |FROM months LEFT JOIN cnt USING (m) ORDER BY month""".stripMargin) { (s, dir) =>
+      withViews(s, dir)
+      s.sql("""WITH RECURSIVE b AS (
+        |  SELECT date_trunc('MONTH', min(o_orderdate)) AS lo,
+        |         date_trunc('MONTH', max(o_orderdate)) AS hi FROM orders),
+        | months(m, hi) AS (
+        |  SELECT lo, hi FROM b
+        |  UNION ALL
+        |  SELECT m + INTERVAL '1' MONTH, hi FROM months WHERE m < hi),
+        | cnt AS (SELECT date_trunc('MONTH', o_orderdate) AS m, count(*) AS n
+        |         FROM orders GROUP BY 1)
+        |SELECT CAST(months.m AS DATE) AS month,
+        |  CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n_orders
+        |FROM months LEFT JOIN cnt USING (m) ORDER BY month""".stripMargin)
     })
 
   /** A query whose Spark implementation IS the oracle SQL text, run
