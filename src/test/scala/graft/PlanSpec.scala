@@ -180,6 +180,13 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("q35/q37: merge plans an anti join; lateral top-k never cartesians") {
+    val merge = planOf("q35_merge_upsert")
+    assert(merge.contains("LeftAnti"), merge)
+    val lat = planOf("q37_lateral_topk")
+    assert(!lat.contains("CartesianProduct"), lat)
+  }
+
   test("log parser fused path keeps one regex pass (no RegExpExtract chain)") {
     import org.apache.spark.sql.functions._
     // non-foldable input so the optimizer can't constant-fold the parse
