@@ -966,6 +966,25 @@ object PipelineQueries {
         .orderBy("event_id").limit(500)
     },
 
+    // Spark 4 VARIANT path over the same JSON props: parse_json →
+    // binary variant encoding → typed variant_get extraction (plus a
+    // missing-path NULL and an int-rendered-as-string). Same logical
+    // result family as ev01, distinct physical surface — the
+    // open-schema column type semi-structured lakes standardize on.
+    QueryDef("ev15_variant",
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |  json_extract_string(props, '$.missing') AS missing,
+        |  json_extract_string(props, '$.k') AS k_str
+        |FROM events ORDER BY event_id LIMIT 500""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir).select(
+        col("event_id"),
+        expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k"),
+        expr("variant_get(parse_json(props), '$.missing', 'string')").as("missing"),
+        expr("try_variant_get(parse_json(props), '$.k', 'string')").as("k_str"))
+        .orderBy("event_id").limit(500)
+    },
+
     QueryDef("ev02_sessionize",
       """WITH g AS (
         |  SELECT user_id, event_id, ts, value,
