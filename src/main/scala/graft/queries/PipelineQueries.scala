@@ -1498,7 +1498,14 @@ object PipelineQueries {
         |            FROM events GROUP BY event_type),
         | ms AS (SELECT event_type,
         |          CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
-        |          sqrt(CAST(CAST(n AS DECIMAL(11,0)) * ss - s * s AS DOUBLE)
+        |          -- (19,3) operand casts force the INT128 multiply path:
+        |          -- at width <= 18 DuckDB multiplies on an INT64 fast
+        |          -- path that overflows once s exceeds ~1e6 (seen at
+        |          -- sf0.1); Spark's (17,3)x(17,3) -> (35,6) is exact
+        |          -- either way, so the values stay identical rationals
+        |          sqrt(CAST(CAST(n AS DECIMAL(11,0)) * ss
+        |                    - CAST(CAST(s AS DECIMAL(19,3)) * CAST(s AS DECIMAL(19,3))
+        |                           AS DECIMAL(35,6)) AS DOUBLE)
         |               / CAST(n * (n - 1) AS DOUBLE)) AS std
         |        FROM st)
         |SELECT e.event_id, e.event_type, CAST(e.value AS DOUBLE) AS value,
