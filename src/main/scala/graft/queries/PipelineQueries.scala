@@ -712,6 +712,31 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // Inverted-index build: sorted postings lists for the 20 highest-df
+    // terms — the corpus-indexing shape of search/retrieval prep. All
+    // vocabulary-keyed aggregations; postings are per-term arrays, so a
+    // term's list is bounded by its document frequency (a production
+    // index would range-shard the heaviest terms' postings — the
+    // aggregation shape is unchanged).
+    QueryDef("ta15_inverted_index",
+      """WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+        |             FROM documents),
+        | df AS (SELECT tok, count(*) AS df FROM tok GROUP BY tok),
+        | top AS (SELECT tok, df FROM df ORDER BY df DESC, tok LIMIT 20)
+        |SELECT t.tok, CAST(t.df AS BIGINT) AS df,
+        |  list_sort(list(k.doc_id)) AS postings
+        |FROM top t JOIN tok k USING (tok)
+        |GROUP BY t.tok, t.df ORDER BY df DESC, tok""".stripMargin) { (s, dir) =>
+      val tok = TextAnalysis.tokens(docs(s, dir), "doc_id", "text").distinct()
+      val dfc = tok.groupBy("tok").agg(count(lit(1)).as("df"))
+      val top = dfc.orderBy(desc("df"), col("tok")).limit(20)
+      tok.join(top, "tok")
+        .groupBy(col("tok"), col("df"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("postings"))
+        .select(col("tok"), col("df"), col("postings"))
+        .orderBy(desc("df"), col("tok"))
+    },
+
     // Fixed-size chunking with overlap (size=200 chars, stride=150):
     // the RAG/embedding context-window prep step. The md5 per chunk
     // pins every chunk boundary byte-exactly while keeping the gate
