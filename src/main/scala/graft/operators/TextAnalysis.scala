@@ -352,4 +352,39 @@ object TextAnalysis {
       .filter(size(col("_grams")) > 0)
       .select(col(idCol), explode(array_distinct(mins)).as("fp"))
   }
+
+  /** Sharded inverted index: (tok, df, shard, shard_df, postings).
+    *
+    * Each term's postings are spread over `ceil(df / maxPostings)`
+    * shards by `doc_id mod n_shards`, so the grouping key is
+    * (tok, shard) and no aggregation buffer ever holds more than
+    * ~maxPostings ids — the property that makes the build survive a
+    * corpus where the heaviest term appears in billions of documents.
+    * A plain per-term `collect_list` (the ta15 oracle-baseline form)
+    * concentrates exactly that term's postings into one task's buffer.
+    *
+    * The shard function is `pmod(id, n_shards)` rather than a hash so
+    * an external SQL engine can replay the assignment bit-for-bit; ids
+    * here are uniformly distributed, and a deployment whose ids are
+    * clustered swaps in `pmod(xxhash64(id), n_shards)` — the plan
+    * shape (two vocabulary-keyed aggregations, zero windows) is
+    * unchanged. Postings inside a shard are emitted as a sorted
+    * comma-joined string, one scalar cell per (term, shard).
+    */
+  def invertedIndex(df: DataFrame, idCol: String, textCol: String,
+                    maxPostings: Int): DataFrame = {
+    require(maxPostings >= 1, "maxPostings must be positive")
+    val tok = tokens(df, idCol, textCol).distinct()
+    val dfc = tok.groupBy("tok").agg(count(lit(1)).as("df"))
+    tok.join(dfc, "tok")
+      .withColumn("shard",
+        pmod(col(idCol),
+          greatest(lit(1L), ceil(col("df") / lit(maxPostings.toDouble)))))
+      .groupBy(col("tok"), col("df"), col("shard"))
+      .agg(
+        count(lit(1)).as("shard_df"),
+        concat_ws(",",
+          sort_array(collect_list(col(idCol))).cast("array<string>"))
+          .as("postings"))
+  }
 }

@@ -714,17 +714,18 @@ object PipelineQueries {
 
     // Inverted-index build: sorted postings lists for the 20 highest-df
     // terms — the corpus-indexing shape of search/retrieval prep. All
-    // vocabulary-keyed aggregations; postings are per-term arrays, so a
-    // term's list is bounded by its document frequency (a production
-    // index would range-shard the heaviest terms' postings — the
-    // aggregation shape is unchanged).
+    // vocabulary-keyed aggregations; the postings list is projected as a
+    // comma-joined scalar so the oracle harness can hash the cell. This
+    // tiny-corpus form is the oracle baseline; the scale path is the
+    // range-sharded ta16 below, where no term's postings ever
+    // concentrates in a single aggregation buffer.
     QueryDef("ta15_inverted_index",
       """WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
         |             FROM documents),
         | df AS (SELECT tok, count(*) AS df FROM tok GROUP BY tok),
         | top AS (SELECT tok, df FROM df ORDER BY df DESC, tok LIMIT 20)
         |SELECT t.tok, CAST(t.df AS BIGINT) AS df,
-        |  list_sort(list(k.doc_id)) AS postings
+        |  array_to_string(list_sort(list(k.doc_id)), ',') AS postings
         |FROM top t JOIN tok k USING (tok)
         |GROUP BY t.tok, t.df ORDER BY df DESC, tok""".stripMargin) { (s, dir) =>
       val tok = TextAnalysis.tokens(docs(s, dir), "doc_id", "text").distinct()
@@ -732,9 +733,37 @@ object PipelineQueries {
       val top = dfc.orderBy(desc("df"), col("tok")).limit(20)
       tok.join(top, "tok")
         .groupBy(col("tok"), col("df"))
-        .agg(sort_array(collect_list(col("doc_id"))).as("postings"))
+        .agg(concat_ws(",",
+          sort_array(collect_list(col("doc_id"))).cast("array<string>"))
+          .as("postings"))
         .select(col("tok"), col("df"), col("postings"))
         .orderBy(desc("df"), col("tok"))
+    },
+
+    // Range-sharded inverted index — the 100 TB form of ta15. The
+    // grouping key is (tok, shard) with shard = doc_id mod
+    // ceil(df/maxPostings), so the heaviest term's postings spread over
+    // many aggregation buffers instead of concentrating in one; ta15's
+    // per-term collect_list stays as the tiny-corpus oracle baseline.
+    // (df DESC, tok, shard) is a unique total order, so the LIMIT is
+    // deterministic.
+    QueryDef("ta16_sharded_index",
+      """WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+        |             FROM documents),
+        | df AS (SELECT tok, count(*) AS df FROM tok GROUP BY tok),
+        | sh AS (SELECT k.tok, d.df,
+        |          k.doc_id % greatest(1, CAST(ceil(CAST(d.df AS DOUBLE) / 50.0) AS BIGINT)) AS shard,
+        |          k.doc_id
+        |        FROM tok k JOIN df d USING (tok))
+        |SELECT tok, CAST(df AS BIGINT) AS df, CAST(shard AS BIGINT) AS shard,
+        |  CAST(count(*) AS BIGINT) AS shard_df,
+        |  array_to_string(list_sort(list(doc_id)), ',') AS postings
+        |FROM sh GROUP BY tok, df, shard
+        |ORDER BY df DESC, tok, shard LIMIT 50""".stripMargin) { (s, dir) =>
+      TextAnalysis.invertedIndex(docs(s, dir), "doc_id", "text",
+        maxPostings = 50)
+        .orderBy(desc("df"), col("tok"), col("shard"))
+        .limit(50)
     },
 
     // Fixed-size chunking with overlap (size=200 chars, stride=150):

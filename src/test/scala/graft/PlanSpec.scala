@@ -204,4 +204,34 @@ class PlanSpec extends AnyFunSuite {
     assert(builtinPlan.sliding(bigPattern.length).count(_ == bigPattern) >= 26,
       builtinPlan.take(2000))
   }
+
+  test("q38: recursion bound rides as a column — no per-iteration rescan of orders") {
+    // The hoist regression (measured 20 s vs 0.3 s at sf0.01) is a scalar
+    // subquery in the recursion step, re-running the max() aggregate scan
+    // on every one of the ~80 iterations. Pinned: recursion compiles to a
+    // UnionLoop, NO subquery anywhere in the plan, and orders is scanned
+    // exactly twice (bounds anchor + per-month counts).
+    val plan = planOf("q38_recursive_cte")
+    assert(plan.contains("UnionLoop"), plan)
+    assert(!plan.toLowerCase.contains("subquery"), plan)
+    val scans = plan.linesIterator.count(l =>
+      l.contains("FileScan parquet") || l.contains(" Relation ["))
+    assert(scans == 2, s"expected 2 orders scans, saw $scans:\n$plan")
+  }
+
+  test("ta16: sharded index groups on (tok, shard) — heavy term never in one buffer, no window") {
+    val df = optimized("ta16_sharded_index")
+    df.collect() // finalize adaptive plan so reuse nodes render
+    val plan = df.queryExecution.executedPlan.toString
+    // the collect_list aggregation must key on shard alongside tok, so
+    // the widest term's postings spread over ceil(df/maxPostings) buffers
+    assert("""ObjectHashAggregate\(keys=\[tok#\d+, df#\d+L, shard#\d+L\]""".r
+      .findFirstIn(plan).isDefined, plan)
+    // a row_number/rank formulation would concentrate each term in one
+    // window partition — the exact failure mode the shard key avoids
+    assert(!plan.contains("Window"), plan)
+    // the (doc_id, tok) distinct exchange feeds both the df count and the
+    // postings build — one tokenize pass, not two
+    assert(plan.contains("ReusedExchange"), plan)
+  }
 }

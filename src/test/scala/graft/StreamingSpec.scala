@@ -165,6 +165,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(byDate(null) == 1L)  // dead letter has no request_time
   }
 
+  test("streamCompact restart: resume from checkpoint is exactly-once and equals the batch run") {
+    // The streaming analog of the batch job's overwrite-idempotence
+    // (reference s3.py:459 / backfill s3.py:361-368): kill the stream,
+    // land more input while it is down, restart from the SAME
+    // checkpoint — already-committed files must not reprocess, the new
+    // file must land exactly once, and the final table must equal a
+    // one-shot batch run over the same input.
+    val work = java.nio.file.Files.createTempDirectory("graft-scr").toString
+    val in = s"$work/in"; java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    def lines(day: Int, n: Int): String = (0 until n).map { i =>
+      graft.sources.S3AccessLog.renderLine(RenderFixtures.baseFields
+        .updated("time", f"[$day%02d/Jul/2024:10:00:00 +0000]")
+        .updated("reqid", s"R$day-$i"))
+    }.mkString("\n")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/a.log"),
+      lines(1, 40).getBytes)
+    val q1 = StreamingJobs.streamCompact(spark, in, s"$work/out", s"$work/ckpt")
+    q1.processAllAvailable()
+    q1.stop() // crash/kill: the query is down ...
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/b.log"),
+      lines(2, 25).getBytes) // ... while new input lands
+    val q2 = StreamingJobs.streamCompact(spark, in, s"$work/out", s"$work/ckpt")
+    q2.processAllAvailable()
+    q2.stop()
+
+    val streamed = spark.read.parquet(s"$work/out")
+    assert(streamed.count() == 65,
+      s"expected 65 rows exactly-once, got ${streamed.count()}") // no a.log replay
+    val cols = streamed.columns.sorted.map(org.apache.spark.sql.functions.col)
+    val batch = graft.sources.S3AccessLog.parse(spark.read.text(in))
+      .withColumn("log_date",
+        org.apache.spark.sql.functions.to_date(
+          org.apache.spark.sql.functions.col("request_time")))
+    assert(streamed.select(cols: _*).exceptAll(batch.select(cols: _*)).isEmpty &&
+      batch.select(cols: _*).exceptAll(streamed.select(cols: _*)).isEmpty,
+      "restarted stream output diverges from the batch run")
+  }
+
   test("stateful sessionization closes sessions on gap and on timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
