@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -457,4 +457,48 @@ object Multimodal {
       .select(col("asset_id"), col("n_frames"),
         explode(sequence(lit(0), least(col("n_frames") - 1,
           lit((maxFrames - 1) * stride)), lit(stride))).as("frame_idx"))
+
+  /** Container-header probe over the raw binary column: magic bytes,
+    * dimensions and sample rate decoded straight from the PNG / GIF /
+    * WAV container headers with pure Catalyst byte arithmetic
+    * (`substring`+`hex`+`conv` — no codec, no UDF, fully codegen'd;
+    * PNG IHDR dims are big-endian u32 at offsets 16/20, the GIF
+    * logical-screen descriptor is little-endian u16 at 6/8, the RIFF
+    * fmt chunk's sample rate is little-endian u32 at 24).
+    *
+    * This is the validation/triage pass a binary-column pipeline runs
+    * BEFORE paying for a decode — and it gives the multimodal surface
+    * an oracle angle that is not a replay of the decode contract: the
+    * oracle recomputes expected dims/rate from the generation contract
+    * while Spark reads them out of the actual encoded bytes, so a
+    * header corruption in the encoders breaks the gate even though no
+    * SQL engine can decode the pixels.
+    */
+  def headerProbe(assets: DataFrame): DataFrame = {
+    def byteAt(pos: Int): Column =
+      conv(hex(substring(col("payload"), pos, 1)), 16, 10).cast(LongType)
+    def be32(pos: Int): Column =
+      conv(hex(substring(col("payload"), pos, 4)), 16, 10).cast(LongType)
+    def le16(pos: Int): Column = byteAt(pos) + byteAt(pos + 1) * 256L
+    def le32(pos: Int): Column =
+      byteAt(pos) + byteAt(pos + 1) * 256L +
+        byteAt(pos + 2) * 65536L + byteAt(pos + 3) * 16777216L
+    val kind = col("kind")
+    val magicOk =
+      when(kind === "image",
+        hex(substring(col("payload"), 1, 8)) === "89504E470D0A1A0A")
+        .when(kind === "video",
+          substring(col("payload"), 1, 3).cast(StringType) === "GIF")
+        .otherwise(
+          substring(col("payload"), 1, 4).cast(StringType) === "RIFF" &&
+            substring(col("payload"), 9, 4).cast(StringType) === "WAVE")
+    assets.select(
+      col("asset_id"), kind,
+      when(kind === "image", be32(17))
+        .when(kind === "video", le16(7)).otherwise(0L).as("hdr_width"),
+      when(kind === "image", be32(21))
+        .when(kind === "video", le16(9)).otherwise(0L).as("hdr_height"),
+      when(kind === "audio", le32(25)).otherwise(0L).as("hdr_rate"),
+      magicOk.cast(LongType).as("magic_ok"))
+  }
 }

@@ -830,9 +830,12 @@ object PipelineQueries {
 
     // ANN-LSH correctness contract: approximate results have no
     // row-for-row oracle, but the RECALL FLOOR is one — the tuned
-    // 4-bit × 8-table candidate generator must recover ≥60% of the true
-    // top-5 pairs (measured 0.76 at sf0.01; one 8-bit table recalls
-    // ~0.20 — the misconfiguration this row would have caught). DuckDB
+    // 4-bit × 16-table candidate generator must recover ≥80% of the
+    // true top-5 pairs (measured 0.88/0.90/0.90 at sf0.001/0.01/0.1;
+    // 8 tables sat at 0.68–0.76, and one 8-bit table recalls ~0.20 —
+    // the misconfigurations this row would have caught; deterministic
+    // hashes + fixed data make the measured recall exactly
+    // reproducible, so the tightened floor cannot flake). DuckDB
     // computes n_exact from corpus counts and the floor flag as a
     // constant; Spark computes both from the actual ANN output, so a
     // recall regression (or a broken brute-force baseline) hash-mismatches.
@@ -844,7 +847,7 @@ object PipelineQueries {
       val e = emb(s, dir)
       val q = e.filter(col("vec_id") < 10)
       recallFloor(Similarity.cosineTopK(q, e, 5),
-        Similarity.annTopK(q, e, 5), floorPct = 60)
+        Similarity.annTopK(q, e, 5), floorPct = 80)
     },
 
     // IVF recall floor at 80% — same contract shape as sim03. nprobe=6
@@ -1001,6 +1004,34 @@ object PipelineQueries {
           col("frame_idx").cast(LongType).as("a"),
           col("n_frames").cast(LongType).as("b"))
       resize.unionAll(frames).orderBy("asset_id", "plan", "a")
+    },
+
+    // Container-header probe: dims/rate/magic decoded from the ACTUAL
+    // PNG/GIF/WAV payload bytes with Catalyst byte arithmetic, pinned
+    // against the generation contract recomputed in SQL — the second,
+    // non-self-referential oracle angle for the multimodal surface
+    // (mm01's contract replay proves distributed≡sequential; this row
+    // proves the encoded bytes agree with the typed metadata).
+    QueryDef("mm03_header_probe",
+      """WITH ids AS (SELECT unnest(range(300)) AS asset_id),
+        | m AS (SELECT asset_id,
+        |        CASE asset_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |             ELSE 'video' END AS kind,
+        |        CASE WHEN asset_id % 3 = 0 THEN 160 + (asset_id % 4) * 40
+        |             WHEN asset_id % 3 = 2 THEN 160 + (asset_id % 4) * 80
+        |             ELSE 0 END AS w,
+        |        CASE WHEN asset_id % 3 = 0 THEN 120 + (asset_id % 4) * 30
+        |             WHEN asset_id % 3 = 2 THEN 120 + (asset_id % 4) * 60
+        |             ELSE 0 END AS h
+        |       FROM ids)
+        |SELECT asset_id, kind,
+        |  CAST(w AS BIGINT) AS hdr_width, CAST(h AS BIGINT) AS hdr_height,
+        |  CAST(CASE WHEN kind = 'audio' THEN 16000 ELSE 0 END AS BIGINT) AS hdr_rate,
+        |  CAST(1 AS BIGINT) AS magic_ok
+        |FROM m ORDER BY asset_id""".stripMargin) { (s, dir) =>
+      graft.multimodal.Multimodal.headerProbe(
+        graft.multimodal.Multimodal.syntheticAssets(s, 300).toDF())
+        .orderBy("asset_id")
     },
 
     // ================= events: JSON / sessions / windows =================
@@ -1351,6 +1382,69 @@ object PipelineQueries {
         .select(col("window_start").cast(TimestampNTZType).as("window_start"),
           col("n_events"), col("total_value"))
         .orderBy("window_start")
+    },
+
+    // Checkpointed restart in the gate: the streaming compact pipeline
+    // (file-stream → fused parse → partitioned parquet sink) is KILLED
+    // after its first input batch, more input lands while it is down,
+    // and a second query resumes from the same checkpoint. The oracle
+    // aggregates straight from lineitem — if the restart replays the
+    // committed batch (duplicates) or drops the files that arrived
+    // during the outage, the counts/sums hash-mismatch. This is the
+    // streaming analog of the reference's overwrite-idempotent re-runs
+    // (s3.py:459, backfill s3.py:361-368), verified cross-engine.
+    QueryDef("st07_stream_restart",
+      """SELECT concat('bkt', CAST(l_suppkey % 10 AS VARCHAR)) AS s3_bucket,
+        |  count(*) AS n_requests,
+        |  CAST(sum(l_orderkey % 100000) AS BIGINT) AS total_bytes,
+        |  CAST(max(200 + (l_linenumber % 5)) AS INTEGER) AS max_status
+        |FROM lineitem WHERE l_orderkey % 8 = 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val work = java.nio.file.Files.createTempDirectory("graft-st07").toString
+      val in = s"$work/in"
+      def phaseLines(phase: Int) = Tables.spread(
+        Tables.load(s, dir, "lineitem")
+          .filter(col("l_orderkey") % 8 === 0 &&
+            col("l_linenumber") % 2 === phase)
+          .select("l_orderkey", "l_suppkey", "l_shipdate", "l_linenumber"),
+        "l_orderkey", "l_linenumber")
+        .select(format_string(
+          "owner%d bkt%d [%s +0000] 10.0.0.1 arn:aws:iam::1:r REQ%d " +
+            "REST.GET.OBJECT key/%d \"GET /k HTTP/1.1\" %d - %d 1024 5 4 " +
+            "\"-\" \"agent/1.0\" - host= SigV4 TLS_AES_128_GCM_SHA256 " +
+            "AuthHeader h.example.com TLSv1.3 - -",
+          col("l_orderkey"),
+          col("l_suppkey") % 10,
+          date_format(col("l_shipdate"), "dd/MMM/yyyy:HH:mm:ss"),
+          col("l_orderkey") * 10 + col("l_linenumber"),
+          col("l_orderkey"),
+          lit(200) + (col("l_linenumber") % 5),
+          col("l_orderkey") % 100000).as("value"))
+      def land(phase: Int): Unit = {
+        val staging = s"$work/stage$phase"
+        phaseLines(phase).coalesce(4).write.mode("overwrite").text(staging)
+        val destP = java.nio.file.Paths.get(in)
+        java.nio.file.Files.createDirectories(destP)
+        val files = java.nio.file.Files.list(java.nio.file.Paths.get(staging))
+        try files.filter(_.getFileName.toString.startsWith("part-"))
+          .forEach(p => java.nio.file.Files.move(p,
+            destP.resolve(s"p$phase-${p.getFileName}")))
+        finally files.close()
+      }
+      land(0)
+      val q1 = graft.streaming.StreamingJobs
+        .streamCompact(s, in, s"$work/out", s"$work/ckpt")
+      try q1.processAllAvailable() finally q1.stop() // kill after batch 1
+      land(1) // input lands during the outage
+      val q2 = graft.streaming.StreamingJobs
+        .streamCompact(s, in, s"$work/out", s"$work/ckpt")
+      try q2.processAllAvailable() finally q2.stop()
+      s.read.parquet(s"$work/out")
+        .groupBy(col("s3_bucket"))
+        .agg(count(lit(1)).as("n_requests"),
+          sum(col("bytes_sent")).as("total_bytes"),
+          max(col("http_status")).as("max_status"))
+        .orderBy("s3_bucket")
     },
 
     // Time-series gap fill: the hourly rollup densified onto the full

@@ -1,0 +1,47 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** Dev utility: measure LSH/IVF ANN recall against the brute-force
+  * cosine top-5 across (bits, tables) / nprobe configurations — the
+  * evidence base for the gate rows' recall floors.
+  * Usage: runMain graft.tools.RecallProbe [sfDir]
+  */
+object RecallProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-recall-probe").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val e = graft.Tables.load(spark, sfDir, "embeddings")
+    val q = e.filter(col("vec_id") < 10)
+    val exact = Similarity.cosineTopK(q, e, 5).select("qid", "cid").cache()
+    val nExact = exact.count()
+
+    def recallOf(ann: org.apache.spark.sql.DataFrame): Double = {
+      val hit = ann.select("qid", "cid").join(exact, Seq("qid", "cid")).count()
+      hit.toDouble / nExact
+    }
+
+    for ((bits, tables) <- Seq((4, 8), (4, 16), (3, 12))) {
+      val t0 = System.nanoTime()
+      val r = recallOf(Similarity.annTopK(q, e, 5, bits = bits, tables = tables))
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"[recall] lsh bits=$bits%d tables=$tables%2d recall=$r%.3f  ${s}%.1f s")
+    }
+    for (nprobe <- Seq(4, 6, 8)) {
+      val t0 = System.nanoTime()
+      val r = recallOf(Similarity.ivfTopK(q, e, 5, nlist = 16, nprobe = nprobe))
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"[recall] ivf nlist=16 nprobe=$nprobe%d recall=$r%.3f  ${s}%.1f s")
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,100 @@
+package graft.tools
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity}
+
+/** Dev utility: measure the scaling curve of the LSH dedup and ANN
+  * operators on a synthetic 10× blow-up of the sf0.1 corpus — evidence
+  * that the designs are near-linear in corpus size, not just fast at
+  * the gate SF.
+  *
+  * The 10× corpus is built so the WORKLOAD scales with the data:
+  * - documents: replica k prefixes every word with "k#", so replicas
+  *   share no shingles with their originals (cross-replica Jaccard ~0)
+  *   while each replica preserves the original duplicate structure —
+  *   dup rate constant, candidate volume grows with the corpus.
+  * - embeddings: replica k keeps the vector (queries stay the 10
+  *   originals); LSH/IVF bucket populations grow 10×, so probe-join
+  *   volume scales the way a denser real corpus would.
+  *
+  * Usage: runMain graft.tools.ScaleRehearsal [sfDir] [workDir]
+  */
+object ScaleRehearsal {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val work = args.lift(1).getOrElse("/tmp/graft-scale")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-scale-rehearsal").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val shuffleBytes = new AtomicLong
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val m = sc.stageInfo.taskMetrics
+        if (m != null) shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    })
+
+    def replicate(df: DataFrame, factor: Int, mutate: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until factor).map(k => mutate(df, k)).reduce(_ unionAll _)
+
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text")
+    val emb = graft.Tables.load(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding")
+
+    // materialize both corpora to parquet so every measurement reads
+    // from disk like the gate does
+    replicate(docs, 10, { (d, k) =>
+      d.select((col("doc_id") + lit(k * 10000000L)).as("doc_id"),
+        if (k == 0) col("text")
+        else concat_ws(" ",
+          transform(split(col("text"), " "),
+            w => concat(lit(s"$k#"), w))).as("text"))
+    }).write.mode("overwrite").parquet(s"$work/documents10x.parquet")
+    replicate(emb, 10, { (d, k) =>
+      d.select((col("vec_id") + lit(k * 10000000L)).as("vec_id"),
+        col("embedding"))
+    }).write.mode("overwrite").parquet(s"$work/embeddings10x.parquet")
+
+    def measure(label: String)(body: => Long): Unit = {
+      val mark = shuffleBytes.get()
+      val t0 = System.nanoTime()
+      val n = body
+      val sec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(1000) // listener bus drains asynchronously
+      val mb = (shuffleBytes.get() - mark) / 1e6
+      println(f"[scale] $label%-28s rows=$n%10d  ${sec}%7.2f s  shuffle=${mb}%9.1f MB")
+    }
+
+    def docsAt(path: String): DataFrame =
+      graft.Tables.spread(spark.read.parquet(path), "doc_id")
+    def embAt(path: String): DataFrame = spark.read.parquet(path)
+
+    val d1 = s"$sfDir/documents.parquet"; val d10 = s"$work/documents10x.parquet"
+    val e1 = s"$sfDir/embeddings.parquet"; val e10 = s"$work/embeddings10x.parquet"
+
+    for ((tag, dp, ep) <- Seq(("1x", d1, e1), ("10x", d10, e10))) {
+      measure(s"dd04_minhash_cand  $tag") {
+        Dedup.minHashCandidates(docsAt(dp), "doc_id", "text").count()
+      }
+      val e = embAt(ep)
+      val q = e.filter(col("vec_id") < 10)
+      measure(s"sim03_lsh_topk     $tag") {
+        Similarity.annTopK(q, e, 5, bits = 4, tables = 16).count()
+      }
+      measure(s"sim04_ivf_topk     $tag") {
+        Similarity.ivfTopK(q, e, 5, nlist = 16, nprobe = 6).count()
+      }
+    }
+    spark.stop()
+  }
+}

@@ -23,6 +23,23 @@ class MultimodalSpec extends AnyFunSuite {
     assert(orig.sameElements(rt))
   }
 
+  test("headerProbe reads dims/rate/magic out of the actual container bytes") {
+    // pure-Catalyst byte arithmetic vs the typed metadata columns the
+    // encoders were driven by — agreement means the encoded headers are
+    // real, not merely the decode being self-consistent
+    val probed = Multimodal.headerProbe(assets.toDF())
+      .join(assets.toDF().select($"asset_id", $"width", $"height",
+        $"sample_rate"), "asset_id")
+      .collect()
+    assert(probed.length == 90)
+    probed.foreach { r =>
+      assert(r.getAs[Long]("magic_ok") == 1L, r.toString)
+      assert(r.getAs[Long]("hdr_width") == r.getAs[Int]("width").toLong, r.toString)
+      assert(r.getAs[Long]("hdr_height") == r.getAs[Int]("height").toLong, r.toString)
+      assert(r.getAs[Long]("hdr_rate") == r.getAs[Int]("sample_rate").toLong, r.toString)
+    }
+  }
+
   test("feature extraction: deterministic, right shape, batched") {
     val f1 = Multimodal.extractFeatures(assets, dim = 32, batchSize = 16)
       .collect().map(f => f.asset_id -> f.feature.toSeq).toMap

@@ -11,6 +11,13 @@ import org.scalatest.funsuite.AnyFunSuite
   * text formats can't round-trip binary doubles textually, so doubles
   * go through an explicit decimal cast, the same discipline the oracle
   * queries use.
+  *
+  * Avro is deliberately absent: `spark.read.format("avro")` lives in
+  * the external spark-avro module, which is not on this classpath
+  * (only avro-core, Spark's internal serialization dep, ships in
+  * /opt/spark/jars) and the build resolves no new dependencies. The
+  * call surface is identical to ORC's one-liner here — add the module
+  * and the same roundtrip applies.
   */
 class SinksSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
