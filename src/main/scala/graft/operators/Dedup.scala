@@ -333,4 +333,39 @@ object Dedup {
         levenshtein(col("tok_a"), col("tok_b")) === 1)
       .select(col("tok_a"), col("tok_b"), lit(1L).as("dist"))
   }
+
+  /** Cross-document duplicated spans: every `n`-word span occurring in
+    * at least `minDocs` distinct documents — the exact-substring
+    * duplication detector (the span-granular shape of suffix-array
+    * dedup à la "Deduplicating Training Data Makes Language Models
+    * Better") at fixed window size. Boilerplate headers, license
+    * blocks and copy-pasta surface here before any fuzzy matching.
+    *
+    * Shape: one explode to (doc, span) — de-duplicated WITHIN each doc
+    * by a per-row `array_distinct`, so a span repeated inside one
+    * document counts once — then a span-keyed count + postings
+    * aggregation. One shuffle on the span key; no pairwise joins. The
+    * postings string is bounded by `minDocs ≤ n_docs ≤ corpus`, so a
+    * production run over a web corpus would range-shard the heaviest
+    * spans exactly like [[TextAnalysis.invertedIndex]] and key the
+    * shuffle on `xxhash64(span)` rather than the span text; the
+    * span-keyed aggregation shape is unchanged.
+    */
+  def dupSpans(df: DataFrame, idCol: String, textCol: String,
+               n: Int = 8, minDocs: Int = 2): DataFrame = {
+    require(n >= 2 && minDocs >= 2, "span length and minDocs must be >= 2")
+    val w = split(col(textCol), " ")
+    val spans = df
+      .select(col(idCol), w.as("_w"))
+      .filter(size(col("_w")) >= n)
+      .select(col(idCol), explode(array_distinct(
+        transform(sequence(lit(0), size(col("_w")) - n),
+          i => concat_ws(" ", slice(col("_w"), i + 1, lit(n)))))).as("span"))
+    spans.groupBy(col("span"))
+      .agg(count(lit(1)).as("n_docs"),
+        concat_ws(",",
+          sort_array(collect_list(col(idCol))).cast("array<string>"))
+          .as("postings"))
+      .filter(col("n_docs") >= minDocs)
+  }
 }

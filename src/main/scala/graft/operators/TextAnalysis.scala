@@ -353,6 +353,28 @@ object TextAnalysis {
       .select(col(idCol), explode(array_distinct(mins)).as("fp"))
   }
 
+  /** Corpus composition — the "data card" aggregation every training
+    * run publishes: per (source, language) document counts, token and
+    * character volumes, and each cell's share of the corpus. One
+    * map-side-combined aggregation over ≤ |sources|×|langs| keys plus a
+    * broadcast of the single global total back onto the cells; the
+    * share division is one exact IEEE op on two integers, so the
+    * doubles hash-match any engine computing the same integers.
+    */
+  def corpusComposition(df: DataFrame, srcCol: String, langCol: String,
+                        textCol: String): DataFrame = {
+    val cells = df.groupBy(col(srcCol), col(langCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col(textCol), " ")).cast(LongType)).as("n_tokens"),
+        sum(length(col(textCol)).cast(LongType)).as("n_chars"))
+    val total = cells.agg(sum(col("n_docs")).as("_total"))
+    cells.crossJoin(broadcast(total))
+      .select(col(srcCol), col(langCol),
+        col("n_docs"), col("n_tokens"), col("n_chars"),
+        (col("n_docs").cast(DoubleType) / col("_total").cast(DoubleType))
+          .as("doc_share"))
+  }
+
   /** Sharded inverted index: (tok, df, shard, shard_df, postings).
     *
     * Each term's postings are spread over `ceil(df / maxPostings)`

@@ -457,6 +457,28 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // Cross-document duplicated spans: every 8-word span shared by ≥2
+    // documents, with its doc count and sorted postings — the
+    // exact-substring duplication detector (suffix-array-dedup shape at
+    // fixed window size) that surfaces boilerplate before any fuzzy
+    // matching. (n_docs DESC, span) is a unique total order, so the
+    // LIMIT is deterministic.
+    QueryDef("dd12_dup_spans",
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        | sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+7], ' ') AS span
+        |        FROM ws, unnest(range(1, len(w) - 6)) AS t(i)
+        |        WHERE len(w) >= 8),
+        | g AS (SELECT span, count(*) AS n_docs,
+        |         array_to_string(list_sort(list(doc_id)), ',') AS postings
+        |       FROM sh GROUP BY span HAVING count(*) >= 2)
+        |SELECT span, CAST(n_docs AS BIGINT) AS n_docs, postings
+        |FROM g ORDER BY n_docs DESC, span LIMIT 50""".stripMargin) { (s, dir) =>
+      Dedup.dupSpans(docsWide(s, dir), "doc_id", "text",
+        n = 8, minDocs = 2)
+        .orderBy(desc("n_docs"), col("span"))
+        .limit(50)
+    },
+
     // ================= text analysis =================
 
     QueryDef("ta01_term_freq",
@@ -764,6 +786,26 @@ object PipelineQueries {
         maxPostings = 50)
         .orderBy(desc("df"), col("tok"), col("shard"))
         .limit(50)
+    },
+
+    // Corpus composition ("data card"): per (source, language) doc /
+    // token / char volumes and each cell's share of the corpus — the
+    // mixture summary every training run publishes and the input to
+    // source-mixing decisions (sp04 consumes exactly these weights).
+    // The share is one IEEE division of two exactly-representable
+    // integers, so the doubles hash-match across engines.
+    QueryDef("ta17_corpus_composition",
+      """WITH s AS (SELECT source, lang, count(*) AS n_docs,
+        |             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |             CAST(sum(length(text)) AS BIGINT) AS n_chars
+        |           FROM documents GROUP BY 1, 2),
+        | t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total FROM s)
+        |SELECT source, lang, CAST(n_docs AS BIGINT) AS n_docs,
+        |  n_tokens, n_chars,
+        |  CAST(n_docs AS DOUBLE) / CAST(total AS DOUBLE) AS doc_share
+        |FROM s, t ORDER BY source, lang""".stripMargin) { (s, dir) =>
+      TextAnalysis.corpusComposition(docs(s, dir), "source", "lang", "text")
+        .orderBy("source", "lang")
     },
 
     // Fixed-size chunking with overlap (size=200 chars, stride=150):

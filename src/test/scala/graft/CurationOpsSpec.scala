@@ -174,4 +174,35 @@ class CurationOpsSpec extends AnyFunSuite {
     val total = windows.agg(sum("n_events")).collect()(0).getLong(0)
     assert(total == ev.count() * 4, s"window membership total $total")
   }
+
+  test("dupSpans: planted boilerplate found; within-doc repeats count once") {
+    val boiler = "this content is licensed under the following terms"  // 8 words
+    val docs = Seq(
+      (1L, s"alpha beta $boiler gamma"),
+      (2L, s"$boiler delta epsilon"),
+      (3L, s"$boiler zeta $boiler"),       // twice in ONE doc
+      (4L, "nothing shared here at all by anyone ever")
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Dedup.dupSpans(docs, "doc_id", "text", n = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    val hit = got.find(_._1 == boiler)
+    assert(hit.exists(h => h._2 == 3L && h._3 == "1,2,3"),
+      s"boilerplate span miscounted: ${got.toSeq}")
+    // doc 4 shares nothing: no span may contain it
+    assert(!got.exists(_._3.split(",").contains("4")), got.toSeq)
+  }
+
+  test("corpusComposition: volumes exact, shares sum to 1") {
+    val docs = Seq(
+      (1L, "a b c", "en", "s1"), (2L, "d e", "en", "s1"),
+      (3L, "f g h i", "fr", "s1"), (4L, "j", "en", "s2")
+    ).toDF("doc_id", "text", "lang", "source")
+    val rows = TextAnalysis.corpusComposition(docs, "source", "lang", "text")
+      .orderBy("source", "lang").collect()
+    assert(rows.map(r => (r.getString(0), r.getString(1), r.getLong(2),
+      r.getLong(3), r.getLong(4))).toSeq == Seq(
+      ("s1", "en", 2L, 5L, 8L), ("s1", "fr", 1L, 4L, 7L),
+      ("s2", "en", 1L, 1L, 1L)))
+    assert(math.abs(rows.map(_.getDouble(5)).sum - 1.0) < 1e-12)
+  }
 }

@@ -205,6 +205,14 @@ class PlanSpec extends AnyFunSuite {
       builtinPlan.take(2000))
   }
 
+  test("dd12: duplicated spans come from one span-keyed aggregation — no joins anywhere") {
+    // the naive formulation self-joins (doc, span) against itself;
+    // the operator must instead aggregate postings per span key once
+    val plan = planOf("dd12_dup_spans")
+    assert(!plan.contains("Join"), plan)
+    assert(plan.contains("partial_count"), plan)
+  }
+
   test("q38: recursion bound rides as a column — no per-iteration rescan of orders") {
     // The hoist regression (measured 20 s vs 0.3 s at sf0.01) is a scalar
     // subquery in the recursion step, re-running the max() aggregate scan
