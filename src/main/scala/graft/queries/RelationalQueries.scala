@@ -776,6 +776,28 @@ object RelationalQueries {
         .orderBy("o_orderkey")
     },
 
+    // Explicit skew-salting: the pathological-hot-key join spread over
+    // `factor` tasks — the left side's key is extended with a
+    // deterministic row-hash salt, the right side replicated per salt
+    // value. The oracle is the PLAIN join aggregated identically:
+    // salting must be a pure physical rewrite, invisible in results.
+    // (AQE's skew splitting handles most cases at runtime; saltedJoin
+    // is for the single-hot-key case it can't — see SCALE.md.)
+    QueryDef("q39_salted_join",
+      """SELECT o_orderstatus AS status, count(*) AS n_items,
+        |  CAST(sum(l_linenumber) AS BIGINT) AS sum_ln
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_linenumber")
+      val ord = t(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+      graft.operators.Skew.saltedJoin(li, ord, "l_orderkey", factor = 8)
+        .groupBy(col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_linenumber")).cast(LongType).as("sum_ln"))
+        .orderBy("status")
+    },
+
     // Windowed DISTINCT count: distinct buyers per customer segment
     // over a trailing 30-day event-time frame — the rolling-reach
     // metric plain windowed counts can't express. Spark has no

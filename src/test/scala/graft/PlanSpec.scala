@@ -205,6 +205,28 @@ class PlanSpec extends AnyFunSuite {
       builtinPlan.take(2000))
   }
 
+  test("etl04: the render never sinks into a filter below the spread exchange") {
+    // parse()'s comment-drop predicate is deterministic; without the
+    // Generate barrier Catalyst pushes it below the exchange with the
+    // 32-arg format_string substituted in — rendering every line twice
+    // and serializing one render onto the single scan task (measured
+    // 2.2 s vs 0.6 s spread at sf0.1)
+    val plan = planOf("etl04_cloudfront_roundtrip")
+    val rendersInFilters = plan.linesIterator
+      .filter(_.contains("Filter"))
+      .count(_.contains("format_string"))
+    assert(rendersInFilters == 0, plan)
+  }
+
+  test("q39: salted join replicates the right side per salt and joins on (key, salt)") {
+    val plan = planOf("q39_salted_join")
+    assert(plan.contains("Generate explode"), plan)
+    assert(plan.contains("__graft_salt"), plan)
+    // the salt must be part of the join keys, not a post-join filter
+    val joinLine = plan.linesIterator.find(_.contains("Join")).get
+    assert(joinLine.contains("__graft_salt"), joinLine)
+  }
+
   test("dd12: duplicated spans come from one span-keyed aggregation — no joins anywhere") {
     // the naive formulation self-joins (doc, span) against itself;
     // the operator must instead aggregate postings per span key once
