@@ -1494,6 +1494,41 @@ object PipelineQueries {
         .orderBy("s3_bucket")
     },
 
+    // foreachBatch CDC upsert in the gate: the events table split into
+    // four files streamed one file per micro-batch (arrival order
+    // deliberately NOT pinned), folded into a keyed target by a
+    // versioned latest-wins merge + additive counts — commutative
+    // combines, so the final table is batch-order-independent and the
+    // oracle is plain batch SQL over the same events. Exercises the
+    // foreachBatch sink surface (maintained tables) no append sink can.
+    QueryDef("st08_stream_cdc_upsert",
+      """WITH l AS (SELECT user_id, ts, event_id,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY ts DESC, event_id DESC) AS r,
+        |    count(*) OVER (PARTITION BY user_id) AS n
+        |  FROM events)
+        |SELECT user_id, event_id AS last_event_id,
+        |  CAST(ts AS TIMESTAMP) AS last_ts, CAST(n AS BIGINT) AS n_updates
+        |FROM l WHERE r = 1 ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val work = java.nio.file.Files.createTempDirectory("graft-st08").toString
+      Tables.events(s, dir)
+        .select("event_id", "ts", "user_id")
+        .repartition(4)
+        .write.mode("overwrite").parquet(s"$work/in")
+      val sch = s.read.parquet(s"$work/in").schema
+      val stream = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$work/in")
+      val finalGen = graft.streaming.StreamingJobs
+        .cdcUpsertStream(stream, work)
+      s.read.parquet(finalGen)
+        .select(col("user_id"),
+          col("_m.event_id").as("last_event_id"),
+          col("_m.ts").cast(TimestampNTZType).as("last_ts"),
+          col("n_updates"))
+        .orderBy("user_id")
+    },
+
     // Time-series gap fill: the hourly rollup densified onto the full
     // hour grid per event_type — absent buckets get n = 0 and carry the
     // last observed v forward (null before the first observation). The

@@ -81,6 +81,60 @@ object StreamingJobs {
       .start()
   }
 
+  /** CDC-style streaming upsert through `foreachBatch` — the sink API
+    * for maintaining a keyed TABLE from a stream, which no row-append
+    * sink can express. Each micro-batch folds into the target with a
+    * versioned latest-wins merge (last event per key by (ts, event_id))
+    * plus an additive update count; both combines are commutative and
+    * associative, so the maintained table is independent of micro-batch
+    * boundaries and arrival order — exactly the property a CDC merge
+    * needs under retried/reordered batches.
+    *
+    * Every merge writes a NEW target generation and the previous one
+    * stays intact (write-new, swap-pointer — never overwrite-in-place
+    * a directory the merge is reading): the reference's idempotent
+    * overwrite discipline (s3.py:459) applied to a continuously
+    * maintained table. Returns the final generation's path.
+    */
+  private[graft] def cdcFold(prev: Option[DataFrame],
+                             batch: DataFrame): DataFrame = {
+    val bs = batch.groupBy(col("user_id"))
+      .agg(max(struct(col("ts"), col("event_id"))).as("_m"),
+        count(lit(1)).as("n_updates"))
+    prev.fold(bs)(t => t.unionByName(bs)
+      .groupBy(col("user_id"))
+      .agg(max(col("_m")).as("_m"),
+        sum(col("n_updates")).as("n_updates")))
+  }
+
+  /** [[cdcUpsertStream]] with the query lifecycle in the caller's hands
+    * (tests drive batch boundaries by hand): returns the running query
+    * and a thunk yielding the current final-generation path.
+    */
+  def cdcUpsertQuery(updates: DataFrame, workDir: String)
+      : (org.apache.spark.sql.streaming.StreamingQuery, () => String) = {
+    var gen = 0
+    val q = updates.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val prev =
+          if (gen == 0) None else Some(s.read.parquet(s"$workDir/gen$gen"))
+        val merged = cdcFold(prev, batch)
+        gen += 1
+        merged.write.mode("overwrite").parquet(s"$workDir/gen$gen")
+        ()
+      }
+      .option("checkpointLocation", s"$workDir/ckpt")
+      .start()
+    (q, () => s"$workDir/gen$gen")
+  }
+
+  def cdcUpsertStream(updates: DataFrame, workDir: String): String = {
+    val (q, finalGen) = cdcUpsertQuery(updates, workDir)
+    try q.processAllAvailable() finally q.stop()
+    finalGen()
+  }
+
   /** Streaming exact dedup over a content hash: each distinct payload is
     * emitted once; duplicate arrivals within the watermark horizon are
     * dropped, and the hash leaves the state store once the watermark

@@ -203,6 +203,33 @@ class StreamingSpec extends AnyFunSuite {
       "restarted stream output diverges from the batch run")
   }
 
+  test("cdcUpsertStream: maintained table is independent of micro-batch grouping and order") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 10L),
+      (2L, ts("2024-01-01 11:00:00"), 10L),
+      (3L, ts("2024-01-01 09:00:00"), 10L), // older than event 2
+      (4L, ts("2024-01-01 10:30:00"), 20L))
+    def run(batches: Seq[Seq[(Long, Timestamp, Long)]]): Set[(Long, Long, Long)] = {
+      val work = java.nio.file.Files.createTempDirectory("graft-cdc").toString
+      val in = MemoryStream[(Long, Timestamp, Long)]
+      val (q, finalGen) = StreamingJobs.cdcUpsertQuery(
+        in.toDF().toDF("event_id", "ts", "user_id"), work)
+      // drive batch boundaries by hand: one addData + wait per batch
+      try batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+      finally q.stop()
+      spark.read.parquet(finalGen())
+        .selectExpr("user_id", "_m.event_id", "n_updates")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    val expected = Set((10L, 2L, 3L), (20L, 4L, 1L))
+    // grouping A: chronological; grouping B: newest first, straggler last —
+    // the straggler must NOT displace user 10's newer event
+    assert(run(Seq(Seq(events(0)), Seq(events(1), events(3)), Seq(events(2)))) == expected)
+    assert(run(Seq(Seq(events(1)), Seq(events(2), events(0), events(3)))) == expected)
+  }
+
   test("stateful sessionization closes sessions on gap and on timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
