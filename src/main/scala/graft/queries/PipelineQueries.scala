@@ -457,6 +457,83 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // ================= data quality (Deequ/dbt-test shape) =================
+
+    // One-pass column profile: row/null/distinct counts + min/max per
+    // column from a single aggregation (stack-Expanded into report
+    // rows). Validation at 100 TB is a query, not a framework.
+    QueryDef("dq01_profile",
+      """WITH t AS (SELECT count(*) AS n,
+        |    count(l_orderkey) AS c1, count(DISTINCT l_orderkey) AS d1,
+        |    CAST(min(l_orderkey) AS VARCHAR) AS mn1, CAST(max(l_orderkey) AS VARCHAR) AS mx1,
+        |    count(l_quantity) AS c2, count(DISTINCT l_quantity) AS d2,
+        |    CAST(min(l_quantity) AS VARCHAR) AS mn2, CAST(max(l_quantity) AS VARCHAR) AS mx2,
+        |    count(l_returnflag) AS c3, count(DISTINCT l_returnflag) AS d3,
+        |    CAST(min(l_returnflag) AS VARCHAR) AS mn3, CAST(max(l_returnflag) AS VARCHAR) AS mx3,
+        |    count(l_linenumber) AS c4, count(DISTINCT l_linenumber) AS d4,
+        |    CAST(min(l_linenumber) AS VARCHAR) AS mn4, CAST(max(l_linenumber) AS VARCHAR) AS mx4
+        |  FROM lineitem)
+        |SELECT 'l_orderkey' AS column_name, n AS n_rows, n - c1 AS n_nulls,
+        |  d1 AS n_distinct, mn1 AS min_value, mx1 AS max_value FROM t
+        |UNION ALL SELECT 'l_quantity', n, n - c2, d2, mn2, mx2 FROM t
+        |UNION ALL SELECT 'l_returnflag', n, n - c3, d3, mn3, mx3 FROM t
+        |UNION ALL SELECT 'l_linenumber', n, n - c4, d4, mn4, mx4 FROM t
+        |ORDER BY column_name""".stripMargin) { (s, dir) =>
+      graft.operators.Quality.profile(Tables.load(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_quantity", "l_returnflag", "l_linenumber"))
+        .orderBy("column_name")
+    },
+
+    // Declarative rule checks: range / domain / not-null constraints
+    // evaluated in one pass; a NULL predicate is a violation, not a
+    // pass. All-zero counts ARE the assertion — they pin the
+    // generator's invariants cross-engine, and the spec plants
+    // violations to prove detection.
+    QueryDef("dq02_rules",
+      """WITH t AS (SELECT
+        |   sum(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 0 ELSE 1 END) AS v1,
+        |   sum(CASE WHEN l_discount BETWEEN 0 AND 0.1 THEN 0 ELSE 1 END) AS v2,
+        |   sum(CASE WHEN l_tax BETWEEN 0 AND 0.08 THEN 0 ELSE 1 END) AS v3,
+        |   sum(CASE WHEN l_returnflag IN ('A','N','R') THEN 0 ELSE 1 END) AS v4,
+        |   sum(CASE WHEN l_shipdate IS NOT NULL THEN 0 ELSE 1 END) AS v5
+        | FROM lineitem)
+        |SELECT 'quantity_range' AS rule, CAST(v1 AS BIGINT) AS n_violations FROM t
+        |UNION ALL SELECT 'discount_range', CAST(v2 AS BIGINT) FROM t
+        |UNION ALL SELECT 'tax_range', CAST(v3 AS BIGINT) FROM t
+        |UNION ALL SELECT 'returnflag_domain', CAST(v4 AS BIGINT) FROM t
+        |UNION ALL SELECT 'shipdate_not_null', CAST(v5 AS BIGINT) FROM t
+        |ORDER BY rule""".stripMargin) { (s, dir) =>
+      graft.operators.Quality.checkRules(Tables.load(s, dir, "lineitem"), Seq(
+        "quantity_range" -> col("l_quantity").between(1, 50),
+        "discount_range" -> col("l_discount").between(0, 0.1),
+        "tax_range" -> col("l_tax").between(0, 0.08),
+        "returnflag_domain" -> col("l_returnflag").isin("A", "N", "R"),
+        "shipdate_not_null" -> col("l_shipdate").isNotNull))
+        .orderBy("rule")
+    },
+
+    // Referential integrity as a report: anti-join orphan counts for
+    // the fact→dim key paths. Zero orphans pins the generator's
+    // integrity; the operator is the production FK check.
+    QueryDef("dq03_ref_integrity",
+      """SELECT * FROM (
+        |  SELECT 'lineitem->orders' AS relation,
+        |    CAST((SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |      (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT) AS n_orphans
+        |  UNION ALL
+        |  SELECT 'orders->customer',
+        |    CAST((SELECT count(*) FROM orders o WHERE NOT EXISTS
+        |      (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS BIGINT))
+        |ORDER BY relation""".stripMargin) { (s, dir) =>
+      graft.operators.Quality.orphanReport("lineitem->orders",
+          Tables.load(s, dir, "lineitem"), "l_orderkey",
+          Tables.load(s, dir, "orders"), "o_orderkey")
+        .unionByName(graft.operators.Quality.orphanReport("orders->customer",
+          Tables.load(s, dir, "orders"), "o_custkey",
+          Tables.load(s, dir, "customer"), "c_custkey"))
+        .orderBy("relation")
+    },
+
     // Cross-document duplicated spans: every 8-word span shared by ≥2
     // documents, with its doc count and sorted postings — the
     // exact-substring duplication detector (suffix-array-dedup shape at

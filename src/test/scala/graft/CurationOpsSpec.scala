@@ -192,6 +192,32 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(!got.exists(_._3.split(",").contains("4")), got.toSeq)
   }
 
+  test("quality: planted nulls, range breaks, domain breaks and orphans are all detected") {
+    import graft.operators.Quality
+    val rows = Seq[(java.lang.Long, java.lang.Double, String)](
+      (1L, 10.0, "A"), (2L, 60.0, "A"),     // 60 breaks the 1..50 range
+      (3L, null, "X"),                       // null qty violates; X off-domain
+      (null, 5.0, "N"))                      // null key -> orphan + null profile
+      .toDF("k", "qty", "flag")
+    val prof = Quality.profile(rows, Seq("k", "qty", "flag"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(prof("k") == ((4L, 1L, 3L)), prof)
+    assert(prof("qty") == ((4L, 1L, 3L)), prof)
+    assert(prof("flag") == ((4L, 0L, 3L)), prof)
+    val viol = Quality.checkRules(rows, Seq(
+      "qty_range" -> col("qty").between(1, 50),
+      "flag_domain" -> col("flag").isin("A", "N")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // null qty is a VIOLATION of the range rule, not a pass
+    assert(viol == Map("qty_range" -> 2L, "flag_domain" -> 1L), viol)
+    val parent = Seq(1L, 2L).toDF("pk")
+    val orph = Quality.orphanReport("child->parent", rows, "k", parent, "pk")
+      .collect()(0)
+    assert(orph.getString(0) == "child->parent")
+    assert(orph.getLong(1) == 2L) // k=3 unmatched + null key
+  }
+
   test("corpusComposition: volumes exact, shares sum to 1") {
     val docs = Seq(
       (1L, "a b c", "en", "s1"), (2L, "d e", "en", "s1"),
