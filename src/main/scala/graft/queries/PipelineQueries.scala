@@ -479,7 +479,13 @@ object PipelineQueries {
         |UNION ALL SELECT 'l_returnflag', n, n - c3, d3, mn3, mx3 FROM t
         |UNION ALL SELECT 'l_linenumber', n, n - c4, d4, mn4, mx4 FROM t
         |ORDER BY column_name""".stripMargin) { (s, dir) =>
-      graft.operators.Quality.profile(Tables.load(s, dir, "lineitem"),
+      // spread BEFORE the profile: the multi-distinct plans an Expand
+      // (rows × profiled columns) whose partial aggregation would
+      // otherwise run inside the single-row-group scan task (measured
+      // 4.7 s serialized vs ~1 s spread at sf0.1)
+      graft.operators.Quality.profile(
+        Tables.spread(Tables.load(s, dir, "lineitem"),
+          "l_orderkey", "l_linenumber"),
         Seq("l_orderkey", "l_quantity", "l_returnflag", "l_linenumber"))
         .orderBy("column_name")
     },
