@@ -192,6 +192,59 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(!got.exists(_._3.split(",").contains("4")), got.toSeq)
   }
 
+  test("invertedIndex: shards reassemble exactly and respect the ceil(df/maxPostings) bound") {
+    // fixed-seed random corpora: the sharded index must be a lossless
+    // partition of the plain per-term posting sets
+    val rnd = new scala.util.Random(4242)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps")
+    val docs = (0L until 60L).map { id =>
+      (id, Seq.fill(3 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val maxP = 4
+    val got = TextAnalysis.invertedIndex(docs, "doc_id", "text", maxP)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4)))
+    val truth: Map[String, Set[Long]] = docs.collect()
+      .flatMap(r => r.getString(1).split(" ").map(_ -> r.getLong(0)))
+      .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).toSet }
+    got.groupBy(_._1).foreach { case (tok, shards) =>
+      val df = shards.head._2
+      assert(df == truth(tok).size.toLong, s"$tok df")
+      // disjoint shards reassembling the full posting set
+      val ids = shards.flatMap(_._5.split(",").map(_.toLong))
+      assert(ids.length == ids.distinct.length, s"$tok overlap")
+      assert(ids.toSet == truth(tok), s"$tok postings")
+      // shard_df consistency and shard-count bound
+      assert(shards.map(_._4).sum == df, s"$tok shard_df sum")
+      assert(shards.length <= math.ceil(df.toDouble / maxP).toInt, s"$tok n_shards")
+    }
+    assert(got.groupBy(_._1).keySet == truth.keySet)
+  }
+
+  test("dupSpans matches a brute-force reference on random corpora") {
+    val rnd = new scala.util.Random(1717)
+    val vocab = Vector("a", "b", "c", "d")
+    val docs = (0L until 40L).map { id =>
+      (id, Seq.fill(4 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val n = 3
+    val brute = docs
+      .flatMap { case (id, t) =>
+        t.split(" ").sliding(n).filter(_.length == n)
+          .map(_.mkString(" ")).toSet.toSeq.map((s: String) => (s, id))
+      }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted)
+      .filter(_._2.length >= 2).toMap
+    val got = graft.operators.Dedup
+      .dupSpans(docs.toDF("doc_id", "text"), "doc_id", "text", n = n)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(got.keySet == brute.keySet)
+    brute.foreach { case (span, ids) =>
+      assert(got(span) == ((ids.length.toLong, ids.mkString(","))), span)
+    }
+  }
+
   test("quality: planted nulls, range breaks, domain breaks and orphans are all detected") {
     import graft.operators.Quality
     val rows = Seq[(java.lang.Long, java.lang.Double, String)](

@@ -60,4 +60,23 @@ class SinksSpec extends AnyFunSuite {
     assert(back.schema == d.schema)
     assert(fingerprint(back) == fingerprint(d))
   }
+
+  test("schema evolution: mergeSchema unions old and new parquet generations") {
+    // the lake reality: a column added mid-stream — old files lack it,
+    // new files carry it; one mergeSchema read serves both generations
+    // with NULLs where history has no value
+    val dir = Files.createTempDirectory("graft-evo").toString
+    val d = slice()
+    d.write.mode("overwrite").parquet(s"$dir/day=1")
+    d.withColumn("quality_score",
+        (col("l_orderkey") % 100).cast("double") / 100.0)
+      .write.mode("overwrite").parquet(s"$dir/day=2")
+    val back = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(back.schema.fieldNames.contains("quality_score"))
+    assert(back.count() == 1000)
+    val byDay = back.groupBy("day")
+      .agg(org.apache.spark.sql.functions.count("quality_score").as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(byDay == Map(1 -> 0L, 2 -> 500L), byDay.toString) // old gen reads as NULL
+  }
 }
