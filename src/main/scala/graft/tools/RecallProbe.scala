@@ -42,6 +42,18 @@ object RecallProbe {
       val s = (System.nanoTime() - t0) / 1e9
       println(f"[recall] ivf nlist=16 nprobe=$nprobe%d recall=$r%.3f  ${s}%.1f s")
     }
+    // PQ recall is measured against L2 ground truth (ADC approximates
+    // squared euclidean, not cosine)
+    val exactL2 = Similarity.l2TopK(q, e, 5).select("qid", "cid").cache()
+    val nL2 = exactL2.count()
+    def recallL2(ann: org.apache.spark.sql.DataFrame): Double =
+      ann.select("qid", "cid").join(exactL2, Seq("qid", "cid")).count().toDouble / nL2
+    for ((m, codes, shortlist) <- Seq((16, 32, 50), (16, 32, 100), (16, 16, 100), (16, 64, 100))) {
+      val t0 = System.nanoTime()
+      val r = recallL2(Similarity.pqTopK(q, e, 5, m, codes, shortlist))
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"[recall] pq m=$m%d codes=$codes%2d short=$shortlist%2d recall=$r%.3f  ${s}%.1f s")
+    }
     spark.stop()
   }
 }
