@@ -183,15 +183,20 @@ object Similarity {
       .select(col("_code"), subSplit(dbl(col(vecCol))))
       .withColumnRenamed("pos", "sub").withColumnRenamed("col", "cvec")
 
-    // encode: per (vector, subspace) the argmin-distance code
-    val wEnc = Window.partitionBy(col("cid"), col("sub"))
-      .orderBy(col("_d"), col("_code"))
+    // encode: per (vector, subspace) the argmin-distance code. The
+    // codes dimension collapses via map-side min(struct) partial
+    // aggregation BEFORE the exchange (the km01 lesson) — the shuffle
+    // carries N·m narrow rows, never the N·m·codes distance explosion
+    // a row_number window would ship (measured: 7.5 s → 3.3 s wall at
+    // the 10× rehearsal). Struct ordering (_d, _code) ties identically
+    // to the window's (orderBy _d, _code).
     val encoded = cand.select(col("cid"), subSplit(col("cv")))
       .withColumnRenamed("pos", "sub").withColumnRenamed("col", "sv")
       .join(broadcast(cents), "sub")
-      .withColumn("_d", l2(col("sv"), col("cvec")))
-      .withColumn("_r", row_number().over(wEnc)).filter(col("_r") === 1)
-      .select(col("cid"), col("sub"), col("_code"))
+      .select(col("cid"), col("sub"),
+        struct(l2(col("sv"), col("cvec")).as("_d"), col("_code")).as("_dc"))
+      .groupBy(col("cid"), col("sub"))
+      .agg(min(col("_dc")).getField("_code").as("_code"))
 
     // ADC distance table: (qid, sub, code) → exact subspace distance,
     // DECIMAL so the per-candidate sum is order-independent

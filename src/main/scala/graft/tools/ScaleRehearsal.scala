@@ -94,6 +94,9 @@ object ScaleRehearsal {
       measure(s"sim04_ivf_topk     $tag") {
         Similarity.ivfTopK(q, e, 5, nlist = 16, nprobe = 6).count()
       }
+      measure(s"sim06_pq_topk      $tag") {
+        Similarity.pqTopK(q, e, 5).count()
+      }
     }
     spark.stop()
   }

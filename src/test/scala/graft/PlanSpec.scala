@@ -205,6 +205,17 @@ class PlanSpec extends AnyFunSuite {
       builtinPlan.take(2000))
   }
 
+  test("sim06: PQ encode collapses codes map-side; only per-QUERY windows remain") {
+    val plan = planOf("sim06_ann_pq")
+    // the argmin over the codebook must be a partial min aggregation,
+    // not a row_number window shipping the N·m·codes distance explosion
+    assert(plan.contains("partial_min"), plan)
+    // windows are fine per query (shortlist + rank) — never per candidate
+    plan.linesIterator.filter(_.contains("Window [")).foreach { l =>
+      assert(l.contains("qid"), s"per-candidate window in PQ plan: $l")
+    }
+  }
+
   test("etl04: the render never sinks into a filter below the spread exchange") {
     // parse()'s comment-drop predicate is deterministic; without the
     // Generate barrier Catalyst pushes it below the exchange with the
