@@ -226,6 +226,116 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
+  /** IVF-PQ — the composed architecture production vector stores ship:
+    * an IVF coarse quantizer prunes the corpus to `nprobe` of `nlist`
+    * cells, and product quantization encodes each vector's RESIDUAL
+    * (v − its cell centroid) in `m` subspaces × `codes` codebook
+    * entries. Residual encoding is what makes the composition better
+    * than either half alone: residuals concentrate near the origin, so
+    * one shared codebook (trained on all residuals, the standard
+    * choice) spends its codes on a tighter distribution than raw
+    * vectors would.
+    *
+    * Search: queries pick their `nprobe` nearest cells, build one ADC
+    * table per probed cell from the query's residual w.r.t. THAT
+    * cell's centroid, score only the probed cells' candidates over
+    * their codes, and exact-re-rank the `shortlist`. All codebooks and
+    * tables are broadcast-tiny; both argmins collapse map-side
+    * (min(struct), never a per-candidate window); candidate vectors are
+    * read exactly twice (encode + re-rank) at any corpus size.
+    */
+  def ivfPqTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+                nlist: Int = 16, nprobe: Int = 8,
+                m: Int = 16, codes: Int = 32, shortlist: Int = 100,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(nprobe >= 1 && nprobe <= nlist && shortlist >= k,
+      "need 1 <= nprobe <= nlist and shortlist >= k")
+    def dbl(c: Column) = transform(c, x => x.cast(DoubleType))
+    def l2(a: Column, b: Column) =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, v) => acc + v)
+    def subSplit(v: Column): Column = {
+      val subDim = (size(v) / lit(m)).cast(IntegerType)
+      posexplode(transform(sequence(lit(0), lit(m - 1)),
+        s => slice(v, s * subDim + 1, subDim)))
+    }
+
+    val cand = candidates.select(col(idCol).as("cid"), dbl(col(vecCol)).as("cv"))
+    val q = queries.select(col(idCol).as("qid"), dbl(col(vecCol)).as("qv"))
+
+    // coarse cells: nlist corpus vectors picked in-plan by hash bucket
+    val coarseIds = candidates
+      .groupBy(pmod(xxhash64(col(idCol)), lit(nlist)).as("cell"))
+      .agg(min(col(idCol)).as("_sid"))
+    val coarse = candidates
+      .join(broadcast(coarseIds), col(idCol) === col("_sid"))
+      .select(col("cell"), dbl(col(vecCol)).as("cellv"))
+
+    // assign candidates to their nearest cell; residual = cv − cellv
+    val assigned = cand.crossJoin(broadcast(coarse))
+      .select(col("cid"), col("cv"),
+        struct(l2(col("cv"), col("cellv")).as("_d"), col("cell")).as("_dc"))
+      .groupBy(col("cid")).agg(min(col("_dc")).getField("cell").as("cell"),
+        first(col("cv")).as("cv"))
+      .join(broadcast(coarse), "cell")
+      .select(col("cid"), col("cell"),
+        zip_with(col("cv"), col("cellv"), (x, y) => x - y).as("rv"))
+
+    // one shared PQ codebook over residuals, seeded by hash bucket
+    val seedIds = candidates
+      .groupBy(pmod(xxhash64(col(idCol), lit(7)), lit(codes)).as("_code"))
+      .agg(min(col(idCol)).as("_pid"))
+    val cents = assigned
+      .join(broadcast(seedIds), col("cid") === col("_pid"))
+      .select(col("_code"), subSplit(col("rv")))
+      .withColumnRenamed("pos", "sub").withColumnRenamed("col", "cvec")
+
+    // encode residuals: map-side argmin, same shape as pqTopK
+    val encoded = assigned.select(col("cid"), col("cell"), subSplit(col("rv")))
+      .withColumnRenamed("pos", "sub").withColumnRenamed("col", "sv")
+      .join(broadcast(cents), "sub")
+      .select(col("cid"), col("cell"), col("sub"),
+        struct(l2(col("sv"), col("cvec")).as("_d"), col("_code")).as("_dc"))
+      .groupBy(col("cid"), col("cell"), col("sub"))
+      .agg(min(col("_dc")).getField("_code").as("_code"))
+
+    // probe: per query the nprobe nearest cells (nlist rows per query —
+    // a per-query window over a broadcast-tiny frame)
+    val wProbe = Window.partitionBy(col("qid")).orderBy(col("_d"), col("cell"))
+    val probes = q.crossJoin(broadcast(coarse))
+      .select(col("qid"), col("qv"), col("cell"), col("cellv"),
+        l2(col("qv"), col("cellv")).as("_d"))
+      .withColumn("_r", row_number().over(wProbe))
+      .filter(col("_r") <= nprobe)
+      .select(col("qid"), col("cell"),
+        zip_with(col("qv"), col("cellv"), (x, y) => x - y).as("qrv"))
+
+    // per-(query, probed cell) ADC table against the shared codebook
+    val adc = probes.select(col("qid"), col("cell"), subSplit(col("qrv")))
+      .withColumnRenamed("pos", "sub").withColumnRenamed("col", "qsv")
+      .join(broadcast(cents), "sub")
+      .select(col("qid"), col("cell"), col("sub"), col("_code"),
+        l2(col("qsv"), col("cvec")).cast(DecimalType(28, 12)).as("_d"))
+
+    val wShort = Window.partitionBy(col("qid"))
+      .orderBy(col("adc_dist"), col("cid"))
+    val short = encoded.join(broadcast(adc), Seq("cell", "sub", "_code"))
+      .groupBy(col("qid"), col("cid")).agg(sum(col("_d")).as("adc_dist"))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("_r", row_number().over(wShort))
+      .filter(col("_r") <= shortlist)
+      .select("qid", "cid")
+
+    val wK = Window.partitionBy(col("qid")).orderBy(col("dist"), col("cid"))
+    short
+      .join(broadcast(q), "qid").join(cand, "cid")
+      .select(col("qid"), col("cid"), l2(col("qv"), col("cv")).as("dist"))
+      .withColumn("rank", row_number().over(wK).cast(LongType))
+      .filter(col("rank") <= k)
+      .select("qid", "cid", "dist", "rank")
+      .orderBy("qid", "rank")
+  }
+
   /** Random-hyperplane LSH signature: `bits` sign-bits, bit j = sign of
     * ⟨v, r_j⟩ where r_j components are deterministic ±1 from xxhash64 —
     * no stored projection matrix, fully codegen'd. Hamming-close

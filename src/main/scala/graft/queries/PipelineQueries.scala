@@ -1008,6 +1008,23 @@ object PipelineQueries {
         Similarity.pqTopK(q, e, 5), floorPct = 80)
     },
 
+    // IVF-PQ composed (sim04's coarse cells + sim06's PQ on RESIDUALS,
+    // one shared codebook — the architecture production vector stores
+    // ship): candidates scanned = nprobe/nlist of the corpus, scored
+    // over codes only, shortlist re-ranked exactly. Floor 80%
+    // (measured 0.88/0.92/0.92 across SFs at nlist=16 nprobe=8; the
+    // recall cap is the coarse pruning — nprobe=2 sits at 0.68).
+    QueryDef("sim07_ann_ivfpq",
+      """SELECT CAST(q.nq * least(5, c.n_all - 1) AS BIGINT) AS n_exact,
+        |  CAST(1 AS BIGINT) AS recall_ok
+        |FROM (SELECT count(*) AS nq FROM embeddings WHERE vec_id < 10) q,
+        |     (SELECT count(*) AS n_all FROM embeddings) c""".stripMargin) { (s, dir) =>
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 10)
+      recallFloor(Similarity.l2TopK(q, e, 5),
+        Similarity.ivfPqTopK(q, e, 5), floorPct = 80)
+    },
+
     // Symmetric int8 quantization of the embedding column — the 4×
     // index-compression pass. Per-element IEEE ops with no summation
     // order involved, so the oracle runs the identical expression tree;

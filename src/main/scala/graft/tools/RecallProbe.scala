@@ -54,6 +54,12 @@ object RecallProbe {
       val s = (System.nanoTime() - t0) / 1e9
       println(f"[recall] pq m=$m%d codes=$codes%2d short=$shortlist%2d recall=$r%.3f  ${s}%.1f s")
     }
+    for ((nlist, nprobe) <- Seq((8, 2), (8, 4), (16, 4), (16, 8))) {
+      val t0 = System.nanoTime()
+      val r = recallL2(Similarity.ivfPqTopK(q, e, 5, nlist, nprobe))
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"[recall] ivfpq nlist=$nlist%2d nprobe=$nprobe%d recall=$r%.3f  ${s}%.1f s")
+    }
     spark.stop()
   }
 }

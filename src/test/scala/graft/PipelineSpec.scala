@@ -93,6 +93,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"PQ recall below floor: $recall")
   }
 
+  test("IVF-PQ: composed cells + residual codes clear the 80% recall floor vs exact L2") {
+    // the coarse pruning is the recall cap: nprobe=2 measures 0.68,
+    // the nprobe=8 default 0.88-0.92 across SFs (RecallProbe)
+    val e = Tables.load(spark, sf, "embeddings")
+    val q = e.filter($"vec_id" < 10)
+    val brute = Similarity.l2TopK(q, e, 5)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Similarity.ivfPqTopK(q, e, 5)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.forall { case (a, b) => a != b })
+    val recall = got.count(brute.contains).toDouble / brute.size
+    assert(recall >= 0.8, s"IVF-PQ recall below floor: $recall")
+  }
+
   test("lshTables: per-table signatures are independent and bits-bounded") {
     val e = Tables.load(spark, sf, "embeddings").limit(100)
     val sigs = Similarity.lshTables(e, bits = 4, tables = 8)
