@@ -798,6 +798,17 @@ object RelationalQueries {
         .orderBy("status")
     },
 
+    // The skew DIAGNOSTIC: top-k heavy-hitter keys with counts — what
+    // you run (on a sample, at scale) to decide whether a join needs
+    // q39's salting. Partial-agg top-k, never a full key sort.
+    QueryDef("q40_skew_profile",
+      """SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY 1
+        |ORDER BY n DESC, l_orderkey LIMIT 10""".stripMargin) { (s, dir) =>
+      graft.operators.Skew.keySkewProfile(
+        t(s, dir, "lineitem"), "l_orderkey", k = 10)
+    },
+
     // Windowed DISTINCT count: distinct buyers per customer segment
     // over a trailing 30-day event-time frame — the rolling-reach
     // metric plain windowed counts can't express. Spark has no
