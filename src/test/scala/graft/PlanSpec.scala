@@ -216,6 +216,18 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("sim07: IVF-PQ keeps both argmins map-side and scans candidates once per stage") {
+    val plan = planOf("sim07_ann_ivfpq")
+    assert(plan.contains("partial_min"), plan)
+    plan.linesIterator.filter(_.contains("Window [")).foreach { l =>
+      assert(l.contains("qid"), s"per-candidate window in IVF-PQ plan: $l")
+    }
+    // cells + codebook broadcast; candidates never nested-loop with
+    // anything bigger than those broadcast-tiny frames
+    assert(plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("etl04: the render never sinks into a filter below the spread exchange") {
     // parse()'s comment-drop predicate is deterministic; without the
     // Generate barrier Catalyst pushes it below the exchange with the
