@@ -2,6 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -87,14 +88,37 @@ object StreamingJobs {
     * versioned latest-wins merge (last event per key by (ts, event_id))
     * plus an additive update count; both combines are commutative and
     * associative, so the maintained table is independent of micro-batch
-    * boundaries and arrival order — exactly the property a CDC merge
-    * needs under retried/reordered batches.
+    * boundaries and arrival order.
     *
-    * Every merge writes a NEW target generation and the previous one
-    * stays intact (write-new, swap-pointer — never overwrite-in-place
-    * a directory the merge is reading): the reference's idempotent
-    * overwrite discipline (s3.py:459) applied to a continuously
-    * maintained table. Returns the final generation's path.
+    * Durability is the point of the design, not a footnote:
+    *
+    *  - ALL merge state lives in storage, none in driver memory. Each
+    *    committed batch appends a tiny commit file under
+    *    `workDir/_commits/` (write-temp, then atomic rename to a name
+    *    that never pre-exists) recording the batchId and, per key
+    *    bucket, the generation directory holding that bucket's current
+    *    rows. A restart from checkpoint re-reads the last commit and
+    *    resumes the fold exactly where the previous process stopped —
+    *    the reference's idempotent-rerun discipline (s3.py:459,
+    *    backfill s3.py:361-368) applied to a continuously maintained
+    *    table.
+    *  - A RETRIED or REPLAYED micro-batch (same batchId after a crash
+    *    or checkpoint restart) sees `batchId <= committed` and no-ops,
+    *    so the additive `n_updates` never double-counts. A batch that
+    *    crashed mid-write left a generation directory but no commit
+    *    file; its replay overwrites that directory and commits once.
+    *  - The per-batch merge cost is bounded by the batch, not the
+    *    table: keys hash into `buckets` fixed buckets
+    *    (`pmod(xxhash64(user_id), buckets)`), the fold reads ONLY the
+    *    buckets the batch touches and writes ONLY those buckets into
+    *    the new generation; untouched buckets keep their files from
+    *    older generations, referenced as-is by the new commit. A batch
+    *    touching one key rewrites 1/`buckets` of the table, not all of
+    *    it.
+    *
+    * Rename-as-commit is atomic on HDFS/local/ABFS; an S3 deployment
+    * substitutes a conditional-put pointer exactly as Spark's own file
+    * sink commit protocol does — the log layout is unchanged.
     */
   private[graft] def cdcFold(prev: Option[DataFrame],
                              batch: DataFrame): DataFrame = {
@@ -107,32 +131,110 @@ object StreamingJobs {
         sum(col("n_updates")).as("n_updates")))
   }
 
+  private def cdcFs(spark: org.apache.spark.sql.SparkSession,
+                    workDir: String): FileSystem =
+    new Path(workDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Last committed CDC state under `workDir`: (batchId, buckets,
+    * bucket → generation-partition path). None before the first commit.
+    */
+  private[graft] def cdcReadCommit(spark: org.apache.spark.sql.SparkSession,
+                                   workDir: String)
+      : Option[(Long, Int, Map[Int, String])] = {
+    val fs = cdcFs(spark, workDir)
+    val dir = new Path(s"$workDir/_commits")
+    if (!fs.exists(dir)) return None
+    val commits = fs.listStatus(dir).map(_.getPath.getName)
+      .filter(_.startsWith("c")).flatMap(n => n.drop(1).toLongOption)
+    if (commits.isEmpty) return None
+    val latest = commits.max
+    val in = fs.open(new Path(dir, s"c$latest"))
+    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val lines = body.linesIterator.filter(_.nonEmpty).toSeq
+    val nBuckets = lines.head.toInt
+    val map = lines.tail.map { l =>
+      val Array(b, p) = l.split("\t", 2); b.toInt -> p
+    }.toMap
+    Some((latest, nBuckets, map))
+  }
+
+  /** The maintained CDC table: the union of every bucket's current
+    * generation partition. Fails with a clear message (rather than a
+    * missing-path read) when no batch has ever committed.
+    */
+  def cdcTable(spark: org.apache.spark.sql.SparkSession,
+               workDir: String): DataFrame = {
+    val paths = cdcReadCommit(spark, workDir)
+      .getOrElse(throw new IllegalStateException(
+        s"no committed CDC generation under $workDir"))
+      ._3.values.toSeq.distinct.sorted
+    spark.read.parquet(paths: _*)
+  }
+
+  /** One micro-batch of the CDC merge, commit included; a no-op when
+    * `batchId` was already committed (retry/replay idempotence). The
+    * ≤`buckets`-row `collect` of touched bucket ids is METADATA-sized —
+    * bounded by the constructor constant, never by the data — and is
+    * what lets the fold read/write only the touched slice of the table.
+    */
+  private[graft] def cdcApplyBatch(batch: DataFrame, batchId: Long,
+                                   workDir: String, buckets: Int): Unit = {
+    val s = batch.sparkSession
+    val committed = cdcReadCommit(s, workDir)
+    committed.foreach { case (_, b, _) =>
+      require(b == buckets,
+        s"CDC table at $workDir was committed with $b buckets, got $buckets") }
+    if (committed.exists(_._1 >= batchId)) return // replayed batch: done
+    val prevMap = committed.map(_._3).getOrElse(Map.empty[Int, String])
+
+    val bucketOf = pmod(xxhash64(col("user_id")), lit(buckets.toLong))
+    val touched = batch.select(bucketOf.cast(IntegerType).as("_b"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    if (touched.isEmpty) return // empty batch: nothing to merge or commit
+    val prev = touched.flatMap(prevMap.get).distinct.sorted match {
+      case Array() => None
+      case paths   => Some(s.read.parquet(paths.toIndexedSeq: _*))
+    }
+    val genDir = s"$workDir/gen$batchId"
+    cdcFold(prev, batch)
+      .withColumn("_bucket", bucketOf)
+      .write.mode("overwrite").partitionBy("_bucket").parquet(genDir)
+
+    val newMap = prevMap ++ touched.map(b => b -> s"$genDir/_bucket=$b")
+    val fs = cdcFs(s, workDir)
+    fs.mkdirs(new Path(s"$workDir/_commits"))
+    val tmp = new Path(s"$workDir/_commits/.c$batchId.tmp")
+    val out = fs.create(tmp, true)
+    try out.write((buckets.toString +: newMap.toSeq.sortBy(_._1)
+      .map { case (b, p) => s"$b\t$p" }).mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    val commit = new Path(s"$workDir/_commits/c$batchId")
+    require(fs.rename(tmp, commit) || fs.exists(commit),
+      s"could not commit CDC batch $batchId at $commit")
+  }
+
   /** [[cdcUpsertStream]] with the query lifecycle in the caller's hands
     * (tests drive batch boundaries by hand): returns the running query
-    * and a thunk yielding the current final-generation path.
+    * and a thunk reading the current maintained table from storage.
     */
-  def cdcUpsertQuery(updates: DataFrame, workDir: String)
-      : (org.apache.spark.sql.streaming.StreamingQuery, () => String) = {
-    var gen = 0
+  def cdcUpsertQuery(updates: DataFrame, workDir: String, buckets: Int = 8)
+      : (org.apache.spark.sql.streaming.StreamingQuery, () => DataFrame) = {
+    val spark = updates.sparkSession
     val q = updates.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val s = batch.sparkSession
-        val prev =
-          if (gen == 0) None else Some(s.read.parquet(s"$workDir/gen$gen"))
-        val merged = cdcFold(prev, batch)
-        gen += 1
-        merged.write.mode("overwrite").parquet(s"$workDir/gen$gen")
-        ()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        cdcApplyBatch(batch, batchId, workDir, buckets)
       }
       .option("checkpointLocation", s"$workDir/ckpt")
       .start()
-    (q, () => s"$workDir/gen$gen")
+    (q, () => cdcTable(spark, workDir))
   }
 
-  def cdcUpsertStream(updates: DataFrame, workDir: String): String = {
-    val (q, finalGen) = cdcUpsertQuery(updates, workDir)
+  def cdcUpsertStream(updates: DataFrame, workDir: String,
+                      buckets: Int = 8): DataFrame = {
+    val (q, table) = cdcUpsertQuery(updates, workDir, buckets)
     try q.processAllAvailable() finally q.stop()
-    finalGen()
+    table()
   }
 
   /** Streaming exact dedup over a content hash: each distinct payload is

@@ -2,6 +2,8 @@ package graft
 
 import java.sql.Timestamp
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -214,13 +216,12 @@ class StreamingSpec extends AnyFunSuite {
     def run(batches: Seq[Seq[(Long, Timestamp, Long)]]): Set[(Long, Long, Long)] = {
       val work = java.nio.file.Files.createTempDirectory("graft-cdc").toString
       val in = MemoryStream[(Long, Timestamp, Long)]
-      val (q, finalGen) = StreamingJobs.cdcUpsertQuery(
+      val (q, table) = StreamingJobs.cdcUpsertQuery(
         in.toDF().toDF("event_id", "ts", "user_id"), work)
       // drive batch boundaries by hand: one addData + wait per batch
       try batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
       finally q.stop()
-      spark.read.parquet(finalGen())
-        .selectExpr("user_id", "_m.event_id", "n_updates")
+      table().selectExpr("user_id", "_m.event_id", "n_updates")
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     }
     val expected = Set((10L, 2L, 3L), (20L, 4L, 1L))
@@ -228,6 +229,115 @@ class StreamingSpec extends AnyFunSuite {
     // the straggler must NOT displace user 10's newer event
     assert(run(Seq(Seq(events(0)), Seq(events(1), events(3)), Seq(events(2)))) == expected)
     assert(run(Seq(Seq(events(1)), Seq(events(2), events(0), events(3)))) == expected)
+  }
+
+  test("CDC restart: resume from checkpoint continues the fold from durable committed state") {
+    // The failure model the operator exists for: kill the stream, land
+    // updates during the outage, restart against the SAME checkpoint and
+    // workDir. The merge state lives in the commit log, so the resumed
+    // query folds ON TOP of the committed generations; the final table
+    // must equal a one-shot batch computation over all updates.
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-cdcr").toString
+    val in = s"$work/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    val all = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 10L),
+      (2L, ts("2024-01-01 11:00:00"), 10L),
+      (3L, ts("2024-01-01 12:00:00"), 20L),
+      (4L, ts("2024-01-01 09:00:00"), 10L), // lands AFTER the kill, older ts
+      (5L, ts("2024-01-01 13:00:00"), 20L),
+      (6L, ts("2024-01-01 14:00:00"), 30L))
+    def land(phase: Int, rows: Seq[(Long, Timestamp, Long)]): Unit =
+      rows.toDF("event_id", "ts", "user_id").coalesce(1)
+        .write.mode("overwrite").parquet(s"$in/p$phase")
+    val sch = all.take(1).toDF("event_id", "ts", "user_id").schema
+    def stream() = spark.readStream.schema(sch)
+      .option("maxFilesPerTrigger", "1").parquet(s"$in/p*")
+    land(0, all.take(3))
+    val (q1, _) = StreamingJobs.cdcUpsertQuery(stream(), work)
+    try q1.processAllAvailable() finally q1.stop() // killed
+    land(1, all.drop(3)) // updates land during the outage
+    val table = StreamingJobs.cdcUpsertStream(stream(), work)
+    val got = table.selectExpr("user_id", "_m.event_id", "n_updates")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((10L, 2L, 3L), (20L, 5L, 2L), (30L, 6L, 1L)), got)
+  }
+
+  test("CDC retried batch is a no-op: replays never double-count n_updates") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-cdcretry").toString
+    val b0 = Seq((1L, ts("2024-01-01 10:00:00"), 10L),
+      (2L, ts("2024-01-01 11:00:00"), 20L)).toDF("event_id", "ts", "user_id")
+    val b1 = Seq((3L, ts("2024-01-01 12:00:00"), 10L))
+      .toDF("event_id", "ts", "user_id")
+    def snap(): Set[(Long, Long, Long)] =
+      StreamingJobs.cdcTable(spark, work)
+        .selectExpr("user_id", "_m.event_id", "n_updates")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    StreamingJobs.cdcApplyBatch(b0, 0L, work, buckets = 8)
+    val after0 = snap()
+    StreamingJobs.cdcApplyBatch(b0, 0L, work, buckets = 8) // crash-replay of batch 0
+    assert(snap() == after0, "replayed batch 0 changed the table")
+    StreamingJobs.cdcApplyBatch(b1, 1L, work, buckets = 8)
+    val after1 = snap()
+    assert(after1 == Set((10L, 3L, 2L), (20L, 2L, 1L)), after1)
+    StreamingJobs.cdcApplyBatch(b1, 1L, work, buckets = 8) // retry of batch 1
+    assert(snap() == after1, "retried batch 1 double-counted")
+  }
+
+  test("CDC merge rewrites only touched buckets; untouched bucket files stay byte-identical") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-cdcbkt").toString
+    val b0 = (1L to 64L).map(i => (i, ts("2024-01-01 10:00:00"), i))
+      .toDF("event_id", "ts", "user_id")
+    StreamingJobs.cdcApplyBatch(b0, 0L, work, buckets = 8)
+    val Some((_, _, map0)) = StreamingJobs.cdcReadCommit(spark, work)
+    assert(map0.size == 8, s"64 uniform keys should touch all 8 buckets: $map0")
+    // second batch touches exactly ONE key → one bucket
+    val b1 = Seq((100L, ts("2024-01-01 11:00:00"), 7L))
+      .toDF("event_id", "ts", "user_id")
+    val touchedBucket = spark.range(1)
+      .select(org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.xxhash64(
+          org.apache.spark.sql.functions.lit(7L)),
+        org.apache.spark.sql.functions.lit(8L)))
+      .collect()(0).getLong(0).toInt
+    def filesOf(path: String): Map[String, (Long, Long)] = {
+      val p = java.nio.file.Paths.get(path.stripPrefix("file:"))
+      val s = java.nio.file.Files.list(p)
+      try s.iterator().asScala
+        .filter(_.getFileName.toString.startsWith("part-"))
+        .map(f => f.getFileName.toString ->
+          (java.nio.file.Files.size(f),
+            java.nio.file.Files.getLastModifiedTime(f).toMillis))
+        .toMap
+      finally s.close()
+    }
+    val untouchedBefore = (map0 - touchedBucket).map { case (b, p) => b -> filesOf(p) }
+    StreamingJobs.cdcApplyBatch(b1, 1L, work, buckets = 8)
+    val Some((_, _, map1)) = StreamingJobs.cdcReadCommit(spark, work)
+    // untouched buckets: same generation paths, same files, same bytes
+    assert((map1 - touchedBucket) == (map0 - touchedBucket),
+      s"untouched buckets were rewritten:\nbefore=$map0\nafter=$map1")
+    untouchedBefore.foreach { case (b, before) =>
+      assert(filesOf(map1(b)) == before, s"bucket $b files changed") }
+    // the touched bucket moved to the new generation
+    assert(map1(touchedBucket) != map0(touchedBucket))
+    assert(map1(touchedBucket).contains("gen1"))
+    // and the merge is still correct
+    val u7 = StreamingJobs.cdcTable(spark, work)
+      .selectExpr("user_id", "_m.event_id", "n_updates")
+      .filter($"user_id" === 7L).collect()
+    assert(u7.map(r => (r.getLong(1), r.getLong(2))).toSeq == Seq((100L, 2L)))
+  }
+
+  test("cdcTable before any commit fails with a clear error, not a missing-path read") {
+    val work = java.nio.file.Files.createTempDirectory("graft-cdcempty").toString
+    val e = intercept[IllegalStateException] {
+      StreamingJobs.cdcTable(spark, work)
+    }
+    assert(e.getMessage.contains("no committed CDC generation"), e.getMessage)
   }
 
   test("stateful sessionization closes sessions on gap and on timeout") {
