@@ -343,17 +343,21 @@ object Dedup {
     *
     * Shape: one explode to (doc, span) — de-duplicated WITHIN each doc
     * by a per-row `array_distinct`, so a span repeated inside one
-    * document counts once — then a span-keyed count + postings
-    * aggregation. One shuffle on the span key; no pairwise joins. The
-    * postings string is bounded by `minDocs ≤ n_docs ≤ corpus`, so a
-    * production run over a web corpus would range-shard the heaviest
-    * spans exactly like [[TextAnalysis.invertedIndex]] and key the
-    * shuffle on `xxhash64(span)` rather than the span text; the
-    * span-keyed aggregation shape is unchanged.
+    * document counts once — then a span-keyed doc count and a SHARDED
+    * postings aggregation, the same (key, shard) grouping as
+    * [[TextAnalysis.invertedIndex]]: each span's postings spread over
+    * `ceil(n_docs / maxPostings)` shards by `doc_id mod n_shards`, so
+    * no aggregation buffer ever holds more than ~maxPostings ids. The
+    * heaviest boilerplate span on a web corpus — a license block in
+    * millions of documents — lands in thousands of bounded buffers
+    * instead of one task's. No pairwise joins anywhere; the span-count
+    * exchange is reused by the postings build (one tokenize pass).
     */
   def dupSpans(df: DataFrame, idCol: String, textCol: String,
-               n: Int = 8, minDocs: Int = 2): DataFrame = {
-    require(n >= 2 && minDocs >= 2, "span length and minDocs must be >= 2")
+               n: Int = 8, minDocs: Int = 2,
+               maxPostings: Int = 10000): DataFrame = {
+    require(n >= 2 && minDocs >= 2 && maxPostings >= 1,
+      "need span length and minDocs >= 2, maxPostings >= 1")
     val w = split(col(textCol), " ")
     val spans = df
       .select(col(idCol), w.as("_w"))
@@ -361,11 +365,28 @@ object Dedup {
       .select(col(idCol), explode(array_distinct(
         transform(sequence(lit(0), size(col("_w")) - n),
           i => concat_ws(" ", slice(col("_w"), i + 1, lit(n)))))).as("span"))
-    spans.groupBy(col("span"))
-      .agg(count(lit(1)).as("n_docs"),
+    // (doc, span) is already unique per row (array_distinct above); the
+    // repartition+distinct exist for the PLAN, not the data — as in
+    // [[TextAnalysis.invertedIndex]], they form the shared pruning-proof
+    // exchange both branches read: the heavy tokenize+explode runs once,
+    // its span-hash shuffle is reused, and every aggregation above
+    // (distinct, doc count, sharded postings) is exchange-free because
+    // hash(span) clusters all of their grouping keys. A corpus with one
+    // pathologically hot span can spread its shards across tasks with an
+    // extra repartition(span, shard) before the final group — same plan
+    // shape, one more exchange.
+    val sp = spans.repartition(col("span")).distinct()
+    val counts = sp.groupBy(col("span"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+    sp.join(counts, "span")
+      .withColumn("shard",
+        pmod(col(idCol),
+          greatest(lit(1L), ceil(col("n_docs") / lit(maxPostings.toDouble)))))
+      .groupBy(col("span"), col("n_docs"), col("shard"))
+      .agg(count(lit(1)).as("shard_docs"),
         concat_ws(",",
           sort_array(collect_list(col(idCol))).cast("array<string>"))
           .as("postings"))
-      .filter(col("n_docs") >= minDocs)
   }
 }

@@ -12,38 +12,65 @@ import org.apache.spark.sql.types._
   *
   * Scale posture: profile and rule checks are ONE aggregation pass
   * each — every metric is a column expression over the same scan, and
-  * the per-column/per-rule output rows come from a single `stack`
-  * Expand of the one-row aggregate, not per-column scans. The exact
+  * the per-column/per-rule output rows come from a single generator
+  * over the one-row aggregate, not per-column scans. The exact
   * multi-column DISTINCT in [[profile]] plans as Spark's Expand-based
   * multi-distinct (rows × profiled columns before partial aggregation);
-  * at extreme widths swap `countDistinct` for `approx_count_distinct`
-  * — the report schema is unchanged. Referential checks are anti joins
-  * on the key, broadcast when the parent is dimension-sized.
+  * [[profileApprox]] is the wide-table escape — HLL sketches, same
+  * report schema, no Expand. Referential checks are anti joins on the
+  * key, broadcast when the parent is dimension-sized.
+  *
+  * Data-supplied names (profiled columns, rule names) are never spliced
+  * into SQL text: column references are backtick-escaped, internal
+  * aliases are positional, and report labels ride as string LITERALS —
+  * a column named `a.b`, `it's` or `x```y` profiles fine.
   */
 object Quality {
+
+  /** Reference to a possibly-exotic data-supplied column name: dots,
+    * spaces, quotes and backticks must reach the resolver as one name,
+    * not be parsed as field access or break generated SQL.
+    */
+  private def qcol(name: String): Column =
+    col(s"`${name.replace("`", "``")}`")
+
+  private def profileWith(df: DataFrame, cols: Seq[String],
+                          distinct: Column => Column): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(count(qcol(c)).as(s"_cnt_$i"),
+        distinct(qcol(c)).as(s"_nd_$i"),
+        min(qcol(c)).cast(StringType).as(s"_min_$i"),
+        max(qcol(c)).cast(StringType).as(s"_max_$i"))
+    }
+    val one = df.agg(count(lit(1)).as("_n"), aggs: _*)
+    val entries = array(cols.zipWithIndex.map { case (c, i) =>
+      struct(lit(c).as("column_name"), col(s"_cnt_$i").as("_non_null"),
+        col(s"_nd_$i").as("n_distinct"), col(s"_min_$i").as("min_value"),
+        col(s"_max_$i").as("max_value"))
+    }: _*)
+    one.select(col("_n"), inline(entries))
+      .select(col("column_name"), col("_n").as("n_rows"),
+        (col("_n") - col("_non_null")).as("n_nulls"),
+        col("n_distinct"), col("min_value"), col("max_value"))
+  }
 
   /** One-pass column profile: per column — row count, null count,
     * exact distinct count, min/max (rendered as strings so one report
     * schema covers every column type).
     */
-  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
-    require(cols.nonEmpty, "profile needs at least one column")
-    val aggs = cols.flatMap { c =>
-      Seq(count(col(c)).as(s"_cnt_$c"),
-        countDistinct(col(c)).as(s"_nd_$c"),
-        min(col(c)).cast(StringType).as(s"_min_$c"),
-        max(col(c)).cast(StringType).as(s"_max_$c"))
-    }
-    val one = df.agg(count(lit(1)).as("_n"), aggs: _*)
-    val stackArgs = cols
-      .map(c => s"'$c', _cnt_$c, _nd_$c, _min_$c, _max_$c").mkString(", ")
-    one.selectExpr("_n",
-      s"stack(${cols.size}, $stackArgs) AS " +
-        "(column_name, _non_null, n_distinct, min_value, max_value)")
-      .select(col("column_name"), col("_n").as("n_rows"),
-        (col("_n") - col("_non_null")).as("n_nulls"),
-        col("n_distinct"), col("min_value"), col("max_value"))
-  }
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame =
+    profileWith(df, cols, countDistinct(_))
+
+  /** [[profile]] with `approx_count_distinct` (HLL++) in place of the
+    * exact distinct: identical report schema, but the plan is one
+    * narrow aggregation pass with NO multi-distinct Expand — profiling
+    * a 500-column table costs one scan, not 500× the row stream. `rsd`
+    * is the HLL relative standard deviation (default 2%).
+    */
+  def profileApprox(df: DataFrame, cols: Seq[String],
+                    rsd: Double = 0.02): DataFrame =
+    profileWith(df, cols, approx_count_distinct(_, rsd))
 
   /** Declarative rule check: each rule is (name, boolean column); a row
     * violates a rule when the predicate is false OR null (an
@@ -52,13 +79,14 @@ object Quality {
     */
   def checkRules(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
     require(rules.nonEmpty, "checkRules needs at least one rule")
-    val aggs = rules.map { case (name, pred) =>
-      sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)).as(s"_v_$name")
+    val aggs = rules.zipWithIndex.map { case ((_, pred), i) =>
+      sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)).as(s"_v_$i")
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
-    val stackArgs = rules.map(r => s"'${r._1}', _v_${r._1}").mkString(", ")
-    one.selectExpr(
-      s"stack(${rules.size}, $stackArgs) AS (rule, n_violations)")
+    val entries = array(rules.zipWithIndex.map { case ((name, _), i) =>
+      struct(lit(name).as("rule"), col(s"_v_$i").as("n_violations"))
+    }: _*)
+    one.select(inline(entries))
   }
 
   /** Referential-integrity report: child rows whose key has no match in
@@ -69,8 +97,8 @@ object Quality {
   def orphanReport(relation: String,
                    child: DataFrame, childKey: String,
                    parent: DataFrame, parentKey: String): DataFrame =
-    child.select(col(childKey))
-      .join(parent.select(col(parentKey).as(childKey)).distinct(),
+    child.select(qcol(childKey))
+      .join(parent.select(qcol(parentKey).as(childKey)).distinct(),
         Seq(childKey), "left_anti")
       .agg(count(lit(1)).as("n_orphans"))
       .select(lit(relation).as("relation"), col("n_orphans"))

@@ -460,8 +460,8 @@ object PipelineQueries {
     // ================= data quality (Deequ/dbt-test shape) =================
 
     // One-pass column profile: row/null/distinct counts + min/max per
-    // column from a single aggregation (stack-Expanded into report
-    // rows). Validation at 100 TB is a query, not a framework.
+    // column from a single aggregation (inlined into report rows).
+    // Validation at 100 TB is a query, not a framework.
     QueryDef("dq01_profile",
       """WITH t AS (SELECT count(*) AS n,
         |    count(l_orderkey) AS c1, count(DISTINCT l_orderkey) AS d1,
@@ -540,25 +540,74 @@ object PipelineQueries {
         .orderBy("relation")
     },
 
+    // Approximate profile (the wide-table escape dq01's doc promises):
+    // HLL distinct sketches — one narrow aggregation pass, NO
+    // multi-distinct Expand, so profiling 500 columns costs one scan.
+    // Gate contract is ev04's: exact values hash-match the oracle and
+    // the sketch must land within 5% of the exact count (rsd 2%).
+    QueryDef("dq04_profile_approx",
+      """WITH t AS (SELECT count(*) AS n,
+        |    count(l_orderkey) AS c1, count(DISTINCT l_orderkey) AS d1,
+        |    CAST(min(l_orderkey) AS VARCHAR) AS mn1, CAST(max(l_orderkey) AS VARCHAR) AS mx1,
+        |    count(l_quantity) AS c2, count(DISTINCT l_quantity) AS d2,
+        |    CAST(min(l_quantity) AS VARCHAR) AS mn2, CAST(max(l_quantity) AS VARCHAR) AS mx2,
+        |    count(l_returnflag) AS c3, count(DISTINCT l_returnflag) AS d3,
+        |    CAST(min(l_returnflag) AS VARCHAR) AS mn3, CAST(max(l_returnflag) AS VARCHAR) AS mx3,
+        |    count(l_linenumber) AS c4, count(DISTINCT l_linenumber) AS d4,
+        |    CAST(min(l_linenumber) AS VARCHAR) AS mn4, CAST(max(l_linenumber) AS VARCHAR) AS mx4
+        |  FROM lineitem)
+        |SELECT 'l_orderkey' AS column_name, n AS n_rows, n - c1 AS n_nulls,
+        |  d1 AS n_distinct, mn1 AS min_value, mx1 AS max_value,
+        |  CAST(1 AS BIGINT) AS within_5pct FROM t
+        |UNION ALL SELECT 'l_quantity', n, n - c2, d2, mn2, mx2, 1 FROM t
+        |UNION ALL SELECT 'l_returnflag', n, n - c3, d3, mn3, mx3, 1 FROM t
+        |UNION ALL SELECT 'l_linenumber', n, n - c4, d4, mn4, mx4, 1 FROM t
+        |ORDER BY column_name""".stripMargin) { (s, dir) =>
+      val t = Tables.spread(Tables.load(s, dir, "lineitem"),
+        "l_orderkey", "l_linenumber")
+      val cols = Seq("l_orderkey", "l_quantity", "l_returnflag", "l_linenumber")
+      val apx = graft.operators.Quality.profileApprox(t, cols)
+        .select(col("column_name"), col("n_rows"), col("n_nulls"),
+          col("n_distinct").as("_apx"), col("min_value"), col("max_value"))
+      val ex = graft.operators.Quality.profile(t, cols)
+        .select(col("column_name"), col("n_distinct"))
+      apx.join(ex, "column_name")
+        .select(col("column_name"), col("n_rows"), col("n_nulls"),
+          col("n_distinct"), col("min_value"), col("max_value"),
+          when(abs(col("_apx") - col("n_distinct")).cast(DoubleType) <=
+            col("n_distinct").cast(DoubleType) * 0.05, 1L)
+            .otherwise(0L).as("within_5pct"))
+        .orderBy("column_name")
+    },
+
     // Cross-document duplicated spans: every 8-word span shared by ≥2
     // documents, with its doc count and sorted postings — the
     // exact-substring duplication detector (suffix-array-dedup shape at
     // fixed window size) that surfaces boilerplate before any fuzzy
-    // matching. (n_docs DESC, span) is a unique total order, so the
-    // LIMIT is deterministic.
+    // matching. Postings are SHARDED à la ta16 (maxPostings=8 so the
+    // gate corpus actually exercises multi-shard spans): no span ever
+    // concentrates in one aggregation buffer. (n_docs DESC, span,
+    // shard) is a unique total order, so the LIMIT is deterministic.
     QueryDef("dd12_dup_spans",
       """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         | sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+7], ' ') AS span
         |        FROM ws, unnest(range(1, len(w) - 6)) AS t(i)
         |        WHERE len(w) >= 8),
-        | g AS (SELECT span, count(*) AS n_docs,
-        |         array_to_string(list_sort(list(doc_id)), ',') AS postings
-        |       FROM sh GROUP BY span HAVING count(*) >= 2)
-        |SELECT span, CAST(n_docs AS BIGINT) AS n_docs, postings
-        |FROM g ORDER BY n_docs DESC, span LIMIT 50""".stripMargin) { (s, dir) =>
+        | g AS (SELECT span, count(*) AS n_docs FROM sh
+        |       GROUP BY span HAVING count(*) >= 2),
+        | x AS (SELECT sh.span, g.n_docs,
+        |         sh.doc_id % greatest(1, CAST(ceil(g.n_docs / 8.0) AS BIGINT)) AS shard,
+        |         sh.doc_id
+        |       FROM sh JOIN g USING (span))
+        |SELECT span, CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(shard AS BIGINT) AS shard,
+        |  CAST(count(*) AS BIGINT) AS shard_docs,
+        |  array_to_string(list_sort(list(doc_id)), ',') AS postings
+        |FROM x GROUP BY span, n_docs, shard
+        |ORDER BY n_docs DESC, span, shard LIMIT 50""".stripMargin) { (s, dir) =>
       Dedup.dupSpans(docsWide(s, dir), "doc_id", "text",
-        n = 8, minDocs = 2)
-        .orderBy(desc("n_docs"), col("span"))
+        n = 8, minDocs = 2, maxPostings = 8)
+        .orderBy(desc("n_docs"), col("span"), col("shard"))
         .limit(50)
     },
 
@@ -1611,13 +1660,15 @@ object PipelineQueries {
         .orderBy("s3_bucket")
     },
 
-    // foreachBatch CDC upsert in the gate: the events table split into
-    // four files streamed one file per micro-batch (arrival order
-    // deliberately NOT pinned), folded into a keyed target by a
-    // versioned latest-wins merge + additive counts — commutative
-    // combines, so the final table is batch-order-independent and the
-    // oracle is plain batch SQL over the same events. Exercises the
-    // foreachBatch sink surface (maintained tables) no append sink can.
+    // foreachBatch CDC upsert in the gate — WITH a mid-stream kill and
+    // restart. The events table lands as four files in two phases:
+    // stream one starts on the first two (one file per micro-batch),
+    // is stopped, the remaining files land during the outage, and a
+    // second query resumes from the SAME checkpoint and workDir. The
+    // maintained table's state lives in the durable commit log (never
+    // driver memory), so the resumed fold continues from the last
+    // committed generation; replayed batchIds no-op. The oracle is
+    // plain batch SQL over all events — the restart must be invisible.
     QueryDef("st08_stream_cdc_upsert",
       """WITH l AS (SELECT user_id, ts, event_id,
         |    row_number() OVER (PARTITION BY user_id
@@ -1628,17 +1679,29 @@ object PipelineQueries {
         |  CAST(ts AS TIMESTAMP) AS last_ts, CAST(n AS BIGINT) AS n_updates
         |FROM l WHERE r = 1 ORDER BY user_id""".stripMargin) { (s, dir) =>
       val work = java.nio.file.Files.createTempDirectory("graft-st08").toString
-      Tables.events(s, dir)
-        .select("event_id", "ts", "user_id")
-        .repartition(4)
-        .write.mode("overwrite").parquet(s"$work/in")
-      val sch = s.read.parquet(s"$work/in").schema
-      val stream = s.readStream.schema(sch)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(s"$work/in")
-      val finalGen = graft.streaming.StreamingJobs
-        .cdcUpsertStream(stream, work)
-      s.read.parquet(finalGen)
+      val in = s"$work/in"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+      val ev = Tables.events(s, dir).select("event_id", "ts", "user_id")
+      def land(phase: Int): Unit = { // stage, then move into the source dir
+        val staging = s"$work/staging$phase"
+        ev.filter(pmod(col("event_id"), lit(2)) === phase)
+          .repartition(2).write.mode("overwrite").parquet(staging)
+        val destP = java.nio.file.Paths.get(in)
+        val files = java.nio.file.Files.list(java.nio.file.Paths.get(staging))
+        try files.filter(_.getFileName.toString.startsWith("part-"))
+          .forEach(p => java.nio.file.Files.move(p,
+            destP.resolve(s"p$phase-${p.getFileName}")))
+        finally files.close()
+      }
+      val sch = ev.schema
+      def stream() = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+      land(0)
+      val (q1, _) = graft.streaming.StreamingJobs.cdcUpsertQuery(stream(), work)
+      try q1.processAllAvailable() finally q1.stop() // kill after phase 0
+      land(1) // updates land during the outage
+      val table = graft.streaming.StreamingJobs.cdcUpsertStream(stream(), work)
+      table
         .select(col("user_id"),
           col("_m.event_id").as("last_event_id"),
           col("_m.ts").cast(TimestampNTZType).as("last_ts"),

@@ -184,7 +184,7 @@ class CurationOpsSpec extends AnyFunSuite {
       (4L, "nothing shared here at all by anyone ever")
     ).toDF("doc_id", "text")
     val got = graft.operators.Dedup.dupSpans(docs, "doc_id", "text", n = 8)
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(4)))
     val hit = got.find(_._1 == boiler)
     assert(hit.exists(h => h._2 == 3L && h._3 == "1,2,3"),
       s"boilerplate span miscounted: ${got.toSeq}")
@@ -238,11 +238,47 @@ class CurationOpsSpec extends AnyFunSuite {
     val got = graft.operators.Dedup
       .dupSpans(docs.toDF("doc_id", "text"), "doc_id", "text", n = n)
       .collect()
-      .map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
+      .map(r => r.getString(0) -> (r.getLong(1), r.getString(4))).toMap
     assert(got.keySet == brute.keySet)
     brute.foreach { case (span, ids) =>
       assert(got(span) == ((ids.length.toLong, ids.mkString(","))), span)
     }
+
+    // sharded run (maxPostings=2): disjoint shards reassemble each span's
+    // full posting set and no buffer exceeds the ceil(n_docs/maxPostings)
+    // shard-count bound — the ta16 property, applied to spans
+    val maxP = 2
+    val sharded = graft.operators.Dedup
+      .dupSpans(docs.toDF("doc_id", "text"), "doc_id", "text",
+        n = n, maxPostings = maxP)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4)))
+    sharded.groupBy(_._1).foreach { case (span, shards) =>
+      val nDocs = shards.head._2
+      assert(nDocs == brute(span).length.toLong, s"$span n_docs")
+      val ids = shards.flatMap(_._5.split(",").map(_.toLong))
+      assert(ids.length == ids.distinct.length, s"$span overlap")
+      assert(ids.sorted.toSeq == brute(span), s"$span postings")
+      assert(shards.map(_._4).sum == nDocs, s"$span shard_docs sum")
+      assert(shards.length <= math.ceil(nDocs.toDouble / maxP).toInt,
+        s"$span n_shards")
+    }
+    assert(sharded.groupBy(_._1).keySet == brute.keySet)
+  }
+
+  test("quality: exotic column and rule names survive (dots, quotes, backticks)") {
+    import graft.operators.Quality
+    val df = Seq((1, "x"), (-2, null)).toDF("a.b", "it's `odd`")
+    val prof = Quality.profile(df, Seq("a.b", "it's `odd`"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(prof("a.b") == ((2L, 0L, 2L)), prof)
+    assert(prof("it's `odd`") == ((2L, 1L, 1L)), prof)
+    val rules = Quality.checkRules(df,
+      Seq(("a.b is positive ('strict')", col("`a.b`") > 0)))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rules.toSeq == Seq(("a.b is positive ('strict')", 1L)), rules.toSeq)
   }
 
   test("quality: planted nulls, range breaks, domain breaks and orphans are all detected") {

@@ -250,12 +250,26 @@ class PlanSpec extends AnyFunSuite {
     assert(joinLine.contains("__graft_salt"), joinLine)
   }
 
-  test("dd12: duplicated spans come from one span-keyed aggregation — no joins anywhere") {
-    // the naive formulation self-joins (doc, span) against itself;
-    // the operator must instead aggregate postings per span key once
-    val plan = planOf("dd12_dup_spans")
-    assert(!plan.contains("Join"), plan)
-    assert(plan.contains("partial_count"), plan)
+  test("dd12: sharded span postings — bounded buffers, one tokenize pass, no window") {
+    val df = optimized("dd12_dup_spans")
+    df.collect() // finalize adaptive plan so reuse nodes render
+    val plan = df.queryExecution.executedPlan.toString
+    // the postings aggregation must key on shard alongside span, so the
+    // heaviest boilerplate span spreads over ceil(n_docs/maxPostings)
+    // buffers instead of concentrating in one task's collect_list
+    assert("""ObjectHashAggregate\(keys=\[span#\d+, n_docs#\d+L, shard#\d+L\]""".r
+      .findFirstIn(plan).isDefined, plan)
+    // a row_number/rank formulation would put each span in one window
+    // partition — the exact failure mode the shard key avoids
+    assert(!plan.contains("Window"), plan)
+    // the span-hash exchange feeds both the doc count and the postings
+    // build: ONE tokenize+explode pass, reused, never recomputed
+    // (count inside the finalized adaptive plan only — the rendered
+    // "Initial Plan" section shows pre-reuse duplicates by design)
+    assert(plan.contains("ReusedExchange"), plan)
+    val finalSection = plan.substring(0, plan.indexOf("== Initial Plan =="))
+    assert(finalSection.linesIterator.count(_.contains("Generate explode")) == 1,
+      plan)
   }
 
   test("q38: recursion bound rides as a column — no per-iteration rescan of orders") {
@@ -270,6 +284,21 @@ class PlanSpec extends AnyFunSuite {
     val scans = plan.linesIterator.count(l =>
       l.contains("FileScan parquet") || l.contains(" Relation ["))
     assert(scans == 2, s"expected 2 orders scans, saw $scans:\n$plan")
+  }
+
+  test("dq04: approx profile is one narrow aggregation pass — no multi-distinct Expand") {
+    val cols = Seq("l_orderkey", "l_quantity", "l_returnflag", "l_linenumber")
+    val li = Tables.load(spark, sf, "lineitem")
+    val apx = graft.operators.Quality.profileApprox(li, cols)
+      .queryExecution.executedPlan.toString
+    // HLL sketches aggregate in one pass over the scan: no Expand, one scan
+    assert(!apx.contains("Expand"), apx)
+    assert(apx.linesIterator.count(_.contains("FileScan parquet")) == 1, apx)
+    // the contrast that motivates it: the exact profile on the same
+    // columns multiplies the row stream by an Expand before aggregating
+    val exact = graft.operators.Quality.profile(li, cols)
+      .queryExecution.executedPlan.toString
+    assert(exact.contains("Expand"), exact)
   }
 
   test("ta16: sharded index groups on (tok, shard) — heavy term never in one buffer, no window") {
