@@ -127,6 +127,21 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
+  /** (pos, subvector) rows for the `m` PQ subspaces of `v`. Sub `s`
+    * covers elements [s·⌊dim/m⌋, (s+1)·⌊dim/m⌋) — slice is 1-based —
+    * and the LAST subspace also takes the `dim % m` remainder, so every
+    * component participates in codebooks and ADC scoring when `m` does
+    * not divide the dimension (integer division alone would silently
+    * truncate the tail and degrade recall with no error).
+    */
+  private def subSplitExplode(v: Column, m: Int): Column = {
+    val subDim = (size(v) / lit(m)).cast(IntegerType)
+    val rem = (size(v) % lit(m)).cast(IntegerType)
+    posexplode(transform(sequence(lit(0), lit(m - 1)),
+      s => slice(v, s * subDim + 1,
+        when(s === lit(m - 1), subDim + rem).otherwise(subDim))))
+  }
+
   /** Product-quantization ANN — the compression half of the IVF-PQ
     * architecture every 100 TB vector store runs. Vectors split into
     * `m` subvectors; each subspace is quantized to one of `codes`
@@ -164,12 +179,7 @@ object Similarity {
     def l2(a: Column, b: Column) =
       aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
         lit(0.0), (acc, v) => acc + v)
-    // sub s covers elements [s·(dim/m), (s+1)·(dim/m)) — slice is 1-based
-    def subSplit(v: Column): Column = {
-      val subDim = (size(v) / lit(m)).cast(IntegerType)
-      posexplode(transform(sequence(lit(0), lit(m - 1)),
-        s => slice(v, s * subDim + 1, subDim)))
-    }
+    def subSplit(v: Column): Column = subSplitExplode(v, m)
 
     val cand = candidates.select(col(idCol).as("cid"), dbl(col(vecCol)).as("cv"))
     val q = queries.select(col(idCol).as("qid"), dbl(col(vecCol)).as("qv"))
@@ -254,11 +264,7 @@ object Similarity {
     def l2(a: Column, b: Column) =
       aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
         lit(0.0), (acc, v) => acc + v)
-    def subSplit(v: Column): Column = {
-      val subDim = (size(v) / lit(m)).cast(IntegerType)
-      posexplode(transform(sequence(lit(0), lit(m - 1)),
-        s => slice(v, s * subDim + 1, subDim)))
-    }
+    def subSplit(v: Column): Column = subSplitExplode(v, m)
 
     val cand = candidates.select(col(idCol).as("cid"), dbl(col(vecCol)).as("cv"))
     val q = queries.select(col(idCol).as("qid"), dbl(col(vecCol)).as("qv"))

@@ -107,6 +107,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"IVF-PQ recall below floor: $recall")
   }
 
+  test("PQ on an indivisible dimension: the dim % m tail participates in scoring") {
+    // dim=10, m=4 → subspaces [0,2)[2,4)[4,6)[6,10): the last takes the
+    // remainder. Candidates are IDENTICAL except in the tail; a silent
+    // truncation (the old subDim-only slicing) would make every ADC
+    // distance equal and the shortlist would fill with the lowest cids,
+    // missing the true neighbor at cid 29.
+    val cand = (0 until 30).map { i =>
+      (i.toLong, Array.fill(6)(0.0) ++ Array.fill(4)(1000.0 * i))
+    }.toDF("vec_id", "embedding")
+    val query = Seq((1000L, Array.fill(6)(0.0) ++ Array.fill(4)(1000.0 * 29 + 1)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.pqTopK(query, cand, k = 1, m = 4, codes = 32,
+      shortlist = 5)
+      .select("cid").collect().map(_.getLong(0))
+    assert(got.toSeq == Seq(29L), s"tail components ignored: ${got.toSeq}")
+  }
+
   test("lshTables: per-table signatures are independent and bits-bounded") {
     val e = Tables.load(spark, sf, "embeddings").limit(100)
     val sigs = Similarity.lshTables(e, bits = 4, tables = 8)
