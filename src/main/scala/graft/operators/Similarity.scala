@@ -142,6 +142,39 @@ object Similarity {
         when(s === lit(m - 1), subDim + rem).otherwise(subDim))))
   }
 
+  /** `iters` in-plan Lloyd rounds over a per-subspace PQ codebook.
+    * `seeds` is (_code, sub, cvec); `subs` is the (cid, sub, sv)
+    * subvector stream. Each round assigns every subvector to its
+    * nearest current code (map-side `min(struct)` argmin — the encode
+    * shape, never a per-candidate window) and recomputes each
+    * (sub, code) centroid as the per-position member mean in DECIMAL
+    * (summation-order-independent → identical codebooks every run,
+    * [[ivfTopK]]'s discipline). A code that attracts no members drops
+    * out — standard k-means death; encode/ADC never assume exactly
+    * `codes` surviving rows. `iters = 0` returns the seeds untouched.
+    */
+  private def refineCodebook(seeds: DataFrame, subs: DataFrame,
+                             iters: Int): DataFrame = {
+    def l2(a: Column, b: Column) =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, v) => acc + v)
+    (1 to iters).foldLeft(seeds) { (cb, _) =>
+      subs
+        .join(broadcast(cb), "sub")
+        .select(col("cid"), col("sub"), col("sv"),
+          struct(l2(col("sv"), col("cvec")).as("_d"), col("_code")).as("_dc"))
+        .groupBy(col("cid"), col("sub"))
+        .agg(min(col("_dc")).getField("_code").as("_code"),
+          first(col("sv")).as("sv"))
+        .select(col("sub"), col("_code"), posexplode(col("sv")))
+        .groupBy(col("sub"), col("_code"), col("pos"))
+        .agg(avg(col("col").cast(DecimalType(25, 12))).cast(DoubleType).as("_m"))
+        .groupBy(col("sub"), col("_code"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("_m")))),
+          s => s.getField("_m")).as("cvec"))
+    }
+  }
+
   /** Product-quantization ANN — the compression half of the IVF-PQ
     * architecture every 100 TB vector store runs. Vectors split into
     * `m` subvectors; each subspace is quantized to one of `codes`
@@ -169,9 +202,19 @@ object Similarity {
     * broadcast pass over the corpus (codes × m distance evals per
     * vector); ADC scoring shuffles (cid, sub, code) triples only;
     * vectors rejoin by id for the shortlist re-rank (queries broadcast).
+    *
+    * `refineIters` Lloyd-refines the hash-seeded codebooks in-plan
+    * (per-subspace assignment argmin, then the DECIMAL per-position
+    * member mean — deterministic, same machinery as [[ivfTopK]]'s
+    * option). Defaults to 0 on MEASURED evidence (RecallProbe): one
+    * pass moves top-5 recall 1.00→1.00 at sf0.01 and 0.92→0.94 at
+    * sf0.1 (a second pass adds nothing) while costing two extra
+    * corpus passes per iteration — not worth it here; a corpus with
+    * real cluster structure is where trained codebooks pay.
     */
   def pqTopK(queries: DataFrame, candidates: DataFrame, k: Int,
              m: Int = 16, codes: Int = 32, shortlist: Int = 100,
+             refineIters: Int = 0,
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(m >= 1 && codes >= 2 && shortlist >= k,
       "need m >= 1, codes >= 2, shortlist >= k")
@@ -188,10 +231,13 @@ object Similarity {
     val seedIds = candidates
       .groupBy(pmod(xxhash64(col(idCol)), lit(codes)).as("_code"))
       .agg(min(col(idCol)).as("_sid"))
-    val cents = candidates
+    val seedCents = candidates
       .join(broadcast(seedIds), col(idCol) === col("_sid"))
       .select(col("_code"), subSplit(dbl(col(vecCol))))
       .withColumnRenamed("pos", "sub").withColumnRenamed("col", "cvec")
+    val cents = refineCodebook(seedCents, cand.select(col("cid"),
+      subSplit(col("cv"))).withColumnRenamed("pos", "sub")
+      .withColumnRenamed("col", "sv"), refineIters)
 
     // encode: per (vector, subspace) the argmin-distance code. The
     // codes dimension collapses via map-side min(struct) partial
@@ -253,10 +299,16 @@ object Similarity {
     * tables are broadcast-tiny; both argmins collapse map-side
     * (min(struct), never a per-candidate window); candidate vectors are
     * read exactly twice (encode + re-rank) at any corpus size.
+    * `refineIters` Lloyd-refines the residual codebook in-plan;
+    * defaults 0 on MEASURED evidence — on this structure-free corpus
+    * one pass LOWERS recall 0.92→0.86 at sf0.1 (the [[ivfTopK]]
+    * lesson repeated on residuals: means off actual corpus residuals
+    * track neighbor geometry worse than the skewed seed cells).
     */
   def ivfPqTopK(queries: DataFrame, candidates: DataFrame, k: Int,
                 nlist: Int = 16, nprobe: Int = 8,
                 m: Int = 16, codes: Int = 32, shortlist: Int = 100,
+                refineIters: Int = 0,
                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(nprobe >= 1 && nprobe <= nlist && shortlist >= k,
       "need 1 <= nprobe <= nlist and shortlist >= k")
@@ -287,14 +339,18 @@ object Similarity {
       .select(col("cid"), col("cell"),
         zip_with(col("cv"), col("cellv"), (x, y) => x - y).as("rv"))
 
-    // one shared PQ codebook over residuals, seeded by hash bucket
+    // one shared PQ codebook over residuals, seeded by hash bucket,
+    // optionally Lloyd-refined on the residual subvector stream
     val seedIds = candidates
       .groupBy(pmod(xxhash64(col(idCol), lit(7)), lit(codes)).as("_code"))
       .agg(min(col(idCol)).as("_pid"))
-    val cents = assigned
+    val seedCents = assigned
       .join(broadcast(seedIds), col("cid") === col("_pid"))
       .select(col("_code"), subSplit(col("rv")))
       .withColumnRenamed("pos", "sub").withColumnRenamed("col", "cvec")
+    val cents = refineCodebook(seedCents, assigned.select(col("cid"),
+      subSplit(col("rv"))).withColumnRenamed("pos", "sub")
+      .withColumnRenamed("col", "sv"), refineIters)
 
     // encode residuals: map-side argmin, same shape as pqTopK
     val encoded = assigned.select(col("cid"), col("cell"), subSplit(col("rv")))

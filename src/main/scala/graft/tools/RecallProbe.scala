@@ -48,17 +48,20 @@ object RecallProbe {
     val nL2 = exactL2.count()
     def recallL2(ann: org.apache.spark.sql.DataFrame): Double =
       ann.select("qid", "cid").join(exactL2, Seq("qid", "cid")).count().toDouble / nL2
-    for ((m, codes, shortlist) <- Seq((16, 32, 50), (16, 32, 100), (16, 16, 100), (16, 64, 100))) {
+    for ((m, codes, shortlist, refine) <- Seq((16, 32, 50, 0), (16, 32, 100, 0),
+      (16, 16, 100, 0), (16, 64, 100, 0), (16, 32, 100, 1), (16, 32, 100, 2))) {
       val t0 = System.nanoTime()
-      val r = recallL2(Similarity.pqTopK(q, e, 5, m, codes, shortlist))
+      val r = recallL2(Similarity.pqTopK(q, e, 5, m, codes, shortlist, refine))
       val s = (System.nanoTime() - t0) / 1e9
-      println(f"[recall] pq m=$m%d codes=$codes%2d short=$shortlist%2d recall=$r%.3f  ${s}%.1f s")
+      println(f"[recall] pq m=$m%d codes=$codes%2d short=$shortlist%2d refine=$refine%d recall=$r%.3f  ${s}%.1f s")
     }
-    for ((nlist, nprobe) <- Seq((8, 2), (8, 4), (16, 4), (16, 8))) {
+    for ((nlist, nprobe, refine) <- Seq((8, 2, 0), (8, 4, 0), (16, 4, 0),
+      (16, 8, 0), (16, 8, 1))) {
       val t0 = System.nanoTime()
-      val r = recallL2(Similarity.ivfPqTopK(q, e, 5, nlist, nprobe))
+      val r = recallL2(Similarity.ivfPqTopK(q, e, 5, nlist, nprobe,
+        refineIters = refine))
       val s = (System.nanoTime() - t0) / 1e9
-      println(f"[recall] ivfpq nlist=$nlist%2d nprobe=$nprobe%d recall=$r%.3f  ${s}%.1f s")
+      println(f"[recall] ivfpq nlist=$nlist%2d nprobe=$nprobe%d refine=$refine%d recall=$r%.3f  ${s}%.1f s")
     }
     spark.stop()
   }

@@ -6,7 +6,7 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Similarity, TextAnalysis}
 
 /** Dev utility: measure the scaling curve of the LSH dedup and ANN
   * operators on a synthetic 10× blow-up of the sf0.1 corpus — evidence
@@ -96,6 +96,17 @@ object ScaleRehearsal {
       }
       measure(s"sim06_pq_topk      $tag") {
         Similarity.pqTopK(q, e, 5).count()
+      }
+      measure(s"sim07_ivfpq_topk   $tag") {
+        Similarity.ivfPqTopK(q, e, 5).count()
+      }
+      measure(s"ta16_sharded_index $tag") {
+        TextAnalysis.invertedIndex(docsAt(dp), "doc_id", "text",
+          maxPostings = 50).count()
+      }
+      measure(s"dd12_dup_spans     $tag") {
+        Dedup.dupSpans(docsAt(dp), "doc_id", "text",
+          n = 8, minDocs = 2, maxPostings = 8).count()
       }
     }
     spark.stop()

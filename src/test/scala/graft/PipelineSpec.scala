@@ -107,6 +107,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"IVF-PQ recall below floor: $recall")
   }
 
+  test("PQ Lloyd-refined codebook is deterministic and keeps the recall floor") {
+    // decimal mean accumulation → identical codebooks every run; the
+    // option defaults OFF by measurement (see pqTopK doc) but when a
+    // clustered corpus turns it on, results must be replayable
+    val e = Tables.load(spark, sf, "embeddings")
+    val q = e.filter($"vec_id" < 10)
+    def run() = Similarity.pqTopK(q, e, 5, refineIters = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSeq
+    val a = run()
+    assert(a == run(), "refined PQ results differ between runs")
+    val brute = Similarity.l2TopK(q, e, 5)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = a.count { case (qid, cid, _) => brute((qid, cid)) }.toDouble / brute.size
+    assert(recall >= 0.8, s"refined PQ recall below floor: $recall")
+  }
+
   test("PQ on an indivisible dimension: the dim % m tail participates in scoring") {
     // dim=10, m=4 → subspaces [0,2)[2,4)[4,6)[6,10): the last takes the
     // remainder. Candidates are IDENTICAL except in the tail; a silent
