@@ -241,6 +241,34 @@ object Dedup {
     labels.select(col("id"), col("label").as("cluster"))
   }
 
+  /** Cluster resolution — the step that makes dup CLUSTERS a dedup:
+    * per cluster, keep the highest-scoring member (ties to the lowest
+    * id) and report the survivor with the member count. Composes the
+    * cluster labels of [[connectedComponents]] with any per-doc score
+    * (e.g. [[TextAnalysis.qualityScore]]), so "detect → cluster →
+    * resolve" keeps the BEST copy of each boilerplate family instead
+    * of an arbitrary one.
+    *
+    * Scale shape: one id-keyed equi-join (clusters ⊆ corpus, scores
+    * narrow) and one cluster-keyed aggregation whose argmax collapses
+    * map-side via `max(struct(score, -id))` — no window over members,
+    * no cluster ever in one buffer. Tie semantics (higher score, then
+    * lower id) are engine-portable: the struct comparison equals
+    * `ORDER BY score DESC, id ASC` wherever the score doubles are
+    * bit-identical.
+    */
+  def resolveClusters(clusters: DataFrame, scores: DataFrame,
+                      idCol: String = "doc_id",
+                      clusterCol: String = "cluster",
+                      scoreCol: String = "quality"): DataFrame =
+    clusters.join(scores.select(col(idCol), col(scoreCol)), idCol)
+      .groupBy(col(clusterCol))
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col(scoreCol).as("_s"), (-col(idCol)).as("_negid")))
+          .as("_best"))
+      .select(col(clusterCol), (-col("_best._negid")).as("survivor_id"),
+        col("_best._s").as("survivor_score"), col("n_members"))
+
   /** Embedding-cosine near-dup: top-k most-similar vector pairs among
     * candidates sharing a sign-sketch block. The block key is the sign
     * pattern of the first `sketchBits` components — semantically part of

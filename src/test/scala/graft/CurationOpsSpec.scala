@@ -267,6 +267,38 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(sharded.groupBy(_._1).keySet == brute.keySet)
   }
 
+  test("assignSplit: disjoint, exhaustive, stable across tables and runs") {
+    import graft.operators.Sampling
+    val ids = spark.range(0, 2048).toDF("k")
+    def labels() = ids.withColumn("s", Sampling.assignSplit(col("k")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val a = labels()
+    // exhaustive + disjoint by construction: every key exactly one label
+    assert(a.size == 2048)
+    assert(a.values.toSet == Set("train", "val", "test"))
+    // band widths: train ≈ 245/256, val ≈ 5/256, test ≈ 6/256
+    val n = a.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(n("train") > 1800 && n("val") > 10 && n("test") > 10, n)
+    // stable: identical labels on re-evaluation and under repartitioning
+    assert(labels() == a)
+    val b = ids.repartition(7).withColumn("s", Sampling.assignSplit(col("k")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(b == a, "split assignment changed under repartitioning")
+  }
+
+  test("resolveClusters: best-quality member survives, ties to lowest id") {
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (9L, 7L))
+      .toDF("doc_id", "cluster")
+    val scores = Seq((1L, 0.4), (2L, 0.9), (3L, 0.9), (7L, 0.2), (9L, 0.2),
+      (100L, 0.99) /* not in any cluster: must not appear */)
+      .toDF("doc_id", "quality")
+    val got = graft.operators.Dedup.resolveClusters(clusters, scores)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(_._1)
+    // cluster 1: quality tie 2 vs 3 → lowest id 2; cluster 7: tie → 7
+    assert(got.toSeq == Seq((1L, 2L, 0.9, 3L), (7L, 7L, 0.2, 2L)), got.toSeq)
+  }
+
   test("quality: exotic column and rule names survive (dots, quotes, backticks)") {
     import graft.operators.Quality
     val df = Seq((1, "x"), (-2, null)).toDF("a.b", "it's `odd`")
