@@ -86,6 +86,26 @@ object Sampling {
       .drop("_gate")
   }
 
+  /** Deterministic train/val/test assignment: the same md5 hex gate as
+    * [[hashSample]], carved into three contiguous bands —
+    * `[0, trainNum)` → "train", `[trainNum, valNum)` → "val",
+    * `[valNum, 256)` → "test" (fractions in 1/256 steps; defaults
+    * 245/5/6 ≈ 95.7/2.0/2.3%). Disjoint and exhaustive BY CONSTRUCTION
+    * (one CASE over one hash of one stable key), reproducible on any
+    * engine/partitioning/retry, and CONSISTENT across tables: a doc
+    * lands in the same split wherever its key appears, so features
+    * derived in another table can never leak across the boundary.
+    * Scan-fused per-row expression — no shuffle, no RNG.
+    */
+  def assignSplit(key: Column, trainNum: Int = 245, valNum: Int = 250): Column = {
+    require(0 <= trainNum && trainNum <= valNum && valNum <= 256,
+      "need 0 <= trainNum <= valNum <= 256")
+    val h = substring(md5(key.cast("string")), 1, 2)
+    when(h < lit(hexGate(trainNum)), lit("train"))
+      .when(h < lit(hexGate(valNum)), lit("val"))
+      .otherwise(lit("test"))
+  }
+
   /** Exactly-k-per-stratum sampling: rank rows within each stratum by
     * md5(key) (ties broken by the key itself — total order, so the
     * survivor set is unique) and keep the first `k`. The fraction

@@ -276,6 +276,66 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // Cluster RESOLUTION — detect → cluster → resolve: per duplicate
+    // cluster keep the highest-quality member (ties to lowest id) and
+    // report survivor + member count. The argmax collapses map-side
+    // (max(struct)) — no window over cluster members. The oracle
+    // recomputes dd08's clusters and ta07's quality, then picks the
+    // survivor by the same (quality DESC, doc_id) order; quality
+    // doubles are bit-identical across engines (ta07 hash-matches), so
+    // the tie semantics agree.
+    QueryDef("dd13_cluster_dedup",
+      """WITH RECURSIVE
+        | w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 3),
+        | sh0 AS (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i FROM w),
+        | sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle FROM sh0),
+        | sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        | pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+        |           FROM sh a JOIN sh b USING (shingle)
+        |           WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        | j AS (SELECT da, db FROM pairs
+        |       JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+        |       WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.5),
+        | e AS (SELECT da AS src, db AS dst FROM j UNION ALL SELECT db, da FROM j),
+        | cc AS (
+        |   SELECT src AS id, src AS label FROM e
+        |   UNION
+        |   SELECT e.dst, cc.label FROM cc JOIN e ON cc.id = e.src WHERE cc.label < e.dst
+        | ),
+        | cl AS (SELECT id AS doc_id, CAST(min(label) AS BIGINT) AS cluster
+        |        FROM cc GROUP BY id),
+        | t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+        | f AS (SELECT doc_id,
+        |   CAST(len(toks) AS BIGINT) AS n_tokens,
+        |   CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS DOUBLE)
+        |     / CAST(len(toks) AS DOUBLE) AS stop_ratio,
+        |   CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+        |     / CAST(length(text) AS DOUBLE) AS punct_ratio
+        | FROM t),
+        | q AS (SELECT doc_id,
+        |   0.5 * least(stop_ratio / 0.08, 1.0)
+        |     + 0.3 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+        |     + 0.2 * (1.0 - least(punct_ratio / 0.2, 1.0)) AS quality
+        | FROM f),
+        | m AS (SELECT cl.cluster, cl.doc_id, q.quality,
+        |         row_number() OVER (PARTITION BY cl.cluster
+        |                            ORDER BY q.quality DESC, cl.doc_id) AS rn,
+        |         count(*) OVER (PARTITION BY cl.cluster) AS n_members
+        |       FROM cl JOIN q USING (doc_id))
+        |SELECT cluster, doc_id AS survivor_id, quality AS survivor_score,
+        |  CAST(n_members AS BIGINT) AS n_members
+        |FROM m WHERE rn = 1 ORDER BY cluster""".stripMargin) { (s, dir) =>
+      val edges = Dedup.jaccardPairs(docsWide(s, dir), "doc_id", "text", 3)
+        .filter(col("jac") >= 0.5)
+        .select(col("da").as("src"), col("db").as("dst"))
+      val clusters = Dedup.connectedComponents(edges)
+        .select(col("id").as("doc_id"), col("cluster"))
+      val quality = TextAnalysis.qualityScore(docs(s, dir), "doc_id", "text")
+      Dedup.resolveClusters(clusters, quality)
+        .orderBy("cluster")
+    },
+
     // "Fuzzy-exact" dedup on the canonical text form (lowercase, strip
     // punctuation, collapse whitespace): catches reformatted copies that
     // byte-exact hashing misses, while staying a single keyed shuffle —
@@ -403,6 +463,35 @@ object PipelineQueries {
           min("doc_id").cast(LongType).as("first_doc"),
           max("doc_id").cast(LongType).as("last_doc"))
         .orderBy("lang")
+    },
+
+    // Deterministic train/val/test split: one md5 hex gate carved into
+    // three contiguous bands (defaults ≈ 95.7/2.0/2.3%) — disjoint and
+    // exhaustive by construction, reproducible on any engine or
+    // partitioning, and consistent across tables (a key lands in the
+    // same split everywhere, so no feature leakage). The per-split
+    // counts summing to the table total IS the exhaustiveness check;
+    // the oracle runs the identical CASE verbatim.
+    QueryDef("sp05_split_assign",
+      """WITH s AS (SELECT doc_id, n_chars,
+        |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f5' THEN 'train'
+        |       WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'fa' THEN 'val'
+        |       ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT split, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(min(doc_id) AS BIGINT) AS first_id,
+        |  CAST(max(doc_id) AS BIGINT) AS last_id
+        |FROM s GROUP BY split ORDER BY split""".stripMargin) { (s, dir) =>
+      docs(s, dir)
+        .withColumn("split",
+          graft.operators.Sampling.assignSplit(col("doc_id")))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").cast(LongType).as("total_chars"),
+          min("doc_id").cast(LongType).as("first_id"),
+          max("doc_id").cast(LongType).as("last_id"))
+        .orderBy("split")
     },
 
     // Typo-pair detection (Dedup.typoPairs): blocked candidates + exact
