@@ -89,6 +89,42 @@ object Quality {
     one.select(inline(entries))
   }
 
+  /** Cross-table aggregate reconciliation: does each parent's stored
+    * total equal the sum of its children's measure? One report row per
+    * relation — parents seen, exact matches, mismatches, child groups
+    * with no parent, parents with no children, and the largest
+    * absolute discrepancy. Sums fold in DECIMAL so "equal" is exact
+    * arithmetic, not an IEEE tolerance; pass measures pre-cast to the
+    * decimal type the reconciliation should run in.
+    *
+    * Scale shape: one map-side-combining keyed aggregation of the
+    * child stream + one keyed full-outer join against the parent —
+    * both shuffles carry (key, decimal) pairs, and the report is a
+    * single-row aggregate. No broadcast assumption: parent and child
+    * can both be fact-sized.
+    */
+  def reconcile(relation: String,
+                child: DataFrame, childKey: String, childMeasure: Column,
+                parent: DataFrame, parentKey: String,
+                parentMeasure: Column): DataFrame = {
+    val c = child.groupBy(qcol(childKey).as("_k"))
+      .agg(sum(childMeasure).as("_c"))
+    val p = parent.select(qcol(parentKey).as("_k"), parentMeasure.as("_p"))
+    val both = col("_c").isNotNull && col("_p").isNotNull
+    c.join(p, Seq("_k"), "full_outer")
+      .agg(
+        count(when(col("_p").isNotNull, 1)).as("n_parents"),
+        count(when(both && col("_c") === col("_p"), 1)).as("n_matched"),
+        count(when(both && col("_c") =!= col("_p"), 1)).as("n_mismatched"),
+        count(when(col("_p").isNull, 1)).as("n_orphan_groups"),
+        count(when(col("_c").isNull, 1)).as("n_childless"),
+        max(when(both, abs(col("_c") - col("_p"))))
+          .cast(DoubleType).as("max_abs_diff"))
+      .select(lit(relation).as("relation"), col("n_parents"),
+        col("n_matched"), col("n_mismatched"), col("n_orphan_groups"),
+        col("n_childless"), col("max_abs_diff"))
+  }
+
   /** Referential-integrity report: child rows whose key has no match in
     * the parent (NULL child keys are orphans — a null FK fails the
     * constraint). Anti join on the key; broadcast-sized parents never

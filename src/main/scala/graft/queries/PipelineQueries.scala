@@ -629,6 +629,46 @@ object PipelineQueries {
         .orderBy("relation")
     },
 
+    // Aggregate reconciliation with PLANTED discrepancies (the dd10
+    // lesson: synthetic data satisfies no stored parent-total relation,
+    // so the gate derives the parent FROM the child and perturbs it
+    // deterministically — keys ≡0 mod 37 get +1, keys ≡0 mod 41 are
+    // dropped (child groups become orphans), and a childless parent -1
+    // is planted). The report must count each class exactly and bound
+    // the largest discrepancy; sums reconcile in exact DECIMAL.
+    QueryDef("dq05_reconcile",
+      """WITH c AS (SELECT l_orderkey AS k,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS total
+        |  FROM lineitem GROUP BY 1),
+        | p AS (SELECT k, total + CASE WHEN k % 37 = 0 THEN 1 ELSE 0 END AS total
+        |       FROM c WHERE k % 41 <> 0
+        |       UNION ALL SELECT -1, CAST(0 AS DECIMAL(18,4))),
+        | j AS (SELECT c.k AS ck, c.total AS cv, p.k AS pk, p.total AS pv
+        |       FROM c FULL OUTER JOIN p ON c.k = p.k)
+        |SELECT 'lineitem->orders_planted' AS relation,
+        |  CAST(count(CASE WHEN pk IS NOT NULL THEN 1 END) AS BIGINT) AS n_parents,
+        |  CAST(count(CASE WHEN ck IS NOT NULL AND pk IS NOT NULL
+        |                   AND cv = pv THEN 1 END) AS BIGINT) AS n_matched,
+        |  CAST(count(CASE WHEN ck IS NOT NULL AND pk IS NOT NULL
+        |                   AND cv <> pv THEN 1 END) AS BIGINT) AS n_mismatched,
+        |  CAST(count(CASE WHEN pk IS NULL THEN 1 END) AS BIGINT) AS n_orphan_groups,
+        |  CAST(count(CASE WHEN ck IS NULL THEN 1 END) AS BIGINT) AS n_childless,
+        |  CAST(max(CASE WHEN ck IS NOT NULL AND pk IS NOT NULL
+        |                THEN abs(cv - pv) END) AS DOUBLE) AS max_abs_diff
+        |FROM j""".stripMargin) { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+      val base = li.groupBy(col("l_orderkey").as("k"))
+        .agg(sum(col("l_extendedprice").cast(DecimalType(18, 4))).as("total"))
+      val parent = base.filter(pmod(col("k"), lit(41)) =!= 0)
+        .withColumn("total",
+          col("total") + when(pmod(col("k"), lit(37)) === 0, 1).otherwise(0))
+        .unionByName(s.range(1).select(lit(-1L).as("k"),
+          lit(java.math.BigDecimal.ZERO).cast(DecimalType(28, 4)).as("total")))
+      graft.operators.Quality.reconcile("lineitem->orders_planted",
+        li, "l_orderkey", col("l_extendedprice").cast(DecimalType(18, 4)),
+        parent, "k", col("total"))
+    },
+
     // Approximate profile (the wide-table escape dq01's doc promises):
     // HLL distinct sketches — one narrow aggregation pass, NO
     // multi-distinct Expand, so profiling 500 columns costs one scan.

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.{Anomaly, Clustering, Similarity, TextAnalysis}
@@ -297,6 +298,21 @@ class CurationOpsSpec extends AnyFunSuite {
       .sortBy(_._1)
     // cluster 1: quality tie 2 vs 3 → lowest id 2; cluster 7: tie → 7
     assert(got.toSeq == Seq((1L, 2L, 0.9, 3L), (7L, 7L, 0.2, 2L)), got.toSeq)
+  }
+
+  test("reconcile: matches, mismatches, orphan groups and childless parents all counted") {
+    import graft.operators.Quality
+    val child = Seq((1L, 10.0), (1L, 5.0), (2L, 7.0), (3L, 1.0)).toDF("k", "v")
+    val parent = Seq((1L, 15.0), (2L, 8.0), (9L, 4.0)).toDF("k", "total")
+    val r = Quality.reconcile("t",
+      child, "k", col("v").cast(DecimalType(18, 4)),
+      parent, "k", col("total").cast(DecimalType(18, 4)))
+      .collect()(0)
+    // k=1 sums to 15 (match), k=2 is 7 vs 8 (mismatch, diff 1),
+    // k=3 has no parent (orphan group), k=9 has no children (childless)
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      == ((3L, 1L, 1L, 1L, 1L)), r.toString)
+    assert(r.getDouble(6) == 1.0, r.toString)
   }
 
   test("quality: exotic column and rule names survive (dots, quotes, backticks)") {

@@ -67,7 +67,10 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("shuffle budget: single-agg queries shuffle at most twice (agg + order)") {
-    for (q <- Seq("q01_pricing_summary", "q04_broadcast_dim", "ta03_lang_stats")) {
+    // sp05 included: split assignment must stay a scan-fused expression,
+    // never a join or extra exchange
+    for (q <- Seq("q01_pricing_summary", "q04_broadcast_dim", "ta03_lang_stats",
+      "sp05_split_assign")) {
       val n = countExchanges(q)
       assert(n <= 2, s"$q has $n exchanges")
     }
