@@ -115,6 +115,11 @@ object StreamingJobs {
     *    older generations, referenced as-is by the new commit. A batch
     *    touching one key rewrites 1/`buckets` of the table, not all of
     *    it.
+    *  - Storage is BOUNDED: after each commit the log keeps the two
+    *    newest commit files and deletes displaced bucket partitions
+    *    (and emptied generation dirs), so steady-state footprint is
+    *    ~one live table plus one batch of margin — never one
+    *    generation per batch forever.
     *
     * Rename-as-commit is atomic on HDFS/local/ABFS; an S3 deployment
     * substitutes a conditional-put pointer exactly as Spark's own file
@@ -135,6 +140,25 @@ object StreamingJobs {
                     workDir: String): FileSystem =
     new Path(workDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  private def cdcCommitIds(fs: FileSystem, workDir: String): Seq[Long] = {
+    val dir = new Path(s"$workDir/_commits")
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).map(_.getPath.getName)
+      .filter(_.startsWith("c")).flatMap(_.drop(1).toLongOption)
+      .toSeq.sorted(Ordering[Long].reverse)
+  }
+
+  private def cdcParseCommit(fs: FileSystem, workDir: String,
+                             batchId: Long): (Int, Map[Int, String]) = {
+    val in = fs.open(new Path(s"$workDir/_commits/c$batchId"))
+    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val lines = body.linesIterator.filter(_.nonEmpty).toSeq
+    (lines.head.toInt, lines.tail.map { l =>
+      val Array(b, p) = l.split("\t", 2); b.toInt -> p
+    }.toMap)
+  }
+
   /** Last committed CDC state under `workDir`: (batchId, buckets,
     * bucket → generation-partition path). None before the first commit.
     */
@@ -142,21 +166,40 @@ object StreamingJobs {
                                    workDir: String)
       : Option[(Long, Int, Map[Int, String])] = {
     val fs = cdcFs(spark, workDir)
-    val dir = new Path(s"$workDir/_commits")
-    if (!fs.exists(dir)) return None
-    val commits = fs.listStatus(dir).map(_.getPath.getName)
-      .filter(_.startsWith("c")).flatMap(n => n.drop(1).toLongOption)
-    if (commits.isEmpty) return None
-    val latest = commits.max
-    val in = fs.open(new Path(dir, s"c$latest"))
-    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-    val lines = body.linesIterator.filter(_.nonEmpty).toSeq
-    val nBuckets = lines.head.toInt
-    val map = lines.tail.map { l =>
-      val Array(b, p) = l.split("\t", 2); b.toInt -> p
-    }.toMap
-    Some((latest, nBuckets, map))
+    cdcCommitIds(fs, workDir).headOption.map { latest =>
+      val (b, m) = cdcParseCommit(fs, workDir, latest)
+      (latest, b, m)
+    }
+  }
+
+  /** Bounded storage: the log keeps exactly the TWO newest commit files
+    * (latest + its predecessor, the crash-safety margin), deletes
+    * bucket-partition dirs the predecessor referenced but the latest no
+    * longer does (they were displaced by the newest merge), and prunes
+    * generation dirs emptied by that. Runs after EVERY batch entry —
+    * including replayed no-ops — so a crash between commit and cleanup
+    * leaves garbage for at most one batch. Without this, a long-running
+    * stream accumulates one commit file and one generation per batch
+    * forever.
+    */
+  private def cdcGc(fs: FileSystem, workDir: String): Unit = {
+    val ids = cdcCommitIds(fs, workDir)
+    if (ids.size < 2) return
+    ids.drop(2).foreach { old =>
+      fs.delete(new Path(s"$workDir/_commits/c$old"), false); () }
+    val keep = cdcParseCommit(fs, workDir, ids(0))._2.values.toSet
+    val displaced = cdcParseCommit(fs, workDir, ids(1))._2.values
+      .filterNot(keep).toSeq.distinct
+    displaced.foreach { p =>
+      val path = new Path(p)
+      fs.delete(path, true)
+      // a generation whose last _bucket= partition is gone is dead —
+      // only write markers (_SUCCESS, .crc sidecars) remain
+      val gen = path.getParent
+      if (fs.exists(gen) && !fs.listStatus(gen)
+        .exists(_.getPath.getName.startsWith("_bucket="))) {
+        fs.delete(gen, true); () }
+    }
   }
 
   /** The maintained CDC table: the union of every bucket's current
@@ -185,7 +228,13 @@ object StreamingJobs {
     committed.foreach { case (_, b, _) =>
       require(b == buckets,
         s"CDC table at $workDir was committed with $b buckets, got $buckets") }
-    if (committed.exists(_._1 >= batchId)) return // replayed batch: done
+    if (committed.exists(_._1 >= batchId)) {
+      // replayed batch: the merge is already durable; re-run only the
+      // cleanup in case the original attempt crashed between commit
+      // and GC
+      cdcGc(cdcFs(s, workDir), workDir)
+      return
+    }
     val prevMap = committed.map(_._3).getOrElse(Map.empty[Int, String])
 
     val bucketOf = pmod(xxhash64(col("user_id")), lit(buckets.toLong))
@@ -212,6 +261,7 @@ object StreamingJobs {
     val commit = new Path(s"$workDir/_commits/c$batchId")
     require(fs.rename(tmp, commit) || fs.exists(commit),
       s"could not commit CDC batch $batchId at $commit")
+    cdcGc(fs, workDir)
   }
 
   /** [[cdcUpsertStream]] with the query lifecycle in the caller's hands

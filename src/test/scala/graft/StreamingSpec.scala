@@ -332,6 +332,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(u7.map(r => (r.getLong(1), r.getLong(2))).toSeq == Seq((100L, 2L)))
   }
 
+  test("CDC storage is bounded: displaced partitions and old commits are GC'd") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-cdcgc").toString
+    def one(eventId: Long, h: Int) =
+      Seq((eventId, ts(f"2024-01-01 1$h%d:00:00"), 7L))
+        .toDF("event_id", "ts", "user_id")
+    val b0 = (1L to 64L).map(i => (i, ts("2024-01-01 09:00:00"), i))
+      .toDF("event_id", "ts", "user_id")
+    StreamingJobs.cdcApplyBatch(b0, 0L, work, buckets = 8)
+    StreamingJobs.cdcApplyBatch(one(100L, 0), 1L, work, buckets = 8)
+    StreamingJobs.cdcApplyBatch(one(101L, 1), 2L, work, buckets = 8)
+    def ls(p: String): Set[String] = {
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(p))
+      // drop Hadoop local-FS .crc sidecars — deleted with their file,
+      // but not part of the commit-log contract
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filterNot(_.startsWith(".")).toSet
+      finally s.close()
+    }
+    // commit log keeps exactly the two newest commits
+    assert(ls(s"$work/_commits") == Set("c1", "c2"), ls(s"$work/_commits"))
+    // gen1's only bucket was displaced by gen2 → partition AND dir gone
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$work/gen1")))
+    // gen0 keeps the 7 still-referenced buckets (user 7's was displaced)
+    assert(ls(s"$work/gen0").count(_.startsWith("_bucket=")) == 7,
+      ls(s"$work/gen0"))
+    // and the maintained table is intact: user 7 folded across all 3 batches
+    val u7 = StreamingJobs.cdcTable(spark, work)
+      .selectExpr("user_id", "_m.event_id", "n_updates")
+      .filter($"user_id" === 7L).collect()
+    assert(u7.map(r => (r.getLong(1), r.getLong(2))).toSeq == Seq((101L, 3L)))
+    // replaying a committed batch after GC stays a no-op
+    StreamingJobs.cdcApplyBatch(one(100L, 0), 1L, work, buckets = 8)
+    assert(ls(s"$work/_commits") == Set("c1", "c2"))
+  }
+
   test("cdcTable before any commit fails with a clear error, not a missing-path read") {
     val work = java.nio.file.Files.createTempDirectory("graft-cdcempty").toString
     val e = intercept[IllegalStateException] {
