@@ -289,6 +289,15 @@ class PlanSpec extends AnyFunSuite {
     assert(scans == 2, s"expected 2 orders scans, saw $scans:\n$plan")
   }
 
+  test("dd13: cluster resolution argmax collapses map-side — no window over members") {
+    val plan = planOf("dd13_cluster_dedup")
+    // survivor = max(struct(quality, -id)) per cluster: a combining
+    // aggregation, never a row_number window concentrating each
+    // cluster's members in one partition
+    assert(plan.contains("partial_max"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("dq04: approx profile is one narrow aggregation pass — no multi-distinct Expand") {
     val cols = Seq("l_orderkey", "l_quantity", "l_returnflag", "l_linenumber")
     val li = Tables.load(spark, sf, "lineitem")
