@@ -109,6 +109,24 @@ object ScaleRehearsal {
           n = 8, minDocs = 2, maxPostings = 8).count()
       }
     }
+
+    // CDC bucket-bounded merge: per-batch cost for a SINGLE-KEY batch
+    // against a maintained table of K keys, at buckets ∈ {1, 64} and
+    // K ∈ {200k, 2M}. buckets=1 is the r8 full-table-per-batch shape;
+    // buckets=64 must cost ~table/64 — per-batch wall bounded by the
+    // touched slice, not the table.
+    val t0ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    for (k <- Seq(200000L, 2000000L); b <- Seq(1, 64)) {
+      val wd = s"$work/cdc-k$k-b$b"
+      val big = spark.range(k).select(col("id").as("event_id"),
+        lit(t0ts).as("ts"), col("id").as("user_id"))
+      graft.streaming.StreamingJobs.cdcApplyBatch(big, 0L, wd, b)
+      val one = spark.range(1).select(lit(k + 1).as("event_id"),
+        lit(t0ts).as("ts"), lit(7L).as("user_id"))
+      measure(f"cdc_1key_batch k=$k%-8d b=$b%-2d") {
+        graft.streaming.StreamingJobs.cdcApplyBatch(one, 1L, wd, b); 1L
+      }
+    }
     spark.stop()
   }
 }
