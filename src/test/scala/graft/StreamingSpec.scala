@@ -332,6 +332,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(u7.map(r => (r.getLong(1), r.getLong(2))).toSeq == Seq((100L, 2L)))
   }
 
+  test("CDC merge is batch-grouping invariant on randomized groupings") {
+    // fixed-seed random partitions of one event set into micro-batches:
+    // every grouping must fold to the identical maintained table (the
+    // commutative/associative-merge claim, exercised beyond the two
+    // hand-picked groupings above)
+    import spark.implicits._
+    val rnd = new scala.util.Random(9317)
+    val events = (1L to 40L).map { i =>
+      (i, ts(f"2024-01-01 ${10 + rnd.nextInt(10)}%d:${rnd.nextInt(60)}%02d:00"),
+        (rnd.nextInt(6) + 1).toLong)
+    }
+    def run(grouping: Seq[Seq[(Long, Timestamp, Long)]]): Set[(Long, Long, Long)] = {
+      val work = java.nio.file.Files.createTempDirectory("graft-cdcperm").toString
+      grouping.zipWithIndex.foreach { case (batch, i) =>
+        StreamingJobs.cdcApplyBatch(
+          batch.toDF("event_id", "ts", "user_id"), i.toLong, work, buckets = 8)
+      }
+      StreamingJobs.cdcTable(spark, work)
+        .selectExpr("user_id", "_m.event_id", "n_updates")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    val baseline = run(Seq(events)) // one batch = the batch-SQL answer
+    (1 to 3).foreach { trial =>
+      val shuffled = rnd.shuffle(events)
+      val cuts = (Seq(0, shuffled.size) ++ Seq.fill(3)(rnd.nextInt(shuffled.size)))
+        .distinct.sorted
+      val grouping = cuts.zip(cuts.tail).map { case (a, b) => shuffled.slice(a, b) }
+        .filter(_.nonEmpty)
+      assert(run(grouping) == baseline,
+        s"trial $trial: grouping ${grouping.map(_.size)} diverged")
+    }
+  }
+
   test("CDC storage is bounded: displaced partitions and old commits are GC'd") {
     import spark.implicits._
     val work = java.nio.file.Files.createTempDirectory("graft-cdcgc").toString
