@@ -163,15 +163,20 @@ object Dedup {
     * Scale shape: the holdout is a BENCHMARK — thousands of docs against
     * a 100 TB corpus — so its distinct shingles broadcast and the
     * training side streams through a map-side hash join: no shuffle of
-    * corpus shingles at all. (A >broadcast-threshold holdout degrades
-    * gracefully to a shuffled equi-join on the shingle key.)
+    * corpus shingles at all. For a holdout too large to broadcast, pass
+    * `broadcastHoldout = false`: same semantics through a shuffled
+    * equi-join on the shingle key (never a cartesian) — the hint is a
+    * caller switch because Spark honors an explicit `broadcast()`
+    * regardless of the autoBroadcastJoinThreshold, so "degrade when
+    * big" cannot be left to the planner while the hint is in place.
     */
   def contaminationHits(training: DataFrame, holdout: DataFrame,
-                        idCol: String, textCol: String, n: Int = 5): DataFrame = {
+                        idCol: String, textCol: String, n: Int = 5,
+                        broadcastHoldout: Boolean = true): DataFrame = {
     val holdSh = shingles(holdout, idCol, textCol, n)
       .select("shingle").distinct()
     shingles(training, idCol, textCol, n)
-      .join(broadcast(holdSh), "shingle")
+      .join(if (broadcastHoldout) broadcast(holdSh) else holdSh, "shingle")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_hits"))
   }
@@ -261,7 +266,10 @@ object Dedup {
                       idCol: String = "doc_id",
                       clusterCol: String = "cluster",
                       scoreCol: String = "quality"): DataFrame =
-    clusters.join(scores.select(col(idCol), col(scoreCol)), idCol)
+    // LEFT join: a member with no score row still counts toward
+    // n_members (and can still survive — struct-max ranks its NULL
+    // score below every scored member, ties broken by lowest id)
+    clusters.join(scores.select(col(idCol), col(scoreCol)), Seq(idCol), "left")
       .groupBy(col(clusterCol))
       .agg(count(lit(1)).as("n_members"),
         max(struct(col(scoreCol).as("_s"), (-col(idCol)).as("_negid")))
@@ -269,13 +277,99 @@ object Dedup {
       .select(col(clusterCol), (-col("_best._negid")).as("survivor_id"),
         col("_best._s").as("survivor_score"), col("n_members"))
 
+  /** Pseudo-random ±1 hyperplane sign for (plane `j`, dimension `p`,
+    * 0-based): two multiply–xorshift rounds over the (j, p) index,
+    * parity of the result. Plain integer arithmetic every engine
+    * shares — the DuckDB oracle evaluates the identical formula.
+    *
+    * The double round is load-bearing: a single multiplicative hash
+    * read at one bit leaves adjacent indices correlated — measured as
+    * plane j+1 ≈ −plane j, which concentrated HALF the corpus into the
+    * two alternating-bit blocks (max block 82/500; with the avalanche,
+    * 9/500). Mod 2^31, not 2^32, keeps the second multiply inside a
+    * signed 64-bit long in both engines.
+    */
+  private def hyperplaneSign(j: Column, p: Column): Column = {
+    val idx = (j * 4096 + p + 1).cast(LongType)
+    val h1 = pmod(idx * 2654435761L, lit(2147483648L))
+    val h2 = h1.bitwiseXOR(call_function("shiftright", h1, lit(16)))
+    val h3 = pmod(h2 * 1597334677L, lit(2147483648L))
+    val h4 = h3.bitwiseXOR(call_function("shiftright", h3, lit(16)))
+    when(pmod(h4, lit(2)) === 0, 1).otherwise(-1)
+  }
+
+  /** Exact projection of a DECIMAL-element array onto hyperplane `j`:
+    * Σ_p arr[p] · sign(j, p). DECIMAL accumulation makes the sum
+    * order-independent and bit-identical across engines, so the block
+    * BITS (sign comparisons over these sums) agree exactly with the
+    * oracle.
+    */
+  private def hyperplaneProj(arr: Column, j: Column, acc: DecimalType): Column =
+    aggregate(
+      zip_with(arr, sequence(lit(0), size(arr) - 1), (x, p) =>
+        (x * hyperplaneSign(j, p)).cast(acc)),
+      lit(java.math.BigDecimal.ZERO).cast(acc),
+      (a, t) => (a + t).cast(acc))
+
+  private def toDec(vec: Column): Column =
+    transform(vec, x => x.cast(DoubleType).cast(DecimalType(12, 6)))
+
+  /** Candidate blocks of [[embeddingNearDup]]: input rows tagged with a
+    * `sketchBits`-bit CENTERED hyperplane sign sketch in column `bk` —
+    * bit j is the sign of the vector's projection onto pseudo-random
+    * ±1 hyperplane j measured AGAINST THE CORPUS MEAN's projection.
+    * Centering is division-free so it stays exact: bit j compares
+    * n·proj_j(v) with proj_j(Σ corpus) in DECIMAL (same sign as
+    * proj_j(v − mean), all integer/decimal arithmetic both engines
+    * share). Without it, any common direction in the corpus — e.g. the
+    * sign-biased leading dims real embedding models emit — shifts
+    * every hyperplane's split away from 50/50 and concentrates blocks.
+    * The corpus-sum frame is one tiny broadcast (dims×16 B), never a
+    * shuffle of the vectors.
+    */
+  private[graft] def embeddingBlocks(emb: DataFrame, sketchBits: Int,
+                                     idCol: String = "vec_id",
+                                     vecCol: String = "embedding"): DataFrame = {
+    val e = emb.filter(col(vecCol).isNotNull && size(col(vecCol)) >= sketchBits)
+      .select(col(idCol).as("vid"), col(vecCol).as("v"))
+    val dimSums = e.select(posexplode(col("v")))
+      .select(col("pos"),
+        col("col").cast(DoubleType).cast(DecimalType(12, 6)).as("x"))
+      .groupBy("pos").agg(sum(col("x")).cast(DecimalType(22, 6)).as("s"))
+      .agg(transform(sort_array(collect_list(struct(col("pos"), col("s")))),
+        p => p("s")).as("smu"))
+    val stats = e.agg(count(lit(1)).cast(DecimalType(10, 0)).as("nvec"))
+      .crossJoin(dimSums)
+    // width discipline keeps every product/sum inside DECIMAL(38, 6)
+    // so neither engine rescales: per-vector projections accumulate in
+    // (22,6) (≤ dims·|x|max, tiny), corpus-sum projections in (38,6),
+    // and n·proj is (10,0)·(22,6) → (33,6) — all exact
+    e.crossJoin(broadcast(stats))
+      .select(col("vid"), col("v"),
+        concat_ws("", transform(sequence(lit(0), lit(sketchBits - 1)), j =>
+          when(col("nvec") *
+              hyperplaneProj(toDec(col("v")), j, DecimalType(22, 6)) >
+            hyperplaneProj(col("smu"), j, DecimalType(38, 6)),
+            "1").otherwise("0"))).as("bk"))
+  }
+
   /** Embedding-cosine near-dup: top-k most-similar vector pairs among
-    * candidates sharing a sign-sketch block. The block key is the sign
-    * pattern of the first `sketchBits` components — semantically part of
-    * the operator (portable to any engine, unlike seeded-hash LSH), so
-    * the DuckDB oracle reproduces it exactly. Cosines are assembled from
-    * order-independent DECIMAL sums (the sim01 formulation) so the
-    * doubles are bit-identical across engines.
+    * candidates sharing a centered hyperplane sign-sketch block
+    * ([[embeddingBlocks]]). Every step is deterministic portable
+    * arithmetic — integer-hash hyperplane signs, division-free
+    * mean-centering, DECIMAL projection sums — so the DuckDB oracle
+    * reproduces the blocking and the top-k exactly. Cosines are
+    * assembled from order-independent DECIMAL sums (the sim01
+    * formulation) so the doubles are bit-identical across engines.
+    *
+    * Centered hyperplanes, not raw leading-dimension signs, keep the
+    * blocks BALANCED on adversarial corpora: real embedding models
+    * commonly emit sign-biased leading dims, which would collapse most
+    * of the corpus into one raw-sign block and degrade the candidate
+    * equi-join toward all-pairs within it; and any common-direction
+    * component would likewise skew UNcentered hyperplane splits. Near
+    * dups stay co-blocked either way — centering shifts both members
+    * of a close pair identically.
     *
     * Scale shape: candidate generation is a hash-partitioned equi-join
     * on the block key — never all-pairs. Block-boundary misses are the
@@ -287,9 +381,7 @@ object Dedup {
                        vecCol: String = "embedding"): DataFrame = {
     val e = emb.filter(col(vecCol).isNotNull && size(col(vecCol)) >= sketchBits)
       .select(col(idCol).as("vid"), col(vecCol).as("v"))
-    val b = e.select(col("vid"), col("v"),
-      concat_ws("", transform(slice(col("v"), 1, sketchBits),
-        x => when(x >= 0, "1").otherwise("0"))).as("bk"))
+    val b = embeddingBlocks(emb, sketchBits, idCol, vecCol)
     val cand = b.as("a").join(b.as("b"),
         col("a.bk") === col("b.bk") && col("a.vid") < col("b.vid"))
       .select(col("a.vid").as("va"), col("b.vid").as("vb"),

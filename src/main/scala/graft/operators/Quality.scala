@@ -97,6 +97,17 @@ object Quality {
     * arithmetic, not an IEEE tolerance; pass measures pre-cast to the
     * decimal type the reconciliation should run in.
     *
+    * Orphan/childless classification keys on JOIN-SIDE PRESENCE
+    * (marker columns carried through the full outer join), never on
+    * measure nullness — a parent whose stored total is NULL still
+    * counts as a present parent (it lands in neither matched nor
+    * mismatched, since NULL compares unknown), and a group whose child
+    * measures are all NULL is still a present child group, not
+    * childless. Precondition: `parentKey` is unique in `parent` (the
+    * stored-total side of a reconciliation is a keyed table by
+    * definition); duplicate parent keys would be double-counted
+    * verbatim.
+    *
     * Scale shape: one map-side-combining keyed aggregation of the
     * child stream + one keyed full-outer join against the parent —
     * both shuffles carry (key, decimal) pairs, and the report is a
@@ -109,15 +120,17 @@ object Quality {
                 parentMeasure: Column): DataFrame = {
     val c = child.groupBy(qcol(childKey).as("_k"))
       .agg(sum(childMeasure).as("_c"))
+      .withColumn("_cp", lit(1))
     val p = parent.select(qcol(parentKey).as("_k"), parentMeasure.as("_p"))
-    val both = col("_c").isNotNull && col("_p").isNotNull
+      .withColumn("_pp", lit(1))
+    val both = col("_cp").isNotNull && col("_pp").isNotNull
     c.join(p, Seq("_k"), "full_outer")
       .agg(
-        count(when(col("_p").isNotNull, 1)).as("n_parents"),
+        count(when(col("_pp").isNotNull, 1)).as("n_parents"),
         count(when(both && col("_c") === col("_p"), 1)).as("n_matched"),
         count(when(both && col("_c") =!= col("_p"), 1)).as("n_mismatched"),
-        count(when(col("_p").isNull, 1)).as("n_orphan_groups"),
-        count(when(col("_c").isNull, 1)).as("n_childless"),
+        count(when(col("_pp").isNull, 1)).as("n_orphan_groups"),
+        count(when(col("_cp").isNull, 1)).as("n_childless"),
         max(when(both, abs(col("_c") - col("_p"))))
           .cast(DoubleType).as("max_abs_diff"))
       .select(lit(relation).as("relation"), col("n_parents"),

@@ -218,15 +218,46 @@ object PipelineQueries {
     },
 
     // Embedding-cosine near-dup: top-20 most-similar pairs among
-    // sign-sketch-blocked candidates. Block key + exact-decimal cosine
-    // are both engine-portable, so unlike dd04/dd05 this near-dup path
-    // has a full DuckDB oracle (hash match, not rows-only).
+    // CENTERED hyperplane-sign-blocked candidates. Block bits compare
+    // n·proj(v) with proj(Σ corpus) — the sign of the mean-centered
+    // projection without any division — using integer-hash ±1
+    // hyperplane signs and exact DECIMAL sums. Portable arithmetic, so
+    // unlike dd04/dd05 this near-dup path has a full DuckDB oracle
+    // (hash match, not rows-only), and the blocks stay balanced even
+    // on sign-biased corpora (raw leading-dim signs would collapse
+    // them; uncentered hyperplanes skew under a common offset).
     QueryDef("dd06_embedding_neardup",
       """WITH e AS (SELECT vec_id, embedding FROM embeddings
         |           WHERE embedding IS NOT NULL AND len(embedding) >= 8),
-        | b AS (SELECT vec_id, embedding,
-        |         array_to_string(list_transform(embedding[1:8],
-        |           x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bk FROM e),
+        | ex AS (SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS i,
+        |               embedding FROM e),
+        | sgns AS (SELECT i, j,
+        |            CASE WHEN xor(h3, h3 // 65536) % 2 = 0
+        |                 THEN 1 ELSE -1 END AS sgn
+        |          FROM (SELECT i, j,
+        |                  (xor(h1, h1 // 65536) * 1597334677) % 2147483648 AS h3
+        |                FROM (SELECT i, j,
+        |                        ((j * 4096 + i) * 2654435761) % 2147483648 AS h1
+        |                      FROM (SELECT DISTINCT i FROM ex) di,
+        |                           range(0, 8) AS rj(j)) t1) t2),
+        | nv AS (SELECT CAST(count(*) AS DECIMAL(10,0)) AS nvec FROM e),
+        | st AS (SELECT i,
+        |          CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(12,6)))
+        |               AS DECIMAL(22,6)) AS sp
+        |        FROM ex GROUP BY i),
+        | prs AS (SELECT j, sum(sp * sgn) AS projs
+        |         FROM st JOIN sgns USING (i) GROUP BY j),
+        | pr AS (SELECT vec_id, j,
+        |          CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(12,6))
+        |                   * sgn) AS DECIMAL(22,6)) AS proj
+        |        FROM ex JOIN sgns USING (i)
+        |        GROUP BY vec_id, j),
+        | bs AS (SELECT vec_id,
+        |          string_agg(CASE WHEN nvec * proj > projs THEN '1' ELSE '0' END,
+        |                     '' ORDER BY j) AS bk
+        |        FROM pr JOIN prs USING (j) CROSS JOIN nv
+        |        GROUP BY vec_id),
+        | b AS (SELECT e.vec_id, e.embedding, bs.bk FROM e JOIN bs USING (vec_id)),
         | cand AS (SELECT a.vec_id AS va, c.vec_id AS vb, a.embedding AS ea, c.embedding AS eb
         |          FROM b a JOIN b c ON a.bk = c.bk AND a.vec_id < c.vec_id),
         | d AS (SELECT va, vb,

@@ -222,25 +222,38 @@ object StreamingJobs {
     * what lets the fold read/write only the touched slice of the table.
     */
   private[graft] def cdcApplyBatch(batch: DataFrame, batchId: Long,
-                                   workDir: String, buckets: Int): Unit = {
+                                   workDir: String, buckets: Int): Unit =
+    // cleanup runs whenever a commit for this batch is durable — fresh
+    // merge OR replayed no-op (the original attempt may have crashed in
+    // the window between the commit rename and its GC, leaving the
+    // displaced partitions and a third commit file for the replay to
+    // reclaim). Only an empty batch, which commits nothing, skips GC.
+    if (cdcMergeAndCommit(batch, batchId, workDir, buckets))
+      cdcGc(cdcFs(batch.sparkSession, workDir), workDir)
+
+  /** The merge + commit WITHOUT the trailing cleanup — split from
+    * [[cdcApplyBatch]] so the crash window between the commit rename
+    * and [[cdcGc]] is testable. Returns true when a commit for
+    * `batchId` is durable after the call (freshly written, or already
+    * present from a prior attempt), false for an empty batch.
+    */
+  private[graft] def cdcMergeAndCommit(batch: DataFrame, batchId: Long,
+                                       workDir: String, buckets: Int): Boolean = {
     val s = batch.sparkSession
     val committed = cdcReadCommit(s, workDir)
     committed.foreach { case (_, b, _) =>
       require(b == buckets,
         s"CDC table at $workDir was committed with $b buckets, got $buckets") }
     if (committed.exists(_._1 >= batchId)) {
-      // replayed batch: the merge is already durable; re-run only the
-      // cleanup in case the original attempt crashed between commit
-      // and GC
-      cdcGc(cdcFs(s, workDir), workDir)
-      return
+      // replayed batch: the merge is already durable
+      return true
     }
     val prevMap = committed.map(_._3).getOrElse(Map.empty[Int, String])
 
     val bucketOf = pmod(xxhash64(col("user_id")), lit(buckets.toLong))
     val touched = batch.select(bucketOf.cast(IntegerType).as("_b"))
       .distinct().collect().map(_.getInt(0)).sorted
-    if (touched.isEmpty) return // empty batch: nothing to merge or commit
+    if (touched.isEmpty) return false // empty batch: nothing to merge or commit
     val prev = touched.flatMap(prevMap.get).distinct.sorted match {
       case Array() => None
       case paths   => Some(s.read.parquet(paths.toIndexedSeq: _*))
@@ -259,14 +272,38 @@ object StreamingJobs {
       .map { case (b, p) => s"$b\t$p" }).mkString("\n").getBytes("UTF-8"))
     finally out.close()
     val commit = new Path(s"$workDir/_commits/c$batchId")
-    require(fs.rename(tmp, commit) || fs.exists(commit),
-      s"could not commit CDC batch $batchId at $commit")
-    cdcGc(fs, workDir)
+    if (!fs.rename(tmp, commit)) {
+      // the rename can only lose to a commit that already exists for
+      // this batchId — under the single-writer contract that is a
+      // duplicate attempt of THIS batch (zombie task / speculative
+      // retry), whose commit is authoritative. Adopt it and drop our
+      // orphaned temp file instead of leaving it behind.
+      require(fs.exists(commit),
+        s"could not commit CDC batch $batchId at $commit")
+      fs.delete(tmp, false)
+      ()
+    }
+    true
   }
 
   /** [[cdcUpsertStream]] with the query lifecycle in the caller's hands
     * (tests drive batch boundaries by hand): returns the running query
     * and a thunk reading the current maintained table from storage.
+    *
+    * Concurrency contract (same as Spark's own file-sink commit log):
+    *
+    *  - SINGLE WRITER per `workDir` — one streaming query owns the
+    *    commit log, exactly what the paired `checkpointLocation` under
+    *    the same `workDir` already enforces for a well-behaved
+    *    deployment. Two INDEPENDENT queries (separate checkpoints)
+    *    pointed at one workDir would race generations with different
+    *    contents; the rename-loses fallback only tolerates duplicate
+    *    attempts of the SAME batch.
+    *  - BOUNDED READER LAG — GC keeps the two newest commits, so a
+    *    concurrent [[cdcTable]] reader may lag the writer by at most
+    *    one committed batch before the paths it resolved can be
+    *    deleted under it. Readers needing older snapshots must copy
+    *    them out, not rely on the log.
     */
   def cdcUpsertQuery(updates: DataFrame, workDir: String, buckets: Int = 8)
       : (org.apache.spark.sql.streaming.StreamingQuery, () => DataFrame) = {

@@ -110,6 +110,26 @@ object ScaleRehearsal {
       }
     }
 
+    // dd06 on a deliberately sign-biased corpus (leading 8 dims forced
+    // positive — the sign bias of real embedding models on exactly the
+    // dims the pre-r10 raw-sign key read). That key would put all n
+    // vectors in ONE block (n(n-1)/2 candidates); the hyperplane key
+    // must keep candidate volume near the balanced n²/2^bits and the
+    // top-k run flat. rows = candidate-pair count (the bounded-volume
+    // evidence).
+    val biased = embAt(e1).select(col("vec_id"),
+      zip_with(col("embedding"), sequence(lit(0), size(col("embedding")) - 1),
+        (x, p) => when(p < 8, abs(x) + lit(0.01f)).otherwise(x))
+        .as("embedding"))
+    measure("dd06_cand_biased   1x") {
+      val b = Dedup.embeddingBlocks(biased, 8)
+      b.as("a").join(b.as("b"),
+        col("a.bk") === col("b.bk") && col("a.vid") < col("b.vid")).count()
+    }
+    measure("dd06_topk_biased   1x") {
+      Dedup.embeddingNearDup(biased, k = 20).count()
+    }
+
     // CDC bucket-bounded merge: per-batch cost for a SINGLE-KEY batch
     // against a maintained table of K keys, at buckets ∈ {1, 64} and
     // K ∈ {200k, 2M}. buckets=1 is the r8 full-table-per-batch shape;

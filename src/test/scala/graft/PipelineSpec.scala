@@ -295,6 +295,67 @@ class PipelineSpec extends AnyFunSuite {
     assert(!hits.contains(2L), s"clean doc flagged: $hits")
   }
 
+  test("decontamination without broadcast degrades to a shuffled equi-join, same hits") {
+    // the >threshold-holdout path the dd11 scaladoc promises: identical
+    // results through a shuffled join, never a cartesian
+    val docs = Tables.load(spark, sf, "documents").select("doc_id", "text")
+    val hold = docs.filter(col("doc_id") % 10 === 0)
+    val broadcastHits = Dedup.contaminationHits(docs, hold, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = Dedup.contaminationHits(docs, hold, "doc_id", "text",
+        broadcastHoldout = false)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"), plan)
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"), plan)
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"expected a shuffled equi-join on the shingle key:\n$plan")
+      val shuffledHits = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+      assert(shuffledHits == broadcastHits,
+        "non-broadcast decontamination changed the hit set")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("dd06 block key: hyperplane signs keep blocks balanced on a sign-biased corpus") {
+    // adversarial corpus: the LEADING 8 dims forced positive — the
+    // sign bias real embedding models show in leading dims, taken to
+    // the limit, on exactly the dims the pre-r10 raw-sign key read.
+    // That key puts ALL vectors in one block, so its candidate
+    // equi-join degenerates to all-pairs; the hyperplane bits must
+    // still split the corpus, because each bit is the sign of a ±1
+    // combination of EVERY dimension and the remaining dims stay
+    // symmetric. (Biasing all 64 dims instead would make every vector
+    // genuinely similar — same orthant, cosine ≈ 0.75 — and
+    // co-locating genuinely similar vectors is correct LSH semantics,
+    // not skew.)
+    val emb = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"),
+        zip_with(col("embedding"), sequence(lit(0), size(col("embedding")) - 1),
+          (x, p) => when(p < 8, abs(x) + lit(0.01f)).otherwise(x))
+          .as("embedding"))
+    val keys = Dedup.embeddingBlocks(emb, 8)
+      .withColumn("raw", concat_ws("", transform(slice(col("v"), 1, 8),
+        x => when(x >= 0, "1").otherwise("0"))))
+    assert(keys.select("raw").distinct().count() == 1,
+      "biased corpus must collapse the raw-sign key (the failure mode being tested)")
+    val n = keys.count()
+    val blocks = keys.groupBy("bk").count()
+    val nBlocks = blocks.count()
+    val maxBlock = blocks.agg(max("count")).collect()(0).getLong(0)
+    assert(nBlocks >= 64,
+      s"hyperplane key should spread a biased corpus over many blocks, got $nBlocks")
+    assert(maxBlock <= n / 8,
+      s"largest hyperplane block holds $maxBlock of $n vectors — skewed")
+    // candidate volume: Σ c·(c−1)/2 over blocks must be far below all-pairs
+    val cand = blocks.agg(sum(col("count") * (col("count") - 1) / 2))
+      .collect()(0).getDouble(0)
+    assert(cand <= n.toDouble * (n - 1) / 2 / 16,
+      s"candidate volume $cand too close to all-pairs on the biased corpus")
+  }
+
   test("typoPairs: planted distance-1 twins found, far/first-char pairs not") {
     val vocab = Seq(
       "table", "tabls",   // planted distance-1 pair (same first char)

@@ -93,7 +93,15 @@ class PlanSpec extends AnyFunSuite {
   test("dd06: near-dup candidates come from a block join, never all-pairs") {
     val p = planOf("dd06_embedding_neardup")
     assert(!p.contains("CartesianProduct"), p)
-    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the candidate self-join must be an equi-join on the block key —
+    // the corpus never nested-loops with itself
+    assert(p.linesIterator.exists(l =>
+      l.contains("Join [bk#") || (l.contains("Join") && l.contains("[bk#"))), p)
+    // nested-loop joins may appear ONLY as the Cross attach of the
+    // 1-row broadcast corpus-stats frame (n + per-dim sums for the
+    // centered sketch), never between row-scaled sides
+    p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).foreach { l =>
+      assert(l.contains("Cross"), s"non-stats nested loop join:\n$l") }
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
