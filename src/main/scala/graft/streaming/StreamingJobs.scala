@@ -62,17 +62,39 @@ object StreamingJobs {
     * date-partitioned snappy parquet exactly-once (checkpointed file
     * sink). Replaces the daily-cron + backfill-replay model
     * (deploy/template.yaml:114-130) with arrival-time processing.
-    * The batch job's partition-local time sort is omitted — a streaming
-    * sink appends per micro-batch; compact row groups come from the
-    * micro-batch granularity instead.
+    *
+    * The batch job's partition-local time sort (O13, s3.py:457-458 →
+    * LogEtl.write) is reproduced per micro-batch, so the continuous
+    * path keeps the reference's row-group-pruning property — readers
+    * skip row groups on `request_time` min/max — instead of silently
+    * losing it. A streaming plan rejects Sort nodes
+    * (UnsupportedOperationChecker), so the sort runs as a
+    * per-partition in-memory sort inside `mapPartitions`: the working
+    * set is one micro-batch partition, the same rows the batch job's
+    * sortWithinPartitions buffers per task, bounded by the trigger.
+    * NULL request_time (dead letters) sorts first, like the batch
+    * sort's NULLS FIRST. The file sink's own partition-column
+    * clustering pass is stable, so per-file monotonicity survives the
+    * `log_date` dynamic partitioning (pinned by StreamingSpec).
     */
   def streamCompact(spark: org.apache.spark.sql.SparkSession,
                     inputRoot: String, dest: String, checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val parsed = graft.sources.S3AccessLog.parse(
       spark.readStream.text(inputRoot))
-    parsed
       .withColumn("log_date", to_date(col("request_time")))
+    val schema = parsed.schema
+    val tIdx = schema.fieldIndex("request_time")
+    val sorted = parsed.mapPartitions { it =>
+      it.toArray.sortBy { r =>
+        if (r.isNullAt(tIdx)) Long.MinValue
+        else {
+          val t = r.getTimestamp(tIdx)
+          t.getTime / 1000 * 1000000L + t.getNanos / 1000 // event-time µs
+        }
+      }.iterator
+    }(org.apache.spark.sql.Encoders.row(schema))
+    sorted
       .writeStream
       .format("parquet")
       .option("path", dest)

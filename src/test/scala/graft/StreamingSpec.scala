@@ -167,6 +167,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(byDate(null) == 1L)  // dead letter has no request_time
   }
 
+  test("streamCompact output is time-sorted within each file (O13 on the continuous path)") {
+    // the reference's downstream value prop is time-sorted row groups
+    // for reader pruning (converters/s3-server-access-log/README.md:7);
+    // the batch path pins this in LogEtlSpec — the continuous path must
+    // not silently lose it
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-scsort").toString
+    val in = s"$work/in"; java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    val rnd = new scala.util.Random(4211)
+    val lines = rnd.shuffle((0 until 120).map { i =>
+      graft.sources.S3AccessLog.renderLine(RenderFixtures.baseFields
+        .updated("time",
+          f"[${1 + i % 2}%02d/Jul/2024:${i % 24}%02d:${i % 60}%02d:${(i * 7) % 60}%02d +0000]")
+        .updated("reqid", s"S-$i"))
+    }.toVector)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/a.log"),
+      (lines.take(70) :+ "garbage").mkString("\n").getBytes)
+    val q = StreamingJobs.streamCompact(spark, in, s"$work/out", s"$work/ckpt")
+    q.processAllAvailable()
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/b.log"),
+      lines.drop(70).mkString("\n").getBytes)
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.read.parquet(s"$work/out")
+    assert(out.count() == 121) // 120 parsed + 1 dead letter
+    val violations = out
+      .select(input_file_name().as("f"), $"request_time")
+      .filter($"request_time".isNotNull)
+      .withColumn("prev", lag($"request_time", 1).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"f")
+          .orderBy(monotonically_increasing_id())))
+      .filter($"prev" > $"request_time")
+      .count()
+    assert(violations == 0,
+      "streamed parquet files are not time-sorted within files")
+  }
+
   test("streamCompact restart: resume from checkpoint is exactly-once and equals the batch run") {
     // The streaming analog of the batch job's overwrite-idempotence
     // (reference s3.py:459 / backfill s3.py:361-368): kill the stream,
@@ -399,6 +437,46 @@ class StreamingSpec extends AnyFunSuite {
     // replaying a committed batch after GC stays a no-op
     StreamingJobs.cdcApplyBatch(one(100L, 0), 1L, work, buckets = 8)
     assert(ls(s"$work/_commits") == Set("c1", "c2"))
+  }
+
+  test("CDC crash between commit rename and GC: the replayed no-op reclaims the garbage") {
+    // the remaining crash window: the process dies AFTER the c<N>
+    // rename made the batch durable but BEFORE cdcGc ran. The commit
+    // log then holds three commits and the displaced partitions of the
+    // oldest are still on disk. A restart replays batch N as a no-op —
+    // which must run GC and reclaim exactly that garbage
+    // (StreamingJobs.cdcApplyBatch's replay branch).
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-cdccw").toString
+    def one(eventId: Long, h: Int) =
+      Seq((eventId, ts(f"2024-01-01 1$h%d:00:00"), 7L))
+        .toDF("event_id", "ts", "user_id")
+    val b0 = (1L to 64L).map(i => (i, ts("2024-01-01 09:00:00"), i))
+      .toDF("event_id", "ts", "user_id")
+    StreamingJobs.cdcApplyBatch(b0, 0L, work, buckets = 8)
+    StreamingJobs.cdcApplyBatch(one(100L, 0), 1L, work, buckets = 8)
+    // batch 2: merge + commit rename succeed, then the process "dies"
+    // before GC — the seam split out of cdcApplyBatch for this window
+    assert(StreamingJobs.cdcMergeAndCommit(one(101L, 1), 2L, work, buckets = 8))
+    def ls(p: String): Set[String] = {
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(p))
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filterNot(_.startsWith(".")).toSet
+      finally s.close()
+    }
+    // crash-window state: three commits, gen1's displaced bucket alive
+    assert(ls(s"$work/_commits") == Set("c0", "c1", "c2"), ls(s"$work/_commits"))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$work/gen1")))
+    // restart: the checkpoint replays batch 2 → no-op merge + GC
+    StreamingJobs.cdcApplyBatch(one(101L, 1), 2L, work, buckets = 8)
+    assert(ls(s"$work/_commits") == Set("c1", "c2"), ls(s"$work/_commits"))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$work/gen1")),
+      "displaced gen1 partition survived the replayed no-op's GC")
+    // and the maintained table folded all three batches
+    val u7 = StreamingJobs.cdcTable(spark, work)
+      .selectExpr("user_id", "_m.event_id", "n_updates")
+      .filter($"user_id" === 7L).collect()
+    assert(u7.map(r => (r.getLong(1), r.getLong(2))).toSeq == Seq((101L, 3L)))
   }
 
   test("cdcTable before any commit fails with a clear error, not a missing-path read") {
