@@ -798,6 +798,32 @@ object RelationalQueries {
         .orderBy("status")
     },
 
+    // AQE-first skew handling — the AUTOMATIC path a 100 TB run
+    // actually uses (SCALE.md prefers it; q39's manual salting is for
+    // the single hot key bigger than an executor): the same hot-key
+    // join planned as a sort-merge join (merge hint, no conf
+    // mutation), with adaptive skew-join splitting left ON at its
+    // session default. At runtime AQE splits any oversized shuffle
+    // partition across extra tasks and replicates the matching build
+    // side — a pure physical rewrite, invisible in results, so the
+    // oracle is the identical plain join. PlanSpec drives a genuinely
+    // skewed exchange through lowered thresholds and pins skew=true on
+    // the join node.
+    QueryDef("q41_aqe_skew_join",
+      """SELECT o_orderstatus AS status, count(*) AS n_items,
+        |  CAST(sum(l_linenumber) AS BIGINT) AS sum_ln
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_linenumber")
+      val ord = t(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+      li.hint("merge").join(ord, "l_orderkey")
+        .groupBy(col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_linenumber")).cast(LongType).as("sum_ln"))
+        .orderBy("status")
+    },
+
     // The skew DIAGNOSTIC: top-k heavy-hitter keys with counts — what
     // you run (on a sample, at scale) to decide whether a join needs
     // q39's salting. Partial-agg top-k, never a full key sort.

@@ -261,6 +261,36 @@ class PlanSpec extends AnyFunSuite {
     assert(joinLine.contains("__graft_salt"), joinLine)
   }
 
+  test("q41: AQE splits a genuinely skewed exchange (skew=true on the join node)") {
+    // the gate row proves result-invariance; this pin proves the
+    // MECHANISM — with thresholds lowered to test scale and one hot
+    // key, adaptive execution must mark the sort-merge join skew=true
+    // and fan the oversized partition across extra tasks. No agg after
+    // the join: OptimizeSkewedJoin declines when splitting would add a
+    // downstream shuffle (that case needs forceOptimizeSkewedJoin).
+    import org.apache.spark.sql.functions._
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32768",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16384",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val hot = spark.range(200000).select(lit(1L).as("k"), col("id").as("v"))
+      val rest = spark.range(2000)
+        .select((col("id") % 97 + 2).as("k"), col("id").as("v"))
+      val right = spark.range(100).select(col("id").as("k"), col("id").as("w"))
+      val df = hot.unionAll(rest).hint("merge").join(right, "k")
+      df.collect() // finalize the adaptive plan
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), s"AQE did not split the hot key:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("dd12: sharded span postings — bounded buffers, one tokenize pass, no window") {
     val df = optimized("dd12_dup_spans")
     df.collect() // finalize adaptive plan so reuse nodes render
