@@ -509,4 +509,52 @@ object Dedup {
           sort_array(collect_list(col(idCol))).cast("array<string>"))
           .as("postings"))
   }
+
+  /** Maximal duplicated regions per document — [[dupSpans]]'s fixed
+    * windows merged into maximal token runs, the REMOVAL granularity of
+    * suffix-array span dedup ("Deduplicating Training Data Makes
+    * Language Models Better": cut every duplicated substring over the
+    * length threshold). A token position is hot when the `n`-window
+    * starting there occurs in ≥ `minDocs` distinct documents; runs of
+    * consecutive hot positions chain into one maximal region
+    * `[start_tok, start_tok + n_tokens)` covering every overlapping hot
+    * window. Output per region: (id, start_tok 1-based, n_tokens,
+    * region text), a direct cut list for the cleaning pass.
+    *
+    * Scale shape: one tokenize+explode pass keyed by span for the hot
+    * set (distinct doc counts, map-side combining), one span-keyed
+    * equi-join tagging hot positions, then ONE keyed window per
+    * document whose partition holds that document's hot positions —
+    * bounded by document length, never by corpus-wide span frequency
+    * (the dd12 lesson: per-SPAN state must shard, per-DOC state is
+    * already bounded). The final region-text slice joins back to the
+    * doc tokens by id — a second scan of the narrow (id, text)
+    * projection instead of carrying every token array through the
+    * window.
+    */
+  def dupSpanRegions(df: DataFrame, idCol: String, textCol: String,
+                     n: Int = 8, minDocs: Int = 2): DataFrame = {
+    require(n >= 2 && minDocs >= 2, "need span length and minDocs >= 2")
+    val w = split(col(textCol), " ")
+    val pos = df.select(col(idCol), w.as("_w"))
+      .filter(size(col("_w")) >= n)
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(0), size(col("_w")) - n),
+          i => concat_ws(" ", slice(col("_w"), i + 1, lit(n))))))
+      .select(col(idCol), (col("pos") + 1).as("i"), col("col").as("span"))
+    val hot = pos.select(col(idCol), col("span")).distinct()
+      .groupBy(col("span")).agg(count(lit(1)).as("_nd"))
+      .filter(col("_nd") >= minDocs).select("span")
+    val runs = pos.join(hot, "span")
+      .select(col(idCol), col("i"))
+      .withColumn("_grp", col("i") - row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("i"))))
+      .groupBy(col(idCol), col("_grp"))
+      .agg(min(col("i")).as("start_tok"), (max(col("i")) + n - 1).as("_end"))
+    runs.join(df.select(col(idCol), w.as("_w")), Seq(idCol))
+      .select(col(idCol), col("start_tok").cast(LongType).as("start_tok"),
+        (col("_end") - col("start_tok") + 1).cast(LongType).as("n_tokens"),
+        concat_ws(" ", slice(col("_w"), col("start_tok"),
+          col("_end") - col("start_tok") + 1)).as("region"))
+  }
 }

@@ -771,6 +771,35 @@ object PipelineQueries {
         .limit(50)
     },
 
+    // dd12's windows merged into MAXIMAL duplicated regions — the
+    // removal granularity of suffix-array span dedup (cut every
+    // duplicated run ≥ n tokens): consecutive hot window starts chain
+    // via the islands trick (i − row_number), one keyed window per DOC
+    // (bounded by doc length, never span frequency). (doc_id,
+    // start_tok) is unique, so the output order is total.
+    QueryDef("dd14_dup_span_regions",
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        | pos AS (SELECT doc_id, i, array_to_string(w[i:i+7], ' ') AS span
+        |         FROM ws, unnest(range(1, len(w) - 6)) AS t(i)
+        |         WHERE len(w) >= 8),
+        | hot AS (SELECT span FROM (SELECT DISTINCT doc_id, span FROM pos) d
+        |         GROUP BY span HAVING count(*) >= 2),
+        | hp AS (SELECT doc_id, i FROM pos JOIN hot USING (span)),
+        | isl AS (SELECT doc_id, i,
+        |           i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+        |         FROM hp),
+        | runs AS (SELECT doc_id, min(i) AS start_tok, max(i) + 7 AS end_tok
+        |          FROM isl GROUP BY doc_id, grp)
+        |SELECT r.doc_id, CAST(start_tok AS BIGINT) AS start_tok,
+        |  CAST(end_tok - start_tok + 1 AS BIGINT) AS n_tokens,
+        |  array_to_string(w[start_tok:end_tok], ' ') AS region
+        |FROM runs r JOIN ws USING (doc_id)
+        |ORDER BY doc_id, start_tok""".stripMargin) { (s, dir) =>
+      Dedup.dupSpanRegions(docsWide(s, dir), "doc_id", "text",
+        n = 8, minDocs = 2)
+        .orderBy("doc_id", "start_tok")
+    },
+
     // ================= text analysis =================
 
     QueryDef("ta01_term_freq",

@@ -193,6 +193,28 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(!got.exists(_._3.split(",").contains("4")), got.toSeq)
   }
 
+  test("dupSpanRegions: overlapping hot windows merge into maximal per-doc regions") {
+    val boiler = (1 to 12).map(i => s"b$i").mkString(" ") // 12 shared tokens
+    val tail = (1 to 9).map(i => s"c$i").mkString(" ")    // 9 shared tokens
+    val docs = Seq(
+      (1L, s"u1 u2 u3 $boiler m1 m2 m3 m4 $tail z1"),
+      (2L, s"v1 $boiler w1 w2 w3 w4 w5 $tail z2 z3"),
+      // 8-token run repeated WITHIN one doc only: distinct-doc count 1,
+      // never hot, no region
+      (3L, "s1 s2 s3 r1 r2 r3 r4 r5 r6 r7 r8 mid r1 r2 r3 r4 r5 r6 r7 r8 t1")
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Dedup.dupSpanRegions(docs, "doc_id", "text",
+      n = 8, minDocs = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSet
+    // each 12-token block = 5 overlapping hot windows → ONE region of
+    // exactly the shared tokens; windows crossing the block boundary
+    // differ between docs, so regions don't bleed into surroundings
+    assert(got == Set(
+      (1L, 4L, 12L, boiler), (1L, 20L, 9L, tail),
+      (2L, 2L, 12L, boiler), (2L, 19L, 9L, tail)), got)
+  }
+
   test("invertedIndex: shards reassemble exactly and respect the ceil(df/maxPostings) bound") {
     // fixed-seed random corpora: the sharded index must be a lossless
     // partition of the plain per-term posting sets
