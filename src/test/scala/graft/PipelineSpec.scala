@@ -356,6 +356,23 @@ class PipelineSpec extends AnyFunSuite {
       s"candidate volume $cand too close to all-pairs on the biased corpus")
   }
 
+  test("dd06 recall: planted near-identical vectors co-block and surface as top pairs") {
+    // near-dup recall under the centered hyperplane key: clones with
+    // tiny perturbations project within a hair of their original, so
+    // they land in the same block and dominate the top-k by cosine
+    val base = Tables.load(spark, sf, "embeddings")
+      .select("vec_id", "embedding").limit(400)
+    val clones = base.filter(col("vec_id") % 40 === 0) // 10 planted pairs
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        transform(col("embedding"), x => x + lit(1e-4f)).as("embedding"))
+    val corpus = base.unionByName(clones)
+    val top = graft.operators.Dedup.embeddingNearDup(corpus, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (0 until 400 by 40).map(i => (i.toLong, i + 100000L)).toSet
+    assert(planted.subsetOf(top),
+      s"planted clone pairs missing from top-10: ${planted.diff(top)}")
+  }
+
   test("typoPairs: planted distance-1 twins found, far/first-char pairs not") {
     val vocab = Seq(
       "table", "tabls",   // planted distance-1 pair (same first char)
