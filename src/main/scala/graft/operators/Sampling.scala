@@ -127,4 +127,45 @@ object Sampling {
       .filter(col("_rk") <= k)
       .drop("_rk")
   }
+
+  /** Fractional-epoch mixture weighting — the data-mixing step that
+    * REPLICATES high-value sources instead of only downsampling the
+    * rest ("2.3 epochs of reference text, 0.5 of web crawl"). A row of
+    * stratum `s` with weight `(whole, fracNum)` emits `whole` copies,
+    * plus one more when its md5 gate falls below `fracNum/256` — so the
+    * stratum's multiplicity is `whole + fracNum/256` in expectation,
+    * exact per key, and every copy carries an `epoch` tag
+    * `0 .. copies-1` for downstream curriculum/shuffling use. The same
+    * md5 gate as [[hashSample]] keeps the mixture a pure function of
+    * the key: re-derivable bit-for-bit on any engine or partitioning,
+    * and `(0, fracNum)` degrades to plain downsampling, so one operator
+    * expresses a whole mixture spec. Strata missing from `weights`
+    * pass through as one epoch.
+    *
+    * Scale shape: a scan-fused per-row CASE chain plus a bounded
+    * explode (fan-out ≤ max whole + 1) — no shuffle, no RNG, no join;
+    * output volume is the mixture size, which is the point.
+    */
+  def epochUpsample(df: DataFrame, stratumCol: String, keyCol: String,
+                    weights: Map[String, (Int, Int)]): DataFrame = {
+    weights.values.foreach { case (w, f) =>
+      require(w >= 0 && f >= 0 && f <= 256,
+        "whole epochs >= 0, fractional numerator in [0, 256]")
+    }
+    val sorted = weights.toSeq.sortBy(_._1)
+    val whole = sorted.foldRight(lit(1)) { case ((v, (w, _)), acc) =>
+      when(col(stratumCol) === v, lit(w)).otherwise(acc)
+    }
+    val fracGate = sorted.foldRight(lit(hexGate(0))) { case ((v, (_, f)), acc) =>
+      when(col(stratumCol) === v, lit(hexGate(f))).otherwise(acc)
+    }
+    df.withColumn("_copies", whole +
+        when(substring(md5(col(keyCol).cast("string")), 1, 2) < fracGate, 1)
+          .otherwise(0))
+      // sequence(0, -1) would step DOWNWARD, not empty — zero-copy rows
+      // must leave before the explode
+      .filter(col("_copies") > 0)
+      .withColumn("epoch", explode(sequence(lit(0), col("_copies") - 1)))
+      .drop("_copies")
+  }
 }

@@ -148,6 +148,68 @@ object TextAnalysis {
         col("tfidf").cast(DoubleType).as("tfidf"), col("rank"))
   }
 
+  /** BM25 relevance of every document against a fixed term set — the
+    * standard retrieval scorer (search over a corpus, eval-set mining,
+    * nearest-neighbor text baselines). Per matching term,
+    *
+    *   score += idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
+    *   idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))
+    *
+    * (the Robertson/Lucene always-positive idf). Unlike
+    * [[tfIdfTopTerms]], BM25 saturates term frequency and normalizes by
+    * document length — a short doc mentioning a term twice outranks a
+    * rambling one doing the same.
+    *
+    * Cross-engine determinism (the ta08/ta14 pattern): tf, df, dl, N,
+    * Σdl are exact integers; dl/avgdl is computed division-free-of-
+    * intermediate-rounding as dl·N/Σdl; every double op is IEEE-
+    * correctly-rounded over exact inputs IN THE SAME WRITTEN SHAPE as
+    * the oracle SQL (constants like k1+1 fold engine-side from the
+    * same literals, never pre-folded in Scala — 1.2+1 lands on a
+    * round-to-even tie), and the one libm call (ln) is quantized to
+    * DECIMAL(18,6) per term BEFORE the per-doc sum, so a 1-ulp
+    * divergence can't flip a hash and the sum is exact and
+    * order-independent.
+    *
+    * Scale shape: the tokenize explode feeds a tiny IN-list filter, so
+    * only matching-term rows survive the scan task; dl is one narrow
+    * doc-keyed count; df/N/Σdl collapse to a broadcast scalar frame.
+    * The only shuffles are doc-keyed hash aggregations plus the final
+    * top-k (TakeOrderedAndProject); the rank window runs over the
+    * already-limited k rows — bounded by construction, never by corpus.
+    */
+  def bm25Rank(df: DataFrame, idCol: String, textCol: String,
+               terms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty && k > 0, "need terms and k > 0")
+    val tok = tokens(df, idCol, textCol)
+    val dl = tok.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
+    val tf = tok.filter(col("tok").isin(terms: _*))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val corpus = df.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(dl.agg(sum(col("dl")).as("sum_dl")))
+    val idf = log(lit(1.0) +
+      (col("n_docs").cast(DoubleType) - col("df").cast(DoubleType) + lit(0.5)) /
+        (col("df").cast(DoubleType) + lit(0.5)))
+    val lenNorm = col("dl").cast(DoubleType) * col("n_docs").cast(DoubleType) /
+      col("sum_dl").cast(DoubleType)
+    val scored = tf.join(dl, idCol)
+      .join(broadcast(dfreq), "tok")
+      .crossJoin(broadcast(corpus))
+      .withColumn("q", (idf * (col("tf").cast(DoubleType) * (lit(k1) + lit(1.0))) /
+        (col("tf").cast(DoubleType) +
+          lit(k1) * (lit(1.0) - lit(b) + lit(b) * lenNorm)))
+        .cast(DecimalType(18, 6)))
+      .groupBy(col(idCol))
+      .agg(sum(col("q")).as("_s"), count(lit(1)).as("n_terms"))
+    scored.orderBy(col("_s").desc, col(idCol)).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("_s").desc, col(idCol))).cast(LongType))
+      .select(col(idCol), col("_s").cast(DoubleType).as("score"),
+        col("n_terms"), col("rank"))
+  }
+
   /** PII patterns for corpus scrubbing, applied in order. Deliberately
     * restricted to the regex subset with identical semantics in Java's
     * engine and RE2 (character classes + bounded/greedy quantifiers; no

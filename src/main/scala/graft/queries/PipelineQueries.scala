@@ -525,6 +525,38 @@ object PipelineQueries {
         .orderBy("split")
     },
 
+    // Fractional-epoch mixture (Sampling.epochUpsample): src0 at 2+77/256
+    // ≈ 2.3 epochs, src1 at 0+128/256 ≈ 0.5 (pure downsample through the
+    // same operator), src2 pinned to exactly 1, everything else passing
+    // through — the replicate-the-good-sources half of data mixing that
+    // sp02/sp04 (downsampling only) can't express. The checksum weights
+    // each copy by (epoch+1), so a copy-count or epoch-tag slip flips
+    // the hash even where row counts happen to agree. Both engines
+    // compute the identical md5 gate and range explode.
+    QueryDef("sp06_epoch_upsample",
+      """WITH c AS (SELECT doc_id, source,
+        |  CASE WHEN source = 'src0' THEN 2 WHEN source = 'src1' THEN 0
+        |       WHEN source = 'src2' THEN 1 ELSE 1 END
+        |  + CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+        |      CASE WHEN source = 'src0' THEN '4d' WHEN source = 'src1' THEN '80'
+        |           WHEN source = 'src2' THEN '00' ELSE '00' END
+        |      THEN 1 ELSE 0 END AS copies
+        |  FROM documents),
+        | e AS (SELECT doc_id, source, unnest(range(copies)) AS epoch
+        |       FROM c WHERE copies > 0)
+        |SELECT source, count(*) AS n_rows,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(sum(doc_id * (epoch + 1)) AS BIGINT) AS mix_checksum
+        |FROM e GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      graft.operators.Sampling.epochUpsample(docs(s, dir), "source", "doc_id",
+          Map("src0" -> ((2, 77)), "src1" -> ((0, 128)), "src2" -> ((1, 0))))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("doc_id")).cast(LongType).as("n_docs"),
+          sum(col("doc_id") * (col("epoch") + 1)).cast(LongType).as("mix_checksum"))
+        .orderBy("source")
+    },
+
     // Typo-pair detection (Dedup.typoPairs): blocked candidates + exact
     // Levenshtein distance 1 — the fuzzy-key-matching step of entity/
     // token normalization. The synthetic corpus vocabulary has no
@@ -1028,6 +1060,37 @@ object PipelineQueries {
         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin) { (s, dir) =>
       TextAnalysis.tfIdfTopTerms(docs(s, dir), "doc_id", "text", 3)
         .orderBy("doc_id", "rank")
+    },
+
+    // BM25 top-15 (TextAnalysis.bm25Rank): the doc-length-normalized,
+    // tf-saturating retrieval scorer ta08's raw tf·idf lacks. Constants
+    // fold engine-side from the same literals ((1.2 + 1.0), never a
+    // pre-folded 2.2 — that exact sum is a round-to-even tie); each
+    // per-term score quantizes to DECIMAL(18,6) before the per-doc sum
+    // (ta08/ta14 pattern) so the one libm ln can't flip a hash.
+    QueryDef("ta18_bm25",
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        | dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+        | tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok
+        |        WHERE tok IN ('spark', 'join', 'merge') GROUP BY 1, 2),
+        | df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+        | c AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+        |              (SELECT sum(dl) FROM dl) AS sum_dl),
+        | q AS (SELECT tf.doc_id,
+        |         CAST(ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
+        |                        (CAST(df AS DOUBLE) + 0.5))
+        |              * (CAST(tf AS DOUBLE) * (1.2 + 1.0))
+        |              / (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 *
+        |                 (CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE) /
+        |                  CAST(sum_dl AS DOUBLE))))
+        |              AS DECIMAL(18,6)) AS q
+        |       FROM tf JOIN dl USING (doc_id) JOIN df USING (tok) CROSS JOIN c),
+        | s AS (SELECT doc_id, sum(q) AS s, count(*) AS n_terms FROM q GROUP BY doc_id)
+        |SELECT doc_id, CAST(s AS DOUBLE) AS score, n_terms,
+        |  CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank
+        |FROM s ORDER BY rank LIMIT 15""".stripMargin) { (s, dir) =>
+      TextAnalysis.bm25Rank(docs(s, dir), "doc_id", "text",
+        Seq("spark", "join", "merge"), 15)
     },
 
     // Bigram-LM fluency scoring: mean ln P(w2|w1) per document with

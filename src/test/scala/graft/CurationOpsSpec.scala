@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Anomaly, Clustering, Similarity, TextAnalysis}
+import graft.operators.{Anomaly, Clustering, Sampling, Similarity, TextAnalysis}
 
 /** Behavior specs for the round-7 corpus-curation operators: exact-seed
   * k-means, chunking, int8 quantization, z-score outliers, sliding
@@ -389,5 +389,55 @@ class CurationOpsSpec extends AnyFunSuite {
       ("s1", "en", 2L, 5L, 8L), ("s1", "fr", 1L, 4L, 7L),
       ("s2", "en", 1L, 1L, 1L)))
     assert(math.abs(rows.map(_.getDouble(5)).sum - 1.0) < 1e-12)
+  }
+
+  test("bm25: length normalization, tf saturation, idf ordering") {
+    val docs = Seq(
+      (1L, "cat dog"),                       // tf(cat)=1, dl=2
+      (2L, "cat a b c d e f g h i"),         // tf(cat)=1, dl=10
+      (3L, "cat cat"),                       // tf(cat)=2, dl=2
+      (4L, "rare dog"),                      // tf(rare)=1, dl=2, df(rare)=1
+      (5L, "filler filler filler")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25Rank(docs, "doc_id", "text",
+        Seq("cat", "rare"), 10)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L), got)
+    val score = got.view.mapValues(_._1).toMap
+    // same tf, shorter doc wins (length normalization)
+    assert(score(1L) > score(2L), score)
+    // doubled tf helps...
+    assert(score(3L) > score(1L), score)
+    // ...but saturates below 2x (the k1 denominator)
+    assert(score(3L) < 2.0 * score(1L), score)
+    // same shape, rarer term (df 1 vs 3) outranks (idf ordering)
+    assert(score(4L) > score(1L), score)
+    // single matched term each; ranks are dense over the score order
+    assert(got.values.forall(_._2 == 1L), got)
+    val byRank = got.toSeq.sortBy(_._2._3).map(_._1)
+    assert(byRank == got.toSeq.sortBy { case (id, (s, _, _)) => (-s, id) }
+      .map(_._1), got)
+  }
+
+  test("epochUpsample: whole copies, drops, pass-through, md5 fraction") {
+    val d = (0 until 100).map(i => (i.toLong,
+      if (i < 40) "a" else if (i < 70) "b" else "c")).toDF("id", "src")
+    val up = Sampling.epochUpsample(d, "src", "id",
+      Map("a" -> ((3, 0)), "b" -> ((0, 0))))
+    val rows = up.collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    // a: exactly 3 copies per key, epochs 0..2; b: gone; c (unlisted): 1 copy
+    assert(rows.count(_._2 == "a") == 120, rows.length)
+    assert(!rows.exists(_._2 == "b"))
+    assert(rows.filter(_._2 == "c").map(_._3).toSet == Set(0))
+    assert(rows.filter(t => t._2 == "a" && t._1 == 0L).map(_._3).sorted
+      .toSeq == Seq(0, 1, 2))
+    // fractional epochs reuse the hashSample gate exactly: copies for
+    // stratum a at (1, 128) = 1 + [md5 gate < 128/256]
+    val frac = Sampling.epochUpsample(d, "src", "id", Map("a" -> ((1, 128))))
+      .filter($"src" === "a").count()
+    val gated = d.filter($"src" === "a")
+      .filter(Sampling.hashSample($"id", 128)).count()
+    assert(frac == 40L + gated, (frac, gated))
   }
 }
