@@ -557,4 +557,56 @@ object Dedup {
         concat_ws(" ", slice(col("_w"), col("start_tok"),
           col("_end") - col("start_tok") + 1)).as("region"))
   }
+
+  /** Semantic dedup ("SemDeDup", Abbas et al. 2023): k-means-cluster the
+    * embedding space, then prune near-identical vectors WITHIN each
+    * cluster — the embedding-space analogue of dd08's shingle clusters,
+    * with the cluster assignment doing the candidate blocking that dd06
+    * does with hyperplane sketches. Removal rule: a vector is a
+    * duplicate iff some LOWER-ID vector in the same cluster has exact-
+    * decimal cosine ≥ `tau`; `dup_of` names the smallest such id (the
+    * greedy keep-first-by-id policy, deterministic on any engine).
+    * Output: (id, cluster, dup_of, keep) for every input vector.
+    *
+    * Cross-engine determinism: the assignment is [[Clustering
+    * .assignToSeeds]] (hash-picked seeds, exact decimal distances,
+    * id-tiebroken argmin) and the similarity is the sim01 exact-decimal
+    * cosine, so the ≥ tau comparison sees bit-identical doubles in
+    * every engine — the DuckDB oracle reproduces the full pipeline.
+    *
+    * Scale shape: clustering is the broadcast-seed argmin (one
+    * corpus-width exchange); the τ-join is an equi-join on the cluster
+    * id, so the pair count is Σ|cluster|² — SemDeDup's own cost bound.
+    * At corpus scale, k grows with N (the paper runs ~100k clusters for
+    * 100M+ embeddings) so clusters stay bounded-size; boundary-
+    * straddling near-dups are the accepted recall loss, exactly as the
+    * paper frames it.
+    */
+  def semanticDedup(emb: DataFrame, k: Int, tau: Double,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    require(k > 0 && tau > 0.0, "need k > 0 and tau > 0")
+    def decV(c: Column): Column =
+      transform(c, x => x.cast(DoubleType).cast(DecimalType(12, 6)))
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p * q),
+        lit(0).cast(DecimalType(30, 12)),
+        (acc, v) => (acc + v).cast(DecimalType(30, 12)))
+    val assigned = Clustering.assignToSeeds(emb, k, idCol, vecCol)
+    val e = emb.select(col(idCol).as("_id"), decV(col(vecCol)).as("_x"))
+      .join(assigned.select(col(idCol).as("_id"), col("cluster")), "_id")
+      .withColumn("_n", dot(col("_x"), col("_x")).cast(DoubleType))
+    val a = e.select(col("cluster"), col("_id").as("_ida"),
+      col("_x").as("_xa"), col("_n").as("_na"))
+    val b = e.select(col("cluster"), col("_id").as("_idb"),
+      col("_x").as("_xb"), col("_n").as("_nb"))
+    val dups = a.join(b, "cluster")
+      .filter(col("_ida") < col("_idb"))
+      .filter(dot(col("_xa"), col("_xb")).cast(DoubleType) /
+        sqrt(col("_na") * col("_nb")) >= tau)
+      .groupBy(col("_idb")).agg(min(col("_ida")).as("dup_of"))
+    e.join(dups, col("_id") === col("_idb"), "left")
+      .select(col("_id").as(idCol), col("cluster"), col("dup_of"),
+        col("dup_of").isNull.as("keep"))
+  }
 }

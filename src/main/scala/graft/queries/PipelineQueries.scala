@@ -832,6 +832,68 @@ object PipelineQueries {
         .orderBy("doc_id", "start_tok")
     },
 
+    // Semantic dedup (Dedup.semanticDedup): k-means blocks, exact-decimal
+    // cosine ≥ 0.99 within a block, keep-lowest-id. The synthetic corpus
+    // has no natural near-identical pair (max cosine ≈ 0.47), so the gate
+    // PLANTS positives the dd10 way: every 25th vector is cloned at
+    // id+100000 with +0.001 on each (double-cast) component — cosine with
+    // its original ≈ 0.9999, same cluster except at seed boundaries, and
+    // both engines construct the identical clone. The removed-id sum pins
+    // WHICH vectors were pruned, not just how many.
+    QueryDef("dd15_semdedup",
+      """WITH emb2 AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000 AS vec_id,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE) + 0.001) AS v
+        |  FROM embeddings WHERE vec_id % 25 = 0),
+        | e0 AS (SELECT vec_id, unnest(v) AS rawx,
+        |               unnest(range(1, len(v) + 1)) AS i FROM emb2),
+        | e AS (SELECT vec_id, i, CAST(rawx AS DECIMAL(12,6)) AS x FROM e0),
+        | sid AS (SELECT min(vec_id) AS cid FROM emb2 GROUP BY vec_id % 16),
+        | c AS (SELECT e.vec_id AS cid, e.i, e.x AS cx
+        |       FROM e JOIN sid ON e.vec_id = sid.cid),
+        | d AS (SELECT e.vec_id, c.cid, sum((e.x - c.cx) * (e.x - c.cx)) AS d
+        |       FROM e JOIN c ON e.i = c.i GROUP BY 1, 2),
+        | a AS (SELECT vec_id, cid,
+        |         row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS r
+        |       FROM d),
+        | m AS (SELECT vec_id, cid FROM a WHERE r = 1),
+        | nrm AS (SELECT vec_id, sum(x * x) AS nrm FROM e GROUP BY vec_id),
+        | p AS (SELECT ma.vec_id AS ida, mb.vec_id AS idb
+        |       FROM m ma JOIN m mb
+        |         ON ma.cid = mb.cid AND ma.vec_id < mb.vec_id),
+        | dots AS (SELECT p.ida, p.idb, sum(ea.x * eb.x) AS dot
+        |          FROM p JOIN e ea ON ea.vec_id = p.ida
+        |                 JOIN e eb ON eb.vec_id = p.idb AND eb.i = ea.i
+        |          GROUP BY 1, 2),
+        | dup AS (SELECT dt.idb, min(dt.ida) AS dup_of
+        |         FROM dots dt JOIN nrm na ON na.vec_id = dt.ida
+        |                      JOIN nrm nb ON nb.vec_id = dt.idb
+        |         WHERE CAST(dot AS DOUBLE) /
+        |               sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)) >= 0.99
+        |         GROUP BY dt.idb)
+        |SELECT CAST(m.cid AS BIGINT) AS cluster, count(*) AS n_members,
+        |  CAST(sum(CASE WHEN dup.idb IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+        |  CAST(sum(CASE WHEN dup.idb IS NOT NULL THEN m.vec_id END) AS BIGINT) AS removed_id_sum
+        |FROM m LEFT JOIN dup ON m.vec_id = dup.idb
+        |GROUP BY m.cid ORDER BY cluster""".stripMargin) { (s, dir) =>
+      val base = embWide(s, dir).select(col("vec_id"),
+        transform(col("embedding"), x => x.cast(DoubleType)).as("embedding"))
+      val clones = embWide(s, dir).filter(col("vec_id") % 25 === 0)
+        .select((col("vec_id") + 100000).as("vec_id"),
+          transform(col("embedding"),
+            x => x.cast(DoubleType) + lit(0.001)).as("embedding"))
+      Dedup.semanticDedup(base.unionAll(clones), 16, 0.99)
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n_members"),
+          sum(when(col("keep"), 0).otherwise(1)).cast(LongType).as("n_removed"),
+          sum(when(!col("keep"), col("vec_id"))).cast(LongType)
+            .as("removed_id_sum"))
+        .orderBy("cluster")
+    },
+
     // ================= text analysis =================
 
     QueryDef("ta01_term_freq",

@@ -391,6 +391,29 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(math.abs(rows.map(_.getDouble(5)).sum - 1.0) < 1e-12)
   }
 
+  test("semanticDedup: near-identical members pruned, distinct ones kept") {
+    // plantedVectors' within-cluster members differ by <=0.04 on a
+    // magnitude-10 axis — cosine ~ 1, so SemDeDup collapses each planted
+    // cluster to its lowest id. id 20 joins cluster 0 (nearest seed) but
+    // points measurably away (cos ~ 0.958 < tau) — it must survive.
+    val distinct = Seq((20L, Array(10f, 3f, 0f, 0f))).toDF("vec_id", "embedding")
+    val got = graft.operators.Dedup
+      .semanticDedup(plantedVectors.unionAll(distinct), 3, 0.99)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Long]), r.getBoolean(3))))
+      .toMap
+    assert(got.size == 11)
+    // survivors: one per planted near-identical group + the distinct vec
+    assert(got.filter(_._2._3).keySet == Set(0L, 1L, 2L, 20L), got)
+    // every removed member names its cluster's lowest id
+    assert(got(3L) == ((0L, Some(0L), false)), got(3L))
+    assert(got(9L) == ((0L, Some(0L), false)), got(9L))
+    assert(got(4L) == ((1L, Some(1L), false)), got(4L))
+    assert(got(8L) == ((2L, Some(2L), false)), got(8L))
+    // the distinct vector shares cluster 0 yet stays below tau
+    assert(got(20L) == ((0L, None, true)), got(20L))
+  }
+
   test("bm25: length normalization, tf saturation, idf ordering") {
     val docs = Seq(
       (1L, "cat dog"),                       // tf(cat)=1, dl=2
