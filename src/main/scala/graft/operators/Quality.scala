@@ -151,4 +151,51 @@ object Quality {
         Seq(childKey), "left_anti")
       .agg(count(lit(1)).as("n_orphans"))
       .select(lit(relation).as("relation"), col("n_orphans"))
+
+  /** Distribution drift between two snapshots of the same measure —
+    * the population-stability-index report that gates "did yesterday's
+    * data shift under my model/pipeline?". Values bin by fixed width
+    * (clamped to [0, nBins)), and each bin contributes the PSI term
+    *
+    *   (p_a − p_b) · ln(p_a / p_b),   p = (count + 1)/(n + nBins)
+    *
+    * (+1 Laplace smoothing: empty bins contribute a finite, exact term
+    * instead of ±∞, and the report needs no epsilon knob). Output one
+    * row per bin — counts plus the quantized term; Σ psi_term is the
+    * PSI (> 0.2 is the conventional "major shift" line). A full bin
+    * spine (`spark.range(nBins)`) keeps empty bins present, because
+    * with smoothing an empty bin still carries signal.
+    *
+    * Cross-engine determinism: counts are exact integers, p-ratios are
+    * single IEEE divisions of exact inputs in the same written shape as
+    * the oracle, and the one libm ln quantizes to DECIMAL(18,6) per bin
+    * (the ta08/ta14 pattern) — the report hash-matches.
+    *
+    * Scale shape: two scan-fused bin projections + two nBins-row
+    * hash aggregations; totals ride in as broadcast single-row frames.
+    * Nothing is ever wider than nBins rows after the count.
+    */
+  def distributionDrift(a: DataFrame, b: DataFrame, value: Column,
+                        binWidth: Double, nBins: Int): DataFrame = {
+    require(binWidth > 0 && nBins > 1, "need binWidth > 0 and nBins > 1")
+    def bin(df: DataFrame): DataFrame = df.select(
+      least(greatest(floor(value / lit(binWidth)), lit(0)),
+        lit(nBins - 1)).cast(LongType).as("bin"))
+    val ca = bin(a).groupBy("bin").agg(count(lit(1)).as("n_a"))
+    val cb = bin(b).groupBy("bin").agg(count(lit(1)).as("n_b"))
+    val na = a.agg(count(lit(1)).as("_na"))
+    val nb = b.agg(count(lit(1)).as("_nb"))
+    val spine = a.sparkSession.range(nBins).select(col("id").as("bin"))
+    val pA = (col("n_a") + 1).cast(DoubleType) /
+      (col("_na") + nBins).cast(DoubleType)
+    val pB = (col("n_b") + 1).cast(DoubleType) /
+      (col("_nb") + nBins).cast(DoubleType)
+    spine.join(ca, Seq("bin"), "left").join(cb, Seq("bin"), "left")
+      .select(col("bin"), coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+      .crossJoin(broadcast(na)).crossJoin(broadcast(nb))
+      .select(col("bin"), col("n_a"), col("n_b"),
+        ((pA - pB) * log(pA / pB)).cast(DecimalType(18, 6))
+          .cast(DoubleType).as("psi_term"))
+  }
 }

@@ -732,6 +732,39 @@ object PipelineQueries {
         parent, "k", col("total"))
     },
 
+    // Distribution drift / PSI (Quality.distributionDrift): snapshot B
+    // is the same feed scaled by 1.25 (exactly representable — both
+    // engines shift identically), the "did the upstream change under
+    // me?" monitoring report. Per-bin counts are exact; each PSI term
+    // quantizes its one ln to DECIMAL(18,6) (ta08 pattern). The full
+    // 10-bin spine keeps empty bins present — with Laplace smoothing
+    // they still carry signal.
+    QueryDef("dq06_drift",
+      """WITH a AS (SELECT CAST(least(greatest(floor(value / 10.0), 0), 9) AS BIGINT) AS bin
+        |           FROM events),
+        | b AS (SELECT CAST(least(greatest(floor((value * 1.25) / 10.0), 0), 9) AS BIGINT) AS bin
+        |       FROM events),
+        | ca AS (SELECT bin, count(*) AS n_a FROM a GROUP BY bin),
+        | cb AS (SELECT bin, count(*) AS n_b FROM b GROUP BY bin),
+        | nt AS (SELECT (SELECT count(*) FROM a) AS na,
+        |               (SELECT count(*) FROM b) AS nb),
+        | s AS (SELECT unnest(range(10)) AS bin),
+        | j AS (SELECT s.bin, COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+        |       FROM s LEFT JOIN ca USING (bin) LEFT JOIN cb USING (bin)),
+        | t AS (SELECT bin, n_a, n_b,
+        |         CAST(n_a + 1 AS DOUBLE) / CAST(na + 10 AS DOUBLE) AS pa,
+        |         CAST(n_b + 1 AS DOUBLE) / CAST(nb + 10 AS DOUBLE) AS pb
+        |       FROM j CROSS JOIN nt)
+        |SELECT bin, n_a, n_b,
+        |  CAST(CAST((pa - pb) * ln(pa / pb) AS DECIMAL(18,6)) AS DOUBLE) AS psi_term
+        |FROM t ORDER BY bin""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      graft.operators.Quality.distributionDrift(
+          ev, ev.select((col("value") * 1.25).as("value")),
+          col("value"), 10.0, 10)
+        .orderBy("bin")
+    },
+
     // Approximate profile (the wide-table escape dq01's doc promises):
     // HLL distinct sketches — one narrow aggregation pass, NO
     // multi-distinct Expand, so profiling 500 columns costs one scan.

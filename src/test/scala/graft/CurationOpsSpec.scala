@@ -414,6 +414,25 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got(20L) == ((0L, None, true)), got(20L))
   }
 
+  test("distributionDrift: zero PSI on identical snapshots, >0 on shift") {
+    val vals = (0 until 200).map(i => (i.toLong, (i % 50).toDouble)).toDF("id", "v")
+    val same = graft.operators.Quality
+      .distributionDrift(vals, vals, col("v"), 10.0, 10)
+      .orderBy("bin").collect()
+    // full spine: bins 5..9 are empty on both sides yet present, term 0
+    assert(same.map(_.getLong(0)).toSeq == (0L to 9L), same.toSeq)
+    assert(same.forall(_.getDouble(3) == 0.0), same.toSeq)
+    assert(same.take(5).forall(_.getLong(1) == 40L), same.toSeq)
+    val shifted = vals.select(($"v" + 20.0).as("v"))
+    val drift = graft.operators.Quality
+      .distributionDrift(vals, shifted, col("v"), 10.0, 10)
+      .orderBy("bin").collect()
+    val psi = drift.map(_.getDouble(3)).sum
+    assert(psi > 0.2, s"expected major-shift PSI, got $psi")
+    // PSI terms are nonnegative by construction ((p-q) and ln(p/q) share sign)
+    assert(drift.forall(_.getDouble(3) >= 0.0), drift.toSeq)
+  }
+
   test("bm25: length normalization, tf saturation, idf ordering") {
     val docs = Seq(
       (1L, "cat dog"),                       // tf(cat)=1, dl=2
