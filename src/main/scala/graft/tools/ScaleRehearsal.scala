@@ -6,7 +6,7 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{Clustering, Dedup, Similarity, TextAnalysis}
 
 /** Dev utility: measure the scaling curve of the LSH dedup and ANN
   * operators on a synthetic 10× blow-up of the sf0.1 corpus — evidence
@@ -128,6 +128,27 @@ object ScaleRehearsal {
     }
     measure("dd06_topk_biased   1x") {
       Dedup.embeddingNearDup(biased, k = 20).count()
+    }
+
+    // dd15 SemDeDup: the τ-join cost is Σ|cluster|², and the design
+    // contract is k ∝ N (the paper's regime — ~100k clusters at 100M
+    // vectors). rows = within-cluster pair count, the join's input
+    // volume: at 10× data with k FIXED it grows ~100× (the trap the
+    // scaladoc warns about); with k scaled 10× it stays ~10× — same
+    // expected cluster width, ten times as many clusters. The replica
+    // vectors are exact copies, so the 10× corpus is also a real
+    // dedup workload (every copy is a true near-dup).
+    for ((tag, ep, k) <- Seq(("1x k=16", e1, 16),
+        ("10x k=16", e10, 16), ("10x k=160", e10, 160))) {
+      measure(f"dd15_pairs $tag%-10s") {
+        val a = Clustering.assignToSeeds(embAt(ep), k)
+        a.as("x").join(a.as("y"), col("x.cluster") === col("y.cluster") &&
+          col("x.vec_id") < col("y.vec_id")).count()
+      }
+    }
+    measure("dd15_semdedup 10x k=160") {
+      Dedup.semanticDedup(embAt(e10), 160, 0.99)
+        .filter(!col("keep")).count()
     }
 
     // CDC bucket-bounded merge: per-batch cost for a SINGLE-KEY batch

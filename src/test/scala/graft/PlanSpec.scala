@@ -191,6 +191,30 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("ta18: BM25 top-k is TakeOrdered; corpus stats broadcast, no corpus-wide window") {
+    val plan = planOf("ta18_bm25")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    // df/N/Σdl frames ride in as broadcasts, never a shuffled join
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the only Window is the rank over the already-limited k rows: it
+    // must sit ABOVE TakeOrderedAndProject in the plan text (window
+    // input = k rows, not the corpus)
+    val wIdx = plan.indexOf("Window")
+    val tIdx = plan.indexOf("TakeOrderedAndProject")
+    assert(wIdx >= 0 && tIdx > wIdx, plan)
+  }
+
+  test("dd15: SemDeDup pair join is a hash equi-join on the cluster id, never cartesian") {
+    val plan = planOf("dd15_semdedup")
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the only nested-loop joins are the broadcast single-row corpus
+    // stat frames (seed/count scalars), never the member×member pair join
+    val pairJoinIsEqui = plan.contains("SortMergeJoin") ||
+      plan.contains("ShuffledHashJoin") || plan.contains("BroadcastHashJoin")
+    assert(pairJoinIsEqui, plan)
+  }
+
   test("q35/q37: merge plans an anti join; lateral top-k never cartesians") {
     val merge = planOf("q35_merge_upsert")
     assert(merge.contains("LeftAnti"), merge)
