@@ -22,6 +22,25 @@ object Bucketing {
       .sortBy(bucketCol)
       .saveAsTable(table)
 
+  /** Same, but as an EXTERNAL table rooted at `path` — for callers that
+    * must not write into the session's default warehouse directory
+    * (the gate's Verify runs with whatever cwd the driver chose). The
+    * pre-write `repartition` on the bucket key leaves exactly one file
+    * per bucket, so reads see each bucket already globally sorted and
+    * downstream merge joins skip the per-partition re-sort too.
+    */
+  def writeBucketedAt(df: DataFrame, table: String, bucketCol: String,
+                      numBuckets: Int, path: String): Unit = {
+    df.sparkSession.sql(s"DROP TABLE IF EXISTS $table")
+    df.repartition(numBuckets, df.col(bucketCol))
+      .write.mode(SaveMode.Overwrite)
+      .format("parquet")
+      .option("path", path)
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(table)
+  }
+
   /** Join two bucketed tables on their bucket key — plans with no
     * Exchange when both sides share bucket count and key.
     */

@@ -824,6 +824,26 @@ object RelationalQueries {
         .orderBy("status")
     },
 
+    // Bucketed co-located join: both sides persisted bucketed AND
+    // bucket-sorted on the join key (one file per bucket), then joined
+    // with ZERO exchanges and ZERO sorts — at 100 TB the difference
+    // between re-shuffling the fact table on every query and never
+    // shuffling it again. The gate row materializes the layout fresh
+    // each run (external tables under java.io.tmpdir so the driver's
+    // warehouse stays untouched) and merge-hints the join so the plan
+    // is the co-located SMJ at every SF — a broadcast would hide the
+    // layout. The oracle is the identical plain join: bucketing must be
+    // results-invisible. PlanSpec pins the plan shape: no Exchange and
+    // no Sort anywhere below the join; the only shuffle left is the
+    // 5-row priority rollup above it, which is the point of the demo.
+    QueryDef("q42_bucketed_join",
+      s"""SELECT o_orderpriority AS priority, count(*) AS n_items,
+        |  ${DiscSumSql.format("l_extendedprice", "l_discount")} AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      bucketedPriorityRollup(s, dir)
+    },
+
     // The skew DIAGNOSTIC: top-k heavy-hitter keys with counts — what
     // you run (on a sample, at scale) to decide whether a join needs
     // q39's salting. Partial-agg top-k, never a full key sort.
