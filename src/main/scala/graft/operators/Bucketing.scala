@@ -13,10 +13,19 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object Bucketing {
 
-  /** Persist `df` as a bucketed, bucket-sorted managed parquet table. */
+  /** Persist `df` as a bucketed, bucket-sorted managed parquet table.
+    *
+    * The pre-write `repartition` on the bucket key uses the SAME hash
+    * (pmod(murmur3, n)) as bucket assignment, so every task holds
+    * exactly one bucket and writes exactly one file — the invariant
+    * that makes `spark.sql.legacy.bucketedTableScan.outputOrdering`
+    * safe to enable (a multi-file bucket is only partially sorted, and
+    * claiming order over it would corrupt merge joins).
+    */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
                     numBuckets: Int): Unit =
-    df.write.mode(SaveMode.Overwrite)
+    df.repartition(numBuckets, df.col(bucketCol))
+      .write.mode(SaveMode.Overwrite)
       .format("parquet")
       .bucketBy(numBuckets, bucketCol)
       .sortBy(bucketCol)
@@ -32,6 +41,12 @@ object Bucketing {
   def writeBucketedAt(df: DataFrame, table: String, bucketCol: String,
                       numBuckets: Int, path: String): Unit = {
     df.sparkSession.sql(s"DROP TABLE IF EXISTS $table")
+    // DROP on an external table removes only metadata; Spark >= 3.2
+    // refuses CTAS into a non-empty location, so a rerun against the
+    // same path would throw. Clear the location first.
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
     df.repartition(numBuckets, df.col(bucketCol))
       .write.mode(SaveMode.Overwrite)
       .format("parquet")

@@ -131,15 +131,33 @@ object Dedup {
     * re-evaluates the shingle explode on both sides. Intentionally
     * O(pairs-sharing-a-shingle): the verifiable baseline for the
     * shingling math; LSH banding (lshBuckets) is the 100 TB path.
+    *
+    * `maxPosting` is the boilerplate safety valve: one viral shingle
+    * (a license header, a template footer) shared by p documents emits
+    * p²/2 pairs from a single group — the only quadratic term in the
+    * plan. Postings longer than the cap are dropped whole (both sides
+    * of the estimate, so da/db stay symmetric); the number of dropped
+    * shingles is published as the `jaccard_postings` observed metric
+    * (`dropped_shingles`) on the execution, Spark's zero-extra-action
+    * metric channel. Default uncapped: at oracle SF every posting is
+    * tiny, and the cap must be mirrored in any oracle SQL when set.
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                   n: Int = 3): DataFrame = {
+                   n: Int = 3, maxPosting: Int = Int.MaxValue): DataFrame = {
     val sh = shingles(df, idCol, textCol, n)
       .select(col(idCol), xxhash64(col("shingle")).as("sh64"))
     val sz = sh.groupBy(idCol).agg(count(lit(1)).as("n"))
-    val inter = sh.groupBy("sh64")
+    val postings = sh.groupBy("sh64")
       .agg(sort_array(collect_list(col(idCol))).as("ids"))
       .filter(size(col("ids")) > 1)
+    val kept =
+      if (maxPosting == Int.MaxValue) postings
+      else postings
+        .observe("jaccard_postings",
+          sum(when(size(col("ids")) > maxPosting, 1L).otherwise(0L))
+            .as("dropped_shingles"))
+        .filter(size(col("ids")) <= maxPosting)
+    val inter = kept
       .select(explode(flatten(transform(col("ids"), a =>
         transform(filter(col("ids"), b => b > a),
           b => struct(a.as("da"), b.as("db")))))).as("p"))

@@ -82,6 +82,10 @@ object LogEtl {
     * A date with no input directory is skipped, matching the reference's
     * graceful empty-listing path (s3_server_access_logs.py:146-156 →
     * `[]` on error → nothing to write) instead of failing the backfill.
+    * Each compact is bracketed with its wall-clock seconds on stderr —
+    * the reference's per-bucket timing log (s3_server_access_logs
+    * .py:386,464-466); engine-level metrics beyond this come from
+    * Spark's own instrumentation.
     */
   def compact(spark: SparkSession, inputPath: String, dest: String,
               numOutputFiles: Int = 10, fused: Boolean = true,
@@ -93,8 +97,11 @@ object LogEtl {
     } else {
       val fmt = Formats.getOrElse(format,
         sys.error(s"unknown log format '$format' (know: ${Formats.keys.mkString(", ")})"))
+      val t0 = System.nanoTime()
       write(fmt.parse(spark.read.text(inputPath), fused), dest,
         numOutputFiles, fmt.sortColumn)
+      System.err.println(
+        f"[log-etl] compacted $inputPath -> $dest in ${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
   }
 

@@ -178,13 +178,16 @@ object Quality {
   def distributionDrift(a: DataFrame, b: DataFrame, value: Column,
                         binWidth: Double, nBins: Int): DataFrame = {
     require(binWidth > 0 && nBins > 1, "need binWidth > 0 and nBins > 1")
-    def bin(df: DataFrame): DataFrame = df.select(
+    // NULL measures are outside the distribution: exclude them from the
+    // bins AND the totals, or every bin's smoothed p deflates and the
+    // PSI is biased whenever a snapshot carries NULLs.
+    def bin(df: DataFrame): DataFrame = df.where(value.isNotNull).select(
       least(greatest(floor(value / lit(binWidth)), lit(0)),
         lit(nBins - 1)).cast(LongType).as("bin"))
     val ca = bin(a).groupBy("bin").agg(count(lit(1)).as("n_a"))
     val cb = bin(b).groupBy("bin").agg(count(lit(1)).as("n_b"))
-    val na = a.agg(count(lit(1)).as("_na"))
-    val nb = b.agg(count(lit(1)).as("_nb"))
+    val na = a.agg(count(value).as("_na"))
+    val nb = b.agg(count(value).as("_nb"))
     val spine = a.sparkSession.range(nBins).select(col("id").as("bin"))
     val pA = (col("n_a") + 1).cast(DoubleType) /
       (col("_na") + nBins).cast(DoubleType)

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.TopKAgg
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -95,13 +96,21 @@ object Similarity {
       if (exact) dotD(col("qv"), col("cv")).cast(DoubleType) /
         sqrt(col("qn") * col("cn"))
       else dotI(col("qv"), col("cv")) / (col("qn") * col("cn"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("sim").desc, col("cid"))
+    // top-k via the bounded TopKAgg buffer, NOT a per-query row_number
+    // window: the window shape ships all N candidate scores to one task
+    // per query; the agg partial-aggregates map-side, so the exchange
+    // carries ≤ k pairs per (query × partition) — bounded by k at any
+    // corpus size. Ties (score, then cid asc) identical to the window's
+    // orderBy(sim.desc, cid), so output rows are unchanged.
     c.join(broadcast(q), col("qid") =!= col("cid"))
-      .select(col("qid"), col("cid"), score.as("sim"))
-      .withColumn("rank", row_number().over(w).cast(LongType))
-      .filter(col("rank") <= k)
-      .select("qid", "cid", "sim", "rank")
+      .select(col("qid"), col("cid").cast(LongType).as("cid"),
+        score.as("sim"))
+      .groupBy("qid")
+      .agg(TopKAgg.top_k(col("sim"), col("cid"), k, ascending = false)
+        .as("_tk"))
+      .select(col("qid"), posexplode(col("_tk")))
+      .select(col("qid"), col("col.id").as("cid"), col("col.score").as("sim"),
+        (col("pos") + 1).cast(LongType).as("rank"))
       .orderBy("qid", "rank")
   }
 
@@ -118,12 +127,17 @@ object Similarity {
         lit(0.0), (acc, v) => acc + v)
     val q = queries.select(col(idCol).as("qid"), dbl(col(vecCol)).as("qv"))
     val c = candidates.select(col(idCol).as("cid"), dbl(col(vecCol)).as("cv"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col("cid"))
+    // bounded map-side top-k (see cosineTopK): ascending — smallest
+    // distance first; ties by cid match the window's orderBy(dist, cid)
     c.join(broadcast(q), col("qid") =!= col("cid"))
-      .select(col("qid"), col("cid"), l2(col("qv"), col("cv")).as("dist"))
-      .withColumn("rank", row_number().over(w).cast(LongType))
-      .filter(col("rank") <= k)
-      .select("qid", "cid", "dist", "rank")
+      .select(col("qid"), col("cid").cast(LongType).as("cid"),
+        l2(col("qv"), col("cv")).as("dist"))
+      .groupBy("qid")
+      .agg(TopKAgg.top_k(col("dist"), col("cid"), k, ascending = true)
+        .as("_tk"))
+      .select(col("qid"), posexplode(col("_tk")))
+      .select(col("qid"), col("col.id").as("cid"), col("col.score").as("dist"),
+        (col("pos") + 1).cast(LongType).as("rank"))
       .orderBy("qid", "rank")
   }
 

@@ -158,7 +158,9 @@ object PipelineQueries {
 
     // All-pairs word-3-gram Jaccard, top 20 most-similar pairs. The
     // oracle-checkable baseline for the shingling math; the scale path
-    // is dd04's LSH bucketing (no all-pairs join).
+    // is dd04's LSH bucketing (no all-pairs join). Postings longer than
+    // 64 docs are dropped whole on BOTH sides (the boilerplate safety
+    // valve that keeps the baseline sub-quadratic on viral shingles).
     QueryDef("dd03_ngram_jaccard",
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
         |           WHERE len(string_split(text, ' ')) >= 3),
@@ -166,8 +168,11 @@ object PipelineQueries {
         | sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
         |        FROM sh0),
         | sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        | keep AS (SELECT shingle FROM sh GROUP BY shingle
+        |          HAVING count(*) BETWEEN 2 AND 64),
         | pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
         |           FROM sh a JOIN sh b USING (shingle)
+        |           JOIN keep USING (shingle)
         |           WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
         |SELECT da, db,
         |  CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) AS jac
@@ -175,7 +180,8 @@ object PipelineQueries {
         |JOIN sz sa ON sa.doc_id = da
         |JOIN sz sb ON sb.doc_id = db
         |ORDER BY jac DESC, da, db LIMIT 20""".stripMargin) { (s, dir) =>
-      Dedup.jaccardPairs(docsWide(s, dir), "doc_id", "text", 3)
+      Dedup.jaccardPairs(docsWide(s, dir), "doc_id", "text", 3,
+          maxPosting = 64)
         .orderBy(col("jac").desc, col("da"), col("db"))
         .limit(20)
     },
@@ -741,9 +747,9 @@ object PipelineQueries {
     // they still carry signal.
     QueryDef("dq06_drift",
       """WITH a AS (SELECT CAST(least(greatest(floor(value / 10.0), 0), 9) AS BIGINT) AS bin
-        |           FROM events),
+        |           FROM events WHERE value IS NOT NULL),
         | b AS (SELECT CAST(least(greatest(floor((value * 1.25) / 10.0), 0), 9) AS BIGINT) AS bin
-        |       FROM events),
+        |       FROM events WHERE value IS NOT NULL),
         | ca AS (SELECT bin, count(*) AS n_a FROM a GROUP BY bin),
         | cb AS (SELECT bin, count(*) AS n_b FROM b GROUP BY bin),
         | nt AS (SELECT (SELECT count(*) FROM a) AS na,
@@ -925,6 +931,34 @@ object PipelineQueries {
           sum(when(!col("keep"), col("vec_id"))).cast(LongType)
             .as("removed_id_sum"))
         .orderBy("cluster")
+    },
+
+    // SemDeDup planted-clone recall floor: every vec_id < 200 gets a
+    // same-direction clone (×1.001 — cosine exactly 1 ≥ τ) planted at
+    // id+100000. A clone can ONLY be missed by landing in a different
+    // k-means cell than its original (the boundary-straddle loss the
+    // SemDeDup paper accepts), so this row pins that loss: ≥95% of
+    // planted clones must be flagged (measured 100% at all three SFs —
+    // a ×1.001 scale almost never flips an argmin cell). DuckDB states
+    // the planted count from the corpus and the floor flag as a
+    // constant; Spark computes both from the actual dedup output, so a
+    // blocking regression (bad seeds, broken τ-join) hash-mismatches.
+    QueryDef("dd15_recall",
+      """SELECT CAST(count(*) AS BIGINT) AS n_planted,
+        |  CAST(1 AS BIGINT) AS recall_ok
+        |FROM embeddings WHERE vec_id < 200""".stripMargin) { (s, dir) =>
+      val base = embWide(s, dir).select(col("vec_id"),
+        transform(col("embedding"), x => x.cast(DoubleType)).as("embedding"))
+      val clones = base.filter(col("vec_id") < 200)
+        .select((col("vec_id") + 100000).as("vec_id"),
+          transform(col("embedding"), x => x * lit(1.001)).as("embedding"))
+      Dedup.semanticDedup(base.unionAll(clones), 16, 0.99)
+        .filter(col("vec_id") >= 100000)
+        .agg(count(lit(1)).cast(LongType).as("n_planted"),
+          sum(when(col("keep"), 0L).otherwise(1L)).as("_flagged"))
+        .select(col("n_planted"),
+          when(col("_flagged") * 100 >= col("n_planted") * 95, 1L)
+            .otherwise(0L).as("recall_ok"))
     },
 
     // ================= text analysis =================

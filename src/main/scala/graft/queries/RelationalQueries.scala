@@ -60,6 +60,40 @@ object RelationalQueries {
       t(s, dir, n).createOrReplaceTempView(n)
     }
 
+  /** q42 body: persist both join sides bucketed + bucket-sorted on the
+    * join key under a fresh per-run tmpdir (unique path, so reruns never
+    * CTAS into a non-empty location), then run the priority rollup over
+    * the co-located merge join. 8 buckets ≈ sf0.01; at 100 TB the same
+    * layout uses O(thousands) of buckets and is written ONCE, amortized
+    * over every subsequent query on the key.
+    */
+  private def bucketedPriorityRollup(s: SparkSession, dir: String): DataFrame = {
+    val buckets = 8
+    // Spark >= 3.0 hides bucket sort order from the planner by default
+    // (a multi-file bucket is only partially sorted). writeBucketedAt
+    // guarantees ONE file per bucket (repartition on the bucket hash),
+    // which is exactly the regime where the legacy conf is sound — with
+    // it on, the scans report their sortBy order and the merge join
+    // plans with zero Sort nodes too. Session-wide and sticky on
+    // purpose: the conf must still be set when the CALLER plans this
+    // DataFrame (planning happens at action time, after we return).
+    s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    val base = java.nio.file.Files.createTempDirectory("graft_q42_").toString
+    graft.operators.Bucketing.writeBucketedAt(
+      t(s, dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount"),
+      "graft_q42_lineitem", "l_orderkey", buckets, s"$base/lineitem")
+    graft.operators.Bucketing.writeBucketedAt(
+      t(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority")),
+      "graft_q42_orders", "l_orderkey", buckets, s"$base/orders")
+    s.table("graft_q42_lineitem").hint("merge")
+      .join(s.table("graft_q42_orders"), "l_orderkey")
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("n_items"),
+        discSum(col("l_extendedprice"), col("l_discount")).as("revenue"))
+      .orderBy("priority")
+  }
+
   private val baseDefs: Seq[QueryDef] = Seq(
 
     // ---- aggregation: hash agg with partial (map-side) combine; the
@@ -872,18 +906,59 @@ object RelationalQueries {
         |  CAST(count(DISTINCT o_custkey) OVER (PARTITION BY c_mktsegment ORDER BY d
         |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS BIGINT) AS buyers_30d
         |FROM o ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      // Scale-safe rolling distinct: the naive form — collect_set OVER
+      // (PARTITION BY c_mktsegment RANGE 30 PRECEDING) — serializes each
+      // segment's ENTIRE order history through one task holding a
+      // per-frame set (~5 segments ⇒ 5 tasks at any SF). Rewrite as
+      // transition indicators:
+      //   1. dedup activity to (segment, custkey, day) — high-cardinality,
+      //      fully parallel;
+      //   2. per (segment, custkey), lag/lead find coverage ISLANDS: a
+      //      customer counts toward day d iff some activity falls in
+      //      [d-30, d], i.e. d lies in ∪[day_i, day_i+30]; gaps > 30
+      //      days split islands. Island start ⇒ +1 at its first day,
+      //      island end ⇒ −1 at (last day + 31);
+      //   3. prefix-sum the ±1 events over the per-segment DAY SPINE —
+      //      a window over segments × calendar-days rows (bounded by
+      //      time, not data; broadcast-sized at any corpus scale);
+      //   4. broadcast the spine back onto the order rows.
+      // Identical results; the only per-segment serial step is step 3
+      // over the tiny spine.
       val d = datediff(col("o_orderdate").cast(DateType),
         lit("1995-01-01").cast(DateType)).cast(LongType)
-      val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("d"))
-        .rangeBetween(-30, Window.currentRow)
-      t(s, dir, "orders")
+      val fact = t(s, dir, "orders")
         .join(t(s, dir, "customer"),
           col("o_custkey") === col("c_custkey"))
         .select(col("o_orderkey"), col("c_mktsegment"), col("o_custkey"),
           d.as("d"))
-        .select(col("o_orderkey"), col("c_mktsegment"),
-          size(collect_set(col("o_custkey")).over(w))
-            .cast(LongType).as("buyers_30d"))
+      val activity = fact.select("c_mktsegment", "o_custkey", "d").distinct()
+      val perCust = Window.partitionBy("c_mktsegment", "o_custkey")
+        .orderBy("d")
+      val marked = activity
+        .withColumn("prev", lag(col("d"), 1).over(perCust))
+        .withColumn("next", lead(col("d"), 1).over(perCust))
+      val starts = marked
+        .filter(col("prev").isNull || col("d") - col("prev") > 30)
+        .select(col("c_mktsegment"), col("d").as("ed"), lit(1L).as("delta"))
+      val ends = marked
+        .filter(col("next").isNull || col("next") - col("d") > 30)
+        .select(col("c_mktsegment"), (col("d") + 31).as("ed"),
+          lit(-1L).as("delta"))
+      // anchor every activity day into the spine (delta 0) so the fact
+      // join below always finds its day's running total
+      val anchors = activity
+        .select(col("c_mktsegment"), col("d").as("ed"), lit(0L).as("delta"))
+        .distinct()
+      val spine = starts.unionByName(ends).unionByName(anchors)
+        .groupBy("c_mktsegment", "ed").agg(sum("delta").as("delta"))
+      val cum = Window.partitionBy("c_mktsegment").orderBy("ed")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val counts = spine
+        .select(col("c_mktsegment"), col("ed").as("d"),
+          sum(col("delta")).over(cum).cast(LongType).as("buyers_30d"))
+      fact.select("o_orderkey", "c_mktsegment", "d")
+        .join(broadcast(counts), Seq("c_mktsegment", "d"))
+        .select(col("o_orderkey"), col("c_mktsegment"), col("buyers_30d"))
         .orderBy("o_orderkey")
     },
 

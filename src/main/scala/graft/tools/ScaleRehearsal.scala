@@ -88,6 +88,13 @@ object ScaleRehearsal {
       }
       val e = embAt(ep)
       val q = e.filter(col("vec_id") < 10)
+      // exact top-k via the bounded TopKAgg partial agg (r11): shuffle
+      // bytes must stay ~flat 1x→10x (≤ k pairs per query × map
+      // partition cross the exchange), while the pre-r11 row_number
+      // window shipped all N scores per query
+      measure(s"sim01_exact_topk   $tag") {
+        Similarity.cosineTopK(q, e, 5, exact = true).count()
+      }
       measure(s"sim03_lsh_topk     $tag") {
         Similarity.annTopK(q, e, 5, bits = 4, tables = 16).count()
       }

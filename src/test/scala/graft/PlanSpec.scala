@@ -81,6 +81,16 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("sim02: exact top-k collapses map-side (partial top_k agg), no per-query rank window") {
+    val plan = planOf("sim02_cosine_topk_hof")
+    // the old shape shipped all N candidate scores to one task per
+    // query via row_number over Window.partitionBy(qid)
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("partial_top_k") ||
+      plan.linesIterator.exists(l =>
+        l.contains("top_k") && l.contains("Partial")), plan)
+  }
+
   test("q17/q18: outer joins broadcast their small side, keep outer semantics") {
     val p17 = planOf("q17_left_outer_join")
     assert(p17.contains("LeftOuter"), p17)
@@ -313,6 +323,45 @@ class PlanSpec extends AnyFunSuite {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None)    => spark.conf.unset(k)
     }
+  }
+
+  test("q36: rolling distinct has no per-segment window over the fact table") {
+    val df = optimized("q36_windowed_distinct")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // the old shape held a per-frame set in ~5 segment-partition tasks
+    assert(!plan.contains("collect_set"), plan)
+    // per-customer islands parallelize: a window keyed by BOTH segment
+    // and custkey must exist…
+    val windowLines = plan.linesIterator.filter(_.contains("Window")).toVector
+    assert(windowLines.exists(l =>
+      l.contains("c_mktsegment") && l.contains("o_custkey")), plan)
+    // …and any segment-only window may run only above an aggregation
+    // (the bounded day spine), never over raw fact rows: the spine
+    // window's child must be the spine HashAggregate exchange
+    val segOnly = windowLines.filter(l =>
+      l.contains("c_mktsegment") && !l.contains("o_custkey"))
+    assert(segOnly.forall(_.contains("delta")), plan)
+  }
+
+  test("q42: bucketed layout — no Exchange and no Sort anywhere below the join") {
+    val df = optimized("q42_bucketed_join")
+    df.collect() // finalize the adaptive plan
+    // the adaptive toString renders Final AND Initial plans — the
+    // Initial copy still shows the pre-AQE shape, cut it off
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val lines = plan.linesIterator.toVector
+    val j = lines.indexWhere(_.contains("SortMergeJoin"))
+    assert(j >= 0, plan)
+    // below the join: only the bucketed scans — the layout already
+    // partitioned AND sorted both sides, so the only shuffles in the
+    // whole query are the 5-row priority rollup above the join
+    val below = lines.drop(j + 1)
+    assert(!below.exists(_.contains("Exchange")), plan)
+    assert(!below.exists(_.contains("Sort [")), plan)
+    assert(plan.contains("Bucketed: true"), plan)
   }
 
   test("dd12: sharded span postings — bounded buffers, one tokenize pass, no window") {

@@ -87,4 +87,45 @@ class SkewAndLogTableSpec extends AnyFunSuite {
         LocalDate.of(2025, 1, 1), LocalDate.of(2025, 1, 2))
     }
   }
+
+  test("LogTable.ddl emits the published Athena contract from the schema") {
+    val ddl = LogTable.ddl("logs-example",
+      "s3://dest/processed/acct/us-east-1/logs-example/")
+    // column block string-for-string: the AWS server-access-log field
+    // list, types per the compacted parquet (reference contract
+    // example_sql/athena_create_table.sql:2-29)
+    val expectedCols = Seq(
+      "bucket_owner" -> "string", "s3_bucket" -> "string",
+      "request_time" -> "timestamp", "remote_ip" -> "string",
+      "requester" -> "string", "request_id" -> "string",
+      "operation" -> "string", "key" -> "string", "request" -> "string",
+      "http_status" -> "int", "error_code" -> "string",
+      "bytes_sent" -> "bigint", "object_size" -> "bigint",
+      "total_time" -> "bigint", "turn_around_time" -> "bigint",
+      "referrer" -> "string", "user_agent" -> "string",
+      "version_id" -> "string", "host_id" -> "string",
+      "signature_version" -> "string", "cipher_suite" -> "string",
+      "authentication_type" -> "string", "host_header" -> "string",
+      "tls_version" -> "string", "access_point_arn" -> "string",
+      "acl_required" -> "string", "error_line" -> "string")
+    expectedCols.foreach { case (name, tpe) =>
+      assert(ddl.contains(s"`$name` $tpe COMMENT ''"), s"$name $tpe")
+    }
+    // column ORDER matches the parquet column order exactly
+    val emitted = ddl.linesIterator
+      .filter(_.trim.startsWith("`")).map(_.trim.split(" ")(0)).toSeq
+    assert(emitted == expectedCols.map { case (n, _) => s"`$n`" })
+    // partition projection block
+    assert(ddl.contains("PARTITIONED BY (\n    date string\n)"))
+    assert(ddl.contains("\"projection.enabled\" = \"true\""))
+    assert(ddl.contains("\"projection.date.format\" = \"yyyy/MM/dd\""))
+    assert(ddl.contains("\"projection.date.range\" = \"2020/01/01,NOW\""))
+    // trailing slash normalized; template appends ${date}/
+    assert(ddl.contains(
+      "LOCATION\n  's3://dest/processed/acct/us-east-1/logs-example'"))
+    assert(ddl.contains("\"storage.location.template\" = " +
+      "\"s3://dest/processed/acct/us-east-1/logs-example/${date}/\""))
+    assert(ddl.contains(
+      "'org.apache.hadoop.hive.ql.io.parquet.serde.ParquetHiveSerDe'"))
+  }
 }
