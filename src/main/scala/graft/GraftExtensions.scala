@@ -64,6 +64,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }: Expression))
 
     ext.injectFunction((
+      new FunctionIdentifier("top_k"),
+      new ExpressionInfo(classOf[graft.functions.TopKAggExpr].getName,
+        null, "top_k",
+        "_FUNC_(score, id, k, ascending) - Aggregate: the group's k best " +
+          "(score, id) pairs as a rank-ordered array<struct<score,id>>; " +
+          "ascending=true keeps smallest scores (distances), false keeps " +
+          "largest (similarities); ids break ties ascending. The buffer " +
+          "is k slots, so partial aggregation bounds the exchange by k.",
+        "", "", "", "agg_funcs", "0.1.0", "", "scala_udf"),
+      (children: Seq[Expression]) => {
+        val (k, asc) = children match {
+          case Seq(_, _, Literal(kv: Int, IntegerType),
+              Literal(av: Boolean, org.apache.spark.sql.types.BooleanType))
+            if kv > 0 => (kv, av)
+          case _ => throw new IllegalArgumentException(
+            "top_k expects (score, id, <positive int literal>, <boolean literal>)")
+        }
+        graft.functions.TopKAggExpr(children.head, children(1), k, asc)
+          .toAggregateExpression()
+      }: Expression))
+
+    ext.injectFunction((
       new FunctionIdentifier("quote_tokenize"),
       new ExpressionInfo(classOf[graft.functions.QuoteTokenizeExpr].getName,
         null, "quote_tokenize",

@@ -937,19 +937,22 @@ object RelationalQueries {
       val marked = activity
         .withColumn("prev", lag(col("d"), 1).over(perCust))
         .withColumn("next", lead(col("d"), 1).over(perCust))
-      val starts = marked
-        .filter(col("prev").isNull || col("d") - col("prev") > 30)
-        .select(col("c_mktsegment"), col("d").as("ed"), lit(1L).as("delta"))
-      val ends = marked
-        .filter(col("next").isNull || col("next") - col("d") > 30)
-        .select(col("c_mktsegment"), (col("d") + 31).as("ed"),
-          lit(-1L).as("delta"))
-      // anchor every activity day into the spine (delta 0) so the fact
-      // join below always finds its day's running total
-      val anchors = activity
-        .select(col("c_mktsegment"), col("d").as("ed"), lit(0L).as("delta"))
-        .distinct()
-      val spine = starts.unionByName(ends).unionByName(anchors)
+      // one generate pass emits all three event kinds — island start
+      // (+1 at first day), island end (−1 at last+31), and a delta-0
+      // anchor at every activity day so the fact join below always
+      // finds its day's running total. A single consumer of `marked`
+      // keeps the whole ±1 derivation to ONE window pass over activity
+      // (the three-branch union recomputed it three times).
+      val spine = marked
+        .select(col("c_mktsegment"), explode(array(
+          when(col("prev").isNull || col("d") - col("prev") > 30,
+            struct(col("d").as("ed"), lit(1L).as("delta"))),
+          when(col("next").isNull || col("next") - col("d") > 30,
+            struct((col("d") + 31).as("ed"), lit(-1L).as("delta"))),
+          struct(col("d").as("ed"), lit(0L).as("delta")))).as("e"))
+        .filter(col("e").isNotNull)
+        .select(col("c_mktsegment"), col("e.ed").as("ed"),
+          col("e.delta").as("delta"))
         .groupBy("c_mktsegment", "ed").agg(sum("delta").as("delta"))
       val cum = Window.partitionBy("c_mktsegment").orderBy("ed")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)

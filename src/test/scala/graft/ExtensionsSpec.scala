@@ -67,6 +67,37 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("SQL top_k equals the Column-API aggregate and respects order") {
+    withExtSession { s =>
+      import s.implicits._
+      val df = (1 to 100).map(i => (i % 4, i.toDouble % 13, i.toLong))
+        .toDF("g", "score", "id")
+      df.createOrReplaceTempView("scored")
+      val viaSql = s.sql(
+        "SELECT g, top_k(score, id, 3, false) AS tk FROM scored GROUP BY g")
+        .collect().map(r => r.getInt(0) ->
+          r.getSeq[org.apache.spark.sql.Row](1)
+            .map(p => (p.getDouble(0), p.getLong(1)))).toMap
+      val viaCol = df.groupBy($"g")
+        .agg(graft.functions.TopKAgg.top_k($"score", $"id", 3,
+          ascending = false).as("tk"))
+        .collect().map(r => r.getInt(0) ->
+          r.getSeq[org.apache.spark.sql.Row](1)
+            .map(p => (p.getDouble(0), p.getLong(1)))).toMap
+      assert(viaSql == viaCol && viaSql.size == 4)
+      // rank order: scores descending, ids ascending on ties
+      viaSql.values.foreach { tk =>
+        assert(tk.length == 3)
+        assert(tk.sliding(2).forall { case Seq((s1, i1), (s2, i2)) =>
+          s1 > s2 || (s1 == s2 && i1 < i2) })
+      }
+      // non-literal k refused
+      intercept[Exception] {
+        s.sql("SELECT top_k(score, id, g, false) FROM scored").collect()
+      }
+    }
+  }
+
   test("quote_tokenize is SQL-callable and type-checks its argument") {
     withExtSession { s =>
       val toks = s.sql(
