@@ -45,11 +45,13 @@ object Tables {
     else df.repartition(slots)
   }
 
-  /** `events.ts` is nanosecond-precision parquet, which Spark 4 refuses
-    * outright (PARQUET_TYPE_ILLEGAL). Read it as a raw long via the
-    * legacy conf, truncate ns → µs with integer division (DuckDB's reader
-    * truncates identically), and surface TIMESTAMP_NTZ so downstream
-    * results hash-match the DuckDB oracle.
+  /** `events.ts` has shipped in two physical layouts across testdata
+    * generations: nanosecond-precision parquet (which Spark 4 refuses
+    * outright — PARQUET_TYPE_ILLEGAL — so it's read as a raw long via
+    * the legacy conf and truncated ns → µs exactly like DuckDB's
+    * reader), and plain `timestamp[us]` (which Spark reads natively).
+    * Adapt on the loaded type and surface TIMESTAMP_NTZ either way so
+    * downstream results hash-match the DuckDB oracle.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     prepareEventsRead(spark)
@@ -70,8 +72,19 @@ object Tables {
   def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.types._
     prepareEventsRead(spark)
+    // probe the physical layout once via the batch reader (planning
+    // only — no job runs): ns-as-long arrives as LONG, µs as a
+    // timestamp type. The stream schema mirrors whichever is on disk.
+    val tsOnDisk = load(spark, sfDir, "events").schema("ts").dataType
+    val rawTs = tsOnDisk match {
+      case LongType => LongType
+      // declare LTZ (not NTZ): Spark refuses watermarks on NTZ
+      // (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE); the µs payload is
+      // identical and the UTC guard makes the wall clock identical
+      case _ => TimestampType
+    }
     val raw = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("event_id", LongType), StructField("ts", rawTs),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
     // two FileStreamSource quirks of streaming a single FILE: the path
@@ -79,16 +92,26 @@ object Tables {
     // basePath = the path itself into the per-batch read, which fails
     // "Option 'basePath' must be a directory"), and the real basePath
     // must then be supplied explicitly
-    spark.readStream.schema(raw).option("basePath", sfDir)
+    val src = spark.readStream.schema(raw).option("basePath", sfDir)
       .parquet(s"$sfDir/events.parque[t]")
-      .withColumn("ts", org.apache.spark.sql.functions
+    if (rawTs == LongType)
+      src.withColumn("ts", org.apache.spark.sql.functions
         .timestamp_micros(org.apache.spark.sql.functions.expr("ts div 1000")))
+    else src
   }
 
-  private def deriveTs(df: DataFrame): DataFrame =
-    df.withColumn("ts", org.apache.spark.sql.functions
-      .timestamp_micros(org.apache.spark.sql.functions.expr("ts div 1000"))
-      .cast(org.apache.spark.sql.types.TimestampNTZType))
+  private def deriveTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", org.apache.spark.sql.functions
+          .timestamp_micros(org.apache.spark.sql.functions.expr("ts div 1000"))
+          .cast(TimestampNTZType))
+      case TimestampNTZType => df
+      case _ => df.withColumn("ts",
+        org.apache.spark.sql.functions.col("ts").cast(TimestampNTZType))
+    }
+  }
 
   private def prepareEventsRead(spark: SparkSession): Unit = {
     // The micros→NTZ cast in deriveTs renders the instant's wall clock

@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.functions.TopKAgg
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -14,8 +13,37 @@ import org.apache.spark.sql.types._
   * set against a broadcastable candidate block, wrong for all-pairs at
   * 100 TB. The LSH variant buckets vectors by random-hyperplane sign
   * signatures so candidate generation is a hash-partitioned equi-join.
+  * Every per-query/per-vector top-k in this object goes through the
+  * bounded [[graft.functions.TopKAgg]] partial aggregate — never a
+  * per-group `row_number` window, whose exchange grows with corpus
+  * size — so no top-k stage here ships more than k pairs per
+  * (group × map partition).
+  *
+  * ID CONTRACT: every `*TopK` method requires `idCol` to be an
+  * integral numeric column — ids ride through the bounded top-k
+  * aggregate as `bigint`, and output `qid`/`cid` are `bigint`. A
+  * non-numeric id would cast to null and those rows would be silently
+  * dropped; [[requireIntegralId]] rejects that at plan time instead.
   */
 object Similarity {
+
+  /** Fails fast (at plan time) when `idCol` is not an integral type —
+    * ids ride through the bounded top-k aggregate as `bigint`, and a
+    * lossy cast (string, float, decimal) would cast to null and
+    * silently drop rows instead of erroring.
+    */
+  private def requireIntegralId(df: DataFrame, idCol: String): Unit = {
+    val dt = df.schema(idCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"idCol '$idCol' must be integral (byte/short/int/long): ids ride " +
+        s"through the bounded top-k aggregate as bigint; got $dt")
+  }
+
+  private def requireIntegralIds(queries: DataFrame, candidates: DataFrame,
+                                 idCol: String): Unit = {
+    requireIntegralId(queries, idCol)
+    requireIntegralId(candidates, idCol)
+  }
 
   /** Higher-order-function cosine similarity between two double arrays
     * (codegen'd; one pass, no explode).
@@ -72,6 +100,7 @@ object Similarity {
   def cosineTopK(queries: DataFrame, candidates: DataFrame, k: Int,
                  idCol: String = "vec_id", vecCol: String = "embedding",
                  exact: Boolean = false): DataFrame = {
+    requireIntegralIds(queries, candidates, idCol)
     def dec(c: Column) =
       transform(c, x => x.cast(DoubleType).cast(DecimalType(12, 6)))
     def dotD(x: Column, y: Column) =
@@ -121,6 +150,7 @@ object Similarity {
     */
   def l2TopK(queries: DataFrame, candidates: DataFrame, k: Int,
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    requireIntegralIds(queries, candidates, idCol)
     def dbl(c: Column) = transform(c, x => x.cast(DoubleType))
     def l2(a: Column, b: Column) =
       aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
@@ -232,6 +262,7 @@ object Similarity {
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(m >= 1 && codes >= 2 && shortlist >= k,
       "need m >= 1, codes >= 2, shortlist >= k")
+    requireIntegralIds(queries, candidates, idCol)
     def dbl(c: Column) = transform(c, x => x.cast(DoubleType))
     def l2(a: Column, b: Column) =
       aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
@@ -276,23 +307,35 @@ object Similarity {
       .select(col("qid"), col("sub"), col("_code"),
         l2(col("qsv"), col("cvec")).cast(DecimalType(28, 12)).as("_d"))
 
-    val wShort = Window.partitionBy(col("qid"))
-      .orderBy(col("adc_dist"), col("cid"))
+    // shortlist via the bounded TopKAgg buffer, NOT a per-query
+    // row_number window: the window shape ships ALL N ADC-scored
+    // candidates to one task per query — per-query exchange bytes grow
+    // with corpus size. The agg partial-aggregates map-side, so the
+    // exchange carries ≤ shortlist pairs per (query × partition). The
+    // exact DECIMAL sum casts to double only for the top-k comparison;
+    // ties (adc_dist, then cid asc) match the window's orderBy.
     val short = encoded.join(broadcast(adc), Seq("sub", "_code"))
       .groupBy(col("qid"), col("cid")).agg(sum(col("_d")).as("adc_dist"))
       .filter(col("qid") =!= col("cid"))
-      .withColumn("_r", row_number().over(wShort))
-      .filter(col("_r") <= shortlist)
-      .select("qid", "cid")
+      .groupBy(col("qid"))
+      .agg(TopKAgg.top_k(col("adc_dist").cast(DoubleType),
+        col("cid").cast(LongType), shortlist, ascending = true).as("_tk"))
+      .select(col("qid"), explode(col("_tk")).as("_e"))
+      .select(col("qid"), col("_e.id").as("cid"))
 
-    // exact re-rank of the shortlist
-    val wK = Window.partitionBy(col("qid")).orderBy(col("dist"), col("cid"))
+    // exact re-rank of the shortlist — same bounded-aggregate shape
+    // (≤ shortlist rows per query feed it, but zero windows keeps the
+    // whole plan in the bounded-exchange regime PlanSpec pins)
     short
       .join(broadcast(q), "qid").join(cand, "cid")
-      .select(col("qid"), col("cid"), l2(col("qv"), col("cv")).as("dist"))
-      .withColumn("rank", row_number().over(wK).cast(LongType))
-      .filter(col("rank") <= k)
-      .select("qid", "cid", "dist", "rank")
+      .select(col("qid"), col("cid").cast(LongType).as("cid"),
+        l2(col("qv"), col("cv")).as("dist"))
+      .groupBy(col("qid"))
+      .agg(TopKAgg.top_k(col("dist"), col("cid"), k, ascending = true)
+        .as("_tk"))
+      .select(col("qid"), posexplode(col("_tk")))
+      .select(col("qid"), col("col.id").as("cid"), col("col.score").as("dist"),
+        (col("pos") + 1).cast(LongType).as("rank"))
       .orderBy("qid", "rank")
   }
 
@@ -326,6 +369,7 @@ object Similarity {
                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(nprobe >= 1 && nprobe <= nlist && shortlist >= k,
       "need 1 <= nprobe <= nlist and shortlist >= k")
+    requireIntegralIds(queries, candidates, idCol)
     def dbl(c: Column) = transform(c, x => x.cast(DoubleType))
     def l2(a: Column, b: Column) =
       aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
@@ -375,14 +419,20 @@ object Similarity {
       .groupBy(col("cid"), col("cell"), col("sub"))
       .agg(min(col("_dc")).getField("_code").as("_code"))
 
-    // probe: per query the nprobe nearest cells (nlist rows per query —
-    // a per-query window over a broadcast-tiny frame)
-    val wProbe = Window.partitionBy(col("qid")).orderBy(col("_d"), col("cell"))
+    // probe: per query the nprobe nearest cells. Only nlist rows per
+    // query, but the bounded TopKAgg keeps even this stage map-side
+    // (no per-query window anywhere in the plan — PlanSpec pins it);
+    // probed cells re-join broadcast(coarse) to recover the centroid
+    // vector for the query residual.
     val probes = q.crossJoin(broadcast(coarse))
-      .select(col("qid"), col("qv"), col("cell"), col("cellv"),
-        l2(col("qv"), col("cellv")).as("_d"))
-      .withColumn("_r", row_number().over(wProbe))
-      .filter(col("_r") <= nprobe)
+      .select(col("qid"), col("cell"), l2(col("qv"), col("cellv")).as("_d"))
+      .groupBy(col("qid"))
+      .agg(TopKAgg.top_k(col("_d"), col("cell").cast(LongType), nprobe,
+        ascending = true).as("_tk"))
+      .select(col("qid"), explode(col("_tk")).as("_e"))
+      .select(col("qid"), col("_e.id").as("cell"))
+      .join(broadcast(q), "qid")
+      .join(broadcast(coarse), "cell")
       .select(col("qid"), col("cell"),
         zip_with(col("qv"), col("cellv"), (x, y) => x - y).as("qrv"))
 
@@ -393,22 +443,29 @@ object Similarity {
       .select(col("qid"), col("cell"), col("sub"), col("_code"),
         l2(col("qsv"), col("cvec")).cast(DecimalType(28, 12)).as("_d"))
 
-    val wShort = Window.partitionBy(col("qid"))
-      .orderBy(col("adc_dist"), col("cid"))
+    // bounded map-side shortlist + re-rank (see pqTopK): exchange bytes
+    // per query bounded by shortlist/k, never the probed candidate count
+    // (≈ nprobe/nlist of the corpus — still linear in N through one
+    // task per query under the old window shape)
     val short = encoded.join(broadcast(adc), Seq("cell", "sub", "_code"))
       .groupBy(col("qid"), col("cid")).agg(sum(col("_d")).as("adc_dist"))
       .filter(col("qid") =!= col("cid"))
-      .withColumn("_r", row_number().over(wShort))
-      .filter(col("_r") <= shortlist)
-      .select("qid", "cid")
+      .groupBy(col("qid"))
+      .agg(TopKAgg.top_k(col("adc_dist").cast(DoubleType),
+        col("cid").cast(LongType), shortlist, ascending = true).as("_tk"))
+      .select(col("qid"), explode(col("_tk")).as("_e"))
+      .select(col("qid"), col("_e.id").as("cid"))
 
-    val wK = Window.partitionBy(col("qid")).orderBy(col("dist"), col("cid"))
     short
       .join(broadcast(q), "qid").join(cand, "cid")
-      .select(col("qid"), col("cid"), l2(col("qv"), col("cv")).as("dist"))
-      .withColumn("rank", row_number().over(wK).cast(LongType))
-      .filter(col("rank") <= k)
-      .select("qid", "cid", "dist", "rank")
+      .select(col("qid"), col("cid").cast(LongType).as("cid"),
+        l2(col("qv"), col("cv")).as("dist"))
+      .groupBy(col("qid"))
+      .agg(TopKAgg.top_k(col("dist"), col("cid"), k, ascending = true)
+        .as("_tk"))
+      .select(col("qid"), posexplode(col("_tk")))
+      .select(col("qid"), col("col.id").as("cid"), col("col.score").as("dist"),
+        (col("pos") + 1).cast(LongType).as("rank"))
       .orderBy("qid", "rank")
   }
 
@@ -496,6 +553,7 @@ object Similarity {
               nlist: Int = 16, nprobe: Int = 4,
               iters: Int = 0, sampleMod: Int = 4,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    requireIntegralIds(queries, candidates, idCol)
     def dbl(c: Column) = transform(c, x => x.cast(DoubleType))
     def dot(x: Column, y: Column) =
       aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
@@ -526,13 +584,17 @@ object Similarity {
       .withColumn("_sn", sqrt(dot(col("_sv"), col("_sv"))))
     val refined = (1 to iters).foldLeft(seeds) { (cents, _) =>
       val cn = cents.withColumn("_cn", sqrt(dot(col("cvec"), col("cvec"))))
-      val wAsg = Window.partitionBy(col("_sid"))
-        .orderBy(col("_d"), col("centroid_id"))
+      // map-side min(struct) argmin — the centroids dimension collapses
+      // BEFORE the exchange; ties (_d, centroid_id) match the old
+      // window's orderBy
       sample.crossJoin(broadcast(cn))
-        .withColumn("_d",
-          lit(1.0) - dot(col("_sv"), col("cvec")) / (col("_sn") * col("_cn")))
-        .withColumn("_r", row_number().over(wAsg))
-        .filter(col("_r") === 1)
+        .select(col("_sid"), col("_sv"),
+          struct((lit(1.0) -
+            dot(col("_sv"), col("cvec")) / (col("_sn") * col("_cn"))).as("_d"),
+            col("centroid_id")).as("_dc"))
+        .groupBy(col("_sid"))
+        .agg(min(col("_dc")).getField("centroid_id").as("centroid_id"),
+          first(col("_sv")).as("_sv"))
         .select(col("centroid_id"), posexplode(col("_sv")))
         .groupBy(col("centroid_id"), col("pos"))
         .agg(avg(col("col").cast(DecimalType(25, 12))).cast(DoubleType).as("_m"))
@@ -544,29 +606,41 @@ object Similarity {
     val centroids = refined
       .withColumn("cnorm", sqrt(dot(col("cvec"), col("cvec"))))
 
-    // norms precomputed ONCE per vector; per-pair work is a single dot
+    // norms precomputed ONCE per vector; per-pair work is a single dot.
+    // The nearest-centroid pick is a bounded TopKAgg — the nlist
+    // dimension collapses map-side BEFORE the exchange (the old
+    // row_number window shipped N·nlist scored rows through a shuffle
+    // keyed on the vector id); ties (_dist, centroid_id asc) identical.
     def assign(df: DataFrame, topN: Int, id: String, v: String,
-               nn: String): DataFrame = {
-      val ww = Window.partitionBy(col(id))
-        .orderBy(col("_dist"), col("centroid_id"))
+               nn: String): DataFrame =
       withNorm(df, id, v, nn)
         .crossJoin(broadcast(centroids))
-        .withColumn("_dist",
-          lit(1.0) - dot(col(v), col("cvec")) / (col(nn) * col("cnorm")))
-        .withColumn("_cr", row_number().over(ww))
-        .filter(col("_cr") <= topN)
-        .select(col(id), col(v), col(nn), col("centroid_id"))
-    }
+        .select(col(id), col(v), col(nn),
+          (lit(1.0) - dot(col(v), col("cvec")) / (col(nn) * col("cnorm")))
+            .as("_dist"),
+          col("centroid_id"))
+        .groupBy(col(id))
+        .agg(TopKAgg.top_k(col("_dist"), col("centroid_id").cast(LongType),
+          topN, ascending = true).as("_tk"),
+          first(col(v)).as(v), first(col(nn)).as(nn))
+        .select(col(id), col(v), col(nn), explode(col("_tk")).as("_e"))
+        .select(col(id), col(v), col(nn), col("_e.id").as("centroid_id"))
 
     val assigned = assign(candidates, 1, "cid", "cv", "cn")
     val probes = assign(queries, nprobe, "qid", "qv", "qn")
-    val wk = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+    // final top-k through the same bounded aggregate: exchange carries
+    // ≤ k pairs per (query × partition), never the ≈ nprobe/nlist·N
+    // probed candidates the window shape serialized onto one task
     probes.join(assigned, "centroid_id")
       .filter(col("qid") =!= col("cid"))
-      .select(col("qid"), col("cid"),
+      .select(col("qid"), col("cid").cast(LongType).as("cid"),
         (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("sim"))
-      .withColumn("rank", row_number().over(wk).cast(LongType))
-      .filter(col("rank") <= k)
+      .groupBy(col("qid"))
+      .agg(TopKAgg.top_k(col("sim"), col("cid"), k, ascending = false)
+        .as("_tk"))
+      .select(col("qid"), posexplode(col("_tk")))
+      .select(col("qid"), col("col.id").as("cid"), col("col.score").as("sim"),
+        (col("pos") + 1).cast(LongType).as("rank"))
       .orderBy("qid", "rank")
   }
 
@@ -624,6 +698,7 @@ object Similarity {
   def annTopK(queries: DataFrame, candidates: DataFrame, k: Int,
               bits: Int = 4, tables: Int = 16,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    requireIntegralIds(queries, candidates, idCol)
     val qb = lshTables(queries, bits, tables, idCol, vecCol)
       .select(col(idCol).as("qid"), col("table"), col("bucket"))
     val cb = lshTables(candidates, bits, tables, idCol, vecCol)
@@ -633,12 +708,20 @@ object Similarity {
       .select("qid", "cid").distinct()
     val qv = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
     val cv = candidates.select(col(idCol).as("cid"), col(vecCol).as("cv"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+    // bounded map-side top-k (see cosineTopK): the LSH candidate set per
+    // query is ≈ tables/2^bits of the corpus on a structure-free corpus
+    // — linear in N — so the old per-query rank window shipped a
+    // linear-in-N row set to one task per query; the aggregate's
+    // exchange carries ≤ k pairs per (query × partition)
     pairs.join(broadcast(qv), "qid").join(cv, "cid")
-      .select(col("qid"), col("cid"), cosine(col("qv"), col("cv")).as("sim"))
-      .withColumn("rank", row_number().over(w).cast(LongType))
-      .filter(col("rank") <= k)
-      .select("qid", "cid", "sim", "rank")
+      .select(col("qid"), col("cid").cast(LongType).as("cid"),
+        cosine(col("qv"), col("cv")).as("sim"))
+      .groupBy(col("qid"))
+      .agg(TopKAgg.top_k(col("sim"), col("cid"), k, ascending = false)
+        .as("_tk"))
+      .select(col("qid"), posexplode(col("_tk")))
+      .select(col("qid"), col("col.id").as("cid"), col("col.score").as("sim"),
+        (col("pos") + 1).cast(LongType).as("rank"))
       .orderBy("qid", "rank")
   }
 }
