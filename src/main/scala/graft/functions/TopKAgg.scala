@@ -4,6 +4,7 @@ import java.nio.ByteBuffer
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -27,6 +28,13 @@ import org.apache.spark.sql.types._
   * The k-slot insertion buffer is O(k) per update — for ANN-scale k
   * (≤ a few hundred) that beats heap bookkeeping; the hot path is a
   * branch + `System.arraycopy`.
+  *
+  * NULL semantics: rows whose score or id is null are SKIPPED (standard
+  * aggregate-ignores-nulls behavior). This differs from the
+  * nulls-first ascending `row_number` windows this aggregate replaced,
+  * which ranked a null-distance row (e.g. from a length-mismatched
+  * vector) into the top-k. Callers that must surface malformed inputs
+  * loudly should assert score non-nullness upstream.
   */
 case class TopKAggExpr(
     score: Expression,
@@ -38,6 +46,20 @@ case class TopKAggExpr(
   extends TypedImperativeAggregate[TopKBuffer] {
 
   require(k > 0, s"top_k needs k > 0, got $k")
+
+  // analysis-time typing: SQL `top_k(int_col, id, 3, false)` must fail
+  // analysis with a clear type-mismatch error, not die at runtime with
+  // a ClassCastException in update(). Strict (no implicit widening):
+  // callers cast scores to double / ids to bigint explicitly, keeping
+  // the buffer layout visible at the call site.
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (score.dataType != DoubleType)
+      TypeCheckResult.TypeCheckFailure(
+        s"top_k score must be DOUBLE, got ${score.dataType.sql} — cast explicitly")
+    else if (id.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"top_k id must be BIGINT, got ${id.dataType.sql} — cast explicitly")
+    else TypeCheckResult.TypeCheckSuccess
 
   override def children: Seq[Expression] = Seq(score, id)
   override def nullable: Boolean = false

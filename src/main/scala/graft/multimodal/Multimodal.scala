@@ -15,6 +15,8 @@ case class MediaAsset(asset_id: Long, kind: String, payload: Array[Byte],
 
 case class MediaFeature(asset_id: Long, kind: String, feature: Array[Float])
 
+case class MediaHash(asset_id: Long, dhash: Long)
+
 /** Multimodal-column operators (SURVEY.md §2c): image/audio/video as
   * opaque binary columns with typed metadata; decode / feature-extract /
   * resize / frame-sample implemented as batched partition-local
@@ -392,6 +394,161 @@ object Multimodal {
       case "audio" => decodeAudio(a.payload, dim)
       case _ => decodeVideo(a.payload, dim)
     }
+
+  /** 64-bit perceptual difference hash (dHash) of an image payload: PNG
+    * decode, integer-luma means over a 9×8 cell grid, bit (x,y) set iff
+    * cell (x,y) is brighter than its right neighbor (8 comparisons per
+    * row × 8 rows = 64 bits). The sign-of-adjacent-difference encoding
+    * makes the hash invariant to re-encoding (PNG is lossless) and to
+    * uniform brightness/contrast changes (differences scale, signs
+    * survive), which is exactly what a near-dup sweep over a scraped
+    * image corpus must catch. Cell comparison is exact-integer
+    * (cross-multiplied sums — cells have unequal pixel counts, and a
+    * float mean would put platform rounding into a 64-bit identity).
+    * Undecodable bytes degrade to a payload-derived stub hash, the
+    * dead-letter philosophy of the decoders above.
+    */
+  private[graft] def dHash64(payload: Array[Byte]): Long = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: java.io.IOException => null }
+    if (img == null || img.getWidth < 10 || img.getHeight < 9)
+      return stubHash(payload)
+    val gw = 9; val gh = 8
+    val sums = new Array[Long](gw * gh)
+    val cnts = new Array[Long](gw * gh)
+    var y = 0
+    while (y < img.getHeight) {
+      val cy = y * gh / img.getHeight
+      var x = 0
+      while (x < img.getWidth) {
+        val cx = x * gw / img.getWidth
+        val rgb = img.getRGB(x, y)
+        sums(cy * gw + cx) +=
+          (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+            (rgb & 0xff) * 114) / 1000
+        cnts(cy * gw + cx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var bits = 0L
+    var cy = 0
+    while (cy < gh) {
+      var cx = 0
+      while (cx < gw - 1) {
+        val l = cy * gw + cx
+        // mean(l) > mean(l+1) without division: exact-integer cross-mul
+        if (sums(l) * cnts(l + 1) > sums(l + 1) * cnts(l))
+          bits |= 1L << (cy * 8 + cx)
+        cx += 1
+      }
+      cy += 1
+    }
+    bits
+  }
+
+  /** Stable 64-bit fallback hash of undecodable payload bytes (same
+    * degradation contract as [[decodeStub]]).
+    */
+  private def stubHash(payload: Array[Byte]): Long = {
+    var h = 1125899906842597L
+    var i = 0
+    while (i < payload.length) { h = 31 * h + payload(i); i += 1 }
+    h * 6364136223846793005L + 1442695040888963407L
+  }
+
+  /** Perceptual hashes for the image assets of a media table, batched
+    * per partition like [[extractFeatures]] (payload bytes never enter
+    * a shuffle; the output is 16 bytes per image regardless of payload
+    * size — the reduction that makes media near-dup tractable at
+    * 100 TB: hash once, then all pairing runs on the hashes).
+    */
+  def dHashes(assets: Dataset[MediaAsset], batchSize: Int = 128): Dataset[MediaHash] = {
+    import assets.sparkSession.implicits._
+    assets.filter(_.kind == "image").mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.iterator.map(a =>
+        MediaHash(a.asset_id, dHash64(a.payload))))
+    }
+  }
+
+  /** Id offset where the near-dup gate plants clones — far above any
+    * base asset id the gate generates (asserted in [[makeCloneAsset]]).
+    */
+  private[graft] val CloneOffset = 1000000L
+
+  /** Clone contract for the media near-dup gate — a pure function of
+    * the source asset id, shared by the distributed table
+    * ([[cloneAssets]]) and the sequential oracle replay
+    * ([[nearDupOracleSql]]). Even source images are RE-ENCODED
+    * byte-for-byte-different but pixel-identical (dHash distance 0);
+    * odd ones are darkened ~10% per channel (integer ×9/10 rounding),
+    * the brightness shift dHash is designed to survive (distance ≤ a
+    * couple of rounding-flipped bits).
+    */
+  private[graft] def makeCloneAsset(i: Long): MediaAsset = {
+    require(i % 3 == 0, s"clones are planted on image assets, got id $i")
+    require(i < CloneOffset, s"asset id $i collides with the clone id range")
+    val a = makeAsset(i)
+    val src = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(a.payload))
+    val out = new java.awt.image.BufferedImage(
+      src.getWidth, src.getHeight, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val darken = i % 2 != 0
+    var y = 0
+    while (y < src.getHeight) {
+      var x = 0
+      while (x < src.getWidth) {
+        val rgb = src.getRGB(x, y)
+        def ch(sh: Int): Int = {
+          val c = (rgb >> sh) & 0xff
+          if (darken) (c * 9 + 5) / 10 else c
+        }
+        out.setRGB(x, y, (ch(16) << 16) | (ch(8) << 8) | ch(0))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(out, "png", bos)
+    a.copy(asset_id = i + CloneOffset, payload = bos.toByteArray)
+  }
+
+  /** The distributed clone table: one near-dup clone per image asset of
+    * the `n`-row synthetic table.
+    */
+  def cloneAssets(spark: SparkSession, n: Int): Dataset[MediaAsset] = {
+    import spark.implicits._
+    spark.range(n.toLong).filter(_ % 3 == 0).map(makeCloneAsset _)
+  }
+
+  /** DuckDB oracle for the near-dup gate: replay the asset + clone
+    * contracts sequentially, dHash each image, and emit ALL pairs at
+    * hamming distance ≤ `maxDist` as a literal VALUES table. The
+    * sequential side is brute-force all-pairs, the distributed side is
+    * the banded hamming join (`Dedup.hammingPairs`) — by pigeonhole the
+    * banding is lossless at distance ≤ bands-1, so the gate proves the
+    * blocking drops nothing, not just that the pipeline runs.
+    */
+  def nearDupOracleSql(n: Int, maxDist: Int): String = {
+    val hashes = ((0L until n.toLong).filter(_ % 3 == 0).map { i =>
+      i -> dHash64(makeAsset(i).payload)
+    } ++ (0L until n.toLong).filter(_ % 3 == 0).map { i =>
+      (i + CloneOffset) -> dHash64(makeCloneAsset(i).payload)
+    }).sortBy(_._1)
+    val rows = for {
+      (ia, ha) <- hashes
+      (ib, hb) <- hashes
+      if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb)
+      if d <= maxDist
+    } yield s"($ia, $ib, $d)"
+    require(rows.nonEmpty, "near-dup oracle found no pairs — bad plant")
+    s"""SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       |  CAST(dist AS BIGINT) AS dist
+       |FROM (VALUES ${rows.mkString(",\n  ")}) AS t(id_a, id_b, dist)
+       |ORDER BY id_a, id_b""".stripMargin
+  }
 
   /** Order-stable integer checksum of a feature vector: each component
     * quantized to 1e-6 (the decoders emit values in [-1, 1], so the

@@ -139,11 +139,15 @@ object Dedup {
     * of the estimate, so da/db stay symmetric); the number of dropped
     * shingles is published as the `jaccard_postings` observed metric
     * (`dropped_shingles`) on the execution, Spark's zero-extra-action
-    * metric channel. Default uncapped: at oracle SF every posting is
-    * tiny, and the cap must be mirrored in any oracle SQL when set.
+    * metric channel. The DEFAULT is finite (64): an uncapped default
+    * means one boilerplate shingle in a 100 TB corpus goes O(n²) —
+    * callers that truly want the exact all-pairs semantics (e.g. to
+    * match an uncapped SQL oracle) must opt in with
+    * `maxPosting = Int.MaxValue`, making the quadratic risk visible at
+    * the call site. The cap must be mirrored in any oracle SQL.
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                   n: Int = 3, maxPosting: Int = Int.MaxValue): DataFrame = {
+                   n: Int = 3, maxPosting: Int = 64): DataFrame = {
     val sh = shingles(df, idCol, textCol, n)
       .select(col(idCol), xxhash64(col("shingle")).as("sh64"))
     val sz = sh.groupBy(idCol).agg(count(lit(1)).as("n"))

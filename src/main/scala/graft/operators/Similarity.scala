@@ -113,10 +113,10 @@ object Similarity {
 
     def side(df: DataFrame, id: String, v: String, n: String): DataFrame =
       if (exact)
-        df.select(col(idCol).as(id), dec(col(vecCol)).as(v))
+        df.select(col(idCol).cast(LongType).as(id), dec(col(vecCol)).as(v))
           .withColumn(n, dotD(col(v), col(v)).cast(DoubleType))
       else
-        df.select(col(idCol).as(id), dbl(col(vecCol)).as(v))
+        df.select(col(idCol).cast(LongType).as(id), dbl(col(vecCol)).as(v))
           .withColumn(n, sqrt(dotI(col(v), col(v))))
 
     val q = side(queries, "qid", "qv", "qn")
@@ -155,7 +155,7 @@ object Similarity {
     def l2(a: Column, b: Column) =
       aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
         lit(0.0), (acc, v) => acc + v)
-    val q = queries.select(col(idCol).as("qid"), dbl(col(vecCol)).as("qv"))
+    val q = queries.select(col(idCol).cast(LongType).as("qid"), dbl(col(vecCol)).as("qv"))
     val c = candidates.select(col(idCol).as("cid"), dbl(col(vecCol)).as("cv"))
     // bounded map-side top-k (see cosineTopK): ascending — smallest
     // distance first; ties by cid match the window's orderBy(dist, cid)
@@ -270,7 +270,7 @@ object Similarity {
     def subSplit(v: Column): Column = subSplitExplode(v, m)
 
     val cand = candidates.select(col(idCol).as("cid"), dbl(col(vecCol)).as("cv"))
-    val q = queries.select(col(idCol).as("qid"), dbl(col(vecCol)).as("qv"))
+    val q = queries.select(col(idCol).cast(LongType).as("qid"), dbl(col(vecCol)).as("qv"))
 
     // deterministic per-subspace codebook from real corpus vectors
     val seedIds = candidates
@@ -377,7 +377,7 @@ object Similarity {
     def subSplit(v: Column): Column = subSplitExplode(v, m)
 
     val cand = candidates.select(col(idCol).as("cid"), dbl(col(vecCol)).as("cv"))
-    val q = queries.select(col(idCol).as("qid"), dbl(col(vecCol)).as("qv"))
+    val q = queries.select(col(idCol).cast(LongType).as("qid"), dbl(col(vecCol)).as("qv"))
 
     // coarse cells: nlist corpus vectors picked in-plan by hash bucket
     val coarseIds = candidates
@@ -558,7 +558,7 @@ object Similarity {
     def dot(x: Column, y: Column) =
       aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
     def withNorm(df: DataFrame, id: String, v: String, n: String): DataFrame =
-      df.select(col(idCol).as(id), dbl(col(vecCol)).as(v))
+      df.select(col(idCol).cast(LongType).as(id), dbl(col(vecCol)).as(v))
         .withColumn(n, sqrt(dot(col(v), col(v))))
 
     // seed centroids picked ENTIRELY in-plan: min id per
@@ -700,13 +700,13 @@ object Similarity {
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     requireIntegralIds(queries, candidates, idCol)
     val qb = lshTables(queries, bits, tables, idCol, vecCol)
-      .select(col(idCol).as("qid"), col("table"), col("bucket"))
+      .select(col(idCol).cast(LongType).as("qid"), col("table"), col("bucket"))
     val cb = lshTables(candidates, bits, tables, idCol, vecCol)
       .select(col(idCol).as("cid"), col("table"), col("bucket"))
     val pairs = qb.join(cb, Seq("table", "bucket"))
       .filter(col("qid") =!= col("cid"))
       .select("qid", "cid").distinct()
-    val qv = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+    val qv = queries.select(col(idCol).cast(LongType).as("qid"), col(vecCol).as("qv"))
     val cv = candidates.select(col(idCol).as("cid"), col(vecCol).as("cv"))
     // bounded map-side top-k (see cosineTopK): the LSH candidate set per
     // query is ≈ tables/2^bits of the corpus on a structure-free corpus

@@ -35,6 +35,20 @@ object PipelineQueries {
   private def embWide(s: SparkSession, dir: String): DataFrame =
     Tables.spread(Tables.load(s, dir, "embeddings"), "vec_id")
 
+  /** In-plan guard for the dd15 planted-clone rows: the gate plants
+    * clones at `vec_id + 100000` (a literal the DuckDB oracle shares),
+    * which is collision-free ONLY while every real id < 100000. A
+    * bigger corpus would silently alias clone ids with real ids in
+    * BOTH engines — hashes would still match while recall counting is
+    * corrupt — so the id passes through a per-row `raise_error` check
+    * instead (distributed, no driver action, can't be pruned: the
+    * branch IS the id value).
+    */
+  private def guardedId(id: Column): Column =
+    when(id < 100000L, id).otherwise(raise_error(concat(
+      lit("dd15 planted-clone offset 100000 collides with real vec_id "),
+      id.cast(StringType))).cast(LongType))
+
   /** The exact-decimal cosine top-5 oracle (DuckDB): shared verbatim by
     * sim01 (posexplode/groupBy formulation) and sim02 (one-pass HOF
     * formulation) — both assemble the same exact decimal sums into the
@@ -128,7 +142,10 @@ object PipelineQueries {
     */
   private def highJacPairs(s: SparkSession, dir: String,
                            minJac: Double): DataFrame =
-    Dedup.jaccardPairs(docsWide(s, dir), "doc_id", "text", 3)
+    // uncapped on purpose: the DuckDB oracle computes exact all-pairs
+    // Jaccard, so the gate row must too (gate SF postings are tiny)
+    Dedup.jaccardPairs(docsWide(s, dir), "doc_id", "text", 3,
+        maxPosting = Int.MaxValue)
       .filter(col("jac") >= minJac)
       .select("da", "db")
 
@@ -305,7 +322,9 @@ object PipelineQueries {
         | )
         |SELECT id AS doc_id, CAST(min(label) AS BIGINT) AS cluster
         |FROM cc GROUP BY id ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val edges = Dedup.jaccardPairs(docsWide(s, dir), "doc_id", "text", 3)
+      // uncapped: mirrors the oracle's exact recursive-CTE edge set
+      val edges = Dedup.jaccardPairs(docsWide(s, dir), "doc_id", "text", 3,
+          maxPosting = Int.MaxValue)
         .filter(col("jac") >= 0.5)
         .select(col("da").as("src"), col("db").as("dst"))
       Dedup.connectedComponents(edges)
@@ -363,7 +382,9 @@ object PipelineQueries {
         |SELECT cluster, doc_id AS survivor_id, quality AS survivor_score,
         |  CAST(n_members AS BIGINT) AS n_members
         |FROM m WHERE rn = 1 ORDER BY cluster""".stripMargin) { (s, dir) =>
-      val edges = Dedup.jaccardPairs(docsWide(s, dir), "doc_id", "text", 3)
+      // uncapped: mirrors the oracle's exact recursive-CTE edge set
+      val edges = Dedup.jaccardPairs(docsWide(s, dir), "doc_id", "text", 3,
+          maxPosting = Int.MaxValue)
         .filter(col("jac") >= 0.5)
         .select(col("da").as("src"), col("db").as("dst"))
       val clusters = Dedup.connectedComponents(edges)
@@ -918,12 +939,16 @@ object PipelineQueries {
         |  CAST(sum(CASE WHEN dup.idb IS NOT NULL THEN m.vec_id END) AS BIGINT) AS removed_id_sum
         |FROM m LEFT JOIN dup ON m.vec_id = dup.idb
         |GROUP BY m.cid ORDER BY cluster""".stripMargin) { (s, dir) =>
-      val base = embWide(s, dir).select(col("vec_id"),
+      // guardedId: the oracle plants clones at vec_id+100000 (a literal
+      // both engines share), sound only while every real id < 100000 —
+      // a bigger corpus would silently collide clone ids with real ids
+      // in BOTH engines, so fail loudly per-row instead
+      val base = embWide(s, dir).select(guardedId(col("vec_id")).as("vec_id"),
         transform(col("embedding"), x => x.cast(DoubleType)).as("embedding"))
-      val clones = embWide(s, dir).filter(col("vec_id") % 25 === 0)
+      val clones = base.filter(col("vec_id") % 25 === 0)
         .select((col("vec_id") + 100000).as("vec_id"),
           transform(col("embedding"),
-            x => x.cast(DoubleType) + lit(0.001)).as("embedding"))
+            x => x + lit(0.001)).as("embedding"))
       Dedup.semanticDedup(base.unionAll(clones), 16, 0.99)
         .groupBy("cluster")
         .agg(count(lit(1)).as("n_members"),
@@ -947,7 +972,8 @@ object PipelineQueries {
       """SELECT CAST(count(*) AS BIGINT) AS n_planted,
         |  CAST(1 AS BIGINT) AS recall_ok
         |FROM embeddings WHERE vec_id < 200""".stripMargin) { (s, dir) =>
-      val base = embWide(s, dir).select(col("vec_id"),
+      // same planted-id collision guard as dd15_semdedup above
+      val base = embWide(s, dir).select(guardedId(col("vec_id")).as("vec_id"),
         transform(col("embedding"), x => x.cast(DoubleType)).as("embedding"))
       val clones = base.filter(col("vec_id") < 200)
         .select((col("vec_id") + 100000).as("vec_id"),

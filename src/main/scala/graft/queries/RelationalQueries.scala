@@ -61,12 +61,27 @@ object RelationalQueries {
     }
 
   /** q42 body: persist both join sides bucketed + bucket-sorted on the
-    * join key under a fresh per-run tmpdir (unique path, so reruns never
-    * CTAS into a non-empty location), then run the priority rollup over
-    * the co-located merge join. 8 buckets ≈ sf0.01; at 100 TB the same
+    * join key under a stable per-process tmpdir (writeBucketedAt clears
+    * the location first, so reruns overwrite in place instead of
+    * leaking one dir per run), then run the priority rollup over the
+    * co-located merge join. 8 buckets ≈ sf0.01; at 100 TB the same
     * layout uses O(thousands) of buckets and is written ONCE, amortized
     * over every subsequent query on the key.
     */
+  private lazy val q42Base: String = {
+    val d = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_q42_bucketed")
+    // best-effort cleanup when the JVM exits; the stable name means a
+    // surviving dir is reused, never accumulated
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(d)
+    }))
+    d.toString
+  }
+
   private def bucketedPriorityRollup(s: SparkSession, dir: String): DataFrame = {
     val buckets = 8
     // Spark >= 3.0 hides bucket sort order from the planner by default
@@ -74,20 +89,24 @@ object RelationalQueries {
     // guarantees ONE file per bucket (repartition on the bucket hash),
     // which is exactly the regime where the legacy conf is sound — with
     // it on, the scans report their sortBy order and the merge join
-    // plans with zero Sort nodes too. Session-wide and sticky on
-    // purpose: the conf must still be set when the CALLER plans this
-    // DataFrame (planning happens at action time, after we return).
-    s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
-    val base = java.nio.file.Files.createTempDirectory("graft_q42_").toString
+    // plans with zero Sort nodes too. The conf lives on a CLONED
+    // session (same SparkContext + catalog, independent conf): the
+    // returned DataFrame is bound to the clone, so it is still set when
+    // the caller plans this frame (planning happens at action time),
+    // while the caller's own session never sees it — a later scan of a
+    // genuinely multi-file-bucket table there must not claim a sort
+    // order it lacks.
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     graft.operators.Bucketing.writeBucketedAt(
-      t(s, dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount"),
-      "graft_q42_lineitem", "l_orderkey", buckets, s"$base/lineitem")
+      t(s2, dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount"),
+      "graft_q42_lineitem", "l_orderkey", buckets, s"$q42Base/lineitem")
     graft.operators.Bucketing.writeBucketedAt(
-      t(s, dir, "orders")
+      t(s2, dir, "orders")
         .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority")),
-      "graft_q42_orders", "l_orderkey", buckets, s"$base/orders")
-    s.table("graft_q42_lineitem").hint("merge")
-      .join(s.table("graft_q42_orders"), "l_orderkey")
+      "graft_q42_orders", "l_orderkey", buckets, s"$q42Base/orders")
+    s2.table("graft_q42_lineitem").hint("merge")
+      .join(s2.table("graft_q42_orders"), "l_orderkey")
       .groupBy(col("o_orderpriority").as("priority"))
       .agg(count(lit(1)).as("n_items"),
         discSum(col("l_extendedprice"), col("l_discount")).as("revenue"))

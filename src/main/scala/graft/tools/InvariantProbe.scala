@@ -31,7 +31,8 @@ object InvariantProbe {
       val docs = Tables.spread(Tables.load(spark, dir, "documents"), "doc_id")
       val emb = Tables.spread(Tables.load(spark, dir, "embeddings"), "vec_id")
 
-      val jac = Dedup.jaccardPairs(docs, "doc_id", "text", 3).cache()
+      val jac = Dedup.jaccardPairs(docs, "doc_id", "text", 3,
+        maxPosting = Int.MaxValue).cache()
       val cand = Dedup.minHashCandidates(docs, "doc_id", "text")
         .select(col("id_a").as("da"), col("id_b").as("db")).cache()
       for (t <- Seq(0.7, 0.8, 0.9)) {

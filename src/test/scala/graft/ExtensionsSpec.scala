@@ -95,6 +95,18 @@ class ExtensionsSpec extends AnyFunSuite {
       intercept[Exception] {
         s.sql("SELECT top_k(score, id, g, false) FROM scored").collect()
       }
+      // mistyped score/id fail ANALYSIS with a type error, not a
+      // runtime ClassCastException in the aggregate's update()
+      val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+        s.sql("SELECT g, top_k(g, id, 3, false) FROM scored GROUP BY g")
+          .collect()
+      }
+      assert(e1.getMessage.toLowerCase.contains("type"), e1.getMessage)
+      val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+        s.sql("SELECT g, top_k(score, score, 3, false) FROM scored GROUP BY g")
+          .collect()
+      }
+      assert(e2.getMessage.toLowerCase.contains("type"), e2.getMessage)
     }
   }
 

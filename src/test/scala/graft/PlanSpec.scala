@@ -250,27 +250,42 @@ class PlanSpec extends AnyFunSuite {
       builtinPlan.take(2000))
   }
 
-  test("sim06: PQ encode collapses codes map-side; only per-QUERY windows remain") {
+  test("sim06: PQ encode collapses codes map-side; zero windows anywhere in the plan") {
     val plan = planOf("sim06_ann_pq")
     // the argmin over the codebook must be a partial min aggregation,
     // not a row_number window shipping the N·m·codes distance explosion
     assert(plan.contains("partial_min"), plan)
-    // windows are fine per query (shortlist + rank) — never per candidate
-    plan.linesIterator.filter(_.contains("Window [")).foreach { l =>
-      assert(l.contains("qid"), s"per-candidate window in PQ plan: $l")
-    }
+    // r12 TopKAgg rewrite: every rank/shortlist stage is the bounded
+    // partial top_k aggregate — a reintroduced per-query row_number
+    // window (shipping all N candidate scores to one task per query)
+    // must fail here, not at 100 TB
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("partial_top_k"), plan)
   }
 
   test("sim07: IVF-PQ keeps both argmins map-side and scans candidates once per stage") {
     val plan = planOf("sim07_ann_ivfpq")
     assert(plan.contains("partial_min"), plan)
-    plan.linesIterator.filter(_.contains("Window [")).foreach { l =>
-      assert(l.contains("qid"), s"per-candidate window in IVF-PQ plan: $l")
-    }
+    // r12 TopKAgg rewrite pin — see sim06
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("partial_top_k"), plan)
     // cells + codebook broadcast; candidates never nested-loop with
     // anything bigger than those broadcast-tiny frames
     assert(plan.contains("BroadcastExchange"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("sim03/sim04: ANN rank stages are bounded partial top_k aggs, never windows") {
+    // pin for the r12 rewrite: LSH bucket ranking (sim03) and IVF probe
+    // + candidate ranking (sim04) exchange ≤ k pairs per query × map
+    // partition via TopKAgg — the pre-r12 row_number window shipped all
+    // N bucket/candidate scores to one task per query
+    for (q <- Seq("sim03_ann_lsh", "sim04_ann_ivf")) {
+      val plan = planOf(q)
+      assert(!plan.contains("Window"), s"$q reintroduced a window:\n$plan")
+      assert(plan.contains("partial_top_k"), s"$q lost the partial top_k agg:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$q:\n$plan")
+    }
   }
 
   test("etl04: the render never sinks into a filter below the spread exchange") {
