@@ -81,7 +81,13 @@ object Tables {
       // declare LTZ (not NTZ): Spark refuses watermarks on NTZ
       // (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE); the µs payload is
       // identical and the UTC guard makes the wall clock identical
-      case _ => TimestampType
+      case TimestampType | TimestampNTZType => TimestampType
+      // any other on-disk type (a future testdata generation writing
+      // string/int32 ts) must fail HERE with a clear message, not later
+      // as a confusing per-batch parquet schema mismatch
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported physical type $other on disk at " +
+          s"$sfDir — expected int64 (ns) or a parquet timestamp")
     }
     val raw = StructType(Seq(
       StructField("event_id", LongType), StructField("ts", rawTs),

@@ -112,16 +112,32 @@ object Multimodal {
 
   /** Deterministic RGB texture → PNG bytes. Pixel (x,y) channels are
     * pure functions of the 32-byte seed, so the encoded payload is
-    * stable across runs and distinct across assets.
+    * stable across runs and distinct across assets. The texture is a
+    * 3:1 blend of a LOW-FREQUENCY field (bilinear over a seed-derived
+    * 4×4 control grid, integer fixed-point — real images have spatial
+    * structure, and a pure high-frequency stripe pattern makes every
+    * perceptual-hash cell margin degenerate) with the original
+    * high-frequency seed-stripe noise.
     */
   private[multimodal] def encodePng(seed: Array[Byte], w: Int, h: Int): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    def ctrl(i: Int, j: Int, c: Int): Int =
+      seed(((i * 5 + j * 11 + c * 7) & 0x7fffffff) % 32) & 0xff
     var y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
-        def ch(c: Int): Int = seed(((x * 31 + y * 17 + c * 7) & 0x7fffffff) % 32) & 0xff
+        def ch(c: Int): Int = {
+          // 8.8 fixed-point position in the 4×4 control grid
+          val fx = x * 3 * 256 / w; val fy = y * 3 * 256 / h
+          val gx = fx >> 8; val tx = fx & 255
+          val gy = fy >> 8; val ty = fy & 255
+          val smooth = ((ctrl(gx, gy, c) * (256 - tx) + ctrl(gx + 1, gy, c) * tx) * (256 - ty) +
+            (ctrl(gx, gy + 1, c) * (256 - tx) + ctrl(gx + 1, gy + 1, c) * tx) * ty) >> 16
+          val noise = seed(((x * 31 + y * 17 + c * 7) & 0x7fffffff) % 32) & 0xff
+          (smooth * 3 + noise) / 4
+        }
         img.setRGB(x, y, (ch(0) << 16) | (ch(1) << 8) | ch(2))
         x += 1
       }
@@ -480,11 +496,13 @@ object Multimodal {
   /** Clone contract for the media near-dup gate — a pure function of
     * the source asset id, shared by the distributed table
     * ([[cloneAssets]]) and the sequential oracle replay
-    * ([[nearDupOracleSql]]). Even source images are RE-ENCODED
-    * byte-for-byte-different but pixel-identical (dHash distance 0);
-    * odd ones are darkened ~10% per channel (integer ×9/10 rounding),
-    * the brightness shift dHash is designed to survive (distance ≤ a
-    * couple of rounding-flipped bits).
+    * ([[nearDupOracleSql]]). Even source images are DOWNSCALED to half
+    * resolution (exact-integer 2×2 box average — the re-encoded
+    * thumbnail duplicate every scraped image corpus is full of; dHash's
+    * grid pooling is resolution-invariant, so distance stays within a
+    * few interpolation-margin bits); odd ones are darkened ~10% per
+    * channel (integer ×9/10 rounding — the brightness shift the
+    * sign-of-difference encoding is designed to survive).
     */
   private[graft] def makeCloneAsset(i: Long): MediaAsset = {
     require(i % 3 == 0, s"clones are planted on image assets, got id $i")
@@ -492,26 +510,45 @@ object Multimodal {
     val a = makeAsset(i)
     val src = javax.imageio.ImageIO.read(
       new java.io.ByteArrayInputStream(a.payload))
-    val out = new java.awt.image.BufferedImage(
-      src.getWidth, src.getHeight, java.awt.image.BufferedImage.TYPE_INT_RGB)
     val darken = i % 2 != 0
+    val (ow, oh) =
+      if (darken) (src.getWidth, src.getHeight)
+      else (src.getWidth / 2, src.getHeight / 2)
+    val out = new java.awt.image.BufferedImage(
+      ow, oh, java.awt.image.BufferedImage.TYPE_INT_RGB)
     var y = 0
-    while (y < src.getHeight) {
+    while (y < oh) {
       var x = 0
-      while (x < src.getWidth) {
-        val rgb = src.getRGB(x, y)
-        def ch(sh: Int): Int = {
-          val c = (rgb >> sh) & 0xff
-          if (darken) (c * 9 + 5) / 10 else c
-        }
-        out.setRGB(x, y, (ch(16) << 16) | (ch(8) << 8) | ch(0))
+      while (x < ow) {
+        val rgb =
+          if (darken) {
+            val c = src.getRGB(x, y)
+            def d(sh: Int): Int = ((((c >> sh) & 0xff) * 9 + 5) / 10)
+            (d(16) << 16) | (d(8) << 8) | d(0)
+          } else {
+            // 2×2 box average, exact integer (round half up)
+            var r = 0; var g = 0; var b = 0
+            var dy = 0
+            while (dy < 2) {
+              var dx = 0
+              while (dx < 2) {
+                val c = src.getRGB(2 * x + dx, 2 * y + dy)
+                r += (c >> 16) & 0xff; g += (c >> 8) & 0xff; b += c & 0xff
+                dx += 1
+              }
+              dy += 1
+            }
+            (((r + 2) / 4) << 16) | (((g + 2) / 4) << 8) | ((b + 2) / 4)
+          }
+        out.setRGB(x, y, rgb)
         x += 1
       }
       y += 1
     }
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(out, "png", bos)
-    a.copy(asset_id = i + CloneOffset, payload = bos.toByteArray)
+    a.copy(asset_id = i + CloneOffset, payload = bos.toByteArray,
+      width = ow, height = oh)
   }
 
   /** The distributed clone table: one near-dup clone per image asset of
@@ -519,7 +556,8 @@ object Multimodal {
     */
   def cloneAssets(spark: SparkSession, n: Int): Dataset[MediaAsset] = {
     import spark.implicits._
-    spark.range(n.toLong).filter(_ % 3 == 0).map(makeCloneAsset _)
+    spark.range(n.toLong).filter((i: java.lang.Long) => i % 3 == 0)
+      .map((i: java.lang.Long) => makeCloneAsset(i.longValue))
   }
 
   /** DuckDB oracle for the near-dup gate: replay the asset + clone

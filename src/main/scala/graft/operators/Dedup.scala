@@ -445,6 +445,61 @@ object Dedup {
           call_function("shiftleft", lit(1L), b)).otherwise(0L))
         .cast(LongType).as("simhash"))
 
+  /** All pairs within hamming distance `maxDist` over a 64-bit
+    * perceptual/similarity hash column (dHash from
+    * [[graft.multimodal.Multimodal.dHashes]], [[simHash]], …), via
+    * banded blocking: the hash splits into `maxDist + 1` disjoint bit
+    * bands, candidates equi-join on (band index, band value), and the
+    * exact `bit_count(xor)` filter runs only inside blocks. By
+    * pigeonhole the blocking is LOSSLESS — `maxDist` differing bits
+    * cannot touch all `maxDist + 1` bands, so every qualifying pair
+    * shares at least one exact band — unlike the probabilistic recall
+    * of MinHash banding ([[minHashCandidates]]).
+    *
+    * Output: `(id_a, id_b, dist)` with `id_a < id_b`, one row per pair.
+    *
+    * Scale posture: the shuffle carries `(maxDist + 1)` 24-byte rows
+    * per hash — never payloads, never all-pairs; block population is
+    * corpus-size / 2^bandWidth on a dispersed corpus (bandWidth ≥ 8
+    * enforced), and a hot block means genuinely near-identical media,
+    * which is the signal, not skew. Same envelope as the [[simHash]] /
+    * dd05 hamming family.
+    */
+  def hammingPairs(hashes: DataFrame, idCol: String, hashCol: String,
+                   maxDist: Int): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 7,
+      s"maxDist must be in [0, 7] (band width = 64/(maxDist+1) ≥ 8 bits " +
+        s"keeps blocks selective), got $maxDist")
+    val bands = maxDist + 1
+    val width = 64 / bands
+    val h = hashes.select(col(idCol).cast(LongType).as("hid"),
+      col(hashCol).cast(LongType).as("h64"))
+    val banded = h
+      .select(col("hid"), col("h64"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .select(col("hid"), col("h64"), col("band"),
+        // band value: bits [band*width, …); the LAST band absorbs the
+        // 64 % bands leftover bits so the bands cover all 64
+        when(col("band") === bands - 1,
+          call_function("shiftrightunsigned", col("h64"), col("band") * width))
+          .otherwise(call_function("shiftrightunsigned",
+            col("h64"), col("band") * width)
+            .bitwiseAND(lit((1L << width) - 1))).as("bv"))
+    val a = banded.select(col("band"), col("bv"),
+      col("hid").as("id_a"), col("h64").as("ha"))
+    val b = banded.select(col("band"), col("bv"),
+      col("hid").as("id_b"), col("h64").as("hb"))
+    a.join(b, Seq("band", "bv"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        call_function("bit_count", col("ha").bitwiseXOR(col("hb")))
+          .cast(LongType).as("dist"))
+      .filter(col("dist") <= maxDist)
+      // a pair at distance < bands can share several bands — collapse
+      // map-side (partial agg), never a distinct over the joined width
+      .groupBy("id_a", "id_b").agg(min(col("dist")).as("dist"))
+  }
+
   /** Typo-pair detection over a token vocabulary (the fuzzy-key-matching
     * step of entity/token normalization): candidates blocked on (first
     * char, ±1 length band) so only plausible typo pairs ever meet, then

@@ -242,7 +242,12 @@ object Similarity {
     * Per-subspace ADC distances are summed as DECIMAL, so the shortlist
     * is summation-order-independent (the one groupBy-sum of doubles a
     * hash aggregation would otherwise make nondeterministic); every
-    * other fold runs in array order. Scale shape: encoding is a narrow
+    * other fold runs in array order. The exact decimal sum is compared
+    * at DOUBLE resolution inside the top-k buffer — two distinct
+    * decimals that round to the same double tie-break by cid, so
+    * shortlist membership can diverge from a pure decimal order at
+    * pathological near-ties (bounded by the exact re-rank; still
+    * deterministic run-to-run and across partitionings). Scale shape: encoding is a narrow
     * broadcast pass over the corpus (codes × m distance evals per
     * vector); ADC scoring shuffles (cid, sub, code) triples only;
     * vectors rejoin by id for the shortlist re-rank (queries broadcast).
@@ -314,6 +319,12 @@ object Similarity {
     // exchange carries ≤ shortlist pairs per (query × partition). The
     // exact DECIMAL sum casts to double only for the top-k comparison;
     // ties (adc_dist, then cid asc) match the window's orderBy.
+    // CAVEAT: distinct decimal distances that collide at double
+    // resolution tie-break by cid, so shortlist MEMBERSHIP can differ
+    // from a decimal-ordered rank at pathological near-ties (the ADC
+    // sum itself stays summation-order-independent, and the exact
+    // re-rank below bounds the effect to recall, never to ordering of
+    // the final k). Still deterministic run-to-run.
     val short = encoded.join(broadcast(adc), Seq("sub", "_code"))
       .groupBy(col("qid"), col("cid")).agg(sum(col("_d")).as("adc_dist"))
       .filter(col("qid") =!= col("cid"))

@@ -206,5 +206,65 @@ object EtlQueries {
             .cast(DoubleType).as("sum_ttfb"),
           max(col("c_port")).as("max_port"))
         .orderBy("x_edge_location")
+    },
+
+    // E3 DDL ROUND-TRIP: the Athena DDL (LogTable.ddl) is not just a
+    // string — the gate writes a real compacted table at the engine's
+    // layout, then BOTH engines read it back through the DDL's own
+    // partition-projection contract: Spark expands the emitted
+    // `storage.location.template` per date; the DuckDB oracle (playing
+    // the Athena consumer) globs the same template shape over the same
+    // files. A layout drift between destPath and the DDL template, an
+    // oracle-unreadable parquet encoding, or a column-type desync all
+    // hash-mismatch. (Absolute /tmp path: oracle SQL runs driver-side
+    // after Verify wrote the files.)
+    QueryDef("etl05_ddl_roundtrip",
+      """SELECT s3_bucket, count(*) AS n_requests,
+        |  CAST(sum(bytes_sent) AS BIGINT) AS total_bytes,
+        |  CAST(max(http_status) AS INTEGER) AS max_status,
+        |  CAST(count(DISTINCT "key") AS BIGINT) AS n_keys
+        |FROM read_parquet('/tmp/graft_e3_layout/bkt0/*/*/*/*.parquet')
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      import java.time.LocalDate
+      import java.time.format.DateTimeFormatter
+      import graft.operators.LogEtl
+      import graft.sources.LogTable
+      val root = "/tmp/graft_e3_layout"
+      val bucket = "bkt0"
+      val dates = Seq(LocalDate.of(2024, 7, 30), LocalDate.of(2024, 7, 31))
+      for ((d, di) <- dates.zipWithIndex) {
+        val lines = Tables.spread(s.range(500).toDF("i"), "i")
+          .select(format_string(
+            "owner9 bkt0 [%s +0000] 10.0.0.1 arn:aws:iam::1:r R%d " +
+              "REST.GET.OBJECT key/%d/%d \"GET /k HTTP/1.1\" %d - %d 1024 " +
+              "5 4 \"-\" \"agent/1.0\" - host= SigV4 TLS_AES_128_GCM_SHA256 " +
+              "AuthHeader h.example.com TLSv1.3 - -",
+            lit(DateTimeFormatter.ofPattern("dd/MMM/yyyy:HH:mm:ss",
+              java.util.Locale.US).format(d.atStartOfDay())),
+            col("i") + di * 1000, lit(di), col("i"),
+            lit(200) + (col("i") % 5), (col("i") * 7 + di) % 1000).as("value"))
+        LogEtl.write(LogEtl.parse(lines, fused = true),
+          LogEtl.destPath(root, bucket, d, hiveLayout = false),
+          numOutputFiles = 2)
+      }
+      // read back STRICTLY through the DDL contract — parse the emitted
+      // storage.location.template out of the CREATE TABLE text and
+      // expand it with projection.date.format, exactly as Athena would
+      val ddl = LogTable.ddl("access_logs", s"$root/$bucket")
+      val tmpl = ddl.linesIterator
+        .find(_.contains("storage.location.template")).get
+        .split(" = ")(1).trim.stripPrefix("\"").stripSuffix("\"")
+      val fmtLine = ddl.linesIterator
+        .find(_.contains("projection.date.format")).get
+        .split(" = ")(1).trim.stripPrefix("\"").stripSuffix("\",").stripSuffix("\"")
+      val dfmt = DateTimeFormatter.ofPattern(fmtLine)
+      val paths = dates.map(d => tmpl.replace("${date}", dfmt.format(d)))
+      s.read.parquet(paths: _*)
+        .groupBy(col("s3_bucket"))
+        .agg(count(lit(1)).as("n_requests"),
+          sum(col("bytes_sent")).as("total_bytes"),
+          max(col("http_status")).as("max_status"),
+          countDistinct(col("key")).as("n_keys"))
+        .orderBy("s3_bucket")
     })
 }

@@ -1391,10 +1391,17 @@ object PipelineQueries {
         .select(col("qid"), col("cid"),
           (col("dot").cast(DoubleType) /
             sqrt(col("nq").cast(DoubleType) * col("nc").cast(DoubleType))).as("sim"))
-      sims.withColumn("rank", row_number().over(
-          Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid")))
-          .cast(LongType))
-        .filter(col("rank") <= 5)
+      // rank via the bounded TopKAgg partial aggregate — with this the
+      // codebase has ZERO per-query rank windows anywhere (the window
+      // shape shipped all N candidate sims to one task per query);
+      // (sim desc, cid asc) tie-break identical to the row_number it
+      // replaced, so the result stays bit-identical to the oracle
+      sims.groupBy(col("qid"))
+        .agg(graft.functions.TopKAgg.top_k(col("sim"), col("cid"), 5,
+          ascending = false).as("_tk"))
+        .select(col("qid"), posexplode(col("_tk")))
+        .select(col("qid"), col("col.id").as("cid"), col("col.score").as("sim"),
+          (col("pos") + 1).cast(LongType).as("rank"))
         .orderBy("qid", "rank")
     },
 
@@ -1647,6 +1654,50 @@ object PipelineQueries {
       graft.multimodal.Multimodal.headerProbe(
         graft.multimodal.Multimodal.syntheticAssets(s, 300).toDF())
         .orderBy("asset_id")
+    },
+
+    // Media near-dup: dHash over the decoded PNG pixels, banded hamming
+    // pair join (lossless at dist ≤ bands-1 by pigeonhole — same
+    // envelope as dd05's simhash family). The corpus plants one clone
+    // per image asset: even ids re-encoded (pixel-identical, dist 0),
+    // odd ids darkened ~10% (the brightness shift dHash must survive).
+    // Oracle = sequential contract replay + BRUTE-FORCE all-pairs
+    // (Multimodal.nearDupOracleSql), so the gate proves the banded
+    // blocking drops nothing vs exact, not just that the pipeline runs.
+    QueryDef("mm04_media_neardup",
+      graft.multimodal.Multimodal.nearDupOracleSql(300, 3)) { (s, dir) =>
+      val assets = graft.multimodal.Multimodal.syntheticAssets(s, 300)
+        .unionByName(graft.multimodal.Multimodal.cloneAssets(s, 300))
+      val hashes = graft.multimodal.Multimodal.dHashes(assets).toDF()
+      Dedup.hammingPairs(hashes, "asset_id", "dhash", maxDist = 3)
+        .orderBy("id_a", "id_b")
+    },
+
+    // Planted-clone recall floor for the media near-dup family, à la
+    // dd15_recall: every one of the 100 planted clones must pair with
+    // its source at dist ≤ 3 — ≥95% floor (measured 100%: re-encodes
+    // are dist 0 exactly; the darkened clones flip at most a couple of
+    // rounding-margin bits). DuckDB states the planted count from the
+    // generation contract and the floor flag as a constant; Spark
+    // computes both from the actual pair output, so a broken decode,
+    // hash, or band join hash-mismatches.
+    QueryDef("mm04_recall",
+      """SELECT CAST(count(*) AS BIGINT) AS n_planted,
+        |  CAST(1 AS BIGINT) AS recall_ok
+        |FROM (SELECT unnest(range(300)) AS i) WHERE i % 3 = 0""".stripMargin) {
+      (s, dir) =>
+      val assets = graft.multimodal.Multimodal.syntheticAssets(s, 300)
+        .unionByName(graft.multimodal.Multimodal.cloneAssets(s, 300))
+      val hashes = graft.multimodal.Multimodal.dHashes(assets).toDF()
+      val found = Dedup.hammingPairs(hashes, "asset_id", "dhash", maxDist = 3)
+        .filter(col("id_b") === col("id_a") + 1000000L)
+        .agg(count(lit(1)).as("_found"))
+      hashes.filter(col("asset_id") >= 1000000L)
+        .agg(count(lit(1)).cast(LongType).as("n_planted"))
+        .crossJoin(found)
+        .select(col("n_planted"),
+          when(col("_found") * 100 >= col("n_planted") * 95, 1L)
+            .otherwise(0L).as("recall_ok"))
     },
 
     // ================= events: JSON / sessions / windows =================

@@ -185,4 +185,50 @@ class MultimodalSpec extends AnyFunSuite {
       assert(idx.zipWithIndex.forall { case (v, i) => v == i * 3 }, r)
     }
   }
+
+  test("dHash: downscale robust, brightness-shift robust, content sensitive") {
+    val orig = Multimodal.makeAsset(0)
+    // half-resolution thumbnail clone (even source id): different bytes
+    // AND different dims, hash stays within the threshold
+    val re = Multimodal.makeCloneAsset(0)
+    assert(!orig.payload.sameElements(re.payload))
+    assert(re.width == orig.width / 2)
+    val dScale = java.lang.Long.bitCount(
+      Multimodal.dHash64(orig.payload) ^ Multimodal.dHash64(re.payload))
+    assert(dScale <= 3, s"downscaled clone drifted $dScale bits")
+    // darkened clone (odd source id): hamming distance stays tiny
+    val d3 = Multimodal.makeAsset(3)
+    val dark = Multimodal.makeCloneAsset(3)
+    val dist = java.lang.Long.bitCount(
+      Multimodal.dHash64(d3.payload) ^ Multimodal.dHash64(dark.payload))
+    assert(dist <= 3, s"darkened clone drifted $dist bits")
+    // unrelated images: hamming ~32, never anywhere near the threshold
+    val other = Multimodal.makeAsset(6)
+    val far = java.lang.Long.bitCount(
+      Multimodal.dHash64(orig.payload) ^ Multimodal.dHash64(other.payload))
+    assert(far > 10, s"unrelated images only $far bits apart")
+    // corrupt bytes degrade to the stable stub hash, not an exception
+    val junk = Array.fill[Byte](64)(7)
+    assert(Multimodal.dHash64(junk) == Multimodal.dHash64(junk))
+  }
+
+  test("hammingPairs: banded join is exactly brute force at dist <= bands-1") {
+    import graft.operators.Dedup
+    val assets60 = Multimodal.syntheticAssets(spark, 60)
+      .unionByName(Multimodal.cloneAssets(spark, 60))
+    val hashes = Multimodal.dHashes(assets60).toDF().cache()
+    val got = Dedup.hammingPairs(hashes, "asset_id", "dhash", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val hs = hashes.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val brute = (for {
+      (ia, ha) <- hs; (ib, hb) <- hs
+      if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb).toLong
+      if d <= 3
+    } yield (ia, ib, d)).sorted
+    assert(got.toSeq == brute.toSeq)
+    // all 20 planted clones (ids 0,3,…,57) recovered against their source
+    val planted = got.count { case (a, b, _) => b == a + 1000000L }
+    assert(planted == 20, s"planted recall $planted/20")
+  }
 }

@@ -225,6 +225,19 @@ class PlanSpec extends AnyFunSuite {
     assert(pairJoinIsEqui, plan)
   }
 
+  test("mm04: media near-dup candidates equi-join on the hash band, never all-pairs") {
+    val p = planOf("mm04_media_neardup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the pair join must key on (band, band-value) — hash-partitioned,
+    // block-bounded, the only shape that survives a 100 TB image corpus
+    assert(p.linesIterator.exists(l =>
+      l.contains("Join") && l.contains("band#") && l.contains("bv#")), p)
+    // the pair collapse is a combining aggregation, not a distinct over
+    // the joined width
+    assert(p.contains("partial_min"), p)
+  }
+
   test("q35/q37: merge plans an anti join; lateral top-k never cartesians") {
     val merge = planOf("q35_merge_upsert")
     assert(merge.contains("LeftAnti"), merge)
@@ -275,12 +288,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
-  test("sim03/sim04: ANN rank stages are bounded partial top_k aggs, never windows") {
-    // pin for the r12 rewrite: LSH bucket ranking (sim03) and IVF probe
-    // + candidate ranking (sim04) exchange ≤ k pairs per query × map
-    // partition via TopKAgg — the pre-r12 row_number window shipped all
-    // N bucket/candidate scores to one task per query
-    for (q <- Seq("sim03_ann_lsh", "sim04_ann_ivf")) {
+  test("sim01/sim03/sim04: rank stages are bounded partial top_k aggs, never windows") {
+    // pin for the r12/r13 rewrites: the exact-decimal baseline (sim01),
+    // LSH bucket ranking (sim03) and IVF probe + candidate ranking
+    // (sim04) exchange ≤ k pairs per query × map partition via TopKAgg
+    // — the pre-r12 row_number window shipped all N candidate scores to
+    // one task per query
+    for (q <- Seq("sim01_cosine_exact", "sim03_ann_lsh", "sim04_ann_ivf")) {
       val plan = planOf(q)
       assert(!plan.contains("Window"), s"$q reintroduced a window:\n$plan")
       assert(plan.contains("partial_top_k"), s"$q lost the partial top_k agg:\n$plan")
