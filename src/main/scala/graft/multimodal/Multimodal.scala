@@ -153,13 +153,19 @@ object Multimodal {
     * the pixel function, so frames differ), written as a full-frame GIF
     * sequence with `javax.imageio`'s stock GIF writer. Grayscale keeps
     * the 256-entry GIF palette lossless, so decode→pool downstream is
-    * exact and stable across runs.
+    * exact and stable across runs. Like [[encodePng]], the texture is a
+    * 3:1 blend with a LOW-FREQUENCY bilinear field — frame-CONSTANT (a
+    * static-camera scene whose detail flickers frame to frame via the
+    * f-folded noise term), the spatial structure a perceptual hash
+    * holds on to across frame drops.
     */
   private[graft] def encodeGif(seed: Array[Byte], w: Int, h: Int,
                                nFrames: Int): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     val ios = javax.imageio.ImageIO.createImageOutputStream(out)
     val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    def ctrl(i: Int, j: Int): Int =
+      seed(((i * 5 + j * 11 + 13) & 0x7fffffff) % 32) & 0xff
     try {
       writer.setOutput(ios)
       writer.prepareWriteSequence(null)
@@ -172,8 +178,13 @@ object Multimodal {
         while (y < h) {
           var x = 0
           while (x < w) {
-            raster.setSample(x, y, 0,
-              seed(((x * 31 + y * 17 + f * 13) & 0x7fffffff) % 32) & 0xff)
+            val fx = x * 3 * 256 / w; val fy = y * 3 * 256 / h
+            val gx = fx >> 8; val tx = fx & 255
+            val gy = fy >> 8; val ty = fy & 255
+            val smooth = ((ctrl(gx, gy) * (256 - tx) + ctrl(gx + 1, gy) * tx) * (256 - ty) +
+              (ctrl(gx, gy + 1) * (256 - tx) + ctrl(gx + 1, gy + 1) * tx) * ty) >> 16
+            val noise = seed(((x * 31 + y * 17 + f * 13) & 0x7fffffff) % 32) & 0xff
+            raster.setSample(x, y, 0, (smooth * 3 + noise) / 4)
             x += 1
           }
           y += 1
@@ -256,13 +267,22 @@ object Multimodal {
 
   /** Deterministic PCM tone mix → WAV bytes (16-bit mono little-endian):
     * three sine partials whose frequencies/phases derive from the seed,
-    * quantized to shorts — stable across runs, distinct across assets.
+    * AMPLITUDE-MODULATED by a seed-derived low-frequency envelope (a
+    * stationary tone mix has a flat loudness envelope, which makes
+    * every perceptual-hash window margin degenerate — real audio has
+    * dynamics), quantized to shorts — stable across runs, distinct
+    * across assets.
     */
   private[multimodal] def encodeWav(seed: Array[Byte], sampleRate: Int,
                                     nSamples: Int): Array[Byte] = {
     def u(i: Int): Int = seed(i % 32) & 0xff
     val freqs = Seq(110.0 + u(0) * 8, 220.0 + u(1) * 4, 440.0 + u(2) * 2)
     val phases = Seq(u(3) / 255.0, u(4) / 255.0, u(5) / 255.0).map(_ * 2 * math.Pi)
+    // envelope tuned to the clip length: 1–3 cycles across the clip so
+    // the 65-window hash sees a real loudness contour
+    val clipSecs = nSamples.toDouble / sampleRate
+    val fm = (1.0 + u(6) / 128.0) / clipSecs
+    val phm = u(7) / 255.0 * 2 * math.Pi
     val pcm = new Array[Byte](nSamples * 2)
     var i = 0
     while (i < nSamples) {
@@ -270,7 +290,8 @@ object Multimodal {
       var s = 0.0
       var k = 0
       while (k < 3) { s += math.sin(2 * math.Pi * freqs(k) * t + phases(k)); k += 1 }
-      val q = math.max(-32768, math.min(32767, (s / 3.0 * 30000.0).toInt))
+      val env = 0.55 + 0.45 * math.sin(2 * math.Pi * fm * t + phm)
+      val q = math.max(-32768, math.min(32767, (s / 3.0 * env * 30000.0).toInt))
       pcm(2 * i) = (q & 0xff).toByte; pcm(2 * i + 1) = ((q >> 8) & 0xff).toByte
       i += 1
     }
@@ -582,6 +603,291 @@ object Multimodal {
       if d <= maxDist
     } yield s"($ia, $ib, $d)"
     require(rows.nonEmpty, "near-dup oracle found no pairs — bad plant")
+    s"""SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       |  CAST(dist AS BIGINT) AS dist
+       |FROM (VALUES ${rows.mkString(",\n  ")}) AS t(id_a, id_b, dist)
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** 64-bit perceptual difference hash of an audio payload — the audio
+    * analog of [[dHash64]]: WAV decode to PCM, mean |amplitude| over 65
+    * equal windows (the loudness envelope), bit i set iff window i is
+    * louder than window i+1. Exact-integer cross-multiplied comparison;
+    * invariant to uniform volume scaling and robust to requantization
+    * (the transcode artifacts an audio near-dup sweep must catch).
+    * Undecodable bytes degrade to the payload stub hash.
+    */
+  private[graft] def audioHash64(payload: Array[Byte]): Long = {
+    val pcm =
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try ais.readAllBytes() finally ais.close()
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => null
+        case _: java.io.IOException => null
+      }
+    if (pcm == null || pcm.length < 130) return stubHash(payload)
+    val n = pcm.length / 2
+    val w = 65
+    val sums = new Array[Long](w)
+    val cnts = new Array[Long](w)
+    var j = 0
+    while (j < w) {
+      val s0 = j * n / w
+      val s1 = math.max(s0 + 1, (j + 1) * n / w)
+      var i = s0
+      while (i < math.min(s1, n)) {
+        val v = ((pcm(2 * i + 1) << 8) | (pcm(2 * i) & 0xff)).toShort
+        sums(j) += math.abs(v.toLong); i += 1
+      }
+      cnts(j) = math.min(s1, n) - s0
+      j += 1
+    }
+    var bits = 0L
+    j = 0
+    while (j < 64) {
+      if (sums(j) * cnts(j + 1) > sums(j + 1) * cnts(j)) bits |= 1L << j
+      j += 1
+    }
+    bits
+  }
+
+  /** Perceptual hashes for the audio assets — see [[dHashes]]. */
+  def audioHashes(assets: Dataset[MediaAsset],
+                  batchSize: Int = 128): Dataset[MediaHash] = {
+    import assets.sparkSession.implicits._
+    assets.filter(_.kind == "audio").mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.iterator.map(a =>
+        MediaHash(a.asset_id, audioHash64(a.payload))))
+    }
+  }
+
+  /** Clone contract for the audio near-dup gate — pure function of the
+    * source id, shared by [[audioCloneAssets]] and
+    * [[audioNearDupOracleSql]]. Even source ids are volume-scaled ×0.9
+    * (integer truncation toward zero — the envelope signs survive a
+    * uniform gain change by construction); odd ids are requantized to
+    * 8-bit depth (the lossy-transcode artifact: ±128 quantization
+    * noise per sample, far under the envelope margins).
+    */
+  private[graft] def makeAudioCloneAsset(i: Long): MediaAsset = {
+    require(i % 3 == 1, s"audio clones are planted on audio assets, got id $i")
+    require(i < CloneOffset, s"asset id $i collides with the clone id range")
+    val a = makeAsset(i)
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(a.payload))
+    val fmt = ais.getFormat
+    val pcm = try ais.readAllBytes() finally ais.close()
+    val n = pcm.length / 2
+    var idx = 0
+    while (idx < n) {
+      val v = ((pcm(2 * idx + 1) << 8) | (pcm(2 * idx) & 0xff)).toShort
+      val q =
+        if (i % 2 == 0) (v * 9) / 10
+        else (v >> 8) << 8
+      pcm(2 * idx) = (q & 0xff).toByte
+      pcm(2 * idx + 1) = ((q >> 8) & 0xff).toByte
+      idx += 1
+    }
+    val in = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(in,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    a.copy(asset_id = i + CloneOffset, payload = out.toByteArray)
+  }
+
+  /** The distributed audio-clone table — see [[cloneAssets]]. */
+  def audioCloneAssets(spark: SparkSession, n: Int): Dataset[MediaAsset] = {
+    import spark.implicits._
+    spark.range(n.toLong).filter((i: java.lang.Long) => i % 3 == 1)
+      .map((i: java.lang.Long) => makeAudioCloneAsset(i.longValue))
+  }
+
+  /** DuckDB oracle for the audio near-dup gate — sequential replay +
+    * brute-force all-pairs, same contract as [[nearDupOracleSql]].
+    */
+  def audioNearDupOracleSql(n: Int, maxDist: Int): String = {
+    val hashes = ((0L until n.toLong).filter(_ % 3 == 1).map { i =>
+      i -> audioHash64(makeAsset(i).payload)
+    } ++ (0L until n.toLong).filter(_ % 3 == 1).map { i =>
+      (i + CloneOffset) -> audioHash64(makeAudioCloneAsset(i).payload)
+    }).sortBy(_._1)
+    val rows = for {
+      (ia, ha) <- hashes
+      (ib, hb) <- hashes
+      if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb)
+      if d <= maxDist
+    } yield s"($ia, $ib, $d)"
+    require(rows.nonEmpty, "audio near-dup oracle found no pairs — bad plant")
+    s"""SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       |  CAST(dist AS BIGINT) AS dist
+       |FROM (VALUES ${rows.mkString(",\n  ")}) AS t(id_a, id_b, dist)
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** 64-bit perceptual difference hash of a video payload: the
+    * multi-frame container decodes frame by frame (same reader loop as
+    * [[decodeVideo]]), integer luma accumulates onto ONE 9×8 grid
+    * ACROSS frames (the time-average scene), then the 64 adjacent-cell
+    * sign bits of [[dHash64]]. Averaging over frames makes the hash
+    * robust to frame drops/trims and per-frame noise — the re-encode
+    * artifacts a video near-dup sweep must catch — while the exact
+    * cross-multiplied comparison keeps it deterministic. Undecodable
+    * bytes degrade to the payload stub hash.
+    */
+  private[graft] def videoHash64(payload: Array[Byte]): Long = {
+    val iis =
+      try javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      catch { case _: java.io.IOException => null }
+    if (iis == null) return stubHash(payload)
+    val readers = javax.imageio.ImageIO.getImageReaders(iis)
+    if (!readers.hasNext) { iis.close(); return stubHash(payload) }
+    val reader = readers.next()
+    try {
+      reader.setInput(iis, false, true)
+      val nf =
+        try reader.getNumImages(true)
+        catch { case _: java.io.IOException => -1 }
+      if (nf <= 0) return stubHash(payload)
+      val gw = 9; val gh = 8
+      val sums = new Array[Long](gw * gh)
+      val cnts = new Array[Long](gw * gh)
+      var f = 0
+      while (f < nf) {
+        val img = reader.read(f)
+        if (img.getWidth < 10 || img.getHeight < 9) return stubHash(payload)
+        var y = 0
+        while (y < img.getHeight) {
+          val cy = y * gh / img.getHeight
+          var x = 0
+          while (x < img.getWidth) {
+            val cx = x * gw / img.getWidth
+            val rgb = img.getRGB(x, y)
+            sums(cy * gw + cx) +=
+              (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+                (rgb & 0xff) * 114) / 1000
+            cnts(cy * gw + cx) += 1
+            x += 1
+          }
+          y += 1
+        }
+        f += 1
+      }
+      var bits = 0L
+      var cy = 0
+      while (cy < gh) {
+        var cx = 0
+        while (cx < gw - 1) {
+          val l = cy * gw + cx
+          if (sums(l) * cnts(l + 1) > sums(l + 1) * cnts(l))
+            bits |= 1L << (cy * 8 + cx)
+          cx += 1
+        }
+        cy += 1
+      }
+      bits
+    } catch {
+      case _: java.io.IOException => stubHash(payload)
+    } finally {
+      reader.dispose()
+      iis.close()
+    }
+  }
+
+  /** Perceptual hashes for the video assets — see [[dHashes]]. */
+  def videoHashes(assets: Dataset[MediaAsset],
+                  batchSize: Int = 128): Dataset[MediaHash] = {
+    import assets.sparkSession.implicits._
+    assets.filter(_.kind == "video").mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.iterator.map(a =>
+        MediaHash(a.asset_id, videoHash64(a.payload))))
+    }
+  }
+
+  /** Clone contract for the video near-dup gate — pure function of the
+    * source id, shared by [[videoCloneAssets]] and
+    * [[videoNearDupOracleSql]]. Even source ids are TRIMMED (last frame
+    * dropped and re-encoded — the time-average hash must survive a
+    * frame drop); odd ids are darkened ~10% per pixel (uniform gain,
+    * the sign-of-difference encoding survives by construction).
+    */
+  private[graft] def makeVideoCloneAsset(i: Long): MediaAsset = {
+    require(i % 3 == 2, s"video clones are planted on video assets, got id $i")
+    require(i < CloneOffset, s"asset id $i collides with the clone id range")
+    val a = makeAsset(i)
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(a.payload))
+    val reader = javax.imageio.ImageIO.getImageReaders(iis).next()
+    val trim = i % 2 == 0
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      reader.setInput(iis, false, true)
+      val nf = reader.getNumImages(true)
+      val keep = if (trim) nf - 1 else nf
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < keep) {
+        val src = reader.read(f)
+        val img = new java.awt.image.BufferedImage(
+          src.getWidth, src.getHeight,
+          java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var y = 0
+        while (y < src.getHeight) {
+          var x = 0
+          while (x < src.getWidth) {
+            // grayscale source: any channel is the luma
+            val v = src.getRGB(x, y) & 0xff
+            raster.setSample(x, y, 0, if (trim) v else (v * 9 + 5) / 10)
+            x += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+      reader.dispose()
+      iis.close()
+    }
+    a.copy(asset_id = i + CloneOffset, payload = out.toByteArray,
+      n_frames = if (trim) a.n_frames - 1 else a.n_frames)
+  }
+
+  /** The distributed video-clone table — see [[cloneAssets]]. */
+  def videoCloneAssets(spark: SparkSession, n: Int): Dataset[MediaAsset] = {
+    import spark.implicits._
+    spark.range(n.toLong).filter((i: java.lang.Long) => i % 3 == 2)
+      .map((i: java.lang.Long) => makeVideoCloneAsset(i.longValue))
+  }
+
+  /** DuckDB oracle for the video near-dup gate — sequential replay +
+    * brute-force all-pairs, same contract as [[nearDupOracleSql]].
+    */
+  def videoNearDupOracleSql(n: Int, maxDist: Int): String = {
+    val hashes = ((0L until n.toLong).filter(_ % 3 == 2).map { i =>
+      i -> videoHash64(makeAsset(i).payload)
+    } ++ (0L until n.toLong).filter(_ % 3 == 2).map { i =>
+      (i + CloneOffset) -> videoHash64(makeVideoCloneAsset(i).payload)
+    }).sortBy(_._1)
+    val rows = for {
+      (ia, ha) <- hashes
+      (ib, hb) <- hashes
+      if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb)
+      if d <= maxDist
+    } yield s"($ia, $ib, $d)"
+    require(rows.nonEmpty, "video near-dup oracle found no pairs — bad plant")
     s"""SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
        |  CAST(dist AS BIGINT) AS dist
        |FROM (VALUES ${rows.mkString(",\n  ")}) AS t(id_a, id_b, dist)

@@ -1700,6 +1700,34 @@ object PipelineQueries {
             .otherwise(0L).as("recall_ok"))
     },
 
+    // Audio near-dup: the same banded hamming envelope over a 64-bit
+    // loudness-contour difference hash of the decoded WAV PCM; planted
+    // clones are volume-scaled (×0.9) and 8-bit-requantized copies —
+    // the transcode artifacts an audio dedup sweep must catch. Oracle =
+    // sequential replay + brute-force all-pairs, like mm04.
+    QueryDef("mm05_audio_neardup",
+      graft.multimodal.Multimodal.audioNearDupOracleSql(300, 3)) { (s, dir) =>
+      val assets = graft.multimodal.Multimodal.syntheticAssets(s, 300)
+        .unionByName(graft.multimodal.Multimodal.audioCloneAssets(s, 300))
+      val hashes = graft.multimodal.Multimodal.audioHashes(assets).toDF()
+      Dedup.hammingPairs(hashes, "asset_id", "dhash", maxDist = 3)
+        .orderBy("id_a", "id_b")
+    },
+
+    // Video near-dup: time-averaged dHash over the decoded multi-frame
+    // container; planted clones are frame-trimmed and darkened
+    // re-encodes. With mm04 (images) and mm05 (audio) this closes the
+    // modality triangle — every media kind the engine decodes has a
+    // near-dup operator on the same banded-hamming envelope.
+    QueryDef("mm06_video_neardup",
+      graft.multimodal.Multimodal.videoNearDupOracleSql(300, 3)) { (s, dir) =>
+      val assets = graft.multimodal.Multimodal.syntheticAssets(s, 300)
+        .unionByName(graft.multimodal.Multimodal.videoCloneAssets(s, 300))
+      val hashes = graft.multimodal.Multimodal.videoHashes(assets).toDF()
+      Dedup.hammingPairs(hashes, "asset_id", "dhash", maxDist = 3)
+        .orderBy("id_a", "id_b")
+    },
+
     // ================= events: JSON / sessions / windows =================
 
     QueryDef("ev01_json_extract",

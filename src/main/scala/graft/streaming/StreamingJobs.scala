@@ -85,6 +85,13 @@ object StreamingJobs {
       .withColumn("log_date", to_date(col("request_time")))
     val schema = parsed.schema
     val tIdx = schema.fieldIndex("request_time")
+    // NOTE: it.toArray buffers the whole partition in memory (no spill,
+    // unlike SortExec — batch `sortWithinPartitions` can't express a
+    // per-micro-batch partition-local sort on a stream). Bounded in
+    // practice by the file-stream source's per-batch split size
+    // (maxPartitionBytes, default 128 MB of text per task); a deployment
+    // raising maxFilesPerTrigger × file size past executor heap must
+    // lower one of them.
     val sorted = parsed.mapPartitions { it =>
       it.toArray.sortBy { r =>
         if (r.isNullAt(tIdx)) Long.MinValue

@@ -212,6 +212,48 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.dHash64(junk) == Multimodal.dHash64(junk))
   }
 
+  test("audioHash: volume/requantize robust, content sensitive") {
+    // volume-scaled clone (even source id ≡ 1 mod 3 → id 4)
+    val a4 = Multimodal.makeAsset(4)
+    val vol = Multimodal.makeAudioCloneAsset(4)
+    assert(!a4.payload.sameElements(vol.payload))
+    val dVol = java.lang.Long.bitCount(
+      Multimodal.audioHash64(a4.payload) ^ Multimodal.audioHash64(vol.payload))
+    assert(dVol <= 3, s"volume clone drifted $dVol bits")
+    // 8-bit requantized clone (odd source id → id 1)
+    val a1 = Multimodal.makeAsset(1)
+    val rq = Multimodal.makeAudioCloneAsset(1)
+    val dRq = java.lang.Long.bitCount(
+      Multimodal.audioHash64(a1.payload) ^ Multimodal.audioHash64(rq.payload))
+    assert(dRq <= 3, s"requantized clone drifted $dRq bits")
+    // unrelated clips stay far apart
+    val a7 = Multimodal.makeAsset(7)
+    val far = java.lang.Long.bitCount(
+      Multimodal.audioHash64(a1.payload) ^ Multimodal.audioHash64(a7.payload))
+    assert(far > 10, s"unrelated clips only $far bits apart")
+  }
+
+  test("videoHash: frame-trim robust, darken robust, content sensitive") {
+    // frame-trimmed clone (even source id ≡ 2 mod 3 → id 2)
+    val a2 = Multimodal.makeAsset(2)
+    val trim = Multimodal.makeVideoCloneAsset(2)
+    assert(trim.n_frames == a2.n_frames - 1)
+    val dTrim = java.lang.Long.bitCount(
+      Multimodal.videoHash64(a2.payload) ^ Multimodal.videoHash64(trim.payload))
+    assert(dTrim <= 3, s"trimmed clone drifted $dTrim bits")
+    // darkened clone (odd source id → id 5)
+    val a5 = Multimodal.makeAsset(5)
+    val dark = Multimodal.makeVideoCloneAsset(5)
+    val dDark = java.lang.Long.bitCount(
+      Multimodal.videoHash64(a5.payload) ^ Multimodal.videoHash64(dark.payload))
+    assert(dDark <= 3, s"darkened clone drifted $dDark bits")
+    // unrelated videos stay far apart
+    val a8 = Multimodal.makeAsset(8)
+    val far = java.lang.Long.bitCount(
+      Multimodal.videoHash64(a2.payload) ^ Multimodal.videoHash64(a8.payload))
+    assert(far > 10, s"unrelated videos only $far bits apart")
+  }
+
   test("hammingPairs: banded join is exactly brute force at dist <= bands-1") {
     import graft.operators.Dedup
     val assets60 = Multimodal.syntheticAssets(spark, 60)
