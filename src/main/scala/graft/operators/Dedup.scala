@@ -463,7 +463,10 @@ object Dedup {
     * corpus-size / 2^bandWidth on a dispersed corpus (bandWidth ≥ 8
     * enforced), and a hot block means genuinely near-identical media,
     * which is the signal, not skew. Same envelope as the [[simHash]] /
-    * dd05 hamming family.
+    * dd05 hamming family. NOTE: `hashes` feeds BOTH sides of the
+    * self-join — if the hash column is expensive to derive (a media
+    * decode), materialize it first (persist / write to a table), or
+    * the plan evaluates the derivation once per side.
     */
   def hammingPairs(hashes: DataFrame, idCol: String, hashCol: String,
                    maxDist: Int): DataFrame = {

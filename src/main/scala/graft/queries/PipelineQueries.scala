@@ -240,6 +240,42 @@ object PipelineQueries {
             lit(0L)).as("n_hamming_gt16"))
     },
 
+    // SimHash near-dup through the generic banded-hamming pair join —
+    // the same Dedup.hammingPairs envelope the media family (mm04–06)
+    // uses, here over TEXT simhashes: proof the operator composes
+    // across modalities. Invariant oracle (DuckDB has no xxhash64, so
+    // no row-for-row hash table): every 20th document gets an
+    // exact-copy clone planted at doc_id+100000 — identical text ⇒
+    // identical simhash ⇒ dist 0, and the banding is lossless by
+    // pigeonhole, so recovery must be EXACTLY 100%. DuckDB states the
+    // planted count from the corpus and the flag as a constant; Spark
+    // computes both from the actual pair output.
+    QueryDef("dd16_simhash_neardup",
+      """SELECT CAST(count(*) AS BIGINT) AS n_planted,
+        |  CAST(1 AS BIGINT) AS recall_ok
+        |FROM documents WHERE doc_id % 20 = 0""".stripMargin) { (s, dir) =>
+      val docs = docsWide(s, dir).select(
+        // same planted-id collision guard as dd15 (doc_id, not vec_id)
+        when(col("doc_id") < 100000L, col("doc_id"))
+          .otherwise(raise_error(concat(
+            lit("dd16 planted-clone offset 100000 collides with doc_id "),
+            col("doc_id").cast(StringType))).cast(LongType)).as("doc_id"),
+        col("text"))
+      val clones = docs.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+      val pairs = Dedup.hammingPairs(
+        Dedup.simHash(docs.unionAll(clones), "doc_id", "text"),
+        "doc_id", "simhash", maxDist = 3)
+      val found = pairs
+        .filter(col("dist") === 0 && col("id_b") === col("id_a") + 100000L)
+        .agg(count(lit(1)).as("_found"))
+      clones.agg(count(lit(1)).cast(LongType).as("n_planted"))
+        .crossJoin(found)
+        .select(col("n_planted"),
+          when(col("_found") === col("n_planted"), 1L)
+            .otherwise(0L).as("recall_ok"))
+    },
+
     // Embedding-cosine near-dup: top-20 most-similar pairs among
     // CENTERED hyperplane-sign-blocked candidates. Block bits compare
     // n·proj(v) with proj(Σ corpus) — the sign of the mean-centered
