@@ -267,6 +267,53 @@ object TextAnalysis {
           budget.toDouble).cast(LongType).as("shard"))
   }
 
+  /** GPT-style sequence packing: lay the corpus out as ONE contiguous
+    * token stream (documents in `idCol` order, no padding between
+    * docs) cut into fixed `seqLen`-token sequences; a document
+    * straddling a cut is SPLIT across the adjacent sequences — the
+    * pretraining data-loader shape where every sequence is exactly
+    * full. Output: one row per (document, sequence) span with
+    * `seq_id`, `seq_offset` (span start inside the sequence),
+    * `tok_start` (span start inside the document) and `n_span`.
+    *
+    * Scale: the only global state is the same two-level distributed
+    * prefix sum as [[tokenShards]] (per-range-partition window +
+    * broadcast partition offsets — no corpus-wide single-task window);
+    * the span explode emits ≤ ⌈n_tokens/seqLen⌉ + 1 rows per doc.
+    */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+                    seqLen: Long): DataFrame = {
+    require(seqLen > 0, "sequence length must be positive")
+    val t = df.select(col(idCol),
+      size(split(col(textCol), " ")).cast(LongType).as("n_tokens"))
+    val local = t.repartitionByRange(col(idCol))
+      .withColumn("_pid", spark_partition_id())
+      .withColumn("_lcum", sum(col("n_tokens")).over(
+        Window.partitionBy(col("_pid")).orderBy(col(idCol))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val prefix = local.groupBy("_pid").agg(max(col("_lcum")).as("_ptot"))
+      .withColumn("_offset", coalesce(sum(col("_ptot")).over(
+        Window.orderBy(col("_pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_pid"), col("_offset"))
+    val L = lit(seqLen)
+    local.join(broadcast(prefix), "_pid")
+      .select(col(idCol), col("n_tokens"),
+        (col("_lcum") + col("_offset") - col("n_tokens")).as("_start"))
+      // doc occupies global token span [_start, _start + n_tokens);
+      // it intersects sequences _start div L .. (_start + n - 1) div L
+      .select(col(idCol), col("n_tokens"), col("_start"),
+        explode(sequence(expr(s"_start div $seqLen"),
+          expr(s"(_start + n_tokens - 1) div $seqLen"))).as("seq_id"))
+      .select(col(idCol), col("seq_id"),
+        (greatest(col("_start"), col("seq_id") * L) - col("seq_id") * L)
+          .as("seq_offset"),
+        (greatest(col("_start"), col("seq_id") * L) - col("_start"))
+          .as("tok_start"),
+        (least(col("_start") + col("n_tokens"), (col("seq_id") + 1) * L) -
+          greatest(col("_start"), col("seq_id") * L)).as("n_span"))
+  }
+
   /** Repetition-based quality signals (the Gopher/C4 family of
     * degenerate-text filters): per document,
     *   - `top_token_frac`  — share of tokens taken by the single most

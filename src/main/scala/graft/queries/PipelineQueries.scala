@@ -588,6 +588,40 @@ object PipelineQueries {
         .orderBy("split")
     },
 
+    // Leakage-safe GROUPED split: the same md5 band gate as sp05 but
+    // keyed on `source`, so every document of a source lands in the
+    // same split — the grouping that stops near-duplicate documents
+    // from one site straddling train/test (the contamination mode a
+    // doc-keyed split invites). The no_leakage flag is COMPUTED from
+    // the assignment (max splits-per-source must be 1), not assumed;
+    // DuckDB states it as the constant the construction guarantees.
+    QueryDef("sp07_grouped_split",
+      """WITH s AS (SELECT source, n_chars,
+        |  CASE WHEN substring(md5(source), 1, 2) < 'f5' THEN 'train'
+        |       WHEN substring(md5(source), 1, 2) < 'fa' THEN 'val'
+        |       ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT split, count(*) AS n_docs,
+        |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(1 AS BIGINT) AS no_leakage
+        |FROM s GROUP BY split ORDER BY split""".stripMargin) { (s, dir) =>
+      val assigned = docs(s, dir).withColumn("split",
+        graft.operators.Sampling.assignSplit(col("source")))
+      val leak = assigned.groupBy("source")
+        .agg(countDistinct(col("split")).as("_k"))
+        .agg(coalesce(max(col("_k")), lit(0L)).as("_mx"))
+      assigned.groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("n_sources"),
+          sum("n_chars").cast(LongType).as("total_chars"))
+        .crossJoin(broadcast(leak))
+        .select(col("split"), col("n_docs"), col("n_sources"),
+          col("total_chars"),
+          when(col("_mx") <= 1, 1L).otherwise(0L).as("no_leakage"))
+        .orderBy("split")
+    },
+
     // Fractional-epoch mixture (Sampling.epochUpsample): src0 at 2+77/256
     // ≈ 2.3 epochs, src1 at 0+128/256 ≈ 0.5 (pure downsample through the
     // same operator), src2 pinned to exactly 1, everything else passing
@@ -1175,6 +1209,31 @@ object PipelineQueries {
           min(col("doc_id")).cast(LongType).as("first_doc"),
           max(col("doc_id")).cast(LongType).as("last_doc"))
         .orderBy("shard")
+    },
+
+    // GPT-style sequence packing (TextAnalysis.packSequences): the
+    // corpus as one contiguous token stream cut into exactly-full
+    // 512-token sequences, docs SPLIT across cuts — the pretraining
+    // data-loader layout ta10's whole-doc sharding can't express.
+    // Full row-for-row oracle: DuckDB replays the same global cumsum +
+    // span arithmetic; any prefix-sum, boundary or off-by-one slip in
+    // the distributed two-level formulation hash-mismatches.
+    QueryDef("ta19_sequence_packing",
+      """WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents),
+        | c AS (SELECT doc_id, n,
+        |         CAST(sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n
+        |              AS BIGINT) AS s
+        |       FROM t),
+        | e AS (SELECT doc_id, n, s,
+        |         unnest(range(s // 512, (s + n - 1) // 512 + 1)) AS seq_id
+        |       FROM c)
+        |SELECT doc_id, CAST(seq_id AS BIGINT) AS seq_id,
+        |  CAST(greatest(s, seq_id * 512) - seq_id * 512 AS BIGINT) AS seq_offset,
+        |  CAST(greatest(s, seq_id * 512) - s AS BIGINT) AS tok_start,
+        |  CAST(least(s + n, (seq_id + 1) * 512) - greatest(s, seq_id * 512) AS BIGINT) AS n_span
+        |FROM e ORDER BY doc_id, seq_id""".stripMargin) { (s, dir) =>
+      TextAnalysis.packSequences(docs(s, dir), "doc_id", "text", seqLen = 512L)
+        .orderBy("doc_id", "seq_id")
     },
 
     // Repetition-based quality filters (the Gopher/C4 degenerate-text

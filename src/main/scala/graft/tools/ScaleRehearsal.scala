@@ -158,6 +158,23 @@ object ScaleRehearsal {
         .filter(!col("keep")).count()
     }
 
+    // Media near-dup (mm04 shape) at 1×/10× asset count: hash table
+    // materialized once (the SCALE.md contract — hammingPairs
+    // self-joins its input), then the banded pair join. Pair volume
+    // grows with planted-dup count (linear here: one clone per image),
+    // shuffle with (bands × assets) 24-byte rows — never payloads.
+    for ((tag, n) <- Seq(("1x", 300), ("10x", 3000))) {
+      val hp = s"$work/mediahash-$n.parquet"
+      graft.multimodal.Multimodal.dHashes(
+        graft.multimodal.Multimodal.syntheticAssets(spark, n)
+          .unionByName(graft.multimodal.Multimodal.cloneAssets(spark, n)))
+        .write.mode("overwrite").parquet(hp)
+      measure(s"mm04_banded_pairs  $tag") {
+        Dedup.hammingPairs(spark.read.parquet(hp),
+          "asset_id", "dhash", maxDist = 3).count()
+      }
+    }
+
     // CDC bucket-bounded merge: per-batch cost for a SINGLE-KEY batch
     // against a maintained table of K keys, at buckets ∈ {1, 64} and
     // K ∈ {200k, 2M}. buckets=1 is the r8 full-table-per-batch shape;

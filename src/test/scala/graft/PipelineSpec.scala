@@ -565,6 +565,37 @@ class PipelineSpec extends AnyFunSuite {
       "shard id ranges overlap")
   }
 
+  test("packSequences: every sequence exactly full, spans tile every doc") {
+    import graft.operators.TextAnalysis
+    val d = Tables.load(spark, sf, "documents")
+    val packed = TextAnalysis.packSequences(d, "doc_id", "text", 64L).cache()
+    // every sequence except the last carries exactly seqLen tokens
+    val bySeq = packed.groupBy("seq_id")
+      .agg(sum($"n_span").as("tot")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lastSeq = bySeq.keys.max
+    bySeq.foreach { case (sq, tot) =>
+      if (sq != lastSeq) assert(tot == 64L, s"seq $sq carries $tot tokens")
+      else assert(tot <= 64L, s"tail seq $sq overfull: $tot")
+    }
+    // spans tile each document: per-doc span sum == token count, span
+    // starts contiguous from 0
+    val docTotals = packed.groupBy("doc_id")
+      .agg(sum($"n_span").as("spanned"), min($"tok_start").as("first"))
+      .join(d.select($"doc_id",
+        size(split($"text", " ")).cast("long").as("n")), "doc_id")
+      .collect()
+    assert(docTotals.nonEmpty)
+    docTotals.foreach { r =>
+      assert(r.getAs[Long]("spanned") == r.getAs[Long]("n"), r.toString)
+      assert(r.getAs[Long]("first") == 0L, r.toString)
+    }
+    // a doc longer than seqLen must actually split across sequences
+    assert(packed.groupBy("doc_id").count().filter($"count" > 1).count() > 0)
+    packed.unpersist()
+    ()
+  }
+
   test("tf-idf: corpus-wide terms score zero, distinctive terms rank first") {
     val d = Seq(
       (1L, "common common rare1 rare1 rare1"),
