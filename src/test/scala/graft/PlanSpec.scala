@@ -238,6 +238,23 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_min"), p)
   }
 
+  test("ta19: packing cumsum windows partition by _pid; only the partition-offset window is global") {
+    // the two-level distributed prefix sum: per-doc running totals must
+    // window WITHIN a range partition (_pid in the partition spec), and
+    // the only unpartitioned window allowed is the one over the
+    // ≤numPartitions-row _ptot aggregate — a corpus-wide single-task
+    // cumsum over doc rows is the failure mode this pins out
+    val plan = planOf("ta19_sequence_packing")
+    val winLines = plan.linesIterator
+      .filter(_.contains("windowspecdefinition")).toVector
+    assert(winLines.nonEmpty, plan)
+    winLines.foreach { l =>
+      if (l.contains("sum(n_tokens"))
+        assert(l.contains("], [_pid#"), s"corpus-wide doc window:\n$l")
+      else assert(l.contains("_ptot"), s"unexpected global window:\n$l")
+    }
+  }
+
   test("q35/q37: merge plans an anti join; lateral top-k never cartesians") {
     val merge = planOf("q35_merge_upsert")
     assert(merge.contains("LeftAnti"), merge)
