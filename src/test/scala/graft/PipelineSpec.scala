@@ -62,6 +62,25 @@ class PipelineSpec extends AnyFunSuite {
       s"not bit-identical: ${exact.toSet.diff(hof.toSet)} vs ${hof.toSet.diff(exact.toSet)}")
   }
 
+  test("similarity topK accepts INT ids and emits uniformly-bigint qid/cid") {
+    // the ID CONTRACT: integral id columns of any width ride through as
+    // bigint; the strict top_k type check must never see an uncast int
+    import org.apache.spark.sql.types.LongType
+    val e = Seq((1, Array(1f, 0f, 0f, 0f)), (2, Array(0.9f, 0.1f, 0f, 0f)),
+      (3, Array(0f, 1f, 0f, 0f)), (4, Array(0.1f, 0.9f, 0f, 0f)))
+      .toDF("vec_id", "embedding") // ids are INT, not BIGINT
+    for (r <- Seq(
+      graft.operators.Similarity.cosineTopK(
+        e.filter($"vec_id" === 1), e, 2, exact = false),
+      graft.operators.Similarity.l2TopK(e.filter($"vec_id" === 1), e, 2),
+      graft.operators.Similarity.annTopK(
+        e.filter($"vec_id" === 1), e, 2, bits = 1, tables = 4))) {
+      assert(r.schema("qid").dataType == LongType, r.schema.treeString)
+      assert(r.schema("cid").dataType == LongType, r.schema.treeString)
+      assert(r.count() >= 1)
+    }
+  }
+
   test("ANN LSH at the tuned default config clears the 80% recall floor") {
     // the r4 regression this pins: a bits=8 single-table-style override
     // collapsed recall to 0.20 — the tuned 4-bit × 16-table default
