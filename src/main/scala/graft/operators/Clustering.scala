@@ -83,6 +83,52 @@ object Clustering {
     * full double-precision centroid vector could not (its per-position
     * output would be 64× wider for no extra signal).
     */
+  /** Per-cluster mean silhouette (centroid-based variant: a = distance
+    * to the nearest centroid — the assignment, b = distance to the
+    * second-nearest — so s = (b−a)/b, the clustering-quality score that
+    * tells a curriculum/IVF build whether its k actually separates the
+    * corpus). Output: (cluster, n_members, mean_silhouette).
+    *
+    * Cross-engine exactness: a and b are exact decimal distances picked
+    * by an exact (distance, cluster-id) sort — no float enters the
+    * SELECTION. The per-row ratio is two decimal→double casts and one
+    * IEEE division, quantized to DECIMAL(18,6) BEFORE the per-cluster
+    * sum (the ta14 pattern: a last-ulp divergence can't flip a 6-dp
+    * quantization), so the mean is an exact sum and one identical
+    * final division.
+    *
+    * Scale shape: the k distances of each vector collapse in ONE
+    * per-vector aggregation whose buffer is the k-bounded sorted pair
+    * list (k = number of clusters, a constant) — no window, no
+    * self-join; the only full-width exchange is |corpus| rows keyed by
+    * id, identical to [[assignToSeeds]].
+    */
+  def silhouetteStats(df: DataFrame, k: Int,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    require(k >= 2, "silhouette needs at least 2 clusters")
+    val seeds = seedCentroids(df, k, idCol, vecCol)
+    val ranked = df.select(col(idCol), dec(col(vecCol)).as("_x"))
+      .crossJoin(broadcast(seeds))
+      .select(col(idCol),
+        struct(sqDist(col("_x"), col("cvec")).as("d"),
+          col("cluster").as("c")).as("_dc"))
+      .groupBy(col(idCol))
+      .agg(slice(sort_array(collect_list(col("_dc"))), 1, 2).as("_near"))
+    val a = col("_near")(0)("d")
+    val b = col("_near")(1)("d")
+    val s = when(b === lit(0).cast(DecimalType(30, 12)), lit(0.0))
+      .otherwise((b - a).cast(DoubleType) / b.cast(DoubleType))
+    ranked
+      .select(col("_near")(0)("c").as("cluster"),
+        s.cast(DecimalType(18, 6)).as("_sq"))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_members"), sum(col("_sq")).as("_ssum"))
+      .select(col("cluster"), col("n_members"),
+        (col("_ssum").cast(DoubleType) / col("n_members").cast(DoubleType))
+          .as("mean_silhouette"))
+  }
+
   def lloydUpdateStats(df: DataFrame, k: Int,
                        idCol: String = "vec_id",
                        vecCol: String = "embedding"): DataFrame = {

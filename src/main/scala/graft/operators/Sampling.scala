@@ -3,6 +3,9 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+import graft.functions.TopKAgg
 
 /** Deterministic, engine-portable sampling for reproducible corpus
   * curation. `df.sample()` draws from a partition-seeded RNG — the
@@ -126,6 +129,52 @@ object Sampling {
     df.withColumn("_rk", row_number().over(w))
       .filter(col("_rk") <= k)
       .drop("_rk")
+  }
+
+  /** Weight-proportional sampling WITHOUT replacement, deterministic
+    * and engine-portable — "draw k docs, long documents proportionally
+    * more often, same k docs every rerun on any engine". Sequential
+    * Poisson sampling (Ohlsson 1998, the πps scheme production survey
+    * samplers use): each row gets priority u/w where u is a
+    * hash-uniform and w its weight; the k SMALLEST priorities win.
+    * Heavier rows draw stochastically-smaller priorities, so inclusion
+    * probability is ≈ proportional to weight.
+    *
+    * No float enters the selection: u is the first 10 hex digits of
+    * md5(key) read as a 40-bit integer, and the priority is the EXACT
+    * integer `(u * 1024) div w` — floor division computes the same
+    * BIGINT in every engine (the /1024 fixed-point keeps resolution
+    * under the division), and at < 2^50 it rides through the top-k's
+    * double score losslessly (exact below 2^53). Ties (rare) break by
+    * key, a total order.
+    *
+    * Scale shape: the priority is scan-fused per-row arithmetic; the
+    * global k-smallest runs through the bounded [[TopKAgg]] partial
+    * aggregate — each map partition exchanges at most k pairs, never a
+    * corpus sort. The winners (k rows) broadcast back onto the table
+    * to recover their attributes.
+    *
+    * Rows with w ≤ 0 are excluded (zero weight = zero inclusion mass);
+    * weights are per-row positive integers (chars, tokens, bytes).
+    */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
+                     k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val u40 = conv(substring(md5(col(keyCol).cast("string")), 1, 10), 16, 10)
+      .cast(LongType)
+    val winners = df.filter(col(weightCol) > 0)
+      .select(col(keyCol), u40.as("_u"),
+        col(weightCol).cast(LongType).as("_w"))
+      // SQL `div` (IntegralDivide): exact BIGINT floor division on
+      // positive operands in Spark and DuckDB alike
+      .select(col(keyCol), expr("(_u * 1024) div _w").as("_prio"))
+      .agg(TopKAgg.top_k(col("_prio").cast(DoubleType),
+        col(keyCol).cast(LongType), k, ascending = true).as("_top"))
+      .select(explode(col("_top")).as("_p"))
+      .select(col("_p.id").as("_wkey"),
+        col("_p.score").cast(LongType).as("skey"))
+    df.join(broadcast(winners), col(keyCol).cast(LongType) === col("_wkey"))
+      .drop("_wkey")
   }
 
   /** Fractional-epoch mixture weighting — the data-mixing step that

@@ -143,6 +143,87 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
+  /** Diversity-aware re-ranking: greedy Maximal Marginal Relevance
+    * (Carbonell & Goldstein 1998) over a relevance shortlist — pick the
+    * most relevant candidate first, then repeatedly the one maximizing
+    * `λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s)`, so each selection trades
+    * relevance against redundancy with what's already picked. The
+    * retrieval-diversification step of RAG context assembly and
+    * dedup-aware few-shot example selection. Output:
+    * (qid, sel_rank 1..k, cid, mmr) where `mmr` is the selection-time
+    * score (relevance itself for the first pick).
+    *
+    * Cross-engine exactness: relevance and pair similarities are the
+    * [[cosineTopK]] exact-decimal cosines (bit-identical doubles in any
+    * engine); λ = 0.5 is a power of two, so each greedy score is two
+    * exact halvings and one IEEE subtraction — no quantization needed,
+    * and argmax ties break by candidate id. The DuckDB oracle unrolls
+    * the same greedy loop.
+    *
+    * Scale shape: everything after the shortlist operates on Q×s rows
+    * (s = `shortlist`, a constant) — the O(s²) pair-similarity join and
+    * the k greedy argmaxes (bounded TopKAgg, k = 1) never touch the
+    * corpus again. The corpus-facing stage is exactly [[cosineTopK]]'s
+    * bounded-exchange top-s (or any ANN shortlist fed in its place).
+    */
+  def mmrTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+              shortlist: Int,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && shortlist >= k,
+      s"need 1 <= k <= shortlist, got k=$k shortlist=$shortlist")
+    requireIntegralIds(queries, candidates, idCol)
+    def dec(c: Column) =
+      transform(c, x => x.cast(DoubleType).cast(DecimalType(12, 6)))
+    def dotD(x: Column, y: Column) =
+      aggregate(zip_with(x, y, (p, q) => p * q),
+        lit(0).cast(DecimalType(30, 12)),
+        (acc, v) => (acc + v).cast(DecimalType(30, 12)))
+
+    val rel = cosineTopK(queries, candidates, shortlist, idCol, vecCol,
+      exact = true)
+    val cside = candidates
+      .select(col(idCol).cast(LongType).as("cid"), dec(col(vecCol)).as("cv"))
+      .withColumn("cn", dotD(col("cv"), col("cv")).cast(DoubleType))
+    // shortlist members with vectors: Q×s rows — broadcastable at any
+    // corpus size, so the pair join below never shuffles the corpus
+    val sv = rel.select(col("qid"), col("cid"), col("sim").as("rel"))
+      .join(cside, "cid")
+    val pairs = sv.select(col("qid"), col("cid"), col("cv"), col("cn"))
+      .join(sv.select(col("qid").as("_q"), col("cid").as("_sid"),
+        col("cv").as("_sv"), col("cn").as("_sn")),
+        col("qid") === col("_q") && col("cid") =!= col("_sid"))
+      .select(col("qid"), col("cid"), col("_sid"),
+        (dotD(col("cv"), col("_sv")).cast(DoubleType) /
+          sqrt(col("cn") * col("_sn"))).as("psim"))
+
+    var selected = rel.filter(col("rank") === 1)
+      .select(col("qid"), lit(1L).as("sel_rank"), col("cid"),
+        col("sim").as("mmr"))
+    var remaining = rel.filter(col("rank") > 1)
+      .select(col("qid"), col("cid"), col("sim").as("rel"))
+    for (t <- 2 to k) {
+      val selIds = selected.select(col("qid").as("_q2"), col("cid").as("_c2"))
+      val msim = pairs
+        .join(selIds, col("qid") === col("_q2") && col("_sid") === col("_c2"),
+          "leftsemi")
+        .groupBy("qid", "cid").agg(max(col("psim")).as("_ms"))
+      val winner = remaining.join(msim, Seq("qid", "cid"))
+        .select(col("qid"), col("cid"),
+          (lit(0.5) * col("rel") - lit(0.5) * col("_ms")).as("_score"))
+        .groupBy("qid")
+        .agg(TopKAgg.top_k(col("_score"), col("cid"), 1, ascending = false)
+          .as("_w"))
+        .select(col("qid"), explode(col("_w")).as("_p"))
+        .select(col("qid"), lit(t.toLong).as("sel_rank"),
+          col("_p.id").as("cid"), col("_p.score").as("mmr"))
+      selected = selected.unionByName(winner)
+      remaining = remaining.join(
+        winner.select(col("qid").as("_q3"), col("cid").as("_c3")),
+        col("qid") === col("_q3") && col("cid") === col("_c3"), "left_anti")
+    }
+    selected.orderBy("qid", "sel_rank")
+  }
+
   /** Brute-force exact L2 top-k — the ground truth [[pqTopK]] is gated
     * against. Same broadcast shape as [[cosineTopK]]: queries broadcast,
     * candidates never shuffle; the squared-distance fold runs in array

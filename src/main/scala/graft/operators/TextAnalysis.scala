@@ -396,6 +396,47 @@ object TextAnalysis {
           count(lit(1)).cast(DoubleType)).as("avg_logprob"))
   }
 
+  /** CCNet-style perplexity bucketing: rank every document by its
+    * [[bigramLogProb]] fluency score (best first) and cut the corpus
+    * into `nBuckets` equal GLOBAL-RANK slices — head/middle/tail for
+    * nBuckets = 3, the split CCNet feeds to per-bucket sampling rates.
+    * A doc's bucket is `((rank−1)·nBuckets) div N` — a pure integer
+    * function of its global rank, so assignment is engine-portable and
+    * bucket sizes differ by at most one. Docs with no bigrams (< 2
+    * tokens) are unscored and not emitted. Output:
+    * (id, avg_logprob, bucket).
+    *
+    * Scale shape: the global rank is the same two-level distributed
+    * prefix sum as [[tokenShards]] — range-partition by the sort key
+    * (score desc, id), per-partition `row_number` window, partition
+    * counts broadcast back as offsets. No corpus-wide single-task
+    * window; N joins in as a broadcast scalar.
+    */
+  def perplexityBuckets(df: DataFrame, idCol: String, textCol: String,
+                        nBuckets: Int = 3): DataFrame = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    val scored = bigramLogProb(df, idCol, textCol)
+      .select(col(idCol), col("avg_logprob"))
+    val local = scored
+      .repartitionByRange(col("avg_logprob").desc, col(idCol))
+      .withColumn("_pid", spark_partition_id())
+      .withColumn("_lrk", row_number().over(
+        Window.partitionBy(col("_pid"))
+          .orderBy(col("avg_logprob").desc, col(idCol))))
+    val counts = local.groupBy("_pid").agg(count(lit(1)).as("_pn"))
+    val prefix = counts
+      .withColumn("_offset", coalesce(sum(col("_pn")).over(
+        Window.orderBy(col("_pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_pid"), col("_offset"))
+    val total = counts.agg(sum(col("_pn")).as("_n"))
+    local.join(broadcast(prefix), "_pid")
+      .crossJoin(broadcast(total))
+      .withColumn("_rk", col("_offset") + col("_lrk"))
+      .select(col(idCol), col("avg_logprob"),
+        expr(s"((_rk - 1) * $nBuckets) div _n").as("bucket"))
+  }
+
   /** Fixed-size character chunking with overlap — the context-window
     * prep step of RAG/embedding pipelines: chunk i covers
     * `[i·stride, i·stride + size)`, so consecutive chunks overlap by

@@ -622,6 +622,33 @@ object PipelineQueries {
         .orderBy("split")
     },
 
+    // Weight-proportional sampling WITHOUT replacement (sequential
+    // Poisson / πps): draw 100 docs with inclusion ∝ n_chars — the
+    // "sample by token mass, not by document count" draw that keeps a
+    // size-skewed corpus sample representative of its token budget.
+    // The priority is the EXACT integer (u40·1024) div w (u40 = 40-bit
+    // md5 prefix): floor division is the same BIGINT in both engines,
+    // and < 2^50 it rides the top-k's double score losslessly, so the
+    // winner set is bit-reproducible anywhere. Spark side selects via
+    // the bounded TopKAgg partial aggregate (≤ k pairs exchanged per
+    // map partition); the oracle's ORDER BY/LIMIT states the identical
+    // (priority, key) total order.
+    QueryDef("sp08_weighted_sample",
+      """WITH s AS (SELECT doc_id, n_chars,
+        |    (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 10))::BIGINT
+        |     * 1024) // n_chars AS skey
+        |  FROM documents WHERE n_chars > 0)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(n_chars AS BIGINT) AS n_chars,
+        |  CAST(skey AS BIGINT) AS skey
+        |FROM s ORDER BY skey, doc_id LIMIT 100""".stripMargin) { (s, dir) =>
+      graft.operators.Sampling
+        .weightedSample(docs(s, dir), "doc_id", "n_chars", 100)
+        .select(col("doc_id").cast(LongType).as("doc_id"),
+          col("n_chars").cast(LongType).as("n_chars"), col("skey"))
+        .orderBy("skey", "doc_id")
+    },
+
     // Fractional-epoch mixture (Sampling.epochUpsample): src0 at 2+77/256
     // ≈ 2.3 epochs, src1 at 0+128/256 ≈ 0.5 (pure downsample through the
     // same operator), src2 pinned to exactly 1, everything else passing
@@ -1236,6 +1263,50 @@ object PipelineQueries {
         .orderBy("doc_id", "seq_id")
     },
 
+    // CCNet-style perplexity bucketing: rank the corpus by ta14's
+    // bigram-LM fluency score, cut into head/middle/tail GLOBAL-RANK
+    // terciles, and report each bucket's language composition — the
+    // quality split whose per-bucket sampling rates drive web-corpus
+    // curation. Bucket = ((rank−1)·3) div N is pure integer arithmetic
+    // on an engine-identical ordering (the scores hash-match in ta14,
+    // ties break by doc_id); the Spark rank is the ta19 two-level
+    // prefix sum, never a corpus-wide single-task window — PlanSpec
+    // pins that shape.
+    QueryDef("ta20_perplexity_buckets",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 2),
+        | bg0 AS (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM w),
+        | bg AS (SELECT doc_id, array_to_string(ws[i:i+1], ' ') AS bg,
+        |               ws[i] AS w1 FROM bg0),
+        | cb AS (SELECT bg, count(*) AS cb FROM bg GROUP BY bg),
+        | cc AS (SELECT w1, count(*) AS cc FROM bg GROUP BY w1),
+        | lp AS (SELECT bg.doc_id,
+        |          CAST(ln(CAST(cb.cb AS DOUBLE) / CAST(cc.cc AS DOUBLE))
+        |               AS DECIMAL(18,6)) AS q
+        |        FROM bg JOIN cb USING (bg) JOIN cc USING (w1)),
+        | sc AS (SELECT doc_id, CAST(sum(q) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS s
+        |        FROM lp GROUP BY doc_id),
+        | r AS (SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS rk,
+        |              count(*) OVER () AS n FROM sc),
+        | b AS (SELECT doc_id, CASE ((rk - 1) * 3) // n WHEN 0 THEN 'head'
+        |              WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket FROM r)
+        |SELECT bucket, lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM b JOIN documents USING (doc_id)
+        |GROUP BY bucket, lang ORDER BY bucket, lang""".stripMargin) { (s, dir) =>
+      val buckets = TextAnalysis
+        .perplexityBuckets(docsWide(s, dir), "doc_id", "text", nBuckets = 3)
+      val lbl = when(col("bucket") === 0, "head")
+        .when(col("bucket") === 1, "middle").otherwise("tail")
+      buckets
+        .join(docs(s, dir).select("doc_id", "lang", "n_chars"), "doc_id")
+        .select(lbl.as("bucket"), col("lang"), col("n_chars"))
+        .groupBy("bucket", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").cast(LongType).as("total_chars"))
+        .orderBy("bucket", "lang")
+    },
+
     // Repetition-based quality filters (the Gopher/C4 degenerate-text
     // family): top-token share + duplicate 2/3-gram fractions, all
     // scan-fused per-row array math on the Spark side (sorted-array
@@ -1583,6 +1654,69 @@ object PipelineQueries {
         Similarity.ivfPqTopK(q, e, 5), floorPct = 80)
     },
 
+    // Diversity-aware re-ranking: greedy MMR (λ=0.5) over the exact
+    // cosine top-10 shortlist, 3 selections per query — the RAG
+    // context-assembly step that trades relevance against redundancy.
+    // Everything is exact-decimal cosines and power-of-two λ halvings
+    // (single IEEE ops, no quantization needed), ties to the lower cid;
+    // the oracle unrolls the identical greedy loop. After the bounded
+    // top-10, no stage touches the corpus again — pure Q×10 arithmetic.
+    QueryDef("sim08_mmr",
+      """WITH e0 AS (SELECT vec_id, unnest(embedding) AS rawx,
+        |                    unnest(range(1, len(embedding) + 1)) AS i
+        |             FROM embeddings),
+        | e AS (SELECT vec_id, i,
+        |       CAST(CAST(rawx AS DOUBLE) AS DECIMAL(12,6)) AS x FROM e0),
+        | n AS (SELECT vec_id, sum(x * x) AS nrm FROM e GROUP BY vec_id),
+        | d AS (SELECT q.vec_id AS qid, c.vec_id AS cid, sum(q.x * c.x) AS dot
+        |       FROM e q JOIN e c ON q.i = c.i
+        |       WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+        |       GROUP BY 1, 2),
+        | rel0 AS (SELECT qid, cid,
+        |           CAST(dot AS DOUBLE) /
+        |             sqrt(CAST(nq.nrm AS DOUBLE) * CAST(nc.nrm AS DOUBLE)) AS rel
+        |         FROM d JOIN n nq ON nq.vec_id = qid JOIN n nc ON nc.vec_id = cid),
+        | sl AS (SELECT qid, cid, rel,
+        |          row_number() OVER (PARTITION BY qid ORDER BY rel DESC, cid) AS rk
+        |        FROM rel0),
+        | s AS (SELECT qid, cid, rel FROM sl WHERE rk <= 10),
+        | pd AS (SELECT a.qid, a.cid AS cid1, b.cid AS cid2, sum(ea.x * eb.x) AS dot
+        |        FROM s a JOIN s b ON a.qid = b.qid AND a.cid <> b.cid
+        |        JOIN e ea ON ea.vec_id = a.cid
+        |        JOIN e eb ON eb.vec_id = b.cid AND ea.i = eb.i
+        |        GROUP BY 1, 2, 3),
+        | ps AS (SELECT qid, cid1, cid2,
+        |          CAST(dot AS DOUBLE) /
+        |            sqrt(CAST(n1.nrm AS DOUBLE) * CAST(n2.nrm AS DOUBLE)) AS psim
+        |        FROM pd JOIN n n1 ON n1.vec_id = cid1 JOIN n n2 ON n2.vec_id = cid2),
+        | w1 AS (SELECT qid, cid, rel AS mmr FROM sl WHERE rk = 1),
+        | m2 AS (SELECT s.qid, s.cid, 0.5 * s.rel - 0.5 * ps.psim AS score
+        |        FROM s JOIN w1 ON s.qid = w1.qid AND s.cid <> w1.cid
+        |        JOIN ps ON ps.qid = s.qid AND ps.cid1 = s.cid AND ps.cid2 = w1.cid),
+        | w2 AS (SELECT qid, cid, score AS mmr FROM (
+        |          SELECT *, row_number() OVER (PARTITION BY qid
+        |            ORDER BY score DESC, cid) AS r FROM m2) t
+        |        WHERE r = 1),
+        | m3 AS (SELECT s.qid, s.cid, 0.5 * s.rel - 0.5 * max(ps.psim) AS score
+        |        FROM s
+        |        JOIN w1 ON s.qid = w1.qid AND s.cid <> w1.cid
+        |        JOIN w2 ON s.qid = w2.qid AND s.cid <> w2.cid
+        |        JOIN ps ON ps.qid = s.qid AND ps.cid1 = s.cid
+        |          AND ps.cid2 IN (w1.cid, w2.cid)
+        |        GROUP BY s.qid, s.cid, s.rel),
+        | w3 AS (SELECT qid, cid, score AS mmr FROM (
+        |          SELECT *, row_number() OVER (PARTITION BY qid
+        |            ORDER BY score DESC, cid) AS r FROM m3) t
+        |        WHERE r = 1)
+        |SELECT qid, CAST(1 AS BIGINT) AS sel_rank, cid, mmr FROM w1
+        |UNION ALL SELECT qid, 2, cid, mmr FROM w2
+        |UNION ALL SELECT qid, 3, cid, mmr FROM w3
+        |ORDER BY qid, sel_rank""".stripMargin) { (s, dir) =>
+      val e = embWide(s, dir)
+      Similarity.mmrTopK(e.filter(col("vec_id") < 10), e, k = 3,
+        shortlist = 10)
+    },
+
     // Symmetric int8 quantization of the embedding column — the 4×
     // index-compression pass. Per-element IEEE ops with no summation
     // order involved, so the oracle runs the identical expression tree;
@@ -1655,6 +1789,40 @@ object PipelineQueries {
         |  CAST(sl1 AS DOUBLE) / CAST(nm AS DOUBLE) AS centroid_l1
         |FROM n JOIN l1 USING (cid) ORDER BY cluster""".stripMargin) { (s, dir) =>
       graft.operators.Clustering.lloydUpdateStats(embWide(s, dir), 8)
+        .orderBy("cluster")
+    },
+
+    // Clustering QUALITY: per-cluster mean silhouette (centroid
+    // variant: a = nearest-centroid distance, b = second-nearest;
+    // s = (b−a)/b) — the "is k right / did the clusters separate"
+    // gauge a curriculum bucketing or IVF build reads before trusting
+    // its partition. Selection of a and b is exact-decimal (no float
+    // picks a winner); each ratio is one IEEE division quantized to
+    // 6 dp before the order-independent per-cluster sum.
+    QueryDef("km03_silhouette",
+      """WITH e0 AS (SELECT vec_id, unnest(embedding) AS rawx,
+        |                   unnest(range(1, len(embedding) + 1)) AS i
+        |            FROM embeddings),
+        | e AS (SELECT vec_id, i,
+        |         CAST(CAST(rawx AS DOUBLE) AS DECIMAL(12,6)) AS x FROM e0),
+        | sid AS (SELECT min(vec_id) AS cid FROM embeddings GROUP BY vec_id % 8),
+        | c AS (SELECT e.vec_id AS cid, e.i, e.x AS cx
+        |       FROM e JOIN sid ON e.vec_id = sid.cid),
+        | d AS (SELECT e.vec_id, c.cid, sum((e.x - c.cx) * (e.x - c.cx)) AS d
+        |       FROM e JOIN c ON e.i = c.i GROUP BY 1, 2),
+        | a AS (SELECT vec_id, cid, d,
+        |         row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS r
+        |       FROM d),
+        | p AS (SELECT a1.vec_id, a1.cid AS cluster,
+        |         CAST(CASE WHEN a2.d = 0 THEN 0.0
+        |              ELSE CAST(a2.d - a1.d AS DOUBLE) / CAST(a2.d AS DOUBLE)
+        |              END AS DECIMAL(18,6)) AS sq
+        |       FROM a a1 JOIN a a2 USING (vec_id)
+        |       WHERE a1.r = 1 AND a2.r = 2)
+        |SELECT CAST(cluster AS BIGINT) AS cluster, count(*) AS n_members,
+        |  CAST(sum(sq) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_silhouette
+        |FROM p GROUP BY cluster ORDER BY cluster""".stripMargin) { (s, dir) =>
+      graft.operators.Clustering.silhouetteStats(embWide(s, dir), 8)
         .orderBy("cluster")
     },
 

@@ -1061,6 +1061,46 @@ object RelationalQueries {
         .select(col("o_custkey"), col("o_orderkey"), d.as("d"),
           count(lit(1)).over(w).cast(LongType).as("n_last_30d"))
         .orderBy("o_custkey", "o_orderkey")
+    },
+
+    // ---- Gaps-and-islands: runs of CONSECUTIVE active months per
+    // customer (the retention-streak / sequence-segmentation shape).
+    // The classic trick — month_index − row_number() is constant within
+    // a consecutive run — turns run detection into a plain groupBy; no
+    // self-join, no per-customer iteration. Output is the corpus-level
+    // streak-length histogram.
+    //
+    // Scale: the only window partitions by o_custkey (high cardinality,
+    // streams per key); everything else is keyed aggregation. Month
+    // arithmetic is exact integers, so the histogram is
+    // engine-portable with zero float surface.
+    QueryDef("q43_gaps_islands",
+      """WITH m AS (SELECT DISTINCT o_custkey,
+        |    CAST(extract(year FROM CAST(o_orderdate AS DATE)) * 12 +
+        |         extract(month FROM CAST(o_orderdate AS DATE)) AS BIGINT) AS m
+        |  FROM orders),
+        | g AS (SELECT o_custkey, m,
+        |    m - row_number() OVER (PARTITION BY o_custkey ORDER BY m) AS grp
+        |  FROM m),
+        | isl AS (SELECT o_custkey, count(*) AS island_len
+        |  FROM g GROUP BY o_custkey, grp)
+        |SELECT CAST(island_len AS BIGINT) AS island_len,
+        |  count(*) AS n_islands,
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+        |FROM isl GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val mIdx = (year(col("o_orderdate").cast(DateType)) * 12 +
+        month(col("o_orderdate").cast(DateType))).cast(LongType)
+      val months = t(s, dir, "orders")
+        .select(col("o_custkey"), mIdx.as("m")).distinct()
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("m"))
+      months
+        .withColumn("grp", col("m") - row_number().over(w))
+        .groupBy(col("o_custkey"), col("grp"))
+        .agg(count(lit(1)).as("island_len"))
+        .groupBy(col("island_len"))
+        .agg(count(lit(1)).as("n_islands"),
+          countDistinct(col("o_custkey")).cast(LongType).as("n_customers"))
+        .orderBy("island_len")
     })
 
   val defs: Seq[QueryDef] = baseDefs ++ moreDefs ++ windowDefs

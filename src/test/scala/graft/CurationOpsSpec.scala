@@ -57,6 +57,71 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(stats.forall(_.getDouble(2) > 0.0))
   }
 
+  test("silhouette: planted well-separated clusters score near 1, counts exact") {
+    val stats = Clustering.silhouetteStats(plantedVectors, 3)
+      .orderBy("cluster").collect()
+    assert(stats.map(r => r.getLong(0) -> r.getLong(1)).toSeq ==
+      Seq(0L -> 4L, 1L -> 3L, 2L -> 3L), stats.mkString(", "))
+    // inter-center distance 10√2 vs within-cluster spread ≤ 0.04:
+    // (b−a)/b ≈ 1 for every member
+    assert(stats.forall(_.getDouble(2) > 0.95), stats.mkString(", "))
+  }
+
+  test("silhouette: centroid variant is bounded in [0, 1] on real embeddings") {
+    val stats = Clustering.silhouetteStats(
+      Tables.load(spark, sf, "embeddings"), 8).collect()
+    assert(stats.map(_.getLong(1)).sum ==
+      Tables.load(spark, sf, "embeddings").count())
+    assert(stats.forall(r => r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0),
+      stats.mkString(", "))
+  }
+
+  test("weightedSample: TopKAgg selection matches the brute-force priority sort") {
+    val docs = Tables.load(spark, sf, "documents")
+    val got = Sampling.weightedSample(docs, "doc_id", "n_chars", 50)
+      .select("doc_id", "skey")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ref = docs.filter(col("n_chars") > 0)
+      .select(col("doc_id"),
+        expr("(cast(conv(substring(md5(cast(doc_id as string)), 1, 10), 16, 10) " +
+          "as bigint) * 1024) div cast(n_chars as bigint)").as("skey"))
+      .orderBy("skey", "doc_id").limit(50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == ref)
+  }
+
+  test("weightedSample: heavier rows dominate the draw; k over-ask returns all") {
+    // two planted strata: 300 heavy keys (w=5000) vs 300 light (w=50).
+    // sequential Poisson priority u/w makes a heavy row's priority
+    // stochastically 100× smaller — the 100 winners should be nearly
+    // all heavy (deterministic given the md5 values, no RNG flake)
+    val rows = ((1L to 300L).map(i => (i, 5000)) ++
+      (1001L to 1300L).map(i => (i, 50))).toDF("k", "w")
+    val winners = Sampling.weightedSample(rows, "k", "w", 100).collect()
+    assert(winners.length == 100)
+    val heavy = winners.count(_.getLong(0) <= 300L)
+    assert(heavy > 85, s"heavy=$heavy of 100")
+    assert(Sampling.weightedSample(rows, "k", "w", 10000).count() == 600)
+  }
+
+  test("perplexityBuckets: terciles balanced within 1, exhaustive, partition-invariant") {
+    val docs = Tables.load(spark, sf, "documents")
+    val b = TextAnalysis.perplexityBuckets(docs, "doc_id", "text", 3)
+    val sizes = b.groupBy("bucket").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sizes.keySet == Set(0L, 1L, 2L), sizes.toString)
+    assert(sizes.values.max - sizes.values.min <= 1, sizes.toString)
+    // every scored (≥2-token) doc lands in exactly one bucket
+    val scored = docs
+      .filter(size(split(col("text"), " ")) >= 2).count()
+    assert(sizes.values.sum == scored)
+    val again = TextAnalysis
+      .perplexityBuckets(docs.repartition(7), "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val once = b.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(once == again)
+  }
+
   test("chunking: boundaries, overlap, and the short-doc whole-text chunk") {
     val text = ('a' to 'z').mkString * 10 // 260 chars
     val df = Seq((1L, text), (2L, "tiny")).toDF("doc_id", "text")

@@ -255,6 +255,49 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("sp08: weighted sample selects via partial top_k, never a window or corpus sort") {
+    val plan = planOf("sp08_weighted_sample")
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("partial_top_k") ||
+      plan.linesIterator.exists(l =>
+        l.contains("top_k") && l.contains("partial")), plan)
+    // winners (k rows) broadcast back onto the table for attributes
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("km03: silhouette has no window — the k-distance collapse is an aggregation") {
+    val plan = planOf("km03_silhouette")
+    assert(!plan.contains("Window"), plan)
+    // the per-vector sorted (dist, cluster) pair list is an
+    // ObjectHashAggregate whose buffer is bounded by k, combining
+    // map-side before the vec_id exchange
+    assert(plan.contains("ObjectHashAggregate"), plan)
+  }
+
+  test("ta20: rank windows partition by _pid; only the partition-count frame is global") {
+    // same two-level prefix-sum contract as ta19: a corpus-wide
+    // single-task row_number over doc scores is the pinned-out failure
+    val plan = planOf("ta20_perplexity_buckets")
+    val winLines = plan.linesIterator
+      .filter(_.contains("windowspecdefinition")).toVector
+    assert(winLines.nonEmpty, plan)
+    winLines.foreach { l =>
+      if (l.contains("row_number"))
+        assert(l.contains("_pid#"), s"corpus-wide rank window:\n$l")
+      else assert(l.contains("_pn"), s"unexpected global window:\n$l")
+    }
+  }
+
+  test("q43: island windows partition by customer — no corpus-wide window") {
+    val plan = planOf("q43_gaps_islands")
+    val winLines = plan.linesIterator
+      .filter(_.contains("windowspecdefinition")).toVector
+    assert(winLines.nonEmpty, plan)
+    winLines.foreach { l =>
+      assert(l.contains("o_custkey#"), s"window not keyed by customer:\n$l")
+    }
+  }
+
   test("q35/q37: merge plans an anti join; lateral top-k never cartesians") {
     val merge = planOf("q35_merge_upsert")
     assert(merge.contains("LeftAnti"), merge)
