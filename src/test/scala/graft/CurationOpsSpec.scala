@@ -122,6 +122,40 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(once == again)
   }
 
+  test("mmrTopK: matches a driver-side greedy reference on real embeddings") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val q = e.filter(col("vec_id") < 10)
+    val got = Similarity.mmrTopK(q, e, k = 3, shortlist = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    // shortlist relevance + pairwise sims from the gate-verified exact
+    // cosine; the greedy loop re-derived independently in plain Scala
+    val rel = Similarity.cosineTopK(q, e, 10, exact = true).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val ids = rel.map(_._2).distinct
+    val sub = e.filter(col("vec_id").isin(ids: _*))
+    val psim = Similarity.cosineTopK(sub, sub, ids.length, exact = true)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .toMap
+    val ref = rel.groupBy(_._1).toSeq.flatMap { case (qid, rows) =>
+      val short = rows.sortBy(r => (-r._3, r._2)).map(r => (r._2, r._3))
+      var sel = Vector((short.head._1, short.head._2))
+      var rem = short.tail.toVector
+      for (t <- 2 to 3) {
+        val w = rem.map { case (cid, rl) =>
+          val ms = sel.map(s => psim((cid, s._1))).max
+          (cid, 0.5 * rl - 0.5 * ms)
+        }.minBy { case (cid, sc) => (-sc, cid) }
+        sel :+= w
+        rem = rem.filterNot(_._1 == w._1)
+      }
+      sel.zipWithIndex.map { case ((cid, sc), i) =>
+        (qid, (i + 1).toLong, cid, sc)
+      }
+    }.toSet
+    assert(got == ref)
+  }
+
   test("chunking: boundaries, overlap, and the short-doc whole-text chunk") {
     val text = ('a' to 'z').mkString * 10 // 260 chars
     val df = Seq((1L, text), (2L, "tiny")).toDF("doc_id", "text")

@@ -298,6 +298,14 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("sim08: MMR stays window-free — shortlist and greedy argmaxes are bounded top_k aggs") {
+    val plan = planOf("sim08_mmr")
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("partial_top_k") ||
+      plan.linesIterator.exists(l =>
+        l.contains("top_k") && l.contains("partial")), plan)
+  }
+
   test("q35/q37: merge plans an anti join; lateral top-k never cartesians") {
     val merge = planOf("q35_merge_upsert")
     assert(merge.contains("LeftAnti"), merge)
