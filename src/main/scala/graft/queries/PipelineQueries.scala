@@ -1826,6 +1826,69 @@ object PipelineQueries {
         .orderBy("cluster")
     },
 
+    // ================= graph =================
+
+    // PageRank importance over the who-trades-with-whom graph
+    // (customer↔supplier via orders⋈lineitem, symmetrized; node ids
+    // disambiguated as 2k / 2k+1): 5 damped iterations, top-20 nodes.
+    // The crawl-style source-importance signal corpus curation attaches
+    // to documents. Each edge contribution quantizes to DECIMAL(18,12)
+    // before the per-node sum, so every iteration is exact-sum +
+    // three correctly-rounded IEEE ops — bit-identical across engines
+    // and partitionings; the oracle unrolls the same 5 rounds.
+    QueryDef("gr01_pagerank",
+      """WITH pairs AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+        |       FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        | edges AS (SELECT c * 2 AS src, s * 2 + 1 AS dst FROM pairs
+        |           UNION ALL SELECT s * 2 + 1, c * 2 FROM pairs),
+        | deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+        | ed AS (SELECT e.src, e.dst, d.outdeg FROM edges e JOIN deg d USING (src)),
+        | nodes AS (SELECT DISTINCT src AS v FROM edges),
+        | nn AS (SELECT count(*) AS n FROM nodes),
+        | r0 AS (SELECT v, 1.0 / nn.n AS r FROM nodes CROSS JOIN nn),
+        | c1 AS (SELECT dst, sum(CAST(r / outdeg AS DECIMAL(18,12))) AS cs
+        |        FROM ed JOIN r0 ON ed.src = r0.v GROUP BY dst),
+        | r1 AS (SELECT nd.v, 0.15 / nn.n + 0.85 * CAST(COALESCE(c1.cs, 0) AS DOUBLE) AS r
+        |        FROM nodes nd CROSS JOIN nn LEFT JOIN c1 ON c1.dst = nd.v),
+        | c2 AS (SELECT dst, sum(CAST(r / outdeg AS DECIMAL(18,12))) AS cs
+        |        FROM ed JOIN r1 ON ed.src = r1.v GROUP BY dst),
+        | r2 AS (SELECT nd.v, 0.15 / nn.n + 0.85 * CAST(COALESCE(c2.cs, 0) AS DOUBLE) AS r
+        |        FROM nodes nd CROSS JOIN nn LEFT JOIN c2 ON c2.dst = nd.v),
+        | c3 AS (SELECT dst, sum(CAST(r / outdeg AS DECIMAL(18,12))) AS cs
+        |        FROM ed JOIN r2 ON ed.src = r2.v GROUP BY dst),
+        | r3 AS (SELECT nd.v, 0.15 / nn.n + 0.85 * CAST(COALESCE(c3.cs, 0) AS DOUBLE) AS r
+        |        FROM nodes nd CROSS JOIN nn LEFT JOIN c3 ON c3.dst = nd.v),
+        | c4 AS (SELECT dst, sum(CAST(r / outdeg AS DECIMAL(18,12))) AS cs
+        |        FROM ed JOIN r3 ON ed.src = r3.v GROUP BY dst),
+        | r4 AS (SELECT nd.v, 0.15 / nn.n + 0.85 * CAST(COALESCE(c4.cs, 0) AS DOUBLE) AS r
+        |        FROM nodes nd CROSS JOIN nn LEFT JOIN c4 ON c4.dst = nd.v),
+        | c5 AS (SELECT dst, sum(CAST(r / outdeg AS DECIMAL(18,12))) AS cs
+        |        FROM ed JOIN r4 ON ed.src = r4.v GROUP BY dst),
+        | r5 AS (SELECT nd.v, 0.15 / nn.n + 0.85 * CAST(COALESCE(c5.cs, 0) AS DOUBLE) AS r
+        |        FROM nodes nd CROSS JOIN nn LEFT JOIN c5 ON c5.dst = nd.v)
+        |SELECT CAST(v AS BIGINT) AS node,
+        |  CASE WHEN v % 2 = 0 THEN 'cust' ELSE 'supp' END AS node_type,
+        |  r AS score
+        |FROM r5 ORDER BY score DESC, node LIMIT 20""".stripMargin) { (s, dir) =>
+      val pairs = Tables.load(s, dir, "orders")
+        .join(Tables.load(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("sup"))
+        .distinct()
+      // single-explode symmetrization (the dd08 discipline: union(e,
+      // e.swap) would evaluate the join twice before the checkpoint)
+      val edges = pairs.select(explode(array(
+          struct((col("c") * 2).as("src"), (col("sup") * 2 + 1).as("dst")),
+          struct((col("sup") * 2 + 1).as("src"), (col("c") * 2).as("dst"))))
+          .as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      graft.operators.Graph.pageRank(edges, iterations = 5)
+        .select(col("v").cast(LongType).as("node"),
+          when(col("v") % 2 === 0, "cust").otherwise("supp").as("node_type"),
+          col("r").as("score"))
+        .orderBy(desc("score"), col("node")).limit(20)
+    },
+
     // ================= multimodal (binary columns) =================
 
     // Deterministic synthetic assets (payload bytes derived from ids) →

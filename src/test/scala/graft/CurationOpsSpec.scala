@@ -156,6 +156,35 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got == ref)
   }
 
+  test("pageRank: symmetric star concentrates rank at the hub; mass conserved") {
+    // hub 0 ↔ leaves 1..9, both directions (no dangling mass)
+    val edges = (1L to 9L).flatMap(l => Seq((0L, l), (l, 0L)))
+      .toDF("src", "dst")
+    val r = graft.operators.Graph.pageRank(edges, iterations = 10)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r.size == 10)
+    val hub = r(0L)
+    val leaves = (1L to 9L).map(r)
+    assert(leaves.forall(l => hub > l), r.toString)
+    // symmetric graph, no dangling nodes → total rank stays 1
+    assert(math.abs(r.values.sum - 1.0) < 1e-9, r.values.sum.toString)
+    // leaves are symmetric — identical rank
+    assert(leaves.distinct.size == 1, leaves.toString)
+  }
+
+  test("pageRank: result is invariant under input repartitioning") {
+    val edges = Tables.load(spark, sf, "orders")
+      .join(Tables.load(spark, sf, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst")).distinct()
+    val once = graft.operators.Graph.pageRank(edges, 3)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    val again = graft.operators.Graph.pageRank(edges.repartition(13), 3)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(once == again)
+  }
+
   test("chunking: boundaries, overlap, and the short-doc whole-text chunk") {
     val text = ('a' to 'z').mkString * 10 // 260 chars
     val df = Seq((1L, text), (2L, "tiny")).toDF("doc_id", "text")

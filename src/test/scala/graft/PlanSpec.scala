@@ -306,6 +306,22 @@ class PlanSpec extends AnyFunSuite {
         l.contains("top_k") && l.contains("partial")), plan)
   }
 
+  test("gr01: pagerank top-20 is TakeOrdered; contributions combine partial, no window") {
+    val plan = planOf("gr01_pagerank")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Window"), plan)
+    // the per-iteration shape is truncated out of the final plan by the
+    // checkpoint — pin it on an un-checkpointed single iteration: the
+    // contribution sum must combine map-side before the dst exchange
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L)).toDF("src", "dst")
+    val iterPlan = graft.operators.Graph
+      .pageRank(edges, iterations = 1, checkpoint = false)
+      .queryExecution.executedPlan.toString
+    assert(iterPlan.contains("partial_sum"), iterPlan)
+    assert(!iterPlan.contains("Window"), iterPlan)
+  }
+
   test("q35/q37: merge plans an anti join; lateral top-k never cartesians") {
     val merge = planOf("q35_merge_upsert")
     assert(merge.contains("LeftAnti"), merge)
