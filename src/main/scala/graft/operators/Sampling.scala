@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 import graft.functions.TopKAgg
 
@@ -175,6 +175,67 @@ object Sampling {
         col("_p.score").cast(LongType).as("skey"))
     df.join(broadcast(winners), col(keyCol).cast(LongType) === col("_wkey"))
       .drop("_wkey")
+  }
+
+  /** Neyman-optimal stratified allocation: split a total budget of `k`
+    * draws across strata proportionally to `N_h · S_h` (stratum size ×
+    * sample standard deviation of `valueCol`) — the survey-sampling
+    * allocation that minimizes estimator variance for a fixed budget,
+    * here the "spend eval budget where the docs vary most" step.
+    * Returns one row per stratum with ≥ 2 members:
+    * (stratum, n_h, alloc).
+    *
+    * Engine-portable by integerization: the variance numerator
+    * `N·Σx² − (Σx)²` is exact BIGINT arithmetic on the integer value
+    * column, S_h is one correctly-rounded division + sqrt, the weight
+    * `N_h·S_h` quantizes to DECIMAL(28,6) (the ta14 pattern) and
+    * scales to integer micro-units, and the final allocation is exact
+    * integer floor division `(k·u_h) div Σu` — every engine computes
+    * the identical split (floor allocations may sum to slightly
+    * under k; the remainder is deliberately unassigned). BIGINT
+    * bounds: fine to ~10⁹ rows × 10⁴ values per stratum; a 100 TB
+    * deployment widens the three sums to DECIMAL(38,0).
+    *
+    * Scale shape: one keyed aggregation over the table plus a
+    * broadcast scalar — the allocation itself never shuffles data.
+    */
+  def neymanAllocation(df: DataFrame, stratumCol: String, valueCol: String,
+                       k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val x = col(valueCol).cast(LongType)
+    val st = df.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("n_h"), sum(x).as("_sx"),
+        sum(x * x).as("_sxx"))
+    val u = st.filter(col("n_h") >= 2)
+      .withColumn("_sh", sqrt(
+        (col("n_h") * col("_sxx") - col("_sx") * col("_sx")).cast(DoubleType) /
+          (col("n_h") * (col("n_h") - 1)).cast(DoubleType)))
+      .withColumn("_uh",
+        ((col("n_h").cast(DoubleType) * col("_sh"))
+          .cast(DecimalType(28, 6)) * lit(1000000)).cast(LongType))
+    val tot = u.agg(sum(col("_uh")).as("_ut"))
+    u.crossJoin(broadcast(tot))
+      .select(col(stratumCol), col("n_h"),
+        expr(s"($k * _uh) div _ut").as("alloc"))
+  }
+
+  /** Draw each stratum's Neyman allocation with the same md5-ranked
+    * exact-count draw as [[exactKPerStratum]] (per-stratum k instead of
+    * a constant): reproducible, engine-portable, and capped at the
+    * stratum size when the allocation over-asks. Returns the sampled
+    * rows. The allocation table is broadcast — the only corpus pass is
+    * the per-stratum rank window.
+    */
+  def neymanSample(df: DataFrame, stratumCol: String, keyCol: String,
+                   valueCol: String, k: Int): DataFrame = {
+    val alloc = neymanAllocation(df, stratumCol, valueCol, k)
+      .select(col(stratumCol), col("alloc"))
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
+    df.withColumn("_rk", row_number().over(w))
+      .join(broadcast(alloc), stratumCol)
+      .filter(col("_rk") <= col("alloc"))
+      .drop("_rk", "alloc")
   }
 
   /** Fractional-epoch mixture weighting — the data-mixing step that

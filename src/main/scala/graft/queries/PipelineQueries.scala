@@ -649,6 +649,59 @@ object PipelineQueries {
         .orderBy("skey", "doc_id")
     },
 
+    // Neyman-optimal stratified allocation: a 200-draw budget split
+    // across languages proportionally to N_h·S_h (stratum size × char-
+    // count stddev) — the minimum-variance survey design ("spend eval
+    // budget where docs vary most"), then drawn with the sp03 md5 rank.
+    // The variance numerator is exact BIGINT arithmetic, S_h one IEEE
+    // division+sqrt, the weight integerized to micro-units, and the
+    // split an exact (k·u_h) div Σu — identical allocation anywhere.
+    QueryDef("sp09_neyman_alloc",
+      """WITH st AS (SELECT lang, count(*) AS n_h,
+        |       sum(CAST(n_chars AS BIGINT)) AS sx,
+        |       sum(CAST(n_chars AS BIGINT) * CAST(n_chars AS BIGINT)) AS sxx
+        |     FROM documents GROUP BY lang),
+        | sv AS (SELECT lang, n_h,
+        |       sqrt(CAST(n_h * sxx - sx * sx AS DOUBLE) /
+        |            CAST(n_h * (n_h - 1) AS DOUBLE)) AS sh
+        |     FROM st WHERE n_h >= 2),
+        | u AS (SELECT lang, n_h,
+        |       CAST(CAST(CAST(n_h AS DOUBLE) * sh AS DECIMAL(28,6)) * 1000000
+        |            AS BIGINT) AS uh
+        |     FROM sv),
+        | tot AS (SELECT sum(uh) AS ut FROM u),
+        | al AS (SELECT lang, n_h, (200 * uh) // ut AS alloc
+        |        FROM u CROSS JOIN tot),
+        | rk AS (SELECT lang, doc_id,
+        |          row_number() OVER (PARTITION BY lang
+        |            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS r
+        |        FROM documents),
+        | sel AS (SELECT rk.lang, rk.doc_id
+        |         FROM rk JOIN al USING (lang) WHERE r <= alloc)
+        |SELECT al.lang, CAST(al.n_h AS BIGINT) AS n_h,
+        |  CAST(al.alloc AS BIGINT) AS alloc,
+        |  count(sel.doc_id) AS n_sampled,
+        |  CAST(min(sel.doc_id) AS BIGINT) AS first_doc,
+        |  CAST(max(sel.doc_id) AS BIGINT) AS last_doc
+        |FROM al LEFT JOIN sel ON al.lang = sel.lang
+        |GROUP BY al.lang, al.n_h, al.alloc
+        |ORDER BY al.lang""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir)
+      val alloc = graft.operators.Sampling
+        .neymanAllocation(d, "lang", "n_chars", 200)
+      val sel = graft.operators.Sampling
+        .neymanSample(d, "lang", "doc_id", "n_chars", 200)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("_ns"),
+          min("doc_id").cast(LongType).as("first_doc"),
+          max("doc_id").cast(LongType).as("last_doc"))
+      alloc.join(sel, Seq("lang"), "left")
+        .select(col("lang"), col("n_h"), col("alloc"),
+          coalesce(col("_ns"), lit(0L)).as("n_sampled"),
+          col("first_doc"), col("last_doc"))
+        .orderBy("lang")
+    },
+
     // Fractional-epoch mixture (Sampling.epochUpsample): src0 at 2+77/256
     // ≈ 2.3 epochs, src1 at 0+128/256 ≈ 0.5 (pure downsample through the
     // same operator), src2 pinned to exactly 1, everything else passing

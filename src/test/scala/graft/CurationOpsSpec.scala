@@ -185,6 +185,40 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(once == again)
   }
 
+  test("neymanAllocation: variance earns budget, constants earn none, singletons drop") {
+    // A: 100 rows alternating 0/1000 (high variance); B: 100 rows all
+    // 500 (zero variance); C: a singleton (undefined variance)
+    val rows = ((1L to 100L).map(i => (i, "A", if (i % 2 == 0) 1000 else 0)) ++
+      (101L to 200L).map(i => (i, "B", 500)) ++
+      Seq((201L, "C", 42))).toDF("id", "stratum", "v")
+    val al = Sampling.neymanAllocation(rows, "stratum", "v", 50)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(!al.contains("C"), al.toString)          // n_h < 2 excluded
+    assert(al("B") == 0L, al.toString)              // S=0 → no budget
+    assert(al("A") == 50L, al.toString)             // all mass on A
+    val total = al.values.sum
+    assert(total <= 50, al.toString)
+  }
+
+  test("neymanSample: draws match allocation, cap at stratum size, reproducible") {
+    val docs = Tables.load(spark, sf, "documents")
+    val al = Sampling.neymanAllocation(docs, "lang", "n_chars", 200)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toList
+    val got = Sampling.neymanSample(docs, "lang", "doc_id", "n_chars", 200)
+      .groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    al.foreach { case (lang, nH, alloc) =>
+      assert(got.getOrElse(lang, 0L) == math.min(alloc, nH), s"$lang")
+    }
+    val again = Sampling
+      .neymanSample(docs.repartition(11), "lang", "doc_id", "n_chars", 200)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val once = Sampling
+      .neymanSample(docs, "lang", "doc_id", "n_chars", 200)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(once == again)
+  }
+
   test("chunking: boundaries, overlap, and the short-doc whole-text chunk") {
     val text = ('a' to 'z').mkString * 10 // 260 chars
     val df = Seq((1L, text), (2L, "tiny")).toDF("doc_id", "text")

@@ -322,6 +322,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!iterPlan.contains("Window"), iterPlan)
   }
 
+  test("sp09: the only corpus window is the per-stratum rank; allocation broadcasts") {
+    val plan = planOf("sp09_neyman_alloc")
+    val winLines = plan.linesIterator
+      .filter(_.contains("windowspecdefinition")).toVector
+    assert(winLines.nonEmpty, plan)
+    winLines.foreach { l =>
+      assert(l.contains("lang#"), s"window not keyed by stratum:\n$l")
+    }
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("q35/q37: merge plans an anti join; lateral top-k never cartesians") {
     val merge = planOf("q35_merge_upsert")
     assert(merge.contains("LeftAnti"), merge)
