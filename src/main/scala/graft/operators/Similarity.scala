@@ -100,6 +100,32 @@ object Similarity {
   def cosineTopK(queries: DataFrame, candidates: DataFrame, k: Int,
                  idCol: String = "vec_id", vecCol: String = "embedding",
                  exact: Boolean = false): DataFrame = {
+    // top-k via the bounded TopKAgg buffer, NOT a per-query row_number
+    // window: the window shape ships all N candidate scores to one task
+    // per query; the agg partial-aggregates map-side, so the exchange
+    // carries ≤ k pairs per (query × partition) — bounded by k at any
+    // corpus size. Ties (score, then cid asc) identical to the window's
+    // orderBy(sim.desc, cid), so output rows are unchanged.
+    scoredPairs(queries, candidates, idCol, vecCol, exact)
+      .groupBy("qid")
+      .agg(TopKAgg.top_k(col("sim"), col("cid"), k, ascending = false)
+        .as("_tk"))
+      .select(col("qid"), posexplode(col("_tk")))
+      .select(col("qid"), col("col.id").as("cid"), col("col.score").as("sim"),
+        (col("pos") + 1).cast(LongType).as("rank"))
+      .orderBy("qid", "rank")
+  }
+
+  /** All (query, candidate) cosine scores as (qid, cid, sim) — the
+    * shared scoring stage of [[cosineTopK]] and [[cosineRange]]. The
+    * query side broadcasts; per-pair scoring folds ONE dot against the
+    * precomputed per-vector norms, with the expression assembled
+    * identically to [[cosine]]/[[cosineExact]] term for term so results
+    * stay bit-identical to the per-pair forms.
+    */
+  private def scoredPairs(queries: DataFrame, candidates: DataFrame,
+                          idCol: String, vecCol: String,
+                          exact: Boolean): DataFrame = {
     requireIntegralIds(queries, candidates, idCol)
     def dec(c: Column) =
       transform(c, x => x.cast(DoubleType).cast(DecimalType(12, 6)))
@@ -125,23 +151,31 @@ object Similarity {
       if (exact) dotD(col("qv"), col("cv")).cast(DoubleType) /
         sqrt(col("qn") * col("cn"))
       else dotI(col("qv"), col("cv")) / (col("qn") * col("cn"))
-    // top-k via the bounded TopKAgg buffer, NOT a per-query row_number
-    // window: the window shape ships all N candidate scores to one task
-    // per query; the agg partial-aggregates map-side, so the exchange
-    // carries ≤ k pairs per (query × partition) — bounded by k at any
-    // corpus size. Ties (score, then cid asc) identical to the window's
-    // orderBy(sim.desc, cid), so output rows are unchanged.
     c.join(broadcast(q), col("qid") =!= col("cid"))
       .select(col("qid"), col("cid").cast(LongType).as("cid"),
         score.as("sim"))
-      .groupBy("qid")
-      .agg(TopKAgg.top_k(col("sim"), col("cid"), k, ascending = false)
-        .as("_tk"))
-      .select(col("qid"), posexplode(col("_tk")))
-      .select(col("qid"), col("col.id").as("cid"), col("col.score").as("sim"),
-        (col("pos") + 1).cast(LongType).as("rank"))
-      .orderBy("qid", "rank")
   }
+
+  /** Range search: every candidate within cosine similarity ≥ `tau` of
+    * each query — the "all neighbors in a radius" retrieval mode vector
+    * stores expose alongside top-k (and the primitive τ-dedup builds
+    * on). Returns (qid, cid, sim), UNORDERED: unlike top-k there is no
+    * rank semantics, so no ordering is imposed — callers sort when they
+    * need a stable presentation.
+    *
+    * Scale shape: strictly better than top-k — the query side
+    * broadcasts, scoring is a narrow per-pair projection, and the τ
+    * filter runs map-side INSIDE the scan-join stage, so the operator
+    * has ZERO shuffles: output volume is the match count, never N, and
+    * no aggregation state exists at all. With `exact = true` the
+    * decimal-exact scores make the τ comparison engine-portable
+    * (bit-identical doubles ⇒ identical ≥ decisions in any engine).
+    */
+  def cosineRange(queries: DataFrame, candidates: DataFrame, tau: Double,
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  exact: Boolean = false): DataFrame =
+    scoredPairs(queries, candidates, idCol, vecCol, exact)
+      .filter(col("sim") >= tau)
 
   /** Diversity-aware re-ranking: greedy Maximal Marginal Relevance
     * (Carbonell & Goldstein 1998) over a relevance shortlist — pick the

@@ -559,4 +559,56 @@ object TextAnalysis {
           sort_array(collect_list(col(idCol))).cast("array<string>"))
           .as("postings"))
   }
+
+  /** PMI-scored collocations: the `minCount`-supported bigrams ranked
+    * by pointwise mutual information `ln(P(w1,w2) / (P(w1)·P(w2)))` —
+    * the classic multi-word-expression / named-phrase extractor (Church
+    * & Hanks 1990) corpus-curation pipelines run to protect phrases
+    * from tokenizer splits. P(w1,w2) is bigram frequency over total
+    * bigrams; P(w) unigram frequency over total tokens.
+    *
+    * Cross-engine determinism: the PMI operand is assembled as ONE
+    * double expression `(nab·N·N) / (na·nb·B)` from exact bigint
+    * counts (identical association order in the SQL oracle ⇒ identical
+    * IEEE result), and `ln` — whose last ulp is libm-specific — is
+    * quantized to DECIMAL(18,6) before ranking (the [[bigramLogProb]]
+    * discipline), so order and hash are engine-portable.
+    *
+    * Scale shape: two vocabulary-keyed aggregations (bigram + unigram
+    * counts, both map-side partial), one single-row total broadcast,
+    * one bigram-keyed equi-join per unigram side, then global top-n via
+    * TakeOrdered. The `minCount` filter runs BEFORE the unigram joins,
+    * so the joined stream is the supported-bigram set, not the full
+    * bigram vocabulary.
+    */
+  def pmiCollocations(df: DataFrame, idCol: String, textCol: String,
+                      minCount: Int, topN: Int): DataFrame = {
+    require(minCount >= 1, "minCount must be positive")
+    val toks = split(col(textCol), " ")
+    val bi = df.select(explode(
+        when(size(toks) >= 2, transform(sequence(lit(0), size(toks) - 2),
+          i => struct(
+            element_at(toks, i + 1).as("w1"),
+            element_at(toks, i + 2).as("w2"))))
+          .otherwise(array().cast(ArrayType(StructType(Seq(
+            StructField("w1", StringType),
+            StructField("w2", StringType))))))).as("_b"))
+      .select(col("_b.w1").as("w1"), col("_b.w2").as("w2"))
+    val uni = tokens(df, idCol, textCol)
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val totals = bi.agg(count(lit(1)).as("b_total")).crossJoin(
+      df.select(explode(split(col(textCol), " ")).as("_t"))
+        .agg(count(lit(1)).as("n_total")))
+    val supported = bi.groupBy("w1", "w2").agg(count(lit(1)).as("nab"))
+      .filter(col("nab") >= minCount)
+    supported
+      .join(uni.select(col("tok").as("w1"), col("cnt").as("na")), "w1")
+      .join(uni.select(col("tok").as("w2"), col("cnt").as("nb")), "w2")
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("nab"),
+        log((col("nab").cast(DoubleType) * col("n_total") * col("n_total")) /
+          (col("na").cast(DoubleType) * col("nb") * col("b_total")))
+          .cast(DecimalType(18, 6)).cast(DoubleType).as("pmi"))
+      .orderBy(desc("pmi"), col("w1"), col("w2")).limit(topN)
+  }
 }

@@ -1360,6 +1360,34 @@ object PipelineQueries {
         .orderBy("bucket", "lang")
     },
 
+    // PMI collocations (Church & Hanks): the multi-word-expression
+    // extractor — supported bigrams ranked by ln(P(w1,w2)/(P(w1)P(w2))).
+    // The PMI operand is ONE double expression over exact bigint counts
+    // with identical association order in both engines; ln's
+    // libm-specific last ulp is absorbed by DECIMAL(18,6) quantization
+    // (the ta14 discipline).
+    QueryDef("ta21_pmi_collocations",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 2),
+        | bg0 AS (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM w),
+        | bg AS (SELECT ws[i] AS w1, ws[i+1] AS w2 FROM bg0),
+        | uni AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        | uc AS (SELECT tok, count(*) AS cnt FROM uni GROUP BY tok),
+        | tot AS (SELECT (SELECT count(*) FROM bg) AS b_total,
+        |                (SELECT count(*) FROM uni) AS n_total),
+        | sup AS (SELECT w1, w2, count(*) AS nab FROM bg
+        |         GROUP BY 1, 2 HAVING count(*) >= 5)
+        |SELECT w1, w2, nab,
+        |  CAST(CAST(ln(CAST(nab AS DOUBLE) * n_total * n_total /
+        |         (CAST(na.cnt AS DOUBLE) * nb.cnt * b_total))
+        |       AS DECIMAL(18,6)) AS DOUBLE) AS pmi
+        |FROM sup JOIN uc na ON na.tok = w1 JOIN uc nb ON nb.tok = w2
+        |CROSS JOIN tot
+        |ORDER BY pmi DESC, w1, w2 LIMIT 30""".stripMargin) { (s, dir) =>
+      TextAnalysis.pmiCollocations(docsWide(s, dir), "doc_id", "text",
+        minCount = 5, topN = 30)
+    },
+
     // Repetition-based quality filters (the Gopher/C4 degenerate-text
     // family): top-token share + duplicate 2/3-gram fractions, all
     // scan-fused per-row array math on the Spark side (sorted-array
@@ -1770,6 +1798,37 @@ object PipelineQueries {
         shortlist = 10)
     },
 
+    // Range search (τ-neighborhood): every candidate within cosine
+    // ≥ 0.30 of each query — the radius retrieval mode alongside top-k.
+    // Scoring CTEs identical to sim01's; the rank stage is replaced by
+    // a plain τ filter, which on the Spark side runs map-side inside
+    // the broadcast scan-join — ZERO shuffles before the presentation
+    // sort (pinned in PlanSpec).
+    QueryDef("sim09_range_search",
+      """WITH e0 AS (SELECT vec_id, unnest(embedding) AS rawx,
+        |                    unnest(range(1, len(embedding) + 1)) AS i
+        |             FROM embeddings),
+        | e AS (SELECT vec_id, i,
+        |       CAST(CAST(rawx AS DOUBLE) AS DECIMAL(12,6)) AS x FROM e0),
+        | n AS (SELECT vec_id, sum(x * x) AS nrm FROM e GROUP BY vec_id),
+        | d AS (SELECT q.vec_id AS qid, c.vec_id AS cid, sum(q.x * c.x) AS dot
+        |       FROM e q JOIN e c ON q.i = c.i
+        |       WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+        |       GROUP BY 1, 2),
+        | sim AS (SELECT qid, cid,
+        |           CAST(dot AS DOUBLE) /
+        |             sqrt(CAST(nq.nrm AS DOUBLE) * CAST(nc.nrm AS DOUBLE)) AS sim
+        |         FROM d
+        |         JOIN n nq ON nq.vec_id = qid
+        |         JOIN n nc ON nc.vec_id = cid)
+        |SELECT qid, cid, sim FROM sim WHERE sim >= 0.30
+        |ORDER BY qid, cid""".stripMargin) { (s, dir) =>
+      val e = embWide(s, dir)
+      Similarity.cosineRange(e.filter(col("vec_id") < 10), e, tau = 0.30,
+        exact = true)
+        .orderBy("qid", "cid")
+    },
+
     // Symmetric int8 quantization of the embedding column — the 4×
     // index-compression pass. Per-element IEEE ops with no summation
     // order involved, so the oracle runs the identical expression tree;
@@ -1940,6 +1999,84 @@ object PipelineQueries {
           when(col("v") % 2 === 0, "cust").otherwise("supp").as("node_type"),
           col("r").as("score"))
         .orderBy(desc("score"), col("node")).limit(20)
+    },
+
+    // Connected components over the high-value same-nation trade graph
+    // (customers ↔ suppliers sharing an expensive order within their
+    // own nation — 40 components of size 2–33 at the gate SF, not one
+    // giant blob). Spark runs the iterative min-label propagation of
+    // Dedup.connectedComponents; the oracle replays reachability as a
+    // recursive CTE closure (min reachable node ≡ min-label fixpoint).
+    QueryDef("gr02_components",
+      """WITH RECURSIVE e0 AS (
+        |  SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  WHERE o_totalprice > 400000 AND c_nationkey = s_nationkey),
+        | sym AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+        | reach(n, l) AS (
+        |   SELECT a, a FROM sym
+        |   UNION
+        |   SELECT s.b, r.l FROM reach r JOIN sym s ON s.a = r.n),
+        | lab AS (SELECT n, min(l) AS comp FROM reach GROUP BY n)
+        |SELECT CAST(comp AS BIGINT) AS comp,
+        |  CAST(count(*) AS BIGINT) AS n_nodes,
+        |  CAST(sum(CASE WHEN n % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_cust,
+        |  CAST(sum(CASE WHEN n % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_supp
+        |FROM lab GROUP BY comp ORDER BY n_nodes DESC, comp""".stripMargin) { (s, dir) =>
+      val e0 = Tables.load(s, dir, "orders")
+        .filter(col("o_totalprice") > 400000)
+        .join(Tables.load(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.load(s, dir, "customer"),
+          col("c_custkey") === col("o_custkey"))
+        .join(Tables.load(s, dir, "supplier"),
+          col("s_suppkey") === col("l_suppkey"))
+        .filter(col("c_nationkey") === col("s_nationkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      graft.operators.Dedup.connectedComponents(e0, maxIter = 40)
+        .groupBy(col("cluster").cast(LongType).as("comp"))
+        .agg(count(lit(1)).as("n_nodes"),
+          sum(when(col("id") % 2 === 0, 1).otherwise(0)).cast(LongType)
+            .as("n_cust"),
+          sum(when(col("id") % 2 === 1, 1).otherwise(0)).cast(LongType)
+            .as("n_supp"))
+        .orderBy(desc("n_nodes"), col("comp"))
+    },
+
+    // Per-node triangle counts over the supplier co-occurrence graph
+    // (suppliers co-appearing in ≥ 30 orders — 455 edges / 215
+    // triangles at the gate SF). Spark enumerates with the
+    // degree-ordered compact-forward orientation (wedge fan-out bounded
+    // by degeneracy, not hub degree²); the oracle uses the simple
+    // a<b<c id orientation — counts are orientation-invariant, so the
+    // two must agree row-for-row.
+    QueryDef("gr03_triangles",
+      """WITH ps AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+        | e AS (SELECT a.l_suppkey AS s1, b.l_suppkey AS s2
+        |       FROM ps a JOIN ps b
+        |         ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        |       GROUP BY 1, 2 HAVING count(*) >= 30),
+        | tri AS (SELECT e1.s1 AS x, e1.s2 AS y, e2.s2 AS z
+        |         FROM e e1 JOIN e e2 ON e2.s1 = e1.s2
+        |         JOIN e e3 ON e3.s1 = e1.s1 AND e3.s2 = e2.s2),
+        | nd AS (SELECT unnest([x, y, z]) AS node FROM tri)
+        |SELECT CAST(node AS BIGINT) AS node, count(*) AS n_tri
+        |FROM nd GROUP BY node ORDER BY n_tri DESC, node""".stripMargin) { (s, dir) =>
+      val ps = Tables.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey").distinct()
+      val edges = ps.select(col("l_orderkey"), col("l_suppkey").as("s1"))
+        .join(ps.select(col("l_orderkey"), col("l_suppkey").as("s2")),
+          "l_orderkey")
+        .filter(col("s1") < col("s2"))
+        .groupBy("s1", "s2").agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 30)
+        .select(col("s1").as("src"), col("s2").as("dst"))
+      graft.operators.Graph.triangleCounts(edges)
+        .orderBy(desc("n_tri"), col("node"))
     },
 
     // ================= multimodal (binary columns) =================

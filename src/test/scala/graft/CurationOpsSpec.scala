@@ -644,4 +644,66 @@ class CurationOpsSpec extends AnyFunSuite {
       .filter(Sampling.hashSample($"id", 128)).count()
     assert(frac == 40L + gated, (frac, gated))
   }
+
+  test("triangleCounts: K4 minus an edge — hand-enumerated per-node counts") {
+    // K4 on {1,2,3,4} minus (3,4): triangles (1,2,3) and (1,2,4)
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L))
+      .toDF("src", "dst")
+    val got = graft.operators.Graph.triangleCounts(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 1L, 4L -> 1L), got)
+  }
+
+  test("triangleCounts: invariant to edge direction, duplicates, self-loops, partitioning") {
+    val base = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L))
+    val messy = (base.map(_.swap) ++ base ++ Seq((2L, 1L), (5L, 5L)))
+      .toDF("src", "dst").repartition(7)
+    val got = graft.operators.Graph.triangleCounts(messy)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 1L, 4L -> 1L), got)
+  }
+
+  test("triangleCounts: hub graph — no wedge explosion changes counts (star has none, closing one edge makes exactly one)") {
+    // star hub 0 with 50 leaves: zero triangles; add (1,2): exactly one
+    val star = (1L to 50L).map(l => (0L, l))
+    assert(graft.operators.Graph.triangleCounts(star.toDF("src", "dst"))
+      .count() == 0)
+    val got = graft.operators.Graph
+      .triangleCounts((star :+ (1L, 2L)).toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 1L, 1L -> 1L, 2L -> 1L), got)
+  }
+
+  test("cosineRange: returns exactly the ≥ τ slice of the cosineTopK scores") {
+    val e = plantedVectors
+    val q = e.filter($"vec_id" < 3)
+    val tau = 0.5
+    val range = Similarity.cosineRange(q, e, tau, exact = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // reference: full top-k (k = corpus size) scores, filtered at τ
+    val ref = Similarity.cosineTopK(q, e, k = 100, exact = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter(_._3 >= tau).toSet
+    assert(range == ref, s"range=${range.size} ref=${ref.size}")
+    assert(range.nonEmpty) // planted same-cluster pairs clear τ=0.5
+    // within-cluster neighbors present, cross-cluster (≈0 cosine) absent
+    assert(range.exists(t => t._1 == 0L && t._2 == 3L))
+    assert(!range.exists(t => t._1 == 0L && t._2 == 1L))
+  }
+
+  test("pmiCollocations: perfectly-associated pair outranks frequent independent pair; minCount filters") {
+    // "alpha beta" always together (20×); "x"/"y" frequent but paired
+    // with everything; "rare pair" appears twice (below minCount 5)
+    val docs = ((1 to 20).map(i => (i.toLong, "alpha beta x y")) ++
+      Seq((21L, "rare pair"), (22L, "rare pair"), (23L, "x y x y x y")))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.pmiCollocations(docs, "doc_id", "text",
+      minCount = 5, topN = 10)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getDouble(3)))
+    val byPair = got.toMap
+    assert(!byPair.contains(("rare", "pair")), got.mkString(","))
+    // alpha→beta is deterministic (P(pair)=P(alpha)=P(beta)) ⇒ max PMI
+    assert(got.head._1 == (("alpha", "beta")), got.mkString(","))
+    assert(byPair(("alpha", "beta")) > byPair(("x", "y")), got.mkString(","))
+  }
 }

@@ -563,4 +563,38 @@ class PlanSpec extends AnyFunSuite {
     // postings build — one tokenize pass, not two
     assert(plan.contains("ReusedExchange"), plan)
   }
+
+  test("sim09: τ filter fuses into the broadcast scan-join — no aggregation, no window, no post-join shuffle but the presentation sort") {
+    val plan = planOf("sim09_range_search")
+    // range search must never rank or aggregate: output volume is the
+    // match count, with the τ comparison evaluated map-side inside the
+    // join stage itself
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("HashAggregate"), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the τ predicate lives in the join condition (fused, not a
+    // separate post-join filter stage)
+    assert(plan.linesIterator.exists(l =>
+      l.contains("BroadcastNestedLoopJoin") && l.contains(">= 0.3")), plan)
+    // only the ORDER BY's range partitioning touches the joined stream
+    assert(plan.linesIterator.count(l =>
+      l.contains("Exchange rangepartitioning")) >= 1, plan)
+  }
+
+  test("gr03: triangle enumeration is all equi-joins — no cartesian, no window") {
+    val plan = planOf("gr03_triangles")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("Window"), plan)
+    // wedge closure is a two-key equi-join against the oriented edges
+    assert(plan.contains("partial_count"), plan)
+  }
+
+  test("ta21: PMI top-30 is TakeOrdered over broadcast-joined counts — no window, no full sort") {
+    val plan = planOf("ta21_pmi_collocations")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Window"), plan)
+    // unigram-count joins broadcast (vocabulary-sized, not corpus-sized)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("partial_count"), plan)
+  }
 }
