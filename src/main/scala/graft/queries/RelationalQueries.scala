@@ -1101,6 +1101,42 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_islands"),
           countDistinct(col("o_custkey")).cast(LongType).as("n_customers"))
         .orderBy("island_len")
+    },
+
+    // Z-order (Morton) layout statistics: interleave the bits of
+    // (l_partkey, l_suppkey) — the write-side clustering key a 100 TB
+    // table would range-partition on so every parquet file covers a
+    // bounded RECTANGLE in both dimensions and min/max stats prune
+    // scans on either key (Delta/Iceberg ZORDER BY; Morton 1966). The
+    // per-z-bucket envelopes returned here ARE the pruning stats: both
+    // dims stay bounded per bucket, which a single-key sort cannot do.
+    // The interleave is pure bitwise arithmetic (whole-stage codegen,
+    // no UDF), generated once as SQL text (Layout.zSql) so DuckDB runs
+    // the bit-identical expression.
+    QueryDef("q44_zorder_layout",
+      s"""WITH z AS (SELECT
+        |    ${graft.operators.Layout.zSql("l_partkey", "l_suppkey", 16)}
+        |      AS zval,
+        |    l_partkey, l_suppkey FROM lineitem)
+        |SELECT CAST(zval >> 16 AS BIGINT) AS zbucket,
+        |  count(*) AS n_rows,
+        |  CAST(min(l_partkey) AS BIGINT) AS p_min,
+        |  CAST(max(l_partkey) AS BIGINT) AS p_max,
+        |  CAST(min(l_suppkey) AS BIGINT) AS s_min,
+        |  CAST(max(l_suppkey) AS BIGINT) AS s_max
+        |FROM z GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val z = graft.operators.Layout.zValue(
+        col("l_partkey"), col("l_suppkey"), 16)
+      t(s, dir, "lineitem")
+        .select(shiftright(z, 16).as("zbucket"),
+          col("l_partkey"), col("l_suppkey"))
+        .groupBy("zbucket")
+        .agg(count(lit(1)).as("n_rows"),
+          min("l_partkey").cast(LongType).as("p_min"),
+          max("l_partkey").cast(LongType).as("p_max"),
+          min("l_suppkey").cast(LongType).as("s_min"),
+          max("l_suppkey").cast(LongType).as("s_max"))
+        .orderBy("zbucket")
     })
 
   val defs: Seq[QueryDef] = baseDefs ++ moreDefs ++ windowDefs
