@@ -147,7 +147,41 @@ object Dedup {
     * the call site. The cap must be mirrored in any oracle SQL.
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                   n: Int = 3, maxPosting: Int = 64): DataFrame = {
+                   n: Int = 3, maxPosting: Int = 64): DataFrame =
+    pairOverlap(df, idCol, textCol, n, maxPosting, "jaccard_postings")
+      .select(col("da"), col("db"),
+        (col("inter").cast(DoubleType) /
+          (col("na") + col("nb") - col("inter")).cast(DoubleType)).as("jac"))
+
+  /** Asymmetric shingle CONTAINMENT per candidate pair: c_ab =
+    * |A∩B| / |A| (how much of doc A's shingle set doc B covers) and
+    * the mirror c_ba. Jaccard misses subsumption — a paragraph pasted
+    * into a much larger page scores near-zero Jaccard but containment
+    * ≈ 1 on the small side — so curation pipelines flag a pair as
+    * near-contained when max(c_ab, c_ba) clears a threshold (Broder
+    * 1997's "containment" resemblance; the CCNet/RefinedWeb
+    * sub-document dedup signal). Same capped-posting candidate plan as
+    * [[jaccardPairs]] (and the same quadratic safety valve — one extra
+    * ratio, zero extra shuffles).
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, maxPosting: Int = 64): DataFrame =
+    pairOverlap(df, idCol, textCol, n, maxPosting, "containment_postings")
+      .select(col("da"), col("db"),
+        (col("inter").cast(DoubleType) / col("na").cast(DoubleType))
+          .as("c_ab"),
+        (col("inter").cast(DoubleType) / col("nb").cast(DoubleType))
+          .as("c_ba"))
+
+  /** Shared candidate-pair machinery for the set-overlap family:
+    * per-pair (da < db) distinct-shingle intersection size plus both
+    * set sizes, from capped posting lists. Emits the dropped-postings
+    * count as an observed metric under `metricName` (names must be
+    * unique per query execution, hence the parameter).
+    */
+  private def pairOverlap(df: DataFrame, idCol: String, textCol: String,
+                          n: Int, maxPosting: Int,
+                          metricName: String): DataFrame = {
     val sh = shingles(df, idCol, textCol, n)
       .select(col(idCol), xxhash64(col("shingle")).as("sh64"))
     val sz = sh.groupBy(idCol).agg(count(lit(1)).as("n"))
@@ -157,7 +191,7 @@ object Dedup {
     val kept =
       if (maxPosting == Int.MaxValue) postings
       else postings
-        .observe("jaccard_postings",
+        .observe(metricName,
           sum(when(size(col("ids")) > maxPosting, 1L).otherwise(0L))
             .as("dropped_shingles"))
         .filter(size(col("ids")) <= maxPosting)
@@ -170,9 +204,6 @@ object Dedup {
     inter
       .join(sz.select(col(idCol).as("da"), col("n").as("na")), "da")
       .join(sz.select(col(idCol).as("db"), col("n").as("nb")), "db")
-      .select(col("da"), col("db"),
-        (col("inter").cast(DoubleType) /
-          (col("na") + col("nb") - col("inter")).cast(DoubleType)).as("jac"))
   }
 
   /** Benchmark decontamination — the training-data stage that removes

@@ -129,4 +129,36 @@ object Graph {
     tri.select(explode(array(col("u"), col("v1"), col("v2"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_tri"))
   }
+
+  /** Local clustering coefficient per node: c(v) = 2·tri(v) /
+    * (deg(v)·(deg(v)−1)) over the undirected, de-duplicated edge list
+    * — how close each node's neighborhood is to a clique, the
+    * link-farm / community-density score layered on top of
+    * [[triangleCounts]]. Returns (node, deg, n_tri, coeff) for every
+    * node with deg ≥ 2 (coefficient undefined below that); nodes on no
+    * triangle get coeff 0.
+    *
+    * Determinism: deg and tri are exact integers, so the coefficient
+    * is one correctly-rounded IEEE division on identical operands.
+    * Scale shape: degree is one aggregation over edges; triangles come
+    * from the degeneracy-bounded enumeration above; the final join is
+    * node-keyed (aggregate-sized, broadcastable).
+    */
+  def clusteringCoefficients(edges: DataFrame, srcCol: String = "src",
+                             dstCol: String = "dst"): DataFrame = {
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).cast(LongType).as("a"),
+        greatest(col(srcCol), col(dstCol)).cast(LongType).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val deg = und
+      .select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    deg.filter(col("deg") >= 2)
+      .join(triangleCounts(edges, srcCol, dstCol), Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        ((coalesce(col("n_tri"), lit(0L)) * 2).cast(DoubleType) /
+          (col("deg") * (col("deg") - 1)).cast(DoubleType)).as("coeff"))
+  }
 }

@@ -611,4 +611,47 @@ object TextAnalysis {
           .cast(DecimalType(18, 6)).cast(DoubleType).as("pmi"))
       .orderBy(desc("pmi"), col("w1"), col("w2")).limit(topN)
   }
+
+  /** Zipf's-law fit over the corpus vocabulary: least-squares slope and
+    * intercept of ln(freq) on ln(rank) for the top-`topN` terms — the
+    * one-number "does this corpus look like natural language" probe
+    * (natural text slopes ≈ −1; templated/log spam diverges) used to
+    * screen crawl snapshots before training.
+    *
+    * Returns a single row (n_terms, slope, intercept).
+    *
+    * Scale shape: term counting is the only corpus-sized stage
+    * (map-side partial agg); the top-N selection is a TakeOrdered, and
+    * the rank window runs over topN ALREADY-SELECTED rows — bounded by
+    * the parameter, never by vocabulary or corpus size.
+    *
+    * Determinism: ranks are assigned by the total order (freq DESC,
+    * term ASC); each ln() is quantized to DECIMAL(12,6) (the ta08
+    * pattern — a 1-ulp ln divergence can't flip a 6-dp quantization),
+    * all regression moments are exact decimal sums of exact decimal
+    * products, and the closing slope/intercept arithmetic is the same
+    * chain of individually-rounded IEEE ops in both engines.
+    */
+  def zipfFit(df: DataFrame, idCol: String, textCol: String,
+              topN: Int = 1000): DataFrame = {
+    require(topN >= 3, s"topN must be >= 3, got $topN")
+    val tf = tokens(df, idCol, textCol)
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+    val top = tf.orderBy(desc("n"), col("tok")).limit(topN)
+    val w = Window.orderBy(desc("n"), col("tok"))
+    val q = top.withColumn("r", row_number().over(w))
+      .select(log(col("r").cast(DoubleType)).cast(DecimalType(12, 6)).as("x"),
+        log(col("n").cast(DoubleType)).cast(DecimalType(12, 6)).as("y"))
+    val m = q.agg(count(lit(1)).as("k"),
+      sum(col("x")).cast(DoubleType).as("sx"),
+      sum(col("y")).cast(DoubleType).as("sy"),
+      sum(col("x") * col("x")).cast(DoubleType).as("sxx"),
+      sum(col("x") * col("y")).cast(DoubleType).as("sxy"))
+    val kd = col("k").cast(DoubleType)
+    val slope = (kd * col("sxy") - col("sx") * col("sy")) /
+      (kd * col("sxx") - col("sx") * col("sx"))
+    m.select(col("k").cast(LongType).as("n_terms"),
+      slope.as("slope"),
+      ((col("sy") - slope * col("sx")) / kd).as("intercept"))
+  }
 }

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** Time-series regularization (SURVEY.md §2c): a keyed rollup with
   * missing buckets becomes a dense, regular series — the step between
@@ -71,5 +72,58 @@ object TimeSeries {
     ffillCols.foldLeft(zeroed) { (df, c) =>
       df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
     }
+  }
+
+  /** Lag-k autocorrelation (Pearson r over the (x_t, x_{t+k}) pairs)
+    * for k = 1..maxLag over an INTEGER-valued regular series — the
+    * seasonality probe run over rollup output (daily volumes, hourly
+    * counts) before picking training windows or alert baselines.
+    *
+    * Returns (lag, n_pairs, acf), one row per lag with ≥ 2 pairs.
+    *
+    * Cross-engine determinism: the series is integer-valued and all
+    * five moment sums (Σx, Σy, Σx², Σy², Σxy) stay in exact BIGINT, so
+    * both Pearson numerator n·Σxy − Σx·Σy and the two variance terms
+    * are exact integers (well under 2⁵³ for any rollup-sized series —
+    * guarded by require below); the only floating point is one
+    * division against sqrt(da)·sqrt(db) — three correctly-rounded IEEE
+    * ops on identical operands, bit-identical on any engine.
+    *
+    * Scale shape: the input is a ROLLUP (one row per bucket — thousands
+    * of rows for years of daily data, not event-sized), exploded maxLag
+    * ways and equi-joined to itself on the shifted index; both sides
+    * are aggregate-sized so the join broadcasts, and the final moment
+    * aggregation is maxLag groups. Nothing here touches raw events.
+    *
+    * @param series one row per time index (pre-aggregated)
+    * @param tCol   integer time index (e.g. epoch-day); must be unique
+    * @param xCol   integer series value (a count or integer gauge)
+    */
+  def autocorrelation(series: DataFrame, tCol: String, xCol: String,
+                      maxLag: Int): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    val s = series.select(col(tCol).cast(LongType).as("t"),
+      col(xCol).cast(LongType).as("x"))
+    val a = s.select(col("t"), col("x").as("xa"),
+        explode(sequence(lit(1), lit(maxLag))).as("lag0"))
+      .select(col("t"), col("xa"), col("lag0").cast(LongType).as("lag"))
+      .withColumn("t2", col("t") + col("lag"))
+    val pairs = a.join(
+      broadcast(s.select(col("t").as("t2"), col("x").as("xb"))), "t2")
+    pairs.groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("xa")).as("sx"), sum(col("xb")).as("sy"),
+        sum(col("xa") * col("xa")).as("sxx"),
+        sum(col("xb") * col("xb")).as("syy"),
+        sum(col("xa") * col("xb")).as("sxy"))
+      .filter(col("n_pairs") >= 2)
+      .select(col("lag"), col("n_pairs"),
+        ((col("n_pairs") * col("sxy") - col("sx") * col("sy"))
+          .cast(DoubleType) /
+          (sqrt((col("n_pairs") * col("sxx") - col("sx") * col("sx"))
+            .cast(DoubleType)) *
+            sqrt((col("n_pairs") * col("syy") - col("sy") * col("sy"))
+              .cast(DoubleType)))).as("acf"))
+      .orderBy("lag")
   }
 }

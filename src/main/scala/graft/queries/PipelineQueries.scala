@@ -276,6 +276,42 @@ object PipelineQueries {
             .otherwise(0L).as("recall_ok"))
     },
 
+    // Asymmetric shingle containment (Broder 1997): |A∩B|/|A| and
+    // |A∩B|/|B| per candidate pair — the subsumption signal Jaccard
+    // misses (a paragraph pasted into a much larger page scores ~0
+    // Jaccard but ~1 containment on the small side). Same dd03 capped
+    // posting plan (cap 64, mirrored in the oracle's HAVING), one
+    // extra ratio, zero extra shuffles; ranked by the max-side
+    // containment with a full total-order tiebreak.
+    QueryDef("dd17_containment",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 3),
+        | sh0 AS (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i FROM w),
+        | sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
+        |        FROM sh0),
+        | sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        | keep AS (SELECT shingle FROM sh GROUP BY shingle
+        |          HAVING count(*) BETWEEN 2 AND 64),
+        | pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+        |           FROM sh a JOIN sh b USING (shingle)
+        |           JOIN keep USING (shingle)
+        |           WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT da, db,
+        |  CAST(inter AS DOUBLE) / CAST(sa.n AS DOUBLE) AS c_ab,
+        |  CAST(inter AS DOUBLE) / CAST(sb.n AS DOUBLE) AS c_ba
+        |FROM pairs
+        |JOIN sz sa ON sa.doc_id = da
+        |JOIN sz sb ON sb.doc_id = db
+        |ORDER BY greatest(CAST(inter AS DOUBLE) / CAST(sa.n AS DOUBLE),
+        |                  CAST(inter AS DOUBLE) / CAST(sb.n AS DOUBLE)) DESC,
+        |  da, db LIMIT 20""".stripMargin) { (s, dir) =>
+      Dedup.containmentPairs(docsWide(s, dir), "doc_id", "text", 3,
+          maxPosting = 64)
+        .orderBy(greatest(col("c_ab"), col("c_ba")).desc,
+          col("da"), col("db"))
+        .limit(20)
+    },
+
     // Embedding-cosine near-dup: top-20 most-similar pairs among
     // CENTERED hyperplane-sign-blocked candidates. Block bits compare
     // n·proj(v) with proj(Σ corpus) — the sign of the mean-centered
@@ -1388,6 +1424,38 @@ object PipelineQueries {
         minCount = 5, topN = 30)
     },
 
+    // Zipf's-law fit: least-squares slope/intercept of ln(freq) on
+    // ln(rank) over the top-1000 vocabulary terms — the corpus-level
+    // "does this look like natural language" screen (natural text ≈ −1;
+    // template/log spam diverges). Term counting is the only
+    // corpus-sized stage; the rank window covers 1000
+    // already-TakeOrdered rows. Each ln() quantizes to DECIMAL(12,6)
+    // (ta08 pattern), moments are exact decimal sums, and the closing
+    // slope arithmetic is the same IEEE op chain in both engines.
+    QueryDef("ta22_zipf_fit",
+      """WITH tf AS (SELECT tok, count(*) AS n FROM
+        |    (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t
+        |  GROUP BY tok),
+        | top AS (SELECT tok, n FROM tf ORDER BY n DESC, tok LIMIT 1000),
+        | rk AS (SELECT n, row_number() OVER (ORDER BY n DESC, tok) AS r
+        |        FROM top),
+        | q AS (SELECT CAST(ln(CAST(r AS DOUBLE)) AS DECIMAL(12,6)) AS x,
+        |              CAST(ln(CAST(n AS DOUBLE)) AS DECIMAL(12,6)) AS y
+        |       FROM rk),
+        | m AS (SELECT count(*) AS k,
+        |         CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+        |         CAST(sum(x * x) AS DOUBLE) AS sxx,
+        |         CAST(sum(x * y) AS DOUBLE) AS sxy FROM q)
+        |SELECT CAST(k AS BIGINT) AS n_terms,
+        |  (CAST(k AS DOUBLE) * sxy - sx * sy)
+        |    / (CAST(k AS DOUBLE) * sxx - sx * sx) AS slope,
+        |  (sy - (CAST(k AS DOUBLE) * sxy - sx * sy)
+        |          / (CAST(k AS DOUBLE) * sxx - sx * sx) * sx)
+        |    / CAST(k AS DOUBLE) AS intercept
+        |FROM m""".stripMargin) { (s, dir) =>
+      TextAnalysis.zipfFit(docsWide(s, dir), "doc_id", "text", topN = 1000)
+    },
+
     // Repetition-based quality filters (the Gopher/C4 degenerate-text
     // family): top-token share + duplicate 2/3-gram fractions, all
     // scan-fused per-row array math on the Spark side (sorted-array
@@ -2077,6 +2145,47 @@ object PipelineQueries {
         .select(col("s1").as("src"), col("s2").as("dst"))
       graft.operators.Graph.triangleCounts(edges)
         .orderBy(desc("n_tri"), col("node"))
+    },
+
+    // Local clustering coefficient over the same supplier
+    // co-occurrence graph as gr03: 2·tri/(deg·(deg−1)) per node with
+    // deg ≥ 2 — the neighborhood-density (link-farm / community) score.
+    // deg and tri are exact integers in both engines, so the
+    // coefficient is a single IEEE division on identical operands; the
+    // oracle re-derives triangles with the simple a<b<c orientation
+    // (counts are orientation-invariant).
+    QueryDef("gr04_clustering_coeff",
+      """WITH ps AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+        | e AS (SELECT a.l_suppkey AS s1, b.l_suppkey AS s2
+        |       FROM ps a JOIN ps b
+        |         ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        |       GROUP BY 1, 2 HAVING count(*) >= 30),
+        | deg AS (SELECT node, count(*) AS deg FROM
+        |           (SELECT s1 AS node FROM e UNION ALL SELECT s2 FROM e)
+        |         GROUP BY 1),
+        | tri AS (SELECT e1.s1 AS x, e1.s2 AS y, e2.s2 AS z
+        |         FROM e e1 JOIN e e2 ON e2.s1 = e1.s2
+        |         JOIN e e3 ON e3.s1 = e1.s1 AND e3.s2 = e2.s2),
+        | nd AS (SELECT unnest([x, y, z]) AS node FROM tri),
+        | tc AS (SELECT node, count(*) AS n_tri FROM nd GROUP BY node)
+        |SELECT CAST(d.node AS BIGINT) AS node, CAST(deg AS BIGINT) AS deg,
+        |  CAST(COALESCE(n_tri, 0) AS BIGINT) AS n_tri,
+        |  CAST(COALESCE(n_tri, 0) * 2 AS DOUBLE)
+        |    / CAST(deg * (deg - 1) AS DOUBLE) AS coeff
+        |FROM deg d LEFT JOIN tc ON tc.node = d.node
+        |WHERE deg >= 2
+        |ORDER BY coeff DESC, node""".stripMargin) { (s, dir) =>
+      val ps = Tables.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey").distinct()
+      val edges = ps.select(col("l_orderkey"), col("l_suppkey").as("s1"))
+        .join(ps.select(col("l_orderkey"), col("l_suppkey").as("s2")),
+          "l_orderkey")
+        .filter(col("s1") < col("s2"))
+        .groupBy("s1", "s2").agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 30)
+        .select(col("s1").as("src"), col("s2").as("dst"))
+      graft.operators.Graph.clusteringCoefficients(edges)
+        .orderBy(desc("coeff"), col("node"))
     },
 
     // ================= multimodal (binary columns) =================
@@ -2928,5 +3037,39 @@ object PipelineQueries {
       graft.operators.Anomaly.zScoreOutliers(
         Tables.events(s, dir), "event_type", "value", "event_id")
         .orderBy("event_id")
+    },
+
+    // Lag-1..7 autocorrelation of the daily event-count series — the
+    // seasonality probe run on rollup output before picking training
+    // windows / alert baselines. The series is integer counts, so all
+    // five Pearson moment sums stay exact BIGINT in both engines; the
+    // only floating point is one divide over sqrt·sqrt on identical
+    // integer-derived operands (see TimeSeries.autocorrelation). Scale:
+    // everything here is rollup-sized — the daily series broadcasts,
+    // events are touched once by the count.
+    QueryDef("ev16_autocorr",
+      """WITH d AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |             count(*) AS x FROM events GROUP BY 1),
+        | s AS (SELECT CAST(day - DATE '1970-01-01' AS BIGINT) AS t,
+        |              CAST(x AS BIGINT) AS x FROM d),
+        | l AS (SELECT CAST(unnest(range(1, 8)) AS BIGINT) AS lag),
+        | p AS (SELECT l.lag, a.x AS xa, b.x AS xb
+        |       FROM l JOIN s a ON TRUE JOIN s b ON b.t = a.t + l.lag),
+        | m AS (SELECT lag, count(*) AS n_pairs,
+        |         CAST(sum(xa) AS BIGINT) AS sx, CAST(sum(xb) AS BIGINT) AS sy,
+        |         CAST(sum(xa * xa) AS BIGINT) AS sxx,
+        |         CAST(sum(xb * xb) AS BIGINT) AS syy,
+        |         CAST(sum(xa * xb) AS BIGINT) AS sxy
+        |       FROM p GROUP BY lag HAVING count(*) >= 2)
+        |SELECT lag, n_pairs,
+        |  CAST(n_pairs * sxy - sx * sy AS DOUBLE) /
+        |    (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)) *
+        |     sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE))) AS acf
+        |FROM m ORDER BY lag""".stripMargin) { (s, dir) =>
+      val daily = Tables.events(s, dir)
+        .groupBy(datediff(col("ts").cast(DateType), lit("1970-01-01"))
+          .cast(LongType).as("t"))
+        .agg(count(lit(1)).as("x"))
+      graft.operators.TimeSeries.autocorrelation(daily, "t", "x", maxLag = 7)
     })
 }

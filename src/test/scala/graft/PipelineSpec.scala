@@ -729,4 +729,72 @@ class PipelineSpec extends AnyFunSuite {
     assert(df.columns.toSeq ==
       Seq("day", "n_events", "total_value", "error_rate"))
   }
+
+  test("autocorrelation: an alternating series scores exactly -1/+1 at lags 1/2") {
+    // x alternates 1,5,1,5,... — lag-1 pairs are perfectly
+    // anti-correlated, lag-2 pairs identical; integer moments make the
+    // Pearson numerator exactly ∓denominator, so acf is EXACTLY ∓1.0
+    val s = (0L until 20L).map(t => (t, if (t % 2 == 0) 1L else 5L))
+      .toDF("t", "x").repartition(7)
+    val acf = graft.operators.TimeSeries.autocorrelation(s, "t", "x", 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(acf(1L) == -1.0 && acf(2L) == 1.0, s"acf: $acf")
+    // partition invariance: same exact values from a different layout
+    val acf2 = graft.operators.TimeSeries.autocorrelation(
+      s.repartition(3), "t", "x", 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(acf == acf2)
+  }
+
+  test("containmentPairs: a subsumed paragraph scores 1.0 on its side, low Jaccard") {
+    val para = "alpha beta gamma delta epsilon zeta eta theta"
+    val page = para + " " + (1 to 40).map(i => s"filler$i word$i").mkString(" ")
+    val docs = Seq((1L, para), (2L, page), (3L, "nothing shared here at all ok"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    val (cab, cba) = got((1L, 2L))
+    assert(cab == 1.0, s"small side fully contained, got $cab")
+    assert(cba < 0.1, s"big side barely covered, got $cba")
+    assert(!got.contains((1L, 3L)) && !got.contains((2L, 3L)))
+    // the signal Jaccard misses: same pair scores low on Jaccard
+    val jac = Dedup.jaccardPairs(docs, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(jac((1L, 2L)) < 0.1, s"jaccard should be low: ${jac((1L, 2L))}")
+  }
+
+  test("clusteringCoefficients: triangle nodes score 1, hub with open wedge scores 1/3") {
+    // K3 on {1,2,3} plus pendant edge 3–4: nodes 1,2 have deg 2 and one
+    // triangle (c=1); node 3 has deg 3, one triangle (c = 2/6 = 1/3);
+    // node 4 has deg 1 (excluded)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L))
+      .toDF("src", "dst")
+    val got = graft.operators.Graph.clusteringCoefficients(edges)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    assert(got(1L) == ((2L, 1L, 1.0)) && got(2L) == ((2L, 1L, 1.0)), got)
+    assert(got(3L) == ((3L, 1L, 1.0 / 3.0)), got)
+    assert(!got.contains(4L), "pendant node has no defined coefficient")
+  }
+
+  test("zipfFit: a 1/r corpus fits slope ~ -1; partition-invariant") {
+    import graft.operators.TextAnalysis
+    // term w_r appears floor(600/r) times, r = 1..30 — a near-perfect
+    // Zipf corpus; the log-log fit must recover slope ≈ −1
+    val words = (1 to 30).flatMap(r =>
+      Seq.fill(600 / r)(f"w$r%02d"))
+    val docs = words.grouped(50).zipWithIndex
+      .map { case (g, i) => (i.toLong, g.mkString(" ")) }
+      .toSeq.toDF("doc_id", "text")
+    val fit = TextAnalysis.zipfFit(docs, "doc_id", "text", topN = 30)
+      .collect().head
+    assert(fit.getLong(0) == 30)
+    val slope = fit.getDouble(1)
+    assert(slope > -1.05 && slope < -0.95, s"slope: $slope")
+    val fit2 = TextAnalysis.zipfFit(docs.repartition(11), "doc_id", "text",
+      topN = 30).collect().head
+    assert(fit2.getDouble(1) == slope && fit2.getDouble(2) == fit.getDouble(2),
+      "layout must not change the fit bits")
+  }
 }
