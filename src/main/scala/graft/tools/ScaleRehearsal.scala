@@ -192,6 +192,50 @@ object ScaleRehearsal {
         graft.streaming.StreamingJobs.cdcApplyBatch(one, 1L, wd, b); 1L
       }
     }
+
+    // Graph ops at 1×/10× edge count: the supplier co-occurrence graph
+    // (all co-appearing pairs, no support floor — ~supplier²/2 edges at
+    // sf0.1), replicated as 10 id-offset disjoint copies so degree
+    // structure is preserved while |V| and |E| grow 10×. PageRank's
+    // per-iteration cost is one |E| join + one |V| agg (shuffle must
+    // scale ~linearly in |E|); triangle enumeration's wedge volume is
+    // degeneracy-bounded per copy, so 10 copies cost ~10×, never
+    // copies² — the no-quadratic-term evidence for the graph family.
+    val ps = graft.Tables.load(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_suppkey").distinct()
+    ps.select(col("l_orderkey"), col("l_suppkey").as("s1"))
+      .join(ps.select(col("l_orderkey"), col("l_suppkey").as("s2")),
+        "l_orderkey")
+      .filter(col("s1") < col("s2"))
+      .select(col("s1").as("src"), col("s2").as("dst")).distinct()
+      .write.mode("overwrite").parquet(s"$work/edges1x.parquet")
+    replicate(spark.read.parquet(s"$work/edges1x.parquet"), 10, { (d, k) =>
+      d.select((col("src") + lit(k * 10000000L)).as("src"),
+        (col("dst") + lit(k * 10000000L)).as("dst"))
+    }).write.mode("overwrite").parquet(s"$work/edges10x.parquet")
+    for ((tag, pth) <- Seq(("1x", s"$work/edges1x.parquet"),
+        ("10x", s"$work/edges10x.parquet"))) {
+      val sym = spark.read.parquet(pth)
+      measure(s"gr01_pagerank5     $tag") {
+        graft.operators.Graph.pageRank(sym, iterations = 5).count()
+      }
+      measure(s"gr03_triangles     $tag") {
+        graft.operators.Graph.triangleCounts(sym).count()
+      }
+      measure(s"gr04_clustering    $tag") {
+        graft.operators.Graph.clusteringCoefficients(sym).count()
+      }
+    }
+
+    // Containment pairs ride the same capped-posting candidate plan as
+    // dd03 (pairOverlap): candidate volume grows with corpus size under
+    // the cap, never quadratically — same curve expected as dd04.
+    for ((tag, dp) <- Seq(("1x", d1), ("10x", d10))) {
+      measure(s"dd17_containment   $tag") {
+        Dedup.containmentPairs(docsAt(dp), "doc_id", "text",
+          3, maxPosting = 64).count()
+      }
+    }
     spark.stop()
   }
 }

@@ -597,4 +597,38 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(plan.contains("partial_count"), plan)
   }
+
+  test("q44: z-order stats are one map-side-combined agg; interleave stays in codegen") {
+    val plan = planOf("q44_zorder_layout")
+    assert(!plan.contains("Window"), plan)
+    // the interleave is pure bitwise projection — the only exchanges
+    // are the bucket agg and the presentation sort (string-counted:
+    // AQE wraps the tree, so Exchange nodes hide from plan.collect)
+    assert(plan.linesIterator.count(_.contains("+- Exchange ")) == 2, plan)
+    assert(plan.contains("partial_min") && plan.contains("partial_max"), plan)
+  }
+
+  test("ev16: autocorr joins the rollup-sized series broadcast, no window, exact-long moments") {
+    val plan = planOf("ev16_autocorr")
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // all five moment sums combine map-side
+    assert(plan.contains("partial_sum((xa"), plan)
+  }
+
+  test("ta22: the only window ranks the 1000 TakeOrdered rows, never the vocabulary") {
+    val plan = planOf("ta22_zipf_fit")
+    assert(plan.contains("TakeOrderedAndProject(limit=1000"), plan)
+    assert(plan.linesIterator.count(_.contains("Window [row_number()")) == 1,
+      plan)
+    // moments combine map-side over the 1000-row quantized projection
+    assert(plan.contains("partial_sum((x#"), plan)
+  }
+
+  test("gr04: clustering coefficient stays equi-join only — no cartesian, no window") {
+    val plan = planOf("gr04_clustering_coeff")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
 }
