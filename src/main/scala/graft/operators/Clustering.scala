@@ -148,4 +148,56 @@ object Clustering {
         (col("_sl1").cast(DoubleType) / col("n_members").cast(DoubleType))
           .as("centroid_l1"))
   }
+
+  /** Greedy farthest-point seeding (Gonzalez 1985 k-center; the
+    * deterministic cousin of k-means++): start from the minimum-id
+    * vector, then k−1 times pick the vector maximizing its distance to
+    * the nearest already-chosen center. A 2-approximation to the
+    * optimal k-center cover — the spread-out initialization that makes
+    * one Lloyd pass (or an IVF coarse quantizer) behave, where the
+    * residue-class seeds of [[seedCentroids]] can start clumped.
+    *
+    * Returns (step, center_id, radius): radius is the chosen vector's
+    * exact squared distance to the nearest previous center (0 for step
+    * 0) cast to double — step s's radius is the k-center cover radius
+    * after s centers.
+    *
+    * Determinism: distances are exact decimals ([[sqDist]]) and each
+    * argmax breaks ties on the lower id, so the chosen set is
+    * bit-identical on any engine/partitioning — a DuckDB oracle
+    * replays the identical unrolled steps.
+    *
+    * Scale shape: k passes over the corpus, each a narrow projection
+    * against ≤ k broadcast centers with a map-side `min(struct)`
+    * partial collapsing to ONE exchanged row per vector, then a 1-row
+    * global argmax — no pairwise joins, no windows. The per-round
+    * checkpoint keeps round r from re-evaluating rounds 1..r−1
+    * (the [[Graph.pageRank]] discipline).
+    */
+  def farthestPointSeeds(df: DataFrame, k: Int,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding",
+                         checkpoint: Boolean = true): DataFrame = {
+    require(k >= 1, "k must be positive")
+    def cp(d: DataFrame): DataFrame = if (checkpoint) d.localCheckpoint() else d
+    val pts = cp(df.filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast(LongType).as("_id"), dec(col(vecCol)).as("_x")))
+    var centers = cp(pts.orderBy("_id").limit(1)
+      .select(lit(0).as("step"), col("_id").as("center_id"),
+        lit(0.0).as("radius"), col("_x").as("_cv")))
+    for (s <- 1 until k) {
+      val dmin = pts.crossJoin(broadcast(centers.select(col("_cv"))))
+        .groupBy(col("_id"))
+        .agg(min(sqDist(col("_x"), col("_cv"))).as("_d"),
+          first(col("_x")).as("_xx")) // _x is constant per id
+      val next = dmin
+        .agg(min(struct((col("_d") * -1).as("_nd"), col("_id").as("_id"),
+          col("_xx").as("_xx"))).as("_m"))
+        .select(lit(s).as("step"), col("_m._id").as("center_id"),
+          (col("_m._nd") * -1).cast(DoubleType).as("radius"),
+          col("_m._xx").as("_cv"))
+      centers = cp(centers.unionAll(next))
+    }
+    centers.select(col("step"), col("center_id"), col("radius"))
+  }
 }

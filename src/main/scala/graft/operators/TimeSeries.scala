@@ -99,6 +99,49 @@ object TimeSeries {
     * @param tCol   integer time index (e.g. epoch-day); must be unique
     * @param xCol   integer series value (a count or integer gauge)
     */
+  /** Single change-point scan (AMOC / binary-segmentation step) over an
+    * INTEGER-valued regular series: for every split boundary s, the
+    * scaled mean-shift statistic
+    * |mean(x₁..s) − mean(xs+1..T)| · sqrt(nL·nR / n) — the CUSUM-style
+    * score whose argmax is the most likely level shift (Hinkley 1970;
+    * the first step of ruptures-style binary segmentation). Returns one
+    * row per interior split: (t, n_left, n_right, mean_left,
+    * mean_right, stat); callers take the top-1 (or recurse on the two
+    * halves for multiple change points).
+    *
+    * Determinism: prefix sums of integer values are exact; each
+    * mean/stat is the same short chain of individually-rounded IEEE
+    * ops on identical integer-derived operands in any engine.
+    *
+    * Scale: the input is a ROLLUP (bounded by the bucket count, not
+    * events), so the one ordered cumulative window here runs over
+    * days/hours-sized data — the same bounded-window regime as the
+    * ta22 rank. Totals ride a broadcast, never a second scan.
+    */
+  def meanShiftSplits(series: DataFrame, tCol: String,
+                      xCol: String): DataFrame = {
+    val s = series.select(col(tCol).cast(LongType).as("t"),
+      col(xCol).cast(LongType).as("x"))
+    val tot = s.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+    val w = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pre = s.select(col("t"),
+        sum(col("x")).over(w).as("sl"),
+        count(lit(1)).over(w).as("nl"))
+      .crossJoin(broadcast(tot))
+      .filter(col("nl") < col("n")) // interior splits only
+    val nl = col("nl").cast(DoubleType)
+    val nr = (col("n") - col("nl")).cast(DoubleType)
+    val meanL = col("sl").cast(DoubleType) / nl
+    val meanR = (col("sx") - col("sl")).cast(DoubleType) / nr
+    pre.select(col("t"), col("nl").as("n_left"),
+      (col("n") - col("nl")).as("n_right"),
+      meanL.as("mean_left"), meanR.as("mean_right"),
+      (abs(meanL - meanR) *
+        sqrt((col("nl") * (col("n") - col("nl"))).cast(DoubleType) /
+          col("n").cast(DoubleType))).as("stat"))
+  }
+
   def autocorrelation(series: DataFrame, tCol: String, xCol: String,
                       maxLag: Int): DataFrame = {
     require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")

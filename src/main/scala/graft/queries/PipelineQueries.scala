@@ -2006,6 +2006,46 @@ object PipelineQueries {
         .orderBy("cluster")
     },
 
+    // Greedy farthest-point seeding (Gonzalez k-center, the
+    // deterministic k-means++ cousin): 4 centers over the embedding
+    // corpus, each step the exact-decimal argmax of distance-to-
+    // nearest-chosen (ties to lower id), radius = that distance. The
+    // oracle unrolls the same 3 greedy steps with least() chains —
+    // chosen sets must match id-for-id, radii bit-for-bit.
+    QueryDef("km04_farthest_init",
+      """WITH e0 AS (SELECT vec_id, unnest(embedding) AS rawx,
+        |                   unnest(range(1, len(embedding) + 1)) AS i
+        |            FROM embeddings WHERE embedding IS NOT NULL),
+        | e AS (SELECT vec_id, i,
+        |         CAST(CAST(rawx AS DOUBLE) AS DECIMAL(12,6)) AS x FROM e0),
+        | c0 AS (SELECT min(vec_id) AS cid FROM embeddings
+        |        WHERE embedding IS NOT NULL),
+        | d1 AS (SELECT a.vec_id, sum((a.x - b.x) * (a.x - b.x)) AS d
+        |        FROM e a JOIN e b ON a.i = b.i
+        |          AND b.vec_id = (SELECT cid FROM c0) GROUP BY 1),
+        | c1 AS (SELECT vec_id AS cid, d FROM d1 ORDER BY d DESC, vec_id LIMIT 1),
+        | d2n AS (SELECT a.vec_id, sum((a.x - b.x) * (a.x - b.x)) AS d
+        |         FROM e a JOIN e b ON a.i = b.i
+        |           AND b.vec_id = (SELECT cid FROM c1) GROUP BY 1),
+        | dm2 AS (SELECT d1.vec_id, least(d1.d, d2n.d) AS d
+        |         FROM d1 JOIN d2n USING (vec_id)),
+        | c2 AS (SELECT vec_id AS cid, d FROM dm2 ORDER BY d DESC, vec_id LIMIT 1),
+        | d3n AS (SELECT a.vec_id, sum((a.x - b.x) * (a.x - b.x)) AS d
+        |         FROM e a JOIN e b ON a.i = b.i
+        |           AND b.vec_id = (SELECT cid FROM c2) GROUP BY 1),
+        | dm3 AS (SELECT dm2.vec_id, least(dm2.d, d3n.d) AS d
+        |         FROM dm2 JOIN d3n USING (vec_id)),
+        | c3 AS (SELECT vec_id AS cid, d FROM dm3 ORDER BY d DESC, vec_id LIMIT 1)
+        |SELECT 0 AS step, CAST(cid AS BIGINT) AS center_id,
+        |       CAST(0.0 AS DOUBLE) AS radius FROM c0
+        |UNION ALL SELECT 1, CAST(cid AS BIGINT), CAST(d AS DOUBLE) FROM c1
+        |UNION ALL SELECT 2, CAST(cid AS BIGINT), CAST(d AS DOUBLE) FROM c2
+        |UNION ALL SELECT 3, CAST(cid AS BIGINT), CAST(d AS DOUBLE) FROM c3
+        |ORDER BY step""".stripMargin) { (s, dir) =>
+      graft.operators.Clustering.farthestPointSeeds(embWide(s, dir), 4)
+        .orderBy("step")
+    },
+
     // ================= graph =================
 
     // PageRank importance over the who-trades-with-whom graph
@@ -3071,5 +3111,45 @@ object PipelineQueries {
           .cast(LongType).as("t"))
         .agg(count(lit(1)).as("x"))
       graft.operators.TimeSeries.autocorrelation(daily, "t", "x", maxLag = 7)
+    },
+
+    // Single change-point scan (Hinkley/AMOC, the binary-segmentation
+    // step) over the daily event-count series: per-split scaled
+    // mean-shift statistic, top-3 most likely level shifts. Prefix
+    // sums of integer counts stay exact; the statistic is the same
+    // short IEEE chain in both engines (see
+    // TimeSeries.meanShiftSplits). Rollup-sized end to end.
+    QueryDef("ev17_changepoint",
+      """WITH d AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |             count(*) AS x FROM events GROUP BY 1),
+        | s AS (SELECT CAST(day - DATE '1970-01-01' AS BIGINT) AS t,
+        |              CAST(x AS BIGINT) AS x FROM d),
+        | tot AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx FROM s),
+        | p AS (SELECT t, CAST(sum(x) OVER w AS BIGINT) AS sl,
+        |              CAST(count(*) OVER w AS BIGINT) AS nl
+        |       FROM s WINDOW w AS (ORDER BY t
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        | st AS (SELECT p.t, nl AS n_left, n - nl AS n_right,
+        |          CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE) AS mean_left,
+        |          CAST(sx - sl AS DOUBLE) / CAST(n - nl AS DOUBLE) AS mean_right,
+        |          abs(CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE)
+        |              - CAST(sx - sl AS DOUBLE) / CAST(n - nl AS DOUBLE))
+        |            * sqrt(CAST(nl * (n - nl) AS DOUBLE) / CAST(n AS DOUBLE))
+        |            AS stat
+        |        FROM p CROSS JOIN tot WHERE nl < n)
+        |SELECT DATE '1970-01-01' + CAST(t AS INTEGER) AS day,
+        |  n_left, n_right, mean_left, mean_right, stat
+        |FROM st ORDER BY stat DESC, day LIMIT 3""".stripMargin) { (s, dir) =>
+      val daily = Tables.events(s, dir)
+        .groupBy(datediff(col("ts").cast(DateType), lit("1970-01-01"))
+          .cast(LongType).as("t"))
+        .agg(count(lit(1)).as("x"))
+      graft.operators.TimeSeries.meanShiftSplits(daily, "t", "x")
+        .select(date_add(to_date(lit("1970-01-01")),
+            col("t").cast(IntegerType)).as("day"),
+          col("n_left"), col("n_right"),
+          col("mean_left"), col("mean_right"), col("stat"))
+        .orderBy(desc("stat"), col("day"))
+        .limit(3)
     })
 }

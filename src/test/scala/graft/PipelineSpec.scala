@@ -746,6 +746,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(acf == acf2)
   }
 
+  test("meanShiftSplits: a planted level shift is the argmax split with exact means") {
+    // 20 days at level 10, then 20 days at level 50 — the boundary
+    // (t=19, last day of the low regime) must score highest, with
+    // exact means 10.0 / 50.0 on the two sides
+    val s = ((0L until 20L).map(t => (t, 10L)) ++
+      (20L until 40L).map(t => (t, 50L))).toDF("t", "x").repartition(5)
+    val top = graft.operators.TimeSeries.meanShiftSplits(s, "t", "x")
+      .orderBy(desc("stat"), col("t")).limit(1).collect().head
+    assert(top.getLong(0) == 19L, top)
+    assert(top.getLong(1) == 20L && top.getLong(2) == 20L, top)
+    assert(top.getDouble(3) == 10.0 && top.getDouble(4) == 50.0, top)
+    // a flat series scores every split below the planted shift's stat
+    val flat = (0L until 40L).map(t => (t, 7L)).toDF("t", "x")
+    val maxFlat = graft.operators.TimeSeries.meanShiftSplits(flat, "t", "x")
+      .agg(max("stat")).head().getDouble(0)
+    assert(maxFlat == 0.0)
+  }
+
   test("containmentPairs: a subsumed paragraph scores 1.0 on its side, low Jaccard") {
     val para = "alpha beta gamma delta epsilon zeta eta theta"
     val page = para + " " + (1 to 40).map(i => s"filler$i word$i").mkString(" ")
@@ -762,6 +780,34 @@ class PipelineSpec extends AnyFunSuite {
     val jac = Dedup.jaccardPairs(docs, "doc_id", "text", 3)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     assert(jac((1L, 2L)) < 0.1, s"jaccard should be low: ${jac((1L, 2L))}")
+  }
+
+  test("farthestPointSeeds: picks one center per planted far-apart cluster") {
+    import graft.operators.Clustering
+    // three tight clusters at distance ~20 apart; greedy k-center with
+    // k=3 must choose one representative from EACH cluster (ids 0-3 in
+    // A, 4-6 in B, 7-9 in C), starting from min-id (0, in A)
+    def around(c: Array[Float], ids: Seq[Long]) =
+      ids.map(i => (i, c.zipWithIndex.map { case (v, p) =>
+        v + ((i + p) % 3).toFloat * 0.01f }))
+    val vecs = (around(Array(20f, 0f, 0f, 0f), Seq(0L, 1L, 2L, 3L)) ++
+      around(Array(0f, 20f, 0f, 0f), Seq(4L, 5L, 6L)) ++
+      around(Array(0f, 0f, 20f, 0f), Seq(7L, 8L, 9L)))
+      .toDF("vec_id", "embedding")
+    val got = Clustering.farthestPointSeeds(vecs, 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(got.head == ((0, 0L, 0.0)), got.toSeq)
+    val picked = got.map(_._2).toSet
+    assert(picked.count(id => id >= 4L && id <= 6L) == 1, got.toSeq)
+    assert(picked.count(id => id >= 7L) == 1, got.toSeq)
+    // radii are the inter-cluster gaps (~800 squared), not intra (~0)
+    assert(got.tail.forall(_._3 > 700), got.toSeq)
+    // partition invariance — identical set and radii bits
+    val got2 = Clustering.farthestPointSeeds(vecs.repartition(7), 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(got2.toSeq == got.toSeq)
   }
 
   test("clusteringCoefficients: triangle nodes score 1, hub with open wedge scores 1/3") {
