@@ -142,5 +142,39 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
           children.head, children(1))
       }: Expression))
+
+    ext.injectFunction((
+      new FunctionIdentifier("z_value"),
+      new ExpressionInfo("graft.operators.Layout",
+        null, "z_value",
+        "_FUNC_(a, b, bits) - Morton/Z-order interleave of the low " +
+          "`bits` bits of two integral columns (bit i of a -> bit 2i, " +
+          "of b -> 2i+1); the multi-dimensional clustering key for " +
+          "min/max-pruned layouts. bits must be an int literal in " +
+          "[1, 31]. Pure bitwise arithmetic, fully codegen'd.",
+        "", "", "", "math_funcs", "0.1.0", "", "scala_udf"),
+      (children: Seq[Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.{
+          BitwiseAnd, BitwiseOr, Cast, ShiftLeft}
+        import org.apache.spark.sql.types.LongType
+        val bits = children match {
+          case Seq(_, _, Literal(v: Int, IntegerType))
+            if v >= 1 && v <= 31 => v
+          case _ => throw new IllegalArgumentException(
+            "z_value expects (a, b, <int literal in [1,31]>)")
+        }
+        // the same fold as Layout.zValue, built as a raw Catalyst tree
+        val mask = Literal((1L << bits) - 1, LongType)
+        val am = BitwiseAnd(Cast(children.head, LongType), mask)
+        val bm = BitwiseAnd(Cast(children(1), LongType), mask)
+        (0 until bits).foldLeft[Expression](Literal(0L, LongType)) {
+          (acc, i) =>
+            BitwiseOr(BitwiseOr(acc,
+              ShiftLeft(BitwiseAnd(am, Literal(1L << i, LongType)),
+                Literal(i, IntegerType))),
+              ShiftLeft(BitwiseAnd(bm, Literal(1L << i, LongType)),
+                Literal(i + 1, IntegerType)))
+        }
+      }: Expression))
   }
 }

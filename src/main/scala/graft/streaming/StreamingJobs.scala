@@ -394,6 +394,41 @@ object StreamingJobs {
         col("purchase_id"), col("purchase_ts"))
   }
 
+  /** [[clickToPurchase]] as a LEFT OUTER stream-stream join — the
+    * conversion-funnel variant that also emits every click that did
+    * NOT convert, with null purchase columns. Matches emit as they
+    * arrive (inner behavior); an unmatched click's null row emits only
+    * once the watermark passes `click_ts + maxLag` — before that the
+    * engine cannot know a match isn't still coming, which is why the
+    * outer emission is inherently watermark-delayed (and why a gate
+    * over a finite file stream can't pin it: the final clicks' outer
+    * rows stay buffered forever without a further batch; the spec
+    * drives the watermark explicitly instead).
+    *
+    * State is the same bounded two-sided buffer as the inner join —
+    * rows older than watermark + lag are evicted, so state is
+    * O(arrival rate × lag), never O(stream).
+    */
+  def clickToPurchaseOuter(events: DataFrame, maxLagMinutes: Int = 30,
+                           watermark: String = "30 minutes"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", watermark)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("purchase_ts", watermark)
+    clicks.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") +
+          expr(s"INTERVAL $maxLagMinutes MINUTES"),
+      "leftOuter")
+      .select(col("user_id"), col("click_id"), col("click_ts"),
+        col("purchase_id"), col("purchase_ts"))
+  }
+
   /** Stateful gap sessionization: per-user session state in the state
     * store, closed sessions emitted when a gap arrives in-stream or the
     * event-time timeout fires (watermark passed last event + gap).

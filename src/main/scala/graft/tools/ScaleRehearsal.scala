@@ -194,8 +194,11 @@ object ScaleRehearsal {
     }
 
     // Graph ops at 1×/10× edge count: the supplier co-occurrence graph
-    // (all co-appearing pairs, no support floor — ~supplier²/2 edges at
-    // sf0.1), replicated as 10 id-offset disjoint copies so degree
+    // at support ≥ 5 (~48k edges / 1000 nodes at sf0.1 — dense but
+    // sparse-of-complete; with NO floor every supplier pair co-occurs
+    // at this SF and the graph is K₁₀₀₀, whose Θ(n³) triangle count
+    // makes the OUTPUT cubic — a degenerate test, not an algorithmic
+    // regression), replicated as 10 id-offset disjoint copies so degree
     // structure is preserved while |V| and |E| grow 10×. PageRank's
     // per-iteration cost is one |E| join + one |V| agg (shuffle must
     // scale ~linearly in |E|); triangle enumeration's wedge volume is
@@ -207,7 +210,9 @@ object ScaleRehearsal {
       .join(ps.select(col("l_orderkey"), col("l_suppkey").as("s2")),
         "l_orderkey")
       .filter(col("s1") < col("s2"))
-      .select(col("s1").as("src"), col("s2").as("dst")).distinct()
+      .groupBy("s1", "s2").agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 5)
+      .select(col("s1").as("src"), col("s2").as("dst"))
       .write.mode("overwrite").parquet(s"$work/edges1x.parquet")
     replicate(spark.read.parquet(s"$work/edges1x.parquet"), 10, { (d, k) =>
       d.select((col("src") + lit(k * 10000000L)).as("src"),

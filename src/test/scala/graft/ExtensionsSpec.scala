@@ -146,4 +146,25 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(e.getMessage.contains("minhash_sketch"))
     }
   }
+
+  test("SQL z_value equals the Column-API interleave; bits must be literal") {
+    withExtSession { s =>
+      import org.apache.spark.sql.functions.col
+      import s.implicits._
+      val rows = for (a <- 0L until 40L by 3L; b <- 0L until 40L by 7L)
+        yield (a, b)
+      rows.toDF("a", "b").createOrReplaceTempView("zin")
+      val viaSql = s.sql("SELECT a, b, z_value(a, b, 16) AS z FROM zin")
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val viaCol = rows.toDF("a", "b")
+        .select(col("a"), col("b"),
+          graft.operators.Layout.zValue(col("a"), col("b"), 16).as("z"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(viaSql == viaCol)
+      val e = intercept[Exception] {
+        s.sql("SELECT z_value(a, b, 32) FROM zin").collect()
+      }
+      assert(e.getMessage.contains("z_value"))
+    }
+  }
 }

@@ -141,6 +141,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(pairs == Set((100L, 200L)), pairs)
   }
 
+  test("left-outer stream-stream join emits unconverted clicks after the lag horizon") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, Long, String)]
+    val df = in.toDF().toDF("ts", "event_id", "user_id", "event_type")
+    val q = StreamingJobs.clickToPurchaseOuter(df, maxLagMinutes = 30,
+        watermark = "20 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssoj_out")
+      .start()
+    in.addData(
+      (ts("2024-01-01 10:00:00"), 100L, 7L, "click"),     // converts
+      (ts("2024-01-01 10:10:00"), 200L, 7L, "purchase"),  // its match
+      (ts("2024-01-01 10:02:00"), 101L, 8L, "click"))     // never converts
+    q.processAllAvailable()
+    // before the horizon passes, the unconverted click must NOT have
+    // emitted a null row (a match could still arrive)
+    val early = spark.table("ssoj_out").collect()
+      .map(r => (r.getLong(1), Option(r.get(3)))).toSet
+    assert(early == Set((100L, Some(200L))), early)
+    // advance the watermark past click_ts + lag on BOTH sides (the
+    // global watermark is the min across inputs, so a click-only
+    // sentinel leaves the purchase side pinning it at the epoch); the
+    // eviction that emits outer rows then runs on the NEXT trigger
+    in.addData(
+      (ts("2024-01-01 12:00:00"), 999L, 9L, "click"),
+      (ts("2024-01-01 12:00:00"), 899L, 9L, "purchase"))
+    q.processAllAvailable()
+    in.addData((ts("2024-01-01 12:01:00"), 998L, 9L, "click"))
+    q.processAllAvailable()
+    q.stop()
+    val all = spark.table("ssoj_out").collect()
+      .map(r => (r.getLong(1), Option(r.get(3)))).toSet
+    // 101 flushes as unmatched; the sentinel pair (999, 899) matches
+    // inner-style; 998's horizon never passes, so it stays buffered
+    assert(all == Set((100L, Some(200L)), (101L, None), (999L, Some(899L))),
+      all)
+  }
+
   test("streamCompact: raw log files stream into date-partitioned parquet") {
     val work = java.nio.file.Files.createTempDirectory("graft-sc").toString
     val in = s"$work/in"; java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
