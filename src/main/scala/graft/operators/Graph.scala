@@ -130,6 +130,52 @@ object Graph {
       .groupBy("node").agg(count(lit(1)).as("n_tri"))
   }
 
+  /** k-core peeling: `rounds` synchronous rounds of "drop every node
+    * with degree < k" over the undirected, de-duplicated edge list —
+    * the dense-core extraction (Seidman 1983) used to separate a web
+    * graph's tightly-linked hub from its pendant fringe (and to bound
+    * triangle work: the core's degeneracy is what
+    * [[triangleCounts]]'s orientation exploits). Returns (node, deg)
+    * for every node still on an edge after the last round, with its
+    * degree in that surviving subgraph.
+    *
+    * `rounds` is a FIXED unroll, not a convergence loop: both this
+    * implementation and any SQL oracle run exactly the same number of
+    * synchronous peels, so results are engine-comparable whether or
+    * not the peel has reached its fixpoint (it converges when a round
+    * removes nothing; pick rounds ≥ the graph's peel depth for the
+    * true k-core — the spec proves the fixpoint on a planted graph).
+    *
+    * Scale shape: each round is one degree aggregation over the
+    * surviving edges plus two semi joins (a-end, b-end) against the
+    * kept-node set — no windows, no cartesian; the per-round
+    * checkpoint truncates lineage (the [[pageRank]] discipline).
+    */
+  def kCore(edges: DataFrame, k: Int, rounds: Int,
+            srcCol: String = "src", dstCol: String = "dst",
+            checkpoint: Boolean = true): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    def cp(df: DataFrame): DataFrame =
+      if (checkpoint) df.localCheckpoint() else df
+    def degrees(und: DataFrame): DataFrame = und
+      .select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    var und = cp(edges
+      .select(least(col(srcCol), col(dstCol)).cast(LongType).as("a"),
+        greatest(col(srcCol), col(dstCol)).cast(LongType).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct())
+    for (_ <- 1 to rounds) {
+      val keep = degrees(und).filter(col("deg") >= k).select(col("node"))
+      und = cp(und
+        .join(keep.select(col("node").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("node").as("b")), Seq("b"), "left_semi")
+        .select(col("a"), col("b")))
+    }
+    degrees(und)
+  }
+
   /** Local clustering coefficient per node: c(v) = 2·tri(v) /
     * (deg(v)·(deg(v)−1)) over the undirected, de-duplicated edge list
     * — how close each node's neighborhood is to a clique, the

@@ -2228,6 +2228,70 @@ object PipelineQueries {
         .orderBy(desc("coeff"), col("node"))
     },
 
+    // k-core peeling (k=4, 5 synchronous rounds — past this graph's
+    // peel depth) over the same supplier co-occurrence graph: the
+    // dense-core extraction separating the tightly-linked hub from the
+    // pendant fringe. Both engines unroll exactly 5 peels (the gr01
+    // discipline), so the surviving (node, degree) set hash-matches
+    // round-for-round; the spec proves the fixpoint property
+    // separately. The CTEs are AS MATERIALIZED: each round references
+    // its predecessor ~3× (degree union + both IN-subquery ends), and
+    // DuckDB's inlining makes the plain-CTE chain exponential — the
+    // un-hinted text measured >60 s where the materialized one runs
+    // in 0.1 s.
+    QueryDef("gr05_kcore",
+      """WITH ps AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+        | e0 AS MATERIALIZED (SELECT a.l_suppkey AS a, b.l_suppkey AS b
+        |       FROM ps a JOIN ps b
+        |         ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        |       GROUP BY 1, 2 HAVING count(*) >= 30),
+        | d1 AS MATERIALIZED (SELECT node, count(*) AS deg FROM
+        |          (SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0)
+        |        GROUP BY 1),
+        | n1 AS MATERIALIZED (SELECT node FROM d1 WHERE deg >= 4),
+        | e1 AS MATERIALIZED (SELECT a, b FROM e0 WHERE a IN (SELECT node FROM n1)
+        |                               AND b IN (SELECT node FROM n1)),
+        | d2 AS MATERIALIZED (SELECT node, count(*) AS deg FROM
+        |          (SELECT a AS node FROM e1 UNION ALL SELECT b FROM e1)
+        |        GROUP BY 1),
+        | n2 AS MATERIALIZED (SELECT node FROM d2 WHERE deg >= 4),
+        | e2 AS MATERIALIZED (SELECT a, b FROM e1 WHERE a IN (SELECT node FROM n2)
+        |                               AND b IN (SELECT node FROM n2)),
+        | d3 AS MATERIALIZED (SELECT node, count(*) AS deg FROM
+        |          (SELECT a AS node FROM e2 UNION ALL SELECT b FROM e2)
+        |        GROUP BY 1),
+        | n3 AS MATERIALIZED (SELECT node FROM d3 WHERE deg >= 4),
+        | e3 AS MATERIALIZED (SELECT a, b FROM e2 WHERE a IN (SELECT node FROM n3)
+        |                               AND b IN (SELECT node FROM n3)),
+        | d4 AS MATERIALIZED (SELECT node, count(*) AS deg FROM
+        |          (SELECT a AS node FROM e3 UNION ALL SELECT b FROM e3)
+        |        GROUP BY 1),
+        | n4 AS MATERIALIZED (SELECT node FROM d4 WHERE deg >= 4),
+        | e4 AS MATERIALIZED (SELECT a, b FROM e3 WHERE a IN (SELECT node FROM n4)
+        |                               AND b IN (SELECT node FROM n4)),
+        | d5 AS MATERIALIZED (SELECT node, count(*) AS deg FROM
+        |          (SELECT a AS node FROM e4 UNION ALL SELECT b FROM e4)
+        |        GROUP BY 1),
+        | n5 AS MATERIALIZED (SELECT node FROM d5 WHERE deg >= 4),
+        | e5 AS MATERIALIZED (SELECT a, b FROM e4 WHERE a IN (SELECT node FROM n5)
+        |                               AND b IN (SELECT node FROM n5))
+        |SELECT CAST(node AS BIGINT) AS node, CAST(count(*) AS BIGINT) AS deg
+        |FROM (SELECT a AS node FROM e5 UNION ALL SELECT b FROM e5)
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val ps = Tables.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey").distinct()
+      val edges = ps.select(col("l_orderkey"), col("l_suppkey").as("s1"))
+        .join(ps.select(col("l_orderkey"), col("l_suppkey").as("s2")),
+          "l_orderkey")
+        .filter(col("s1") < col("s2"))
+        .groupBy("s1", "s2").agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 30)
+        .select(col("s1").as("src"), col("s2").as("dst"))
+      graft.operators.Graph.kCore(edges, k = 4, rounds = 5)
+        .select(col("node"), col("deg").cast(LongType).as("deg"))
+        .orderBy("node")
+    },
+
     // ================= multimodal (binary columns) =================
 
     // Deterministic synthetic assets (payload bytes derived from ids) →

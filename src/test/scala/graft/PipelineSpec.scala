@@ -810,6 +810,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(got2.toSeq == got.toSeq)
   }
 
+  test("kCore: pendant chain peels one node per round until the cycle fixpoint") {
+    // triangle {1,2,3} (the 2-core) with tail 3-4-5-6: synchronous
+    // peeling at k=2 removes 6 in round 1, 5 in round 2, 4 in round 3
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("src", "dst")
+    def survivors(rounds: Int) =
+      graft.operators.Graph.kCore(edges, k = 2, rounds = rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(survivors(1) == Map(1L -> 2L, 2L -> 2L, 3L -> 3L,
+      4L -> 2L, 5L -> 1L), survivors(1))
+    assert(survivors(3) == Map(1L -> 2L, 2L -> 2L, 3L -> 2L), survivors(3))
+    // fixpoint: extra rounds change nothing
+    assert(survivors(10) == survivors(3))
+  }
+
   test("clusteringCoefficients: triangle nodes score 1, hub with open wedge scores 1/3") {
     // K3 on {1,2,3} plus pendant edge 3–4: nodes 1,2 have deg 2 and one
     // triangle (c=1); node 3 has deg 3, one triangle (c = 2/6 = 1/3);
