@@ -201,4 +201,34 @@ object Quality {
         ((pA - pB) * log(pA / pB)).cast(DecimalType(18, 6))
           .cast(DoubleType).as("psi_term"))
   }
+
+  /** Functional-dependency check: for each claimed dependency
+    * det → dep, report how badly the data violates it — the schema-
+    * inference / silent-denormalization-drift probe (a Deequ
+    * `Uniqueness`-cousin): a determinant value with more than one
+    * distinct dependent value breaks the FD. Output one row per
+    * claimed dependency: (determinant, dependent, n_keys,
+    * n_violating_keys, max_fanout, holds).
+    *
+    * One aggregation pass per dependency over (det, dep) pairs —
+    * group by det counting distinct dep (exact, key-grouped — never
+    * Expand since each pass is single-distinct), then a bounded
+    * per-dependency summary. Violation counts are exact integers.
+    */
+  def fdViolations(df: DataFrame,
+                   deps: Seq[(String, String)]): DataFrame = {
+    require(deps.nonEmpty, "need at least one dependency to check")
+    deps.map { case (det, dep) =>
+      df.select(qcol(det).as("_det"), qcol(dep).as("_dep"))
+        .groupBy(col("_det"))
+        .agg(countDistinct(col("_dep")).as("_fan"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(when(col("_fan") > 1, 1L).otherwise(0L))
+            .as("n_violating_keys"),
+          max(col("_fan")).as("max_fanout"))
+        .select(lit(det).as("determinant"), lit(dep).as("dependent"),
+          col("n_keys"), col("n_violating_keys"), col("max_fanout"),
+          (col("n_violating_keys") === 0L).as("holds"))
+    }.reduce(_ unionAll _)
+  }
 }

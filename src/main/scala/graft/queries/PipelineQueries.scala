@@ -978,6 +978,57 @@ object PipelineQueries {
         .orderBy("bin")
     },
 
+    // Functional-dependency check over the order lines joined to their
+    // orders: l_orderkey → o_custkey must HOLD (each order has one
+    // customer), while l_orderkey → l_suppkey and l_suppkey →
+    // o_custkey are violated with measured fan-outs — the
+    // silent-denormalization-drift probe. One single-distinct
+    // aggregation pass per claimed dependency (never Expand), exact
+    // integer counts.
+    QueryDef("dq07_fd_check",
+      """WITH j AS (SELECT l_orderkey, l_suppkey, o_custkey
+        |           FROM lineitem JOIN orders ON o_orderkey = l_orderkey),
+        | f1 AS (SELECT l_orderkey AS det, count(DISTINCT o_custkey) AS fan
+        |        FROM j GROUP BY 1),
+        | f2 AS (SELECT l_orderkey AS det, count(DISTINCT l_suppkey) AS fan
+        |        FROM j GROUP BY 1),
+        | f3 AS (SELECT l_suppkey AS det, count(DISTINCT o_custkey) AS fan
+        |        FROM j GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT 'l_orderkey' AS determinant, 'o_custkey' AS dependent,
+        |    CAST(count(*) AS BIGINT) AS n_keys,
+        |    CAST(sum(CASE WHEN fan > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_keys,
+        |    CAST(max(fan) AS BIGINT) AS max_fanout,
+        |    sum(CASE WHEN fan > 1 THEN 1 ELSE 0 END) = 0 AS holds
+        |  FROM f1
+        |  UNION ALL
+        |  SELECT 'l_orderkey', 'l_suppkey', CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN fan > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(max(fan) AS BIGINT),
+        |    sum(CASE WHEN fan > 1 THEN 1 ELSE 0 END) = 0
+        |  FROM f2
+        |  UNION ALL
+        |  SELECT 'l_suppkey', 'o_custkey', CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN fan > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(max(fan) AS BIGINT),
+        |    sum(CASE WHEN fan > 1 THEN 1 ELSE 0 END) = 0
+        |  FROM f3)
+        |ORDER BY determinant, dependent""".stripMargin) { (s, dir) =>
+      val j = Tables.load(s, dir, "lineitem")
+        .join(Tables.load(s, dir, "orders"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select("l_orderkey", "l_suppkey", "o_custkey")
+      graft.operators.Quality.fdViolations(j, Seq(
+          "l_orderkey" -> "o_custkey",
+          "l_orderkey" -> "l_suppkey",
+          "l_suppkey" -> "o_custkey"))
+        .select(col("determinant"), col("dependent"),
+          col("n_keys"), col("n_violating_keys").cast(LongType)
+            .as("n_violating_keys"),
+          col("max_fanout").cast(LongType).as("max_fanout"), col("holds"))
+        .orderBy("determinant", "dependent")
+    },
+
     // Approximate profile (the wide-table escape dq01's doc promises):
     // HLL distinct sketches — one narrow aggregation pass, NO
     // multi-distinct Expand, so profiling 500 columns costs one scan.

@@ -1137,6 +1137,47 @@ object RelationalQueries {
           min("l_suppkey").cast(LongType).as("s_min"),
           max("l_suppkey").cast(LongType).as("s_max"))
         .orderBy("zbucket")
+    },
+
+    // IGNORE NULLS window carry-forward: prices sparsified to line 1 of
+    // each order, then last_value IGNORE NULLS carries the most recent
+    // observed price down each supplier's ship-date-ordered lines (the
+    // SCD/gauge forward-fill idiom as a pure window op — ev09's gapFill
+    // without the grid). Summarized per supplier: filled-row and
+    // leading-null counts plus the exact-decimal sum of carried values.
+    QueryDef("q45_ignore_nulls_window",
+      """WITH b AS (SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
+        |    CASE WHEN l_linenumber > 1 THEN NULL
+        |         ELSE CAST(l_extendedprice AS DECIMAL(12,4)) END AS px
+        |  FROM lineitem),
+        | w AS (SELECT l_suppkey, px,
+        |    last_value(px IGNORE NULLS) OVER (PARTITION BY l_suppkey
+        |      ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried
+        |  FROM b)
+        |SELECT l_suppkey,
+        |  CAST(sum(CASE WHEN px IS NULL AND carried IS NOT NULL
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+        |  CAST(sum(CASE WHEN carried IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_leading_null,
+        |  CAST(sum(carried) AS DOUBLE) AS carried_sum
+        |FROM w GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin) { (s, dir) =>
+      val px = when(col("l_linenumber") > 1, lit(null))
+        .otherwise(col("l_extendedprice").cast(DecimalType(12, 4)))
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"),
+          col("l_linenumber"), px.as("px"))
+        .withColumn("carried", last(col("px"), ignoreNulls = true).over(w))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(when(col("px").isNull && col("carried").isNotNull, 1L)
+            .otherwise(0L)).as("n_filled"),
+          sum(when(col("carried").isNull, 1L).otherwise(0L))
+            .as("n_leading_null"),
+          sum(col("carried")).cast(DoubleType).as("carried_sum"))
+        .orderBy("l_suppkey")
     })
 
   val defs: Seq[QueryDef] = baseDefs ++ moreDefs ++ windowDefs
