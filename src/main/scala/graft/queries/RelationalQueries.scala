@@ -1178,7 +1178,80 @@ object RelationalQueries {
             .as("n_leading_null"),
           sum(col("carried")).cast(DoubleType).as("carried_sum"))
         .orderBy("l_suppkey")
-    })
+    },
+
+    // TPC-H Q2 shape (min-cost supplier): correlated scalar-aggregate
+    // subquery whose inner block repeats the outer's 4-way dim join —
+    // the planner must decorrelate into a per-part min + self-join, not
+    // re-run the subquery per row. Unit price is one IEEE division on
+    // identical doubles; min/equality over those is order-independent.
+    // (The reference schema has no partsupp table, so lineitem plays
+    // the part-supplier cost source.)
+    sqlBoth("q46_min_cost_supplier",
+      """SELECT DISTINCT p.p_partkey, s.s_suppkey, s.s_name,
+        |  l.l_extendedprice / l.l_quantity AS unit
+        |FROM part p, lineitem l, supplier s, nation n, region r
+        |WHERE p.p_partkey = l.l_partkey AND s.s_suppkey = l.l_suppkey
+        |  AND s.s_nationkey = n.n_nationkey AND n.n_regionkey = r.r_regionkey
+        |  AND r.r_name = 'EUROPE' AND p.p_size <= 10
+        |  AND l.l_extendedprice / l.l_quantity = (
+        |    SELECT min(l2.l_extendedprice / l2.l_quantity)
+        |    FROM lineitem l2, supplier s2, nation n2, region r2
+        |    WHERE l2.l_partkey = p.p_partkey
+        |      AND s2.s_suppkey = l2.l_suppkey
+        |      AND s2.s_nationkey = n2.n_nationkey
+        |      AND n2.n_regionkey = r2.r_regionkey
+        |      AND r2.r_name = 'EUROPE')
+        |ORDER BY p.p_partkey, s.s_suppkey LIMIT 100""".stripMargin),
+
+    // TPC-H Q21 shape (exclusively-late supplier): EXISTS proving the
+    // order is multi-supplier AND a correlated NOT EXISTS (referencing
+    // TWO outer tables) proving no OTHER supplier was late — the
+    // semi+anti pair on the same correlation key that stresses subquery
+    // decorrelation. "Late" = shipped > 60 days after the order date
+    // (the schema carries no commit/receipt dates).
+    sqlBoth("q47_late_exclusive_supplier",
+      """SELECT s.s_name, count(*) AS numwait
+        |FROM supplier s, lineitem l1, orders o
+        |WHERE o.o_orderkey = l1.l_orderkey AND l1.l_suppkey = s.s_suppkey
+        |  AND CAST(l1.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE) + 60
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND CAST(l3.l_shipdate AS DATE)
+        |                          > CAST(o.o_orderdate AS DATE) + 60)
+        |GROUP BY s.s_name ORDER BY numwait DESC, s.s_name LIMIT 20""".stripMargin),
+
+    // TPC-H Q8 shape (market share): one nation's share of a region's
+    // PROMO-part revenue per order year — the conditional-aggregate
+    // ratio over a 7-table snowflake. Revenue stays exact DECIMAL
+    // ((12,4)×(6,4) → (19,8), same product type in both engines)
+    // through both sums; the share is one double division.
+    sqlBoth("q48_market_share",
+      """WITH sales AS (
+        |  SELECT CAST(extract(year FROM CAST(o.o_orderdate AS DATE)) AS BIGINT) AS y,
+        |    CAST(CAST(l.l_extendedprice AS DECIMAL(12,4))
+        |         * (1.0000 - CAST(l.l_discount AS DECIMAL(6,4)))
+        |         AS DECIMAL(19,8)) AS vol,
+        |    n2.n_name AS supp_nation
+        |  FROM lineitem l
+        |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |  JOIN part p ON p.p_partkey = l.l_partkey
+        |  JOIN customer c ON c.c_custkey = o.o_custkey
+        |  JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+        |  JOIN region r ON r.r_regionkey = n1.n_regionkey
+        |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |  JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+        |  WHERE r.r_name = 'EUROPE' AND p.p_type = 'PROMO')
+        |SELECT y,
+        |  CAST(sum(CASE WHEN supp_nation = 'NATION_1' THEN vol
+        |                ELSE CAST(0 AS DECIMAL(19,8)) END) AS DOUBLE)
+        |    / CAST(sum(vol) AS DOUBLE) AS mkt_share,
+        |  CAST(count(*) AS BIGINT) AS n_lines
+        |FROM sales GROUP BY y ORDER BY y""".stripMargin))
 
   val defs: Seq[QueryDef] = baseDefs ++ moreDefs ++ windowDefs
 }

@@ -631,4 +631,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("Window"), plan)
   }
+
+  test("q46/q47: correlated subqueries decorrelate to aggregate+join / semi+anti") {
+    // Q2 shape: the scalar min subquery must become a per-part
+    // aggregation joined back — one extra scan, never a per-row rerun
+    // (no CartesianProduct, no uncorrelated-subquery broadcast loop)
+    val p46 = planOf("q46_min_cost_supplier")
+    assert(!p46.contains("CartesianProduct"), p46)
+    assert(p46.contains("partial_min"), p46)
+    // Q21 shape: EXISTS → LeftSemi, NOT EXISTS → LeftAnti, both as
+    // hash joins on the correlation key
+    val p47 = planOf("q47_late_exclusive_supplier")
+    assert(p47.contains("LeftSemi"), p47)
+    assert(p47.contains("LeftAnti"), p47)
+    assert(!p47.contains("CartesianProduct"), p47)
+  }
 }
