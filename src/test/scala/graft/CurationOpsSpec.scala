@@ -499,6 +499,19 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(r.getDouble(6) == 1.0, r.toString)
   }
 
+  test("fdViolations: held and violated dependencies report exact fan-outs") {
+    import graft.operators.Quality
+    // k → grp holds (each k maps to one grp); grp → k is violated:
+    // grp "a" fans out to 3 distinct k, grp "b" to 1
+    val df = Seq((1L, "a"), (1L, "a"), (2L, "a"), (3L, "a"), (4L, "b"))
+      .toDF("k", "grp")
+    val got = Quality.fdViolations(df, Seq("k" -> "grp", "grp" -> "k"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))).toMap
+    assert(got(("k", "grp")) == ((4L, 0L, 1L, true)), got)
+    assert(got(("grp", "k")) == ((2L, 1L, 3L, false)), got)
+  }
+
   test("quality: exotic column and rule names survive (dots, quotes, backticks)") {
     import graft.operators.Quality
     val df = Seq((1, "x"), (-2, null)).toDF("a.b", "it's `odd`")
