@@ -207,4 +207,57 @@ object Graph {
         ((coalesce(col("n_tri"), lit(0L)) * 2).cast(DoubleType) /
           (col("deg") * (col("deg") - 1)).cast(DoubleType)).as("coeff"))
   }
+
+  /** Synchronous label-propagation community detection (Raghavan 2007,
+    * the deterministic BSP variant): every node starts labeled with its
+    * own id; each round, every node simultaneously adopts the label
+    * that is most frequent among its neighbors, ties broken toward the
+    * SMALLEST label. Returns (node, community) after `rounds` rounds.
+    *
+    * Determinism: asynchronous/randomized LPA is notoriously
+    * order-dependent, so this is the synchronous formulation with a
+    * total tie order (max count, then min label) — the same fixed
+    * unrolled rounds replay identically on any engine or partitioning
+    * (the [[pageRank]]/[[kCore]] discipline; synchronous LPA can
+    * oscillate on bipartite structures, which a fixed round count
+    * makes reproducible rather than divergent).
+    *
+    * Scale shape: per round one |E|-row equi-join (labels onto edge
+    * sources) and two keyed aggregations — the (node, label) vote
+    * count, then a map-side `max(struct(count, -label))` argmax per
+    * node. No window over a node's full neighborhood list, no driver
+    * state; lineage truncated per round as in [[pageRank]].
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int,
+                       srcCol: String = "src", dstCol: String = "dst",
+                       checkpoint: Boolean = true): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    def cp(df: DataFrame): DataFrame =
+      if (checkpoint) df.localCheckpoint() else df
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).cast(LongType).as("a"),
+        greatest(col(srcCol), col(dstCol)).cast(LongType).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val sym = cp(und.select(col("a").as("u"), col("b").as("v"))
+      .union(und.select(col("b").as("u"), col("a").as("v"))))
+    var lab = sym.select(col("u").as("n")).distinct()
+      .select(col("n"), col("n").as("l"))
+    var prevCp: DataFrame = null
+    for (_ <- 1 to rounds) {
+      val votes = sym
+        .join(lab.select(col("n").as("u"), col("l")), "u")
+        .groupBy(col("v").as("n"), col("l"))
+        .agg(count(lit(1)).as("c"))
+      // argmax with (count desc, label asc) tie-break as ONE partial
+      // aggregate: max over struct(count, -label) — no per-node window
+      val next = cp(votes.groupBy("n")
+        .agg(max(struct(col("c"), (-col("l")).as("nl"))).as("m"))
+        .select(col("n"), (-col("m.nl")).cast(LongType).as("l")))
+      if (prevCp != null) prevCp.unpersist()
+      prevCp = lab
+      lab = next
+    }
+    lab.select(col("n").as("node"), col("l").as("community"))
+  }
 }

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 /** Time-series regularization (SURVEY.md §2c): a keyed rollup with
   * missing buckets becomes a dense, regular series — the step between
@@ -168,5 +168,53 @@ object TimeSeries {
             sqrt((col("n_pairs") * col("syy") - col("sy") * col("sy"))
               .cast(DoubleType)))).as("acf"))
       .orderBy("lag")
+  }
+
+  /** Truncated exponentially-weighted moving average over an
+    * INTEGER-valued regular series: for each bucket t,
+    * `ewma(t) = Σ_{lag=0..maxLag} w(lag)·x(t−lag) / Σ w(lag)` with
+    * `w(lag) = alpha·(1−alpha)^lag` — the streaming-friendly smoother
+    * (trend lines, anomaly baselines) with the infinite tail cut at
+    * `maxLag` and the kept mass renormalized, so the result is a
+    * proper weighted mean even in the warm-up region.
+    *
+    * Determinism: callers should pick `alpha` so the weights are
+    * DYADIC (e.g. the default 0.5 makes w(lag) = 2^-(lag+1), exact in
+    * IEEE pow AND in decimal at scale maxLag+1 ≤ 18); each weight is
+    * quantized to DECIMAL(20,13), weight×integer products and both
+    * sums are then exact, and the final division is one IEEE op on
+    * identical operands in any engine — the same discipline as
+    * [[meanShiftSplits]].
+    *
+    * Scale: a bounded-lag self-join on the ROLLUP (|buckets|·(maxLag+1)
+    * rows), never event-sized; the lag side broadcasts. No ordered
+    * window at all, so no single-task ordering bottleneck.
+    */
+  def ewmaTruncated(series: DataFrame, tCol: String, xCol: String,
+                    maxLag: Int = 12, alpha: Double = 0.5): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 17,
+      s"maxLag must be in [1,17] for exact DECIMAL(20,13) weights, got $maxLag")
+    val s = series.select(col(tCol).cast(LongType).as("t"),
+      col(xCol).cast(LongType).as("x"))
+    val a = s.select(col("t"), col("x"),
+        explode(sequence(lit(0), lit(maxLag))).as("lag0"))
+      .select(col("t"), col("x"), col("lag0").cast(LongType).as("lag"))
+      .withColumn("tj", col("t") - col("lag"))
+    val pairs = a.join(
+      broadcast(s.select(col("t").as("tj"), col("x").as("xj"))), "tj")
+    // w at (14,13) and xj at (10,0) keep the product at DECIMAL(25,13):
+    // under Spark's cap-38 multiply rules a wider operand pair (e.g.
+    // (20,13) × bigint-as-(20,0) → (41,13)) would silently TRUNCATE the
+    // scale and break exactness
+    pairs
+      .withColumn("w",
+        (lit(alpha) * pow(lit(1.0 - alpha), col("lag")))
+          .cast(DecimalType(14, 13)))
+      .groupBy("t", "x")
+      .agg(sum(col("w") * col("xj").cast(DecimalType(10, 0))).as("num"),
+        sum(col("w")).as("den"))
+      .select(col("t"), col("x"),
+        (col("num").cast(DoubleType) / col("den").cast(DoubleType))
+          .as("ewma"))
   }
 }

@@ -2343,6 +2343,56 @@ object PipelineQueries {
         .orderBy("node")
     },
 
+    // Synchronous label-propagation communities over the supplier
+    // co-occurrence graph (3 fixed rounds, ties toward the smallest
+    // label — the deterministic BSP variant; see Graph.labelPropagation
+    // scaladoc). The oracle replays the identical unrolled rounds with
+    // MATERIALIZED per-round CTEs (the gr05 lesson: inlined round
+    // chains re-expand exponentially), picking each node's argmax
+    // (count desc, label asc) via a row_number — the oracle may use a
+    // window, the engine must not (PlanSpec pins the no-Window argmax).
+    QueryDef("gr06_label_prop",
+      """WITH ps AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+        | e0 AS MATERIALIZED (SELECT a.l_suppkey AS a, b.l_suppkey AS b
+        |       FROM ps a JOIN ps b
+        |         ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        |       GROUP BY 1, 2 HAVING count(*) >= 30),
+        | sym AS MATERIALIZED (SELECT a AS u, b AS v FROM e0
+        |                      UNION ALL SELECT b, a FROM e0),
+        | l0 AS MATERIALIZED (SELECT DISTINCT u AS n, u AS l FROM sym),
+        | v1 AS MATERIALIZED (SELECT s.v AS n, l.l, count(*) AS c
+        |       FROM sym s JOIN l0 l ON l.n = s.u GROUP BY 1, 2),
+        | l1 AS MATERIALIZED (SELECT n, l FROM
+        |       (SELECT n, l, row_number() OVER
+        |          (PARTITION BY n ORDER BY c DESC, l) AS rn FROM v1)
+        |       WHERE rn = 1),
+        | v2 AS MATERIALIZED (SELECT s.v AS n, l.l, count(*) AS c
+        |       FROM sym s JOIN l1 l ON l.n = s.u GROUP BY 1, 2),
+        | l2 AS MATERIALIZED (SELECT n, l FROM
+        |       (SELECT n, l, row_number() OVER
+        |          (PARTITION BY n ORDER BY c DESC, l) AS rn FROM v2)
+        |       WHERE rn = 1),
+        | v3 AS MATERIALIZED (SELECT s.v AS n, l.l, count(*) AS c
+        |       FROM sym s JOIN l2 l ON l.n = s.u GROUP BY 1, 2),
+        | l3 AS MATERIALIZED (SELECT n, l FROM
+        |       (SELECT n, l, row_number() OVER
+        |          (PARTITION BY n ORDER BY c DESC, l) AS rn FROM v3)
+        |       WHERE rn = 1)
+        |SELECT CAST(n AS BIGINT) AS node, CAST(l AS BIGINT) AS community
+        |FROM l3 ORDER BY node""".stripMargin) { (s, dir) =>
+      val ps = Tables.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey").distinct()
+      val edges = ps.select(col("l_orderkey"), col("l_suppkey").as("s1"))
+        .join(ps.select(col("l_orderkey"), col("l_suppkey").as("s2")),
+          "l_orderkey")
+        .filter(col("s1") < col("s2"))
+        .groupBy("s1", "s2").agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 30)
+        .select(col("s1").as("src"), col("s2").as("dst"))
+      graft.operators.Graph.labelPropagation(edges, rounds = 3)
+        .orderBy("node")
+    },
+
     // ================= multimodal (binary columns) =================
 
     // Deterministic synthetic assets (payload bytes derived from ids) →
@@ -3266,5 +3316,41 @@ object PipelineQueries {
           col("mean_left"), col("mean_right"), col("stat"))
         .orderBy(desc("stat"), col("day"))
         .limit(3)
+    },
+
+    // Truncated EWMA (α = 1/2, 12-lag tail cut, renormalized) over the
+    // daily event-count series — the anomaly-baseline smoother. Dyadic
+    // α makes every weight 2^-(lag+1), exact in IEEE pow and in
+    // DECIMAL(20,13); weighted sums are then exact decimals and the
+    // one IEEE division sees identical operands in both engines (see
+    // TimeSeries.ewmaTruncated). No ordered window anywhere — the
+    // bounded-lag self-join parallelizes by bucket.
+    QueryDef("ev18_ewma",
+      """WITH d AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |             count(*) AS x FROM events GROUP BY 1),
+        | s AS (SELECT CAST(day - DATE '1970-01-01' AS BIGINT) AS t,
+        |              CAST(x AS BIGINT) AS x FROM d),
+        | p AS (SELECT a.t, a.x, a.t - b.t AS lag, b.x AS xj
+        |       FROM s a JOIN s b ON b.t BETWEEN a.t - 12 AND a.t),
+        | w AS (SELECT t, x,
+        |         CAST(0.5 * power(0.5, lag) AS DECIMAL(14,13)) AS w,
+        |         CAST(xj AS DECIMAL(10,0)) AS xj
+        |       FROM p),
+        | m AS (SELECT t, x, sum(w * xj) AS num, sum(w) AS den
+        |       FROM w GROUP BY 1, 2)
+        |SELECT DATE '1970-01-01' + CAST(t AS INTEGER) AS day,
+        |  x AS n_events,
+        |  CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS ewma
+        |FROM m ORDER BY day""".stripMargin) { (s, dir) =>
+      val daily = Tables.events(s, dir)
+        .groupBy(datediff(col("ts").cast(DateType), lit("1970-01-01"))
+          .cast(LongType).as("t"))
+        .agg(count(lit(1)).as("x"))
+      graft.operators.TimeSeries.ewmaTruncated(daily, "t", "x",
+          maxLag = 12, alpha = 0.5)
+        .select(date_add(to_date(lit("1970-01-01")),
+            col("t").cast(IntegerType)).as("day"),
+          col("x").as("n_events"), col("ewma"))
+        .orderBy("day")
     })
 }

@@ -1251,7 +1251,51 @@ object RelationalQueries {
         |                ELSE CAST(0 AS DECIMAL(19,8)) END) AS DOUBLE)
         |    / CAST(sum(vol) AS DOUBLE) AS mkt_share,
         |  CAST(count(*) AS BIGINT) AS n_lines
-        |FROM sales GROUP BY y ORDER BY y""".stripMargin))
+        |FROM sales GROUP BY y ORDER BY y""".stripMargin),
+
+    // SCD-2 dimension-history build: collapse each customer's ordered
+    // o_orderpriority observations into change runs, then emit validity
+    // intervals [valid_from, valid_to) with an open current row — the
+    // warehouse slowly-changing-dimension type-2 load as one pass of
+    // keyed windows (lag to find run starts, lead over the survivors
+    // for the interval end). Total order inside a customer is
+    // (o_orderdate, o_orderkey), so same-day flips are deterministic.
+    // Scale: both windows partition by customer — millions of
+    // independent small partitions, no global ordering anywhere.
+    QueryDef("q49_scd2",
+      """WITH b AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS od,
+        |             o_orderkey, o_orderpriority AS prio FROM orders),
+        | g AS (SELECT *, lag(prio) OVER
+        |         (PARTITION BY o_custkey ORDER BY od, o_orderkey) AS pp
+        |       FROM b),
+        | runs AS (SELECT * FROM g WHERE pp IS NULL OR pp <> prio),
+        | iv AS (SELECT o_custkey, prio, od AS valid_from, o_orderkey,
+        |          lead(od) OVER (PARTITION BY o_custkey
+        |                         ORDER BY od, o_orderkey) AS valid_to
+        |        FROM runs)
+        |SELECT o_custkey, prio AS priority, valid_from,
+        |  coalesce(valid_to, DATE '9999-12-31') AS valid_to,
+        |  CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS BIGINT)
+        |    AS is_current
+        |FROM iv ORDER BY o_custkey, valid_from, o_orderkey""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("od"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderdate").cast(DateType).as("od"),
+          col("o_orderkey"), col("o_orderpriority").as("prio"))
+        .withColumn("pp", lag(col("prio"), 1).over(w))
+        .filter(col("pp").isNull || col("pp") =!= col("prio"))
+        .withColumn("vt", lead(col("od"), 1).over(w))
+        // the open current row carries the classic 9999-12-31 end
+        // sentinel, not NULL — engines disagree on null-date encodings
+        .select(col("o_custkey"), col("prio").as("priority"),
+          col("od").as("valid_from"),
+          coalesce(col("vt"), to_date(lit("9999-12-31"))).as("valid_to"),
+          when(col("vt").isNull, 1L).otherwise(0L).as("is_current"),
+          col("o_orderkey"))
+        .orderBy(col("o_custkey"), col("valid_from"), col("o_orderkey"))
+        .drop("o_orderkey")
+    })
 
   val defs: Seq[QueryDef] = baseDefs ++ moreDefs ++ windowDefs
 }

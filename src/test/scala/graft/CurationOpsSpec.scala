@@ -719,4 +719,27 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got.head._1 == (("alpha", "beta")), got.mkString(","))
     assert(byPair(("alpha", "beta")) > byPair(("x", "y")), got.mkString(","))
   }
+
+  test("q49 SCD-2: per customer exactly one open row, intervals tile without gaps") {
+    val rows = graft.SparkEntry.queries("q49_scd2")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getDate(2).toString, r.getDate(3).toString, r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (cust, ivs) =>
+      // exactly one current row, and it carries the open-end sentinel
+      val current = ivs.filter(_._5 == 1L)
+      assert(current.length == 1, s"cust $cust: ${ivs.mkString(",")}")
+      assert(current.head._4 == "9999-12-31", current.head)
+      // rows arrive ordered; each closed row's valid_to equals the next
+      // row's valid_from (contiguous tiling), and runs truly collapsed:
+      // consecutive intervals never share a priority
+      ivs.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4 == b._3, s"cust $cust gap: $a -> $b")
+          assert(a._2 != b._2, s"cust $cust uncollapsed run: $a -> $b")
+        case _ =>
+      }
+    }
+  }
 }

@@ -825,6 +825,41 @@ class PipelineSpec extends AnyFunSuite {
     assert(survivors(10) == survivors(3))
   }
 
+  test("labelPropagation: bridged cliques converge to two communities, partition-invariant") {
+    // K3 {1,2,3} — bridge 3–10 — K3 {10,11,12}: hand-replayed
+    // synchronous rounds (ties to the smallest label) settle on
+    // community 1 for the left clique and 3 for the right by round 3
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 10L),
+      (10L, 11L), (11L, 12L), (12L, 10L)).toDF("src", "dst")
+    def labels(rounds: Int, df: org.apache.spark.sql.DataFrame = edges) =
+      graft.operators.Graph.labelPropagation(df, rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels(1) == Map(1L -> 2L, 2L -> 1L, 3L -> 1L,
+      10L -> 3L, 11L -> 10L, 12L -> 10L), labels(1))
+    assert(labels(3) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 3L, 11L -> 3L, 12L -> 3L), labels(3))
+    // synchronous rounds replay identically under any partitioning
+    assert(labels(3, edges.repartition(7)) == labels(3))
+  }
+
+  test("ewmaTruncated: renormalized warm-up is exact — constant in, constant out") {
+    val const = (0L to 20L).map(t => (t, 7L)).toDF("t", "x")
+    val g1 = graft.operators.TimeSeries.ewmaTruncated(const, "t", "x")
+      .collect().map(r => r.getDouble(2))
+    // a proper weighted MEAN of a constant series is that constant at
+    // every t including the warm-up region (un-renormalized EWMA ramps)
+    assert(g1.forall(_ == 7.0), g1.toSeq)
+    // step response: x jumps 0→8 at t=10; with maxLag=2, α=1/2 the
+    // step row is exactly (1/2·8) / (1/2+1/4+1/8) = 4/0.875, both
+    // operands dyadic-exact, so the IEEE quotient is pinned
+    val step = (0L to 12L).map(t => (t, if (t >= 10) 8L else 0L))
+      .toDF("t", "x")
+    val at10 = graft.operators.TimeSeries
+      .ewmaTruncated(step, "t", "x", maxLag = 2)
+      .filter(col("t") === 10).collect().head.getDouble(2)
+    assert(at10 == 4.0 / 0.875, at10)
+  }
+
   test("clusteringCoefficients: triangle nodes score 1, hub with open wedge scores 1/3") {
     // K3 on {1,2,3} plus pendant edge 3–4: nodes 1,2 have deg 2 and one
     // triangle (c=1); node 3 has deg 3, one triangle (c = 2/6 = 1/3);

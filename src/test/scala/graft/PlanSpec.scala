@@ -632,6 +632,31 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("gr06: label-prop argmax is a partial max(struct), never a per-node window") {
+    // the ORACLE ranks votes with a row_number window; the engine must
+    // collapse (count desc, label asc) map-side — a window here would
+    // ship every node's full vote list to one task per round
+    val plan = planOf("gr06_label_prop")
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the per-round shape is truncated out of the gate plan by the
+    // checkpoint (the gr01 pattern) — pin it on an un-checkpointed
+    // single round: the vote argmax must combine map-side
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val roundPlan = graft.operators.Graph
+      .labelPropagation(edges, rounds = 1, checkpoint = false)
+      .queryExecution.executedPlan.toString
+    assert(roundPlan.contains("partial_max"), roundPlan)
+    assert(!roundPlan.contains("Window"), roundPlan)
+  }
+
+  test("ev18: truncated EWMA is a broadcast lag-join — no ordered window at all") {
+    val plan = planOf("ev18_ewma")
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("q46/q47: correlated subqueries decorrelate to aggregate+join / semi+anti") {
     // Q2 shape: the scalar min subquery must become a per-part
     // aggregation joined back — one extra scan, never a per-row rerun
