@@ -803,6 +803,48 @@ object Similarity {
         size(filter(col("_q"), v => abs(v) === 127)).cast(LongType).as("n_sat"))
   }
 
+  /** Signed (Rademacher) random projection — the Achlioptas/JL
+    * dimensionality reduction: `coord_k = Σ_i s(k,i)·x_i` with
+    * `s(k,i) ∈ {+1,−1}` drawn from the parity of `md5("k_i")`. Returns
+    * long-format (id, k 1-based, coord). Downstream consumers divide
+    * by √dims for the JL-normalized embedding; the raw sum is emitted
+    * so the output stays in exact decimal (inputs quantize to
+    * DECIMAL(12,6), the signed sum is order-independent decimal — the
+    * cosineExact discipline), bit-identical on any engine.
+    *
+    * The hash is md5 OF THE DECIMAL STRING "k_i" (not xxhash64 like
+    * [[lshSignature]]) so a SQL oracle can replay the exact projection
+    * matrix: every mainstream engine agrees on md5 hex of a UTF-8
+    * string, while xxhash64 is Spark-specific.
+    *
+    * Scale shape: a pure narrow projection — dims codegen'd
+    * array-aggregate expressions per row, zero shuffle, zero
+    * materialized projection matrix (the "matrix" is the hash). The
+    * presentation explode to long format is output-sized (N·dims).
+    */
+  def signedRandomProjection(df: DataFrame, dims: Int,
+                             idCol: String = "vec_id",
+                             vecCol: String = "embedding"): DataFrame = {
+    require(dims >= 1, s"dims must be >= 1, got $dims")
+    requireIntegralId(df, idCol)
+    val decV = transform(col(vecCol),
+      x => x.cast(DoubleType).cast(DecimalType(12, 6)))
+    val evenHex = Seq("0", "2", "4", "6", "8", "a", "c", "e")
+    val coords = (0 until dims).map { kIdx =>
+      val signed = zip_with(col("_v"), sequence(lit(1), size(col("_v"))),
+        (x, i) => when(
+          substring(md5(concat_ws("_", lit(kIdx + 1).cast(StringType),
+            i.cast(StringType))), 1, 1).isin(evenHex: _*),
+          x).otherwise(-x))
+      aggregate(signed, lit(0).cast(DecimalType(30, 12)),
+        (acc, v) => (acc + v).cast(DecimalType(30, 12)))
+    }
+    df.select(col(idCol).cast(LongType).as(idCol), decV.as("_v"))
+      .select(col(idCol), posexplode(array(coords: _*)))
+      .select(col(idCol), (col("pos") + 1).cast(LongType).as("k"),
+        col("col").cast(DoubleType).as("coord"))
+  }
+
   /** ANN top-k through multi-table LSH: candidate pairs = union over
     * `tables` independent signature tables of same-bucket meetings
     * (measured on the test corpus: one 8-bit table recalls ~0% of true

@@ -654,4 +654,43 @@ object TextAnalysis {
       slope.as("slope"),
       ((col("sy") - slope * col("sx")) / kd).as("intercept"))
   }
+
+  /** Per-slice unigram diversity report: token/type/hapax counts plus
+    * Shannon entropy `H = −Σ p·ln p` of the token distribution — the
+    * lexical-diversity signal corpus curation uses to spot boilerplate
+    * floods (low H) and OCR noise (H near ln(types), hapax share → 1).
+    *
+    * Determinism: counts are exact longs; each `p·ln p` term is two
+    * IEEE ops on identical long-derived operands, quantized to
+    * DECIMAL(18,6) BEFORE the per-slice sum (the dq06/PSI discipline —
+    * a last-ulp libm-`ln` divergence can't flip a 6-dp quantization),
+    * so the entropy sum is exact and order-independent.
+    *
+    * Scale shape: one (slice, token) aggregation with map-side combine
+    * carries the corpus; everything after is type-table-sized, and the
+    * per-slice totals ride a broadcast back onto the term table.
+    */
+  def sliceEntropy(df: DataFrame, sliceCol: String,
+                   textCol: String): DataFrame = {
+    val c = df
+      .select(col(sliceCol).as("slice"),
+        explode(split(col(textCol), " ")).as("tok"))
+      .groupBy("slice", "tok").agg(count(lit(1)).as("c"))
+    val n = c.groupBy("slice").agg(
+      sum(col("c")).as("n"),
+      count(lit(1)).as("types"),
+      sum(when(col("c") === 1, 1L).otherwise(0L)).as("hapax"))
+    val p = col("c").cast(DoubleType) / col("n").cast(DoubleType)
+    val h = c.join(broadcast(n.select(col("slice"), col("n"))), "slice")
+      .select(col("slice"),
+        (p * log(p)).cast(DecimalType(18, 6)).as("term"))
+      .groupBy("slice").agg(sum(col("term")).as("s"))
+    n.join(h, "slice")
+      .select(col("slice"), col("n").cast(LongType).as("n_tokens"),
+        col("types").cast(LongType).as("n_types"),
+        col("hapax").cast(LongType).as("hapax_types"),
+        (col("hapax").cast(DoubleType) / col("types").cast(DoubleType))
+          .as("hapax_share"),
+        (-col("s").cast(DoubleType)).as("entropy"))
+  }
 }

@@ -1507,6 +1507,36 @@ object PipelineQueries {
       TextAnalysis.zipfFit(docsWide(s, dir), "doc_id", "text", topN = 1000)
     },
 
+    // Per-language unigram diversity: token/type/hapax counts and
+    // Shannon entropy of the token distribution — the lexical-diversity
+    // curation signal. Each p·ln p term quantizes to DECIMAL(18,6)
+    // before the per-slice sum (the dq06 libm discipline); totals ride
+    // a broadcast back onto the term table, never a second corpus scan.
+    QueryDef("ta23_entropy",
+      """WITH t AS (SELECT lang, unnest(string_split(text, ' ')) AS tok
+        |           FROM documents),
+        | c AS (SELECT lang, tok, count(*) AS c FROM t GROUP BY 1, 2),
+        | n AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n,
+        |         count(*) AS types,
+        |         CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS hapax
+        |       FROM c GROUP BY 1),
+        | e AS (SELECT c.lang,
+        |         CAST((CAST(c.c AS DOUBLE) / CAST(n.n AS DOUBLE)) *
+        |              ln(CAST(c.c AS DOUBLE) / CAST(n.n AS DOUBLE))
+        |              AS DECIMAL(18,6)) AS term
+        |       FROM c JOIN n ON n.lang = c.lang),
+        | h AS (SELECT lang, sum(term) AS s FROM e GROUP BY 1)
+        |SELECT n.lang, n.n AS n_tokens, CAST(n.types AS BIGINT) AS n_types,
+        |  n.hapax AS hapax_types,
+        |  CAST(n.hapax AS DOUBLE) / CAST(n.types AS DOUBLE) AS hapax_share,
+        |  -CAST(h.s AS DOUBLE) AS entropy
+        |FROM n JOIN h ON h.lang = n.lang ORDER BY n.lang""".stripMargin) { (s, dir) =>
+      TextAnalysis.sliceEntropy(docsWide(s, dir), "lang", "text")
+        .withColumnRenamed("slice", "lang")
+        .orderBy("lang")
+    },
+
     // Repetition-based quality filters (the Gopher/C4 degenerate-text
     // family): top-token share + duplicate 2/3-gram fractions, all
     // scan-fused per-row array math on the Spark side (sorted-array
@@ -1946,6 +1976,35 @@ object PipelineQueries {
       Similarity.cosineRange(e.filter(col("vec_id") < 10), e, tau = 0.30,
         exact = true)
         .orderBy("qid", "cid")
+    },
+
+    // Signed (Rademacher) random projection 64 → 16 dims: the JL
+    // dimensionality-reduction pass index builds run before clustering
+    // / ANN. The projection "matrix" is the parity of md5("k_i") — no
+    // materialized matrix, and a SQL engine replays it exactly (md5 of
+    // a UTF-8 string is engine-portable where xxhash64 is not); sums
+    // are exact decimal, so the full N×16 coordinate table hash-matches.
+    // Scale: narrow per-row projection, zero shuffle before the
+    // presentation sort (PlanSpec pins no-Window / single Exchange).
+    QueryDef("sim10_rand_proj",
+      """WITH e0 AS (SELECT vec_id, unnest(embedding) AS rawx,
+        |                    unnest(range(1, len(embedding) + 1)) AS i
+        |             FROM embeddings),
+        | e AS (SELECT vec_id, i,
+        |       CAST(CAST(rawx AS DOUBLE) AS DECIMAL(12,6)) AS x FROM e0),
+        | ks AS (SELECT CAST(unnest(range(1, 17)) AS BIGINT) AS k),
+        | s AS (SELECT vec_id, ks.k,
+        |         CASE WHEN substr(md5(CAST(ks.k AS VARCHAR) || '_' ||
+        |                              CAST(i AS VARCHAR)), 1, 1)
+        |                IN ('0','2','4','6','8','a','c','e')
+        |              THEN x ELSE -x END AS sx
+        |       FROM e CROSS JOIN ks),
+        | p AS (SELECT vec_id, k, sum(sx) AS coord FROM s GROUP BY 1, 2)
+        |SELECT CAST(vec_id AS BIGINT) AS vec_id, k,
+        |  CAST(coord AS DOUBLE) AS coord
+        |FROM p ORDER BY vec_id, k""".stripMargin) { (s, dir) =>
+      Similarity.signedRandomProjection(embWide(s, dir), dims = 16)
+        .orderBy("vec_id", "k")
     },
 
     // Symmetric int8 quantization of the embedding column — the 4×

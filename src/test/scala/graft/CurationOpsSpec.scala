@@ -720,6 +720,25 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(byPair(("alpha", "beta")) > byPair(("x", "y")), got.mkString(","))
   }
 
+  test("sliceEntropy: uniform slice hits ln(types), boilerplate flood collapses toward 0") {
+    // slice "u": 4 distinct tokens once each → H = ln 4, hapax share 1;
+    // slice "b": one token 99× + one once → H ≈ 0.056, hapax share 1/2
+    val docs = Seq(
+      ("u", "alpha beta gamma delta"),
+      ("b", (Seq.fill(99)("spam") :+ "ham").mkString(" ")))
+      .toDF("lang", "text")
+    val got = graft.operators.TextAnalysis.sliceEntropy(docs, "lang", "text")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getDouble(5))).toMap
+    val (un, ut, uh, uhs, uH) = got("u")
+    assert((un, ut, uh, uhs) == ((4L, 4L, 4L, 1.0)), got("u"))
+    assert(math.abs(uH - math.log(4.0)) < 1e-5, uH)
+    val (bn, bt, bh, bhs, bH) = got("b")
+    assert((bn, bt, bh, bhs) == ((100L, 2L, 1L, 0.5)), got("b"))
+    assert(bH < 0.06 && bH > 0.05, bH)
+  }
+
   test("q49 SCD-2: per customer exactly one open row, intervals tile without gaps") {
     val rows = graft.SparkEntry.queries("q49_scd2")(spark, sf)
       .collect()

@@ -842,6 +842,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(labels(3, edges.repartition(7)) == labels(3))
   }
 
+  test("signedRandomProjection: JL norm concentration and exact one-hot mechanics") {
+    // one-hot input: every projected coordinate is ±v, so the projected
+    // squared norm is EXACTLY dims·v² — pins the sign/indexing plumbing
+    val oneHot = Seq((1L, Array.fill(8)(0f).updated(3, 2.0f).toSeq))
+      .toDF("vec_id", "embedding")
+    val coords = Similarity.signedRandomProjection(oneHot, dims = 16)
+      .collect().map(_.getDouble(2))
+    assert(coords.length == 16 && coords.forall(c => math.abs(c) == 2.0),
+      coords.toSeq)
+    // real corpus: E[‖Px‖²] = dims·‖x‖² for Rademacher projections;
+    // the mean ratio over the sf0.001 corpus concentrates near 16
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val pn = Similarity.signedRandomProjection(emb, dims = 16)
+      .groupBy("vec_id")
+      .agg(sum(col("coord") * col("coord")).as("pn2"))
+    val on = emb.select(col("vec_id"),
+      aggregate(transform(col("embedding"),
+          x => x.cast("double") * x.cast("double")),
+        lit(0.0), (a, v) => a + v).as("n2"))
+    val ratios = pn.join(on, "vec_id")
+      .select((col("pn2") / col("n2")).as("r")).collect().map(_.getDouble(0))
+    val mean = ratios.sum / ratios.length
+    assert(mean > 12.0 && mean < 20.0, s"mean JL ratio $mean")
+  }
+
   test("ewmaTruncated: renormalized warm-up is exact — constant in, constant out") {
     val const = (0L to 20L).map(t => (t, 7L)).toDF("t", "x")
     val g1 = graft.operators.TimeSeries.ewmaTruncated(const, "t", "x")

@@ -657,6 +657,23 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("ta23: entropy totals broadcast back onto the term table, no window, map-side combine") {
+    val plan = planOf("ta23_entropy")
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("partial_count"), plan)
+  }
+
+  test("sim10: random projection is a pure narrow pass — one Exchange (the sort), no join, no window") {
+    val plan = planOf("sim10_rand_proj")
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("Join"), plan)
+    // exactly 2 exchanges: the fixture's spread repartition + the
+    // presentation sort — the projection itself shuffles nothing
+    // (string-counted: AQE hides Exchange nodes from plan.collect)
+    assert(plan.linesIterator.count(_.contains("+- Exchange ")) == 2, plan)
+  }
+
   test("q46/q47: correlated subqueries decorrelate to aggregate+join / semi+anti") {
     // Q2 shape: the scalar min subquery must become a per-part
     // aggregation joined back — one extra scan, never a per-row rerun
