@@ -2801,6 +2801,39 @@ object PipelineQueries {
         .orderBy("wstart", "event_type")
     },
 
+    // Streaming windowed top-k through the SAME bounded TopKAgg the
+    // batch similarity stack ranks with: per-(hour, event_type) state
+    // is the k-slot insertion buffer (TypedImperativeAggregate state,
+    // micro-batches merge partials), never a window's event list — the
+    // streaming face of the "no per-query rank window" discipline.
+    // Emission horizon identical to st01 (1 h window + 1 h delay);
+    // the oracle ranks with a row_number and applies the same horizon.
+    QueryDef("st09_stream_topk",
+      """WITH w AS (SELECT date_trunc('hour', ts) AS wstart, event_type,
+        |             event_id, value FROM events WHERE value IS NOT NULL),
+        | r AS (SELECT *, row_number() OVER (PARTITION BY wstart, event_type
+        |                ORDER BY value DESC, event_id) AS rank FROM w)
+        |SELECT wstart, event_type, CAST(rank AS BIGINT) AS rank,
+        |  event_id, value
+        |FROM r WHERE rank <= 3
+        |  AND wstart + INTERVAL 2 HOUR < (SELECT max(ts) FROM events)
+        |ORDER BY wstart, event_type, rank""".stripMargin) { (s, dir) =>
+      val sink = s"st09_sink_${StSinkSeq.incrementAndGet()}"
+      withStateSizedShuffle(s) {
+        val q = graft.streaming.StreamingJobs
+          .windowedTopK(Tables.eventsStream(s, dir), k = 3,
+            watermark = "1 hour")
+          .writeStream.outputMode("append")
+          .format("memory").queryName(sink)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      s.table(sink)
+        .select(col("wstart").cast(TimestampNTZType).as("wstart"),
+          col("event_type"), col("rank"), col("event_id"), col("value"))
+        .orderBy("wstart", "event_type", "rank")
+    },
+
     // Stateful sessionization (flatMapGroupsWithState) in the gate: the
     // custom per-user session state machine, verified cross-engine. In
     // single-batch processing every non-final session closes in-stream

@@ -57,6 +57,31 @@ object StreamingJobs {
       .select(col("window.start").as("window_start"),
         col("n_events"), col("total_value"))
 
+  /** Streaming windowed top-k: the k highest-`value` events per
+    * (1-hour window, event_type), ranked through the SAME bounded
+    * [[graft.functions.TopKAgg]] partial aggregate the batch
+    * similarity stack uses — per-key state is the k-slot insertion
+    * buffer (a `TypedImperativeAggregate`, so the state store holds
+    * the serialized buffer and micro-batches merge partials), never
+    * the window's full event list. Append-mode emit on watermark
+    * close, like [[hourlyRollup]]. Null scores are skipped by the
+    * aggregate (malformed rows can't occupy a slot); callers who need
+    * them loud should assert upstream.
+    */
+  def windowedTopK(events: DataFrame, k: Int,
+                   watermark: String = "1 hour"): DataFrame =
+    events
+      .filter(col("value").isNotNull)
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(graft.functions.TopKAgg.top_k(col("value"), col("event_id"),
+        k, ascending = false).as("_tk"))
+      .select(col("window.start").as("wstart"), col("event_type"),
+        posexplode(col("_tk")))
+      .select(col("wstart"), col("event_type"),
+        (col("pos") + 1).cast(LongType).as("rank"),
+        col("col.id").as("event_id"), col("col.score").as("value"))
+
   /** The reference's compact pipeline as a CONTINUOUS job: tail raw log
     * text landing under `inputRoot`, parse with the fused parser, write
     * date-partitioned snappy parquet exactly-once (checkpointed file

@@ -40,6 +40,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.contains(("2024-01-01 10:00:00.0", "view", 1L, 1.0)), rows)
   }
 
+  test("windowedTopK: k-slot state ranks across micro-batches, ties break by id") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, String, Double)]
+    val df = in.toDF().toDF("ts", "event_id", "event_type", "value")
+    val q = StreamingJobs.windowedTopK(df, k = 2, watermark = "30 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("topk_out")
+      .start()
+    // two micro-batches land in the SAME window: the second batch's 9.0
+    // must displace the first batch's 3.0 via a state-buffer merge
+    in.addData(
+      (ts("2024-01-01 10:05:00"), 1L, "click", 3.0),
+      (ts("2024-01-01 10:10:00"), 2L, "click", 7.0))
+    q.processAllAvailable()
+    in.addData(
+      (ts("2024-01-01 10:20:00"), 3L, "click", 9.0),
+      (ts("2024-01-01 10:25:00"), 5L, "view", 4.0),
+      (ts("2024-01-01 10:26:00"), 4L, "view", 4.0)) // tie → lower id first
+    q.processAllAvailable()
+    in.addData((ts("2024-01-01 13:00:00"), 9L, "click", 0.1)) // close hour 10
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("topk_out").collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toSet
+    assert(rows == Set(
+      ("click", 1L, 3L, 9.0), ("click", 2L, 2L, 7.0),
+      ("view", 1L, 4L, 4.0), ("view", 2L, 5L, 4.0)), rows)
+  }
+
   test("late data behind the watermark is dropped, in-horizon late data lands") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
