@@ -670,6 +670,76 @@ object TextAnalysis {
     * carries the corpus; everything after is type-table-sized, and the
     * per-slice totals ride a broadcast back onto the term table.
     */
+  /** BPE merge-table training (Sennrich 2016): starting from the
+    * character-split word-type table, each round counts adjacent
+    * symbol pairs weighted by word frequency, promotes the most
+    * frequent pair (ties toward the lexicographically smallest) to a
+    * new symbol, and rewrites every word with a greedy left-to-right
+    * non-overlapping merge. Returns the merge table
+    * (round, left, right, merged, count) — the artifact a tokenizer
+    * ships.
+    *
+    * The merge rewrite is a per-word `aggregate` fold (no window, no
+    * per-position self-join): append each symbol, or replace the
+    * accumulator's tail when (tail, next) is the winning pair — which
+    * reproduces the greedy non-overlap semantics exactly (after a
+    * merge the tail is the longer merged symbol, so it can never
+    * re-match the pair's left element; equal-pair runs like "aaaa"
+    * merge at alternating positions).
+    *
+    * Determinism: counts are exact longs and the tie order is total,
+    * so every round's winner — and therefore the whole chain — is
+    * reproducible on any engine; a SQL oracle unrolls the same rounds
+    * (the parity formulation: for a==b pairs, merges land on odd
+    * offsets of each run of consecutive matches — provably the same
+    * rewrite as the fold).
+    *
+    * Scale shape: pair counting is word-local array math plus one
+    * (a,b)-keyed aggregation per round; the winner is a 1-row
+    * TakeOrdered that broadcasts back onto the word-type table; the
+    * rewrite is a narrow pass. The corpus-sized explode happens ONCE
+    * (word-type histogram); every round after runs on word TYPES, the
+    * classic BPE working set. Lineage is checkpoint-truncated per
+    * round like the other iterative operators.
+    */
+  def bpeMerges(df: DataFrame, textCol: String, rounds: Int,
+                checkpoint: Boolean = true): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    def cp(d: DataFrame): DataFrame =
+      if (checkpoint) d.localCheckpoint() else d
+    var words = cp(df
+      .select(explode(split(col(textCol), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .select(col("word"), col("freq"),
+        filter(split(col("word"), ""), s => s =!= "").as("syms")))
+    val winners = (1 to rounds).map { r =>
+      val pc = words
+        .select(col("freq"), explode(zip_with(
+          slice(col("syms"), lit(1), size(col("syms")) - 1),
+          slice(col("syms"), lit(2), size(col("syms")) - 1),
+          (x, y) => struct(x.as("a"), y.as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("c"))
+      val win = pc.orderBy(desc("c"), col("a"), col("b")).limit(1)
+        .select(col("a").as("m_a"), col("b").as("m_b"), col("c").as("m_c"))
+      val emptySyms = array().cast(ArrayType(StringType))
+      words = cp(words.crossJoin(broadcast(win))
+        .select(col("word"), col("freq"),
+          aggregate(col("syms"), emptySyms, (acc, x) =>
+            when(size(acc) > 0 &&
+                element_at(acc, -1) === col("m_a") && x === col("m_b"),
+              concat(slice(acc, lit(1), size(acc) - 1),
+                array(concat(col("m_a"), col("m_b")))))
+              .otherwise(concat(acc, array(x)))).as("syms")))
+      win.select(lit(r).cast(LongType).as("round"),
+        col("m_a").as("lhs"), col("m_b").as("rhs"),
+        concat(col("m_a"), col("m_b")).as("merged"),
+        col("m_c").cast(LongType).as("pair_count"))
+    }
+    winners.reduce(_.unionAll(_)).orderBy("round")
+  }
+
   def sliceEntropy(df: DataFrame, sliceCol: String,
                    textCol: String): DataFrame = {
     val c = df

@@ -54,6 +54,62 @@ object PipelineQueries {
     * formulation) — both assemble the same exact decimal sums into the
     * same IEEE doubles, so ONE SQL text hash-matches both plans.
     */
+  /** Unrolled-round oracle for ta24 (the gr05 MATERIALIZED-CTE
+    * discipline): each BPE round re-derives pair counts from the
+    * long-format symbol table, takes the (count desc, pair asc)
+    * winner, and rewrites with the PARITY formulation of the greedy
+    * non-overlapping merge — overlap is only possible for equal pairs
+    * (match at i and i+1 forces s_{i+1} = b = a), where greedy merges
+    * land on odd offsets of each run of consecutive matches. Provably
+    * the same rewrite as the engine's left-to-right fold.
+    */
+  private def bpeOracleSql(rounds: Int): String = {
+    val head =
+      """WITH wd AS MATERIALIZED (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM
+        |    (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  WHERE word <> '' GROUP BY 1),
+        | sym1 AS MATERIALIZED (
+        |  SELECT word, freq, unnest(range(1, length(word) + 1)) AS i,
+        |         unnest(string_split(word, '')) AS s FROM wd)""".stripMargin
+    val roundCtes = (1 to rounds).map { r =>
+      val nxt = if (r == rounds) "" else
+        s""",
+           | sym${r + 1} AS MATERIALIZED (
+           |  SELECT word, freq, row_number() OVER (PARTITION BY word ORDER BY i) AS i,
+           |         CASE WHEN mg = 1 THEN sa || sb ELSE s END AS s
+           |  FROM m${r}3 WHERE consumed = 0)""".stripMargin
+      s""",
+         | pr$r AS MATERIALIZED (
+         |  SELECT a.word, a.freq, a.i, a.s AS sa, b.s AS sb
+         |  FROM sym$r a JOIN sym$r b ON b.word = a.word AND b.i = a.i + 1),
+         | pc$r AS MATERIALIZED (
+         |  SELECT sa, sb, CAST(sum(freq) AS BIGINT) AS c FROM pr$r GROUP BY 1, 2),
+         | w$r AS MATERIALIZED (
+         |  SELECT sa, sb, c FROM pc$r ORDER BY c DESC, sa, sb LIMIT 1),
+         | m${r}0 AS MATERIALIZED (
+         |  SELECT s.word, s.freq, s.i, s.s, w.sa, w.sb,
+         |    CASE WHEN s.s = w.sa AND nx.s = w.sb THEN 1 ELSE 0 END AS mt
+         |  FROM sym$r s CROSS JOIN w$r w
+         |  LEFT JOIN sym$r nx ON nx.word = s.word AND nx.i = s.i + 1),
+         | m${r}1 AS MATERIALIZED (
+         |  SELECT *, i - row_number() OVER (PARTITION BY word, mt ORDER BY i) AS grp
+         |  FROM m${r}0),
+         | m${r}2 AS MATERIALIZED (
+         |  SELECT *, CASE WHEN mt = 1 AND
+         |      (row_number() OVER (PARTITION BY word, mt, grp ORDER BY i)) % 2 = 1
+         |    THEN 1 ELSE 0 END AS mg FROM m${r}1),
+         | m${r}3 AS MATERIALIZED (
+         |  SELECT word, freq, i, s, sa, sb, mg,
+         |    lag(mg, 1, 0) OVER (PARTITION BY word ORDER BY i) AS consumed
+         |  FROM m${r}2)""".stripMargin + nxt
+    }.mkString
+    val sel = (1 to rounds).map { r =>
+      s"SELECT CAST($r AS BIGINT) AS round, sa AS lhs, sb AS rhs, sa || sb AS merged, c AS pair_count FROM w$r"
+    }.mkString("\n", "\nUNION ALL ", "")
+    s"$head$roundCtes$sel\nORDER BY round"
+  }
+
   private val CosineExactTopkSql: String =
     """WITH e0 AS (SELECT vec_id, unnest(embedding) AS rawx,
       |                    unnest(range(1, len(embedding) + 1)) AS i
@@ -1535,6 +1591,16 @@ object PipelineQueries {
       TextAnalysis.sliceEntropy(docsWide(s, dir), "lang", "text")
         .withColumnRenamed("slice", "lang")
         .orderBy("lang")
+    },
+
+    // BPE merge-table training (3 rounds) over the word-type histogram
+    // — the tokenizer-artifact pass of a training-data pipeline. Each
+    // round's winner depends on the previous round's rewrite having
+    // been applied corpus-wide, so the 3-row merge table pins the
+    // whole chain; the oracle unrolls the identical rounds with the
+    // parity-merge formulation (see bpeOracleSql).
+    QueryDef("ta24_bpe_train", bpeOracleSql(3)) { (s, dir) =>
+      TextAnalysis.bpeMerges(docsWide(s, dir), "text", rounds = 3)
     },
 
     // Repetition-based quality filters (the Gopher/C4 degenerate-text

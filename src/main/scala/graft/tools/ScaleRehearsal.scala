@@ -230,6 +230,21 @@ object ScaleRehearsal {
       measure(s"gr04_clustering    $tag") {
         graft.operators.Graph.clusteringCoefficients(sym).count()
       }
+      // per round: one |E| join + two keyed aggs — shuffle must scale
+      // ~linearly in |E| like pageRank, never |V|·degree² (the argmax
+      // is a map-side partial max, pinned window-free in PlanSpec)
+      measure(s"gr06_labelprop3    $tag") {
+        graft.operators.Graph.labelPropagation(sym, rounds = 3).count()
+      }
+    }
+
+    // JL projection: a pure narrow pass — shuffle stays ZERO at any
+    // corpus size (the only exchange in the gate is its presentation
+    // sort, absent here); wall scales with N·dims·origDim map work.
+    for ((tag, ep) <- Seq(("1x", e1), ("10x", e10))) {
+      measure(s"sim10_rand_proj    $tag") {
+        Similarity.signedRandomProjection(embAt(ep), dims = 16).count()
+      }
     }
 
     // Containment pairs ride the same capped-posting candidate plan as

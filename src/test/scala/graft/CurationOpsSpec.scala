@@ -739,6 +739,26 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(bH < 0.06 && bH > 0.05, bH)
   }
 
+  test("bpeMerges: hand-computed merge chain, lexicographic ties, equal-pair runs") {
+    // freqs: banana×3, band×2, bans×1 → round 1 (a,n) c=9; round 2
+    // (b,an) c=6; round 3 ties (an,a)=3 vs (ban,an)=3 → lexicographic
+    // smallest lhs wins: (an,a) → "ana"
+    val docs = Seq((1L, "banana banana band"), (2L, "banana band bans"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.bpeMerges(docs, "text", rounds = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(got.toSeq == Seq((1L, "a", "n", "an", 9L),
+      (2L, "b", "an", "ban", 6L), (3L, "an", "a", "ana", 3L)), got.toSeq)
+    // equal-pair run: "aaaa" merges greedily at alternating positions —
+    // round 1 (a,a) counts 3 per word, rewrite [aa,aa]; round 2 (aa,aa)
+    val runs = Seq((1L, "aaaa aaaa aaaa")).toDF("doc_id", "text")
+    val got2 = graft.operators.TextAnalysis.bpeMerges(runs, "text", rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getString(3), r.getLong(4)))
+    assert(got2.toSeq == Seq((1L, "aa", 9L), (2L, "aaaa", 3L)), got2.toSeq)
+  }
+
   test("q49 SCD-2: per customer exactly one open row, intervals tile without gaps") {
     val rows = graft.SparkEntry.queries("q49_scd2")(spark, sf)
       .collect()

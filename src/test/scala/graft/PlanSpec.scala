@@ -664,6 +664,25 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("partial_count"), plan)
   }
 
+  test("ta24: BPE round = word-local pair math + 1-row TakeOrdered winner broadcast, no window") {
+    // per-round shape on an un-checkpointed single round (the gr01
+    // pattern): the winner is a TakeOrdered over the (a,b) aggregate
+    // and rides a broadcast back onto the word-type table; the rewrite
+    // fold is a narrow projection — no window, no position self-join
+    import spark.implicits._
+    val docs = Seq((1L, "banana band bans")).toDF("doc_id", "text")
+    // rounds=1 returns the round-1 winner plan itself (the round-2
+    // winner plan would contain the rewrite's broadcast join, but it
+    // rides the checkpoint boundary; the rewrite fold's correctness is
+    // pinned behaviorally in CurationOpsSpec)
+    val plan = graft.operators.TextAnalysis
+      .bpeMerges(docs, "text", rounds = 1, checkpoint = false)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("sim10: random projection is a pure narrow pass — one Exchange (the sort), no join, no window") {
     val plan = planOf("sim10_rand_proj")
     assert(!plan.contains("Window"), plan)
