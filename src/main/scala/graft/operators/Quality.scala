@@ -231,4 +231,44 @@ object Quality {
           (col("n_violating_keys") === 0L).as("holds"))
     }.reduce(_ unionAll _)
   }
+
+  /** Tukey IQR outlier fences per numeric column: q1/q3 by exact
+    * continuous-interpolation percentile (`percentile` — rank p·(n−1),
+    * linear interpolation, the same definition DuckDB's
+    * `quantile_cont` computes), fences at q1 − 1.5·IQR / q3 + 1.5·IQR,
+    * plus out-of-fence counts — the robust per-column outlier rule the
+    * threshold-based dq02 range checks can't derive from data.
+    *
+    * Scale shape: TWO passes over the relation — percentiles are not
+    * one-pass combinable exactly (that's what dq04's sketches trade
+    * for) — but the fence table is columns-sized and broadcasts into
+    * the counting pass; no row-level sort reaches the output.
+    */
+  def iqrFences(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "iqrFences needs at least one column")
+    val fences = df.select(cols.map(c =>
+      expr(s"percentile($c, array(0.25D, 0.75D))").as(s"_q_$c")): _*)
+    val withF = df.select(cols.map(c => col(c)): _*)
+      .crossJoin(broadcast(fences))
+    val aggs = cols.flatMap { c =>
+      val q1 = element_at(col(s"_q_$c"), 1)
+      val q3 = element_at(col(s"_q_$c"), 2)
+      val lo = q1 - (q3 - q1) * 1.5
+      val hi = q3 + (q3 - q1) * 1.5
+      Seq(sum(when(col(c) < lo, 1L).otherwise(0L)).as(s"_nb_$c"),
+        sum(when(col(c) > hi, 1L).otherwise(0L)).as(s"_na_$c"),
+        first(q1).as(s"_q1_$c"), first(q3).as(s"_q3_$c"))
+    }
+    val row = withF.agg(aggs.head, aggs.drop(1): _*)
+    cols.map { c =>
+      row.select(lit(c).as("col_name"),
+        col(s"_q1_$c").as("q1"), col(s"_q3_$c").as("q3"),
+        (col(s"_q3_$c") - col(s"_q1_$c")).as("iqr"),
+        (col(s"_q1_$c") - (col(s"_q3_$c") - col(s"_q1_$c")) * 1.5)
+          .as("fence_lo"),
+        (col(s"_q3_$c") + (col(s"_q3_$c") - col(s"_q1_$c")) * 1.5)
+          .as("fence_hi"),
+        col(s"_nb_$c").as("n_below"), col(s"_na_$c").as("n_above"))
+    }.reduce(_ unionAll _)
+  }
 }

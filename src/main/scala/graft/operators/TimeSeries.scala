@@ -190,6 +190,33 @@ object TimeSeries {
     * rows), never event-sized; the lag side broadcasts. No ordered
     * window at all, so no single-task ordering bottleneck.
     */
+  /** Periodic (seasonal) baseline + residuals over an INTEGER-valued
+    * regular series: phase = t mod `period` (pure epoch-bucket
+    * arithmetic — deliberately NOT a calendar dayofweek(), whose
+    * numbering every engine picks differently), phase mean from exact
+    * integer sums, residual = x − mean. The day-of-week traffic
+    * baseline anomaly monitors subtract before thresholding.
+    *
+    * Determinism: each mean is one IEEE division of exact longs and
+    * the residual one subtraction on identical operands. Scale: the
+    * phase table is `period` rows and broadcasts back onto the rollup.
+    */
+  def seasonalBaseline(series: DataFrame, tCol: String, xCol: String,
+                       period: Int): DataFrame = {
+    require(period >= 1, s"period must be >= 1, got $period")
+    val s = series.select(col(tCol).cast(LongType).as("t"),
+      col(xCol).cast(LongType).as("x"),
+      pmod(col(tCol).cast(LongType), lit(period)).as("phase"))
+    val m = s.groupBy("phase")
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+      .select(col("phase"),
+        (col("sx").cast(DoubleType) / col("n").cast(DoubleType))
+          .as("phase_mean"))
+    s.join(broadcast(m), "phase")
+      .select(col("t"), col("x"), col("phase"), col("phase_mean"),
+        (col("x").cast(DoubleType) - col("phase_mean")).as("resid"))
+  }
+
   def ewmaTruncated(series: DataFrame, tCol: String, xCol: String,
                     maxLag: Int = 12, alpha: Double = 0.5): DataFrame = {
     require(maxLag >= 1 && maxLag <= 17,

@@ -1085,6 +1085,41 @@ object PipelineQueries {
         .orderBy("determinant", "dependent")
     },
 
+    // Tukey IQR outlier fences per numeric column: q1/q3 by exact
+    // continuous-interpolation percentile (Spark `percentile` ≡ DuckDB
+    // `quantile_cont` — rank p·(n−1), linear interpolation), fences at
+    // ±1.5·IQR, out-of-fence counts. Two passes: the columns-sized
+    // fence row broadcasts into the counting aggregation.
+    QueryDef("dq08_iqr_fences",
+      """WITH q AS (SELECT
+        |    quantile_cont(l_quantity, 0.25) AS q1q, quantile_cont(l_quantity, 0.75) AS q3q,
+        |    quantile_cont(l_extendedprice, 0.25) AS q1e, quantile_cont(l_extendedprice, 0.75) AS q3e,
+        |    quantile_cont(l_discount, 0.25) AS q1d, quantile_cont(l_discount, 0.75) AS q3d
+        |  FROM lineitem),
+        | c AS (SELECT
+        |    CAST(sum(CASE WHEN l_quantity < q1q - (q3q - q1q) * 1.5 THEN 1 ELSE 0 END) AS BIGINT) AS nbq,
+        |    CAST(sum(CASE WHEN l_quantity > q3q + (q3q - q1q) * 1.5 THEN 1 ELSE 0 END) AS BIGINT) AS naq,
+        |    CAST(sum(CASE WHEN l_extendedprice < q1e - (q3e - q1e) * 1.5 THEN 1 ELSE 0 END) AS BIGINT) AS nbe,
+        |    CAST(sum(CASE WHEN l_extendedprice > q3e + (q3e - q1e) * 1.5 THEN 1 ELSE 0 END) AS BIGINT) AS nae,
+        |    CAST(sum(CASE WHEN l_discount < q1d - (q3d - q1d) * 1.5 THEN 1 ELSE 0 END) AS BIGINT) AS nbd,
+        |    CAST(sum(CASE WHEN l_discount > q3d + (q3d - q1d) * 1.5 THEN 1 ELSE 0 END) AS BIGINT) AS nad
+        |  FROM lineitem, q)
+        |SELECT * FROM (
+        |  SELECT 'l_quantity' AS col_name, q1q AS q1, q3q AS q3, q3q - q1q AS iqr,
+        |    q1q - (q3q - q1q) * 1.5 AS fence_lo, q3q + (q3q - q1q) * 1.5 AS fence_hi,
+        |    nbq AS n_below, naq AS n_above FROM q, c
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', q1e, q3e, q3e - q1e,
+        |    q1e - (q3e - q1e) * 1.5, q3e + (q3e - q1e) * 1.5, nbe, nae FROM q, c
+        |  UNION ALL
+        |  SELECT 'l_discount', q1d, q3d, q3d - q1d,
+        |    q1d - (q3d - q1d) * 1.5, q3d + (q3d - q1d) * 1.5, nbd, nad FROM q, c)
+        |ORDER BY col_name""".stripMargin) { (s, dir) =>
+      graft.operators.Quality.iqrFences(Tables.load(s, dir, "lineitem"),
+          Seq("l_quantity", "l_extendedprice", "l_discount"))
+        .orderBy("col_name")
+    },
+
     // Approximate profile (the wide-table escape dq01's doc promises):
     // HLL distinct sketches — one narrow aggregation pass, NO
     // multi-distinct Expand, so profiling 500 columns costs one scan.
@@ -3509,6 +3544,37 @@ object PipelineQueries {
         .select(date_add(to_date(lit("1970-01-01")),
             col("t").cast(IntegerType)).as("day"),
           col("x").as("n_events"), col("ewma"))
+        .orderBy("day")
+    },
+
+    // Day-of-week seasonal baseline + residuals over the daily series:
+    // phase = epoch-day mod 7 (pure arithmetic — NOT a calendar
+    // dayofweek(), whose numbering engines disagree on), phase means
+    // from exact integer sums, residual one IEEE subtraction. The
+    // 7-row phase table broadcasts back onto the rollup.
+    QueryDef("ev19_seasonal",
+      """WITH d AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |             count(*) AS x FROM events GROUP BY 1),
+        | s AS (SELECT CAST(day - DATE '1970-01-01' AS BIGINT) AS t,
+        |              CAST(x AS BIGINT) AS x FROM d),
+        | p AS (SELECT t, x, t % 7 AS phase FROM s),
+        | m AS (SELECT phase, CAST(sum(x) AS BIGINT) AS sx,
+        |         count(*) AS n FROM p GROUP BY 1)
+        |SELECT DATE '1970-01-01' + CAST(t AS INTEGER) AS day,
+        |  p.x AS n_events, p.phase,
+        |  CAST(m.sx AS DOUBLE) / CAST(m.n AS DOUBLE) AS phase_mean,
+        |  CAST(p.x AS DOUBLE) -
+        |    CAST(m.sx AS DOUBLE) / CAST(m.n AS DOUBLE) AS resid
+        |FROM p JOIN m ON m.phase = p.phase ORDER BY day""".stripMargin) { (s, dir) =>
+      val daily = Tables.events(s, dir)
+        .groupBy(datediff(col("ts").cast(DateType), lit("1970-01-01"))
+          .cast(LongType).as("t"))
+        .agg(count(lit(1)).as("x"))
+      graft.operators.TimeSeries.seasonalBaseline(daily, "t", "x", period = 7)
+        .select(date_add(to_date(lit("1970-01-01")),
+            col("t").cast(IntegerType)).as("day"),
+          col("x").as("n_events"), col("phase"), col("phase_mean"),
+          col("resid"))
         .orderBy("day")
     })
 }

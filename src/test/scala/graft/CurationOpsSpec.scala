@@ -739,6 +739,36 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(bH < 0.06 && bH > 0.05, bH)
   }
 
+  test("iqrFences: planted outlier lands above the Tukey fence, clean data inside") {
+    // 0..99 uniform + one 1000: q1 = 25, q3 = 75 (rank p·(n−1) = 25/75
+    // exactly on integers), fences at −50/150 → exactly the plant above
+    val vals = ((0 to 99).map(_.toDouble) :+ 1000.0).map(Tuple1(_))
+      .toDF("v")
+    val got = graft.operators.Quality.iqrFences(vals, Seq("v"))
+      .collect().head
+    assert(got.getString(0) == "v")
+    assert(got.getDouble(1) == 25.0 && got.getDouble(2) == 75.0, got)
+    assert(got.getDouble(4) == -50.0 && got.getDouble(5) == 150.0, got)
+    assert(got.getLong(6) == 0L && got.getLong(7) == 1L, got)
+  }
+
+  test("seasonalBaseline: constant series has zero residuals; spike isolates to its phase") {
+    val base = (0L to 27L).map(t => (t, 10L))
+    val spiked = base.map { case (t, x) => (t, if (t == 13L) 24L else x) }
+    val quiet = graft.operators.TimeSeries
+      .seasonalBaseline(base.toDF("t", "x"), "t", "x", period = 7)
+      .collect()
+    assert(quiet.forall(_.getDouble(4) == 0.0), quiet.mkString(","))
+    // t=13 is phase 6; its phase mean over 4 weeks = (10·3+24)/4 = 13.5
+    val got = graft.operators.TimeSeries
+      .seasonalBaseline(spiked.toDF("t", "x"), "t", "x", period = 7)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(got(13L) == ((13.5, 10.5)), got(13L))
+    assert(got(6L) == ((13.5, -3.5)), got(6L))
+    assert(got(14L)._2 == 0.0, got(14L))
+  }
+
   test("bpeMerges: hand-computed merge chain, lexicographic ties, equal-pair runs") {
     // freqs: banana×3, band×2, bans×1 → round 1 (a,n) c=9; round 2
     // (b,an) c=6; round 3 ties (an,a)=3 vs (ban,an)=3 → lexicographic

@@ -664,6 +664,18 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("partial_count"), plan)
   }
 
+  test("ev19/dq08: seasonal baseline and IQR fences broadcast their tiny tables, no window") {
+    val p19 = planOf("ev19_seasonal")
+    assert(!p19.contains("Window"), p19)
+    assert(p19.contains("BroadcastHashJoin"), p19)
+    val p08 = planOf("dq08_iqr_fences")
+    assert(!p08.contains("Window"), p08)
+    // the 1-row fence aggregate rides a broadcast nested-loop into the
+    // counting pass — never a shuffle of the fact table against it
+    assert(p08.contains("BroadcastNestedLoopJoin"), p08)
+    assert(!p08.contains("CartesianProduct"), p08)
+  }
+
   test("ta24: BPE round = word-local pair math + 1-row TakeOrdered winner broadcast, no window") {
     // per-round shape on an un-checkpointed single round (the gr01
     // pattern): the winner is a TakeOrdered over the (a,b) aggregate
