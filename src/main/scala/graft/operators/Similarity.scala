@@ -863,6 +863,89 @@ object Similarity {
     * corpus; a 100 TB deployment sizes bits ≈ log2(N)−log2(avg bucket)
     * and re-tunes tables to its recall target.
     */
+  /** Two-stage retrieval over int8-quantized vectors — the
+    * memory-bounded search shape a 100 TB index actually serves from:
+    * the full-precision corpus stays on disk; RAM holds only the 4×
+    * smaller int8 codes ([[quantizeInt8]]'s symmetric scheme), and only
+    * the per-query `shortlist` survivors ever touch floats again.
+    *
+    *  1. Shortlist: every candidate is scored against the quantized
+    *     query by INTEGER dot product (exact int64 — 64 dims × 127²
+    *     fits a long with 38 bits to spare), rescaled by the candidate's
+    *     dequantization factor and norm:
+    *     `score1 = adot · am_c / ‖x_c‖` — a monotone proxy for cosine
+    *     up to the per-query constant `am_q / ‖x_q‖` (constants cannot
+    *     change a per-query ranking). Each factor is individually exact
+    *     (int sum; absmax; decimal norm² cast once to double) so the
+    *     three-op IEEE expression is engine-portable and the shortlist
+    *     is deterministic — ties break to the lower cid.
+    *  2. Re-rank: the ≤ `shortlist` pairs per query rescore with the
+    *     exact-decimal cosine ([[cosineExact]]'s discipline) and the
+    *     bounded [[TopKAgg]] emits the final top `k`.
+    *
+    * Both rank stages are TopKAgg partial aggregates — exchange ≤
+    * shortlist (stage 1) / k (stage 2) ids per query × map partition,
+    * never a per-query rank window. Every arithmetic step is
+    * deterministic cross-engine, so unlike the ANN family this
+    * approximate index gets a full row-for-row SQL oracle, not just a
+    * recall floor.
+    */
+  def int8RerankTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+                     shortlist: Int = 50,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    requireIntegralIds(queries, candidates, idCol)
+    def dec(c: Column) =
+      transform(c, x => x.cast(DoubleType).cast(DecimalType(12, 6)))
+    def dotD(x: Column, y: Column) =
+      aggregate(zip_with(x, y, (p, q) => p * q),
+        lit(0).cast(DecimalType(30, 12)),
+        (acc, v) => (acc + v).cast(DecimalType(30, 12)))
+    def idot(a: Column, b: Column) =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+    // int8 side: (id, _q bigint[], _am double) — sim05's exact scheme
+    def quant(df: DataFrame, id: String): DataFrame = {
+      val xd = transform(col(vecCol), x => x.cast(DoubleType))
+      df.select(col(idCol).cast(LongType).as(id), xd.as("_x"))
+        .withColumn("_am", array_max(transform(col("_x"), x => abs(x))))
+        .withColumn("_q",
+          when(col("_am") === 0.0, transform(col("_x"), _ => lit(0L)))
+            .otherwise(transform(col("_x"),
+              x => floor(x / col("_am") * 127.0 + 0.5).cast(LongType))))
+    }
+    val q = quant(queries, "qid").select(col("qid"), col("_q").as("_qq"))
+    val c = quant(candidates, "cid")
+      .withColumn("_cn", dotD(dec(col("_x")), dec(col("_x"))))
+      .select(col("cid"), col("_q").as("_cq"), col("_am").as("_cam"), col("_cn"))
+    val sl = c.join(broadcast(q), col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        (idot(col("_qq"), col("_cq")).cast(DoubleType) * col("_cam") /
+          sqrt(col("_cn").cast(DoubleType))).as("_s1"))
+      .groupBy(col("qid"))
+      .agg(TopKAgg.top_k(col("_s1"), col("cid"), shortlist, ascending = false)
+        .as("_tk"))
+      .select(col("qid"), explode(col("_tk")).as("_e"))
+      .select(col("qid"), col("_e.id").as("cid"))
+    val qv = queries
+      .select(col(idCol).cast(LongType).as("qid"), dec(col(vecCol)).as("_qv"))
+      .withColumn("_qn", dotD(col("_qv"), col("_qv")))
+    val cv = candidates
+      .select(col(idCol).cast(LongType).as("cid"), dec(col(vecCol)).as("_cv"))
+      .withColumn("_cn2", dotD(col("_cv"), col("_cv")))
+    sl.join(broadcast(qv), "qid").join(cv, "cid")
+      .select(col("qid"), col("cid"),
+        (dotD(col("_qv"), col("_cv")).cast(DoubleType) /
+          sqrt(col("_qn").cast(DoubleType) * col("_cn2").cast(DoubleType)))
+          .as("sim"))
+      .groupBy(col("qid"))
+      .agg(TopKAgg.top_k(col("sim"), col("cid"), k, ascending = false)
+        .as("_tk"))
+      .select(col("qid"), posexplode(col("_tk")))
+      .select(col("qid"), col("col.id").as("cid"), col("col.score").as("sim"),
+        (col("pos") + 1).cast(LongType).as("rank"))
+      .orderBy("qid", "rank")
+  }
+
   def annTopK(queries: DataFrame, candidates: DataFrame, k: Int,
               bits: Int = 4, tables: Int = 16,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

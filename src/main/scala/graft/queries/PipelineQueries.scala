@@ -1667,6 +1667,44 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // Composed curation cascade (C4-shape): the four filter signals
+    // ta04/ta07/ta11 gate individually, fused into ONE zero-shuffle
+    // pass with per-document reason codes — first failing filter in
+    // fixed priority order labels the doc. Cutoffs populate all five
+    // classes at the gate SF (keep/lang/short/repeat/low =
+    // 316/104/43/24/13), so a drift in ANY signal or in the precedence
+    // logic moves docs across classes and breaks the hash.
+    QueryDef("ta25_curation",
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+        | f AS (SELECT doc_id,
+        |   CAST(len(toks) AS BIGINT) AS n_tokens,
+        |   CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS DOUBLE)
+        |     / CAST(len(toks) AS DOUBLE) AS stop_ratio,
+        |   CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+        |     / CAST(length(text) AS DOUBLE) AS punct_ratio
+        | FROM t),
+        | d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        | sh2 AS (SELECT doc_id, unnest(range(1, len(ws))) AS i, ws FROM d WHERE len(ws) >= 2),
+        | g2 AS (SELECT doc_id, array_to_string(ws[i:i+1], ' ') AS g FROM sh2),
+        | a2 AS (SELECT doc_id, CAST(count(*) - count(DISTINCT g) AS DOUBLE)
+        |          / CAST(count(*) AS DOUBLE) AS dup2 FROM g2 GROUP BY 1),
+        | j AS (SELECT f.doc_id, f.n_tokens, f.stop_ratio,
+        |         coalesce(a2.dup2, 0.0) AS dup_2gram_frac,
+        |         0.5 * least(f.stop_ratio / 0.08, 1.0)
+        |           + 0.3 * least(CAST(f.n_tokens AS DOUBLE) / 100.0, 1.0)
+        |           + 0.2 * (1.0 - least(f.punct_ratio / 0.2, 1.0)) AS quality
+        |       FROM f LEFT JOIN a2 USING (doc_id))
+        |SELECT doc_id, n_tokens, stop_ratio, dup_2gram_frac, quality,
+        |  CASE WHEN n_tokens < 20 THEN 'too_short'
+        |       WHEN stop_ratio < 0.04 THEN 'non_target_lang'
+        |       WHEN dup_2gram_frac > 0.08 THEN 'repetitive'
+        |       WHEN quality < 0.6 THEN 'low_quality'
+        |       ELSE 'keep' END AS verdict
+        |FROM j ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      TextAnalysis.curationReport(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
     // Winnowing fingerprints (MOSS): per-window minimum of md5 3-gram
     // hashes, window 4 — any ≥6-token overlap between docs shares a
     // fingerprint. Spark side is scan-fused HOF array math; the oracle
@@ -2124,6 +2162,58 @@ object PipelineQueries {
         |  CAST(sum(CASE WHEN abs(q) = 127 THEN 1 ELSE 0 END) AS BIGINT) AS n_sat
         |FROM q GROUP BY vec_id ORDER BY vec_id""".stripMargin) { (s, dir) =>
       Similarity.quantizeInt8(embWide(s, dir)).orderBy("vec_id")
+    },
+
+    // Two-stage retrieval over the int8-quantized index (sim05's codes
+    // serving sim01's search): integer-dot shortlist of 50 rescaled by
+    // the candidate dequantization factor, exact-decimal cosine re-rank
+    // to top-5. Every step is deterministic cross-engine (exact int64
+    // dot; absmax; decimal norms cast once; three-op IEEE rescale), so
+    // unlike the recall-floor ANN rows this approximate index
+    // hash-matches a full row-for-row replay. Both rank stages are
+    // bounded TopKAgg aggregates (PlanSpec: no windows).
+    QueryDef("sim11_int8_rerank",
+      """WITH e0 AS (SELECT vec_id, unnest(embedding) AS rawx,
+        |                    unnest(range(1, len(embedding) + 1)) AS i
+        |             FROM embeddings),
+        | ed AS (SELECT vec_id, i, CAST(rawx AS DOUBLE) AS xd FROM e0),
+        | e AS (SELECT vec_id, i,
+        |       CAST(CAST(rawx AS DOUBLE) AS DECIMAL(12,6)) AS x FROM e0),
+        | am AS (SELECT vec_id, max(abs(xd)) AS am FROM ed GROUP BY vec_id),
+        | qz AS (SELECT ed.vec_id, i,
+        |          CASE WHEN am.am = 0 THEN CAST(0 AS BIGINT)
+        |               ELSE CAST(floor(xd / am.am * 127.0 + 0.5) AS BIGINT)
+        |          END AS q
+        |        FROM ed JOIN am USING (vec_id)),
+        | n AS (SELECT vec_id, sum(x * x) AS nrm FROM e GROUP BY vec_id),
+        | ad AS (SELECT q.vec_id AS qid, c.vec_id AS cid, sum(q.q * c.q) AS adot
+        |        FROM qz q JOIN qz c ON q.i = c.i
+        |        WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+        |        GROUP BY 1, 2),
+        | s1 AS (SELECT qid, cid,
+        |          CAST(adot AS DOUBLE) * am.am / sqrt(CAST(n.nrm AS DOUBLE)) AS score1
+        |        FROM ad JOIN am ON am.vec_id = cid JOIN n ON n.vec_id = cid),
+        | sl AS (SELECT qid, cid FROM (
+        |          SELECT qid, cid,
+        |            row_number() OVER (PARTITION BY qid ORDER BY score1 DESC, cid) AS r
+        |          FROM s1) t
+        |        WHERE r <= 50),
+        | d AS (SELECT sl.qid, sl.cid, sum(q.x * c.x) AS dot
+        |       FROM sl JOIN e q ON q.vec_id = sl.qid
+        |       JOIN e c ON c.vec_id = sl.cid AND q.i = c.i
+        |       GROUP BY 1, 2),
+        | fin AS (SELECT d.qid, d.cid,
+        |           CAST(dot AS DOUBLE) /
+        |             sqrt(CAST(nq.nrm AS DOUBLE) * CAST(nc.nrm AS DOUBLE)) AS sim
+        |         FROM d JOIN n nq ON nq.vec_id = d.qid
+        |         JOIN n nc ON nc.vec_id = d.cid)
+        |SELECT qid, cid, sim, rank FROM
+        |  (SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS BIGINT) AS rank
+        |   FROM fin) r
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin) { (s, dir) =>
+      val e = embWide(s, dir)
+      Similarity.int8RerankTopK(e.filter(col("vec_id") < 10), e, k = 5,
+        shortlist = 50)
     },
 
     // ================= clustering =================

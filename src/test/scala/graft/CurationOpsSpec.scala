@@ -811,4 +811,44 @@ class CurationOpsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("curationReport: filter precedence and each verdict class on planted docs") {
+    import graft.operators.TextAnalysis
+    // one doc engineered per verdict class, plus a precedence probe:
+    // doc 1 fails BOTH too_short and non_target_lang — the cascade must
+    // label it with the higher-priority too_short
+    // long + fluent + non-repeating: every third token a stopword, the
+    // rest unique so no bigram ever repeats
+    val many = (1 to 100).map(i => if (i % 3 == 0) "the" else s"word$i")
+      .mkString(" ")
+    val docs = Seq(
+      (1L, "alpha beta gamma"),                              // short AND 0 stopwords
+      (2L, (1 to 25).map(i => s"tok$i").mkString(" ")),      // 25 tokens, 0 stopwords
+      (3L, ("the cat sat " * 10).trim + " extra"),           // stopword-ok, dup 2-grams
+      (4L, "the " + (1 to 24).map(i => s"w$i").mkString(" ")), // sr=0.04, distinct, low composite
+      (5L, many))                                            // long + fluent → keep
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.curationReport(docs, "doc_id", "text")
+      .select("doc_id", "verdict").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "too_short", got.toString)
+    assert(got(2L) == "non_target_lang", got.toString)
+    assert(got(3L) == "repetitive", got.toString)
+    assert(got(4L) == "low_quality", got.toString)
+    assert(got(5L) == "keep", got.toString)
+  }
+
+  test("curationReport: gate corpus populates every verdict class") {
+    import graft.operators.TextAnalysis
+    val verdicts = TextAnalysis
+      .curationReport(Tables.load(spark, sf, "documents"), "doc_id", "text")
+      .groupBy("verdict").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (v <- Seq("keep", "too_short", "non_target_lang", "repetitive",
+      "low_quality"))
+      assert(verdicts.getOrElse(v, 0L) > 0, s"class $v empty: $verdicts")
+    // keep must dominate — a threshold regression that rejects the
+    // majority of a normal corpus is a curation bug, not a tuning choice
+    assert(verdicts("keep") > verdicts.values.sum / 2, verdicts.toString)
+  }
 }

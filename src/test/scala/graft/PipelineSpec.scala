@@ -97,6 +97,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"ANN LSH recall below floor: $recall")
   }
 
+  test("int8 two-stage retrieval: integer shortlist + exact re-rank clears 90% recall") {
+    // shortlist=50 over the gate corpus: the int8 proxy score (exact
+    // integer dot × candidate dequant scale / norm) differs from true
+    // cosine only by quantization error, so the exact re-rank recovers
+    // nearly all true top-5 pairs; a broken rescale (e.g. dropping the
+    // am_c factor) drops recall well below this floor
+    val e = Tables.load(spark, sf, "embeddings")
+    val q = e.filter($"vec_id" < 10)
+    val brute = SparkEntry.queries("sim01_cosine_exact")(spark, sf)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Similarity.int8RerankTopK(q, e, 5, shortlist = 50)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.forall { case (a, b) => a != b })
+    val recall = got.count(brute.contains).toDouble / brute.size
+    assert(recall >= 0.9, s"int8 rerank recall below floor: $recall")
+  }
+
   test("PQ ANN: shortlist re-rank clears the 80% recall floor vs exact L2") {
     // m (subspace count) is the lever this pins: m=8 sits at 0.78,
     // below the floor sim06 enforces; the m=16 default measures

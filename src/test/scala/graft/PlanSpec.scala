@@ -397,6 +397,29 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("sim11: both rank stages are bounded top_k aggs; query sides broadcast") {
+    // int8 two-stage retrieval: the int-dot shortlist AND the exact
+    // re-rank each collapse via the partial TopKAgg buffer — a rank
+    // window in either stage would ship all N candidate scores (stage
+    // 1) or all shortlist scores (stage 2) to one task per query
+    val plan = planOf("sim11_int8_rerank")
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("partial_top_k"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastExchange"), plan)
+  }
+
+  test("ta25: the curation cascade is one zero-shuffle narrow pass") {
+    // all four filter signals are per-row array math — the whole
+    // cascade must stay scan-fused: no join, no aggregation, no
+    // window; the only exchange is the presentation sort
+    val plan = planOf("ta25_curation")
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("Aggregate"), plan)
+    assert(countExchanges("ta25_curation") <= 1, plan)
+  }
+
   test("etl04: the render never sinks into a filter below the spread exchange") {
     // parse()'s comment-drop predicate is deterministic; without the
     // Generate barrier Catalyst pushes it below the exchange with the
