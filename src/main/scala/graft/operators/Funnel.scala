@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Ordered-sequence (funnel) analysis over an event stream: how many
@@ -63,5 +63,67 @@ object Funnel {
     }
     agg.select(explode(array(rows: _*)).as("s"))
       .select(col("s.step"), col("s.event_type"), col("s.n_users"))
+  }
+
+  /** Marketing-style touch attribution: every conversion event joined
+    * to the user's touch events inside a lookback window, summarized to
+    * (n_touches, first-touch id, last-touch id) per conversion — the
+    * first/last-touch models an attribution report runs.
+    *
+    * First/last selection rides ONE min/max over an encoded key —
+    * `(touch µs − conversion µs)·10⁶ + touch_id` — instead of a
+    * per-conversion rank window: the delta is bounded by the lookback
+    * (≤ 72 h ≈ 2.6·10¹¹ µs, ×10⁶ well inside a long) and the id term
+    * breaks ties toward the SMALLER id for first touch and the LARGER
+    * for last. Both extremes decode back with a sign-safe mod. Touch
+    * ids must stay below 10⁶ for the encoding — enforced per-row with
+    * `raise_error`, the dd15 guard discipline (a plan-time `require`
+    * cannot see data).
+    *
+    * Scale shape: both sides hash-partition on the user key (neither
+    * side of a conversions×touches join is broadcastable at corpus
+    * scale), the lookback predicate prunes pairs inside the join, and
+    * the per-conversion summary is a map-side-combined min/max/count —
+    * exchange volume is one row per surviving pair, never a
+    * per-conversion candidate list in one task. A pathological
+    * single-user hot key would salt by (user, day) — the q39 pattern.
+    */
+  def attribution(events: DataFrame, touchTypes: Seq[String],
+                  convType: String, lookbackHours: Int,
+                  userCol: String = "user_id", typeCol: String = "event_type",
+                  tsCol: String = "ts", idCol: String = "event_id"): DataFrame = {
+    require(touchTypes.nonEmpty, "attribution needs at least one touch type")
+    val p = events.filter(col(typeCol) === convType)
+      .select(col(idCol).as("conv_id"), col(userCol),
+        col(tsCol).as("conv_ts"))
+    val guardedTid = when(col(idCol) < 1000000L, col(idCol).cast("long"))
+      .otherwise(raise_error(concat(
+        lit("attribution key encoding needs touch ids < 1000000; got "),
+        col(idCol).cast("string"))).cast("long"))
+    val t = events.filter(col(typeCol).isin(touchTypes: _*))
+      .select(col(userCol).as("_tu"), col(tsCol).as("_tts"),
+        guardedTid.as("_tid"))
+    // NTZ carries no zone; the UTC session makes the LTZ reading of the
+    // same wall clock carry identical micros, which is what the oracle's
+    // epoch_us computes on the naive timestamp
+    def micros(c: Column) = unix_micros(c.cast("timestamp"))
+    val key = (micros(col("_tts")) - micros(col("conv_ts"))) * 1000000L +
+      col("_tid")
+    def decodeId(k: Column) = ((k % 1000000L) + 1000000L) % 1000000L
+    p.join(t,
+        col("_tu") === col(userCol) &&
+          col("_tts") <= col("conv_ts") &&
+          col("_tts") > col("conv_ts") - expr(s"INTERVAL $lookbackHours HOURS"),
+        "left")
+      .select(col("conv_id"), col(userCol), col("conv_ts"), col("_tid"),
+        key.as("_k"))
+      .groupBy("conv_id", userCol, "conv_ts")
+      .agg(count(col("_tid")).as("n_touches"),
+        min(col("_k")).as("_fk"), max(col("_k")).as("_lk"))
+      .select(col("conv_id"), col(userCol), col("conv_ts"),
+        col("n_touches"),
+        decodeId(col("_fk")).as("first_touch_id"),
+        decodeId(col("_lk")).as("last_touch_id"))
+      .orderBy("conv_id")
   }
 }

@@ -278,4 +278,43 @@ object Sampling {
       .withColumn("epoch", explode(sequence(lit(0), col("_copies") - 1)))
       .drop("_copies")
   }
+
+  /** Cumulative Poisson(λ=1) CDF at k = 0..5, scaled to 32-bit hex
+    * LITERALS (floor(P(X≤k)·2³²) rendered as 8 lowercase hex digits).
+    * Hard-coded so replicate counts come from pure string compares —
+    * neither engine ever evaluates `exp`, whose last-ulp could differ.
+    */
+  private val PoissonCdfHex: Seq[String] = Seq(
+    "5e2d58d8", "bc5ab1b1", "eb715e1d", "fb239797", "ff1025f5", "ffd90f3b")
+
+  /** Poisson(1) bootstrap replication — the resampling step of
+    * distributed bagging/bootstrap-CI estimation: sampling n rows WITH
+    * replacement from n is, per-row, Binomial(n, 1/n) → Poisson(1), so
+    * each row independently draws a replicate count and explodes into
+    * (row, rep 1..count); count 0 (≈ 36.8% of rows) drops the row.
+    * The draw inverts the CDF on an md5 hex prefix of the (seeded) key
+    * against [[PoissonCdfHex]] — deterministic, partition-invariant,
+    * engine-portable, and independent across `seed`s, so B bootstrap
+    * resamples are B seeds, not B shuffles. Counts cap at 6
+    * (P(X>6|λ=1) ≈ 8·10⁻⁵, the tail the 32-bit table resolves).
+    *
+    * Scale shape: a scan-fused narrow projection + generator — zero
+    * shuffle, no RNG state, output volume ≈ input (E[count] = 1).
+    */
+  def poissonReplicates(df: DataFrame, keyCol: String,
+                        seed: String = "bs1"): DataFrame = {
+    val h = substring(md5(concat(lit(seed + "_"),
+      col(keyCol).cast("string"))), 1, 8)
+    val cnt = PoissonCdfHex.tail.zipWithIndex
+      .foldLeft(when(h < lit(PoissonCdfHex.head), 0)) {
+        case (acc, (t, i)) => acc.when(h < lit(t), i + 1)
+      }
+      .otherwise(lit(PoissonCdfHex.length))
+    df.withColumn("_n", cnt)
+      // sequence(1, 0) would step DOWNWARD, not empty (the
+      // epochUpsample lesson) — zero-count rows leave first
+      .filter(col("_n") > 0)
+      .withColumn("rep", explode(sequence(lit(1), col("_n"))))
+      .drop("_n")
+  }
 }

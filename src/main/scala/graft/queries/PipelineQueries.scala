@@ -794,6 +794,35 @@ object PipelineQueries {
         .orderBy("lang")
     },
 
+    // Poisson(1) bootstrap replication (Sampling.poissonReplicates):
+    // the distributed resample-with-replacement step of bagging /
+    // bootstrap CIs. Replicate counts invert the Poisson CDF on an md5
+    // prefix of the seeded key against hard-coded 32-bit hex thresholds
+    // — NO float math anywhere, so the full (key, rep) replica list
+    // hash-matches verbatim (measured at the gate SF: 36.8% of keys
+    // draw 0 and vanish, E[count]=1 keeps output ≈ input). Scan-fused
+    // narrow generator, zero shuffle before the presentation sort.
+    QueryDef("sp10_poisson_bootstrap",
+      """WITH c AS (SELECT o_orderkey,
+        |    CASE WHEN substring(md5('bs1_' || CAST(o_orderkey AS VARCHAR)), 1, 8) < '5e2d58d8' THEN 0
+        |         WHEN substring(md5('bs1_' || CAST(o_orderkey AS VARCHAR)), 1, 8) < 'bc5ab1b1' THEN 1
+        |         WHEN substring(md5('bs1_' || CAST(o_orderkey AS VARCHAR)), 1, 8) < 'eb715e1d' THEN 2
+        |         WHEN substring(md5('bs1_' || CAST(o_orderkey AS VARCHAR)), 1, 8) < 'fb239797' THEN 3
+        |         WHEN substring(md5('bs1_' || CAST(o_orderkey AS VARCHAR)), 1, 8) < 'ff1025f5' THEN 4
+        |         WHEN substring(md5('bs1_' || CAST(o_orderkey AS VARCHAR)), 1, 8) < 'ffd90f3b' THEN 5
+        |         ELSE 6 END AS n
+        |  FROM orders)
+        |SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+        |  CAST(unnest(range(1, n + 1)) AS BIGINT) AS rep
+        |FROM c WHERE n > 0 ORDER BY o_orderkey, rep""".stripMargin) { (s, dir) =>
+      graft.operators.Sampling
+        .poissonReplicates(Tables.load(s, dir, "orders")
+          .select(col("o_orderkey")), "o_orderkey")
+        .select(col("o_orderkey").cast(LongType).as("o_orderkey"),
+          col("rep").cast(LongType).as("rep"))
+        .orderBy("o_orderkey", "rep")
+    },
+
     // Fractional-epoch mixture (Sampling.epochUpsample): src0 at 2+77/256
     // ≈ 2.3 epochs, src1 at 0+128/256 ≈ 0.5 (pure downsample through the
     // same operator), src2 pinned to exactly 1, everything else passing
@@ -2956,6 +2985,34 @@ object PipelineQueries {
       graft.operators.Funnel.counts(Tables.events(s, dir),
           Seq("view", "click", "purchase"))
         .orderBy("step")
+    },
+
+    // Touch attribution: each purchase joined to the user's view/click
+    // touches inside a 72 h lookback, summarized to n_touches +
+    // first/last-touch ids per conversion. First/last ride one min/max
+    // over the (Δµs·10⁶ + touch_id) encoding — never a per-conversion
+    // rank window — with ties to the smaller id (first) / larger id
+    // (last); decode is a sign-safe mod both engines compute on the
+    // BIGINT key. ~2.6 touches per conversion at the gate SFs, linear
+    // in the corpus.
+    QueryDef("ev20_attribution",
+      """WITH p AS (SELECT event_id AS conv_id, user_id, ts AS conv_ts
+        |           FROM events WHERE event_type = 'purchase'),
+        | t AS (SELECT user_id, ts AS touch_ts, event_id AS touch_id
+        |       FROM events WHERE event_type IN ('view', 'click')),
+        | j AS (SELECT p.conv_id, p.user_id, p.conv_ts, t.touch_id,
+        |         (epoch_us(t.touch_ts) - epoch_us(p.conv_ts)) * 1000000
+        |           + t.touch_id AS k
+        |       FROM p LEFT JOIN t ON t.user_id = p.user_id
+        |         AND t.touch_ts <= p.conv_ts
+        |         AND t.touch_ts > p.conv_ts - INTERVAL 72 HOUR)
+        |SELECT conv_id, user_id, conv_ts,
+        |  CAST(count(touch_id) AS BIGINT) AS n_touches,
+        |  ((min(k) % 1000000) + 1000000) % 1000000 AS first_touch_id,
+        |  ((max(k) % 1000000) + 1000000) % 1000000 AS last_touch_id
+        |FROM j GROUP BY 1, 2, 3 ORDER BY conv_id""".stripMargin) { (s, dir) =>
+      graft.operators.Funnel.attribution(Tables.events(s, dir),
+        Seq("view", "click"), "purchase", lookbackHours = 72)
     },
 
     // The hourly rollup as a STRUCTURED STREAMING job in the gate: the

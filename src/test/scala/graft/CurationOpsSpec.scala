@@ -812,6 +812,53 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("attribution: lookback boundary, first/last tie-break, zero-touch conversions") {
+    import graft.operators.Funnel
+    def ts(h: Double): java.sql.Timestamp =
+      new java.sql.Timestamp((h * 3600 * 1000).toLong)
+    // window for a conversion at t=100h with 72h lookback is (28h, 100h]
+    val ev = Seq(
+      (10L, ts(100.0), 1L, "purchase"),
+      (11L, ts(100.0), 1L, "click"),   // same instant: included
+      (12L, ts(50.0), 1L, "view"),
+      (13L, ts(29.0), 1L, "click"),    // inside, earliest
+      (14L, ts(28.0), 1L, "view"),     // exactly -72h: excluded (strict >)
+      (15L, ts(101.0), 1L, "click"),   // after conversion: excluded
+      (20L, ts(100.0), 2L, "purchase"), // no touches at all
+      (30L, ts(100.0), 3L, "purchase"),
+      (31L, ts(40.0), 3L, "click"),    // tie on ts with 32
+      (32L, ts(40.0), 3L, "view"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = Funnel.attribution(ev, Seq("view", "click"), "purchase", 72)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(3), Option(r.get(4)).map(_.toString),
+          Option(r.get(5)).map(_.toString))).toMap
+    assert(got(10L) == ((3L, Some("13"), Some("11"))), got.toString)
+    assert(got(20L) == ((0L, None, None)), got.toString)
+    // equal-ts touches: first breaks to the SMALLER id, last to the larger
+    assert(got(30L) == ((2L, Some("31"), Some("32"))), got.toString)
+  }
+
+  test("poissonReplicates: partition-invariant, seed-independent, contiguous reps") {
+    import graft.operators.Sampling
+    val keys = (1L to 2000L).toDF("k")
+    def draw(df: org.apache.spark.sql.DataFrame, seed: String) =
+      Sampling.poissonReplicates(df, "k", seed).collect()
+        .map(r => (r.getLong(0), r.getInt(1)))
+    val a = draw(keys, "bs1").sortBy(identity)
+    val b = draw(keys.repartition(7), "bs1").sortBy(identity)
+    assert(a.sameElements(b), "resample depends on partitioning")
+    // replicate indices per key are exactly 1..count
+    a.groupBy(_._1).foreach { case (k, rs) =>
+      assert(rs.map(_._2).sorted.sameElements(1 to rs.length), s"key $k: ${rs.toSeq}")
+    }
+    // mean replicate count ≈ λ=1 over ALL keys (dropped zeros included)
+    assert(math.abs(a.length / 2000.0 - 1.0) < 0.1, s"${a.length} replicas")
+    // a different seed draws a genuinely different resample
+    val c = draw(keys, "bs2").sortBy(identity)
+    assert(!a.sameElements(c), "seeds bs1/bs2 drew identical resamples")
+  }
+
   test("curationReport: filter precedence and each verdict class on planted docs") {
     import graft.operators.TextAnalysis
     // one doc engineered per verdict class, plus a precedence probe:

@@ -420,6 +420,24 @@ class PlanSpec extends AnyFunSuite {
     assert(countExchanges("ta25_curation") <= 1, plan)
   }
 
+  test("ev20: first/last-touch collapse map-side — no per-conversion window") {
+    // the encoded-key min/max must partial-aggregate before the
+    // exchange; a rank-window formulation would ship every conversion's
+    // full touch list to one task
+    val plan = planOf("ev20_attribution")
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("partial_min"), plan)
+    assert(plan.contains("partial_max"), plan)
+  }
+
+  test("sp10: bootstrap replication is a scan-fused generator — no join, no shuffle but the sort") {
+    val plan = planOf("sp10_poisson_bootstrap")
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("Join"), plan)
+    assert(plan.contains("Generate"), plan)
+    assert(countExchanges("sp10_poisson_bootstrap") <= 1, plan)
+  }
+
   test("etl04: the render never sinks into a filter below the spread exchange") {
     // parse()'s comment-drop predicate is deterministic; without the
     // Generate barrier Catalyst pushes it below the exchange with the
