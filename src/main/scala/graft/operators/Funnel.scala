@@ -22,11 +22,16 @@ object Funnel {
 
   /** Per-user step-completion times: (user, t_1, ..., t_n) where t_k =
     * earliest `tsCol` of an event of type steps(k) at or after t_{k-1}
-    * (null if the user never completed step k in order).
+    * (null if the user never completed step k in order). With
+    * `deadlineHours` set, each step must ALSO land within that many
+    * hours of the previous step's time — the conversion-window variant
+    * every product funnel actually runs (an unbounded funnel credits a
+    * purchase a year after the click).
     */
   def stepTimes(events: DataFrame, steps: Seq[String],
                 userCol: String = "user_id", typeCol: String = "event_type",
-                tsCol: String = "ts"): DataFrame = {
+                tsCol: String = "ts",
+                deadlineHours: Option[Int] = None): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     def stepRows(step: String) =
       events.filter(col(typeCol) === step).select(col(userCol), col(tsCol))
@@ -35,10 +40,12 @@ object Funnel {
       .agg(min(col(tsCol)).as("t_1"))
     steps.zipWithIndex.tail.foldLeft(first) { case (acc, (step, i)) =>
       val groupCols = col(userCol) +: (1 to i).map(j => col(s"t_$j"))
+      val inWindow = deadlineHours.foldLeft(col(tsCol) >= col(s"t_$i")) {
+        (c, d) => c && col(tsCol) <= col(s"t_$i") + expr(s"INTERVAL $d HOURS")
+      }
       acc.join(stepRows(step), Seq(userCol), "left")
         .groupBy(groupCols: _*)
-        .agg(min(when(col(tsCol) >= col(s"t_$i"), col(tsCol)))
-          .as(s"t_${i + 1}"))
+        .agg(min(when(inWindow, col(tsCol))).as(s"t_${i + 1}"))
     }
   }
 
@@ -52,8 +59,10 @@ object Funnel {
     */
   def counts(events: DataFrame, steps: Seq[String],
              userCol: String = "user_id", typeCol: String = "event_type",
-             tsCol: String = "ts"): DataFrame = {
-    val times = stepTimes(events, steps, userCol, typeCol, tsCol)
+             tsCol: String = "ts",
+             deadlineHours: Option[Int] = None): DataFrame = {
+    val times = stepTimes(events, steps, userCol, typeCol, tsCol,
+      deadlineHours)
     val agg = times.agg(
       count(col("t_1")).as("n_1"),
       (2 to steps.length).map(i => count(col(s"t_$i")).as(s"n_$i")): _*)
@@ -70,15 +79,14 @@ object Funnel {
     * (n_touches, first-touch id, last-touch id) per conversion — the
     * first/last-touch models an attribution report runs.
     *
-    * First/last selection rides ONE min/max over an encoded key —
-    * `(touch µs − conversion µs)·10⁶ + touch_id` — instead of a
-    * per-conversion rank window: the delta is bounded by the lookback
-    * (≤ 72 h ≈ 2.6·10¹¹ µs, ×10⁶ well inside a long) and the id term
-    * breaks ties toward the SMALLER id for first touch and the LARGER
-    * for last. Both extremes decode back with a sign-safe mod. Touch
-    * ids must stay below 10⁶ for the encoding — enforced per-row with
-    * `raise_error`, the dd15 guard discipline (a plan-time `require`
-    * cannot see data).
+    * First/last selection rides ONE min/max over a `struct(ts, id)` —
+    * struct ordering is lexicographic, so min is the earliest touch
+    * with ties to the SMALLER id and max the latest with ties to the
+    * LARGER — instead of a per-conversion rank window. Works at any id
+    * width (no key encoding). A conversion with no in-window touches
+    * keeps its row from the left join: its single all-null-fields
+    * struct is the group's only value, so first/last ids stay null and
+    * `count(touch_id)` stays 0.
     *
     * Scale shape: both sides hash-partition on the user key (neither
     * side of a conversions×touches join is broadcastable at corpus
@@ -96,34 +104,20 @@ object Funnel {
     val p = events.filter(col(typeCol) === convType)
       .select(col(idCol).as("conv_id"), col(userCol),
         col(tsCol).as("conv_ts"))
-    val guardedTid = when(col(idCol) < 1000000L, col(idCol).cast("long"))
-      .otherwise(raise_error(concat(
-        lit("attribution key encoding needs touch ids < 1000000; got "),
-        col(idCol).cast("string"))).cast("long"))
     val t = events.filter(col(typeCol).isin(touchTypes: _*))
       .select(col(userCol).as("_tu"), col(tsCol).as("_tts"),
-        guardedTid.as("_tid"))
-    // NTZ carries no zone; the UTC session makes the LTZ reading of the
-    // same wall clock carry identical micros, which is what the oracle's
-    // epoch_us computes on the naive timestamp
-    def micros(c: Column) = unix_micros(c.cast("timestamp"))
-    val key = (micros(col("_tts")) - micros(col("conv_ts"))) * 1000000L +
-      col("_tid")
-    def decodeId(k: Column) = ((k % 1000000L) + 1000000L) % 1000000L
+        col(idCol).cast("long").as("_tid"))
     p.join(t,
         col("_tu") === col(userCol) &&
           col("_tts") <= col("conv_ts") &&
           col("_tts") > col("conv_ts") - expr(s"INTERVAL $lookbackHours HOURS"),
         "left")
       .select(col("conv_id"), col(userCol), col("conv_ts"), col("_tid"),
-        key.as("_k"))
+        struct(col("_tts"), col("_tid")).as("_k"))
       .groupBy("conv_id", userCol, "conv_ts")
       .agg(count(col("_tid")).as("n_touches"),
-        min(col("_k")).as("_fk"), max(col("_k")).as("_lk"))
-      .select(col("conv_id"), col(userCol), col("conv_ts"),
-        col("n_touches"),
-        decodeId(col("_fk")).as("first_touch_id"),
-        decodeId(col("_lk")).as("last_touch_id"))
+        min(col("_k")).getField("_tid").as("first_touch_id"),
+        max(col("_k")).getField("_tid").as("last_touch_id"))
       .orderBy("conv_id")
   }
 }

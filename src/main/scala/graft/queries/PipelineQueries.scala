@@ -2987,30 +2987,71 @@ object PipelineQueries {
         .orderBy("step")
     },
 
+    // The conversion-window funnel: ev07's ordered sequence with a 24 h
+    // deadline per step — a click only counts within a day of the first
+    // view, a purchase within a day of that click. The bound BINDS at
+    // the gate SF (150/60/25 users vs ev07's 150/150/150), so a dropped
+    // or misapplied window predicate is unmissable. Same one-filtered-
+    // aggregation-per-stage shape as ev07; the deadline rides the
+    // existing conditional min, zero extra passes.
+    QueryDef("ev21_funnel_deadline",
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |            WHERE event_type = 'view' GROUP BY user_id),
+        | s2 AS (SELECT s1.user_id, t1,
+        |          min(CASE WHEN e.ts >= t1 AND e.ts <= t1 + INTERVAL 24 HOUR
+        |                   THEN e.ts END) AS t2
+        |        FROM s1 LEFT JOIN events e
+        |          ON e.user_id = s1.user_id AND e.event_type = 'click'
+        |        GROUP BY s1.user_id, t1),
+        | s3 AS (SELECT s2.user_id, t1, t2,
+        |          min(CASE WHEN e.ts >= t2 AND e.ts <= t2 + INTERVAL 24 HOUR
+        |                   THEN e.ts END) AS t3
+        |        FROM s2 LEFT JOIN events e
+        |          ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+        |        GROUP BY s2.user_id, t1, t2)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type, count(t1) AS n_users FROM s3
+        |  UNION ALL SELECT 2, 'click', count(t2) FROM s3
+        |  UNION ALL SELECT 3, 'purchase', count(t3) FROM s3)
+        |ORDER BY step""".stripMargin) { (s, dir) =>
+      graft.operators.Funnel.counts(Tables.events(s, dir),
+          Seq("view", "click", "purchase"), deadlineHours = Some(24))
+        .orderBy("step")
+    },
+
     // Touch attribution: each purchase joined to the user's view/click
     // touches inside a 72 h lookback, summarized to n_touches +
-    // first/last-touch ids per conversion. First/last ride one min/max
-    // over the (Δµs·10⁶ + touch_id) encoding — never a per-conversion
-    // rank window — with ties to the smaller id (first) / larger id
-    // (last); decode is a sign-safe mod both engines compute on the
-    // BIGINT key. ~2.6 touches per conversion at the gate SFs, linear
-    // in the corpus.
+    // first/last-touch ids per conversion. The engine's first/last ride
+    // ONE map-side min/max over struct(ts, id) — never a per-conversion
+    // rank window, and no key encoding bounding the id width; ties
+    // break to the smaller id (first) / larger id (last). The oracle
+    // replays the identical extremes with two rank windows (the oracle
+    // side need not be scale-safe). ~2.6 touches per conversion at the
+    // gate SFs, linear in the corpus.
     QueryDef("ev20_attribution",
       """WITH p AS (SELECT event_id AS conv_id, user_id, ts AS conv_ts
         |           FROM events WHERE event_type = 'purchase'),
         | t AS (SELECT user_id, ts AS touch_ts, event_id AS touch_id
         |       FROM events WHERE event_type IN ('view', 'click')),
-        | j AS (SELECT p.conv_id, p.user_id, p.conv_ts, t.touch_id,
-        |         (epoch_us(t.touch_ts) - epoch_us(p.conv_ts)) * 1000000
-        |           + t.touch_id AS k
+        | j AS (SELECT p.conv_id, p.user_id, p.conv_ts, t.touch_ts, t.touch_id
         |       FROM p LEFT JOIN t ON t.user_id = p.user_id
         |         AND t.touch_ts <= p.conv_ts
-        |         AND t.touch_ts > p.conv_ts - INTERVAL 72 HOUR)
-        |SELECT conv_id, user_id, conv_ts,
-        |  CAST(count(touch_id) AS BIGINT) AS n_touches,
-        |  ((min(k) % 1000000) + 1000000) % 1000000 AS first_touch_id,
-        |  ((max(k) % 1000000) + 1000000) % 1000000 AS last_touch_id
-        |FROM j GROUP BY 1, 2, 3 ORDER BY conv_id""".stripMargin) { (s, dir) =>
+        |         AND t.touch_ts > p.conv_ts - INTERVAL 72 HOUR),
+        | r AS (SELECT *,
+        |         row_number() OVER (PARTITION BY conv_id
+        |           ORDER BY touch_ts ASC, touch_id ASC) AS rf,
+        |         row_number() OVER (PARTITION BY conv_id
+        |           ORDER BY touch_ts DESC, touch_id DESC) AS rl
+        |       FROM j),
+        | a AS (SELECT conv_id, user_id, conv_ts,
+        |         CAST(count(touch_id) AS BIGINT) AS n_touches
+        |       FROM j GROUP BY 1, 2, 3)
+        |SELECT a.conv_id, a.user_id, a.conv_ts, a.n_touches,
+        |  f.touch_id AS first_touch_id, l.touch_id AS last_touch_id
+        |FROM a
+        |JOIN r f ON f.conv_id = a.conv_id AND f.rf = 1
+        |JOIN r l ON l.conv_id = a.conv_id AND l.rl = 1
+        |ORDER BY a.conv_id""".stripMargin) { (s, dir) =>
       graft.operators.Funnel.attribution(Tables.events(s, dir),
         Seq("view", "click"), "purchase", lookbackHours = 72)
     },

@@ -256,6 +256,40 @@ object ScaleRehearsal {
           3, maxPosting = 64).count()
       }
     }
+
+    // int8 two-stage retrieval: stage-1 scoring rides the broadcast
+    // query block (narrow), and BOTH rank stages exchange ≤ shortlist/k
+    // ids per query × partition through TopKAgg — shuffle must stay
+    // ~flat 1×→10× like sim01, while wall scales with the integer-dot
+    // scoring pass (∝ N).
+    for ((tag, ep) <- Seq(("1x", e1), ("10x", e10))) {
+      val e = embAt(ep)
+      measure(s"sim11_int8_rerank  $tag") {
+        Similarity.int8RerankTopK(e.filter(col("vec_id") < 10), e, 5,
+          shortlist = 50).count()
+      }
+    }
+
+    // Touch attribution at 1×/10× event volume (10 id-offset user
+    // copies — touches-per-conversion constant, conversions 10×): the
+    // user-keyed join + per-conversion min/max summary must shuffle
+    // linearly in the event count, never per-conversion candidate lists.
+    val ev1 = graft.Tables.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type")
+    replicate(ev1, 10, { (d, k) =>
+      d.select((col("event_id") + lit(k * 10000000L)).as("event_id"),
+        col("ts"), (col("user_id") + lit(k * 10000000L)).as("user_id"),
+        col("event_type"))
+    }).write.mode("overwrite").parquet(s"$work/events10x.parquet")
+    measure("ev20_attribution   1x") {
+      graft.operators.Funnel.attribution(ev1,
+        Seq("view", "click"), "purchase", 72).count()
+    }
+    measure("ev20_attribution   10x") {
+      graft.operators.Funnel.attribution(
+        spark.read.parquet(s"$work/events10x.parquet"),
+        Seq("view", "click"), "purchase", 72).count()
+    }
     spark.stop()
   }
 }

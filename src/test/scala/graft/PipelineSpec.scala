@@ -317,6 +317,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(c == Map(1L -> 3L, 2L -> 2L, 3L -> 1L), s"funnel counts: $c")
   }
 
+  test("funnel deadline: step inside the window counts, one second past it doesn't") {
+    import java.sql.Timestamp
+    val ev = Seq(
+      // u1: click exactly AT the 24h deadline (inclusive) → counts
+      (1L, "view", Timestamp.valueOf("2024-01-01 10:00:00")),
+      (1L, "click", Timestamp.valueOf("2024-01-02 10:00:00")),
+      // u2: click one second past the deadline → view only
+      (2L, "view", Timestamp.valueOf("2024-01-01 10:00:00")),
+      (2L, "click", Timestamp.valueOf("2024-01-02 10:00:01")),
+      // u3: late click, but an even later RE-view would not help — the
+      // funnel anchors on the FIRST view (min t1), so still view-only
+      (3L, "view", Timestamp.valueOf("2024-01-01 10:00:00")),
+      (3L, "view", Timestamp.valueOf("2024-01-05 10:00:00")),
+      (3L, "click", Timestamp.valueOf("2024-01-04 10:00:00"))
+    ).toDF("user_id", "event_type", "ts")
+    val c = graft.operators.Funnel
+      .counts(ev, Seq("view", "click"), deadlineHours = Some(24))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(c == Map(1L -> 3L, 2L -> 1L), s"deadline funnel counts: $c")
+    // and without a deadline all three clicks count
+    val u = graft.operators.Funnel.counts(ev, Seq("view", "click"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(u == Map(1L -> 3L, 2L -> 3L), s"unbounded funnel counts: $u")
+  }
+
   test("decontamination: planted benchmark overlap flagged, clean docs pass") {
     val hold = Seq(
       (100L, "the capital of france is paris and the capital of italy is rome"))
