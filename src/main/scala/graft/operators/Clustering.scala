@@ -149,6 +149,75 @@ object Clustering {
           .as("centroid_l1"))
   }
 
+  /** Full Lloyd iteration, `rounds` rounds from the hash seeds, with
+    * per-round exact inertia — the convergence evidence a k-means
+    * training loop actually monitors (km01/km02 pin one assignment and
+    * one update; this pins the LOOP: assign → update → re-assign →
+    * re-update …). Output: (round, cluster, n_members, inertia) where
+    * inertia = Σ members' exact squared distance to the centroid that
+    * round assigned against, cast to double once.
+    *
+    * Cross-engine exactness through the round trip: member-position
+    * sums are exact decimals; the updated mean is ONE IEEE division of
+    * those exact values (deterministic) quantized back to 6 dp via the
+    * sim05 idiom `floor(q·10⁶ + 0.5)` — floor of the identical double
+    * is an exactly-representable integer, rebuilt into DECIMAL by an
+    * exact integer-decimal product. (A direct double→DECIMAL(12,6)
+    * CAST is NOT engine-portable at half boundaries: Spark rounds the
+    * double's shortest decimal string, DuckDB the exact binary value —
+    * measured one 7e-10 inertia divergence per ~16 centroids.) Next
+    * round's distances are then exact decimal arithmetic on identical
+    * inputs in both engines; argmin ties break to the lower cluster
+    * id. Empty clusters drop out (standard k-means death); inertia
+    * decreases round over round up to the ±1e-6 centroid quantization.
+    *
+    * Scale shape per round: centroids broadcast (≤ k rows); the argmin
+    * collapses map-side via `min(struct)` (one exchanged row per
+    * vector); the update shuffles (cluster, pos) partial sums — k·dim
+    * rows after map-side combine. Rounds chain lazily in ONE plan; for
+    * many rounds a production loop would checkpoint per round (the
+    * [[farthestPointSeeds]] discipline) — at gate depth the doubled
+    * scan is cheaper than materialization.
+    */
+  def lloydRounds(df: DataFrame, k: Int, rounds: Int,
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    require(rounds >= 1, "need at least one round")
+    val e = df.select(col(idCol), dec(col(vecCol)).as("_x"))
+    def assignTo(cent: DataFrame): DataFrame =
+      e.crossJoin(broadcast(cent))
+        .groupBy(col(idCol))
+        .agg(min(struct(sqDist(col("_x"), col("cvec")).as("_d"),
+          col("cluster").as("_c"))).as("_b"))
+        .select(col(idCol), col("_b._c").as("cluster"), col("_b._d").as("_d"))
+    def summarize(a: DataFrame, round: Int): DataFrame =
+      a.groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n_members"), sum(col("_d")).as("_i"))
+        .select(lit(round.toLong).as("round"), col("cluster"),
+          col("n_members"), col("_i").cast(DoubleType).as("inertia"))
+    def updated(a: DataFrame): DataFrame =
+      e.join(a.select(col(idCol), col("cluster")), idCol)
+        .select(col("cluster"), posexplode(col("_x")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(sum(col("col")).as("_sp"), count(lit(1)).as("_n"))
+        .select(col("cluster"), col("pos"),
+          (floor(col("_sp").cast(DoubleType) / col("_n").cast(DoubleType) *
+            1000000.0 + 0.5).cast(DecimalType(20, 0)) *
+            lit(new java.math.BigDecimal("0.000001")))
+            .cast(DecimalType(12, 6)).as("_m"))
+        .groupBy(col("cluster"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("_m")))),
+          s => s.getField("_m")).as("cvec"))
+    val out = (2 to rounds).foldLeft {
+      val a1 = assignTo(seedCentroids(df, k, idCol, vecCol))
+      (summarize(a1, 1), a1)
+    } { case ((acc, prev), r) =>
+      val ar = assignTo(updated(prev))
+      (acc.unionAll(summarize(ar, r)), ar)
+    }._1
+    out.orderBy("round", "cluster")
+  }
+
   /** Greedy farthest-point seeding (Gonzalez 1985 k-center; the
     * deterministic cousin of k-means++): start from the minimum-id
     * vector, then k−1 times pick the vector maximizing its distance to

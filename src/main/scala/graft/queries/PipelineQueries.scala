@@ -2245,6 +2245,29 @@ object PipelineQueries {
         shortlist = 50)
     },
 
+    // kNN-GRAPH construction: EVERY corpus vector gets its top-3
+    // neighbors through the IVF probe path (queries = the whole corpus
+    // — never broadcast: both sides assign to cells map-side and meet
+    // in a hash-partitioned equi-join on centroid id, the shape that
+    // builds the kNN graph SemDeDup/cluster pipelines start from at
+    // 100 TB). Gate contract: completeness (exactly N·3 edges — every
+    // vector found 3 non-self neighbors through its 6 probed cells;
+    // DuckDB derives N·3 from the corpus count) + the sim03-style 80%
+    // recall floor on the sampled query slice vs exact cosine.
+    QueryDef("sim12_knn_graph",
+      """SELECT CAST(c.n_all * 3 AS BIGINT) AS n_edges,
+        |  CAST(q.nq * least(3, c.n_all - 1) AS BIGINT) AS n_exact,
+        |  CAST(1 AS BIGINT) AS recall_ok
+        |FROM (SELECT count(*) AS nq FROM embeddings WHERE vec_id < 10) q,
+        |     (SELECT count(*) AS n_all FROM embeddings) c""".stripMargin) { (s, dir) =>
+      val e = embWide(s, dir)
+      val knn = Similarity.ivfTopK(e, e, 3, nlist = 16, nprobe = 6)
+      val exact = Similarity.cosineTopK(e.filter(col("vec_id") < 10), e, 3,
+        exact = true)
+      knn.agg(count(lit(1)).cast(LongType).as("n_edges"))
+        .crossJoin(recallFloor(exact, knn.filter(col("qid") < 10), 80))
+    },
+
     // ================= clustering =================
 
     // k-means seed assignment (k=8): seeds are hash-picked CORPUS
@@ -2374,6 +2397,55 @@ object PipelineQueries {
         |ORDER BY step""".stripMargin) { (s, dir) =>
       graft.operators.Clustering.farthestPointSeeds(embWide(s, dir), 4)
         .orderBy("step")
+    },
+
+    // The full Lloyd LOOP (km01 assign + km02 update, iterated): 2
+    // rounds from the hash seeds with per-(round, cluster) member
+    // counts and EXACT inertia — the convergence trace a k-means
+    // training job monitors. Round-2 centroids are the exact decimal
+    // member sums divided once in IEEE and quantized to 6 dp via the
+    // sim05 floor(q·10⁶+0.5) idiom (a plain double→DECIMAL cast is not
+    // engine-portable at half boundaries — Spark rounds the shortest
+    // decimal string, DuckDB the exact binary; measured 7e-10 apart on
+    // one centroid), so round-2 distances are again exact decimal
+    // arithmetic on identical inputs in both engines. The oracle
+    // unrolls both rounds (a1/e MATERIALIZED — the gr05 lesson: DuckDB
+    // re-inlines CTEs exponentially otherwise).
+    QueryDef("km05_lloyd_rounds",
+      """WITH e0 AS (SELECT vec_id, unnest(embedding) AS rawx,
+        |                   unnest(range(1, len(embedding) + 1)) AS i
+        |            FROM embeddings),
+        | e AS MATERIALIZED (SELECT vec_id, i,
+        |         CAST(CAST(rawx AS DOUBLE) AS DECIMAL(12,6)) AS x FROM e0),
+        | sid AS (SELECT min(vec_id) AS cid FROM embeddings GROUP BY vec_id % 8),
+        | c1 AS (SELECT e.vec_id AS cid, e.i, e.x AS cx
+        |        FROM e JOIN sid ON e.vec_id = sid.cid),
+        | d1 AS (SELECT e.vec_id, c1.cid, sum((e.x - c1.cx) * (e.x - c1.cx)) AS d
+        |        FROM e JOIN c1 ON e.i = c1.i GROUP BY 1, 2),
+        | a1 AS MATERIALIZED (SELECT vec_id, cid, d FROM (
+        |        SELECT vec_id, cid, d,
+        |          row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS r
+        |        FROM d1) t WHERE r = 1),
+        | s1 AS (SELECT CAST(1 AS BIGINT) AS round, CAST(cid AS BIGINT) AS cluster,
+        |          CAST(count(*) AS BIGINT) AS n_members, CAST(sum(d) AS DOUBLE) AS inertia
+        |        FROM a1 GROUP BY cid),
+        | c2 AS MATERIALIZED (SELECT a1.cid, e.i,
+        |          CAST(CAST(floor(CAST(sum(e.x) AS DOUBLE) / count(*) * 1000000.0 + 0.5)
+        |                    AS DECIMAL(20,0)) * CAST(0.000001 AS DECIMAL(7,6))
+        |               AS DECIMAL(12,6)) AS cx
+        |        FROM a1 JOIN e USING (vec_id) GROUP BY 1, 2),
+        | d2 AS (SELECT e.vec_id, c2.cid, sum((e.x - c2.cx) * (e.x - c2.cx)) AS d
+        |        FROM e JOIN c2 ON e.i = c2.i GROUP BY 1, 2),
+        | a2 AS (SELECT vec_id, cid, d FROM (
+        |        SELECT vec_id, cid, d,
+        |          row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS r
+        |        FROM d2) t WHERE r = 1),
+        | s2 AS (SELECT CAST(2 AS BIGINT) AS round, CAST(cid AS BIGINT) AS cluster,
+        |          CAST(count(*) AS BIGINT) AS n_members, CAST(sum(d) AS DOUBLE) AS inertia
+        |        FROM a2 GROUP BY cid)
+        |SELECT * FROM s1 UNION ALL SELECT * FROM s2
+        |ORDER BY round, cluster""".stripMargin) { (s, dir) =>
+      graft.operators.Clustering.lloydRounds(embWide(s, dir), 8, rounds = 2)
     },
 
     // ================= graph =================

@@ -812,6 +812,37 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("lloydRounds: members conserved each round, total inertia strictly decreases") {
+    import graft.operators.Clustering
+    val e = Tables.load(spark, sf, "embeddings")
+    val n = e.count()
+    val rows = Clustering.lloydRounds(e, 8, rounds = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    for (round <- Seq(1L, 2L)) {
+      val rr = rows.filter(_._1 == round)
+      assert(rr.map(_._3).sum == n, s"round $round loses members: ${rr.toSeq}")
+    }
+    val i1 = rows.filter(_._1 == 1L).map(_._4).sum
+    val i2 = rows.filter(_._1 == 2L).map(_._4).sum
+    // Lloyd guarantees non-increase with exact means; the ±1e-6
+    // centroid quantization is orders of magnitude below the observed
+    // drop (~40% on this corpus), so strict decrease is safe to pin
+    assert(i2 < i1, s"inertia did not decrease: $i1 -> $i2")
+  }
+
+  test("kNN graph: every vector appears as a query with 3 distinct non-self neighbors") {
+    import graft.operators.Similarity
+    val e = Tables.load(spark, sf, "embeddings")
+    val knn = Similarity.ivfTopK(e, e, 3, nlist = 16, nprobe = 6)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(knn.forall { case (q, c) => q != c }, "self-edge in kNN graph")
+    val byQ = knn.groupBy(_._1)
+    assert(byQ.size == e.count(), s"${byQ.size} queries for ${e.count()} vectors")
+    byQ.foreach { case (q, es) =>
+      assert(es.map(_._2).distinct.length == 3, s"query $q edges: ${es.toSeq}")
+    }
+  }
+
   test("attribution: lookback boundary, first/last tie-break, zero-touch conversions") {
     import graft.operators.Funnel
     def ts(h: Double): java.sql.Timestamp =

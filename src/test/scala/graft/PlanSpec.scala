@@ -420,6 +420,30 @@ class PlanSpec extends AnyFunSuite {
     assert(countExchanges("ta25_curation") <= 1, plan)
   }
 
+  test("km05: the Lloyd loop stays window-free — argmins are partial min(struct)") {
+    // both rounds' nearest-centroid picks must collapse map-side; a
+    // rank-window assignment would ship N·k scored rows per round
+    val plan = planOf("km05_lloyd_rounds")
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("partial_min"), plan)
+    assert(plan.contains("BroadcastExchange"), plan)
+  }
+
+  test("sim12: corpus-wide kNN graph never broadcasts the query side") {
+    // queries = the whole corpus: both sides must assign to cells
+    // map-side (broadcast centroids only) and meet in an equi-join on
+    // centroid id; rank stages are bounded top_k aggs
+    val plan = planOf("sim12_knn_graph")
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("partial_top_k"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the only nested-loop joins are the broadcast-tiny centroid
+    // attaches; the corpus-to-corpus meeting must be a hash equi-join
+    // on the centroid key
+    assert(plan.linesIterator.exists(l =>
+      l.contains("Join") && l.contains("centroid_id")), plan)
+  }
+
   test("ev20: first/last-touch collapse map-side — no per-conversion window") {
     // the encoded-key min/max must partial-aggregate before the
     // exchange; a rank-window formulation would ship every conversion's
