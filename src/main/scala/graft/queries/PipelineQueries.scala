@@ -2261,7 +2261,12 @@ object PipelineQueries {
         |FROM (SELECT count(*) AS nq FROM embeddings WHERE vec_id < 10) q,
         |     (SELECT count(*) AS n_all FROM embeddings) c""".stripMargin) { (s, dir) =>
       val e = embWide(s, dir)
+      // the graph feeds BOTH output branches (edge count + recall
+      // slice) — checkpoint it so the corpus-wide kNN computes once,
+      // not once per branch (measured 5.0 → ~3 s at sf0.1; the
+      // farthestPointSeeds discipline)
       val knn = Similarity.ivfTopK(e, e, 3, nlist = 16, nprobe = 6)
+        .localCheckpoint()
       val exact = Similarity.cosineTopK(e.filter(col("vec_id") < 10), e, 3,
         exact = true)
       knn.agg(count(lit(1)).cast(LongType).as("n_edges"))

@@ -432,8 +432,15 @@ class PlanSpec extends AnyFunSuite {
   test("sim12: corpus-wide kNN graph never broadcasts the query side") {
     // queries = the whole corpus: both sides must assign to cells
     // map-side (broadcast centroids only) and meet in an equi-join on
-    // centroid id; rank stages are bounded top_k aggs
-    val plan = planOf("sim12_knn_graph")
+    // centroid id; rank stages are bounded top_k aggs. Inspect the
+    // OPERATOR plan directly — the gate row checkpoints the graph
+    // (it feeds two output branches), which would hide the subtree
+    // behind a LogicalRDD scan.
+    val e = Tables.spread(
+      Tables.load(spark, sf, "embeddings"), "vec_id")
+    val plan = graft.operators.Similarity
+      .ivfTopK(e, e, 3, nlist = 16, nprobe = 6)
+      .queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), plan)
     assert(plan.contains("partial_top_k"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
