@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Ordered-sequence (funnel) analysis over an event stream: how many
@@ -82,8 +82,10 @@ object Funnel {
     * First/last selection rides ONE min/max over a `struct(ts, id)` —
     * struct ordering is lexicographic, so min is the earliest touch
     * with ties to the SMALLER id and max the latest with ties to the
-    * LARGER — instead of a per-conversion rank window. Works at any id
-    * width (no key encoding). A conversion with no in-window touches
+    * LARGER (by the id column's own ordering) — instead of a
+    * per-conversion rank window. Ids pass through in their native type
+    * (no cast, no key encoding), so any orderable id — long, string
+    * UUID, decimal — works at any width. A conversion with no in-window touches
     * keeps its row from the left join: its single all-null-fields
     * struct is the group's only value, so first/last ids stay null and
     * `count(touch_id)` stays 0.
@@ -106,7 +108,7 @@ object Funnel {
         col(tsCol).as("conv_ts"))
     val t = events.filter(col(typeCol).isin(touchTypes: _*))
       .select(col(userCol).as("_tu"), col(tsCol).as("_tts"),
-        col(idCol).cast("long").as("_tid"))
+        col(idCol).as("_tid"))
     p.join(t,
         col("_tu") === col(userCol) &&
           col("_tts") <= col("conv_ts") &&

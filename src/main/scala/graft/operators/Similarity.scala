@@ -881,12 +881,18 @@ object Similarity {
     *     is deterministic — ties break to the lower cid.
     *  2. Re-rank: the ≤ `shortlist` pairs per query rescore with the
     *     exact-decimal cosine ([[cosineExact]]'s discipline) and the
-    *     bounded [[TopKAgg]] emits the final top `k`.
+    *     bounded [[TopKAgg]] emits the final top `k`. The decimal math
+    *     runs AFTER the shortlist join, so the full-precision pass
+    *     touches only `|Q|·shortlist` pairs — the corpus is never
+    *     re-projected into decimal.
     *
-    * Both rank stages are TopKAgg partial aggregates — exchange ≤
-    * shortlist (stage 1) / k (stage 2) ids per query × map partition,
-    * never a per-query rank window. Every arithmetic step is
-    * deterministic cross-engine, so unlike the ANN family this
+    * Zero-norm vectors are EXCLUDED on both sides (a cosine against
+    * the zero vector is undefined; Spark's 0/0 is NULL where DuckDB's
+    * is NaN, so excluding them is also what keeps the oracle
+    * row-for-row). Both rank stages are TopKAgg partial aggregates —
+    * exchange ≤ shortlist (stage 1) / k (stage 2) ids per query × map
+    * partition, never a per-query rank window. Every arithmetic step
+    * is deterministic cross-engine, so unlike the ANN family this
     * approximate index gets a full row-for-row SQL oracle, not just a
     * recall floor.
     */
@@ -916,6 +922,7 @@ object Similarity {
     val q = quant(queries, "qid").select(col("qid"), col("_q").as("_qq"))
     val c = quant(candidates, "cid")
       .withColumn("_cn", dotD(dec(col("_x")), dec(col("_x"))))
+      .filter(col("_cn") > 0)
       .select(col("cid"), col("_q").as("_cq"), col("_am").as("_cam"), col("_cn"))
     val sl = c.join(broadcast(q), col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
@@ -929,13 +936,16 @@ object Similarity {
     val qv = queries
       .select(col(idCol).cast(LongType).as("qid"), dec(col(vecCol)).as("_qv"))
       .withColumn("_qn", dotD(col("_qv"), col("_qv")))
-    val cv = candidates
-      .select(col(idCol).cast(LongType).as("cid"), dec(col(vecCol)).as("_cv"))
-      .withColumn("_cn2", dotD(col("_cv"), col("_cv")))
-    sl.join(broadcast(qv), "qid").join(cv, "cid")
+      .filter(col("_qn") > 0)
+    // raw bytes below the shortlist join; decimal projection + norm
+    // only for the ≤ |Q|·shortlist surviving pairs
+    val cvRaw = candidates
+      .select(col(idCol).cast(LongType).as("cid"), col(vecCol).as("_craw"))
+    val cd = dec(col("_craw"))
+    sl.join(cvRaw, "cid").join(broadcast(qv), "qid")
       .select(col("qid"), col("cid"),
-        (dotD(col("_qv"), col("_cv")).cast(DoubleType) /
-          sqrt(col("_qn").cast(DoubleType) * col("_cn2").cast(DoubleType)))
+        (dotD(col("_qv"), cd).cast(DoubleType) /
+          sqrt(col("_qn").cast(DoubleType) * dotD(cd, cd).cast(DoubleType)))
           .as("sim"))
       .groupBy(col("qid"))
       .agg(TopKAgg.top_k(col("sim"), col("cid"), k, ascending = false)

@@ -56,6 +56,38 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "les", "et", "de", "est"),
     "es" -> Seq("el", "la", "los", "y", "de", "es"))
 
+  // ---- shared per-document signal expressions -------------------------
+  // ONE definition each for the stopword/punctuation/composite-quality
+  // signals: languageScore, qualityScore and curationReport must agree
+  // on these by construction (their oracles hard-code the same
+  // formulas), so the constants live exactly once.
+
+  private def stopHitsCol(toks: Column, lang: String): Column =
+    size(filter(toks, t => StopwordSets(lang).map(s => t === s).reduce(_ || _)))
+
+  private def stopRatioCol(toks: Column, lang: String): Column =
+    stopHitsCol(toks, lang).cast(DoubleType) / size(toks).cast(DoubleType)
+
+  /** Punctuation density; an empty text has no punctuation (0.0), not
+    * a 0/0 — Spark's NULL and DuckDB's NaN disagree on 0/0, so the
+    * guard is also what keeps oracles row-for-row on degenerate docs.
+    */
+  private def punctRatioCol(text: Column): Column = {
+    val nChar = length(text)
+    when(nChar > 0,
+      (nChar - length(regexp_replace(text, """[\p{Punct}]""", "")))
+        .cast(DoubleType) / nChar.cast(DoubleType))
+      .otherwise(lit(0.0))
+  }
+
+  /** quality = 0.5·min(stop/0.08, 1) + 0.3·min(ntok/100, 1)
+    *         + 0.2·(1 − min(punct/0.2, 1)) — fixed-order IEEE.
+    */
+  private def qualityCol(sr: Column, nTok: Column, pr: Column): Column =
+    lit(0.5) * least(sr / 0.08, lit(1.0)) +
+      lit(0.3) * least(nTok.cast(DoubleType) / 100.0, lit(1.0)) +
+      lit(0.2) * (lit(1.0) - least(pr / 0.2, lit(1.0)))
+
   /** Heuristic language ID: stopword-hit ratio per language, label =
     * argmax when above `threshold`, else "und". Deterministic, exact
     * double division — oracle-able in SQL.
@@ -63,9 +95,7 @@ object TextAnalysis {
   def languageScore(df: DataFrame, idCol: String, textCol: String,
                     lang: String, threshold: Double = 0.08): DataFrame = {
     val toks = split(col(textCol), " ")
-    val stop = StopwordSets(lang)
-    val hits = size(filter(toks,
-      t => stop.map(s => t === s).reduce(_ || _))).cast(LongType)
+    val hits = stopHitsCol(toks, lang).cast(LongType)
     df.select(
       col(idCol),
       hits.as("stop_hits"),
@@ -88,19 +118,11 @@ object TextAnalysis {
   def qualityScore(df: DataFrame, idCol: String, textCol: String,
                    lang: String = "en"): DataFrame = {
     val toks = split(col(textCol), " ")
-    val stop = StopwordSets(lang)
-    val hits = size(filter(toks, t => stop.map(s => t === s).reduce(_ || _)))
-    val stopRatio = hits.cast(DoubleType) / size(toks).cast(DoubleType)
-    val nChar = length(col(textCol))
-    val punctRatio = (nChar - length(regexp_replace(col(textCol),
-      """[\p{Punct}]""", ""))).cast(DoubleType) / nChar.cast(DoubleType)
-    val nTok = size(toks).cast(LongType)
-    df.select(col(idCol), nTok.as("n_tokens"),
-        stopRatio.as("stop_ratio"), punctRatio.as("punct_ratio"))
+    df.select(col(idCol), size(toks).cast(LongType).as("n_tokens"),
+        stopRatioCol(toks, lang).as("stop_ratio"),
+        punctRatioCol(col(textCol)).as("punct_ratio"))
       .withColumn("quality",
-        lit(0.5) * least(col("stop_ratio") / 0.08, lit(1.0)) +
-          lit(0.3) * least(col("n_tokens").cast(DoubleType) / 100.0, lit(1.0)) +
-          lit(0.2) * (lit(1.0) - least(col("punct_ratio") / 0.2, lit(1.0))))
+        qualityCol(col("stop_ratio"), col("n_tokens"), col("punct_ratio")))
       .withColumn("keep", (col("quality") >= 0.5).cast(IntegerType))
   }
 
@@ -137,16 +159,11 @@ object TextAnalysis {
                      minStopRatio: Double = 0.04,
                      maxDup2: Double = 0.08,
                      minQuality: Double = 0.6): DataFrame = {
-    val stop = StopwordSets(lang)
     val base = df.select(col(idCol), col(textCol).as("_t"),
       split(col(textCol), " ").as("_toks"))
     val nTok = size(col("_toks")).cast(LongType)
-    val hits = size(filter(col("_toks"),
-      t => stop.map(s => t === s).reduce(_ || _)))
-    val stopRatio = hits.cast(DoubleType) / size(col("_toks")).cast(DoubleType)
-    val nChar = length(col("_t"))
-    val punctRatio = (nChar - length(regexp_replace(col("_t"),
-      """[\p{Punct}]""", ""))).cast(DoubleType) / nChar.cast(DoubleType)
+    val stopRatio = stopRatioCol(col("_toks"), lang)
+    val punctRatio = punctRatioCol(col("_t"))
     val g2 = when(size(col("_toks")) >= 2,
       transform(sequence(lit(0), size(col("_toks")) - 2),
         i => concat_ws(" ", slice(col("_toks"), i + 1, lit(2)))))
@@ -155,10 +172,7 @@ object TextAnalysis {
       (size(g2) - size(array_distinct(g2))).cast(DoubleType) /
         size(g2).cast(DoubleType))
       .otherwise(lit(0.0))
-    val quality =
-      lit(0.5) * least(stopRatio / 0.08, lit(1.0)) +
-        lit(0.3) * least(nTok.cast(DoubleType) / 100.0, lit(1.0)) +
-        lit(0.2) * (lit(1.0) - least(punctRatio / 0.2, lit(1.0)))
+    val quality = qualityCol(stopRatio, nTok, punctRatio)
     base.select(col(idCol),
       nTok.as("n_tokens"),
       stopRatio.as("stop_ratio"),

@@ -494,8 +494,9 @@ object PipelineQueries {
         |   CAST(len(toks) AS BIGINT) AS n_tokens,
         |   CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS DOUBLE)
         |     / CAST(len(toks) AS DOUBLE) AS stop_ratio,
-        |   CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
-        |     / CAST(length(text) AS DOUBLE) AS punct_ratio
+        |   CASE WHEN length(text) > 0 THEN
+        |     CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+        |       / CAST(length(text) AS DOUBLE) ELSE 0.0 END AS punct_ratio
         | FROM t),
         | q AS (SELECT doc_id,
         |   0.5 * least(stop_ratio / 0.08, 1.0)
@@ -1407,8 +1408,9 @@ object PipelineQueries {
         |   CAST(len(toks) AS BIGINT) AS n_tokens,
         |   CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS DOUBLE)
         |     / CAST(len(toks) AS DOUBLE) AS stop_ratio,
-        |   CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
-        |     / CAST(length(text) AS DOUBLE) AS punct_ratio
+        |   CASE WHEN length(text) > 0 THEN
+        |     CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+        |       / CAST(length(text) AS DOUBLE) ELSE 0.0 END AS punct_ratio
         | FROM t)
         |SELECT doc_id, n_tokens, stop_ratio, punct_ratio,
         |  0.5 * least(stop_ratio / 0.08, 1.0)
@@ -1709,8 +1711,9 @@ object PipelineQueries {
         |   CAST(len(toks) AS BIGINT) AS n_tokens,
         |   CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS DOUBLE)
         |     / CAST(len(toks) AS DOUBLE) AS stop_ratio,
-        |   CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
-        |     / CAST(length(text) AS DOUBLE) AS punct_ratio
+        |   CASE WHEN length(text) > 0 THEN
+        |     CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+        |       / CAST(length(text) AS DOUBLE) ELSE 0.0 END AS punct_ratio
         | FROM t),
         | d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         | sh2 AS (SELECT doc_id, unnest(range(1, len(ws))) AS i, ws FROM d WHERE len(ws) >= 2),
@@ -2221,7 +2224,8 @@ object PipelineQueries {
         |        GROUP BY 1, 2),
         | s1 AS (SELECT qid, cid,
         |          CAST(adot AS DOUBLE) * am.am / sqrt(CAST(n.nrm AS DOUBLE)) AS score1
-        |        FROM ad JOIN am ON am.vec_id = cid JOIN n ON n.vec_id = cid),
+        |        FROM ad JOIN am ON am.vec_id = cid JOIN n ON n.vec_id = cid
+        |        WHERE n.nrm > 0),
         | sl AS (SELECT qid, cid FROM (
         |          SELECT qid, cid,
         |            row_number() OVER (PARTITION BY qid ORDER BY score1 DESC, cid) AS r
@@ -2235,7 +2239,8 @@ object PipelineQueries {
         |           CAST(dot AS DOUBLE) /
         |             sqrt(CAST(nq.nrm AS DOUBLE) * CAST(nc.nrm AS DOUBLE)) AS sim
         |         FROM d JOIN n nq ON nq.vec_id = d.qid
-        |         JOIN n nc ON nc.vec_id = d.cid)
+        |         JOIN n nc ON nc.vec_id = d.cid
+        |         WHERE nq.nrm > 0)
         |SELECT qid, cid, sim, rank FROM
         |  (SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS BIGINT) AS rank
         |   FROM fin) r

@@ -114,6 +114,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"int8 rerank recall below floor: $recall")
   }
 
+  test("int8 rerank: zero-norm vectors are excluded on both sides, not NULL-dropped") {
+    // cosine against the zero vector is undefined; Spark's 0/0 is NULL
+    // where DuckDB's is NaN, so the operator EXCLUDES zero-norm rows
+    // structurally (scaladoc contract) — a zero candidate never
+    // surfaces, a zero query emits no rows
+    val base = (1L to 40L).map(i =>
+      (i, Array.tabulate(8)(d => (((i * 7 + d * 13) % 19).toFloat - 9) / 10)))
+    val withZero = (base :+ (99L, Array.fill(8)(0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.int8RerankTopK(
+      withZero.filter($"vec_id" <= 3 || $"vec_id" === 99L), withZero, 3,
+      shortlist = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!got.exists(_._2 == 99L), s"zero-norm candidate surfaced: ${got.toSeq}")
+    assert(!got.exists(_._1 == 99L), s"zero-norm query emitted rows: ${got.toSeq}")
+    assert(got.map(_._1).distinct.sorted.sameElements(Seq(1L, 2L, 3L)), got.toSeq)
+  }
+
   test("PQ ANN: shortlist re-rank clears the 80% recall floor vs exact L2") {
     // m (subspace count) is the lever this pins: m=8 sits at 0.78,
     // below the floor sim06 enforces; the m=16 default measures
