@@ -72,6 +72,72 @@ object Graph {
     ranks
   }
 
+  /** Personalized PageRank: random walk with restart to a SEED SET —
+    * the trust/quality-propagation shape (TrustRank-style) a curation
+    * pipeline runs to expand a small set of vetted sources into
+    * corpus-wide source scores: teleport mass goes ONLY to the seeds,
+    * so rank concentrates in the seeds' neighborhood instead of
+    * spreading globally ([[pageRank]]'s uniform teleport).
+    *
+    * `seeds`' first column holds node ids (must be nodes of the
+    * graph). r₀ = 1/|S| on seeds, 0 elsewhere; each round
+    * r' = reset·1_S/|S| + damping·Σ contrib with edge contributions
+    * quantized to 12 dp via the engine-portable `floor(q·10¹² + 0.5)`
+    * idiom (the km05 lesson: a raw double→DECIMAL cast rounds the
+    * shortest decimal string in Spark but the exact binary in DuckDB,
+    * and this walk's sparse rank vector lands on half boundaries that
+    * [[pageRank]]'s dense uniform vector happens to avoid) — exact
+    * per-node sums + three correctly-rounded IEEE ops, so every
+    * iteration is bit-identical across engines and partitionings.
+    *
+    * Scale shape: identical to [[pageRank]] — per round one |E| join +
+    * one keyed agg; the seed flag rides the materialized node table
+    * (one broadcast-joined bit, computed once).
+    */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+                           iterations: Int,
+                           damping: Double = 0.85, reset: Double = 0.15,
+                           srcCol: String = "src", dstCol: String = "dst",
+                           checkpoint: Boolean = true): DataFrame = {
+    require(iterations >= 0, "iterations must be non-negative")
+    def cp(df: DataFrame): DataFrame =
+      if (checkpoint) df.localCheckpoint() else df
+    val e = edges.select(col(srcCol).cast(LongType).as("src"),
+      col(dstCol).cast(LongType).as("dst"))
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val ed = cp(e.join(deg, "src"))
+    val sd = seeds.select(seeds.columns.head).toDF("_sv")
+      .select(col("_sv").cast(LongType).as("_sv"), lit(1).as("_isSeed"))
+    // seed flag materialized onto the node table once
+    val nodes = cp(ed.select(col("src").as("v")).distinct()
+      .join(broadcast(sd), col("v") === col("_sv"), "left")
+      .select(col("v"), coalesce(col("_isSeed"), lit(0)).as("_isSeed")))
+    val nSeeds = nodes.filter(col("_isSeed") === 1).count()
+    require(nSeeds > 0, "no seed id is a node of the graph")
+    var ranks = nodes.select(col("v"),
+      when(col("_isSeed") === 1, lit(1.0 / nSeeds)).otherwise(lit(0.0)).as("r"))
+    var prevCp: DataFrame = null
+    for (_ <- 1 to iterations) {
+      val contrib = ed
+        .join(ranks.select(col("v").as("src"), col("r")), "src")
+        .select(col("dst"),
+          (floor(col("r") / col("outdeg") * 1000000000000.0 + 0.5)
+            .cast(DecimalType(14, 0)) *
+            lit(new java.math.BigDecimal("0.000000000001"))).as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("cs"))
+      val next = cp(nodes
+        .join(contrib, col("v") === col("dst"), "left")
+        .select(col("v"), col("_isSeed"),
+          (when(col("_isSeed") === 1, lit(reset / nSeeds)).otherwise(lit(0.0)) +
+            lit(damping) * coalesce(col("cs").cast(DoubleType), lit(0.0)))
+            .as("r")))
+      if (prevCp != null) prevCp.unpersist()
+      prevCp = ranks
+      ranks = next
+    }
+    ranks.select(col("v"), col("r"))
+  }
+
   /** Per-node triangle counts over an undirected edge list — the local
     * clustering signal community-detection and spam/link-farm scoring
     * pipelines attach to web-graph nodes. Returns (node, n_tri) for

@@ -2754,6 +2754,69 @@ object PipelineQueries {
         .orderBy("node")
     },
 
+    // Personalized PageRank (random walk with restart): teleport mass
+    // goes ONLY to the 5 lowest customer nodes — the TrustRank-style
+    // seed-set propagation that expands a handful of vetted sources
+    // into corpus-wide source scores (vs gr01's uniform teleport).
+    // Same exact-decimal contribution quantization as gr01; 3 rounds
+    // unrolled in the oracle; top-20 by score.
+    QueryDef("gr07_personalized_pr",
+      """WITH pairs AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+        |       FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        | edges AS (SELECT c * 2 AS src, s * 2 + 1 AS dst FROM pairs
+        |           UNION ALL SELECT s * 2 + 1, c * 2 FROM pairs),
+        | deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+        | ed AS (SELECT e.src, e.dst, d.outdeg FROM edges e JOIN deg d USING (src)),
+        | nodes AS (SELECT DISTINCT src AS v FROM edges),
+        | sd AS (SELECT v FROM nodes WHERE v % 2 = 0 ORDER BY v LIMIT 5),
+        | ns AS (SELECT count(*) AS s FROM sd),
+        | r0 AS (SELECT nd.v,
+        |          CASE WHEN sd.v IS NOT NULL THEN 1.0 / ns.s ELSE 0.0 END AS r
+        |        FROM nodes nd CROSS JOIN ns LEFT JOIN sd ON sd.v = nd.v),
+        | c1 AS (SELECT dst, sum(CAST(floor(r / outdeg * 1000000000000.0 + 0.5) AS DECIMAL(14,0)) * CAST(0.000000000001 AS DECIMAL(13,12))) AS cs
+        |        FROM ed JOIN r0 ON ed.src = r0.v GROUP BY dst),
+        | r1 AS (SELECT nd.v,
+        |          CASE WHEN sd.v IS NOT NULL THEN 0.15 / ns.s ELSE 0.0 END
+        |            + 0.85 * CAST(COALESCE(c1.cs, 0) AS DOUBLE) AS r
+        |        FROM nodes nd CROSS JOIN ns
+        |        LEFT JOIN sd ON sd.v = nd.v LEFT JOIN c1 ON c1.dst = nd.v),
+        | c2 AS (SELECT dst, sum(CAST(floor(r / outdeg * 1000000000000.0 + 0.5) AS DECIMAL(14,0)) * CAST(0.000000000001 AS DECIMAL(13,12))) AS cs
+        |        FROM ed JOIN r1 ON ed.src = r1.v GROUP BY dst),
+        | r2 AS (SELECT nd.v,
+        |          CASE WHEN sd.v IS NOT NULL THEN 0.15 / ns.s ELSE 0.0 END
+        |            + 0.85 * CAST(COALESCE(c2.cs, 0) AS DOUBLE) AS r
+        |        FROM nodes nd CROSS JOIN ns
+        |        LEFT JOIN sd ON sd.v = nd.v LEFT JOIN c2 ON c2.dst = nd.v),
+        | c3 AS (SELECT dst, sum(CAST(floor(r / outdeg * 1000000000000.0 + 0.5) AS DECIMAL(14,0)) * CAST(0.000000000001 AS DECIMAL(13,12))) AS cs
+        |        FROM ed JOIN r2 ON ed.src = r2.v GROUP BY dst),
+        | r3 AS (SELECT nd.v,
+        |          CASE WHEN sd.v IS NOT NULL THEN 0.15 / ns.s ELSE 0.0 END
+        |            + 0.85 * CAST(COALESCE(c3.cs, 0) AS DOUBLE) AS r
+        |        FROM nodes nd CROSS JOIN ns
+        |        LEFT JOIN sd ON sd.v = nd.v LEFT JOIN c3 ON c3.dst = nd.v)
+        |SELECT CAST(v AS BIGINT) AS node,
+        |  CASE WHEN v % 2 = 0 THEN 'cust' ELSE 'supp' END AS node_type,
+        |  r AS score
+        |FROM r3 ORDER BY score DESC, node LIMIT 20""".stripMargin) { (s, dir) =>
+      val pairs = Tables.load(s, dir, "orders")
+        .join(Tables.load(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("sup"))
+        .distinct()
+      val edges = pairs.select(explode(array(
+          struct((col("c") * 2).as("src"), (col("sup") * 2 + 1).as("dst")),
+          struct((col("sup") * 2 + 1).as("src"), (col("c") * 2).as("dst"))))
+          .as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      val seeds = edges.select(col("src").as("v")).distinct()
+        .filter(col("v") % 2 === 0).orderBy("v").limit(5)
+      graft.operators.Graph.personalizedPageRank(edges, seeds, iterations = 3)
+        .select(col("v").cast(LongType).as("node"),
+          when(col("v") % 2 === 0, "cust").otherwise("supp").as("node_type"),
+          col("r").as("score"))
+        .orderBy(desc("score"), col("node")).limit(20)
+    },
+
     // ================= multimodal (binary columns) =================
 
     // Deterministic synthetic assets (payload bytes derived from ids) →

@@ -812,6 +812,23 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("personalizedPageRank: mass stays in the seed component and peaks at the seed") {
+    import graft.operators.Graph
+    // two components: a 1–2–3 triangle seeded at 1 (a path would be
+    // bipartite and oscillate), and an unseeded 10–11 pair —
+    // restart-to-seeds must leave the unseeded component at exactly 0
+    // and concentrate rank at the seed, symmetrically on 2/3
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L),
+      (2L, 3L), (3L, 2L), (10L, 11L), (11L, 10L)).toDF("src", "dst")
+    val seeds = Seq(Tuple1(1L)).toDF("v")
+    val r = Graph.personalizedPageRank(edges, seeds, iterations = 4)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r(10L) == 0.0 && r(11L) == 0.0, r.toString)
+    assert(r(1L) > r(2L) && r(2L) == r(3L) && r(3L) > 0.0, r.toString)
+    // walk + restart conserve mass up to the damping leak at sinks
+    assert(math.abs(r.values.sum - 1.0) < 0.2, r.toString)
+  }
+
   test("lloydRounds: members conserved each round, total inertia strictly decreases") {
     import graft.operators.Clustering
     val e = Tables.load(spark, sf, "embeddings")
