@@ -501,11 +501,13 @@ object Multimodal {
     * size — the reduction that makes media near-dup tractable at
     * 100 TB: hash once, then all pairing runs on the hashes).
     */
-  def dHashes(assets: Dataset[MediaAsset], batchSize: Int = 128): Dataset[MediaHash] = {
+  def dHashes(assets: Dataset[MediaAsset]): Dataset[MediaHash] = {
     import assets.sparkSession.implicits._
+    // per-element hashing has no per-batch setup (unlike
+    // extractFeatures), so no grouped() re-batching — it would only
+    // buffer up to batchSize payloads per task for zero benefit
     assets.filter(_.kind == "image").mapPartitions { it =>
-      it.grouped(batchSize).flatMap(_.iterator.map(a =>
-        MediaHash(a.asset_id, dHash64(a.payload))))
+      it.map(a => MediaHash(a.asset_id, dHash64(a.payload)))
     }
   }
 
@@ -654,12 +656,10 @@ object Multimodal {
   }
 
   /** Perceptual hashes for the audio assets — see [[dHashes]]. */
-  def audioHashes(assets: Dataset[MediaAsset],
-                  batchSize: Int = 128): Dataset[MediaHash] = {
+  def audioHashes(assets: Dataset[MediaAsset]): Dataset[MediaHash] = {
     import assets.sparkSession.implicits._
     assets.filter(_.kind == "audio").mapPartitions { it =>
-      it.grouped(batchSize).flatMap(_.iterator.map(a =>
-        MediaHash(a.asset_id, audioHash64(a.payload))))
+      it.map(a => MediaHash(a.asset_id, audioHash64(a.payload)))
     }
   }
 
@@ -799,12 +799,10 @@ object Multimodal {
   }
 
   /** Perceptual hashes for the video assets — see [[dHashes]]. */
-  def videoHashes(assets: Dataset[MediaAsset],
-                  batchSize: Int = 128): Dataset[MediaHash] = {
+  def videoHashes(assets: Dataset[MediaAsset]): Dataset[MediaHash] = {
     import assets.sparkSession.implicits._
     assets.filter(_.kind == "video").mapPartitions { it =>
-      it.grouped(batchSize).flatMap(_.iterator.map(a =>
-        MediaHash(a.asset_id, videoHash64(a.payload))))
+      it.map(a => MediaHash(a.asset_id, videoHash64(a.payload)))
     }
   }
 

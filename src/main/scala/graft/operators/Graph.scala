@@ -52,6 +52,7 @@ object Graph {
     val ed = cp(e.join(deg, "src"))
     val nodes = cp(ed.select(col("src").as("v")).distinct())
     val n = nodes.count()
+    require(n > 0, "pageRank needs a non-empty graph (1/n teleport)")
     var ranks = nodes.select(col("v"), lit(1.0 / n).as("r"))
     var prevCp: DataFrame = null
     for (_ <- 1 to iterations) {
@@ -164,14 +165,29 @@ object Graph {
     */
   def triangleCounts(edges: DataFrame, srcCol: String = "src",
                      dstCol: String = "dst"): DataFrame = {
-    val und = edges
+    val und = undirectedEdges(edges, srcCol, dstCol)
+    triangleCountsFrom(und, undirectedDegrees(und))
+  }
+
+  /** Canonical undirected, de-duplicated, loop-free edge set (a < b). */
+  private def undirectedEdges(edges: DataFrame, srcCol: String,
+                              dstCol: String): DataFrame =
+    edges
       .select(least(col(srcCol), col(dstCol)).cast(LongType).as("a"),
         greatest(col(srcCol), col(dstCol)).cast(LongType).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
-    val deg = und
-      .select(explode(array(col("a"), col("b"))).as("v"))
-      .groupBy("v").agg(count(lit(1)).as("deg"))
+
+  /** (v, deg) over a canonical undirected edge set. */
+  private def undirectedDegrees(und: DataFrame): DataFrame = und
+    .select(explode(array(col("a"), col("b"))).as("v"))
+    .groupBy("v").agg(count(lit(1)).as("deg"))
+
+  /** [[triangleCounts]] body over precomputed (und, deg) — shared with
+    * [[clusteringCoefficients]] so the caller pays the edge
+    * canonicalization shuffle and the degree aggregation ONCE.
+    */
+  private def triangleCountsFrom(und: DataFrame, deg: DataFrame): DataFrame = {
     // orient low-(deg, id) → high-(deg, id); carry the head's rank key
     // so the wedge join can order the two spokes without re-joining deg
     val oriented = und
@@ -258,16 +274,10 @@ object Graph {
     */
   def clusteringCoefficients(edges: DataFrame, srcCol: String = "src",
                              dstCol: String = "dst"): DataFrame = {
-    val und = edges
-      .select(least(col(srcCol), col(dstCol)).cast(LongType).as("a"),
-        greatest(col(srcCol), col(dstCol)).cast(LongType).as("b"))
-      .filter(col("a") =!= col("b"))
-      .distinct()
-    val deg = und
-      .select(explode(array(col("a"), col("b"))).as("node"))
-      .groupBy("node").agg(count(lit(1)).as("deg"))
-    deg.filter(col("deg") >= 2)
-      .join(triangleCounts(edges, srcCol, dstCol), Seq("node"), "left")
+    val und = undirectedEdges(edges, srcCol, dstCol)
+    val deg = undirectedDegrees(und)
+    deg.select(col("v").as("node"), col("deg")).filter(col("deg") >= 2)
+      .join(triangleCountsFrom(und, deg), Seq("node"), "left")
       .select(col("node"), col("deg"),
         coalesce(col("n_tri"), lit(0L)).as("n_tri"),
         ((coalesce(col("n_tri"), lit(0L)) * 2).cast(DoubleType) /

@@ -246,8 +246,11 @@ object Quality {
     */
   def iqrFences(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "iqrFences needs at least one column")
+    // backtick-quote the interpolated name (the fdViolations/qcol
+    // discipline): a column named `order count` must not parse as SQL
+    def qname(c: String): String = "`" + c.replace("`", "``") + "`"
     val fences = df.select(cols.map(c =>
-      expr(s"percentile($c, array(0.25D, 0.75D))").as(s"_q_$c")): _*)
+      expr(s"percentile(${qname(c)}, array(0.25D, 0.75D))").as(s"_q_$c")): _*)
     val withF = df.select(cols.map(c => col(c)): _*)
       .crossJoin(broadcast(fences))
     val aggs = cols.flatMap { c =>

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+import org.apache.spark.sql.types.{ByteType, DecimalType, DoubleType, IntegerType, LongType, ShortType}
 
 import graft.functions.TopKAgg
 
@@ -160,6 +160,12 @@ object Sampling {
   def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
                      k: Int): DataFrame = {
     require(k > 0, "k must be positive")
+    // keys ride through the bounded top-k aggregate as bigint; a lossy
+    // cast (string, decimal) would null out and the aggregate would
+    // silently skip every row (the Similarity.requireIntegralId guard)
+    val kt = df.schema(keyCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(kt),
+      s"keyCol '$keyCol' must be integral (byte/short/int/long): got $kt")
     val u40 = conv(substring(md5(col(keyCol).cast("string")), 1, 10), 16, 10)
       .cast(LongType)
     val winners = df.filter(col(weightCol) > 0)
@@ -193,8 +199,10 @@ object Sampling {
     * integer floor division `(k·u_h) div Σu` — every engine computes
     * the identical split (floor allocations may sum to slightly
     * under k; the remainder is deliberately unassigned). BIGINT
-    * bounds: fine to ~10⁹ rows × 10⁴ values per stratum; a 100 TB
-    * deployment widens the three sums to DECIMAL(38,0).
+    * bounds: u_h = N_h·S_h·10⁶ and the k·u_h product must both fit a
+    * long, so N_h·S_h ≤ ~9·10¹²/k — at k=200 that is ~10⁷ rows × 10³
+    * values (or 10⁶ × 10⁴) per stratum; a 100 TB deployment widens
+    * the moment sums and u_h to DECIMAL(38,0).
     *
     * Scale shape: one keyed aggregation over the table plus a
     * broadcast scalar — the allocation itself never shuffles data.

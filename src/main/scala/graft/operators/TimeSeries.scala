@@ -84,8 +84,11 @@ object TimeSeries {
     * Cross-engine determinism: the series is integer-valued and all
     * five moment sums (Σx, Σy, Σx², Σy², Σxy) stay in exact BIGINT, so
     * both Pearson numerator n·Σxy − Σx·Σy and the two variance terms
-    * are exact integers (well under 2⁵³ for any rollup-sized series —
-    * guarded by require below); the only floating point is one
+    * are exact integers for any rollup-sized series — CALLER CONTRACT:
+    * n·Σ(x·x) must stay under 2⁶³ (≈ 10⁴ daily buckets × values to
+    * ~10⁶; a data-dependent bound no plan-time require can check —
+    * wider series should pre-scale or widen to DECIMAL); the only
+    * floating point is one
     * division against sqrt(da)·sqrt(db) — three correctly-rounded IEEE
     * ops on identical operands, bit-identical on any engine.
     *
@@ -219,8 +222,11 @@ object TimeSeries {
 
   def ewmaTruncated(series: DataFrame, tCol: String, xCol: String,
                     maxLag: Int = 12, alpha: Double = 0.5): DataFrame = {
-    require(maxLag >= 1 && maxLag <= 17,
-      s"maxLag must be in [1,17] for exact DECIMAL(20,13) weights, got $maxLag")
+    // 2^-(lag+1) needs lag+1 decimal digits; the (14,13) weight type
+    // holds 13, so lag 12 (2^-13, 13 digits) is the last EXACT weight —
+    // maxLag 13+ would silently round w and break the determinism claim
+    require(maxLag >= 1 && maxLag <= 12,
+      s"maxLag must be in [1,12] for exact DECIMAL(14,13) weights, got $maxLag")
     val s = series.select(col(tCol).cast(LongType).as("t"),
       col(xCol).cast(LongType).as("x"))
     val a = s.select(col("t"), col("x"),

@@ -3882,15 +3882,17 @@ object PipelineQueries {
 
     // Day-of-week seasonal baseline + residuals over the daily series:
     // phase = epoch-day mod 7 (pure arithmetic — NOT a calendar
-    // dayofweek(), whose numbering engines disagree on), phase means
-    // from exact integer sums, residual one IEEE subtraction. The
-    // 7-row phase table broadcasts back onto the rollup.
+    // dayofweek(), whose numbering engines disagree on; the oracle's
+    // sign-safe ((t%7)+7)%7 matches the engine's pmod for pre-epoch
+    // days too), phase means from exact integer sums, residual one
+    // IEEE subtraction. The 7-row phase table broadcasts back onto
+    // the rollup.
     QueryDef("ev19_seasonal",
       """WITH d AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
         |             count(*) AS x FROM events GROUP BY 1),
         | s AS (SELECT CAST(day - DATE '1970-01-01' AS BIGINT) AS t,
         |              CAST(x AS BIGINT) AS x FROM d),
-        | p AS (SELECT t, x, t % 7 AS phase FROM s),
+        | p AS (SELECT t, x, ((t % 7) + 7) % 7 AS phase FROM s),
         | m AS (SELECT phase, CAST(sum(x) AS BIGINT) AS sx,
         |         count(*) AS n FROM p GROUP BY 1)
         |SELECT DATE '1970-01-01' + CAST(t AS INTEGER) AS day,
