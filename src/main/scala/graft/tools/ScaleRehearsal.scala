@@ -236,6 +236,24 @@ object ScaleRehearsal {
       measure(s"gr06_labelprop3    $tag") {
         graft.operators.Graph.labelPropagation(sym, rounds = 3).count()
       }
+      // seed-set restart: per-round cost identical to pageRank (one |E|
+      // join + one keyed agg); seeds = 10 lowest nodes per copy so the
+      // restart mass scales with the replicated graph
+      measure(s"gr07_personalpr3   $tag") {
+        val seeds = sym.select(col("src").as("v")).distinct()
+          .orderBy("v").limit(10)
+        graft.operators.Graph.personalizedPageRank(sym, seeds,
+          iterations = 3).count()
+      }
+    }
+
+    // Lloyd loop at 1×/10× corpus: each round = broadcast assign (one
+    // exchanged row per vector) + (cluster, pos) partial-sum update —
+    // shuffle must scale linearly in N, never N·k
+    for ((tag, ep) <- Seq(("1x", e1), ("10x", e10))) {
+      measure(s"km05_lloyd2        $tag") {
+        Clustering.lloydRounds(embAt(ep), 8, rounds = 2).count()
+      }
     }
 
     // JL projection: a pure narrow pass — shuffle stays ZERO at any
