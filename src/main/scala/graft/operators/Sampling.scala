@@ -287,6 +287,29 @@ object Sampling {
       .drop("_copies")
   }
 
+  /** Stratified, leakage-safe k-fold cross-validation assignment:
+    * fold = ⌊u·k / 2³²⌋ from a 32-bit md5 slice of the GROUP key (the
+    * sp07 discipline — near-duplicate documents from one source can
+    * never straddle folds, which is what makes CV scores honest on
+    * web-scale corpora). Exact integer arithmetic — `(u·k) div 2³²` —
+    * so the assignment replays bit-for-bit on any engine; the hash is
+    * salted with `seed` so independent CV repeats are independent
+    * partitions. Returns the input plus a `fold` column in [0, k).
+    *
+    * Scale: a scan-fused per-row projection, zero shuffle, no RNG.
+    */
+  def kFoldAssign(df: DataFrame, groupCol: String, k: Int,
+                  seed: String = "cv1"): DataFrame = {
+    require(k >= 2, s"k-fold needs k >= 2, got $k")
+    val u = conv(substring(md5(concat(lit(seed + "_"),
+      col(groupCol).cast("string"))), 1, 8), 16, 10).cast(LongType)
+    df.withColumn("_u", u)
+      // SQL `div`: exact BIGINT floor division on non-negative
+      // operands in Spark and DuckDB alike (the sp08 idiom)
+      .withColumn("fold", expr(s"(_u * $k) div 4294967296"))
+      .drop("_u")
+  }
+
   /** Cumulative Poisson(λ=1) CDF at k = 0..5, scaled to 32-bit hex
     * LITERALS (floor(P(X≤k)·2³²) rendered as 8 lowercase hex digits).
     * Hard-coded so replicate counts come from pure string compares —

@@ -250,4 +250,38 @@ object TimeSeries {
         (col("num").cast(DoubleType) / col("den").cast(DoubleType))
           .as("ewma"))
   }
+
+  /** Engagement stickiness: per day, DAU (distinct active users that
+    * day), WAU (distinct users over the trailing 7 days) and the
+    * DAU/WAU ratio — the "how habitual is usage" metric every product
+    * analytics stack reports, and a distinct composition from ev14's
+    * cohort matrix: a rolling DISTINCT count, which no window frame
+    * can express directly.
+    *
+    * Shape: the event stream first collapses to DISTINCT (user, day)
+    * pairs — everything after is bounded by users×days, not events.
+    * The trailing window is a range join of the day spine onto those
+    * pairs (≤ 7 pairs-copies per day) + one count-distinct per day;
+    * ratio = one IEEE division of exact longs.
+    *
+    * Scale: the dedup is the only event-volume shuffle; the spine join
+    * broadcasts (days are rollup-sized) and each day's distinct-count
+    * partial-aggregates map-side.
+    */
+  def stickiness(events: DataFrame, tsCol: String = "ts",
+                 userCol: String = "user_id"): DataFrame = {
+    val ud = events
+      .select(to_date(col(tsCol)).as("day"), col(userCol).as("u"))
+      .distinct()
+    val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+    val spine = dau.select(col("day").as("d"))
+    val wau = ud.join(broadcast(spine),
+        col("day") <= col("d") && col("day") >= date_sub(col("d"), 6))
+      .groupBy(col("d"))
+      .agg(countDistinct(col("u")).as("wau"))
+    dau.join(wau, col("day") === col("d"))
+      .select(col("day"), col("dau"), col("wau"),
+        (col("dau").cast(DoubleType) / col("wau").cast(DoubleType))
+          .as("stickiness"))
+  }
 }

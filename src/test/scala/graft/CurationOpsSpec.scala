@@ -812,6 +812,63 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("tableFingerprint: order-invariant, and any row change moves the checksum") {
+    import graft.operators.Quality
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "s")
+    def fp(df: org.apache.spark.sql.DataFrame) =
+      Quality.tableFingerprint(df, Seq("k", "s")).collect().head
+    val f0 = fp(base)
+    // row order and partitioning are invisible to the additive fold
+    assert(fp(base.repartition(7)).toString == f0.toString)
+    assert(fp(base.orderBy(desc("k"))).toString == f0.toString)
+    // one changed value, one duplicated row, one dropped row all move it
+    assert(fp(Seq((1L, "a"), (2L, "B"), (3L, "c")).toDF("k", "s"))
+      .getLong(1) != f0.getLong(1))
+    val dup = fp(base.unionAll(Seq((3L, "c")).toDF("k", "s")))
+    assert(dup.getLong(0) == 4L && dup.getLong(1) != f0.getLong(1))
+    assert(fp(base.filter($"k" =!= 2L)).getLong(1) != f0.getLong(1))
+    // NULL and empty string fingerprint differently (sentinel render)
+    val n1 = fp(Seq((1L, null: String)).toDF("k", "s"))
+    val n2 = fp(Seq((1L, "")).toDF("k", "s"))
+    assert(n1.getLong(1) != n2.getLong(1))
+  }
+
+  test("kFoldAssign: folds partition sources, stay in range, vary by seed") {
+    import graft.operators.Sampling
+    val d = Tables.load(spark, sf, "documents")
+    val a = Sampling.kFoldAssign(d, "source", 5)
+      .select("source", "fold").collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(a.forall { case (_, f) => f >= 0 && f < 5 }, "fold out of range")
+    // leakage-safety: one fold per source
+    a.groupBy(_._1).foreach { case (src, fs) =>
+      assert(fs.map(_._2).distinct.length == 1, s"source $src straddles folds")
+    }
+    // the gate corpus populates every fold
+    assert(a.map(_._2).distinct.length == 5, a.map(_._2).distinct.toSeq.toString)
+    val b = Sampling.kFoldAssign(d, "source", 5, seed = "cv2")
+      .select("source", "fold").collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(!a.sameElements(b), "seeds cv1/cv2 produced identical folds")
+  }
+
+  test("stickiness: DAU/WAU window boundary at exactly 7 days") {
+    import graft.operators.TimeSeries
+    def ts(d: Int): java.sql.Timestamp =
+      java.sql.Timestamp.valueOf(f"2024-01-$d%02d 12:00:00")
+    // user 3 is active ONLY on day 1 — exactly 7 days before day 8, so
+    // it sits OUTSIDE day 8's trailing window [2..8]; a window
+    // erroneously spanning 8 days would count it
+    val ev = Seq((1L, ts(1)), (1L, ts(8)), (2L, ts(2)), (2L, ts(8)),
+      (3L, ts(1))).toDF("user_id", "ts")
+    val got = TimeSeries.stickiness(ev).collect()
+      .map(r => r.getDate(0).toString -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got("2024-01-01") == ((2L, 2L)), got.toString)
+    assert(got("2024-01-02") == ((1L, 3L)), got.toString) // window spans day 1
+    // day 8: users 1+2 active (dau 2); window [2..8] excludes user 3
+    assert(got("2024-01-08") == ((2L, 2L)), got.toString)
+  }
+
   test("personalizedPageRank: mass stays in the seed component and peaks at the seed") {
     import graft.operators.Graph
     // two components: a 1–2–3 triangle seeded at 1 (a path would be

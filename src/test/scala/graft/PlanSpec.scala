@@ -420,6 +420,22 @@ class PlanSpec extends AnyFunSuite {
     assert(countExchanges("ta25_curation") <= 1, plan)
   }
 
+  test("sp11/dq09: fold assignment and fingerprints stay scan-fused — no join, no window") {
+    for (q <- Seq("sp11_kfold", "dq09_table_fingerprint")) {
+      val plan = planOf(q)
+      assert(!plan.contains("Window"), s"$q:\n$plan")
+      assert(!plan.contains("Join"), s"$q:\n$plan")
+    }
+    // the per-doc fold table needs no aggregation at all
+    assert(countExchanges("sp11_kfold") <= 1, planOf("sp11_kfold"))
+  }
+
+  test("ev22: rolling distinct count joins the broadcast day spine, no window") {
+    val plan = planOf("ev22_stickiness")
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("BroadcastExchange"), plan)
+  }
+
   test("km05: the Lloyd loop stays window-free — argmins are partial min(struct)") {
     // both rounds' nearest-centroid picks must collapse map-side; a
     // rank-window assignment would ship N·k scored rows per round
