@@ -284,11 +284,13 @@ object Quality {
     *
     * Rendering contract: restrict `cols` to types whose string cast is
     * engine-canonical (integers, strings, dates) — a double renders
-    * differently across engines. NULLs coalesce to a reserved sentinel
-    * so (NULL) and ("") fingerprint differently. The per-row hash is a
-    * 40-bit slice of md5 (engine-portable, vs xxhash64), summed in
-    * BIGINT: exact to ~2²² rows; a larger table widens the sum to
-    * DECIMAL(38,0) — one cast, same shape.
+    * differently across engines. The render is UNAMBIGUOUS: each
+    * field escapes backslash then the `|` delimiter before joining,
+    * and NULL renders as the unescapable token `\N`, so
+    * ("a|b","c") vs ("a","b|c") and NULL vs "" all fingerprint
+    * differently. The per-row hash is a 40-bit slice of md5
+    * (engine-portable, vs xxhash64), summed in DECIMAL(38,0) --
+    * exact far past any realistic row count.
     *
     * Scale: one narrow render+hash pass fused into the scan, one
     * 4-value aggregation — no shuffle beyond the single partial-agg
@@ -296,12 +298,26 @@ object Quality {
     */
   def tableFingerprint(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "tableFingerprint needs at least one column")
-    val rendered = concat_ws("|",
-      cols.map(c => coalesce(col(c).cast("string"), lit(" NULL"))): _*)
+    // unambiguous render: escape backslash then the delimiter per
+    // field; NULL becomes the unescapable token \N (a literal "\N"
+    // field escapes its backslash) -- ("a|b","c") vs ("a","b|c") and
+    // NULL vs "" all hash differently
+    def field(c: String): Column = coalesce(
+      replace(replace(col(c).cast("string"), lit("\\"), lit("\\\\")),
+        lit("|"), lit("\\|")),
+      lit("\\N"))
+    val rendered = concat_ws("|", cols.map(field): _*)
     val h = conv(substring(md5(rendered), 1, 10), 16, 10).cast(LongType)
     df.select(h.as("_h"))
+      // DECIMAL(38,0) sum: a BIGINT sum of 40-bit slices would
+      // overflow at ~2^23 rows -- far below real table sizes
+      // checksum renders as the decimal's exact digit string: a
+      // DECIMAL(38,0) column degrades to float in pandas-side readers
+      // (the oracle comparator included), while the digit string is
+      // exact and engine-portable at any magnitude
       .agg(count(lit(1)).cast(LongType).as("n_rows"),
-        sum(col("_h")).as("checksum"),
+        sum(col("_h").cast(DecimalType(38, 0))).cast(StringType)
+          .as("checksum"),
         min(col("_h")).as("min_h"), max(col("_h")).as("max_h"))
   }
 }

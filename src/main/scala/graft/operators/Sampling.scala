@@ -301,8 +301,13 @@ object Sampling {
   def kFoldAssign(df: DataFrame, groupCol: String, k: Int,
                   seed: String = "cv1"): DataFrame = {
     require(k >= 2, s"k-fold needs k >= 2, got $k")
-    val u = conv(substring(md5(concat(lit(seed + "_"),
-      col(groupCol).cast("string"))), 1, 8), 16, 10).cast(LongType)
+    // a NULL group key is its own group (all NULL-key rows share a
+    // fold) rather than propagating to a NULL fold outside [0, k) —
+    // NULL-fold rows would silently vanish from every train AND
+    // validation filter
+    val gk = coalesce(col(groupCol).cast("string"), lit("NULL"))
+    val u = conv(substring(md5(concat(lit(seed + "_"), gk)),
+      1, 8), 16, 10).cast(LongType)
     df.withColumn("_u", u)
       // SQL `div`: exact BIGINT floor division on non-negative
       // operands in Spark and DuckDB alike (the sp08 idiom)

@@ -1136,40 +1136,6 @@ object PipelineQueries {
     // `quantile_cont` — rank p·(n−1), linear interpolation), fences at
     // ±1.5·IQR, out-of-fence counts. Two passes: the columns-sized
     // fence row broadcasts into the counting aggregation.
-    // Order-invariant table fingerprints (migration-validation
-    // primitive): canonical row render → 40-bit md5 slice → additive
-    // count/sum/min/max — two copies of a 100 TB table diff WITHOUT
-    // sorting either side, and any changed/dropped/duplicated row
-    // moves the checksum. Rendered columns restricted to
-    // engine-canonical string casts (ints + strings).
-    QueryDef("dq09_table_fingerprint",
-      """WITH o AS (SELECT ('0x' || substring(md5(
-        |      CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)
-        |      || '|' || o_orderstatus || '|' || o_orderpriority), 1, 10))::BIGINT AS h
-        |    FROM orders),
-        | l AS (SELECT ('0x' || substring(md5(
-        |      CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)
-        |      || '|' || l_returnflag || '|' || l_linestatus), 1, 10))::BIGINT AS h
-        |    FROM lineitem)
-        |SELECT * FROM (
-        |  SELECT 'orders' AS tbl, CAST(count(*) AS BIGINT) AS n_rows,
-        |    CAST(sum(h) AS BIGINT) AS checksum, min(h) AS min_h, max(h) AS max_h
-        |  FROM o
-        |  UNION ALL
-        |  SELECT 'lineitem', count(*), CAST(sum(h) AS BIGINT), min(h), max(h)
-        |  FROM l)
-        |ORDER BY tbl""".stripMargin) { (s, dir) =>
-      val fo = graft.operators.Quality.tableFingerprint(
-        Tables.load(s, dir, "orders"),
-        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
-      val fl = graft.operators.Quality.tableFingerprint(
-        Tables.load(s, dir, "lineitem"),
-        Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus"))
-      fo.select(lit("orders").as("tbl"), col("*"))
-        .unionAll(fl.select(lit("lineitem").as("tbl"), col("*")))
-        .orderBy("tbl")
-    },
-
     QueryDef("dq08_iqr_fences",
       """WITH q AS (SELECT
         |    quantile_cont(l_quantity, 0.25) AS q1q, quantile_cont(l_quantity, 0.75) AS q3q,
@@ -1198,6 +1164,46 @@ object PipelineQueries {
       graft.operators.Quality.iqrFences(Tables.load(s, dir, "lineitem"),
           Seq("l_quantity", "l_extendedprice", "l_discount"))
         .orderBy("col_name")
+    },
+
+    // Order-invariant table fingerprints (migration-validation
+    // primitive): canonical row render → 40-bit md5 slice → additive
+    // count/sum/min/max — two copies of a 100 TB table diff WITHOUT
+    // sorting either side, and any changed/dropped/duplicated row
+    // moves the checksum. Rendered columns restricted to
+    // engine-canonical string casts (ints + strings).
+    QueryDef("dq09_table_fingerprint",
+      """WITH o AS (SELECT ('0x' || substring(md5(
+        |      COALESCE(replace(replace(CAST(o_orderkey AS VARCHAR), '\', '\\'), '|', '\|'), '\N')
+        |      || '|' || COALESCE(replace(replace(CAST(o_custkey AS VARCHAR), '\', '\\'), '|', '\|'), '\N')
+        |      || '|' || COALESCE(replace(replace(o_orderstatus, '\', '\\'), '|', '\|'), '\N')
+        |      || '|' || COALESCE(replace(replace(o_orderpriority, '\', '\\'), '|', '\|'), '\N')),
+        |      1, 10))::BIGINT AS h
+        |    FROM orders),
+        | l AS (SELECT ('0x' || substring(md5(
+        |      COALESCE(replace(replace(CAST(l_orderkey AS VARCHAR), '\', '\\'), '|', '\|'), '\N')
+        |      || '|' || COALESCE(replace(replace(CAST(l_linenumber AS VARCHAR), '\', '\\'), '|', '\|'), '\N')
+        |      || '|' || COALESCE(replace(replace(l_returnflag, '\', '\\'), '|', '\|'), '\N')
+        |      || '|' || COALESCE(replace(replace(l_linestatus, '\', '\\'), '|', '\|'), '\N')),
+        |      1, 10))::BIGINT AS h
+        |    FROM lineitem)
+        |SELECT * FROM (
+        |  SELECT 'orders' AS tbl, CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(CAST(sum(h) AS DECIMAL(38,0)) AS VARCHAR) AS checksum, min(h) AS min_h, max(h) AS max_h
+        |  FROM o
+        |  UNION ALL
+        |  SELECT 'lineitem', count(*), CAST(CAST(sum(h) AS DECIMAL(38,0)) AS VARCHAR), min(h), max(h)
+        |  FROM l)
+        |ORDER BY tbl""".stripMargin) { (s, dir) =>
+      val fo = graft.operators.Quality.tableFingerprint(
+        Tables.load(s, dir, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
+      val fl = graft.operators.Quality.tableFingerprint(
+        Tables.load(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus"))
+      fo.select(lit("orders").as("tbl"), col("*"))
+        .unionAll(fl.select(lit("lineitem").as("tbl"), col("*")))
+        .orderBy("tbl")
     },
 
     // Approximate profile (the wide-table escape dq01's doc promises):
@@ -3937,27 +3943,6 @@ object PipelineQueries {
     // days too), phase means from exact integer sums, residual one
     // IEEE subtraction. The 7-row phase table broadcasts back onto
     // the rollup.
-    // DAU / trailing-7-day WAU stickiness: a rolling DISTINCT count —
-    // inexpressible as a window frame, so the engine collapses events
-    // to distinct (user, day) pairs and range-joins the broadcast day
-    // spine (≤ 7 pair-copies per day). Everything after the dedup is
-    // bounded by users×days, never events.
-    QueryDef("ev22_stickiness",
-      """WITH ud AS (SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
-        |              user_id AS u FROM events),
-        | dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY day),
-        | wau AS (SELECT sp.day AS d, count(DISTINCT ud.u) AS wau
-        |         FROM (SELECT day FROM dau) sp JOIN ud
-        |           ON ud.day <= sp.day AND ud.day >= sp.day - 6
-        |         GROUP BY sp.day)
-        |SELECT dau.day, CAST(dau.dau AS BIGINT) AS dau,
-        |  CAST(wau.wau AS BIGINT) AS wau,
-        |  CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE) AS stickiness
-        |FROM dau JOIN wau ON wau.d = dau.day ORDER BY day""".stripMargin) { (s, dir) =>
-      graft.operators.TimeSeries.stickiness(Tables.events(s, dir))
-        .orderBy("day")
-    },
-
     QueryDef("ev19_seasonal",
       """WITH d AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
         |             count(*) AS x FROM events GROUP BY 1),
@@ -3981,6 +3966,28 @@ object PipelineQueries {
             col("t").cast(IntegerType)).as("day"),
           col("x").as("n_events"), col("phase"), col("phase_mean"),
           col("resid"))
+        .orderBy("day")
+    },
+
+
+    // DAU / trailing-7-day WAU stickiness: a rolling DISTINCT count —
+    // inexpressible as a window frame, so the engine collapses events
+    // to distinct (user, day) pairs and range-joins the broadcast day
+    // spine (≤ 7 pair-copies per day). Everything after the dedup is
+    // bounded by users×days, never events.
+    QueryDef("ev22_stickiness",
+      """WITH ud AS (SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |              user_id AS u FROM events),
+        | dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY day),
+        | wau AS (SELECT sp.day AS d, count(DISTINCT ud.u) AS wau
+        |         FROM (SELECT day FROM dau) sp JOIN ud
+        |           ON ud.day <= sp.day AND ud.day >= sp.day - 6
+        |         GROUP BY sp.day)
+        |SELECT dau.day, CAST(dau.dau AS BIGINT) AS dau,
+        |  CAST(wau.wau AS BIGINT) AS wau,
+        |  CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE) AS stickiness
+        |FROM dau JOIN wau ON wau.d = dau.day ORDER BY day""".stripMargin) { (s, dir) =>
+      graft.operators.TimeSeries.stickiness(Tables.events(s, dir))
         .orderBy("day")
     })
 }

@@ -817,20 +817,27 @@ class CurationOpsSpec extends AnyFunSuite {
     val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "s")
     def fp(df: org.apache.spark.sql.DataFrame) =
       Quality.tableFingerprint(df, Seq("k", "s")).collect().head
+    def ck(r: org.apache.spark.sql.Row): String = r.getString(1)
     val f0 = fp(base)
     // row order and partitioning are invisible to the additive fold
     assert(fp(base.repartition(7)).toString == f0.toString)
     assert(fp(base.orderBy(desc("k"))).toString == f0.toString)
     // one changed value, one duplicated row, one dropped row all move it
-    assert(fp(Seq((1L, "a"), (2L, "B"), (3L, "c")).toDF("k", "s"))
-      .getLong(1) != f0.getLong(1))
+    assert(ck(fp(Seq((1L, "a"), (2L, "B"), (3L, "c")).toDF("k", "s"))) != ck(f0))
     val dup = fp(base.unionAll(Seq((3L, "c")).toDF("k", "s")))
-    assert(dup.getLong(0) == 4L && dup.getLong(1) != f0.getLong(1))
-    assert(fp(base.filter($"k" =!= 2L)).getLong(1) != f0.getLong(1))
+    assert(dup.getLong(0) == 4L && ck(dup) != ck(f0))
+    assert(ck(fp(base.filter($"k" =!= 2L))) != ck(f0))
     // NULL and empty string fingerprint differently (sentinel render)
     val n1 = fp(Seq((1L, null: String)).toDF("k", "s"))
     val n2 = fp(Seq((1L, "")).toDF("k", "s"))
-    assert(n1.getLong(1) != n2.getLong(1))
+    assert(ck(n1) != ck(n2))
+    // the delimiter is escaped: shifting a '|' across the field
+    // boundary must change the fingerprint (the render is unambiguous)
+    val p1 = fp(Seq((1L, "a|b")).toDF("kx", "s").toDF("k", "s")
+      .selectExpr("'a|b' as k", "'c' as s"))
+    val p2 = fp(Seq((1L, "x")).toDF("kx", "s")
+      .selectExpr("'a' as k", "'b|c' as s"))
+    assert(ck(p1) != ck(p2), s"${ck(p1)} vs ${ck(p2)}")
   }
 
   test("kFoldAssign: folds partition sources, stay in range, vary by seed") {
@@ -849,7 +856,9 @@ class CurationOpsSpec extends AnyFunSuite {
     val b = Sampling.kFoldAssign(d, "source", 5, seed = "cv2")
       .select("source", "fold").collect()
       .map(r => r.getString(0) -> r.getLong(1))
-    assert(!a.sameElements(b), "seeds cv1/cv2 produced identical folds")
+    // compare ASSIGNMENTS, not row order — a mere ordering difference
+    // must not satisfy this
+    assert(a.toMap != b.toMap, "seeds cv1/cv2 produced identical folds")
   }
 
   test("stickiness: DAU/WAU window boundary at exactly 7 days") {
