@@ -174,15 +174,21 @@ object Clustering {
     * Scale shape per round: centroids broadcast (≤ k rows); the argmin
     * collapses map-side via `min(struct)` (one exchanged row per
     * vector); the update shuffles (cluster, pos) partial sums — k·dim
-    * rows after map-side combine. Rounds chain lazily in ONE plan; for
-    * many rounds a production loop would checkpoint per round (the
-    * [[farthestPointSeeds]] discipline) — at gate depth the doubled
-    * scan is cheaper than materialization.
+    * rows after map-side combine. With the defaults rounds chain
+    * lazily in ONE plan (at gate depth the doubled scan is cheaper
+    * than materialization); a production loop at depth sets
+    * `checkpoint = true` (per-round lineage truncation) and, on a
+    * cluster, `checkpointDir` for fault tolerance — the
+    * [[Checkpointing]] policy shared with [[farthestPointSeeds]].
     */
   def lloydRounds(df: DataFrame, k: Int, rounds: Int,
                   idCol: String = "vec_id",
-                  vecCol: String = "embedding"): DataFrame = {
+                  vecCol: String = "embedding",
+                  checkpoint: Boolean = false,
+                  checkpointDir: Option[String] = None): DataFrame = {
     require(rounds >= 1, "need at least one round")
+    val cp = Checkpointing.truncator(df.sparkSession, checkpoint,
+      checkpointDir)
     val e = df.select(col(idCol), dec(col(vecCol)).as("_x"))
     def assignTo(cent: DataFrame): DataFrame =
       e.crossJoin(broadcast(cent))
@@ -209,10 +215,10 @@ object Clustering {
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("_m")))),
           s => s.getField("_m")).as("cvec"))
     val out = (2 to rounds).foldLeft {
-      val a1 = assignTo(seedCentroids(df, k, idCol, vecCol))
+      val a1 = cp(assignTo(seedCentroids(df, k, idCol, vecCol)))
       (summarize(a1, 1), a1)
     } { case ((acc, prev), r) =>
-      val ar = assignTo(updated(prev))
+      val ar = cp(assignTo(updated(prev)))
       (acc.unionAll(summarize(ar, r)), ar)
     }._1
     out.orderBy("round", "cluster")
@@ -246,9 +252,11 @@ object Clustering {
   def farthestPointSeeds(df: DataFrame, k: Int,
                          idCol: String = "vec_id",
                          vecCol: String = "embedding",
-                         checkpoint: Boolean = true): DataFrame = {
+                         checkpoint: Boolean = true,
+                         checkpointDir: Option[String] = None): DataFrame = {
     require(k >= 1, "k must be positive")
-    def cp(d: DataFrame): DataFrame = if (checkpoint) d.localCheckpoint() else d
+    val cp = Checkpointing.truncator(df.sparkSession, checkpoint,
+      checkpointDir)
     val pts = cp(df.filter(col(vecCol).isNotNull)
       .select(col(idCol).cast(LongType).as("_id"), dec(col(vecCol)).as("_x")))
     var centers = cp(pts.orderBy("_id").limit(1)

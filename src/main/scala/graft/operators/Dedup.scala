@@ -254,9 +254,8 @@ object Dedup {
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20,
                           checkpointDir: Option[String] = None): DataFrame = {
-    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
-    def cp(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    val cp = Checkpointing.truncator(edges.sparkSession, enabled = true,
+      checkpointDir)
     // symmetrize with a single explode, NOT union(e, e.swap): union would
     // evaluate the (often expensive) upstream edge pipeline twice before
     // the checkpoint — measured as ~half of dd08's runtime when the edges

@@ -38,12 +38,15 @@ object Graph {
   def pageRank(edges: DataFrame, iterations: Int,
                damping: Double = 0.85, reset: Double = 0.15,
                srcCol: String = "src", dstCol: String = "dst",
-               checkpoint: Boolean = true): DataFrame = {
+               checkpoint: Boolean = true,
+               checkpointDir: Option[String] = None): DataFrame = {
     require(iterations >= 0, "iterations must be non-negative")
     // checkpoint = false exists for plan inspection only (PlanSpec pins
-    // the per-iteration shape, which the checkpoint truncates away)
-    def cp(df: DataFrame): DataFrame =
-      if (checkpoint) df.localCheckpoint() else df
+    // the per-iteration shape, which the checkpoint truncates away);
+    // checkpointDir = Some(reliable dir) is the cluster posture — see
+    // [[Checkpointing]]
+    val cp = Checkpointing.truncator(edges.sparkSession, checkpoint,
+      checkpointDir)
     val e = edges.select(col(srcCol).cast(LongType).as("src"),
       col(dstCol).cast(LongType).as("dst"))
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
@@ -99,10 +102,11 @@ object Graph {
                            iterations: Int,
                            damping: Double = 0.85, reset: Double = 0.15,
                            srcCol: String = "src", dstCol: String = "dst",
-                           checkpoint: Boolean = true): DataFrame = {
+                           checkpoint: Boolean = true,
+                           checkpointDir: Option[String] = None): DataFrame = {
     require(iterations >= 0, "iterations must be non-negative")
-    def cp(df: DataFrame): DataFrame =
-      if (checkpoint) df.localCheckpoint() else df
+    val cp = Checkpointing.truncator(edges.sparkSession, checkpoint,
+      checkpointDir)
     val e = edges.select(col(srcCol).cast(LongType).as("src"),
       col(dstCol).cast(LongType).as("dst"))
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
@@ -235,11 +239,12 @@ object Graph {
     */
   def kCore(edges: DataFrame, k: Int, rounds: Int,
             srcCol: String = "src", dstCol: String = "dst",
-            checkpoint: Boolean = true): DataFrame = {
+            checkpoint: Boolean = true,
+            checkpointDir: Option[String] = None): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
-    def cp(df: DataFrame): DataFrame =
-      if (checkpoint) df.localCheckpoint() else df
+    val cp = Checkpointing.truncator(edges.sparkSession, checkpoint,
+      checkpointDir)
     def degrees(und: DataFrame): DataFrame = und
       .select(explode(array(col("a"), col("b"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("deg"))
@@ -306,10 +311,11 @@ object Graph {
     */
   def labelPropagation(edges: DataFrame, rounds: Int,
                        srcCol: String = "src", dstCol: String = "dst",
-                       checkpoint: Boolean = true): DataFrame = {
+                       checkpoint: Boolean = true,
+                       checkpointDir: Option[String] = None): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
-    def cp(df: DataFrame): DataFrame =
-      if (checkpoint) df.localCheckpoint() else df
+    val cp = Checkpointing.truncator(edges.sparkSession, checkpoint,
+      checkpointDir)
     val und = edges
       .select(least(col(srcCol), col(dstCol)).cast(LongType).as("a"),
         greatest(col(srcCol), col(dstCol)).cast(LongType).as("b"))

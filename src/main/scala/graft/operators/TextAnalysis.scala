@@ -784,10 +784,11 @@ object TextAnalysis {
     * round like the other iterative operators.
     */
   def bpeMerges(df: DataFrame, textCol: String, rounds: Int,
-                checkpoint: Boolean = true): DataFrame = {
+                checkpoint: Boolean = true,
+                checkpointDir: Option[String] = None): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
-    def cp(d: DataFrame): DataFrame =
-      if (checkpoint) d.localCheckpoint() else d
+    val cp = Checkpointing.truncator(df.sparkSession, checkpoint,
+      checkpointDir)
     var words = cp(df
       .select(explode(split(col(textCol), " ")).as("word"))
       .filter(col("word") =!= "")

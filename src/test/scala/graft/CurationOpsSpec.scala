@@ -185,6 +185,51 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(once == again)
   }
 
+  test("iterative loops: reliable checkpointDir replays the localCheckpoint result") {
+    // every iterative operator must produce identical output under the
+    // fault-tolerant reliable-checkpoint posture (the cluster setting —
+    // localCheckpoint blocks die with their executor); the CC spec in
+    // PipelineSpec is the model, this covers the other six loops
+    val dir = java.nio.file.Files.createTempDirectory("graft-iter-cp")
+    val cpDir = Some(dir.toString)
+    val edges = (1L to 9L).flatMap(l => Seq((0L, l), (l, 0L)))
+      .toDF("src", "dst")
+    val G = graft.operators.Graph
+    def ranks(d: Option[String]) = G.pageRank(edges, 3, checkpointDir = d)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(ranks(cpDir) == ranks(None))
+    def ppr(d: Option[String]) = G.personalizedPageRank(edges,
+        Seq(Tuple1(0L)).toDF("v"), 2, checkpointDir = d)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(ppr(cpDir) == ppr(None))
+    def cores(d: Option[String]) = G.kCore(edges, k = 2, rounds = 2,
+        checkpointDir = d)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(cores(cpDir) == cores(None))
+    def comms(d: Option[String]) = G.labelPropagation(edges, 2,
+        checkpointDir = d)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(comms(cpDir) == comms(None))
+    val docs = Seq("low lower lowest", "newer newest new").toDF("text")
+    def merges(d: Option[String]) = graft.operators.TextAnalysis
+      .bpeMerges(docs, "text", rounds = 2, checkpointDir = d)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(merges(cpDir) == merges(None))
+    val vecs = Seq((1L, Seq(0f, 0f)), (2L, Seq(10f, 0f)), (3L, Seq(0f, 10f)),
+      (4L, Seq(1f, 1f))).toDF("vec_id", "embedding")
+    def fps(d: Option[String]) = graft.operators.Clustering
+      .farthestPointSeeds(vecs, 3, checkpointDir = d)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(fps(cpDir) == fps(None))
+    def lloyd(d: Option[String]) = graft.operators.Clustering
+      .lloydRounds(vecs, 2, rounds = 2, checkpointDir = d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(lloyd(cpDir) == lloyd(None))
+    // the reliable path actually wrote RDD checkpoints to the dir
+    val wrote = java.nio.file.Files.walk(dir).filter(_.toFile.isFile).count()
+    assert(wrote > 0, s"no checkpoint files under $dir")
+  }
+
   test("neymanAllocation: variance earns budget, constants earn none, singletons drop") {
     // A: 100 rows alternating 0/1000 (high variance); B: 100 rows all
     // 500 (zero variance); C: a singleton (undefined variance)
