@@ -1,6 +1,8 @@
 package graft.operators
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
 
 /** The ONE lineage-truncation policy shared by every iterative
   * operator in the engine (PageRank / personalized PR / k-core /
@@ -13,11 +15,27 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - `None` (the local default): `localCheckpoint` — no distributed
   *     write, but blocks are executor-local and NOT fault-tolerant; on
   *     a real cluster one lost executor mid-iteration kills the job.
-  *   - `Some(dir)` (the cluster posture): `setCheckpointDir(dir)` +
-  *     reliable `checkpoint()` — every round is recoverable from
-  *     HDFS/S3 at the cost of one distributed write per round. For the
-  *     engine's longest-running jobs (multi-hour PageRank over a
-  *     100 TB-derived graph) this is the only safe setting.
+  *   - `Some(dir)` (the cluster posture): reliable `checkpoint()` —
+  *     every round is recoverable from HDFS/S3 at the cost of one
+  *     distributed write per round. For the engine's longest-running
+  *     jobs (multi-hour PageRank over a 100 TB-derived graph) this is
+  *     the only safe setting. The frame is persisted around the eager
+  *     checkpoint so the plan computes ONCE (Dataset.checkpoint's
+  *     count() action and the subsequent ReliableCheckpointRDD write
+  *     job would otherwise each run it), and [[Truncator.rolling]]
+  *     deletes round N−1's checkpoint files once round N has
+  *     materialized, so a multi-hour loop holds O(1) checkpoint
+  *     copies on disk instead of O(rounds).
+  *
+  * `checkpointDir` is installed via `SparkContext.setCheckpointDir`,
+  * which is PER-SPARKCONTEXT state, not per-call: constructing a
+  * truncator re-points the context's checkpoint location (last writer
+  * wins) and it stays installed after the operator returns. Two
+  * operators running CONCURRENTLY on one session with different dirs
+  * would interleave writes across the two locations — both still
+  * durable, but placement follows whichever dir was installed at
+  * write time. Run reliable-checkpoint operators one at a time per
+  * session, or give them the same dir.
   *
   * `enabled = false` (exposed by the operators as
   * `checkpoint = false`) disables truncation entirely and exists for
@@ -27,16 +45,79 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 private[graft] object Checkpointing {
 
-  /** Per-round truncation function for one iterative loop. Call once
-    * per operator invocation (it installs `checkpointDir` on the
-    * SparkContext), then apply to each round's frame.
+  /** Per-invocation truncation handle for one iterative loop. Call
+    * once per operator invocation (reliable mode installs
+    * `checkpointDir` on the SparkContext at construction — see the
+    * per-SparkContext note above), then apply to each frame:
+    * `cp(df)` for frames that live for the WHOLE loop (edge tables,
+    * node tables), `cp.rolling(df)` for per-round frames that
+    * supersede the previous round's.
     */
   def truncator(spark: SparkSession, enabled: Boolean,
-                checkpointDir: Option[String]): DataFrame => DataFrame = {
+                checkpointDir: Option[String]): Truncator =
+    new Truncator(spark, enabled, checkpointDir)
+
+  private[graft] final class Truncator(spark: SparkSession, enabled: Boolean,
+                                       checkpointDir: Option[String])
+      extends (DataFrame => DataFrame) {
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
-    df =>
-      if (checkpointDir.isDefined) df.checkpoint()
-      else if (enabled) df.localCheckpoint()
+
+    // checkpoint files written by the previous rolling() call — the
+    // round the latest rolling frame superseded
+    private var prevRound: Set[Path] = Set.empty
+
+    /** Truncate lineage; in reliable mode the files persist until the
+      * caller (or a later [[rolling]] round) removes them.
+      */
+    def apply(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) {
+        // persist so the eager count() and the checkpoint WRITE job
+        // share one computation of the plan instead of two
+        df.persist(StorageLevel.MEMORY_AND_DISK)
+        try df.checkpoint()
+        finally df.unpersist()
+      } else if (enabled) df.localCheckpoint()
       else df
+
+    /** Truncate a PER-ROUND frame: after this round's checkpoint has
+      * fully materialized, the previous rolling round's checkpoint
+      * files are deleted (the GraphFrames-CC discipline — Spark only
+      * cleans reliable checkpoints itself under
+      * `spark.cleaner.referenceTracking.cleanCheckpoints`, and then
+      * only on driver GC, which a tight loop cannot wait for). The
+      * LAST round's files are never deleted here — the returned frame
+      * reads them; they are the caller's output to keep or clean.
+      */
+    def rolling(df: DataFrame): DataFrame = {
+      if (checkpointDir.isEmpty) apply(df)
+      else {
+        val before = checkpointEntries()
+        val out = apply(df) // eager: fully written when this returns
+        val added = checkpointEntries() -- before
+        val fs = fileSystem()
+        prevRound.foreach(p => fs.delete(p, true))
+        prevRound = added
+        out
+      }
+    }
+
+    private def fileSystem() = {
+      val p = new Path(spark.sparkContext.getCheckpointDir.get)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    }
+
+    /** The rdd-N entries currently under the installed checkpoint
+      * location (setCheckpointDir appends a per-install UUID dir, so
+      * entries from other SparkContexts never appear here).
+      */
+    private def checkpointEntries(): Set[Path] =
+      spark.sparkContext.getCheckpointDir match {
+        case Some(d) =>
+          val p = new Path(d)
+          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (fs.exists(p)) fs.listStatus(p).map(_.getPath).toSet
+          else Set.empty
+        case None => Set.empty
+      }
   }
 }

@@ -214,12 +214,16 @@ object Clustering {
         .groupBy(col("cluster"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("_m")))),
           s => s.getField("_m")).as("cvec"))
+    // each round's SUMMARY is checkpointed persistently (tiny: k rows)
+    // BEFORE the next round's rolling checkpoint deletes the assignment
+    // it was computed from — the final union reads summaries, never a
+    // superseded assignment round
     val out = (2 to rounds).foldLeft {
-      val a1 = cp(assignTo(seedCentroids(df, k, idCol, vecCol)))
-      (summarize(a1, 1), a1)
+      val a1 = cp.rolling(assignTo(seedCentroids(df, k, idCol, vecCol)))
+      (cp(summarize(a1, 1)), a1)
     } { case ((acc, prev), r) =>
-      val ar = cp(assignTo(updated(prev)))
-      (acc.unionAll(summarize(ar, r)), ar)
+      val ar = cp.rolling(assignTo(updated(prev)))
+      (acc.unionAll(cp(summarize(ar, r))), ar)
     }._1
     out.orderBy("round", "cluster")
   }
@@ -259,7 +263,7 @@ object Clustering {
       checkpointDir)
     val pts = cp(df.filter(col(vecCol).isNotNull)
       .select(col(idCol).cast(LongType).as("_id"), dec(col(vecCol)).as("_x")))
-    var centers = cp(pts.orderBy("_id").limit(1)
+    var centers = cp.rolling(pts.orderBy("_id").limit(1)
       .select(lit(0).as("step"), col("_id").as("center_id"),
         lit(0.0).as("radius"), col("_x").as("_cv")))
     for (s <- 1 until k) {
@@ -273,7 +277,7 @@ object Clustering {
         .select(lit(s).as("step"), col("_m._id").as("center_id"),
           (col("_m._nd") * -1).cast(DoubleType).as("radius"),
           col("_m._xx").as("_cv"))
-      centers = cp(centers.unionAll(next))
+      centers = cp.rolling(centers.unionAll(next))
     }
     centers.select(col("step"), col("center_id"), col("radius"))
   }

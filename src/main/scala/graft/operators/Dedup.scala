@@ -265,7 +265,7 @@ object Dedup {
         struct(col("src").as("src"), col("dst").as("dst")),
         struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst")))
-    var labels = cp(sym.select(col("src").as("id")).distinct()
+    var labels = cp.rolling(sym.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")))
     var converged = false
     var i = 0
@@ -280,7 +280,7 @@ object Dedup {
       // one checkpointed join per round serves BOTH the convergence
       // check and the next label frame — a separate next-vs-previous
       // join would shuffle the label table a second time every round
-      val joined = cp(labels.join(nbrMin, Seq("id"), "left"))
+      val joined = cp.rolling(labels.join(nbrMin, Seq("id"), "left"))
       prevCp.unpersist()
       prevCp = joined
       converged = joined.filter(col("_nbr") < col("label")).isEmpty

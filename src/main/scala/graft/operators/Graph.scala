@@ -30,7 +30,9 @@ object Graph {
 
   /** `iterations` rounds of damped PageRank over a directed edge list
     * (srcCol, dstCol). Returns (v, r) for every node with at least one
-    * OUT-edge (symmetrize the input if every endpoint should score).
+    * OUT-edge (symmetrize the input if every endpoint should score,
+    * or use [[pageRankClassic]] for the textbook semantics: sinks are
+    * nodes and their mass redistributes instead of draining).
     * `reset` is passed explicitly rather than derived as `1 − damping`
     * because `1.0 − 0.85` is NOT the double `0.15` — the caller (and
     * any SQL oracle) must state the literal it means.
@@ -64,7 +66,7 @@ object Graph {
         .select(col("dst"),
           (col("r") / col("outdeg")).cast(DecimalType(18, 12)).as("c"))
         .groupBy("dst").agg(sum(col("c")).as("cs"))
-      val next = cp(nodes
+      val next = cp.rolling(nodes
         .join(contrib, col("v") === col("dst"), "left")
         .select(col("v"),
           (lit(reset / n) + lit(damping) *
@@ -74,6 +76,78 @@ object Graph {
       ranks = next
     }
     ranks
+  }
+
+  /** CLASSIC-semantics PageRank: every endpoint is a node (sinks
+    * included) and each iteration redistributes the DANGLING MASS —
+    * the rank sitting on zero-out-degree nodes — uniformly across the
+    * graph (Page et al. 1999; the textbook fixpoint). [[pageRank]]
+    * deliberately scores only out-edge nodes and drops sink mass
+    * (documented there); on sink-heavy web-crawl graphs the two
+    * diverge materially, and the classic variant is the one whose
+    * total mass is CONSERVED: Σr = 1 every round (up to the 1e-12
+    * contribution quantization), which is what makes scores
+    * comparable across snapshots of a growing crawl.
+    *
+    * r'(v) = reset/N + damping·(Σ_{u→v} r(u)/outdeg(u) + D/N) where
+    * D = Σ_{sinks s} r(s). Contributions AND the dangling terms
+    * quantize to 12 dp via the engine-portable `floor(q·10¹² + 0.5)`
+    * idiom (the km05 lesson — a raw double→DECIMAL cast rounds
+    * differently per engine at half boundaries), so the per-node sum
+    * and the one-row dangling sum are exact decimals and the rank
+    * update is a fixed chain of correctly-rounded IEEE ops on
+    * identical operands — bit-identical on any engine/partitioning,
+    * replayable by an unrolled SQL oracle.
+    *
+    * Scale shape: identical to [[pageRank]] — per round one |E| join
+    * + one |V| keyed agg — plus one sink-filtered aggregation whose
+    * single row rides a broadcast; no extra shuffle, no driver-side
+    * per-round action.
+    */
+  def pageRankClassic(edges: DataFrame, iterations: Int,
+                      damping: Double = 0.85, reset: Double = 0.15,
+                      srcCol: String = "src", dstCol: String = "dst",
+                      checkpoint: Boolean = true,
+                      checkpointDir: Option[String] = None): DataFrame = {
+    require(iterations >= 0, "iterations must be non-negative")
+    val cp = Checkpointing.truncator(edges.sparkSession, checkpoint,
+      checkpointDir)
+    val e = edges.select(col(srcCol).cast(LongType).as("src"),
+      col(dstCol).cast(LongType).as("dst"))
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val ed = cp(e.join(deg, "src"))
+    // classic node set = src ∪ dst; sinks carry outdeg NULL
+    val nodes = cp(e.select(explode(array(col("src"), col("dst"))).as("v"))
+      .distinct()
+      .join(deg.select(col("src").as("v"), col("outdeg")), Seq("v"), "left"))
+    val n = nodes.count()
+    require(n > 0, "pageRankClassic needs a non-empty graph (1/n teleport)")
+    val micro = lit(new java.math.BigDecimal("0.000000000001"))
+    var ranks = nodes.select(col("v"), col("outdeg"), lit(1.0 / n).as("r"))
+    var prevCp: DataFrame = null
+    for (_ <- 1 to iterations) {
+      val contrib = ed
+        .join(ranks.select(col("v").as("src"), col("r")), "src")
+        .select(col("dst"),
+          (floor(col("r") / col("outdeg") * 1000000000000.0 + 0.5)
+            .cast(DecimalType(14, 0)) * micro).as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("cs"))
+      val dangling = ranks.filter(col("outdeg").isNull)
+        .agg(coalesce(sum(floor(col("r") * 1000000000000.0 + 0.5)
+          .cast(DecimalType(14, 0)) * micro),
+          lit(new java.math.BigDecimal("0"))).as("dm"))
+      val next = cp.rolling(nodes
+        .join(contrib, col("v") === col("dst"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("v"), col("outdeg"),
+          (lit(reset / n) + lit(damping) *
+            (coalesce(col("cs").cast(DoubleType), lit(0.0)) +
+              col("dm").cast(DoubleType) / lit(n.toDouble))).as("r")))
+      if (prevCp != null) prevCp.unpersist()
+      prevCp = ranks
+      ranks = next
+    }
+    ranks.select(col("v"), col("r"))
   }
 
   /** Personalized PageRank: random walk with restart to a SEED SET —
@@ -130,7 +204,7 @@ object Graph {
             .cast(DecimalType(14, 0)) *
             lit(new java.math.BigDecimal("0.000000000001"))).as("c"))
         .groupBy("dst").agg(sum(col("c")).as("cs"))
-      val next = cp(nodes
+      val next = cp.rolling(nodes
         .join(contrib, col("v") === col("dst"), "left")
         .select(col("v"), col("_isSeed"),
           (when(col("_isSeed") === 1, lit(reset / nSeeds)).otherwise(lit(0.0)) +
@@ -248,14 +322,14 @@ object Graph {
     def degrees(und: DataFrame): DataFrame = und
       .select(explode(array(col("a"), col("b"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("deg"))
-    var und = cp(edges
+    var und = cp.rolling(edges
       .select(least(col(srcCol), col(dstCol)).cast(LongType).as("a"),
         greatest(col(srcCol), col(dstCol)).cast(LongType).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct())
     for (_ <- 1 to rounds) {
       val keep = degrees(und).filter(col("deg") >= k).select(col("node"))
-      und = cp(und
+      und = cp.rolling(und
         .join(keep.select(col("node").as("a")), Seq("a"), "left_semi")
         .join(keep.select(col("node").as("b")), Seq("b"), "left_semi")
         .select(col("a"), col("b")))
@@ -333,7 +407,7 @@ object Graph {
         .agg(count(lit(1)).as("c"))
       // argmax with (count desc, label asc) tie-break as ONE partial
       // aggregate: max over struct(count, -label) — no per-node window
-      val next = cp(votes.groupBy("n")
+      val next = cp.rolling(votes.groupBy("n")
         .agg(max(struct(col("c"), (-col("l")).as("nl"))).as("m"))
         .select(col("n"), (-col("m.nl")).cast(LongType).as("l")))
       if (prevCp != null) prevCp.unpersist()

@@ -38,6 +38,16 @@ object Sampling {
     */
   private def hexGate(n: Int): String = if (n >= 256) "zz" else f"$n%02x"
 
+  /** Unambiguous hash rendering of a possibly-NULL key: NULL is the
+    * bare tag "n", every value "v"+value — a prefix discipline no key
+    * string can alias (shared by [[kFoldAssign]] and
+    * [[poissonReplicates]]; the sp10/sp11 oracles inline the identical
+    * CASE expression).
+    */
+  private def seedableKey(keyCol: String): Column =
+    when(col(keyCol).isNull, lit("n"))
+      .otherwise(concat(lit("v"), col(keyCol).cast("string")))
+
   /** Stratified hash sampling: a different keep-fraction per stratum
     * value (e.g. downsample the dominant language, keep the rare ones
     * whole — the corpus-rebalancing step of every training-data
@@ -201,8 +211,10 @@ object Sampling {
     * under k; the remainder is deliberately unassigned). BIGINT
     * bounds: u_h = N_h·S_h·10⁶ and the k·u_h product must both fit a
     * long, so N_h·S_h ≤ ~9·10¹²/k — at k=200 that is ~10⁷ rows × 10³
-    * values (or 10⁶ × 10⁴) per stratum; a 100 TB deployment widens
-    * the moment sums and u_h to DECIMAL(38,0).
+    * values (or 10⁶ × 10⁴) per stratum; both bounds are ENFORCED by
+    * in-plan raise_error guards (DECIMAL side-sums — data-dependent,
+    * so not plan-time requires). A 100 TB deployment that trips them
+    * widens the moment sums and u_h to DECIMAL(38,0).
     *
     * Scale shape: one keyed aggregation over the table plus a
     * broadcast scalar — the allocation itself never shuffles data.
@@ -211,16 +223,36 @@ object Sampling {
                        k: Int): DataFrame = {
     require(k > 0, "k must be positive")
     val x = col(valueCol).cast(LongType)
+    // the scaladoc BIGINT bounds are ENFORCED in-plan (data-dependent,
+    // so no plan-time require can check them): a DECIMAL side-sum per
+    // stratum proves n_h·Σx² < 2⁶³ (which bounds every BIGINT moment
+    // product via Cauchy–Schwarz), and k·u_h is re-checked in DECIMAL
+    // after integerization — both raise instead of silently wrapping
+    val xd = x.cast(DecimalType(19, 0))
+    val lim = lit(new java.math.BigDecimal("9223372036854775807"))
     val st = df.groupBy(col(stratumCol))
       .agg(count(lit(1)).as("n_h"), sum(x).as("_sx"),
-        sum(x * x).as("_sxx"))
+        sum(x * x).as("_sxx"), sum(xd * xd).as("_sxxd"))
+    val nd = col("n_h").cast(DecimalType(20, 0))
     val u = st.filter(col("n_h") >= 2)
+      .filter(when(col("_sxxd").isNull.or((nd * col("_sxxd")).isNull)
+          .or(nd * col("_sxxd") >= lim),
+        raise_error(lit("neymanAllocation: n_h·Σx² exceeds 2⁶³ — the " +
+          "exact BIGINT variance moments would overflow; pre-scale the " +
+          "value column or widen the moment sums to DECIMAL"))
+          .cast("boolean")).otherwise(lit(true)))
+      .drop("_sxxd")
       .withColumn("_sh", sqrt(
         (col("n_h") * col("_sxx") - col("_sx") * col("_sx")).cast(DoubleType) /
           (col("n_h") * (col("n_h") - 1)).cast(DoubleType)))
       .withColumn("_uh",
         ((col("n_h").cast(DoubleType) * col("_sh"))
           .cast(DecimalType(28, 6)) * lit(1000000)).cast(LongType))
+      .filter(when(col("_uh").cast(DecimalType(20, 0)) * lit(k) >= lim,
+        raise_error(lit("neymanAllocation: k·u_h exceeds 2⁶³ — the exact " +
+          "integer allocation division would overflow; lower k or " +
+          "pre-scale the value column")).cast("boolean"))
+        .otherwise(lit(true)))
     val tot = u.agg(sum(col("_uh")).as("_ut"))
     u.crossJoin(broadcast(tot))
       .select(col(stratumCol), col("n_h"),
@@ -304,9 +336,14 @@ object Sampling {
     // a NULL group key is its own group (all NULL-key rows share a
     // fold) rather than propagating to a NULL fold outside [0, k) —
     // NULL-fold rows would silently vanish from every train AND
-    // validation filter
-    val gk = coalesce(col(groupCol).cast("string"), lit("NULL"))
-    val u = conv(substring(md5(concat(lit(seed + "_"), gk)),
+    // validation filter. The encoding is COLLISION-FREE by prefix
+    // discipline, not by a sentinel no key is supposed to contain:
+    // NULL renders as the bare tag "n", every value as "v"+value, so
+    // no key string can alias the NULL group. The seed is
+    // domain-separated through a fixed-width md5 digest prefix
+    // (constant-folded), so seed "a_b"+key "c" and seed "a"+key
+    // "b_c" — which a plain seed+"_"+key concat aliases — hash apart.
+    val u = conv(substring(md5(concat(md5(lit(seed)), seedableKey(groupCol))),
       1, 8), 16, 10).cast(LongType)
     df.withColumn("_u", u)
       // SQL `div`: exact BIGINT floor division on non-negative
@@ -339,8 +376,8 @@ object Sampling {
     */
   def poissonReplicates(df: DataFrame, keyCol: String,
                         seed: String = "bs1"): DataFrame = {
-    val h = substring(md5(concat(lit(seed + "_"),
-      col(keyCol).cast("string"))), 1, 8)
+    // same domain-separated seed digest + tagged key as [[kFoldAssign]]
+    val h = substring(md5(concat(md5(lit(seed)), seedableKey(keyCol))), 1, 8)
     val cnt = PoissonCdfHex.tail.zipWithIndex
       .foldLeft(when(h < lit(PoissonCdfHex.head), 0)) {
         case (acc, (t, i)) => acc.when(h < lit(t), i + 1)

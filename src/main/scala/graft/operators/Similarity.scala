@@ -676,7 +676,7 @@ object Similarity {
     * (tune `sampleMod` down as the corpus grows).
     */
   def ivfTopK(queries: DataFrame, candidates: DataFrame, k: Int,
-              nlist: Int = 16, nprobe: Int = 4,
+              nlist: Int = 16, nprobe: Int = 8,
               iters: Int = 0, sampleMod: Int = 4,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     requireIntegralIds(queries, candidates, idCol)

@@ -56,6 +56,124 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "les", "et", "de", "est"),
     "es" -> Seq("el", "la", "los", "y", "de", "es"))
 
+  /** Built-in character-trigram rank profiles for multi-language
+    * identification (the Cavnar–Trenkle 1994 "N-Gram-Based Text
+    * Categorization" method every pretraining pipeline's first filter
+    * descends from). Rank 1 = most frequent; 20 trigrams per language
+    * — enough to separate the six largest Latin-script web languages
+    * on sentence-length documents. Space-padded trigrams carry the
+    * word-boundary signal ("he " vs "he" inside a word). Real
+    * deployments broadcast bigger learned profiles; the mechanism
+    * (doc profile → out-of-place distance → argmin) is identical and
+    * the table is DATA to the operator, not code.
+    */
+  val LidProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq(" th", "the", "he ", "ed ", " an", "and", "nd ", " of",
+      "of ", " in", "ing", "ng ", " to", "to ", "er ", "is ", " is",
+      "on ", "es ", "at "),
+    "fr" -> Seq(" de", "de ", " le", "le ", "es ", "ent", "nt ", "et ",
+      " et", " la", "la ", "ion", "on ", " pa", "ait", " qu", "que",
+      "ue ", " co", "re "),
+    "es" -> Seq(" de", "de ", " la", "la ", "os ", " el", "el ", "es ",
+      "en ", " en", "as ", " co", "ión", "ón ", " qu", "que", "ue ",
+      "ent", " se", "ado"),
+    "de" -> Seq("en ", "er ", " de", "der", "ie ", " di", "die", "ch ",
+      "sch", "ein", " ei", "ich", "nd ", "und", " un", "che", "ung",
+      "ng ", "ten", "ber"),
+    "it" -> Seq(" di", "di ", "to ", " de", "la ", " la", "re ", "no ",
+      "ion", "one", "ne ", " co", "che", " ch", "he ", "ell", "lla",
+      "del", "ent", "ato"),
+    "pt" -> Seq(" de", "de ", "os ", " co", "ão ", "ção", " qu", "que",
+      "ue ", "es ", " do", "do ", "da ", " da", "ent", "nte", " es",
+      "ar ", "ra ", "ado"))
+
+  /** Multi-language identification by Cavnar–Trenkle out-of-place
+    * distance: per document, the top-`topN` character trigrams (by
+    * count desc, trigram asc — a total order) form the doc profile;
+    * against each language profile the distance is
+    * Σ over doc-profile trigrams of |doc_rank − profile_rank|, with
+    * absent trigrams penalized at `topN`; the language is the argmin
+    * (ties toward the lexicographically first code). Returns
+    * (id, language, distance, n_grams, confidence) with
+    * confidence = 1 − distance / (n_grams·topN) ∈ [0, 1].
+    *
+    * Text shorter than one trigram after trim-normalization scores no
+    * profile and is labeled "und" with distance NULL, confidence 0 —
+    * the row survives (a curation cascade filters on the label; rows
+    * silently vanishing on degenerate input is the ev22 NULL lesson).
+    * A FULL MISS (every doc trigram absent from every profile — pure
+    * digits, unprofiled scripts) is also "und": the argmin over
+    * all-equal max distances would otherwise crown the alphabetically
+    * first language at confidence 0.
+    *
+    * Determinism: trigram counts are exact, both rank orders are
+    * total, the distance is exact integer arithmetic, the argmin
+    * breaks ties on the language code, and confidence is two IEEE ops
+    * on identical integers — a DuckDB oracle replays the whole method
+    * from the same literal profile table, row for row.
+    *
+    * Scale shape: the corpus pass is one narrow trigram explode + one
+    * (id, trigram) count with map-side combine; the per-doc rank
+    * window is partitioned by document (each doc's grams bounded by
+    * its length — no global window); everything after runs on ≤ topN
+    * rows per doc against a 120-row broadcast profile table. No UDFs,
+    * no driver actions.
+    */
+  def languageIdentify(df: DataFrame, idCol: String, textCol: String,
+                       topN: Int = 40): DataFrame = {
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val profiles = LidProfiles.toSeq.sortBy(_._1).flatMap { case (l, gs) =>
+      gs.zipWithIndex.map { case (g, i) => (l, g, (i + 1).toLong) }
+    }.toDF("lang", "gram", "prank")
+    val langs = LidProfiles.keys.toSeq.sorted.toDF("lang")
+    // normalized text: lowercase, whitespace runs collapsed, TRIMMED
+    // (whitespace-only text must normalize to empty, not to a phantom
+    // space trigram), one pad space each side so word-boundary
+    // trigrams exist at the edges
+    val norm = concat(lit(" "),
+      trim(regexp_replace(lower(col(textCol)), "\\s+", " ")), lit(" "))
+    val base = df.select(col(idCol).as("_id"), norm.as("_t"))
+    // sequence(1, len-2) would step DOWNWARD for len < 3 (the
+    // epochUpsample lesson) — degenerate docs leave before the explode
+    // and re-enter via the left join below
+    val grams = base.filter(length(col("_t")) >= 3)
+      .select(col("_id"), explode(transform(
+        sequence(lit(1), length(col("_t")) - 2),
+        i => col("_t").substr(i, lit(3)))).as("gram"))
+      .groupBy(col("_id"), col("gram")).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("_id"))
+      .orderBy(col("c").desc, col("gram"))
+    val docTop = grams.withColumn("r", row_number().over(w))
+      .filter(col("r") <= topN)
+      .select(col("_id"), col("gram"), col("r").cast(LongType).as("r"))
+    val dist = docTop
+      .crossJoin(broadcast(langs))
+      .join(broadcast(profiles), Seq("lang", "gram"), "left")
+      .groupBy(col("_id"), col("lang"))
+      .agg(sum(coalesce(abs(col("r") - col("prank")), lit(topN.toLong)))
+        .as("d"), count(lit(1)).as("n_grams"))
+    val best = dist
+      .groupBy(col("_id"))
+      .agg(min(struct(col("d"), col("lang"), col("n_grams"))).as("_b"))
+      .select(col("_id"),
+        // a FULL MISS (no doc gram in any profile — pure digits,
+        // unprofiled scripts) is "und", not the alphabetically first
+        // language at confidence 0
+        when(col("_b.d") === col("_b.n_grams") * topN, lit("und"))
+          .otherwise(col("_b.lang")).as("language"),
+        col("_b.d").as("distance"), col("_b.n_grams").as("n_grams"),
+        (lit(1.0) - col("_b.d").cast(DoubleType) /
+          (col("_b.n_grams") * topN).cast(DoubleType)).as("confidence"))
+    df.select(col(idCol)).join(best, col(idCol) === col("_id"), "left")
+      .select(col(idCol),
+        coalesce(col("language"), lit("und")).as("language"),
+        col("distance"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("confidence"), lit(0.0)).as("confidence"))
+  }
+
   // ---- shared per-document signal expressions -------------------------
   // ONE definition each for the stopword/punctuation/composite-quality
   // signals: languageScore, qualityScore and curationReport must agree
@@ -783,13 +901,27 @@ object TextAnalysis {
     * classic BPE working set. Lineage is checkpoint-truncated per
     * round like the other iterative operators.
     */
+  /** The greedy left-to-right non-overlapping pair merge as a per-word
+    * `aggregate` fold over `syms`, against the broadcast winning pair
+    * (m_a, m_b) — shared verbatim by [[bpeMerges]] (training) and
+    * [[bpeEncode]] (application), so the encoder replays EXACTLY the
+    * rewrite the trainer counted.
+    */
+  private def greedyMergeFold: Column =
+    aggregate(col("syms"), array().cast(ArrayType(StringType)), (acc, x) =>
+      when(size(acc) > 0 &&
+          element_at(acc, -1) === col("m_a") && x === col("m_b"),
+        concat(slice(acc, lit(1), size(acc) - 1),
+          array(concat(col("m_a"), col("m_b")))))
+        .otherwise(concat(acc, array(x))))
+
   def bpeMerges(df: DataFrame, textCol: String, rounds: Int,
                 checkpoint: Boolean = true,
                 checkpointDir: Option[String] = None): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val cp = Checkpointing.truncator(df.sparkSession, checkpoint,
       checkpointDir)
-    var words = cp(df
+    var words = cp.rolling(df
       .select(explode(split(col(textCol), " ")).as("word"))
       .filter(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("freq"))
@@ -803,23 +935,80 @@ object TextAnalysis {
           (x, y) => struct(x.as("a"), y.as("b")))).as("p"))
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(sum(col("freq")).as("c"))
-      val win = pc.orderBy(desc("c"), col("a"), col("b")).limit(1)
-        .select(col("a").as("m_a"), col("b").as("m_b"), col("c").as("m_c"))
-      val emptySyms = array().cast(ArrayType(StringType))
-      words = cp(words.crossJoin(broadcast(win))
-        .select(col("word"), col("freq"),
-          aggregate(col("syms"), emptySyms, (acc, x) =>
-            when(size(acc) > 0 &&
-                element_at(acc, -1) === col("m_a") && x === col("m_b"),
-              concat(slice(acc, lit(1), size(acc) - 1),
-                array(concat(col("m_a"), col("m_b")))))
-              .otherwise(concat(acc, array(x)))).as("syms")))
+      // the winner is checkpointed PERSISTENTLY (1 row) before the
+      // rolling rewrite deletes the word table it was counted from —
+      // the returned merge-table union reads winners, never a
+      // superseded round's words
+      val win = cp(pc.orderBy(desc("c"), col("a"), col("b")).limit(1)
+        .select(col("a").as("m_a"), col("b").as("m_b"), col("c").as("m_c")))
+      words = cp.rolling(words.crossJoin(broadcast(win))
+        .select(col("word"), col("freq"), greedyMergeFold.as("syms")))
       win.select(lit(r).cast(LongType).as("round"),
         col("m_a").as("lhs"), col("m_b").as("rhs"),
         concat(col("m_a"), col("m_b")).as("merged"),
         col("m_c").cast(LongType).as("pair_count"))
     }
     winners.reduce(_.unionAll(_)).orderBy("round")
+  }
+
+  /** Apply a trained [[bpeMerges]] merge table to a corpus — the
+    * encode half of the train→encode tokenizer pipeline (the artifact
+    * a tokenizer ships is useless until something re-tokenizes with
+    * it). Replays the merges in round order over the corpus WORD-TYPE
+    * table with the identical [[greedyMergeFold]] rewrite the trainer
+    * used, then joins the per-type segment counts back onto the
+    * documents. Returns (id, n_words, n_tokens) — n_tokens is the
+    * document's BPE token count under the learned vocabulary; a
+    * document with no words keeps a row with zeros (the ev22
+    * NULL-row lesson).
+    *
+    * Scale shape: the merge table is the tiny shipped artifact (one
+    * row per round) — reading its round count on the driver is a
+    * scalar action on R rows, not a data collect; each round's pair
+    * broadcasts onto the word-TYPE table (the classic BPE working
+    * set, vocabulary-sized, never corpus-sized) with per-round
+    * lineage truncation; the corpus is touched exactly twice, both
+    * narrow: once to build the distinct type table, once to explode
+    * words against the broadcast-or-shuffle-joined type counts.
+    */
+  def bpeEncode(df: DataFrame, idCol: String, textCol: String,
+                merges: DataFrame,
+                checkpoint: Boolean = true,
+                checkpointDir: Option[String] = None): DataFrame = {
+    val cp = Checkpointing.truncator(df.sparkSession, checkpoint,
+      checkpointDir)
+    // the artifact must cover rounds 1..max contiguously — a missing
+    // round would silently empty the type table at its crossJoin
+    val rr = merges.agg(max(col("round")).as("_mx"), count(lit(1)).as("_n"),
+      countDistinct(col("round")).as("_d")).head()
+    val nRounds = if (rr.isNullAt(0)) 0 else rr.getLong(0).toInt
+    require(rr.getLong(1) == nRounds && rr.getLong(2) == nRounds,
+      s"merge table must hold exactly one row per round 1..$nRounds; " +
+        s"got ${rr.getLong(1)} rows, ${rr.getLong(2)} distinct rounds")
+    var types = cp.rolling(df
+      .select(explode(split(col(textCol), " ")).as("word"))
+      .filter(col("word") =!= "").distinct()
+      .select(col("word"),
+        filter(split(col("word"), ""), s => s =!= "").as("syms")))
+    for (r <- 1 to nRounds) {
+      val win = merges.filter(col("round") === r)
+        .select(col("lhs").as("m_a"), col("rhs").as("m_b"))
+      types = cp.rolling(types.crossJoin(broadcast(win))
+        .select(col("word"), greedyMergeFold.as("syms")))
+    }
+    val wt = types.select(col("word"),
+      size(col("syms")).cast(LongType).as("_nsym"))
+    val enc = df
+      .select(col(idCol).as("_id"),
+        explode(split(col(textCol), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .join(wt, "word")
+      .groupBy(col("_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("_nsym")).as("n_tokens"))
+    df.select(col(idCol)).join(enc, col(idCol) === col("_id"), "left")
+      .select(col(idCol),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
   }
 
   def sliceEntropy(df: DataFrame, sliceCol: String,

@@ -30,7 +30,8 @@ object TimeSeries {
     * the cluster, and each chunk explodes its own sub-range — so the
     * largest single array is max(chunkSize, n/chunkSize) elements and a
     * year at 1-second grain (31M buckets) never materializes in one row
-    * (the r5-verdict hardening item). No driver-side action anywhere.
+    * (the r5-verdict hardening item). The only driver-side action is
+    * the distinct-key-count guard below.
     *
     * @param rollup    one row per (bucket timestamp, key) — the output
     *                  of a windowed aggregation
@@ -44,10 +45,23 @@ object TimeSeries {
     *                  observation — there is nothing to carry)
     * @param chunkSize buckets generated per task in the distributed
     *                  frame (tuning knob; correctness-neutral)
+    * @param maxBroadcastKeys key-cardinality ceiling for broadcasting
+    *                  the key side of the grid. The distinct-key count
+    *                  is measured first (one cheap aggregate action —
+    *                  map-side combined, key-column-only); at or below
+    *                  the ceiling the keys broadcast, above it the
+    *                  grid is built as a distributed cartesian with
+    *                  the keys repartitioned so each task pairs one
+    *                  bucket chunk with ≤ maxBroadcastKeys keys —
+    *                  per-user series at 100 TB never ride a broadcast
+    *                  (tuning knob; correctness-neutral)
     */
   def gapFill(rollup: DataFrame, tsCol: String, keyCol: String, step: Column,
               zeroCols: Seq[String], ffillCols: Seq[String],
-              chunkSize: Int = 4096): DataFrame = {
+              chunkSize: Int = 4096,
+              maxBroadcastKeys: Long = 1000000L): DataFrame = {
+    require(maxBroadcastKeys >= 1,
+      s"maxBroadcastKeys must be >= 1, got $maxBroadcastKeys")
     val bounds = rollup.agg(min(col(tsCol)).as("_lo"), max(col(tsCol)).as("_hi"))
     val chunkStarts = bounds.select(
       explode(sequence(col("_lo"), col("_hi"), step * lit(chunkSize))).as("_cs"),
@@ -58,11 +72,18 @@ object TimeSeries {
         least(col("_cs") + step * lit(chunkSize - 1), col("_hi")),
         step)).as(tsCol))
     val keys = rollup.select(col(keyCol)).distinct()
-    // grid = buckets × keys: the key side is a distinct aggregate
-    // (bounded by series cardinality) and broadcasts; the bucket side
-    // stays distributed so a fine-grain frame scales out, and for
-    // rollup-grain frames AQE still picks a broadcast for the grid join
-    val grid = buckets.crossJoin(broadcast(keys))
+    // grid = buckets × keys. The key side broadcasts ONLY below the
+    // measured cardinality ceiling; per-user key sets (the 100 TB
+    // silent-OOM shape a scaladoc assumption can't guard) fall through
+    // to a distributed cartesian whose output volume IS the grid —
+    // keys repartitioned so no task holds more than maxBroadcastKeys
+    // of them. The count is the one driver-side action here: a
+    // key-column-only distinct with map-side partials.
+    val nKeys = keys.count()
+    val grid =
+      if (nKeys <= maxBroadcastKeys) buckets.crossJoin(broadcast(keys))
+      else buckets.crossJoin(keys.repartition(
+        ((nKeys + maxBroadcastKeys - 1) / maxBroadcastKeys).toInt))
     val joined = grid.join(rollup, Seq(tsCol, keyCol), "left")
     val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -84,11 +105,12 @@ object TimeSeries {
     * Cross-engine determinism: the series is integer-valued and all
     * five moment sums (Σx, Σy, Σx², Σy², Σxy) stay in exact BIGINT, so
     * both Pearson numerator n·Σxy − Σx·Σy and the two variance terms
-    * are exact integers for any rollup-sized series — CALLER CONTRACT:
-    * n·Σ(x·x) must stay under 2⁶³ (≈ 10⁴ daily buckets × values to
-    * ~10⁶; a data-dependent bound no plan-time require can check —
-    * wider series should pre-scale or widen to DECIMAL); the only
-    * floating point is one
+    * are exact integers for any rollup-sized series — the n·Σ(x·x) <
+    * 2⁶³ bound this needs (≈ 10⁴ daily buckets × values to ~10⁶) is
+    * ENFORCED by an in-plan guard (a DECIMAL side-aggregate +
+    * raise_error: data-dependent, so it cannot be a plan-time
+    * require); wider series should pre-scale or pre-aggregate. The
+    * only floating point is one
     * division against sqrt(da)·sqrt(db) — three correctly-rounded IEEE
     * ops on identical operands, bit-identical on any engine.
     *
@@ -150,7 +172,28 @@ object TimeSeries {
     require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
     val s = series.select(col(tCol).cast(LongType).as("t"),
       col(xCol).cast(LongType).as("x"))
-    val a = s.select(col("t"), col("x").as("xa"),
+    // the documented n·Σx² < 2⁶³ exactness bound is ENFORCED in-plan,
+    // not left as a scaladoc contract: one extra aggregate over the
+    // rollup-sized input computes Σx² in overflow-proof DECIMAL and a
+    // broadcast 1-row guard raises before any silently-wrapped BIGINT
+    // moment could leave the operator (a data-dependent bound no
+    // plan-time require can check)
+    val xd = col("x").cast(DecimalType(19, 0))
+    val lim = lit(new java.math.BigDecimal("9223372036854775807"))
+    val guard = s
+      .agg(count(lit(1)).cast(DecimalType(20, 0)).as("_n"),
+        sum(xd * xd).as("_sxx2"))
+      .select(
+        // NULL means the DECIMAL itself overflowed — even further past
+        // the bound, so both null checks fold into "raise"
+        when(col("_sxx2").isNull.or((col("_n") * col("_sxx2")).isNull)
+            .or(col("_n") * col("_sxx2") >= lim),
+          raise_error(lit("autocorrelation: n·Σx² exceeds 2⁶³ — the " +
+            "exact BIGINT moment sums would overflow; pre-scale or " +
+            "pre-aggregate the series")).cast("boolean"))
+          .otherwise(lit(true)).as("_ok"))
+    val a = s.crossJoin(broadcast(guard)).filter(col("_ok")).drop("_ok")
+      .select(col("t"), col("x").as("xa"),
         explode(sequence(lit(1), lit(maxLag))).as("lag0"))
       .select(col("t"), col("xa"), col("lag0").cast(LongType).as("lag"))
       .withColumn("t2", col("t") + col("lag"))
@@ -181,13 +224,13 @@ object TimeSeries {
     * `maxLag` and the kept mass renormalized, so the result is a
     * proper weighted mean even in the warm-up region.
     *
-    * Determinism: callers should pick `alpha` so the weights are
-    * DYADIC (e.g. the default 0.5 makes w(lag) = 2^-(lag+1), exact in
-    * IEEE pow AND in decimal at scale maxLag+1 ≤ 18); each weight is
-    * quantized to DECIMAL(20,13), weight×integer products and both
-    * sums are then exact, and the final division is one IEEE op on
-    * identical operands in any engine — the same discipline as
-    * [[meanShiftSplits]].
+    * Determinism: `alpha` must be DYADIC (1−alpha = 2^-m — enforced by
+    * a runtime require, not left as a caller convention; the default
+    * 0.5 makes w(lag) = 2^-(lag+1), exact in IEEE pow AND in decimal);
+    * each weight lands exactly on the DECIMAL(14,13) grid,
+    * weight×integer products and both sums are then exact, and the
+    * final division is one IEEE op on identical operands in any
+    * engine — the same discipline as [[meanShiftSplits]].
     *
     * Scale: a bounded-lag self-join on the ROLLUP (|buckets|·(maxLag+1)
     * rows), never event-sized; the lag side broadcasts. No ordered
@@ -222,11 +265,23 @@ object TimeSeries {
 
   def ewmaTruncated(series: DataFrame, tCol: String, xCol: String,
                     maxLag: Int = 12, alpha: Double = 0.5): DataFrame = {
-    // 2^-(lag+1) needs lag+1 decimal digits; the (14,13) weight type
-    // holds 13, so lag 12 (2^-13, 13 digits) is the last EXACT weight —
-    // maxLag 13+ would silently round w and break the determinism claim
-    require(maxLag >= 1 && maxLag <= 12,
-      s"maxLag must be in [1,12] for exact DECIMAL(14,13) weights, got $maxLag")
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    // The exactness contract is ENFORCED, not assumed: 1−alpha must be
+    // exactly 2^-m (so (1−alpha)^lag is an exact IEEE power of two and
+    // w(lag) = alpha·2^-(m·lag) an exact product), and the widest
+    // weight alpha·2^-(m·maxLag) needs m·(maxLag+1) decimal digits —
+    // the DECIMAL(14,13) weight type holds 13, beyond which the cast
+    // would silently ROUND w differently per engine (Spark rounds the
+    // shortest decimal string, DuckDB the exact binary) and break the
+    // determinism claim. alpha=0.5 (m=1) admits maxLag ≤ 12;
+    // alpha=0.75 (m=2) maxLag ≤ 5; alpha=0.875 (m=3) maxLag ≤ 3.
+    val oneMinus = 1.0 - alpha
+    val m = math.round(math.log(oneMinus) / math.log(0.5)).toInt
+    require(alpha > 0.0 && alpha < 1.0 && m >= 1 &&
+      math.pow(0.5, m) == oneMinus && m * (maxLag + 1) <= 13,
+      s"ewmaTruncated requires a dyadic smoothing factor: 1-alpha = 2^-m " +
+        s"with m*(maxLag+1) <= 13 for exact DECIMAL(14,13) weights " +
+        s"(alpha in {0.5, 0.75, 0.875, ...}); got alpha=$alpha maxLag=$maxLag")
     val s = series.select(col(tCol).cast(LongType).as("t"),
       col(xCol).cast(LongType).as("x"))
     val a = s.select(col("t"), col("x"),
@@ -258,6 +313,12 @@ object TimeSeries {
     * cohort matrix: a rolling DISTINCT count, which no window frame
     * can express directly.
     *
+    * NULL users (anonymous/unattributed events) are EXCLUDED up front:
+    * `count(*)` over the distinct pairs would count a NULL user toward
+    * DAU while `count(DISTINCT u)` drops it from WAU — an asymmetry
+    * that could push the ratio above 1.0. An unidentified event is not
+    * a user in either numerator or denominator.
+    *
     * Shape: the event stream first collapses to DISTINCT (user, day)
     * pairs — everything after is bounded by users×days, not events.
     * The trailing window is a range join of the day spine onto those
@@ -271,6 +332,7 @@ object TimeSeries {
   def stickiness(events: DataFrame, tsCol: String = "ts",
                  userCol: String = "user_id"): DataFrame = {
     val ud = events
+      .filter(col(userCol).isNotNull)
       .select(to_date(col(tsCol)).as("day"), col(userCol).as("u"))
       .distinct()
     val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))

@@ -64,6 +64,37 @@ object PipelineQueries {
     * the same rewrite as the engine's left-to-right fold.
     */
   private def bpeOracleSql(rounds: Int): String = {
+    val sel = (1 to rounds).map { r =>
+      s"SELECT CAST($r AS BIGINT) AS round, sa AS lhs, sb AS rhs, sa || sb AS merged, c AS pair_count FROM w$r"
+    }.mkString("\n", "\nUNION ALL ", "")
+    s"${bpeRoundCtes(rounds, finalSyms = false)}$sel\nORDER BY round"
+  }
+
+  /** Oracle for ta27 (train → ENCODE composition): the same unrolled
+    * rounds as [[bpeOracleSql]], carried one rewrite further to the
+    * final symbol table, whose per-word segment counts join back onto
+    * the documents — tokens/doc under the learned merges. Docs with no
+    * words keep a zero row (the engine's bpeEncode contract).
+    */
+  private def bpeEncodeOracleSql(rounds: Int): String = {
+    val fin = rounds + 1
+    s"""${bpeRoundCtes(rounds, finalSyms = true)},
+       | wt AS (SELECT word, CAST(count(*) AS BIGINT) AS nsym
+       |        FROM sym$fin GROUP BY word),
+       | dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       |        FROM documents),
+       | enc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |           CAST(sum(nsym) AS BIGINT) AS n_tokens
+       |         FROM dw JOIN wt USING (word) WHERE word <> ''
+       |         GROUP BY doc_id)
+       |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       |  COALESCE(enc.n_words, 0) AS n_words,
+       |  COALESCE(enc.n_tokens, 0) AS n_tokens
+       |FROM documents d LEFT JOIN enc ON enc.doc_id = d.doc_id
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  private def bpeRoundCtes(rounds: Int, finalSyms: Boolean): String = {
     val head =
       """WITH wd AS MATERIALIZED (
         |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM
@@ -73,7 +104,7 @@ object PipelineQueries {
         |  SELECT word, freq, unnest(range(1, length(word) + 1)) AS i,
         |         unnest(string_split(word, '')) AS s FROM wd)""".stripMargin
     val roundCtes = (1 to rounds).map { r =>
-      val nxt = if (r == rounds) "" else
+      val nxt = if (r == rounds && !finalSyms) "" else
         s""",
            | sym${r + 1} AS MATERIALIZED (
            |  SELECT word, freq, row_number() OVER (PARTITION BY word ORDER BY i) AS i,
@@ -104,10 +135,85 @@ object PipelineQueries {
          |    lag(mg, 1, 0) OVER (PARTITION BY word ORDER BY i) AS consumed
          |  FROM m${r}2)""".stripMargin + nxt
     }.mkString
-    val sel = (1 to rounds).map { r =>
-      s"SELECT CAST($r AS BIGINT) AS round, sa AS lhs, sb AS rhs, sa || sb AS merged, c AS pair_count FROM w$r"
-    }.mkString("\n", "\nUNION ALL ", "")
-    s"$head$roundCtes$sel\nORDER BY round"
+    s"$head$roundCtes"
+  }
+
+  /** Planted multilingual documents for ta26 — (doc_id, true lang,
+    * text), ids far above any corpus doc_id. All-lowercase ASCII +
+    * Latin-1/Latin-Extended letters only, so neither engine's case
+    * mapping or escaping is in play; the texts are ordinary sentences
+    * built from each language's function words. The spec asserts each
+    * classifies to its true language; the ORACLE only needs both
+    * engines to run the same method over the same bytes.
+    */
+  private[graft] val LidPlantedDocs: Seq[(Long, String, String)] = Seq(
+    (900001L, "en", "the cat sat on the mat and the dog barked at the sun in the garden of the old house"),
+    (900002L, "en", "this is the story of the town and it is standing there in the morning light"),
+    (900003L, "fr", "le chat est dans la maison et le chien dort dans le jardin de la ville pendant que les enfants parlent"),
+    (900004L, "fr", "il y a des questions que nous ne pouvons pas poser sans parler de la vie et des paysages"),
+    (900005L, "es", "el perro come en la casa y la gata duerme en el jardín de la ciudad mientras los niños hablan"),
+    (900006L, "es", "es una de las preguntas que no podemos hacer en el camino sin hablar con el niño de la ciudad"),
+    (900007L, "de", "der hund schläft in dem haus und die katze sitzt in einem schönen garten während die kinder sprechen"),
+    (900008L, "de", "das ist eine schöne geschichte und wir werden sie unseren kindern am abend erzählen"),
+    (900009L, "it", "il cane dorme nella casa e il gatto della città gioca nel giardino mentre i bambini parlano"),
+    (900010L, "it", "questa è una delle domande che non possiamo fare con il cane e con il gatto della città di notte"),
+    (900011L, "pt", "o cão dorme na casa e o gato da cidade brinca no jardim enquanto as crianças falam da manhã"),
+    (900012L, "pt", "esta é uma das perguntas que não podemos fazer sem falar da vida e dos caminhos"))
+
+  /** ta26 oracle: the full Cavnar–Trenkle replay in DuckDB — planted
+    * docs and profile table rendered as VALUES from the SAME Scala
+    * constants the Spark side uses (single source of truth for both
+    * engines).
+    */
+  private def lidOracleSql: String = {
+    val topN = 40
+    val pd = LidPlantedDocs
+      .map { case (id, _, t) => s"($id, '$t')" }.mkString(",\n    ")
+    val prof = graft.operators.TextAnalysis.LidProfiles.toSeq.sortBy(_._1)
+      .flatMap { case (l, gs) =>
+        gs.zipWithIndex.map { case (g, i) => s"('$l', '$g', ${i + 1})" }
+      }.mkString(",\n    ")
+    s"""WITH pd(doc_id, text) AS (VALUES
+       |    $pd),
+       | prof(lang, gram, prank) AS (VALUES
+       |    $prof),
+       | langs AS (SELECT DISTINCT lang FROM prof),
+       | alldocs AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM pd
+       |             UNION ALL
+       |             SELECT doc_id, text FROM documents WHERE doc_id < 100),
+       | nt AS (SELECT doc_id,
+       |          ' ' || trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) || ' ' AS t
+       |        FROM alldocs),
+       | g AS (SELECT doc_id, substr(t, CAST(i AS INTEGER), 3) AS gram
+       |       FROM (SELECT doc_id, t, unnest(range(1, length(t) - 1)) AS i
+       |             FROM nt WHERE length(t) >= 3)),
+       | gc AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+       | dt AS (SELECT doc_id, gram, CAST(r AS BIGINT) AS r FROM
+       |          (SELECT doc_id, gram,
+       |             row_number() OVER (PARTITION BY doc_id
+       |               ORDER BY c DESC, gram) AS r
+       |           FROM gc) z
+       |        WHERE r <= $topN),
+       | dd AS (SELECT dt.doc_id, l.lang,
+       |          CAST(sum(COALESCE(abs(dt.r - p.prank), $topN)) AS BIGINT) AS d,
+       |          CAST(count(*) AS BIGINT) AS n_grams
+       |        FROM dt CROSS JOIN langs l
+       |        LEFT JOIN prof p ON p.lang = l.lang AND p.gram = dt.gram
+       |        GROUP BY 1, 2),
+       | best AS (SELECT doc_id, lang, d, n_grams,
+       |            row_number() OVER (PARTITION BY doc_id
+       |              ORDER BY d, lang) AS rb
+       |          FROM dd)
+       |SELECT a.doc_id,
+       |  CASE WHEN b.lang IS NULL OR b.d = b.n_grams * $topN THEN 'und'
+       |       ELSE b.lang END AS language,
+       |  b.d AS distance,
+       |  COALESCE(b.n_grams, 0) AS n_grams,
+       |  COALESCE(1.0 - CAST(b.d AS DOUBLE) / CAST(b.n_grams * $topN AS DOUBLE),
+       |    0.0) AS confidence
+       |FROM alldocs a
+       |LEFT JOIN (SELECT * FROM best WHERE rb = 1) b ON b.doc_id = a.doc_id
+       |ORDER BY a.doc_id""".stripMargin
   }
 
   private val CosineExactTopkSql: String =
@@ -802,7 +908,8 @@ object PipelineQueries {
     // on its source: near-dups from one site never straddle folds.
     QueryDef("sp11_kfold",
       """SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
-        |  (('0x' || substring(md5('cv1_' || source), 1, 8))::BIGINT * 5)
+        |  (('0x' || substring(md5(md5('cv1') ||
+        |      CASE WHEN source IS NULL THEN 'n' ELSE 'v' || source END), 1, 8))::BIGINT * 5)
         |    // 4294967296 AS fold
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
       graft.operators.Sampling.kFoldAssign(docs(s, dir), "source", 5)
@@ -821,12 +928,12 @@ object PipelineQueries {
     // narrow generator, zero shuffle before the presentation sort.
     QueryDef("sp10_poisson_bootstrap",
       """WITH c AS (SELECT o_orderkey,
-        |    CASE WHEN substring(md5('bs1_' || CAST(o_orderkey AS VARCHAR)), 1, 8) < '5e2d58d8' THEN 0
-        |         WHEN substring(md5('bs1_' || CAST(o_orderkey AS VARCHAR)), 1, 8) < 'bc5ab1b1' THEN 1
-        |         WHEN substring(md5('bs1_' || CAST(o_orderkey AS VARCHAR)), 1, 8) < 'eb715e1d' THEN 2
-        |         WHEN substring(md5('bs1_' || CAST(o_orderkey AS VARCHAR)), 1, 8) < 'fb239797' THEN 3
-        |         WHEN substring(md5('bs1_' || CAST(o_orderkey AS VARCHAR)), 1, 8) < 'ff1025f5' THEN 4
-        |         WHEN substring(md5('bs1_' || CAST(o_orderkey AS VARCHAR)), 1, 8) < 'ffd90f3b' THEN 5
+        |    CASE WHEN substring(md5(md5('bs1') || 'v' || CAST(o_orderkey AS VARCHAR)), 1, 8) < '5e2d58d8' THEN 0
+        |         WHEN substring(md5(md5('bs1') || 'v' || CAST(o_orderkey AS VARCHAR)), 1, 8) < 'bc5ab1b1' THEN 1
+        |         WHEN substring(md5(md5('bs1') || 'v' || CAST(o_orderkey AS VARCHAR)), 1, 8) < 'eb715e1d' THEN 2
+        |         WHEN substring(md5(md5('bs1') || 'v' || CAST(o_orderkey AS VARCHAR)), 1, 8) < 'fb239797' THEN 3
+        |         WHEN substring(md5(md5('bs1') || 'v' || CAST(o_orderkey AS VARCHAR)), 1, 8) < 'ff1025f5' THEN 4
+        |         WHEN substring(md5(md5('bs1') || 'v' || CAST(o_orderkey AS VARCHAR)), 1, 8) < 'ffd90f3b' THEN 5
         |         ELSE 6 END AS n
         |  FROM orders)
         |SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
@@ -1725,6 +1832,44 @@ object PipelineQueries {
       TextAnalysis.bpeMerges(docsWide(s, dir), "text", rounds = 3)
     },
 
+    // BPE train → ENCODE composition: ta24's learned merge table is
+    // APPLIED back to the corpus — tokens/doc under the trained
+    // vocabulary, the step that turns the shipped artifact into a
+    // pipeline. The oracle unrolls the identical 3 training rounds one
+    // rewrite further (to the final symbol table) and re-derives every
+    // document's token count from it, so a drift in the training
+    // winners, the greedy rewrite, or the encode join all break the
+    // hash. Docs with no words keep a zero row.
+    QueryDef("ta27_bpe_encode", bpeEncodeOracleSql(3)) { (s, dir) =>
+      val m = TextAnalysis.bpeMerges(docsWide(s, dir), "text", rounds = 3)
+      TextAnalysis.bpeEncode(docs(s, dir), "doc_id", "text", m)
+        .select(col("doc_id").cast(LongType).as("doc_id"),
+          col("n_words"), col("n_tokens"))
+        .orderBy("doc_id")
+    },
+
+    // Multi-language identification (Cavnar–Trenkle out-of-place
+    // distance over character trigrams — the real first filter of a
+    // pretraining pipeline, vs ta04's single-language stopword
+    // heuristic): planted docs in all six profiled languages ride
+    // along with a corpus slice, and the oracle replays the ENTIRE
+    // method (normalize → trigrams → doc profile ranks → out-of-place
+    // distance against the same literal profile table → argmin) for a
+    // full row hash-match; CurationOpsSpec separately asserts every
+    // planted doc classifies to its true language.
+    QueryDef("ta26_langid_multi", lidOracleSql) { (s, dir) =>
+      import s.implicits._
+      val planted = LidPlantedDocs.map { case (id, _, t) => (id, t) }
+        .toDF("doc_id", "text")
+      val corp = docs(s, dir).filter(col("doc_id") < 100)
+        .select(col("doc_id"), col("text"))
+      TextAnalysis.languageIdentify(planted.unionAll(corp),
+          "doc_id", "text", topN = 40)
+        .select(col("doc_id").cast(LongType).as("doc_id"), col("language"),
+          col("distance"), col("n_grams"), col("confidence"))
+        .orderBy("doc_id")
+    },
+
     // Repetition-based quality filters (the Gopher/C4 degenerate-text
     // family): top-token share + duplicate 2/3-gram fractions, all
     // scan-fused per-row array math on the Spark side (sorted-array
@@ -2061,11 +2206,14 @@ object PipelineQueries {
         Similarity.annTopK(q, e, 5), floorPct = 80)
     },
 
-    // IVF recall floor at 80% — same contract shape as sim03. nprobe=6
-    // is the measured quality lever (0.86/0.88/0.94 across the three
-    // SFs; nprobe=4 sits at 0.84 at sf0.01, too close to the floor).
-    // Lloyd refinement is deliberately OFF: measured, it lowers recall
-    // on this corpus at every nprobe (see Similarity.ivfTopK scaladoc).
+    // IVF recall floor at 85% — same contract shape as sim03. The
+    // r14-tuned nprobe=8 is now the OPERATOR DEFAULT (measured
+    // 0.90/0.92/0.96 across the three SFs, BENCH_NOTES r12 sweep;
+    // nprobe=6 sat at 0.86/0.88/0.94, nprobe=4 at 0.84 — too close to
+    // any honest floor), so the gate runs the defaults and the floor
+    // rises to 85. Lloyd refinement stays deliberately OFF: measured,
+    // it lowers recall on this corpus at every nprobe (see
+    // Similarity.ivfTopK scaladoc).
     QueryDef("sim04_ann_ivf",
       """SELECT CAST(q.nq * least(5, c.n_all - 1) AS BIGINT) AS n_exact,
         |  CAST(1 AS BIGINT) AS recall_ok
@@ -2074,7 +2222,7 @@ object PipelineQueries {
       val e = emb(s, dir)
       val q = e.filter(col("vec_id") < 10)
       recallFloor(Similarity.cosineTopK(q, e, 5),
-        Similarity.ivfTopK(q, e, 5, nlist = 16, nprobe = 6), floorPct = 80)
+        Similarity.ivfTopK(q, e, 5), floorPct = 85)
     },
 
     // Product-quantization ANN (the IVF-PQ compression half): 16
@@ -2317,6 +2465,8 @@ object PipelineQueries {
     // recall floor on the sampled query slice vs exact cosine.
     QueryDef("sim12_knn_graph",
       """SELECT CAST(c.n_all * 3 AS BIGINT) AS n_edges,
+        |  CAST(0 AS BIGINT) AS n_self,
+        |  CAST(c.n_all AS BIGINT) AS n_qids,
         |  CAST(q.nq * least(3, c.n_all - 1) AS BIGINT) AS n_exact,
         |  CAST(1 AS BIGINT) AS recall_ok
         |FROM (SELECT count(*) AS nq FROM embeddings WHERE vec_id < 10) q,
@@ -2325,12 +2475,19 @@ object PipelineQueries {
       // the graph feeds BOTH output branches (edge count + recall
       // slice) — checkpoint it so the corpus-wide kNN computes once,
       // not once per branch (measured 5.0 → ~3 s at sf0.1; the
-      // farthestPointSeeds discipline)
+      // farthestPointSeeds discipline). Content is gated three ways:
+      // the recall floor on the sampled slice checks edges AGAINST THE
+      // EXACT top-k, and n_self/n_qids pin the structural contract
+      // (no self-edges; every corpus vector appears as a query) from
+      // the ACTUAL edge list, not from counts the oracle also derives
       val knn = Similarity.ivfTopK(e, e, 3, nlist = 16, nprobe = 6)
         .localCheckpoint()
       val exact = Similarity.cosineTopK(e.filter(col("vec_id") < 10), e, 3,
         exact = true)
-      knn.agg(count(lit(1)).cast(LongType).as("n_edges"))
+      knn.agg(count(lit(1)).cast(LongType).as("n_edges"),
+          sum(when(col("qid") === col("cid"), 1L).otherwise(0L))
+            .cast(LongType).as("n_self"),
+          countDistinct(col("qid")).cast(LongType).as("n_qids"))
         .crossJoin(recallFloor(exact, knn.filter(col("qid") < 10), 80))
     },
 
@@ -2829,21 +2986,21 @@ object PipelineQueries {
         | r0 AS (SELECT nd.v,
         |          CASE WHEN sd.v IS NOT NULL THEN 1.0 / ns.s ELSE 0.0 END AS r
         |        FROM nodes nd CROSS JOIN ns LEFT JOIN sd ON sd.v = nd.v),
-        | c1 AS (SELECT dst, sum(CAST(floor(r / outdeg * 1000000000000.0 + 0.5) AS DECIMAL(14,0)) * CAST(0.000000000001 AS DECIMAL(13,12))) AS cs
+        | c1 AS (SELECT dst, sum(CAST(floor(r / ed.outdeg * 1000000000000.0 + 0.5) AS DECIMAL(14,0)) * CAST(0.000000000001 AS DECIMAL(13,12))) AS cs
         |        FROM ed JOIN r0 ON ed.src = r0.v GROUP BY dst),
         | r1 AS (SELECT nd.v,
         |          CASE WHEN sd.v IS NOT NULL THEN 0.15 / ns.s ELSE 0.0 END
         |            + 0.85 * CAST(COALESCE(c1.cs, 0) AS DOUBLE) AS r
         |        FROM nodes nd CROSS JOIN ns
         |        LEFT JOIN sd ON sd.v = nd.v LEFT JOIN c1 ON c1.dst = nd.v),
-        | c2 AS (SELECT dst, sum(CAST(floor(r / outdeg * 1000000000000.0 + 0.5) AS DECIMAL(14,0)) * CAST(0.000000000001 AS DECIMAL(13,12))) AS cs
+        | c2 AS (SELECT dst, sum(CAST(floor(r / ed.outdeg * 1000000000000.0 + 0.5) AS DECIMAL(14,0)) * CAST(0.000000000001 AS DECIMAL(13,12))) AS cs
         |        FROM ed JOIN r1 ON ed.src = r1.v GROUP BY dst),
         | r2 AS (SELECT nd.v,
         |          CASE WHEN sd.v IS NOT NULL THEN 0.15 / ns.s ELSE 0.0 END
         |            + 0.85 * CAST(COALESCE(c2.cs, 0) AS DOUBLE) AS r
         |        FROM nodes nd CROSS JOIN ns
         |        LEFT JOIN sd ON sd.v = nd.v LEFT JOIN c2 ON c2.dst = nd.v),
-        | c3 AS (SELECT dst, sum(CAST(floor(r / outdeg * 1000000000000.0 + 0.5) AS DECIMAL(14,0)) * CAST(0.000000000001 AS DECIMAL(13,12))) AS cs
+        | c3 AS (SELECT dst, sum(CAST(floor(r / ed.outdeg * 1000000000000.0 + 0.5) AS DECIMAL(14,0)) * CAST(0.000000000001 AS DECIMAL(13,12))) AS cs
         |        FROM ed JOIN r2 ON ed.src = r2.v GROUP BY dst),
         | r3 AS (SELECT nd.v,
         |          CASE WHEN sd.v IS NOT NULL THEN 0.15 / ns.s ELSE 0.0 END
@@ -2867,6 +3024,70 @@ object PipelineQueries {
       val seeds = edges.select(col("src").as("v")).distinct()
         .filter(col("v") % 2 === 0).orderBy("v").limit(5)
       graft.operators.Graph.personalizedPageRank(edges, seeds, iterations = 3)
+        .select(col("v").cast(LongType).as("node"),
+          when(col("v") % 2 === 0, "cust").otherwise("supp").as("node_type"),
+          col("r").as("score"))
+        .orderBy(desc("score"), col("node")).limit(20)
+    },
+
+    // CLASSIC-semantics PageRank with dangling-mass redistribution
+    // over the DIRECTED customer→supplier order graph: every supplier
+    // is a pure sink, so each round ~half the total mass is dangling
+    // and redistributes uniformly (gr01's operator would drop it —
+    // the two variants diverge materially here, which is the point).
+    // Same floor-quantized 12-dp contributions as gr07, plus a
+    // one-row quantized dangling sum per round; the oracle unrolls
+    // the identical 3 rounds. Σr = 1 mass conservation is pinned in
+    // CurationOpsSpec.
+    QueryDef("gr08_pagerank_dangling",
+      """WITH pairs AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+        |       FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        | edges AS (SELECT c * 2 AS src, s * 2 + 1 AS dst FROM pairs),
+        | deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+        | ed AS (SELECT e.src, e.dst, d.outdeg FROM edges e JOIN deg d USING (src)),
+        | nd AS (SELECT DISTINCT v FROM
+        |          (SELECT src AS v FROM edges UNION ALL SELECT dst FROM edges) u),
+        | nodes AS (SELECT nd.v, deg.outdeg FROM nd LEFT JOIN deg ON deg.src = nd.v),
+        | nn AS (SELECT count(*) AS n FROM nodes),
+        | r0 AS (SELECT v, outdeg, 1.0 / nn.n AS r FROM nodes CROSS JOIN nn),
+        | c1 AS (SELECT dst, sum(CAST(floor(r / ed.outdeg * 1000000000000.0 + 0.5) AS DECIMAL(14,0)) * CAST(0.000000000001 AS DECIMAL(13,12))) AS cs
+        |        FROM ed JOIN r0 ON ed.src = r0.v GROUP BY dst),
+        | d1 AS (SELECT COALESCE(sum(CAST(floor(r * 1000000000000.0 + 0.5) AS DECIMAL(14,0)) * CAST(0.000000000001 AS DECIMAL(13,12))), 0) AS dm
+        |        FROM r0 WHERE outdeg IS NULL),
+        | r1 AS (SELECT nd2.v, nd2.outdeg,
+        |          0.15 / nn.n + 0.85 * (CAST(COALESCE(c1.cs, 0) AS DOUBLE)
+        |            + CAST(d1.dm AS DOUBLE) / nn.n) AS r
+        |        FROM nodes nd2 CROSS JOIN nn CROSS JOIN d1
+        |        LEFT JOIN c1 ON c1.dst = nd2.v),
+        | c2 AS (SELECT dst, sum(CAST(floor(r / ed.outdeg * 1000000000000.0 + 0.5) AS DECIMAL(14,0)) * CAST(0.000000000001 AS DECIMAL(13,12))) AS cs
+        |        FROM ed JOIN r1 ON ed.src = r1.v GROUP BY dst),
+        | d2 AS (SELECT COALESCE(sum(CAST(floor(r * 1000000000000.0 + 0.5) AS DECIMAL(14,0)) * CAST(0.000000000001 AS DECIMAL(13,12))), 0) AS dm
+        |        FROM r1 WHERE outdeg IS NULL),
+        | r2 AS (SELECT nd2.v, nd2.outdeg,
+        |          0.15 / nn.n + 0.85 * (CAST(COALESCE(c2.cs, 0) AS DOUBLE)
+        |            + CAST(d2.dm AS DOUBLE) / nn.n) AS r
+        |        FROM nodes nd2 CROSS JOIN nn CROSS JOIN d2
+        |        LEFT JOIN c2 ON c2.dst = nd2.v),
+        | c3 AS (SELECT dst, sum(CAST(floor(r / ed.outdeg * 1000000000000.0 + 0.5) AS DECIMAL(14,0)) * CAST(0.000000000001 AS DECIMAL(13,12))) AS cs
+        |        FROM ed JOIN r2 ON ed.src = r2.v GROUP BY dst),
+        | d3 AS (SELECT COALESCE(sum(CAST(floor(r * 1000000000000.0 + 0.5) AS DECIMAL(14,0)) * CAST(0.000000000001 AS DECIMAL(13,12))), 0) AS dm
+        |        FROM r2 WHERE outdeg IS NULL),
+        | r3 AS (SELECT nd2.v, nd2.outdeg,
+        |          0.15 / nn.n + 0.85 * (CAST(COALESCE(c3.cs, 0) AS DOUBLE)
+        |            + CAST(d3.dm AS DOUBLE) / nn.n) AS r
+        |        FROM nodes nd2 CROSS JOIN nn CROSS JOIN d3
+        |        LEFT JOIN c3 ON c3.dst = nd2.v)
+        |SELECT CAST(v AS BIGINT) AS node,
+        |  CASE WHEN v % 2 = 0 THEN 'cust' ELSE 'supp' END AS node_type,
+        |  r AS score
+        |FROM r3 ORDER BY score DESC, node LIMIT 20""".stripMargin) { (s, dir) =>
+      val edges = Tables.load(s, dir, "orders")
+        .join(Tables.load(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      graft.operators.Graph.pageRankClassic(edges, iterations = 3)
         .select(col("v").cast(LongType).as("node"),
           when(col("v") % 2 === 0, "cust").otherwise("supp").as("node_type"),
           col("r").as("score"))
@@ -3977,7 +4198,7 @@ object PipelineQueries {
     // bounded by users×days, never events.
     QueryDef("ev22_stickiness",
       """WITH ud AS (SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
-        |              user_id AS u FROM events),
+        |              user_id AS u FROM events WHERE user_id IS NOT NULL),
         | dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY day),
         | wau AS (SELECT sp.day AS d, count(DISTINCT ud.u) AS wau
         |         FROM (SELECT day FROM dau) sp JOIN ud

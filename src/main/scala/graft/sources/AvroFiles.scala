@@ -1,0 +1,234 @@
+package graft.sources
+
+import java.nio.ByteBuffer
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.{LogicalTypes, Schema, SchemaBuilder}
+import org.apache.avro.file.{CodecFactory, DataFileReader, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.avro.mapred.FsInput
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Avro container-file sink/source built DIRECTLY on avro-core — the
+  * engine's answer to the long-open "spark-avro is not on this
+  * classpath" gap (`SinksSpec` documented it for two rounds; the
+  * external module resolves nothing here, but avro-core and
+  * avro-mapred ship with Spark itself as internal deps, reference
+  * surface `/opt/spark/jars/avro-1.12.1.jar`). Covers the scalar
+  * column types the engine's tables use — boolean/int/long/float/
+  * double/string/binary/date/timestamp/decimal, each nullable — with
+  * Avro logical types (`date`, `timestamp-micros`, `decimal`) so any
+  * standard Avro reader sees typed values, not raw primitives.
+  *
+  * Scale shape: the WRITE is one `foreachPartition` pass — every
+  * partition streams its rows through a `DataFileWriter` straight to
+  * `part-NNNNN.avro` under the target directory, no driver
+  * collection, no shuffle; the READ parallelizes the file list and
+  * each task streams its file through `FsInput` (splittable-enough at
+  * one-file-per-task granularity; a 100 TB deployment sizes files via
+  * `df.repartition(n)` before the write, the LogEtl discipline).
+  *
+  * Deliberate scope notes: the writer commits files directly (no
+  * temporary-directory rename protocol — a failed job can leave
+  * partial part files; re-running overwrites them), and task-side
+  * filesystem access uses the path's own scheme with default Hadoop
+  * configuration (file:/ and hdfs:// work as-is; object stores
+  * needing credentials inject them via core-site.xml). Both match the
+  * reference converter's overwrite-idempotent posture rather than a
+  * transactional committer.
+  */
+object AvroFiles {
+
+  /** Write `df` as Avro container files, one per partition. */
+  def write(df: DataFrame, path: String,
+            compression: String = "snappy"): Unit = {
+    val sparkSchema = df.schema
+    val avroSchemaJson = toAvroSchema(sparkSchema).toString
+    val codec = compression
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    fs.mkdirs(dir)
+    df.foreachPartition { (rows: Iterator[Row]) =>
+      val pid = TaskContext.getPartitionId()
+      val schema = new Schema.Parser().parse(avroSchemaJson)
+      val file = new Path(path, f"part-$pid%05d.avro")
+      val out = file.getFileSystem(new Configuration()).create(file, true)
+      val writer = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](schema))
+      writer.setCodec(CodecFactory.fromString(codec))
+      writer.create(schema, out)
+      try rows.foreach(r => writer.append(toRecord(r, sparkSchema, schema)))
+      finally writer.close()
+    }
+  }
+
+  /** Read a directory of Avro container files back as a DataFrame.
+    * The schema comes from the first file (all parts share one — the
+    * write contract above); each task streams one file.
+    */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(conf)
+    val files = fs.listStatus(dir).map(_.getPath)
+      .filter(_.getName.endsWith(".avro")).map(_.toString).sorted
+    require(files.nonEmpty, s"no .avro files under $path")
+    val first = new DataFileReader[GenericRecord](
+      new FsInput(new Path(files.head), conf),
+      new GenericDatumReader[GenericRecord]())
+    val avroSchema = try first.getSchema finally first.close()
+    val sparkSchema = toSparkSchema(avroSchema)
+    val avroJson = avroSchema.toString
+    val rowRdd = spark.sparkContext
+      .parallelize(files.toIndexedSeq, files.length)
+      .flatMap { f =>
+        val schema = new Schema.Parser().parse(avroJson)
+        val reader = new DataFileReader[GenericRecord](
+          new FsInput(new Path(f), new Configuration()),
+          new GenericDatumReader[GenericRecord](schema))
+        new Iterator[Row] {
+          def hasNext: Boolean = { val h = reader.hasNext; if (!h) reader.close(); h }
+          def next(): Row = toRow(reader.next(), schema)
+        }
+      }
+    spark.createDataFrame(rowRdd, sparkSchema)
+  }
+
+  // ---- schema mapping ---------------------------------------------------
+
+  private[graft] def toAvroSchema(st: StructType): Schema = {
+    val fields = st.fields.map { f =>
+      val base = f.dataType match {
+        case BooleanType => Schema.create(Schema.Type.BOOLEAN)
+        case IntegerType | ShortType | ByteType => Schema.create(Schema.Type.INT)
+        case LongType => Schema.create(Schema.Type.LONG)
+        case FloatType => Schema.create(Schema.Type.FLOAT)
+        case DoubleType => Schema.create(Schema.Type.DOUBLE)
+        case StringType => Schema.create(Schema.Type.STRING)
+        case BinaryType => Schema.create(Schema.Type.BYTES)
+        case DateType =>
+          LogicalTypes.date().addToSchema(Schema.create(Schema.Type.INT))
+        case TimestampType => LogicalTypes.timestampMicros()
+          .addToSchema(Schema.create(Schema.Type.LONG))
+        case TimestampNTZType => LogicalTypes.localTimestampMicros()
+          .addToSchema(Schema.create(Schema.Type.LONG))
+        case d: DecimalType => LogicalTypes.decimal(d.precision, d.scale)
+          .addToSchema(Schema.create(Schema.Type.BYTES))
+        case other => throw new IllegalArgumentException(
+          s"AvroFiles does not map ${other.typeName} (column ${f.name}); " +
+            "project it to a supported scalar type first")
+      }
+      val sch = if (f.nullable)
+        Schema.createUnion(Schema.create(Schema.Type.NULL), base)
+      else base
+      new Schema.Field(f.name, sch, null, null)
+    }
+    Schema.createRecord("graft_row", null, "graft.avro", false,
+      fields.toIndexedSeq.asJava)
+  }
+
+  private[graft] def toSparkSchema(s: Schema): StructType =
+    StructType(s.getFields.asScala.map { f =>
+      val (base, nullable) = unwrap(f.schema())
+      StructField(f.name(), toSparkType(base), nullable)
+    }.toArray)
+
+  private def unwrap(s: Schema): (Schema, Boolean) =
+    if (s.getType == Schema.Type.UNION) {
+      val nn = s.getTypes.asScala.filter(_.getType != Schema.Type.NULL)
+      require(nn.size == 1, s"only [null, T] unions are supported: $s")
+      (nn.head, true)
+    } else (s, false)
+
+  private def toSparkType(s: Schema): DataType = s.getLogicalType match {
+    case _: LogicalTypes.Date => DateType
+    case _: LogicalTypes.TimestampMicros => TimestampType
+    case _: LogicalTypes.LocalTimestampMicros => TimestampNTZType
+    case d: LogicalTypes.Decimal => DecimalType(d.getPrecision, d.getScale)
+    case _ => s.getType match {
+      case Schema.Type.BOOLEAN => BooleanType
+      case Schema.Type.INT => IntegerType
+      case Schema.Type.LONG => LongType
+      case Schema.Type.FLOAT => FloatType
+      case Schema.Type.DOUBLE => DoubleType
+      case Schema.Type.STRING => StringType
+      case Schema.Type.BYTES => BinaryType
+      case other => throw new IllegalArgumentException(
+        s"AvroFiles does not map Avro type $other")
+    }
+  }
+
+  // ---- value mapping ----------------------------------------------------
+
+  private def toRecord(row: Row, st: StructType,
+                       avro: Schema): GenericRecord = {
+    val rec = new GenericData.Record(avro)
+    var i = 0
+    while (i < st.length) {
+      val v = if (row.isNullAt(i)) null else st.fields(i).dataType match {
+        case ShortType => row.getShort(i).toInt
+        case ByteType => row.getByte(i).toInt
+        case DateType => row.getDate(i).toLocalDate.toEpochDay.toInt
+        case TimestampType =>
+          // Timestamp invariant: getTime = seconds·1000 + nanos/10⁶,
+          // so rebuild micros from the integral-seconds floor plus the
+          // full nano field (floorDiv keeps pre-epoch values exact)
+          val t = row.getTimestamp(i)
+          Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
+        case TimestampNTZType =>
+          val t = row.getAs[java.time.LocalDateTime](i)
+          t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+            t.getNano / 1000
+        case BinaryType => ByteBuffer.wrap(row.getAs[Array[Byte]](i))
+        case _: DecimalType =>
+          ByteBuffer.wrap(row.getDecimal(i).unscaledValue().toByteArray)
+        case _ => row.get(i)
+      }
+      rec.put(i, v)
+      i += 1
+    }
+    rec
+  }
+
+  private def toRow(rec: GenericRecord, schema: Schema): Row = {
+    val vals = schema.getFields.asScala.map { f =>
+      val (base, _) = unwrap(f.schema())
+      val v = rec.get(f.pos())
+      if (v == null) null
+      else base.getLogicalType match {
+        case _: LogicalTypes.Date =>
+          java.sql.Date.valueOf(
+            java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong))
+        case _: LogicalTypes.TimestampMicros =>
+          val micros = v.asInstanceOf[Long]
+          val ts = new java.sql.Timestamp(Math.floorDiv(micros, 1000000L) * 1000L)
+          ts.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
+          ts
+        case _: LogicalTypes.LocalTimestampMicros =>
+          val micros = v.asInstanceOf[Long]
+          java.time.LocalDateTime.ofEpochSecond(
+            Math.floorDiv(micros, 1000000L),
+            (Math.floorMod(micros, 1000000L) * 1000L).toInt,
+            java.time.ZoneOffset.UTC)
+        case d: LogicalTypes.Decimal =>
+          val bb = v.asInstanceOf[ByteBuffer]
+          val bytes = new Array[Byte](bb.remaining()); bb.duplicate().get(bytes)
+          new java.math.BigDecimal(new java.math.BigInteger(bytes), d.getScale)
+        case _ => base.getType match {
+          case Schema.Type.STRING => v.toString
+          case Schema.Type.BYTES =>
+            val bb = v.asInstanceOf[ByteBuffer]
+            val bytes = new Array[Byte](bb.remaining()); bb.duplicate().get(bytes)
+            bytes
+          case _ => v
+        }
+      }
+    }
+    Row.fromSeq(vals.toIndexedSeq)
+  }
+}

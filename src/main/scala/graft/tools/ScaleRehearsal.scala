@@ -308,6 +308,41 @@ object ScaleRehearsal {
         spark.read.parquet(s"$work/events10x.parquet"),
         Seq("view", "click"), "purchase", 72).count()
     }
+
+    // Optional SECOND DECADE (arg "deep"): a measured 100× point for
+    // the two heaviest families, so SCALE.md's 1000× story rests on
+    // two measured decades, not one decade + extrapolation.
+    // - gr01: 100 id-offset graph copies — |E| grows 100×, per-round
+    //   cost must track |E| (the BSP contract).
+    // - sim12 shape (corpus-as-queries IVF kNN): nlist scales WITH the
+    //   corpus (the dd15 k ∝ N lesson — fixed nlist at 100× would put
+    //   ~37k vectors in every probed cell and make the probe join
+    //   quadratic); constant expected cell width ⇒ per-query candidate
+    //   count constant ⇒ total work linear. 1×/10×/100× all run here
+    //   under that regime so the curve is like-for-like.
+    if (args.lift(2).contains("deep")) {
+      replicate(spark.read.parquet(s"$work/edges1x.parquet"), 100, { (d, k) =>
+        d.select((col("src") + lit(k * 10000000L)).as("src"),
+          (col("dst") + lit(k * 10000000L)).as("dst"))
+      }).write.mode("overwrite").parquet(s"$work/edges100x.parquet")
+      measure("gr01_pagerank5     100x") {
+        graft.operators.Graph.pageRank(
+          spark.read.parquet(s"$work/edges100x.parquet"),
+          iterations = 5).count()
+      }
+      replicate(emb, 100, { (d, k) =>
+        d.select((col("vec_id") + lit(k * 10000000L)).as("vec_id"),
+          col("embedding"))
+      }).write.mode("overwrite").parquet(s"$work/embeddings100x.parquet")
+      for ((tag, ep, nlist) <- Seq(("1x", e1, 16),
+          ("10x", e10, 160),
+          ("100x", s"$work/embeddings100x.parquet", 1600))) {
+        measure(f"sim12_knn nlist=$nlist%-5d $tag%-4s") {
+          val e = embAt(ep)
+          Similarity.ivfTopK(e, e, 3, nlist = nlist, nprobe = 6).count()
+        }
+      }
+    }
     spark.stop()
   }
 }

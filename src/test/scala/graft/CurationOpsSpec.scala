@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import org.scalatest.funsuite.AnyFunSuite
@@ -225,9 +227,31 @@ class CurationOpsSpec extends AnyFunSuite {
       .lloydRounds(vecs, 2, rounds = 2, checkpointDir = d)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(lloyd(cpDir) == lloyd(None))
-    // the reliable path actually wrote RDD checkpoints to the dir
-    val wrote = java.nio.file.Files.walk(dir).filter(_.toFile.isFile).count()
-    assert(wrote > 0, s"no checkpoint files under $dir")
+    // the reliable path actually wrote RDD checkpoints to the dir —
+    // and the ROLLING discipline pruned superseded rounds: each loop
+    // may retain its persistent frames plus the last rolling round,
+    // never one checkpoint per round (pageRank alone would otherwise
+    // leave 3 rank rounds; across the six reliable runs here the
+    // unpruned total is ~2x the pruned one). Streams/dirs are closed
+    // and the temp tree deleted so repeated test runs don't accrete.
+    val walk = java.nio.file.Files.walk(dir)
+    val (files, rddDirs) =
+      try {
+        val all = walk.iterator().asScala.toVector
+        (all.count(_.toFile.isFile),
+          all.count(_.getFileName.toString.startsWith("rdd-")))
+      } finally walk.close()
+    assert(files > 0, s"no checkpoint files under $dir")
+    // 7 operators × (persistent frames + last rolling round): pageRank
+    // keeps 3 (ed, nodes, last ranks), ppr 3, kCore 1, labelProp 2,
+    // bpeMerges 1 + 2 winners, fps 2, lloyd 1 + 2 summaries = 20;
+    // without pruning the same runs checkpoint 27 rdds
+    assert(rddDirs <= 22, s"rolling cleanup left $rddDirs rdd-* dirs — " +
+      "superseded per-round checkpoints are not being deleted")
+    val cleanupWalk = java.nio.file.Files.walk(dir)
+    try cleanupWalk.sorted(java.util.Comparator.reverseOrder())
+      .iterator().asScala.foreach(java.nio.file.Files.delete)
+    finally cleanupWalk.close()
   }
 
   test("neymanAllocation: variance earns budget, constants earn none, singletons drop") {
@@ -921,6 +945,172 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got("2024-01-02") == ((1L, 3L)), got.toString) // window spans day 1
     // day 8: users 1+2 active (dau 2); window [2..8] excludes user 3
     assert(got("2024-01-08") == ((2L, 2L)), got.toString)
+  }
+
+  test("kFoldAssign: NULL group is unaliasable and seeds are domain-separated") {
+    import graft.operators.Sampling
+    // a huge k makes the 32-bit fold slice fine-grained enough that
+    // distinct hash inputs visibly map to distinct folds (all values
+    // below are deterministic md5 arithmetic, not chance)
+    val k = 1000000
+    val d = Seq(Option("NULL"), Option("n"), Option.empty[String])
+      .toDF("g")
+    val folds = Sampling.kFoldAssign(d, "g", k).collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(folds.values.toSeq.distinct.length == 3,
+      s"NULL / 'NULL' / 'n' keys collided: $folds")
+    // seed "a_b"+key "c" vs seed "a"+key "b_c": the old seed+"_"+key
+    // concat hashed these identically; the digest prefix must not
+    val c = Seq(Option("c")).toDF("g")
+    val bc = Seq(Option("b_c")).toDF("g")
+    val f1 = Sampling.kFoldAssign(c, "g", k, seed = "a_b")
+      .select("fold").head().getLong(0)
+    val f2 = Sampling.kFoldAssign(bc, "g", k, seed = "a")
+      .select("fold").head().getLong(0)
+    assert(f1 != f2, s"aliased seed/key pairs still collide: $f1")
+  }
+
+  test("poissonReplicates: aliased seed/key pairs draw independent counts") {
+    import graft.operators.Sampling
+    // under the old seed+"_"+key concat these two configurations were
+    // the SAME hash stream key-for-key; across 500 keys the replicate
+    // maps must now differ somewhere (deterministic, not flaky)
+    def reps(seed: String, prefix: String) = Sampling.poissonReplicates(
+      (1 to 500).map(i => s"$prefix$i").toDF("k"), "k", seed)
+      .groupBy("k").count().collect()
+      .map(r => r.getString(0).split("_").last -> r.getLong(1)).toMap
+    assert(reps("a_b", "c") != reps("a", "b_c"),
+      "seed a_b/key c... and seed a/key b_c... still alias")
+  }
+
+  test("gapFill: above maxBroadcastKeys the grid path matches the broadcast path") {
+    import graft.operators.TimeSeries
+    def ts(d: Int): java.sql.Timestamp =
+      java.sql.Timestamp.valueOf(f"2024-01-$d%02d 00:00:00")
+    val roll = Seq(("a", ts(1), 3L), ("a", ts(4), 1L), ("b", ts(2), 7L),
+      ("c", ts(1), 2L), ("c", ts(3), 9L)).toDF("k", "ts", "n")
+    def run(ceiling: Long) = TimeSeries.gapFill(roll, "ts", "k",
+        expr("INTERVAL '1' DAY"), zeroCols = Seq("n"), ffillCols = Nil,
+        maxBroadcastKeys = ceiling)
+      .collect().map(r => (r.getString(1), r.getTimestamp(0), r.getLong(2)))
+      .toSet
+    val broadcastPath = run(1000000L)
+    val distributedPath = run(2L) // 3 keys > 2 forces the cartesian
+    assert(broadcastPath == distributedPath)
+    assert(broadcastPath.size == 12, s"3 keys x 4 days: $broadcastPath")
+  }
+
+  test("ewmaTruncated: non-dyadic alpha is rejected, wider dyadics honor the digit budget") {
+    import graft.operators.TimeSeries
+    val s = (1L to 8L).map(t => (t, 10L)).toDF("t", "x")
+    intercept[IllegalArgumentException] {
+      TimeSeries.ewmaTruncated(s, "t", "x", maxLag = 4, alpha = 0.3)
+    }
+    // alpha = 0.75 (m = 2): exact up to maxLag 5, rejected at 6
+    intercept[IllegalArgumentException] {
+      TimeSeries.ewmaTruncated(s, "t", "x", maxLag = 6, alpha = 0.75)
+    }
+    val got = TimeSeries.ewmaTruncated(s, "t", "x", maxLag = 5, alpha = 0.75)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // renormalized weighted mean of a constant series is the constant
+    assert(got.values.forall(_ == 10.0), got.toString)
+  }
+
+  test("stickiness: NULL users count toward neither DAU nor WAU") {
+    import graft.operators.TimeSeries
+    def ts(d: Int): java.sql.Timestamp =
+      java.sql.Timestamp.valueOf(f"2024-01-$d%02d 12:00:00")
+    val ev = Seq((Option(1L), ts(1)), (Option(2L), ts(1)),
+      (Option.empty[Long], ts(1))).toDF("user_id", "ts")
+    val got = TimeSeries.stickiness(ev).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // pre-fix: the NULL row pushed DAU to 3 while countDistinct kept
+    // WAU at 2 — a ratio of 1.5 from an asymmetry, not engagement
+    assert(got.toSeq == Seq((2L, 2L, 1.0)), got.toSeq.toString)
+  }
+
+  test("autocorrelation: the n·Σx² < 2⁶³ bound raises instead of wrapping") {
+    import graft.operators.TimeSeries
+    val hot = Seq((1L, 4000000000L), (2L, 4000000000L)).toDF("t", "x")
+    val ex = intercept[Exception] {
+      TimeSeries.autocorrelation(hot, "t", "x", maxLag = 1).collect()
+    }
+    assert(ex.getMessage.contains("autocorrelation"), ex.getMessage)
+    // the guard is inert for in-bounds series
+    val ok = (1L to 10L).map(t => (t, t % 3)).toDF("t", "x")
+    assert(TimeSeries.autocorrelation(ok, "t", "x", maxLag = 2)
+      .collect().length == 2)
+  }
+
+  test("neymanAllocation: moment and k·u_h overflow bounds raise instead of wrapping") {
+    val hot = Seq(("a", 4000000000L), ("a", 4000000000L),
+      ("b", 1L), ("b", 2L)).toDF("stratum", "v")
+    val ex = intercept[Exception] {
+      Sampling.neymanAllocation(hot, "stratum", "v", 10).collect()
+    }
+    assert(ex.getMessage.contains("neymanAllocation"), ex.getMessage)
+  }
+
+  test("languageIdentify: planted docs hit their language; degenerate text is und") {
+    import graft.operators.TextAnalysis
+    val planted = graft.queries.PipelineQueries.LidPlantedDocs
+    val df = planted.map { case (id, _, t) => (id, t) }.toDF("doc_id", "text")
+    val got = TextAnalysis.languageIdentify(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    planted.foreach { case (id, lang, _) =>
+      assert(got(id) == lang, s"doc $id: expected $lang got ${got(id)}")
+    }
+    // shorter than one trigram after normalization → labeled, not lost
+    val deg = Seq((1L, ""), (2L, " "), (3L, "the cat and the dog sat"))
+      .toDF("doc_id", "text")
+    val dg = TextAnalysis.languageIdentify(deg, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(4))).toSeq
+      .sortBy(_._1)
+    assert(dg(0) == ((1L, "und", 0.0)) && dg(1) == ((2L, "und", 0.0)), dg)
+    assert(dg(2)._2 == "en", dg)
+  }
+
+  test("bpeEncode: replays trained merges — token counts shrink and match by hand") {
+    import graft.operators.TextAnalysis
+    // corpus: "ab" dominates; round 1 merges (a,b). Word "aab" is then
+    // [a, ab] (greedy non-overlap), "abab" is [ab, ab]
+    val docs = Seq((1L, "ab ab abab aab"), (2L, "ab cd"), (3L, ""))
+      .toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeMerges(docs, "text", rounds = 1)
+    val got = TextAnalysis.bpeEncode(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // doc 1: ab(1) + ab(1) + abab(2) + aab(2) = 4 words, 6 tokens
+    assert(got(1L) == ((4L, 6L)), got.toString)
+    // doc 2: ab(1) + cd(2) = 2 words, 3 tokens
+    assert(got(2L) == ((2L, 3L)), got.toString)
+    // empty doc keeps a zero row
+    assert(got(3L) == ((0L, 0L)), got.toString)
+    // a gapped merge table (round 2 only) must fail loudly, not empty
+    // the type table at the crossJoin
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bpeEncode(docs, "doc_id", "text",
+        merges.withColumn("round", col("round") + 1))
+    }
+  }
+
+  test("pageRankClassic: sink mass redistributes — Σr = 1 and sinks outrank pageRank's zero") {
+    import graft.operators.Graph
+    // star: 1..4 all point at 5; 5 has no out-edges (pure sink).
+    // pageRank drops node 5 entirely (no out-edge) AND leaks its mass;
+    // the classic variant keeps it and conserves Σr = 1.
+    val edges = Seq((1L, 5L), (2L, 5L), (3L, 5L), (4L, 5L)).toDF("src", "dst")
+    val r = Graph.pageRankClassic(edges, iterations = 10)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r.size == 5, s"classic must score sinks too: $r")
+    assert(math.abs(r.values.sum - 1.0) < 1e-9,
+      s"mass not conserved: ${r.values.sum}")
+    assert(r(5L) > r(1L), s"the sink hub must dominate: $r")
+    // spokes are symmetric
+    assert(r(1L) == r(2L) && r(2L) == r(3L) && r(3L) == r(4L), r.toString)
+    // partition invariance (the pageRank discipline)
+    val again = Graph.pageRankClassic(edges.repartition(7), iterations = 10)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r == again)
   }
 
   test("personalizedPageRank: mass stays in the seed component and peaks at the seed") {

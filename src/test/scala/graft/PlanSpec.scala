@@ -322,6 +322,38 @@ class PlanSpec extends AnyFunSuite {
     assert(!iterPlan.contains("Window"), iterPlan)
   }
 
+  test("gr08: classic pagerank — dangling sum broadcasts, contributions combine partial") {
+    val plan = planOf("gr08_pagerank_dangling")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Window"), plan)
+    // un-checkpointed single iteration: the dangling scalar must ride
+    // a broadcast (never a shuffle), contributions partial-combine,
+    // and nothing joins cartesian
+    import spark.implicits._
+    val edges = Seq((1L, 5L), (2L, 5L), (3L, 5L)).toDF("src", "dst")
+    val iterPlan = graft.operators.Graph
+      .pageRankClassic(edges, iterations = 1, checkpoint = false)
+      .queryExecution.executedPlan.toString
+    assert(iterPlan.contains("partial_sum"), iterPlan)
+    assert(iterPlan.contains("BroadcastNestedLoopJoin") ||
+      iterPlan.contains("BroadcastExchange"), iterPlan)
+    assert(!iterPlan.contains("CartesianProduct"), iterPlan)
+    assert(!iterPlan.contains("Window"), iterPlan)
+  }
+
+  test("ta26: LID profile joins are broadcasts; the only window ranks per-doc grams") {
+    val plan = planOf("ta26_langid_multi")
+    // the 6-row language table and 120-row profile table must never
+    // shuffle the corpus side
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // every window partitions by the document id — no global window
+    plan.linesIterator.filter(_.contains("windowspecdefinition")).foreach { l =>
+      assert(l.contains("_id#"), l)
+    }
+  }
+
   test("sp09: the only corpus window is the per-stratum rank; allocation broadcasts") {
     val plan = planOf("sp09_neyman_alloc")
     val winLines = plan.linesIterator
