@@ -232,16 +232,23 @@ object Sampling {
     val lim = lit(new java.math.BigDecimal("9223372036854775807"))
     val st = df.groupBy(col(stratumCol))
       .agg(count(lit(1)).as("n_h"), sum(x).as("_sx"),
-        sum(x * x).as("_sxx"), sum(xd * xd).as("_sxxd"))
+        sum(x * x).as("_sxx"), sum(xd * xd).as("_sxxd"),
+        count(x).as("_nx"))
     val nd = col("n_h").cast(DecimalType(20, 0))
     val u = st.filter(col("n_h") >= 2)
-      .filter(when(col("_sxxd").isNull.or((nd * col("_sxxd")).isNull)
-          .or(nd * col("_sxxd") >= lim),
-        raise_error(lit("neymanAllocation: n_h·Σx² exceeds 2⁶³ — the " +
-          "exact BIGINT variance moments would overflow; pre-scale the " +
-          "value column or widen the moment sums to DECIMAL"))
-          .cast("boolean")).otherwise(lit(true)))
-      .drop("_sxxd")
+      // a stratum with ZERO non-null values has _sxxd NULL from
+      // absence, not overflow — it flows through (NULL variance, as
+      // before the guard); with values present, a NULL sum/product is
+      // a DECIMAL overflow — even further past the bound → raise
+      .filter(when(col("_nx") === 0, lit(true))
+        .when(col("_sxxd").isNull.or((nd * col("_sxxd")).isNull)
+            .or(nd * col("_sxxd") >= lim),
+          raise_error(lit("neymanAllocation: n_h·Σx² exceeds 2⁶³ — the " +
+            "exact BIGINT variance moments would overflow; pre-scale the " +
+            "value column or widen the moment sums to DECIMAL"))
+            .cast("boolean"))
+        .otherwise(lit(true)))
+      .drop("_sxxd", "_nx")
       .withColumn("_sh", sqrt(
         (col("n_h") * col("_sxx") - col("_sx") * col("_sx")).cast(DoubleType) /
           (col("n_h") * (col("n_h") - 1)).cast(DoubleType)))

@@ -981,7 +981,9 @@ object TextAnalysis {
     // round would silently empty the type table at its crossJoin
     val rr = merges.agg(max(col("round")).as("_mx"), count(lit(1)).as("_n"),
       countDistinct(col("round")).as("_d")).head()
-    val nRounds = if (rr.isNullAt(0)) 0 else rr.getLong(0).toInt
+    // getAs[Number]: a hand-built or CSV/JSON-loaded merge table may
+    // carry round as INT — the contract is on the VALUE, not the width
+    val nRounds = if (rr.isNullAt(0)) 0 else rr.getAs[Number](0).intValue()
     require(rr.getLong(1) == nRounds && rr.getLong(2) == nRounds,
       s"merge table must hold exactly one row per round 1..$nRounds; " +
         s"got ${rr.getLong(1)} rows, ${rr.getLong(2)} distinct rounds")

@@ -55,11 +55,20 @@ object TimeSeries {
     *                  bucket chunk with ≤ maxBroadcastKeys keys —
     *                  per-user series at 100 TB never ride a broadcast
     *                  (tuning knob; correctness-neutral)
+    * @param knownKeyCount caller-supplied key cardinality, when known
+    *                  (e.g. the rollup came out of a groupBy whose key
+    *                  count was just measured, or the caller persists
+    *                  the rollup). Skips the guard's count action —
+    *                  which otherwise re-executes the rollup's
+    *                  UPSTREAM pipeline once before the grid join
+    *                  re-executes it again, doubling the dominant cost
+    *                  when the rollup is an expensive uncached frame
     */
   def gapFill(rollup: DataFrame, tsCol: String, keyCol: String, step: Column,
               zeroCols: Seq[String], ffillCols: Seq[String],
               chunkSize: Int = 4096,
-              maxBroadcastKeys: Long = 1000000L): DataFrame = {
+              maxBroadcastKeys: Long = 1000000L,
+              knownKeyCount: Option[Long] = None): DataFrame = {
     require(maxBroadcastKeys >= 1,
       s"maxBroadcastKeys must be >= 1, got $maxBroadcastKeys")
     val bounds = rollup.agg(min(col(tsCol)).as("_lo"), max(col(tsCol)).as("_hi"))
@@ -78,8 +87,9 @@ object TimeSeries {
     // to a distributed cartesian whose output volume IS the grid —
     // keys repartitioned so no task holds more than maxBroadcastKeys
     // of them. The count is the one driver-side action here: a
-    // key-column-only distinct with map-side partials.
-    val nKeys = keys.count()
+    // key-column-only distinct with map-side partials — skipped
+    // entirely when the caller already knows the cardinality.
+    val nKeys = knownKeyCount.getOrElse(keys.count())
     val grid =
       if (nKeys <= maxBroadcastKeys) buckets.crossJoin(broadcast(keys))
       else buckets.crossJoin(keys.repartition(
@@ -181,16 +191,20 @@ object TimeSeries {
     val xd = col("x").cast(DecimalType(19, 0))
     val lim = lit(new java.math.BigDecimal("9223372036854775807"))
     val guard = s
-      .agg(count(lit(1)).cast(DecimalType(20, 0)).as("_n"),
+      .agg(count(col("x")).cast(DecimalType(20, 0)).as("_n"),
         sum(xd * xd).as("_sxx2"))
       .select(
-        // NULL means the DECIMAL itself overflowed — even further past
-        // the bound, so both null checks fold into "raise"
-        when(col("_sxx2").isNull.or((col("_n") * col("_sxx2")).isNull)
+        // zero non-null values → sum() is NULL from ABSENCE, not
+        // overflow — the empty/all-NULL series passes (and yields an
+        // empty result downstream, as before the guard existed). With
+        // _n > 0 a NULL sum or product means the DECIMAL itself
+        // overflowed — even further past the bound → raise.
+        when(col("_n") === 0, lit(true))
+          .when(col("_sxx2").isNull.or((col("_n") * col("_sxx2")).isNull)
             .or(col("_n") * col("_sxx2") >= lim),
-          raise_error(lit("autocorrelation: n·Σx² exceeds 2⁶³ — the " +
-            "exact BIGINT moment sums would overflow; pre-scale or " +
-            "pre-aggregate the series")).cast("boolean"))
+            raise_error(lit("autocorrelation: n·Σx² exceeds 2⁶³ — the " +
+              "exact BIGINT moment sums would overflow; pre-scale or " +
+              "pre-aggregate the series")).cast("boolean"))
           .otherwise(lit(true)).as("_ok"))
     val a = s.crossJoin(broadcast(guard)).filter(col("_ok")).drop("_ok")
       .select(col("t"), col("x").as("xa"),

@@ -53,6 +53,12 @@ object AvroFiles {
     val dir = new Path(path)
     val fs = dir.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
     fs.mkdirs(dir)
+    // overwrite-idempotent like the parquet sink: a re-run with FEWER
+    // partitions must not leave stale higher-numbered part files for
+    // read() to silently merge in
+    fs.listStatus(dir).map(_.getPath)
+      .filter(_.getName.endsWith(".avro"))
+      .foreach(p => fs.delete(p, false))
     df.foreachPartition { (rows: Iterator[Row]) =>
       val pid = TaskContext.getPartitionId()
       val schema = new Schema.Parser().parse(avroSchemaJson)
@@ -91,8 +97,17 @@ object AvroFiles {
         val reader = new DataFileReader[GenericRecord](
           new FsInput(new Path(f), new Configuration()),
           new GenericDatumReader[GenericRecord](schema))
+        // the stream must close on EVERY task exit — limit(), a
+        // downstream exception, or a kill stop pulling before the
+        // iterator drains, and an eager-close-on-exhaustion alone
+        // would leak the file handle
+        var closed = false
+        def closeOnce(): Unit = if (!closed) { closed = true; reader.close() }
+        Option(TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
         new Iterator[Row] {
-          def hasNext: Boolean = { val h = reader.hasNext; if (!h) reader.close(); h }
+          def hasNext: Boolean =
+            !closed && { val h = reader.hasNext; if (!h) closeOnce(); h }
           def next(): Row = toRow(reader.next(), schema)
         }
       }

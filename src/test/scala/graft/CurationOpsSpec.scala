@@ -1040,6 +1040,15 @@ class CurationOpsSpec extends AnyFunSuite {
     val ok = (1L to 10L).map(t => (t, t % 3)).toDF("t", "x")
     assert(TimeSeries.autocorrelation(ok, "t", "x", maxLag = 2)
       .collect().length == 2)
+    // empty and all-NULL series are ABSENCE, not overflow — they pass
+    // the guard and return empty, as before the guard existed
+    val empty = Seq.empty[(Long, Long)].toDF("t", "x")
+    assert(TimeSeries.autocorrelation(empty, "t", "x", maxLag = 2)
+      .collect().isEmpty)
+    val nulls = Seq((1L, Option.empty[Long]), (2L, Option.empty[Long]))
+      .toDF("t", "x")
+    assert(TimeSeries.autocorrelation(nulls, "t", "x", maxLag = 1)
+      .collect().isEmpty)
   }
 
   test("neymanAllocation: moment and k·u_h overflow bounds raise instead of wrapping") {
@@ -1049,6 +1058,16 @@ class CurationOpsSpec extends AnyFunSuite {
       Sampling.neymanAllocation(hot, "stratum", "v", 10).collect()
     }
     assert(ex.getMessage.contains("neymanAllocation"), ex.getMessage)
+    // an all-NULL-valued stratum is absence, not overflow — the job
+    // survives and the healthy stratum still earns its allocation
+    val withNulls = Seq(("a", Option(1L)), ("a", Option(3L)),
+      ("b", Option.empty[Long]), ("b", Option.empty[Long]))
+      .toDF("stratum", "v")
+    val al = Sampling.neymanAllocation(withNulls, "stratum", "v", 10)
+      .collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(2)) -1L else r.getLong(2)))
+      .toMap
+    assert(al.getOrElse("a", 0L) > 0L, al.toString)
   }
 
   test("languageIdentify: planted docs hit their language; degenerate text is und") {
@@ -1091,6 +1110,13 @@ class CurationOpsSpec extends AnyFunSuite {
       TextAnalysis.bpeEncode(docs, "doc_id", "text",
         merges.withColumn("round", col("round") + 1))
     }
+    // a hand-built merge table with an INT round column is the same
+    // artifact — the contract is on the value, not the column width
+    val intRound = merges.withColumn("round",
+      col("round").cast(org.apache.spark.sql.types.IntegerType))
+    val got2 = TextAnalysis.bpeEncode(docs, "doc_id", "text", intRound)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got2 == got, got2.toString)
   }
 
   test("pageRankClassic: sink mass redistributes — Σr = 1 and sinks outrank pageRank's zero") {

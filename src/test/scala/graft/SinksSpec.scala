@@ -108,6 +108,15 @@ class SinksSpec extends AnyFunSuite {
       } finally r.close()
     }
     assert(n == 500, n.toString)
+    // overwrite-idempotence: re-writing the same dir with FEWER
+    // partitions must not leave a stale part-00002 for read() to merge
+    AvroFiles.write(d.limit(100).repartition(2), dir)
+    assert(AvroFiles.read(spark, dir).count() == 100)
+    assert(new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".avro")) == 2)
+    // partial consumption must not break the read (handles close via
+    // the task-completion listener, not only on exhaustion)
+    assert(AvroFiles.read(spark, dir).limit(7).collect().length == 7)
   }
 
   test("schema evolution: mergeSchema unions old and new parquet generations") {
