@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -215,6 +215,77 @@ object Graph {
       ranks = next
     }
     ranks.select(col("v"), col("r"))
+  }
+
+  /** HITS hubs-and-authorities (Kleinberg 1999) over a directed edge
+    * list: per round, authority(v) = Σ_{u→v} hub(u) and then
+    * hub(u) = Σ_{u→v} authority(v), each vector L1-normalized to sum
+    * to 1 (the textbook power iteration with sum-normalization — the
+    * variant whose normalizer is an EXACT decimal sum rather than an
+    * L2 sqrt, which is what makes the rounds replayable in SQL). On a
+    * bipartite order graph this separates "big buyers" (hubs) from
+    * "widely-bought-from suppliers" (authorities) — two rankings
+    * PageRank's single score conflates.
+    *
+    * Determinism: every contribution quantizes to 12 dp via the
+    * engine-portable `floor(q·10¹² + 0.5)` idiom before its per-node
+    * sum; the L1 normalizer is the exact decimal sum of those sums,
+    * and each normalized score is ONE IEEE division of identical
+    * operands — bit-identical across engines/partitionings, oracle
+    * unrolls the same rounds.
+    *
+    * Scale shape: per half-round one |E| join keyed on the scored side
+    * + one keyed agg + a 1-row broadcast normalizer — the
+    * [[pageRank]] BSP shape twice per round; lineage truncated per
+    * round ([[Checkpointing]] policy, rolling cleanup).
+    */
+  def hits(edges: DataFrame, iterations: Int,
+           srcCol: String = "src", dstCol: String = "dst",
+           checkpoint: Boolean = true,
+           checkpointDir: Option[String] = None): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    val cp = Checkpointing.truncator(edges.sparkSession, checkpoint,
+      checkpointDir)
+    // hub and auth are two INDEPENDENT rolling chains: hub_r is built
+    // from auth_r and vice versa, so a single chain would delete the
+    // final auth round the moment the final hub round lands. Each
+    // chain's truncator prunes only its own superseded rounds.
+    val cpAuth = Checkpointing.truncator(edges.sparkSession, checkpoint,
+      checkpointDir)
+    val cpHub = Checkpointing.truncator(edges.sparkSession, checkpoint,
+      checkpointDir)
+    val e = cp(edges.select(col(srcCol).cast(LongType).as("src"),
+      col(dstCol).cast(LongType).as("dst")).distinct())
+    val nodes = cp(e.select(explode(array(col("src"), col("dst"))).as("v"))
+      .distinct())
+    val n = nodes.count()
+    require(n > 0, "hits needs a non-empty graph")
+    val micro = lit(new java.math.BigDecimal("0.000000000001"))
+    def q12(c: Column): Column =
+      floor(c * 1000000000000.0 + 0.5).cast(DecimalType(14, 0)) * micro
+    // one half-round: scores flow across edges from `from`→`to`, sum
+    // per target, L1-normalize; nodes with no in-flow score 0
+    def halfRound(scores: DataFrame, from: String, to: String): DataFrame = {
+      val contrib = e
+        .join(scores.select(col("v").as(from), col("s")), from)
+        .select(col(to).as("v"), q12(col("s")).as("c"))
+        .groupBy("v").agg(sum(col("c")).as("cs"))
+      val tot = contrib.agg(sum(col("cs")).as("t"))
+      nodes.join(contrib, Seq("v"), "left").crossJoin(broadcast(tot))
+        .select(col("v"),
+          coalesce(col("cs").cast(DoubleType), lit(0.0)) /
+            col("t").cast(DoubleType)).toDF("v", "s")
+    }
+    var hub = nodes.select(col("v"), lit(1.0 / n).as("s"))
+    var auth: DataFrame = null
+    for (_ <- 1 to iterations) {
+      auth = cpAuth.rolling(halfRound(hub, "src", "dst"))
+      hub = cpHub.rolling(halfRound(auth, "dst", "src"))
+    }
+    hub.select(col("v"), col("s").as("hub"))
+      .join(auth.select(col("v"), col("s").as("authority")), Seq("v"), "full")
+      .select(col("v"), coalesce(col("hub"), lit(0.0)).as("hub"),
+        coalesce(col("authority"), lit(0.0)).as("authority"))
   }
 
   /** Per-node triangle counts over an undirected edge list — the local

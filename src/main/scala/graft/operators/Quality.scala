@@ -89,6 +89,47 @@ object Quality {
     one.select(inline(entries))
   }
 
+  /** Schema + null-rate drift between two snapshots of "the same"
+    * table — the first check a lake pipeline runs when yesterday's
+    * partition meets today's (a column silently dropped, added,
+    * retyped, or suddenly null-heavy breaks every consumer downstream
+    * before any VALUE comparison would). One row per column of either
+    * side: status (common / removed / added), both type strings, a
+    * type_changed flag, and both null fractions.
+    *
+    * Scale shape: ONE narrow aggregation pass per side (count + per-
+    * column non-null count — no distinct, no Expand), a metadata-only
+    * type table from each schema, and a column-name full-outer join
+    * over ≤ |columns| rows. Null fractions are exact count divisions —
+    * identical IEEE doubles in any engine.
+    */
+  def schemaDrift(base: DataFrame, next: DataFrame): DataFrame = {
+    def side(df: DataFrame, tag: String): DataFrame = {
+      val cols = df.columns.toSeq
+      val aggs = cols.zipWithIndex.map { case (c, i) =>
+        count(qcol(c)).as(s"_nn_$i")
+      }
+      val one = df.agg(count(lit(1)).as("_n"), aggs: _*)
+      val entries = array(cols.zipWithIndex.map { case (c, i) =>
+        struct(lit(c).as("column_name"),
+          lit(df.schema(c).dataType.simpleString).as(s"${tag}_type"),
+          ((col("_n") - col(s"_nn_$i")).cast(DoubleType) /
+            col("_n").cast(DoubleType)).as(s"${tag}_null_frac"))
+      }: _*)
+      one.select(inline(entries))
+    }
+    side(base, "base").join(side(next, "new"), Seq("column_name"), "full_outer")
+      .select(col("column_name"),
+        when(col("new_type").isNull, lit("removed"))
+          .when(col("base_type").isNull, lit("added"))
+          .otherwise(lit("common")).as("status"),
+        col("base_type"), col("new_type"),
+        when(col("base_type").isNotNull && col("new_type").isNotNull &&
+          col("base_type") =!= col("new_type"), 1L).otherwise(0L)
+          .as("type_changed"),
+        col("base_null_frac"), col("new_null_frac"))
+  }
+
   /** Cross-table aggregate reconciliation: does each parent's stored
     * total equal the sum of its children's measure? One report row per
     * relation — parents seen, exact matches, mismatches, child groups

@@ -678,8 +678,24 @@ object Similarity {
   def ivfTopK(queries: DataFrame, candidates: DataFrame, k: Int,
               nlist: Int = 16, nprobe: Int = 8,
               iters: Int = 0, sampleMod: Int = 4,
+              twoLevelAssign: Boolean = false, leaderGroups: Int = 3,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     requireIntegralIds(queries, candidates, idCol)
+    // Two-level coarse quantization (the FAISS-style answer to the
+    // measured 100× ceiling — see BENCH_NOTES r15): brute-force
+    // assignment scores N·nlist pairs, and with nlist scaled to the
+    // corpus (the linear-probe-join regime) that term is quadratic in
+    // N. Grouping the nlist centroids under √nlist hash-picked LEADER
+    // centroids cuts assignment to N·(√nlist + nlist/√nlist·scanned):
+    // each vector picks its nearest leader(s), then scans only those
+    // leaders' centroid groups. Candidates scan 1 group (cell
+    // membership just partitions the corpus); queries scan
+    // `leaderGroups` groups before picking their nprobe cells — the
+    // recall lever, measured in RecallProbe.
+    val g = math.max(1, math.round(math.sqrt(nlist.toDouble)).toInt)
+    if (twoLevelAssign) require(nprobe <= leaderGroups * (nlist / g),
+      s"two-level probes see only leaderGroups*(nlist/g) cells: " +
+        s"nprobe=$nprobe > $leaderGroups*${nlist / g}")
     def dbl(c: Column) = transform(c, x => x.cast(DoubleType))
     def dot(x: Column, y: Column) =
       aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
@@ -752,8 +768,58 @@ object Similarity {
         .select(col(id), col(v), col(nn), explode(col("_tk")).as("_e"))
         .select(col(id), col(v), col(nn), col("_e.id").as("centroid_id"))
 
-    val assigned = assign(candidates, 1, "cid", "cv", "cn")
-    val probes = assign(queries, nprobe, "qid", "qv", "qn")
+    // leaders: hash-picked centroids; every centroid mapped to its
+    // nearest leader once (nlist·g pairs — negligible at any scale).
+    // Both tiny tables are MATERIALIZED (localCheckpoint) before use:
+    // they are referenced from two assign passes, and the centroid
+    // chain behind them re-scans the corpus on every reference — at
+    // 10× the repeated scans cost more than two-level saved
+    // (measured 47 s vs 14 s before materialization).
+    lazy val leaders = centroids
+      .groupBy(pmod(xxhash64(col("centroid_id")), lit(g)).as("_lb"))
+      .agg(min(col("centroid_id")).as("_lid"))
+      .join(centroids, col("_lid") === col("centroid_id"))
+      .select(col("_lid"), col("cvec").as("lvec"), col("cnorm").as("lnorm"))
+      .localCheckpoint()
+    lazy val grouped = {
+      val m = centroids.crossJoin(broadcast(leaders))
+        .select(col("centroid_id"),
+          struct((lit(1.0) - dot(col("cvec"), col("lvec")) /
+            (col("cnorm") * col("lnorm"))).as("_d"), col("_lid")).as("_dl"))
+        .groupBy(col("centroid_id"))
+        .agg(min(col("_dl")).getField("_lid").as("leader_id"))
+      centroids.join(m, "centroid_id").localCheckpoint()
+    }
+    def assign2(df: DataFrame, topN: Int, scanGroups: Int, id: String,
+                v: String, nn: String): DataFrame =
+      withNorm(df, id, v, nn)
+        .crossJoin(broadcast(leaders))
+        .select(col(id), col(v), col(nn),
+          (lit(1.0) - dot(col(v), col("lvec")) / (col(nn) * col("lnorm")))
+            .as("_ld"), col("_lid"))
+        .groupBy(col(id))
+        .agg(TopKAgg.top_k(col("_ld"), col("_lid"), scanGroups,
+          ascending = true).as("_lt"),
+          first(col(v)).as(v), first(col(nn)).as(nn))
+        .select(col(id), col(v), col(nn), explode(col("_lt")).as("_le"))
+        .select(col(id), col(v), col(nn), col("_le.id").as("leader_id"))
+        .join(broadcast(grouped), "leader_id")
+        .select(col(id), col(v), col(nn),
+          (lit(1.0) - dot(col(v), col("cvec")) / (col(nn) * col("cnorm")))
+            .as("_dist"), col("centroid_id"))
+        .groupBy(col(id))
+        .agg(TopKAgg.top_k(col("_dist"), col("centroid_id").cast(LongType),
+          topN, ascending = true).as("_tk"),
+          first(col(v)).as(v), first(col(nn)).as(nn))
+        .select(col(id), col(v), col(nn), explode(col("_tk")).as("_e"))
+        .select(col(id), col(v), col(nn), col("_e.id").as("centroid_id"))
+
+    val assigned =
+      if (twoLevelAssign) assign2(candidates, 1, 1, "cid", "cv", "cn")
+      else assign(candidates, 1, "cid", "cv", "cn")
+    val probes =
+      if (twoLevelAssign) assign2(queries, nprobe, leaderGroups, "qid", "qv", "qn")
+      else assign(queries, nprobe, "qid", "qv", "qn")
     // final top-k through the same bounded aggregate: exchange carries
     // ≤ k pairs per (query × partition), never the ≈ nprobe/nlist·N
     // probed candidates the window shape serialized onto one task

@@ -174,6 +174,45 @@ object TextAnalysis {
         coalesce(col("confidence"), lit(0.0)).as("confidence"))
   }
 
+  /** Per-document SCRIPT composition: counts and ratios of Latin
+    * letters, CJK ideographs, digits, spaces, and everything else —
+    * the writing-system signal a multilingual pretraining pipeline
+    * needs BEFORE [[languageIdentify]] is even applicable (trigram
+    * profiles assume a space-delimited Latin script; a mostly-CJK doc
+    * should route to a CJK-aware path instead). Dominant =
+    * 'cjk' when ideographs outnumber Latin letters, else 'latin' when
+    * any Latin letters exist, else 'other'; empty text is 'empty'.
+    *
+    * Determinism: each count is `length(text) − length(replace-all of
+    * one char class)` — exact integers in any engine (the classes are
+    * pure codepoint ranges, identical in Java regex and RE2); ratios
+    * are one IEEE division each, zero-guarded like [[docStats]].
+    *
+    * Scale: a scan-fused narrow projection — zero shuffle.
+    */
+  def scriptProfile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val n = length(t)
+    def classCount(re: String): Column =
+      (n - length(regexp_replace(t, re, ""))).cast(LongType)
+    val latin = classCount("[A-Za-z]")
+    val cjk = classCount("[一-鿿]")
+    val digit = classCount("[0-9]")
+    val space = classCount("[ ]")
+    def ratio(c: Column): Column =
+      when(n > 0, c.cast(DoubleType) / n.cast(DoubleType)).otherwise(lit(0.0))
+    df.select(col(idCol), n.cast(LongType).as("n_chars"),
+        latin.as("n_latin"), cjk.as("n_cjk"), digit.as("n_digit"),
+        (n.cast(LongType) - latin - cjk - digit - space).as("n_other"),
+        ratio(latin).as("latin_ratio"), ratio(cjk).as("cjk_ratio"),
+        ratio(digit).as("digit_ratio"))
+      .withColumn("dominant",
+        when(col("n_chars") === 0, lit("empty"))
+          .when(col("n_cjk") > col("n_latin"), lit("cjk"))
+          .when(col("n_latin") > 0, lit("latin"))
+          .otherwise(lit("other")))
+  }
+
   // ---- shared per-document signal expressions -------------------------
   // ONE definition each for the stopword/punctuation/composite-quality
   // signals: languageScore, qualityScore and curationReport must agree

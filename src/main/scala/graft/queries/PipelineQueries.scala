@@ -160,6 +160,50 @@ object PipelineQueries {
     (900011L, "pt", "o cão dorme na casa e o gato da cidade brinca no jardim enquanto as crianças falam da manhã"),
     (900012L, "pt", "esta é uma das perguntas que não podemos fazer sem falar da vida e dos caminhos"))
 
+  /** Planted mixed-script documents for ta28 — (doc_id, text): pure
+    * CJK, pure Latin, genuinely mixed, digit-heavy, empty, and
+    * space-only, so every dominant-script class and both ratio guards
+    * are exercised. Ids far above any corpus doc_id.
+    */
+  private[graft] val ScriptPlantedDocs: Seq[(Long, String)] = Seq(
+    (910001L, "深度学习模型需要大量高质量的训练数据来学习语言的结构"),
+    (910002L, "the quick brown fox jumps over the lazy dog"),
+    (910003L, "训练数据 training data 需要去重 dedup before use 123"),
+    (910004L, "31536000 86400 3600 60 1"),
+    (910005L, ""),
+    (910006L, "   "))
+
+  /** ta28 oracle: the script-composition math replayed in DuckDB from
+    * the same planted VALUES — char-class counts are exact integers in
+    * both engines (identical codepoint ranges in Java regex and RE2).
+    */
+  private def scriptOracleSql: String = {
+    val pd = ScriptPlantedDocs
+      .map { case (id, t) => s"($id, '$t')" }.mkString(",\n    ")
+    s"""WITH pd(doc_id, text) AS (VALUES
+       |    $pd),
+       | ad AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM pd
+       |        UNION ALL
+       |        SELECT doc_id, text FROM documents WHERE doc_id < 100),
+       | m AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n,
+       |    CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS BIGINT) AS latin,
+       |    CAST(length(text) - length(regexp_replace(text, '[一-鿿]', '', 'g')) AS BIGINT) AS cjk,
+       |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS digitc,
+       |    CAST(length(text) - length(regexp_replace(text, '[ ]', '', 'g')) AS BIGINT) AS spacec
+       |  FROM ad)
+       |SELECT doc_id, n AS n_chars, latin AS n_latin, cjk AS n_cjk,
+       |  digitc AS n_digit, n - latin - cjk - digitc - spacec AS n_other,
+       |  CASE WHEN n > 0 THEN CAST(latin AS DOUBLE) / CAST(n AS DOUBLE)
+       |       ELSE 0.0 END AS latin_ratio,
+       |  CASE WHEN n > 0 THEN CAST(cjk AS DOUBLE) / CAST(n AS DOUBLE)
+       |       ELSE 0.0 END AS cjk_ratio,
+       |  CASE WHEN n > 0 THEN CAST(digitc AS DOUBLE) / CAST(n AS DOUBLE)
+       |       ELSE 0.0 END AS digit_ratio,
+       |  CASE WHEN n = 0 THEN 'empty' WHEN cjk > latin THEN 'cjk'
+       |       WHEN latin > 0 THEN 'latin' ELSE 'other' END AS dominant
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
   /** ta26 oracle: the full Cavnar–Trenkle replay in DuckDB — planted
     * docs and profile table rendered as VALUES from the SAME Scala
     * constants the Spark side uses (single source of truth for both
@@ -214,6 +258,38 @@ object PipelineQueries {
        |FROM alldocs a
        |LEFT JOIN (SELECT * FROM best WHERE rb = 1) b ON b.doc_id = a.doc_id
        |ORDER BY a.doc_id""".stripMargin
+  }
+
+  /** gr09 oracle: HITS unrolled — `iters` rounds of two half-steps
+    * (hub→authority, authority→hub), each a quantized-contribution sum
+    * + exact-decimal L1 normalizer, mirroring Graph.hits term for term.
+    */
+  private def hitsOracleSql(iters: Int): String = {
+    def q(x: String): String =
+      s"CAST(floor($x * 1000000000000.0 + 0.5) AS DECIMAL(14,0)) * CAST(0.000000000001 AS DECIMAL(13,12))"
+    def half(out: String, in: String, fromCol: String, toCol: String): String =
+      s""",
+         | ${out}c AS (SELECT e.$toCol AS v, sum(${q("x.s")}) AS cs
+         |        FROM edges e JOIN $in x ON x.v = e.$fromCol GROUP BY e.$toCol),
+         | ${out}t AS (SELECT sum(cs) AS t FROM ${out}c),
+         | $out AS (SELECT nd.v, CAST(COALESCE(c.cs, 0) AS DOUBLE) / CAST(t.t AS DOUBLE) AS s
+         |        FROM nodes nd CROSS JOIN ${out}t t LEFT JOIN ${out}c c ON c.v = nd.v)""".stripMargin
+    val rounds = (1 to iters).map { r =>
+      half(s"a$r", if (r == 1) "h0" else s"h${r - 1}", "src", "dst") +
+        half(s"h$r", s"a$r", "dst", "src")
+    }.mkString
+    s"""WITH pairs AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+       |       FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       | edges AS (SELECT DISTINCT c * 2 AS src, s * 2 + 1 AS dst FROM pairs),
+       | nodes AS (SELECT DISTINCT v FROM
+       |             (SELECT src AS v FROM edges UNION ALL SELECT dst FROM edges) u),
+       | nn AS (SELECT count(*) AS n FROM nodes),
+       | h0 AS (SELECT v, 1.0 / nn.n AS s FROM nodes CROSS JOIN nn)$rounds
+       |SELECT CAST(h$iters.v AS BIGINT) AS node,
+       |  CASE WHEN h$iters.v % 2 = 0 THEN 'cust' ELSE 'supp' END AS node_type,
+       |  h$iters.s AS hub, a$iters.s AS authority
+       |FROM h$iters JOIN a$iters ON a$iters.v = h$iters.v
+       |ORDER BY authority DESC, hub DESC, node LIMIT 20""".stripMargin
   }
 
   private val CosineExactTopkSql: String =
@@ -1313,6 +1389,56 @@ object PipelineQueries {
         .orderBy("tbl")
     },
 
+    // Schema + null-rate drift between two snapshots (the first check
+    // when yesterday's partition meets today's): the drifted snapshot
+    // plants every class — a DROPPED column (o_orderpriority), an
+    // ADDED one (o_priority_rank), a TYPE change (o_custkey
+    // bigint→string) and a null-rate shift (o_orderstatus nulled for
+    // key%10=0). Type STRINGS stay out of the gate columns (they are
+    // engine-specific names — the spec pins them); the flag, statuses
+    // and exact count-division null fractions hash-match. One narrow
+    // agg pass per side, no Expand, column-name-sized join.
+    QueryDef("dq10_schema_drift",
+      """WITH n AS (SELECT CAST(count(*) AS DOUBLE) AS c FROM orders)
+        |SELECT * FROM (
+        |SELECT 'o_custkey' AS column_name, 'common' AS status,
+        |  CAST(1 AS BIGINT) AS type_changed,
+        |  (SELECT CAST(count(*) - count(o_custkey) AS DOUBLE) / CAST(count(*) AS DOUBLE) FROM orders) AS base_null_frac,
+        |  (SELECT CAST(count(*) - count(o_custkey) AS DOUBLE) / CAST(count(*) AS DOUBLE) FROM orders) AS new_null_frac
+        |UNION ALL SELECT 'o_orderdate', 'common', 0,
+        |  (SELECT CAST(count(*) - count(o_orderdate) AS DOUBLE) / CAST(count(*) AS DOUBLE) FROM orders),
+        |  (SELECT CAST(count(*) - count(o_orderdate) AS DOUBLE) / CAST(count(*) AS DOUBLE) FROM orders)
+        |UNION ALL SELECT 'o_orderkey', 'common', 0,
+        |  (SELECT CAST(count(*) - count(o_orderkey) AS DOUBLE) / CAST(count(*) AS DOUBLE) FROM orders),
+        |  (SELECT CAST(count(*) - count(o_orderkey) AS DOUBLE) / CAST(count(*) AS DOUBLE) FROM orders)
+        |UNION ALL SELECT 'o_orderpriority', 'removed', 0,
+        |  (SELECT CAST(count(*) - count(o_orderpriority) AS DOUBLE) / CAST(count(*) AS DOUBLE) FROM orders),
+        |  NULL
+        |UNION ALL SELECT 'o_orderstatus', 'common', 0,
+        |  (SELECT CAST(count(*) - count(o_orderstatus) AS DOUBLE) / CAST(count(*) AS DOUBLE) FROM orders),
+        |  (SELECT CAST(count(*) - count(CASE WHEN o_orderkey % 10 = 0 THEN NULL ELSE o_orderstatus END) AS DOUBLE) / CAST(count(*) AS DOUBLE) FROM orders)
+        |UNION ALL SELECT 'o_priority_rank', 'added', 0,
+        |  NULL,
+        |  (SELECT CAST(count(*) - count(o_orderkey % 5) AS DOUBLE) / CAST(count(*) AS DOUBLE) FROM orders)
+        |UNION ALL SELECT 'o_totalprice', 'common', 0,
+        |  (SELECT CAST(count(*) - count(o_totalprice) AS DOUBLE) / CAST(count(*) AS DOUBLE) FROM orders),
+        |  (SELECT CAST(count(*) - count(o_totalprice) AS DOUBLE) / CAST(count(*) AS DOUBLE) FROM orders)
+        |) t ORDER BY column_name""".stripMargin) { (s, dir) =>
+      val base = Tables.load(s, dir, "orders")
+      val drifted = base
+        .drop("o_orderpriority")
+        .withColumn("o_priority_rank",
+          (col("o_orderkey") % 5).cast(IntegerType))
+        .withColumn("o_orderstatus",
+          when(col("o_orderkey") % 10 === 0, lit(null).cast(StringType))
+            .otherwise(col("o_orderstatus")))
+        .withColumn("o_custkey", col("o_custkey").cast(StringType))
+      graft.operators.Quality.schemaDrift(base, drifted)
+        .select(col("column_name"), col("status"), col("type_changed"),
+          col("base_null_frac"), col("new_null_frac"))
+        .orderBy("column_name")
+    },
+
     // Approximate profile (the wide-table escape dq01's doc promises):
     // HLL distinct sketches — one narrow aggregation pass, NO
     // multi-distinct Expand, so profiling 500 columns costs one scan.
@@ -1867,6 +1993,27 @@ object PipelineQueries {
           "doc_id", "text", topN = 40)
         .select(col("doc_id").cast(LongType).as("doc_id"), col("language"),
           col("distance"), col("n_grams"), col("confidence"))
+        .orderBy("doc_id")
+    },
+
+    // Script composition (writing-system routing): Latin/CJK/digit
+    // char-class counts + ratios + a dominant label per doc — the
+    // check that runs BEFORE ta26 (trigram LID assumes a
+    // space-delimited Latin script; a mostly-CJK doc routes
+    // elsewhere). Planted docs cover pure-CJK, pure-Latin, mixed,
+    // digit-only, empty and whitespace-only; char classes are pure
+    // codepoint ranges, exact in both engines. Scan-fused narrow
+    // projection, zero shuffle.
+    QueryDef("ta28_script_mix", scriptOracleSql) { (s, dir) =>
+      import s.implicits._
+      val planted = ScriptPlantedDocs.toDF("doc_id", "text")
+      val corp = docs(s, dir).filter(col("doc_id") < 100)
+        .select(col("doc_id"), col("text"))
+      TextAnalysis.scriptProfile(planted.unionAll(corp), "doc_id", "text")
+        .select(col("doc_id").cast(LongType).as("doc_id"), col("n_chars"),
+          col("n_latin"), col("n_cjk"), col("n_digit"), col("n_other"),
+          col("latin_ratio"), col("cjk_ratio"), col("digit_ratio"),
+          col("dominant"))
         .orderBy("doc_id")
     },
 
@@ -3092,6 +3239,28 @@ object PipelineQueries {
           when(col("v") % 2 === 0, "cust").otherwise("supp").as("node_type"),
           col("r").as("score"))
         .orderBy(desc("score"), col("node")).limit(20)
+    },
+
+    // HITS hubs-and-authorities over the directed cust→supp graph —
+    // the two-sided ranking PageRank's single score conflates: big
+    // BUYERS (hubs) vs widely-bought-from SUPPLIERS (authorities), on
+    // a bipartite graph where the separation is structural. L1-
+    // normalized power iteration with floor-quantized contributions
+    // (the gr07/gr08 idiom) so the oracle unrolls the identical 2
+    // rounds; top-20 by authority.
+    QueryDef("gr09_hits", hitsOracleSql(2)) { (s, dir) =>
+      val pairs = Tables.load(s, dir, "orders")
+        .join(Tables.load(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("sup"))
+        .distinct()
+      val edges = pairs.select((col("c") * 2).as("src"),
+        (col("sup") * 2 + 1).as("dst"))
+      graft.operators.Graph.hits(edges, iterations = 2)
+        .select(col("v").cast(LongType).as("node"),
+          when(col("v") % 2 === 0, "cust").otherwise("supp").as("node_type"),
+          col("hub"), col("authority"))
+        .orderBy(desc("authority"), desc("hub"), col("node")).limit(20)
     },
 
     // ================= multimodal (binary columns) =================

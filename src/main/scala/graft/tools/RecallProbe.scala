@@ -42,6 +42,24 @@ object RecallProbe {
       val s = (System.nanoTime() - t0) / 1e9
       println(f"[recall] ivf nlist=16 nprobe=$nprobe%d recall=$r%.3f  ${s}%.1f s")
     }
+    // two-level coarse assignment at corpus-scaled nlist: the recall
+    // cost of scanning leaderGroups·(nlist/√nlist) cells instead of
+    // all nlist during assignment/probing (the 100× rehearsal's
+    // assignment-bound fix — see BENCH_NOTES r15)
+    for ((nlist, nprobe) <- Seq((160, 6))) {
+      val t0 = System.nanoTime()
+      val r = recallOf(Similarity.ivfTopK(q, e, 5, nlist = nlist,
+        nprobe = nprobe))
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"[recall] ivf nlist=$nlist%d nprobe=$nprobe%d exact-assign recall=$r%.3f  ${s}%.1f s")
+    }
+    for ((np, lg) <- Seq((6, 2), (6, 3), (6, 4), (8, 3), (10, 3), (8, 4))) {
+      val t0 = System.nanoTime()
+      val r = recallOf(Similarity.ivfTopK(q, e, 5, nlist = 160, nprobe = np,
+        twoLevelAssign = true, leaderGroups = lg))
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"[recall] ivf nlist=160 nprobe=$np%d two-level lg=$lg%d recall=$r%.3f  ${s}%.1f s")
+    }
     // PQ recall is measured against L2 ground truth (ADC approximates
     // squared euclidean, not cosine)
     val exactL2 = Similarity.l2TopK(q, e, 5).select("qid", "cid").cache()

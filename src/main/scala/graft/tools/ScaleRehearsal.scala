@@ -342,6 +342,17 @@ object ScaleRehearsal {
           Similarity.ivfTopK(e, e, 3, nlist = nlist, nprobe = 6).count()
         }
       }
+      // the fix for the assignment-bound 100× wall: two-level coarse
+      // quantization drops assignment from N·nlist to N·O(√nlist)
+      // (leaders + one/`leaderGroups` groups) — probe join unchanged
+      for ((tag, ep, nlist) <- Seq(("10x", e10, 160),
+          ("100x", s"$work/embeddings100x.parquet", 1600))) {
+        measure(f"sim12_knn 2lv n=$nlist%-5d $tag%-4s") {
+          val e = embAt(ep)
+          Similarity.ivfTopK(e, e, 3, nlist = nlist, nprobe = 6,
+            twoLevelAssign = true).count()
+        }
+      }
     }
     spark.stop()
   }

@@ -1139,6 +1139,86 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(r == again)
   }
 
+  test("ivfTopK twoLevelAssign: leader-scan assignment stays near the exact-assign recall") {
+    // the 100x-rehearsal fix: assignment via √nlist leaders instead of
+    // all nlist centroids (N·O(√nlist), not N·nlist). Approximate by
+    // design — recall must stay within a bounded gap of exact-assign
+    // and the output contract (k rows per query, no self) must hold.
+    val e = Tables.load(spark, sf, "embeddings")
+    val q = e.filter(col("vec_id") < 10)
+    val exact = Similarity.cosineTopK(q, e, 5).select("qid", "cid")
+    val n = exact.count().toDouble
+    def recallOf(ann: org.apache.spark.sql.DataFrame): Double =
+      ann.select("qid", "cid").join(exact, Seq("qid", "cid")).count() / n
+    val r1 = recallOf(Similarity.ivfTopK(q, e, 5, nlist = 16, nprobe = 6))
+    val two = Similarity.ivfTopK(q, e, 5, nlist = 16, nprobe = 6,
+      twoLevelAssign = true)
+    val r2 = recallOf(two)
+    assert(r2 >= 0.6 && r2 >= r1 - 0.2, s"two-level recall $r2 vs exact-assign $r1")
+    val rows = two.collect()
+    assert(rows.length == 50 && rows.forall(r => r.getLong(0) != r.getLong(1)))
+    // probing more cells than the scanned leader groups expose fails loudly
+    intercept[IllegalArgumentException] {
+      Similarity.ivfTopK(q, e, 5, nlist = 16, nprobe = 14,
+        twoLevelAssign = true)
+    }
+  }
+
+  test("hits: hubs and authorities separate on a bipartite graph, both L1-normalized") {
+    import graft.operators.Graph
+    // customers 1,2 → supplier 11; customer 1 also → 12, 13.
+    // 1 buys more → bigger hub; 11 is bought by both → top authority.
+    val edges = Seq((1L, 11L), (2L, 11L), (1L, 12L), (1L, 13L))
+      .toDF("src", "dst")
+    val r = Graph.hits(edges, iterations = 3).collect()
+      .map(x => x.getLong(0) -> (x.getDouble(1), x.getDouble(2))).toMap
+    assert(r.size == 5, r.toString)
+    assert(math.abs(r.values.map(_._1).sum - 1.0) < 1e-9, "hub mass")
+    assert(math.abs(r.values.map(_._2).sum - 1.0) < 1e-9, "authority mass")
+    assert(r(1L)._1 > r(2L)._1, s"customer 1 must out-hub customer 2: $r")
+    assert(r(11L)._2 > r(12L)._2, s"supplier 11 must out-rank 12: $r")
+    assert(r(12L)._2 == r(13L)._2, s"12 and 13 are symmetric: $r")
+    // suppliers have no out-edges → zero hub; customers never bought → zero authority
+    assert(r(11L)._1 == 0.0 && r(1L)._2 == 0.0, r.toString)
+    val again = Graph.hits(edges.repartition(7), iterations = 3).collect()
+      .map(x => x.getLong(0) -> (x.getDouble(1), x.getDouble(2))).toMap
+    assert(r == again, "partition invariance")
+  }
+
+  test("scriptProfile: planted scripts classify and counts are exact") {
+    import graft.operators.TextAnalysis
+    val planted = graft.queries.PipelineQueries.ScriptPlantedDocs
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.scriptProfile(planted, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(9), r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(910001L)._1 == "cjk", got.toString)
+    assert(got(910002L)._1 == "latin", got.toString)
+    // mixed doc: "训练数据 training data 需要去重 dedup before use 123"
+    // 37 token chars (8 hanzi + 26 latin + 3 digits) + 7 spaces = 44
+    assert(got(910003L) == (("latin", 44L, 26L, 8L)), got.toString)
+    assert(got(910004L)._1 == "other", got.toString) // digits only
+    assert(got(910005L)._1 == "empty", got.toString)
+    assert(got(910006L)._1 == "other", got.toString) // whitespace only
+  }
+
+  test("schemaDrift: added/removed/retyped/null-shifted columns all classify") {
+    import graft.operators.Quality
+    val base = Seq((1L, "a", 10), (2L, "b", 20), (3L, null.asInstanceOf[String], 30))
+      .toDF("id", "name", "old_col")
+    val next = Seq((1L, 1.5, "x"), (2L, 2.5, null.asInstanceOf[String]))
+      .toDF("id", "name", "new_col") // name retyped string→double
+    val got = Quality.schemaDrift(base, next).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(4),
+        if (r.isNullAt(5)) -1.0 else r.getDouble(5),
+        if (r.isNullAt(6)) -1.0 else r.getDouble(6)))).toMap
+    assert(got("id") == (("common", 0L, 0.0, 0.0)), got.toString)
+    assert(got("name")._1 == "common" && got("name")._2 == 1L, got.toString)
+    assert(got("name")._3 == 1.0 / 3.0, got.toString) // base: 1 of 3 null
+    assert(got("old_col") == (("removed", 0L, 0.0, -1.0)), got.toString)
+    assert(got("new_col") == (("added", 0L, -1.0, 0.5)), got.toString)
+  }
+
   test("personalizedPageRank: mass stays in the seed component and peaks at the seed") {
     import graft.operators.Graph
     // two components: a 1–2–3 triangle seeded at 1 (a path would be
