@@ -31,9 +31,12 @@ object Bench {
     // unified memory every later query executes in — measured as a
     // growing in-session inflation concentrated on the families that
     // run last (r15: mm × ~4-5 in-bench vs flat in isolation)
+    // blocking: the removal must COMPLETE in the inter-query gap —
+    // async unpersist would push the eviction work into the next
+    // query's timed window, the exact interference this exists to cut
     def dropBlocks(): Unit =
       spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+        .foreach(_.unpersist(blocking = true))
     val warmDirs = sys.env.get("SPARK_GRAFT_WARMUP") match {
       case Some("none") => Nil
       case Some("small") => Seq("/root/testdata/sf0.001")

@@ -28,6 +28,20 @@ import org.apache.spark.sql.types._
   */
 object Graph {
 
+  /** The engine-portable 12-dp quantizer shared by every sparse-rank
+    * iterative operator here ([[personalizedPageRank]],
+    * [[pageRankClassic]], [[hits]]): `floor(q·10¹² + 0.5)` of the
+    * identically-computed IEEE double, rebuilt as an exact
+    * integer×decimal product — the km05 lesson (a raw double→DECIMAL
+    * cast rounds the shortest decimal string in Spark but the exact
+    * binary in DuckDB, diverging at half boundaries). ONE definition
+    * so the oracles' shared SQL idiom can never desynchronize across
+    * operators.
+    */
+  private def quant12(c: Column): Column =
+    floor(c * 1000000000000.0 + 0.5).cast(DecimalType(14, 0)) *
+      lit(new java.math.BigDecimal("0.000000000001"))
+
   /** `iterations` rounds of damped PageRank over a directed edge list
     * (srcCol, dstCol). Returns (v, r) for every node with at least one
     * OUT-edge (symmetrize the input if every endpoint should score,
@@ -122,19 +136,15 @@ object Graph {
       .join(deg.select(col("src").as("v"), col("outdeg")), Seq("v"), "left"))
     val n = nodes.count()
     require(n > 0, "pageRankClassic needs a non-empty graph (1/n teleport)")
-    val micro = lit(new java.math.BigDecimal("0.000000000001"))
     var ranks = nodes.select(col("v"), col("outdeg"), lit(1.0 / n).as("r"))
     var prevCp: DataFrame = null
     for (_ <- 1 to iterations) {
       val contrib = ed
         .join(ranks.select(col("v").as("src"), col("r")), "src")
-        .select(col("dst"),
-          (floor(col("r") / col("outdeg") * 1000000000000.0 + 0.5)
-            .cast(DecimalType(14, 0)) * micro).as("c"))
+        .select(col("dst"), quant12(col("r") / col("outdeg")).as("c"))
         .groupBy("dst").agg(sum(col("c")).as("cs"))
       val dangling = ranks.filter(col("outdeg").isNull)
-        .agg(coalesce(sum(floor(col("r") * 1000000000000.0 + 0.5)
-          .cast(DecimalType(14, 0)) * micro),
+        .agg(coalesce(sum(quant12(col("r"))),
           lit(new java.math.BigDecimal("0"))).as("dm"))
       val next = cp.rolling(nodes
         .join(contrib, col("v") === col("dst"), "left")
@@ -199,10 +209,7 @@ object Graph {
     for (_ <- 1 to iterations) {
       val contrib = ed
         .join(ranks.select(col("v").as("src"), col("r")), "src")
-        .select(col("dst"),
-          (floor(col("r") / col("outdeg") * 1000000000000.0 + 0.5)
-            .cast(DecimalType(14, 0)) *
-            lit(new java.math.BigDecimal("0.000000000001"))).as("c"))
+        .select(col("dst"), quant12(col("r") / col("outdeg")).as("c"))
         .groupBy("dst").agg(sum(col("c")).as("cs"))
       val next = cp.rolling(nodes
         .join(contrib, col("v") === col("dst"), "left")
@@ -260,15 +267,12 @@ object Graph {
       .distinct())
     val n = nodes.count()
     require(n > 0, "hits needs a non-empty graph")
-    val micro = lit(new java.math.BigDecimal("0.000000000001"))
-    def q12(c: Column): Column =
-      floor(c * 1000000000000.0 + 0.5).cast(DecimalType(14, 0)) * micro
     // one half-round: scores flow across edges from `from`→`to`, sum
     // per target, L1-normalize; nodes with no in-flow score 0
     def halfRound(scores: DataFrame, from: String, to: String): DataFrame = {
       val contrib = e
         .join(scores.select(col("v").as(from), col("s")), from)
-        .select(col(to).as("v"), q12(col("s")).as("c"))
+        .select(col(to).as("v"), quant12(col("s")).as("c"))
         .groupBy("v").agg(sum(col("c")).as("cs"))
       val tot = contrib.agg(sum(col("cs")).as("t"))
       nodes.join(contrib, Seq("v"), "left").crossJoin(broadcast(tot))
@@ -282,10 +286,13 @@ object Graph {
       auth = cpAuth.rolling(halfRound(hub, "src", "dst"))
       hub = cpHub.rolling(halfRound(auth, "dst", "src"))
     }
+    // INNER join, matching the oracle: both chains emit exactly the
+    // node set by construction (each half-round is nodes LEFT JOIN
+    // contrib), so a full-outer + coalesce-to-0 would only MASK a
+    // future coverage bug as silent zero rows where the oracle's
+    // inner join would drop the row and fail loudly on count
     hub.select(col("v"), col("s").as("hub"))
-      .join(auth.select(col("v"), col("s").as("authority")), Seq("v"), "full")
-      .select(col("v"), coalesce(col("hub"), lit(0.0)).as("hub"),
-        coalesce(col("authority"), lit(0.0)).as("authority"))
+      .join(auth.select(col("v"), col("s").as("authority")), Seq("v"))
   }
 
   /** Per-node triangle counts over an undirected edge list — the local

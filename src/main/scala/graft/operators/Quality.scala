@@ -101,7 +101,11 @@ object Quality {
     * column non-null count — no distinct, no Expand), a metadata-only
     * type table from each schema, and a column-name full-outer join
     * over ≤ |columns| rows. Null fractions are exact count divisions —
-    * identical IEEE doubles in any engine.
+    * identical IEEE doubles in any engine. An EMPTY snapshot reports
+    * 0.0 null fractions (0/0 would be a NULL indistinguishable from
+    * "column absent on that side" and would silently disarm any
+    * null-rate alert on exactly the most broken snapshot); emptiness
+    * itself is first-class via the per-side row counts.
     */
   def schemaDrift(base: DataFrame, next: DataFrame): DataFrame = {
     def side(df: DataFrame, tag: String): DataFrame = {
@@ -113,8 +117,11 @@ object Quality {
       val entries = array(cols.zipWithIndex.map { case (c, i) =>
         struct(lit(c).as("column_name"),
           lit(df.schema(c).dataType.simpleString).as(s"${tag}_type"),
-          ((col("_n") - col(s"_nn_$i")).cast(DoubleType) /
-            col("_n").cast(DoubleType)).as(s"${tag}_null_frac"))
+          col("_n").as(s"${tag}_rows"),
+          when(col("_n") > 0,
+            (col("_n") - col(s"_nn_$i")).cast(DoubleType) /
+              col("_n").cast(DoubleType))
+            .otherwise(lit(0.0)).as(s"${tag}_null_frac"))
       }: _*)
       one.select(inline(entries))
     }
@@ -127,6 +134,7 @@ object Quality {
         when(col("base_type").isNotNull && col("new_type").isNotNull &&
           col("base_type") =!= col("new_type"), 1L).otherwise(0L)
           .as("type_changed"),
+        col("base_rows"), col("new_rows"),
         col("base_null_frac"), col("new_null_frac"))
   }
 

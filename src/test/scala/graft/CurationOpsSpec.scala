@@ -1210,13 +1210,23 @@ class CurationOpsSpec extends AnyFunSuite {
       .toDF("id", "name", "new_col") // name retyped string→double
     val got = Quality.schemaDrift(base, next).collect()
       .map(r => r.getString(0) -> ((r.getString(1), r.getLong(4),
-        if (r.isNullAt(5)) -1.0 else r.getDouble(5),
-        if (r.isNullAt(6)) -1.0 else r.getDouble(6)))).toMap
+        if (r.isNullAt(7)) -1.0 else r.getDouble(7),
+        if (r.isNullAt(8)) -1.0 else r.getDouble(8)))).toMap
     assert(got("id") == (("common", 0L, 0.0, 0.0)), got.toString)
     assert(got("name")._1 == "common" && got("name")._2 == 1L, got.toString)
     assert(got("name")._3 == 1.0 / 3.0, got.toString) // base: 1 of 3 null
     assert(got("old_col") == (("removed", 0L, 0.0, -1.0)), got.toString)
     assert(got("new_col") == (("added", 0L, -1.0, 0.5)), got.toString)
+    // an EMPTY snapshot: null fractions report 0.0 (never 0/0 → NULL,
+    // which would read as "column absent") and emptiness shows in the
+    // row counts
+    val gotE = Quality.schemaDrift(base, next.limit(0)).collect()
+      .map(r => r.getString(0) ->
+        ((r.getString(1), if (r.isNullAt(6)) -1L else r.getLong(6),
+          if (r.isNullAt(8)) -1.0 else r.getDouble(8))))
+      .toMap
+    assert(gotE("id") == (("common", 0L, 0.0)), gotE.toString)
+    assert(gotE("old_col")._3 == -1.0, gotE.toString) // absent stays NULL
   }
 
   test("personalizedPageRank: mass stays in the seed component and peaks at the seed") {
