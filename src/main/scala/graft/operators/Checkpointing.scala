@@ -1,7 +1,10 @@
 package graft.operators
 
 import org.apache.hadoop.fs.Path
+import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.execution.LogicalRDD
 import org.apache.spark.storage.StorageLevel
 
 /** The ONE lineage-truncation policy shared by every iterative
@@ -34,8 +37,11 @@ import org.apache.spark.storage.StorageLevel
   * operators running CONCURRENTLY on one session with different dirs
   * would interleave writes across the two locations — both still
   * durable, but placement follows whichever dir was installed at
-  * write time. Run reliable-checkpoint operators one at a time per
-  * session, or give them the same dir.
+  * write time. Rolling cleanup is safe either way: each
+  * [[Truncator.rolling]] chain attributes a round's files from the
+  * checkpointed RDD itself (`RDD.getCheckpointFile`), so concurrent
+  * chains — even three on one dir, as [[Graph.hits]] runs — can never
+  * capture or delete another chain's live round.
   *
   * `enabled = false` (exposed by the operators as
   * `checkpoint = false`) disables truncation entirely and exists for
@@ -62,9 +68,11 @@ private[graft] object Checkpointing {
       extends (DataFrame => DataFrame) {
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
 
-    // checkpoint files written by the previous rolling() call — the
-    // round the latest rolling frame superseded
+    // checkpoint files (reliable mode) / persisted block RDDs (local
+    // mode) written by the previous rolling() call — the round the
+    // latest rolling frame superseded
     private var prevRound: Set[Path] = Set.empty
+    private var prevLocal: Seq[RDD[InternalRow]] = Nil
 
     /** Truncate lineage; in reliable mode the files persist until the
       * caller (or a later [[rolling]] round) removes them.
@@ -80,25 +88,39 @@ private[graft] object Checkpointing {
       else df
 
     /** Truncate a PER-ROUND frame: after this round's checkpoint has
-      * fully materialized, the previous rolling round's checkpoint
-      * files are deleted (the GraphFrames-CC discipline — Spark only
-      * cleans reliable checkpoints itself under
+      * fully materialized, the previous rolling round's storage is
+      * released — reliable mode deletes its checkpoint files (the
+      * GraphFrames-CC discipline — Spark only cleans reliable
+      * checkpoints itself under
       * `spark.cleaner.referenceTracking.cleanCheckpoints`, and then
-      * only on driver GC, which a tight loop cannot wait for). The
-      * LAST round's files are never deleted here — the returned frame
-      * reads them; they are the caller's output to keep or clean.
+      * only on driver GC, which a tight loop cannot wait for), local
+      * mode unpersists its blocks (symmetric: a long loop otherwise
+      * holds O(rounds) block sets on the executors). The LAST round is
+      * never released here — the returned frame reads it; it is the
+      * caller's output to keep or clean.
+      *
+      * A round's storage is attributed EXACTLY, from the checkpointed
+      * RDD inside the returned frame's plan (`RDD.getCheckpointFile` /
+      * the block RDD itself) — never by diffing the shared checkpoint
+      * directory, which would capture files a concurrently-rolling
+      * chain wrote in the same window and later delete that chain's
+      * live round.
       */
     def rolling(df: DataFrame): DataFrame = {
-      if (checkpointDir.isEmpty) apply(df)
-      else {
-        val before = checkpointEntries()
-        val out = apply(df) // eager: fully written when this returns
-        val added = checkpointEntries() -- before
+      val out = apply(df) // eager: fully materialized when this returns
+      if (checkpointDir.isEmpty) {
+        if (enabled) {
+          val rdds = blockRdds(out)
+          prevLocal.foreach(_.unpersist(blocking = false))
+          prevLocal = rdds
+        }
+      } else {
+        val added = checkpointFiles(out)
         val fs = fileSystem()
         prevRound.foreach(p => fs.delete(p, true))
         prevRound = added
-        out
       }
+      out
     }
 
     private def fileSystem() = {
@@ -106,18 +128,18 @@ private[graft] object Checkpointing {
       p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     }
 
-    /** The rdd-N entries currently under the installed checkpoint
-      * location (setCheckpointDir appends a per-install UUID dir, so
-      * entries from other SparkContexts never appear here).
+    /** The checkpointed RDDs a just-truncated frame actually reads:
+      * `Dataset.checkpoint`/`localCheckpoint` wrap the materialized
+      * internal RDD in a leaf [[LogicalRDD]], so the frame's analyzed
+      * plan names its storage exactly.
       */
-    private def checkpointEntries(): Set[Path] =
-      spark.sparkContext.getCheckpointDir match {
-        case Some(d) =>
-          val p = new Path(d)
-          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          if (fs.exists(p)) fs.listStatus(p).map(_.getPath).toSet
-          else Set.empty
-        case None => Set.empty
-      }
+    private def blockRdds(df: DataFrame): Seq[RDD[InternalRow]] =
+      df.queryExecution.analyzed.collect { case l: LogicalRDD => l.rdd }
+
+    /** The rdd-N checkpoint directories backing a just-checkpointed
+      * frame (reliable mode) — exact attribution, see [[rolling]].
+      */
+    private def checkpointFiles(df: DataFrame): Set[Path] =
+      blockRdds(df).flatMap(_.getCheckpointFile).map(new Path(_)).toSet
   }
 }

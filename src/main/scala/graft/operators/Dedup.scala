@@ -269,10 +269,10 @@ object Dedup {
       .withColumn("label", col("id")))
     var converged = false
     var i = 0
-    // the round's checkpoint only needs to outlive the NEXT round's
-    // materialization — unpersist the previous one each round so
+    // a round's checkpoint only needs to outlive the NEXT round's
+    // materialization — Truncator.rolling releases the superseded
+    // round (files in reliable mode, blocks in local mode), so
     // executor storage holds O(1) label-table copies, not O(rounds)
-    var prevCp: DataFrame = labels
     while (!converged && i < maxIter) {
       val nbrMin = sym
         .join(labels.select(col("id").as("src"), col("label")), "src")
@@ -281,8 +281,6 @@ object Dedup {
       // check and the next label frame — a separate next-vs-previous
       // join would shuffle the label table a second time every round
       val joined = cp.rolling(labels.join(nbrMin, Seq("id"), "left"))
-      prevCp.unpersist()
-      prevCp = joined
       converged = joined.filter(col("_nbr") < col("label")).isEmpty
       labels = joined.select(col("id"),
         least(col("label"), coalesce(col("_nbr"), col("label"))).as("label"))

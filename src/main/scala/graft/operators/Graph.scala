@@ -73,7 +73,6 @@ object Graph {
     val n = nodes.count()
     require(n > 0, "pageRank needs a non-empty graph (1/n teleport)")
     var ranks = nodes.select(col("v"), lit(1.0 / n).as("r"))
-    var prevCp: DataFrame = null
     for (_ <- 1 to iterations) {
       val contrib = ed
         .join(ranks.select(col("v").as("src"), col("r")), "src")
@@ -85,8 +84,6 @@ object Graph {
         .select(col("v"),
           (lit(reset / n) + lit(damping) *
             coalesce(col("cs").cast(DoubleType), lit(0.0))).as("r")))
-      if (prevCp != null) prevCp.unpersist()
-      prevCp = ranks
       ranks = next
     }
     ranks
@@ -137,7 +134,6 @@ object Graph {
     val n = nodes.count()
     require(n > 0, "pageRankClassic needs a non-empty graph (1/n teleport)")
     var ranks = nodes.select(col("v"), col("outdeg"), lit(1.0 / n).as("r"))
-    var prevCp: DataFrame = null
     for (_ <- 1 to iterations) {
       val contrib = ed
         .join(ranks.select(col("v").as("src"), col("r")), "src")
@@ -153,8 +149,6 @@ object Graph {
           (lit(reset / n) + lit(damping) *
             (coalesce(col("cs").cast(DoubleType), lit(0.0)) +
               col("dm").cast(DoubleType) / lit(n.toDouble))).as("r")))
-      if (prevCp != null) prevCp.unpersist()
-      prevCp = ranks
       ranks = next
     }
     ranks.select(col("v"), col("r"))
@@ -205,7 +199,6 @@ object Graph {
     require(nSeeds > 0, "no seed id is a node of the graph")
     var ranks = nodes.select(col("v"),
       when(col("_isSeed") === 1, lit(1.0 / nSeeds)).otherwise(lit(0.0)).as("r"))
-    var prevCp: DataFrame = null
     for (_ <- 1 to iterations) {
       val contrib = ed
         .join(ranks.select(col("v").as("src"), col("r")), "src")
@@ -217,8 +210,6 @@ object Graph {
           (when(col("_isSeed") === 1, lit(reset / nSeeds)).otherwise(lit(0.0)) +
             lit(damping) * coalesce(col("cs").cast(DoubleType), lit(0.0)))
             .as("r")))
-      if (prevCp != null) prevCp.unpersist()
-      prevCp = ranks
       ranks = next
     }
     ranks.select(col("v"), col("r"))
@@ -477,7 +468,6 @@ object Graph {
       .union(und.select(col("b").as("u"), col("a").as("v"))))
     var lab = sym.select(col("u").as("n")).distinct()
       .select(col("n"), col("n").as("l"))
-    var prevCp: DataFrame = null
     for (_ <- 1 to rounds) {
       val votes = sym
         .join(lab.select(col("n").as("u"), col("l")), "u")
@@ -488,8 +478,6 @@ object Graph {
       val next = cp.rolling(votes.groupBy("n")
         .agg(max(struct(col("c"), (-col("l")).as("nl"))).as("m"))
         .select(col("n"), (-col("m.nl")).cast(LongType).as("l")))
-      if (prevCp != null) prevCp.unpersist()
-      prevCp = lab
       lab = next
     }
     lab.select(col("n").as("node"), col("l").as("community"))

@@ -1017,15 +1017,20 @@ object TextAnalysis {
     val cp = Checkpointing.truncator(df.sparkSession, checkpoint,
       checkpointDir)
     // the artifact must cover rounds 1..max contiguously — a missing
-    // round would silently empty the type table at its crossJoin
+    // round would silently empty the type table at its crossJoin. The
+    // min bound matters too: rounds {0, 2} satisfy max==count==distinct
+    // (2, 2, 2) yet leave round 1 empty — exactly the silent failure
+    // this require exists to prevent
     val rr = merges.agg(max(col("round")).as("_mx"), count(lit(1)).as("_n"),
-      countDistinct(col("round")).as("_d")).head()
+      countDistinct(col("round")).as("_d"), min(col("round")).as("_mn")).head()
     // getAs[Number]: a hand-built or CSV/JSON-loaded merge table may
     // carry round as INT — the contract is on the VALUE, not the width
     val nRounds = if (rr.isNullAt(0)) 0 else rr.getAs[Number](0).intValue()
-    require(rr.getLong(1) == nRounds && rr.getLong(2) == nRounds,
+    require(rr.getLong(1) == nRounds && rr.getLong(2) == nRounds &&
+      (nRounds == 0 || rr.getAs[Number](3).intValue() == 1),
       s"merge table must hold exactly one row per round 1..$nRounds; " +
-        s"got ${rr.getLong(1)} rows, ${rr.getLong(2)} distinct rounds")
+        s"got ${rr.getLong(1)} rows, ${rr.getLong(2)} distinct rounds" +
+        (if (!rr.isNullAt(3)) s", min round ${rr.getAs[Number](3)}" else ""))
     var types = cp.rolling(df
       .select(explode(split(col(textCol), " ")).as("word"))
       .filter(col("word") =!= "").distinct()

@@ -9,11 +9,11 @@ import org.apache.spark.sql.SparkSession
   * compares a single query in seconds while iterating on it (the full
   * Verify run re-dumps all gate rows).
   *
-  * Usage: runMain graft.tools.OracleOne <name> [sfDir] [outDir]
+  * Usage: runMain graft.tools.OracleOne <name>[,<name>...] [sfDir] [outDir]
   */
 object OracleOne {
   def main(args: Array[String]): Unit = {
-    val name = args.head
+    val names = args.head.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
     val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.001")
     val outDir = args.lift(2).getOrElse("/tmp/graft-oracle-one")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -25,8 +25,11 @@ object OracleOne {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    graft.SparkEntry.queries(name)(spark, sfDir)
-      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+    names.foreach { name =>
+      graft.SparkEntry.queries(name)(spark, sfDir)
+        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      println(s"[oracle-one] wrote $outDir/$name")
+    }
     def q(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
@@ -36,10 +39,9 @@ object OracleOne {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val sql = graft.SparkEntry.oracleSql.get(name)
-      .map(s => s"{${q(name)}: ${q(s)}}").getOrElse("{}")
+    val sql = names.flatMap(n => graft.SparkEntry.oracleSql.get(n)
+      .map(s => s"${q(n)}: ${q(s)}")).mkString("{", ", ", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), sql)
-    println(s"[oracle-one] wrote $outDir/$name")
     spark.stop()
   }
 }

@@ -254,6 +254,66 @@ class CurationOpsSpec extends AnyFunSuite {
     finally cleanupWalk.close()
   }
 
+  test("Truncator.rolling: concurrent chains on one dir never lose a live round") {
+    // two rolling chains advance in lockstep from two threads, every
+    // round entered through a barrier so the checkpoint WRITES of both
+    // chains overlap in time. Attribution is from the checkpointed RDD
+    // itself (RDD.getCheckpointFile), so each chain deletes exactly its
+    // own superseded round — a directory-listing diff would capture the
+    // other chain's files written inside the same window and the next
+    // round would delete that chain's LIVE checkpoint (hits runs three
+    // chains on one dir; this pins the contract for any overlap).
+    val dir = java.nio.file.Files.createTempDirectory("graft-roll-conc")
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val rounds = 4
+    def chain(start: Long, stepAdd: Long): Seq[Long] = {
+      val cp = graft.operators.Checkpointing.truncator(spark,
+        enabled = true, Some(dir.toString))
+      var df = spark.range(start, start + 10).toDF("x")
+      for (_ <- 1 to rounds) {
+        barrier.await(30, java.util.concurrent.TimeUnit.SECONDS)
+        df = cp.rolling(df.select((col("x") + stepAdd).as("x")))
+      }
+      // reads the LAST round's checkpoint files — deleted ones throw
+      df.collect().map(_.getLong(0)).sorted.toSeq
+    }
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fa = Future(chain(0L, 1L))
+    val fb = Future(chain(100L, 2L))
+    val a = Await.result(fa, 120.seconds)
+    val b = Await.result(fb, 120.seconds)
+    assert(a == (0L until 10L).map(_ + rounds * 1L).sorted)
+    assert(b == (100L until 110L).map(_ + rounds * 2L).sorted)
+    // and superseded rounds were still cleaned: each chain retains only
+    // its last round (2 rdd-* dirs total), not one per round (8)
+    val walk = java.nio.file.Files.walk(dir)
+    val rddDirs =
+      try walk.iterator().asScala.count(_.getFileName.toString.startsWith("rdd-"))
+      finally walk.close()
+    assert(rddDirs <= 2, s"expected ≤2 live rdd-* dirs, found $rddDirs")
+    val cleanupWalk = java.nio.file.Files.walk(dir)
+    try cleanupWalk.sorted(java.util.Comparator.reverseOrder())
+      .iterator().asScala.foreach(java.nio.file.Files.delete)
+    finally cleanupWalk.close()
+  }
+
+  test("Truncator.rolling: local mode unpersists superseded rounds") {
+    // symmetric to the reliable-mode file deletion: a local-mode loop
+    // must hold O(1) rolling block sets, not O(rounds) — hits with 4
+    // iterations runs 8 half-rounds over two chains but may retain only
+    // the final hub + final auth (plus its two persistent frames)
+    val edges = (1L to 9L).flatMap(l => Seq((0L, l), (l, 0L))).toDF("src", "dst")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val out = graft.operators.Graph.hits(edges, 4)
+    assert(out.count() == 10)
+    val added = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(added.size <= 4,
+      s"hits(4) left ${added.size} persistent RDDs — superseded rolling " +
+        "rounds are not being unpersisted in local mode")
+  }
+
   test("neymanAllocation: variance earns budget, constants earn none, singletons drop") {
     // A: 100 rows alternating 0/1000 (high variance); B: 100 rows all
     // 500 (zero variance); C: a singleton (undefined variance)
@@ -1109,6 +1169,14 @@ class CurationOpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       TextAnalysis.bpeEncode(docs, "doc_id", "text",
         merges.withColumn("round", col("round") + 1))
+    }
+    // rounds {0, 2} pass the max==count==distinct triple (2, 2, 2) but
+    // leave round 1 empty — the min(round)==1 bound must reject it
+    val two = TextAnalysis.bpeMerges(docs, "text", rounds = 2)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bpeEncode(docs, "doc_id", "text",
+        two.withColumn("round",
+          when(col("round") === 1, lit(0L)).otherwise(col("round"))))
     }
     // a hand-built merge table with an INT round column is the same
     // artifact — the contract is on the value, not the column width
