@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.functions.TopKAgg
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -679,6 +680,7 @@ object Similarity {
               nlist: Int = 16, nprobe: Int = 8,
               iters: Int = 0, sampleMod: Int = 4,
               twoLevelAssign: Boolean = false, leaderGroups: Int = 3,
+              candidateGroups: Int = 2,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     requireIntegralIds(queries, candidates, idCol)
     // Two-level coarse quantization (the FAISS-style answer to the
@@ -688,9 +690,16 @@ object Similarity {
     // N. Grouping the nlist centroids under √nlist hash-picked LEADER
     // centroids cuts assignment to N·(√nlist + nlist/√nlist·scanned):
     // each vector picks its nearest leader(s), then scans only those
-    // leaders' centroid groups. Candidates scan 1 group (cell
-    // membership just partitions the corpus); queries scan
-    // `leaderGroups` groups before picking their nprobe cells — the
+    // leaders' centroid groups. Candidates scan `candidateGroups`
+    // groups (default 2) before picking their ONE cell: with a single
+    // group, a candidate whose true nearest centroid lives in a
+    // different leader group is permanently lost to every probe — the
+    // structural 0.80 recall ceiling measured in r15 (RecallProbe:
+    // more query-side probes could not recover it). Spilling candidate
+    // assignment to the top-2 leader groups doubles the candidate
+    // scan term (still O(√nlist) per vector) and restores the exact
+    // cell for the boundary candidates. Queries scan `leaderGroups`
+    // groups before picking their nprobe cells — the query-side
     // recall lever, measured in RecallProbe.
     val g = math.max(1, math.round(math.sqrt(nlist.toDouble)).toInt)
     // AVERAGE-capacity sanity bound, not a guarantee: leader groups
@@ -821,7 +830,7 @@ object Similarity {
         .select(col(id), col(v), col(nn), col("_e.id").as("centroid_id"))
 
     val assigned =
-      if (twoLevelAssign) assign2(candidates, 1, 1, "cid", "cv", "cn")
+      if (twoLevelAssign) assign2(candidates, 1, candidateGroups, "cid", "cv", "cn")
       else assign(candidates, 1, "cid", "cv", "cn")
     val probes =
       if (twoLevelAssign) assign2(queries, nprobe, leaderGroups, "qid", "qv", "qn")
@@ -1056,5 +1065,47 @@ object Similarity {
       .select(col("qid"), col("col.id").as("cid"), col("col.score").as("sim"),
         (col("pos") + 1).cast(LongType).as("rank"))
       .orderBy("qid", "rank")
+  }
+
+  /** Reciprocal-rank fusion of two ranked shortlists — the standard
+    * hybrid-retrieval composition (Cormack/Clarke/Buettcher RRF): fuse
+    * a lexical shortlist (e.g. [[graft.operators.TextAnalysis.bm25Rank]])
+    * with a dense shortlist (e.g. [[cosineTopK]]) by summing
+    * 1/(kRrf + rank) over the lists each id appears in. RRF needs only
+    * RANKS, never the incomparable raw scores — which is why it is the
+    * fusion production retrieval stacks ship.
+    *
+    * Inputs are (idCol, rankCol) frames, k-bounded BY CONTRACT (they
+    * are top-k shortlists); an id missing from one list contributes 0
+    * from that list. Emits (id, score, rank) — top `k` by fused score,
+    * ties broken by id ascending.
+    *
+    * Cross-engine determinism: each term is one IEEE-correctly-rounded
+    * division of exact integers (1.0 / (rank + kRrf)), and the fused
+    * score is a TWO-term sum in a fixed written order — no
+    * summation-order ambiguity exists, so the doubles are bit-identical
+    * to a SQL oracle writing the same shape (no decimal machinery
+    * needed, unlike the corpus-sized sums in bm25Rank).
+    *
+    * Scale shape: both sides are ≤ shortlist-k rows regardless of
+    * corpus size, so the full-outer join and the final rank window run
+    * over O(k) rows — the expensive work already happened inside the
+    * bounded retrieval operators upstream. The window here is over ≤ 2k
+    * rows by construction, never by corpus.
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame, k: Int, kRrf: Int = 60,
+              idCol: String = "id", rankCol: String = "rank"): DataFrame = {
+    require(k > 0 && kRrf > 0, s"need k > 0 and kRrf > 0, got k=$k kRrf=$kRrf")
+    def side(df: DataFrame, r: String): DataFrame =
+      df.select(col(idCol).cast(LongType).as("id"),
+        col(rankCol).cast(LongType).as(r))
+    def term(r: String): Column =
+      coalesce(lit(1.0) / (col(r) + lit(kRrf.toLong)).cast(DoubleType), lit(0.0))
+    side(a, "_ra").join(side(b, "_rb"), Seq("id"), "full_outer")
+      .select(col("id"), (term("_ra") + term("_rb")).as("score"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("id"))).cast(LongType))
   }
 }

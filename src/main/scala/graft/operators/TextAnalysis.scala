@@ -106,6 +106,19 @@ object TextAnalysis {
     * all-equal max distances would otherwise crown the alphabetically
     * first language at confidence 0.
     *
+    * MISCLASSIFICATION FLOOR, documented honestly: 20 trigrams × 6
+    * Latin-script languages is demonstration-sized — reliable on
+    * sentence-length docs (the ta26 gate plants those), but a 2–3 word
+    * doc yields a handful of trigrams whose accidental overlap with
+    * one profile produces a CONFIDENT wrong label (e.g. a lone French
+    * loan-phrase inside an English catalog row). `minGrams` is the
+    * abstention cutoff: a doc whose profile has fewer than `minGrams`
+    * trigrams is labeled "und" (its measured distance/n_grams/
+    * confidence still reported, so the cascade can see WHY it
+    * abstained). Default 0 preserves the always-classify behavior;
+    * short-doc-heavy corpora should run ≥ 10 (a sentence of ~4 words
+    * clears it, a fragment does not).
+    *
     * Determinism: trigram counts are exact, both rank orders are
     * total, the distance is exact integer arithmetic, the argmin
     * breaks ties on the language code, and confidence is two IEEE ops
@@ -120,8 +133,9 @@ object TextAnalysis {
     * no driver actions.
     */
   def languageIdentify(df: DataFrame, idCol: String, textCol: String,
-                       topN: Int = 40): DataFrame = {
+                       topN: Int = 40, minGrams: Int = 0): DataFrame = {
     require(topN >= 1, s"topN must be >= 1, got $topN")
+    require(minGrams >= 0, s"minGrams must be >= 0, got $minGrams")
     val spark = df.sparkSession
     import spark.implicits._
     val profiles = LidProfiles.toSeq.sortBy(_._1).flatMap { case (l, gs) =>
@@ -160,8 +174,11 @@ object TextAnalysis {
       .select(col("_id"),
         // a FULL MISS (no doc gram in any profile — pure digits,
         // unprofiled scripts) is "und", not the alphabetically first
-        // language at confidence 0
+        // language at confidence 0; a doc too short to clear the
+        // minGrams abstention cutoff is also "und" — a fragment's few
+        // trigrams can confidently match the wrong profile
         when(col("_b.d") === col("_b.n_grams") * topN, lit("und"))
+          .when(col("_b.n_grams") < minGrams, lit("und"))
           .otherwise(col("_b.lang")).as("language"),
         col("_b.d").as("distance"), col("_b.n_grams").as("n_grams"),
         (lit(1.0) - col("_b.d").cast(DoubleType) /

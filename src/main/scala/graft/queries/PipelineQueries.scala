@@ -2638,6 +2638,106 @@ object PipelineQueries {
         .crossJoin(recallFloor(exact, knn.filter(col("qid") < 10), 80))
     },
 
+    // TWO-LEVEL coarse assignment — the configuration a 100 TB corpus
+    // must run (SCALE.md: exact assignment scores N·nlist pairs, and
+    // with nlist ∝ N that term is the measured quadratic wall — 497 s
+    // at the 100× rehearsal vs ~120 s two-level). Gated at the same
+    // recall-floor contract as sim04 so the big-corpus switch is never
+    // the engine's only unoracled path: leaderGroups=3 < √nlist leader
+    // groups means query-side pruning is genuinely exercised, and
+    // candidateGroups=2 (the r16 default) pins the candidate-side
+    // top-2 spill that lifted the r15 structural ceiling (candidates
+    // assigned through ONE leader group lost boundary cells to every
+    // probe: measured 0.80 → 0.84 at the corpus-scaled rehearsal
+    // config, 0.90 → 0.94 at this gate config on sf0.1). Floor 85 on
+    // measured 0.94/0.90/0.94 across the three SFs — deterministic
+    // hashes + fixed data make it exactly reproducible, so it cannot
+    // flake.
+    QueryDef("sim13_ivf_two_level",
+      """SELECT CAST(q.nq * least(5, c.n_all - 1) AS BIGINT) AS n_exact,
+        |  CAST(1 AS BIGINT) AS recall_ok
+        |FROM (SELECT count(*) AS nq FROM embeddings WHERE vec_id < 10) q,
+        |     (SELECT count(*) AS n_all FROM embeddings) c""".stripMargin) { (s, dir) =>
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 10)
+      recallFloor(Similarity.cosineTopK(q, e, 5),
+        Similarity.ivfTopK(q, e, 5, nlist = 16, nprobe = 10,
+          twoLevelAssign = true, leaderGroups = 3, candidateGroups = 2),
+        floorPct = 85)
+    },
+
+    // HYBRID retrieval fusion: reciprocal-rank fusion of the BM25
+    // lexical shortlist (ta18's exact formulation, top-20) and the
+    // exact dense cosine shortlist (sim01's formulation, query
+    // vec_id=0, top-20) — the standard serving composition
+    // (Cormack/Clarke/Buettcher; what production hybrid search ships,
+    // because RRF needs only ranks and never compares the two engines'
+    // incomparable raw scores). Fully oracle-expressible: both
+    // shortlists are existing gated formulations (ranks hash-match on
+    // their own gates), and the fused score is a TWO-term IEEE sum in
+    // a fixed written order (1/(60+rank_sparse) + 1/(60+rank_dense))
+    // — no summation-order ambiguity, no decimal machinery needed.
+    // Scale shape: the expensive work happens inside the two bounded
+    // retrieval operators; the fusion itself joins two ≤20-row frames.
+    QueryDef("sim14_hybrid_rrf",
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        | dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+        | tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok
+        |        WHERE tok IN ('spark', 'join', 'merge') GROUP BY 1, 2),
+        | df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+        | c AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+        |              (SELECT sum(dl) FROM dl) AS sum_dl),
+        | q AS (SELECT tf.doc_id,
+        |         CAST(ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
+        |                        (CAST(df AS DOUBLE) + 0.5))
+        |              * (CAST(tf AS DOUBLE) * (1.2 + 1.0))
+        |              / (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 *
+        |                 (CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE) /
+        |                  CAST(sum_dl AS DOUBLE))))
+        |              AS DECIMAL(18,6)) AS q
+        |       FROM tf JOIN dl USING (doc_id) JOIN df USING (tok) CROSS JOIN c),
+        | sbm AS (SELECT doc_id, sum(q) AS s FROM q GROUP BY doc_id),
+        | sparse AS (SELECT id, rank FROM (
+        |     SELECT doc_id AS id,
+        |       CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank
+        |     FROM sbm) t WHERE rank <= 20),
+        | e0 AS (SELECT vec_id, unnest(embedding) AS rawx,
+        |                unnest(range(1, len(embedding) + 1)) AS i
+        |        FROM embeddings),
+        | e AS (SELECT vec_id, i,
+        |       CAST(CAST(rawx AS DOUBLE) AS DECIMAL(12,6)) AS x FROM e0),
+        | n AS (SELECT vec_id, sum(x * x) AS nrm FROM e GROUP BY vec_id),
+        | d AS (SELECT q.vec_id AS qid, c.vec_id AS cid, sum(q.x * c.x) AS dot
+        |       FROM e q JOIN e c ON q.i = c.i
+        |       WHERE q.vec_id = 0 AND q.vec_id <> c.vec_id
+        |       GROUP BY 1, 2),
+        | sim AS (SELECT cid,
+        |           CAST(dot AS DOUBLE) /
+        |             sqrt(CAST(nq.nrm AS DOUBLE) * CAST(nc.nrm AS DOUBLE)) AS sim
+        |         FROM d
+        |         JOIN n nq ON nq.vec_id = qid
+        |         JOIN n nc ON nc.vec_id = cid),
+        | dense AS (SELECT id, rank FROM (
+        |     SELECT cid AS id,
+        |       CAST(row_number() OVER (ORDER BY sim DESC, cid) AS BIGINT) AS rank
+        |     FROM sim) t WHERE rank <= 20),
+        | f AS (SELECT coalesce(sp.id, de.id) AS id,
+        |         coalesce(1.0 / CAST(sp.rank + 60 AS DOUBLE), 0.0) +
+        |         coalesce(1.0 / CAST(de.rank + 60 AS DOUBLE), 0.0) AS score
+        |       FROM sparse sp FULL JOIN dense de ON sp.id = de.id)
+        |SELECT id, score,
+        |  CAST(row_number() OVER (ORDER BY score DESC, id) AS BIGINT) AS rank
+        |FROM f ORDER BY rank LIMIT 10""".stripMargin) { (s, dir) =>
+      val sparse = TextAnalysis.bm25Rank(docs(s, dir), "doc_id", "text",
+        Seq("spark", "join", "merge"), 20)
+        .select(col("doc_id").as("id"), col("rank"))
+      val e = emb(s, dir)
+      val dense = Similarity.cosineTopK(e.filter(col("vec_id") === 0), e, 20,
+        exact = true)
+        .select(col("cid").as("id"), col("rank"))
+      Similarity.rrfFuse(sparse, dense, 10)
+    },
+
     // ================= clustering =================
 
     // k-means seed assignment (k=8): seeds are hash-picked CORPUS

@@ -44,7 +44,17 @@ import org.apache.spark.sql.types._
   */
 object AvroFiles {
 
-  /** Write `df` as Avro container files, one per partition. */
+  /** Write `df` as Avro container files, one per partition.
+    *
+    * Each task attempt streams to an ATTEMPT-UNIQUE temp name
+    * (`part-NNNNN.avro.<attemptId>.tmp`) and renames into place only
+    * after its writer closes cleanly — so a speculative or retried
+    * attempt can never interleave bytes with the original into one
+    * corrupt container (two attempts each produce a complete file;
+    * whichever rename lands last wins, and the loser's rename — dest
+    * already present — just drops its own temp). Orphaned temps from
+    * killed attempts are swept by the next overwrite.
+    */
   def write(df: DataFrame, path: String,
             compression: String = "snappy"): Unit = {
     val sparkSchema = df.schema
@@ -55,29 +65,52 @@ object AvroFiles {
     fs.mkdirs(dir)
     // overwrite-idempotent like the parquet sink: a re-run with FEWER
     // partitions must not leave stale higher-numbered part files for
-    // read() to silently merge in
+    // read() to silently merge in; stale .tmp orphans go with them
     fs.listStatus(dir).map(_.getPath)
-      .filter(_.getName.endsWith(".avro"))
+      .filter(p => p.getName.endsWith(".avro") || p.getName.endsWith(".tmp"))
       .foreach(p => fs.delete(p, false))
     df.foreachPartition { (rows: Iterator[Row]) =>
-      val pid = TaskContext.getPartitionId()
+      val tc = TaskContext.get()
+      val pid = tc.partitionId()
       val schema = new Schema.Parser().parse(avroSchemaJson)
       val file = new Path(path, f"part-$pid%05d.avro")
-      val out = file.getFileSystem(new Configuration()).create(file, true)
+      val tmp = new Path(path, f"part-$pid%05d.avro.${tc.taskAttemptId()}%d.tmp")
+      val tfs = tmp.getFileSystem(new Configuration())
+      val out = tfs.create(tmp, true)
       val writer = new DataFileWriter[GenericRecord](
         new GenericDatumWriter[GenericRecord](schema))
       writer.setCodec(CodecFactory.fromString(codec))
       writer.create(schema, out)
-      try rows.foreach(r => writer.append(toRecord(r, sparkSchema, schema)))
-      finally writer.close()
+      var ok = false
+      try {
+        rows.foreach(r => writer.append(toRecord(r, sparkSchema, schema)))
+        ok = true
+      } finally {
+        writer.close()
+        if (ok) {
+          // last-attempt-wins commit; if another complete attempt got
+          // there first the rename fails harmlessly and we discard ours
+          tfs.delete(file, false)
+          if (!tfs.rename(tmp, file)) tfs.delete(tmp, false)
+        } else tfs.delete(tmp, false)
+      }
     }
   }
 
   /** Read a directory of Avro container files back as a DataFrame.
     * The schema comes from the first file (all parts share one — the
     * write contract above); each task streams one file.
+    *
+    * `columns` (optional) selects a READER-SCHEMA projection: the
+    * requested subset, in the requested order, is resolved against
+    * each file's writer schema by Avro's own schema resolution —
+    * skipped fields are never materialized into records (Avro's
+    * ResolvingDecoder skips them in the decode stream), which is what
+    * a consumer reading 2 of 40 columns off a wide interchange file
+    * actually wants. Nil keeps the full file schema.
     */
-  def read(spark: SparkSession, path: String): DataFrame = {
+  def read(spark: SparkSession, path: String,
+           columns: Seq[String] = Nil): DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf)
@@ -87,16 +120,22 @@ object AvroFiles {
     val first = new DataFileReader[GenericRecord](
       new FsInput(new Path(files.head), conf),
       new GenericDatumReader[GenericRecord]())
-    val avroSchema = try first.getSchema finally first.close()
+    val fileSchema = try first.getSchema finally first.close()
+    val avroSchema =
+      if (columns.isEmpty) fileSchema else project(fileSchema, columns)
     val sparkSchema = toSparkSchema(avroSchema)
     val avroJson = avroSchema.toString
     val rowRdd = spark.sparkContext
       .parallelize(files.toIndexedSeq, files.length)
       .flatMap { f =>
         val schema = new Schema.Parser().parse(avroJson)
+        // (writer = null, reader = projected): DataFileReader supplies
+        // each file's writer schema from its own header; the reader
+        // schema stays the projection, so resolution — not this code —
+        // drops and reorders fields
         val reader = new DataFileReader[GenericRecord](
           new FsInput(new Path(f), new Configuration()),
-          new GenericDatumReader[GenericRecord](schema))
+          new GenericDatumReader[GenericRecord](null, schema))
         // the stream must close on EVERY task exit — limit(), a
         // downstream exception, or a kill stop pulling before the
         // iterator drains, and an eager-close-on-exhaustion alone
@@ -112,6 +151,27 @@ object AvroFiles {
         }
       }
     spark.createDataFrame(rowRdd, sparkSchema)
+  }
+
+  /** Reader-schema projection: the requested fields of `full`, in
+    * request order, under the SAME record name/namespace (Avro schema
+    * resolution matches records by full name — a renamed projection
+    * would fail to resolve against the file's writer schema).
+    */
+  private[graft] def project(full: Schema, columns: Seq[String]): Schema = {
+    val byName = full.getFields.asScala.map(f => f.name() -> f).toMap
+    val missing = columns.filterNot(byName.contains)
+    require(missing.isEmpty,
+      s"columns not in the file schema: ${missing.mkString(", ")} " +
+        s"(file has: ${full.getFields.asScala.map(_.name()).mkString(", ")})")
+    require(columns.distinct.size == columns.size,
+      s"duplicate columns requested: $columns")
+    val fields = columns.map { c =>
+      val f = byName(c)
+      new Schema.Field(f.name(), f.schema(), f.doc(), f.defaultVal())
+    }
+    Schema.createRecord(full.getName, full.getDoc, full.getNamespace, false,
+      fields.asJava)
   }
 
   // ---- schema mapping ---------------------------------------------------

@@ -13,6 +13,9 @@ import graft.operators.Similarity
 object RecallProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    // optional section filter: lsh | ivf | 2lv | pq | ivfpq (default all)
+    val only = args.lift(1).getOrElse("all")
+    def section(name: String): Boolean = only == "all" || only == name
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
@@ -30,13 +33,13 @@ object RecallProbe {
       hit.toDouble / nExact
     }
 
-    for ((bits, tables) <- Seq((4, 8), (4, 16), (3, 12))) {
+    for ((bits, tables) <- Seq((4, 8), (4, 16), (3, 12)) if section("lsh")) {
       val t0 = System.nanoTime()
       val r = recallOf(Similarity.annTopK(q, e, 5, bits = bits, tables = tables))
       val s = (System.nanoTime() - t0) / 1e9
       println(f"[recall] lsh bits=$bits%d tables=$tables%2d recall=$r%.3f  ${s}%.1f s")
     }
-    for (nprobe <- Seq(4, 6, 8)) {
+    for (nprobe <- Seq(4, 6, 8) if section("ivf")) {
       val t0 = System.nanoTime()
       val r = recallOf(Similarity.ivfTopK(q, e, 5, nlist = 16, nprobe = nprobe))
       val s = (System.nanoTime() - t0) / 1e9
@@ -46,19 +49,47 @@ object RecallProbe {
     // cost of scanning leaderGroups·(nlist/√nlist) cells instead of
     // all nlist during assignment/probing (the 100× rehearsal's
     // assignment-bound fix — see BENCH_NOTES r15)
-    for ((nlist, nprobe) <- Seq((160, 6))) {
+    // cg = candidateGroups: cg=1 is the r15 shape with the structural
+    // recall ceiling (a candidate whose true nearest centroid lives in
+    // a different leader group is lost to every probe); cg=2 spills
+    // candidate assignment to the top-2 leader groups. nlist is
+    // corpus-scaled (N/31, the sim12 rehearsal convention) so the
+    // two-level pruning is actually exercised at every SF.
+    val nTot = e.count()
+    val nlBig = math.max(16, (nTot / 31).toInt)
+    for ((np, lg, cg) <- Seq((10, 3, 1), (10, 3, 2), (12, 3, 1), (12, 3, 2))
+         if section("2lv16")) {
       val t0 = System.nanoTime()
-      val r = recallOf(Similarity.ivfTopK(q, e, 5, nlist = nlist,
-        nprobe = nprobe))
+      val r = recallOf(Similarity.ivfTopK(q, e, 5, nlist = 16, nprobe = np,
+        twoLevelAssign = true, leaderGroups = lg, candidateGroups = cg))
       val s = (System.nanoTime() - t0) / 1e9
-      println(f"[recall] ivf nlist=$nlist%d nprobe=$nprobe%d exact-assign recall=$r%.3f  ${s}%.1f s")
+      println(f"[recall] ivf nlist=16 nprobe=$np%d two-level lg=$lg%d cg=$cg%d recall=$r%.3f  ${s}%.1f s")
     }
-    for ((np, lg) <- Seq((6, 2), (6, 3), (6, 4), (8, 3), (10, 3), (8, 4))) {
+    for ((np, lg, cg) <- Seq((6, 3, 1), (6, 3, 2), (6, 3, 3), (8, 3, 2),
+      (8, 4, 2), (10, 4, 2), (10, 4, 3), (12, 5, 3))
+         if section("2lv160")) {
       val t0 = System.nanoTime()
       val r = recallOf(Similarity.ivfTopK(q, e, 5, nlist = 160, nprobe = np,
-        twoLevelAssign = true, leaderGroups = lg))
+        twoLevelAssign = true, leaderGroups = lg, candidateGroups = cg))
       val s = (System.nanoTime() - t0) / 1e9
-      println(f"[recall] ivf nlist=160 nprobe=$np%d two-level lg=$lg%d recall=$r%.3f  ${s}%.1f s")
+      println(f"[recall] ivf nlist=160 nprobe=$np%d two-level lg=$lg%d cg=$cg%d recall=$r%.3f  ${s}%.1f s")
+    }
+
+    for (nprobe <- Seq(6, 8, 10) if section("2lv")) {
+      val t0 = System.nanoTime()
+      val r = recallOf(Similarity.ivfTopK(q, e, 5, nlist = nlBig,
+        nprobe = nprobe))
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"[recall] ivf nlist=$nlBig%d nprobe=$nprobe%d exact-assign recall=$r%.3f  ${s}%.1f s")
+    }
+    for ((np, lg, cg) <- Seq((12, 4, 2), (12, 4, 3), (14, 4, 2),
+      (14, 4, 3), (16, 4, 2), (16, 4, 3), (16, 5, 2))
+         if section("2lv")) {
+      val t0 = System.nanoTime()
+      val r = recallOf(Similarity.ivfTopK(q, e, 5, nlist = nlBig, nprobe = np,
+        twoLevelAssign = true, leaderGroups = lg, candidateGroups = cg))
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"[recall] ivf nlist=$nlBig%d nprobe=$np%d two-level lg=$lg%d cg=$cg%d recall=$r%.3f  ${s}%.1f s")
     }
     // PQ recall is measured against L2 ground truth (ADC approximates
     // squared euclidean, not cosine)
@@ -67,14 +98,15 @@ object RecallProbe {
     def recallL2(ann: org.apache.spark.sql.DataFrame): Double =
       ann.select("qid", "cid").join(exactL2, Seq("qid", "cid")).count().toDouble / nL2
     for ((m, codes, shortlist, refine) <- Seq((16, 32, 50, 0), (16, 32, 100, 0),
-      (16, 16, 100, 0), (16, 64, 100, 0), (16, 32, 100, 1), (16, 32, 100, 2))) {
+      (16, 16, 100, 0), (16, 64, 100, 0), (16, 32, 100, 1), (16, 32, 100, 2))
+         if section("pq")) {
       val t0 = System.nanoTime()
       val r = recallL2(Similarity.pqTopK(q, e, 5, m, codes, shortlist, refine))
       val s = (System.nanoTime() - t0) / 1e9
       println(f"[recall] pq m=$m%d codes=$codes%2d short=$shortlist%2d refine=$refine%d recall=$r%.3f  ${s}%.1f s")
     }
     for ((nlist, nprobe, refine) <- Seq((8, 2, 0), (8, 4, 0), (16, 4, 0),
-      (16, 8, 0), (16, 8, 1))) {
+      (16, 8, 0), (16, 8, 1)) if section("ivfpq")) {
       val t0 = System.nanoTime()
       val r = recallL2(Similarity.ivfPqTopK(q, e, 5, nlist, nprobe,
         refineIters = refine))

@@ -1149,6 +1149,30 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(dg(2)._2 == "en", dg)
   }
 
+  test("languageIdentify minGrams: fragments abstain to und instead of a confident wrong label") {
+    import graft.operators.TextAnalysis
+    // a 3-word fragment whose few trigrams happen to overlap a profile:
+    // with minGrams=0 it gets SOME confident label; with the abstention
+    // cutoff it must be "und" — while a sentence-length doc still
+    // classifies (the cutoff only silences fragments)
+    val docs = Seq(
+      (1L, "que de la"), // 3 short function words — profile-overlap bait
+      (2L, "the quick brown fox jumps over the lazy dog and runs on"))
+      .toDF("doc_id", "text")
+    val strict = TextAnalysis.languageIdentify(docs, "doc_id", "text",
+      minGrams = 10)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3))).toSeq
+      .sortBy(_._1)
+    assert(strict(0)._2 == "und", s"fragment not abstained: $strict")
+    assert(strict(0)._3 < 10, s"fragment unexpectedly long: $strict")
+    assert(strict(1)._2 == "en", s"sentence lost to the cutoff: $strict")
+    // default behavior unchanged: the fragment DOES classify (the
+    // misclassification floor the scaladoc documents)
+    val loose = TextAnalysis.languageIdentify(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(loose(1L) != "und", loose.toString)
+  }
+
   test("bpeEncode: replays trained merges — token counts shrink and match by hand") {
     import graft.operators.TextAnalysis
     // corpus: "ab" dominates; round 1 merges (a,b). Word "aab" is then

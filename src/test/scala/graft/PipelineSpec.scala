@@ -225,6 +225,50 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"IVF recall too low: $recall")
   }
 
+  test("IVF two-level assignment: gate-config recall holds, deterministic, " +
+    "candidate spill >= single-group") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val q = e.filter($"vec_id" < 10)
+    val brute = SparkEntry.queries("sim01_cosine_exact")(spark, sf)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def run(cg: Int) = Similarity.ivfTopK(q, e, 5, nlist = 16, nprobe = 10,
+      twoLevelAssign = true, leaderGroups = 3, candidateGroups = cg)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val r2 = run(2)
+    assert(r2.nonEmpty && r2.forall { case (qq, cc) => qq != cc })
+    // deterministic: hash-picked seeds/leaders + TopKAgg tie-breaks
+    assert(r2 == run(2), "two-level IVF is nondeterministic across runs")
+    // the sim13 gate contract at this config (measured 0.94/0.90/0.94)
+    val rec2 = r2.count(brute.contains).toDouble / brute.size
+    assert(rec2 >= 0.85, s"two-level recall below gate floor: $rec2")
+    // the r16 fix: top-2 candidate spill never loses to the r15
+    // single-group shape on this corpus (measured equal or better at
+    // every swept config)
+    val rec1 = run(1).count(brute.contains).toDouble / brute.size
+    assert(rec2 >= rec1, s"cg=2 recall $rec2 < cg=1 recall $rec1")
+  }
+
+  test("rrfFuse: exact fusion arithmetic, missing-side zero, id tie-break") {
+    val a = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("id", "rank")
+    val b = Seq((20L, 1L), (40L, 2L)).toDF("id", "rank")
+    val out = Similarity.rrfFuse(a, b, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    // expected scores: 20 -> 1/62+1/61, 10 -> 1/61, 40 -> 1/62, 30 -> 1/63
+    val exp = Seq(
+      (20L, 1.0 / 62 + 1.0 / 61),
+      (10L, 1.0 / 61),
+      (40L, 1.0 / 62),
+      (30L, 1.0 / 63)).zipWithIndex.map { case ((i, s), r) => (i, s, r + 1L) }
+    assert(out.toSeq == exp, s"got ${out.toSeq}")
+    // k bounds the output; ties break by id ascending
+    val t1 = Seq((5L, 1L), (3L, 1L)).toDF("id", "rank")
+    val t2 = spark.emptyDataFrame.selectExpr("CAST(1 AS BIGINT) AS id",
+      "CAST(1 AS BIGINT) AS rank").limit(0)
+    val tied = Similarity.rrfFuse(t1, t2, k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(tied.toSeq == Seq((3L, 1L)), s"tie-break wrong: ${tied.toSeq}")
+  }
+
   test("IVF k-means refinement: deterministic centroids, probe still works") {
     val e = Tables.load(spark, sf, "embeddings")
     val q = e.filter($"vec_id" < 10)

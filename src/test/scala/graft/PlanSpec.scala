@@ -441,6 +441,35 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastExchange"), plan)
   }
 
+  test("sim13: two-level assignment ranks via bounded top_k aggs at every tier") {
+    // leader pick, group-restricted centroid pick, and the final
+    // neighbor rank all collapse through partial TopKAgg — a window at
+    // any tier would ship a corpus-linear row set to one task per
+    // vector. Leaders/groups/centroids ride broadcasts only.
+    val plan = planOf("sim13_ivf_two_level")
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("partial_top_k"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastExchange"), plan)
+  }
+
+  test("sim14: RRF fuses two bounded shortlists — no cartesian, bounded window") {
+    // both retrieval arms must rank through bounded shapes (TopKAgg on
+    // the dense arm; BM25's window runs over its already-limited k
+    // rows), and the fusion join is over two ≤ shortlist-k frames —
+    // nothing corpus-sized may reach the fusion stage
+    val plan = planOf("sim14_hybrid_rrf")
+    assert(plan.contains("partial_top_k"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the only windows allowed are the rank presentations over
+    // k-limited frames (BM25's top-k and the fusion's final rank);
+    // both limits must collapse to TakeOrderedAndProject — corpus-wide
+    // sort-then-limit would show a global Sort instead
+    val lines = plan.linesIterator.toSeq
+    assert(lines.count(_.contains("Window")) <= 2, plan)
+    assert(lines.exists(_.contains("TakeOrderedAndProject")), plan)
+  }
+
   test("ta25: the curation cascade is one zero-shuffle narrow pass") {
     // all four filter signals are per-row array math — the whole
     // cascade must stay scan-fused: no join, no aggregation, no

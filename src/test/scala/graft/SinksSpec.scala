@@ -117,6 +117,39 @@ class SinksSpec extends AnyFunSuite {
     // partial consumption must not break the read (handles close via
     // the task-completion listener, not only on exhaustion)
     assert(AvroFiles.read(spark, dir).limit(7).collect().length == 7)
+    // no attempt-temp residue: the commit renames every part into place
+    assert(new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".tmp")) == 0)
+  }
+
+  test("avro reader-schema projection: subset + reorder via Avro resolution") {
+    import graft.sources.AvroFiles
+    val dir = Files.createTempDirectory("graft-avro-proj").toString
+    // a deliberately widened file: 10 columns, read back only 2
+    val d = slice()
+      .withColumn("ts", to_timestamp(col("l_shipdate")))
+      .withColumn("ratio", col("l_orderkey").cast("double") / 7.0)
+      .withColumn("flag", col("l_linenumber") % 2 === 0)
+      .withColumn("blob", encode(col("l_returnflag"), "UTF-8"))
+      .withColumn("maybe",
+        when(col("l_linenumber") % 3 === 0, col("l_orderkey")))
+      .repartition(2)
+    assert(d.schema.length == 10, d.schema.treeString)
+    AvroFiles.write(d, dir)
+    // subset in NON-file order: resolution must reorder, not just drop
+    val back = AvroFiles.read(spark, dir, Seq("qty", "l_orderkey"))
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      Seq("qty", "l_orderkey").map(c =>
+        (c, d.schema(c).dataType)), back.schema.treeString)
+    def fp(x: org.apache.spark.sql.DataFrame) = x
+      .orderBy("l_orderkey", "qty").collect()
+      .map(_.toSeq.map(String.valueOf).mkString("|")).toSeq
+    assert(fp(back) == fp(d.select("qty", "l_orderkey")))
+    // unknown column fails loudly, listing what the file has
+    val err = intercept[IllegalArgumentException] {
+      AvroFiles.read(spark, dir, Seq("qty", "nope"))
+    }
+    assert(err.getMessage.contains("nope"), err.getMessage)
   }
 
   test("schema evolution: mergeSchema unions old and new parquet generations") {
