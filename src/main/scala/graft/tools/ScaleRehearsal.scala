@@ -51,20 +51,6 @@ object ScaleRehearsal {
     val emb = graft.Tables.load(spark, sfDir, "embeddings")
       .select("vec_id", "embedding")
 
-    // materialize both corpora to parquet so every measurement reads
-    // from disk like the gate does
-    replicate(docs, 10, { (d, k) =>
-      d.select((col("doc_id") + lit(k * 10000000L)).as("doc_id"),
-        if (k == 0) col("text")
-        else concat_ws(" ",
-          transform(split(col("text"), " "),
-            w => concat(lit(s"$k#"), w))).as("text"))
-    }).write.mode("overwrite").parquet(s"$work/documents10x.parquet")
-    replicate(emb, 10, { (d, k) =>
-      d.select((col("vec_id") + lit(k * 10000000L)).as("vec_id"),
-        col("embedding"))
-    }).write.mode("overwrite").parquet(s"$work/embeddings10x.parquet")
-
     def measure(label: String)(body: => Long): Unit = {
       val mark = shuffleBytes.get()
       val t0 = System.nanoTime()
@@ -78,6 +64,122 @@ object ScaleRehearsal {
     def docsAt(path: String): DataFrame =
       graft.Tables.spread(spark.read.parquet(path), "doc_id")
     def embAt(path: String): DataFrame = spark.read.parquet(path)
+
+    // r16 mode: ONLY the second-decade rows this round adds — dd16
+    // banded hamming (the most expensive non-graph family still
+    // single-decade), etl01 render→parse→aggregate (the reference's
+    // actual workload, never scaled past sf0.1), and the sim12-shape
+    // two-level re-measure under the candidateGroups=2 default.
+    // Replicas generate only if absent so the mode is re-runnable.
+    if (args.lift(2).contains("r16")) {
+      def ensure(path: String)(gen: => Unit): Unit = {
+        val p = new org.apache.hadoop.fs.Path(path)
+        val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!f.exists(p)) gen
+      }
+      def docsReplica(factor: Int, path: String): Unit =
+        replicate(docs, factor, { (d, k) =>
+          d.select((col("doc_id") + lit(k * 10000000L)).as("doc_id"),
+            if (k == 0) col("text")
+            else concat_ws(" ",
+              transform(split(col("text"), " "),
+                w => concat(lit(s"$k#"), w))).as("text"))
+        }).write.mode("overwrite").parquet(path)
+      def embReplica(factor: Int, path: String): Unit =
+        replicate(emb, factor, { (d, k) =>
+          d.select((col("vec_id") + lit(k * 10000000L)).as("vec_id"),
+            col("embedding"))
+        }).write.mode("overwrite").parquet(path)
+      val liNarrow = graft.Tables.load(spark, sfDir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate", "l_linenumber",
+          "l_partkey")
+      def liReplica(factor: Int, path: String): Unit =
+        replicate(liNarrow, factor, { (d, k) =>
+          d.select((col("l_orderkey") + lit(k * 100000000L)).as("l_orderkey"),
+            col("l_suppkey"), col("l_shipdate"), col("l_linenumber"),
+            col("l_partkey"))
+        }).repartition(32 * factor).write.mode("overwrite").parquet(path)
+      ensure(s"$work/documents10x.parquet")(docsReplica(10, s"$work/documents10x.parquet"))
+      ensure(s"$work/documents100x.parquet")(docsReplica(100, s"$work/documents100x.parquet"))
+      ensure(s"$work/embeddings10x.parquet")(embReplica(10, s"$work/embeddings10x.parquet"))
+      ensure(s"$work/embeddings100x.parquet")(embReplica(100, s"$work/embeddings100x.parquet"))
+      ensure(s"$work/lineitem1x.parquet")(liReplica(1, s"$work/lineitem1x.parquet"))
+      ensure(s"$work/lineitem10x.parquet")(liReplica(10, s"$work/lineitem10x.parquet"))
+      ensure(s"$work/lineitem100x.parquet")(liReplica(100, s"$work/lineitem100x.parquet"))
+
+      // dd16 shape: simHash + banded hamming self-join. Replica k's
+      // "k#" word prefixes re-randomize every token hash, so replica
+      // simhashes disperse like fresh documents — band-block
+      // population grows linearly with the corpus, which is exactly
+      // the quadratic-vs-linear question this row answers.
+      for ((tag, dp) <- Seq(("1x", s"$sfDir/documents.parquet"),
+          ("10x", s"$work/documents10x.parquet"),
+          ("100x", s"$work/documents100x.parquet"))) {
+        measure(s"dd16_hamming_pairs $tag") {
+          val h = Dedup.simHash(docsAt(dp), "doc_id", "text")
+            .localCheckpoint() // the scaladoc contract: materialize
+          Dedup.hammingPairs(h, "doc_id", "simhash", maxDist = 3).count()
+        }
+      }
+
+      // etl01 shape: render one synthetic S3 access-log line per
+      // lineitem row, parse through the REAL fused parser, aggregate —
+      // the reference's whole workload (s3_server_access_logs.py
+      // compact()), measured across two decades. Wall must scale with
+      // line count (the parse is a narrow codegen pass); shuffle is
+      // the 5 narrow render columns plus the 10-group aggregate.
+      for ((tag, lp) <- Seq(("1x", s"$work/lineitem1x.parquet"),
+          ("10x", s"$work/lineitem10x.parquet"),
+          ("100x", s"$work/lineitem100x.parquet"))) {
+        measure(s"etl01_compact      $tag") {
+          val li = spark.read.parquet(lp)
+          val lines = li.select(format_string(
+            "owner%d bkt%d [%s +0000] 10.0.0.1 arn:aws:iam::1:r REQ%d " +
+              "REST.GET.OBJECT key/%d \"GET /k HTTP/1.1\" %d - %d 1024 5 4 " +
+              "\"-\" \"agent/1.0\" - host= SigV4 TLS_AES_128_GCM_SHA256 " +
+              "AuthHeader h.example.com TLSv1.3 - -",
+            col("l_orderkey"), col("l_suppkey") % 10,
+            date_format(col("l_shipdate"), "dd/MMM/yyyy:HH:mm:ss"),
+            col("l_orderkey") * 10 + col("l_linenumber"),
+            col("l_partkey"),
+            lit(200) + (col("l_linenumber") % 5),
+            col("l_orderkey") % 100000).as("value"))
+          graft.sources.S3AccessLog.parse(lines, dropBlanks = false)
+            .groupBy(col("s3_bucket"))
+            .agg(count(lit(1)).as("n"), sum(col("bytes_sent")).as("b"))
+            .count()
+        }
+      }
+
+      // sim12-shape two-level under the r16 candidateGroups=2 default
+      // (the r15 ledger ran cg=1): the candidate pass gains one more
+      // bounded TopKAgg scan term — wall must stay in the ~120 s
+      // regime at 100×, nowhere near the 497 s exact-assign wall.
+      for ((tag, ep, nlist) <- Seq(("10x", s"$work/embeddings10x.parquet", 160),
+          ("100x", s"$work/embeddings100x.parquet", 1600))) {
+        measure(f"sim12_2lv_cg2 n=$nlist%-5d $tag%-4s") {
+          val e = embAt(ep)
+          Similarity.ivfTopK(e, e, 3, nlist = nlist, nprobe = 6,
+            twoLevelAssign = true).count()
+        }
+      }
+      spark.stop()
+      return
+    }
+
+    // materialize both corpora to parquet so every measurement reads
+    // from disk like the gate does
+    replicate(docs, 10, { (d, k) =>
+      d.select((col("doc_id") + lit(k * 10000000L)).as("doc_id"),
+        if (k == 0) col("text")
+        else concat_ws(" ",
+          transform(split(col("text"), " "),
+            w => concat(lit(s"$k#"), w))).as("text"))
+    }).write.mode("overwrite").parquet(s"$work/documents10x.parquet")
+    replicate(emb, 10, { (d, k) =>
+      d.select((col("vec_id") + lit(k * 10000000L)).as("vec_id"),
+        col("embedding"))
+    }).write.mode("overwrite").parquet(s"$work/embeddings10x.parquet")
 
     val d1 = s"$sfDir/documents.parquet"; val d10 = s"$work/documents10x.parquet"
     val e1 = s"$sfDir/embeddings.parquet"; val e10 = s"$work/embeddings10x.parquet"
