@@ -683,24 +683,6 @@ object Similarity {
               candidateGroups: Int = 2,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     requireIntegralIds(queries, candidates, idCol)
-    // Two-level coarse quantization (the FAISS-style answer to the
-    // measured 100× ceiling — see BENCH_NOTES r15): brute-force
-    // assignment scores N·nlist pairs, and with nlist scaled to the
-    // corpus (the linear-probe-join regime) that term is quadratic in
-    // N. Grouping the nlist centroids under √nlist hash-picked LEADER
-    // centroids cuts assignment to N·(√nlist + nlist/√nlist·scanned):
-    // each vector picks its nearest leader(s), then scans only those
-    // leaders' centroid groups. Candidates scan `candidateGroups`
-    // groups (default 2) before picking their ONE cell: with a single
-    // group, a candidate whose true nearest centroid lives in a
-    // different leader group is permanently lost to every probe — the
-    // structural 0.80 recall ceiling measured in r15 (RecallProbe:
-    // more query-side probes could not recover it). Spilling candidate
-    // assignment to the top-2 leader groups doubles the candidate
-    // scan term (still O(√nlist) per vector) and restores the exact
-    // cell for the boundary candidates. Queries scan `leaderGroups`
-    // groups before picking their nprobe cells — the query-side
-    // recall lever, measured in RecallProbe.
     val g = math.max(1, math.round(math.sqrt(nlist.toDouble)).toInt)
     // AVERAGE-capacity sanity bound, not a guarantee: leader groups
     // are hash-picked and nearest-leader regrouping makes them uneven,
@@ -711,13 +693,150 @@ object Similarity {
     if (twoLevelAssign) require(nprobe <= leaderGroups * (nlist / g),
       s"two-level probes see ~leaderGroups*(nlist/g) cells on average: " +
         s"nprobe=$nprobe > $leaderGroups*${nlist / g}")
-    def dbl(c: Column) = transform(c, x => x.cast(DoubleType))
-    def dot(x: Column, y: Column) =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
-    def withNorm(df: DataFrame, id: String, v: String, n: String): DataFrame =
-      df.select(col(idCol).cast(LongType).as(id), dbl(col(vecCol)).as(v))
-        .withColumn(n, sqrt(dot(col(v), col(v))))
+    ivfSearch(queries,
+      ivfBuild(candidates, nlist, iters, sampleMod, twoLevelAssign,
+        candidateGroups, idCol, vecCol),
+      k, nprobe, twoLevelAssign, leaderGroups, idCol, vecCol)
+  }
 
+  /** A built IVF index: `centroids` is the coarse quantizer
+    * (centroid_id, cvec array<double>, cnorm), `cells` the cell-keyed
+    * corpus (cid, cv array<double>, cn, centroid_id) — vectors stored
+    * cell-ordered, the layout a production vector store serves from.
+    * Both frames are plain relational tables: [[save]] persists them
+    * as parquet, [[Similarity.ivfLoad]] reads them back, and any
+    * engine can inspect them.
+    */
+  final case class IvfIndex(centroids: DataFrame, cells: DataFrame) {
+    def save(path: String): Unit = {
+      centroids.write.mode("overwrite").parquet(s"$path/centroids")
+      cells.write.mode("overwrite").parquet(s"$path/cells")
+    }
+  }
+
+  /** Load an [[IvfIndex]] persisted by `IvfIndex.save`. */
+  def ivfLoad(spark: org.apache.spark.sql.SparkSession,
+              path: String): IvfIndex =
+    IvfIndex(spark.read.parquet(s"$path/centroids"),
+      spark.read.parquet(s"$path/cells"))
+
+  // ---- IVF internals (shared by build and search) -----------------------
+
+  private def ivfDbl(c: Column): Column = transform(c, x => x.cast(DoubleType))
+  private def ivfDot(x: Column, y: Column): Column =
+    aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+  private def ivfWithNorm(df: DataFrame, idCol: String, vecCol: String,
+                          id: String, v: String, n: String): DataFrame =
+    df.select(col(idCol).cast(LongType).as(id), ivfDbl(col(vecCol)).as(v))
+      .withColumn(n, sqrt(ivfDot(col(v), col(v))))
+
+  // norms precomputed ONCE per vector; per-pair work is a single dot.
+  // The nearest-centroid pick is a bounded TopKAgg — the nlist
+  // dimension collapses map-side BEFORE the exchange (the old
+  // row_number window shipped N·nlist scored rows through a shuffle
+  // keyed on the vector id); ties (_dist, centroid_id asc) identical.
+  private def ivfAssign(df: DataFrame, centroids: DataFrame, topN: Int,
+                        idCol: String, vecCol: String,
+                        id: String, v: String, nn: String): DataFrame =
+    ivfWithNorm(df, idCol, vecCol, id, v, nn)
+      .crossJoin(broadcast(centroids))
+      .select(col(id), col(v), col(nn),
+        (lit(1.0) - ivfDot(col(v), col("cvec")) / (col(nn) * col("cnorm")))
+          .as("_dist"),
+        col("centroid_id"))
+      .groupBy(col(id))
+      .agg(TopKAgg.top_k(col("_dist"), col("centroid_id").cast(LongType),
+        topN, ascending = true).as("_tk"),
+        first(col(v)).as(v), first(col(nn)).as(nn))
+      .select(col(id), col(v), col(nn), explode(col("_tk")).as("_e"))
+      .select(col(id), col(v), col(nn), col("_e.id").as("centroid_id"))
+
+  // leaders: hash-picked centroids; every centroid mapped to its
+  // nearest leader once (nlist·g pairs — negligible at any scale).
+  // Derivation is cheap ONLY against materialized centroids — both
+  // callers pass the build's localCheckpointed frame (or a parquet
+  // scan after ivfLoad), never the live centroid chain, which would
+  // re-scan the corpus per reference (measured 47 s vs 14 s at 10×
+  // before materialization, BENCH_NOTES r15).
+  private def ivfLeaders(centroids: DataFrame, g: Int): DataFrame =
+    centroids
+      .groupBy(pmod(xxhash64(col("centroid_id")), lit(g)).as("_lb"))
+      .agg(min(col("centroid_id")).as("_lid"))
+      .join(centroids, col("_lid") === col("centroid_id"))
+      .select(col("_lid"), col("cvec").as("lvec"), col("cnorm").as("lnorm"))
+
+  private def ivfGrouped(centroids: DataFrame,
+                         leaders: DataFrame): DataFrame = {
+    val m = centroids.crossJoin(broadcast(leaders))
+      .select(col("centroid_id"),
+        struct((lit(1.0) - ivfDot(col("cvec"), col("lvec")) /
+          (col("cnorm") * col("lnorm"))).as("_d"), col("_lid")).as("_dl"))
+      .groupBy(col("centroid_id"))
+      .agg(min(col("_dl")).getField("_lid").as("leader_id"))
+    centroids.join(m, "centroid_id")
+  }
+
+  private def ivfAssign2(df: DataFrame, leaders: DataFrame,
+                         grouped: DataFrame, topN: Int, scanGroups: Int,
+                         idCol: String, vecCol: String,
+                         id: String, v: String, nn: String): DataFrame =
+    ivfWithNorm(df, idCol, vecCol, id, v, nn)
+      .crossJoin(broadcast(leaders))
+      .select(col(id), col(v), col(nn),
+        (lit(1.0) - ivfDot(col(v), col("lvec")) / (col(nn) * col("lnorm")))
+          .as("_ld"), col("_lid"))
+      .groupBy(col(id))
+      .agg(TopKAgg.top_k(col("_ld"), col("_lid").cast(LongType), scanGroups,
+        ascending = true).as("_lt"),
+        first(col(v)).as(v), first(col(nn)).as(nn))
+      .select(col(id), col(v), col(nn), explode(col("_lt")).as("_le"))
+      .select(col(id), col(v), col(nn), col("_le.id").as("leader_id"))
+      .join(broadcast(grouped), "leader_id")
+      .select(col(id), col(v), col(nn),
+        (lit(1.0) - ivfDot(col(v), col("cvec")) / (col(nn) * col("cnorm")))
+          .as("_dist"), col("centroid_id"))
+      .groupBy(col(id))
+      .agg(TopKAgg.top_k(col("_dist"), col("centroid_id").cast(LongType),
+        topN, ascending = true).as("_tk"),
+        first(col(v)).as(v), first(col(nn)).as(nn))
+      .select(col(id), col(v), col(nn), explode(col("_tk")).as("_e"))
+      .select(col(id), col(v), col(nn), col("_e.id").as("centroid_id"))
+
+  /** Build the IVF index once — the production split: [[ivfBuild]]
+    * runs the expensive corpus passes (quantizer training + cell
+    * assignment), [[IvfIndex.save]] persists the result, and any
+    * number of [[ivfSearch]] calls serve queries against it without
+    * touching the corpus again.
+    *
+    * Two-level coarse quantization (the FAISS-style answer to the
+    * measured 100× ceiling — see BENCH_NOTES r15): brute-force
+    * assignment scores N·nlist pairs, and with nlist scaled to the
+    * corpus (the linear-probe-join regime) that term is quadratic in
+    * N. Grouping the nlist centroids under √nlist hash-picked LEADER
+    * centroids cuts assignment to N·(√nlist + nlist/√nlist·scanned):
+    * each vector picks its nearest leader(s), then scans only those
+    * leaders' centroid groups. Candidates scan `candidateGroups`
+    * groups (default 2) before picking their ONE cell: with a single
+    * group, a candidate whose true nearest centroid lives in a
+    * different leader group is permanently lost to every probe — the
+    * structural 0.80 recall ceiling measured in r15 (RecallProbe:
+    * more query-side probes could not recover it). Spilling candidate
+    * assignment to the top-2 leader groups doubles the candidate
+    * scan term (still O(√nlist) per vector) and restores the exact
+    * cell for the boundary candidates (0.80 → 0.84 at the rehearsal
+    * config; the residual gap vs exact-assign 0.86 is query-side
+    * group visibility — BENCH_NOTES r16).
+    *
+    * In two-level mode the centroid table is localCheckpoint-
+    * materialized: leaders/groups derive from it here AND in
+    * [[ivfSearch]], and the live centroid chain re-scans the corpus
+    * per reference (the measured r15 trap).
+    */
+  def ivfBuild(candidates: DataFrame,
+               nlist: Int = 16, iters: Int = 0, sampleMod: Int = 4,
+               twoLevelAssign: Boolean = false, candidateGroups: Int = 2,
+               idCol: String = "vec_id", vecCol: String = "embedding"): IvfIndex = {
+    requireIntegralId(candidates, idCol)
     // seed centroids picked ENTIRELY in-plan: min id per
     // pmod(xxhash64(id), nlist) hash bucket — ≤ nlist well-spread ids
     // with no driver-side action (an earlier candidates.count() here cost
@@ -728,26 +847,26 @@ object Similarity {
       .select(col("_cid"))
     val seeds = candidates
       .join(broadcast(centroidIds), col(idCol) === col("_cid"))
-      .select(col("_cid").as("centroid_id"), dbl(col(vecCol)).as("cvec"))
+      .select(col("_cid").as("centroid_id"), ivfDbl(col(vecCol)).as("cvec"))
 
     // optional Lloyd refinement on a deterministic 1/sampleMod hash
     // sample: assign sample vectors to their nearest current centroid
     // (broadcast), then recompute each centroid as the per-position mean
-    // of its members — the probe math below never assumes exactly nlist
+    // of its members — the probe math never assumes exactly nlist
     // surviving lists
     val sample = candidates
       .filter(pmod(xxhash64(col(idCol)), lit(sampleMod)) === 0)
-      .select(col(idCol).as("_sid"), dbl(col(vecCol)).as("_sv"))
-      .withColumn("_sn", sqrt(dot(col("_sv"), col("_sv"))))
+      .select(col(idCol).as("_sid"), ivfDbl(col(vecCol)).as("_sv"))
+      .withColumn("_sn", sqrt(ivfDot(col("_sv"), col("_sv"))))
     val refined = (1 to iters).foldLeft(seeds) { (cents, _) =>
-      val cn = cents.withColumn("_cn", sqrt(dot(col("cvec"), col("cvec"))))
+      val cn = cents.withColumn("_cn", sqrt(ivfDot(col("cvec"), col("cvec"))))
       // map-side min(struct) argmin — the centroids dimension collapses
       // BEFORE the exchange; ties (_d, centroid_id) match the old
       // window's orderBy
       sample.crossJoin(broadcast(cn))
         .select(col("_sid"), col("_sv"),
           struct((lit(1.0) -
-            dot(col("_sv"), col("cvec")) / (col("_sn") * col("_cn"))).as("_d"),
+            ivfDot(col("_sv"), col("cvec")) / (col("_sn") * col("_cn"))).as("_d"),
             col("centroid_id")).as("_dc"))
         .groupBy(col("_sid"))
         .agg(min(col("_dc")).getField("centroid_id").as("centroid_id"),
@@ -760,88 +879,58 @@ object Similarity {
           array_sort(collect_list(struct(col("pos"), col("_m")))),
           s => s.getField("_m")).as("cvec"))
     }
-    val centroids = refined
-      .withColumn("cnorm", sqrt(dot(col("cvec"), col("cvec"))))
+    val centroidsLive = refined
+      .withColumn("cnorm", sqrt(ivfDot(col("cvec"), col("cvec"))))
+    if (twoLevelAssign) {
+      val centroids = centroidsLive.localCheckpoint()
+      // g derives from the ACTUAL surviving centroid count (hash-bucket
+      // collisions and k-means death can leave < nlist), exactly as
+      // ivfSearch re-derives it — build and search MUST group leaders
+      // identically, including after a save/load round-trip
+      val leaders = ivfLeaders(centroids, gOf(centroids))
+      val grouped = ivfGrouped(centroids, leaders)
+      IvfIndex(centroids,
+        ivfAssign2(candidates, leaders, grouped, 1, candidateGroups,
+          idCol, vecCol, "cid", "cv", "cn"))
+    } else IvfIndex(centroidsLive,
+      ivfAssign(candidates, centroidsLive, 1, idCol, vecCol,
+        "cid", "cv", "cn"))
+  }
 
-    // norms precomputed ONCE per vector; per-pair work is a single dot.
-    // The nearest-centroid pick is a bounded TopKAgg — the nlist
-    // dimension collapses map-side BEFORE the exchange (the old
-    // row_number window shipped N·nlist scored rows through a shuffle
-    // keyed on the vector id); ties (_dist, centroid_id asc) identical.
-    def assign(df: DataFrame, topN: Int, id: String, v: String,
-               nn: String): DataFrame =
-      withNorm(df, id, v, nn)
-        .crossJoin(broadcast(centroids))
-        .select(col(id), col(v), col(nn),
-          (lit(1.0) - dot(col(v), col("cvec")) / (col(nn) * col("cnorm")))
-            .as("_dist"),
-          col("centroid_id"))
-        .groupBy(col(id))
-        .agg(TopKAgg.top_k(col("_dist"), col("centroid_id").cast(LongType),
-          topN, ascending = true).as("_tk"),
-          first(col(v)).as(v), first(col(nn)).as(nn))
-        .select(col(id), col(v), col(nn), explode(col("_tk")).as("_e"))
-        .select(col(id), col(v), col(nn), col("_e.id").as("centroid_id"))
-
-    // leaders: hash-picked centroids; every centroid mapped to its
-    // nearest leader once (nlist·g pairs — negligible at any scale).
-    // Both tiny tables are MATERIALIZED (localCheckpoint) before use:
-    // they are referenced from two assign passes, and the centroid
-    // chain behind them re-scans the corpus on every reference — at
-    // 10× the repeated scans cost more than two-level saved
-    // (measured 47 s vs 14 s before materialization).
-    lazy val leaders = centroids
-      .groupBy(pmod(xxhash64(col("centroid_id")), lit(g)).as("_lb"))
-      .agg(min(col("centroid_id")).as("_lid"))
-      .join(centroids, col("_lid") === col("centroid_id"))
-      .select(col("_lid"), col("cvec").as("lvec"), col("cnorm").as("lnorm"))
-      .localCheckpoint()
-    lazy val grouped = {
-      val m = centroids.crossJoin(broadcast(leaders))
-        .select(col("centroid_id"),
-          struct((lit(1.0) - dot(col("cvec"), col("lvec")) /
-            (col("cnorm") * col("lnorm"))).as("_d"), col("_lid")).as("_dl"))
-        .groupBy(col("centroid_id"))
-        .agg(min(col("_dl")).getField("_lid").as("leader_id"))
-      centroids.join(m, "centroid_id").localCheckpoint()
-    }
-    def assign2(df: DataFrame, topN: Int, scanGroups: Int, id: String,
-                v: String, nn: String): DataFrame =
-      withNorm(df, id, v, nn)
-        .crossJoin(broadcast(leaders))
-        .select(col(id), col(v), col(nn),
-          (lit(1.0) - dot(col(v), col("lvec")) / (col(nn) * col("lnorm")))
-            .as("_ld"), col("_lid"))
-        .groupBy(col(id))
-        .agg(TopKAgg.top_k(col("_ld"), col("_lid").cast(LongType), scanGroups,
-          ascending = true).as("_lt"),
-          first(col(v)).as(v), first(col(nn)).as(nn))
-        .select(col(id), col(v), col(nn), explode(col("_lt")).as("_le"))
-        .select(col(id), col(v), col(nn), col("_le.id").as("leader_id"))
-        .join(broadcast(grouped), "leader_id")
-        .select(col(id), col(v), col(nn),
-          (lit(1.0) - dot(col(v), col("cvec")) / (col(nn) * col("cnorm")))
-            .as("_dist"), col("centroid_id"))
-        .groupBy(col(id))
-        .agg(TopKAgg.top_k(col("_dist"), col("centroid_id").cast(LongType),
-          topN, ascending = true).as("_tk"),
-          first(col(v)).as(v), first(col(nn)).as(nn))
-        .select(col(id), col(v), col(nn), explode(col("_tk")).as("_e"))
-        .select(col(id), col(v), col(nn), col("_e.id").as("centroid_id"))
-
-    val assigned =
-      if (twoLevelAssign) assign2(candidates, 1, candidateGroups, "cid", "cv", "cn")
-      else assign(candidates, 1, "cid", "cv", "cn")
+  /** Serve top-`k` against a built [[IvfIndex]] — queries assign to
+    * their `nprobe` nearest centroids (exact over the index's
+    * quantizer, or two-level through `leaderGroups` leader groups when
+    * the quantizer is corpus-scaled) and meet the cell-keyed corpus in
+    * a hash equi-join on centroid id. The final top-k runs through the
+    * same bounded aggregate as the assignment: the exchange carries
+    * ≤ k pairs per (query × partition), never the ≈ nprobe/nlist·N
+    * probed candidates the window shape serialized onto one task.
+    *
+    * After [[ivfLoad]] both index frames are parquet scans, so the
+    * leader/group derivation (two-level mode) costs nlist-row work —
+    * the corpus is never touched again.
+    */
+  def ivfSearch(queries: DataFrame, index: IvfIndex, k: Int,
+                nprobe: Int = 8,
+                twoLevelAssign: Boolean = false, leaderGroups: Int = 3,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    requireIntegralId(queries, idCol)
     val probes =
-      if (twoLevelAssign) assign2(queries, nprobe, leaderGroups, "qid", "qv", "qn")
-      else assign(queries, nprobe, "qid", "qv", "qn")
-    // final top-k through the same bounded aggregate: exchange carries
-    // ≤ k pairs per (query × partition), never the ≈ nprobe/nlist·N
-    // probed candidates the window shape serialized onto one task
-    probes.join(assigned, "centroid_id")
+      if (twoLevelAssign) {
+        // g re-derives from the index itself (√nlist of the PERSISTED
+        // quantizer): leaders must group identically across build and
+        // search, including after a save/load round-trip
+        val centroids = index.centroids
+        val leaders = ivfLeaders(centroids, gOf(centroids))
+        val grouped = ivfGrouped(centroids, leaders)
+        ivfAssign2(queries, leaders, grouped, nprobe, leaderGroups,
+          idCol, vecCol, "qid", "qv", "qn")
+      } else ivfAssign(queries, index.centroids, nprobe, idCol, vecCol,
+        "qid", "qv", "qn")
+    probes.join(index.cells, "centroid_id")
       .filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid").cast(LongType).as("cid"),
-        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("sim"))
+        (ivfDot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("sim"))
       .groupBy(col("qid"))
       .agg(TopKAgg.top_k(col("sim"), col("cid"), k, ascending = false)
         .as("_tk"))
@@ -850,6 +939,14 @@ object Similarity {
         (col("pos") + 1).cast(LongType).as("rank"))
       .orderBy("qid", "rank")
   }
+
+  /** √nlist leader-group count of a (possibly loaded) quantizer. One
+    * tiny count over the centroid table — nlist rows, never the
+    * corpus. Build and search MUST agree on g or leader buckets drift;
+    * deriving both from the same table guarantees it.
+    */
+  private def gOf(centroids: DataFrame): Int =
+    math.max(1, math.round(math.sqrt(centroids.count().toDouble)).toInt)
 
   /** Symmetric int8 quantization of an embedding column — the 4×
     * storage/bandwidth compression step of a large-scale vector-search
@@ -1093,6 +1190,80 @@ object Similarity {
     * bounded retrieval operators upstream. The window here is over ≤ 2k
     * rows by construction, never by corpus.
     */
+  /** Retrieval-quality metrics per query — the eval side of a serving
+    * stack (recall@k, MRR, nDCG@k), computed from a ranked result list
+    * against a relevance set. `results` is (qid, cid, rank) — any
+    * ranked shortlist ([[cosineTopK]], [[ivfTopK]], [[rrfFuse]] output
+    * re-keyed); `truth` is (qid, cid) — the relevant items per query
+    * (a labeled eval set, a human-judged pool, or label-match
+    * relevance). Emits one row per qid:
+    * (qid, n_hits, n_truth, recall_at_k, mrr, ndcg).
+    *
+    *   recall@k = hits / min(k, n_truth)
+    *   MRR      = 1 / rank of the first relevant result (0 if none)
+    *   nDCG@k   = Σ_{hit ranks r} 1/log2(r+1)  /  Σ_{r=1..min(k,n_truth)} 1/log2(r+1)
+    *
+    * Cross-engine determinism (the ta08 discipline): hits/n_truth/
+    * first-hit rank are exact integers; recall and MRR are ONE IEEE
+    * division each over exact inputs; the two DCG sums quantize each
+    * 1/log2(r+1) term to DECIMAL(18,6) BEFORE summing (the only libm
+    * call — a 1-ulp log2 divergence can't flip a hash), and nDCG is
+    * one division of the two quantized sums.
+    *
+    * Scale shape: the result side is k-bounded per query by contract;
+    * the only corpus-sized input is `truth`, which collapses to
+    * per-query counts through one partial-agg exchange. The IDCG term
+    * is a bounded in-plan sequence fold (≤ k elements) — no window, no
+    * driver math.
+    */
+  def retrievalMetrics(results: DataFrame, truth: DataFrame,
+                       k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    def dcgTerm(r: Column): Column =
+      (lit(1.0) / log2(r.cast(DoubleType) + lit(1.0)))
+        .cast(DecimalType(18, 6))
+    val res = results.select(col("qid").cast(LongType).as("qid"),
+      col("cid").cast(LongType).as("cid"),
+      col("rank").cast(LongType).as("rank"))
+      .filter(col("rank") <= k)
+    val tru = truth.select(col("qid").cast(LongType).as("qid"),
+      col("cid").cast(LongType).as("cid"), lit(1L).as("_rel"))
+    val nTruth = tru.groupBy("qid")
+      .agg(count(lit(1)).as("n_truth"))
+    val perHit = res.join(tru, Seq("qid", "cid"), "left")
+      .groupBy(col("qid"))
+      .agg(coalesce(sum(col("_rel")), lit(0L)).as("n_hits"),
+        min(when(col("_rel").isNotNull, col("rank"))).as("_first"),
+        coalesce(sum(when(col("_rel").isNotNull, dcgTerm(col("rank")))),
+          lit(0).cast(DecimalType(18, 6))).as("_dcg"))
+    perHit.join(nTruth, Seq("qid"), "left")
+      .withColumn("n_truth", coalesce(col("n_truth"), lit(0L)))
+      .withColumn("_den", least(lit(k.toLong), col("n_truth")))
+      // IDCG: the ideal ranking puts all relevant items first — a
+      // bounded fold over 1..min(k, n_truth), same quantized term.
+      // The fold is guarded: sequence(1, 0) steps DOWNWARD (the
+      // epochUpsample lesson), so a truthless query must not reach it
+      .withColumn("_idcg", when(col("_den") > 0, aggregate(
+        sequence(lit(1L), col("_den")),
+        lit(0).cast(DecimalType(18, 6)),
+        // each add re-casts to the accumulator type (the cosineExact
+        // lesson: decimal adds widen per step) — ≤ k terms < 1.0, so
+        // the cast is lossless
+        (acc, r) => (acc + dcgTerm(r)).cast(DecimalType(18, 6))))
+        .otherwise(lit(0).cast(DecimalType(18, 6))))
+      .select(col("qid"), col("n_hits"), col("n_truth"),
+        when(col("_den") > 0,
+          col("n_hits").cast(DoubleType) / col("_den").cast(DoubleType))
+          .otherwise(lit(0.0)).as("recall_at_k"),
+        when(col("_first").isNotNull,
+          lit(1.0) / col("_first").cast(DoubleType))
+          .otherwise(lit(0.0)).as("mrr"),
+        when(col("_idcg") > 0,
+          col("_dcg").cast(DoubleType) / col("_idcg").cast(DoubleType))
+          .otherwise(lit(0.0)).as("ndcg"))
+      .orderBy("qid")
+  }
+
   def rrfFuse(a: DataFrame, b: DataFrame, k: Int, kRrf: Int = 60,
               idCol: String = "id", rankCol: String = "rank"): DataFrame = {
     require(k > 0 && kRrf > 0, s"need k > 0 and kRrf > 0, got k=$k kRrf=$kRrf")

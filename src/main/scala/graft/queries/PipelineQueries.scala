@@ -2738,6 +2738,100 @@ object PipelineQueries {
       Similarity.rrfFuse(sparse, dense, 10)
     },
 
+    // Index BUILD/SERVE split — the production IVF lifecycle: build
+    // the index once (quantizer + cell-keyed corpus), persist it as
+    // two plain parquet tables, load it back, and serve queries
+    // without ever touching the corpus again. Gated under the same
+    // recall-floor contract as sim04 (the served results must recover
+    // ≥85% of the exact top-5), and PipelineSpec pins that the
+    // round-tripped search is row-for-row identical to the fused
+    // ivfTopK.
+    QueryDef("sim16_ivf_index_serve",
+      """SELECT CAST(q.nq * least(5, c.n_all - 1) AS BIGINT) AS n_exact,
+        |  CAST(1 AS BIGINT) AS recall_ok
+        |FROM (SELECT count(*) AS nq FROM embeddings WHERE vec_id < 10) q,
+        |     (SELECT count(*) AS n_all FROM embeddings) c""".stripMargin) { (s, dir) =>
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 10)
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft-ivf-idx").toString
+      Similarity.ivfBuild(e).save(idxDir)
+      val served = Similarity.ivfSearch(q, Similarity.ivfLoad(s, idxDir), 5)
+      recallFloor(Similarity.cosineTopK(q, e, 5), served, floorPct = 85)
+    },
+
+    // Retrieval EVALUATION: recall@5 / MRR / nDCG@5 of the exact dense
+    // shortlist against label-match relevance (same-label candidates
+    // are the relevant set — the embeddings table's planted cluster
+    // structure becomes the judged pool). Fully oracle-expressible:
+    // the shortlist is sim01's exact formulation, hits/counts/first-
+    // hit-rank are integers, recall and MRR are one IEEE division
+    // each, and both DCG sums quantize their single libm term
+    // (1/log2(r+1)) to DECIMAL(18,6) before summing (ta08 pattern).
+    QueryDef("sim15_retrieval_metrics",
+      """WITH e0 AS (SELECT vec_id, unnest(embedding) AS rawx,
+        |                unnest(range(1, len(embedding) + 1)) AS i
+        |        FROM embeddings),
+        | e AS (SELECT vec_id, i,
+        |       CAST(CAST(rawx AS DOUBLE) AS DECIMAL(12,6)) AS x FROM e0),
+        | n AS (SELECT vec_id, sum(x * x) AS nrm FROM e GROUP BY vec_id),
+        | d AS (SELECT q.vec_id AS qid, c.vec_id AS cid, sum(q.x * c.x) AS dot
+        |       FROM e q JOIN e c ON q.i = c.i
+        |       WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+        |       GROUP BY 1, 2),
+        | sim AS (SELECT qid, cid,
+        |           CAST(dot AS DOUBLE) /
+        |             sqrt(CAST(nq.nrm AS DOUBLE) * CAST(nc.nrm AS DOUBLE)) AS sim
+        |         FROM d
+        |         JOIN n nq ON nq.vec_id = qid
+        |         JOIN n nc ON nc.vec_id = cid),
+        | res AS (SELECT qid, cid, rank FROM (
+        |     SELECT qid, cid,
+        |       CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS BIGINT) AS rank
+        |     FROM sim) t WHERE rank <= 5),
+        | tru AS (SELECT q.vec_id AS qid, c.vec_id AS cid
+        |         FROM embeddings q JOIN embeddings c
+        |           ON q.label = c.label AND q.vec_id <> c.vec_id
+        |         WHERE q.vec_id < 10),
+        | nt AS (SELECT qid, count(*) AS n_truth FROM tru GROUP BY qid),
+        | h AS (SELECT r.qid,
+        |         sum(CASE WHEN t.cid IS NOT NULL THEN 1 ELSE 0 END) AS n_hits,
+        |         min(CASE WHEN t.cid IS NOT NULL THEN r.rank END) AS first_hit,
+        |         coalesce(sum(CASE WHEN t.cid IS NOT NULL THEN
+        |             CAST(1.0 / log2(CAST(r.rank AS DOUBLE) + 1.0) AS DECIMAL(18,6))
+        |           END), CAST(0 AS DECIMAL(18,6))) AS dcg
+        |       FROM res r LEFT JOIN tru t ON t.qid = r.qid AND t.cid = r.cid
+        |       GROUP BY r.qid),
+        | m AS (SELECT h.qid, n_hits, coalesce(n_truth, 0) AS n_truth,
+        |         first_hit, dcg, least(5, coalesce(n_truth, 0)) AS den
+        |       FROM h LEFT JOIN nt ON nt.qid = h.qid),
+        | idcg AS (SELECT qid,
+        |            sum(CAST(1.0 / log2(CAST(r AS DOUBLE) + 1.0) AS DECIMAL(18,6))) AS idcg
+        |          FROM (SELECT qid, unnest(range(1, den + 1)) AS r FROM m) u
+        |          GROUP BY qid)
+        |SELECT m.qid, CAST(n_hits AS BIGINT) AS n_hits,
+        |  CAST(n_truth AS BIGINT) AS n_truth,
+        |  CASE WHEN den > 0 THEN CAST(n_hits AS DOUBLE) / CAST(den AS DOUBLE)
+        |       ELSE 0.0 END AS recall_at_k,
+        |  CASE WHEN first_hit IS NOT NULL THEN 1.0 / CAST(first_hit AS DOUBLE)
+        |       ELSE 0.0 END AS mrr,
+        |  CASE WHEN idcg > 0 THEN CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE)
+        |       ELSE 0.0 END AS ndcg
+        |FROM m LEFT JOIN idcg ON idcg.qid = m.qid
+        |ORDER BY m.qid""".stripMargin) { (s, dir) =>
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 10)
+      val results = Similarity.cosineTopK(q, e, 5, exact = true)
+      // label-match relevance: the query side is 10 rows — broadcast —
+      // so the truth join never shuffles the corpus
+      val truth = broadcast(q.select(col("vec_id").as("qid"),
+        col("label").as("_ql")))
+        .join(e.select(col("vec_id").as("cid"), col("label").as("_cl")),
+          col("_ql") === col("_cl") && col("qid") =!= col("cid"))
+        .select("qid", "cid")
+      Similarity.retrievalMetrics(results, truth, 5)
+    },
+
     // ================= clustering =================
 
     // k-means seed assignment (k=8): seeds are hash-picked CORPUS

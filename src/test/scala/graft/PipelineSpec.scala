@@ -269,6 +269,52 @@ class PipelineSpec extends AnyFunSuite {
     assert(tied.toSeq == Seq((3L, 1L)), s"tie-break wrong: ${tied.toSeq}")
   }
 
+  test("IVF build/save/load/search round-trip equals the fused ivfTopK row-for-row") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val q = e.filter($"vec_id" < 10)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toSeq
+    val fused = rows(Similarity.ivfTopK(q, e, 5))
+    // exact-assign round-trip
+    val d1 = java.nio.file.Files.createTempDirectory("ivf-rt").toString
+    Similarity.ivfBuild(e).save(d1)
+    assert(rows(Similarity.ivfSearch(q, Similarity.ivfLoad(spark, d1), 5))
+      == fused, "exact-assign round-trip diverged from fused ivfTopK")
+    // two-level round-trip: leader groups must re-derive identically
+    // from the persisted quantizer (g from the actual centroid count)
+    val fused2 = rows(Similarity.ivfTopK(q, e, 5, nlist = 16, nprobe = 10,
+      twoLevelAssign = true))
+    val d2 = java.nio.file.Files.createTempDirectory("ivf-rt2").toString
+    Similarity.ivfBuild(e, twoLevelAssign = true).save(d2)
+    assert(rows(Similarity.ivfSearch(q, Similarity.ivfLoad(spark, d2), 5,
+      nprobe = 10, twoLevelAssign = true)) == fused2,
+      "two-level round-trip diverged from fused ivfTopK")
+  }
+
+  test("retrievalMetrics: hand-computed recall/MRR/nDCG on a planted case") {
+    // query 1: results ranked [10 hit, 20 miss, 30 hit]; truth {10, 30, 40}
+    //   recall@3 = 2/3; MRR = 1/1; DCG = 1/log2(2) + 1/log2(4) = 1.5
+    //   IDCG = 1 + 1/log2(3) + 0.5; nDCG = 1.5 / 2.130930
+    // query 2: no hits -> all zeros except n_truth
+    val results = Seq((1L, 10L, 1L), (1L, 20L, 2L), (1L, 30L, 3L),
+      (2L, 10L, 1L)).toDF("qid", "cid", "rank")
+    val truth = Seq((1L, 10L), (1L, 30L), (1L, 40L), (2L, 99L))
+      .toDF("qid", "cid")
+    val m = Similarity.retrievalMetrics(results, truth, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSeq
+    assert(m.length == 2, m.toString)
+    val q1 = m.head
+    assert(q1._1 == 1L && q1._2 == 2L && q1._3 == 3L, m.toString)
+    assert(q1._4 == 2.0 / 3.0, s"recall: $q1")
+    assert(q1._5 == 1.0, s"mrr: $q1")
+    // quantized terms: 1.000000 + 0.500000 = 1.5; idcg 1 + 0.630930 + 0.5
+    assert(math.abs(q1._6 - 1.5 / 2.130930) < 1e-9, s"ndcg: $q1")
+    val q2 = m(1)
+    assert(q2 == ((2L, 0L, 1L, 0.0, 0.0, 0.0)), m.toString)
+  }
+
   test("IVF k-means refinement: deterministic centroids, probe still works") {
     val e = Tables.load(spark, sf, "embeddings")
     val q = e.filter($"vec_id" < 10)

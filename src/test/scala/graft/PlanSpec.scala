@@ -470,6 +470,18 @@ class PlanSpec extends AnyFunSuite {
     assert(lines.exists(_.contains("TakeOrderedAndProject")), plan)
   }
 
+  test("sim15: metrics ride bounded shortlists; the truth join broadcasts the query side") {
+    // the shortlist is a bounded top_k agg (sim01 shape); the
+    // label-match truth join must broadcast the 10-row query side, and
+    // the metric math is per-qid aggregation — no corpus-sized window,
+    // no cartesian
+    val plan = planOf("sim15_retrieval_metrics")
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("partial_top_k"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastExchange"), plan)
+  }
+
   test("ta25: the curation cascade is one zero-shuffle narrow pass") {
     // all four filter signals are per-row array math — the whole
     // cascade must stay scan-fused: no join, no aggregation, no
