@@ -57,22 +57,50 @@ object Clustering {
       .select(col("_cid").as("cluster"), dec(col(vecCol)).as("cvec"))
   }
 
+  /** All ≤ k (cluster, cvec) seeds folded into ONE broadcast row,
+    * cluster-ascending — the input shape for [[nearestSeed]]'s per-row
+    * argmin. Ascending order is what makes the fold's strict `<`
+    * reproduce min(struct)'s tie-break (lowest cluster id wins ties).
+    */
+  private[graft] def seedArray(seeds: DataFrame): DataFrame =
+    seeds.agg(array_sort(collect_list(struct(col("cluster"), col("cvec"))))
+      .as("_seeds"))
+
+  /** Per-row nearest-seed argmin over a broadcast `_seeds` array:
+    * returns struct(_d exact squared distance, _c cluster id). A pure
+    * codegen'd fold — NO row expansion. The previous shape (crossJoin
+    * to N·k rows + min(struct) aggregation) planned as SortAggregate —
+    * Spark's hash aggregate cannot hold a struct buffer — which SORTED
+    * the expanded N·k rows inside every map task before the partial
+    * min could combine: at the 100× rehearsal (200k vectors × k=1600,
+    * 320M expanded rows carrying 64-wide decimal arrays) the sort
+    * spilled the box's entire free disk and killed the job. The fold
+    * evaluates the same N·k distances as straight-line expression code
+    * with zero sort, zero spill, zero exchange.
+    */
+  private[graft] def nearestSeed(x: Column): Column =
+    aggregate(col("_seeds"),
+      struct(lit(null).cast(DecimalType(30, 12)).as("_d"),
+        lit(-1L).as("_c")),
+      (acc, s) => {
+        val d = sqDist(x, s.getField("cvec"))
+        when(acc.getField("_c") === -1L || d < acc.getField("_d"),
+          struct(d.as("_d"), s.getField("cluster").cast(LongType).as("_c")))
+          .otherwise(acc)
+      })
+
   /** Assign every vector to its nearest seed centroid (exact decimal
-    * distances, ties to the lower cluster id): (id, cluster). The
-    * argmin is a `min(struct(dist, cluster))` hash aggregation — the k
-    * candidate rows per vector combine map-side, so the exchange
-    * carries one row per vector, not k.
+    * distances, ties to the lower cluster id): (id, cluster). A
+    * zero-shuffle narrow pass: the ≤ k seeds ride ONE broadcast row
+    * and each vector folds over them in-register ([[nearestSeed]]).
     */
   def assignToSeeds(df: DataFrame, k: Int,
                     idCol: String = "vec_id",
                     vecCol: String = "embedding"): DataFrame = {
-    val seeds = seedCentroids(df, k, idCol, vecCol)
+    val sa = seedArray(seedCentroids(df, k, idCol, vecCol))
     df.select(col(idCol), dec(col(vecCol)).as("_x"))
-      .crossJoin(broadcast(seeds))
-      .groupBy(col(idCol))
-      .agg(min(struct(sqDist(col("_x"), col("cvec")).as("_d"),
-        col("cluster").as("_c"))).as("_best"))
-      .select(col(idCol), col("_best._c").as("cluster"))
+      .crossJoin(broadcast(sa))
+      .select(col(idCol), nearestSeed(col("_x")).getField("_c").as("cluster"))
   }
 
   /** One Lloyd update, summarized exactly: per cluster, the member
@@ -97,30 +125,46 @@ object Clustering {
     * quantization), so the mean is an exact sum and one identical
     * final division.
     *
-    * Scale shape: the k distances of each vector collapse in ONE
-    * per-vector aggregation whose buffer is the k-bounded sorted pair
-    * list (k = number of clusters, a constant) — no window, no
-    * self-join; the only full-width exchange is |corpus| rows keyed by
-    * id, identical to [[assignToSeeds]].
+    * Scale shape: the two nearest centroids are kept by a per-row
+    * best-2 fold over the ONE broadcast seed row (the [[nearestSeed]]
+    * shape extended to two slots) — zero row expansion, zero exchange
+    * before the k-row cluster aggregate. The previous collect_list +
+    * sort_array shape shipped all N·k scored pairs through the
+    * id-keyed exchange (7.7 GB at the 100× rehearsal scale).
     */
   def silhouetteStats(df: DataFrame, k: Int,
                       idCol: String = "vec_id",
                       vecCol: String = "embedding"): DataFrame = {
     require(k >= 2, "silhouette needs at least 2 clusters")
-    val seeds = seedCentroids(df, k, idCol, vecCol)
+    val sa = seedArray(seedCentroids(df, k, idCol, vecCol))
+    val nullP = struct(lit(null).cast(DecimalType(30, 12)).as("d"),
+      lit(-1L).as("c"))
+    // ties: clusters iterate ascending and the comparisons are strict,
+    // so equal distances keep the earlier (lower) cluster id in each
+    // slot — identical to the lexicographic sort_array it replaces
+    val best2 = aggregate(col("_seeds"),
+      struct(nullP.as("a"), nullP.as("b")),
+      (acc, s) => {
+        val d = sqDist(col("_x"), s.getField("cvec"))
+        val cand = struct(d.as("d"),
+          s.getField("cluster").cast(LongType).as("c"))
+        val a0 = acc.getField("a")
+        val b0 = acc.getField("b")
+        when(a0.getField("c") === -1L, struct(cand.as("a"), b0.as("b")))
+          .when(d < a0.getField("d"), struct(cand.as("a"), a0.as("b")))
+          .when(b0.getField("c") === -1L || d < b0.getField("d"),
+            struct(a0.as("a"), cand.as("b")))
+          .otherwise(acc)
+      })
     val ranked = df.select(col(idCol), dec(col(vecCol)).as("_x"))
-      .crossJoin(broadcast(seeds))
-      .select(col(idCol),
-        struct(sqDist(col("_x"), col("cvec")).as("d"),
-          col("cluster").as("c")).as("_dc"))
-      .groupBy(col(idCol))
-      .agg(slice(sort_array(collect_list(col("_dc"))), 1, 2).as("_near"))
-    val a = col("_near")(0)("d")
-    val b = col("_near")(1)("d")
+      .crossJoin(broadcast(sa))
+      .select(col(idCol), best2.as("_near2"))
+    val a = col("_near2")("a")("d")
+    val b = col("_near2")("b")("d")
     val s = when(b === lit(0).cast(DecimalType(30, 12)), lit(0.0))
       .otherwise((b - a).cast(DoubleType) / b.cast(DoubleType))
     ranked
-      .select(col("_near")(0)("c").as("cluster"),
+      .select(col("_near2")("a")("c").as("cluster"),
         s.cast(DecimalType(18, 6)).as("_sq"))
       .groupBy(col("cluster"))
       .agg(count(lit(1)).as("n_members"), sum(col("_sq")).as("_ssum"))
@@ -190,11 +234,13 @@ object Clustering {
     val cp = Checkpointing.truncator(df.sparkSession, checkpoint,
       checkpointDir)
     val e = df.select(col(idCol), dec(col(vecCol)).as("_x"))
+    // zero-shuffle narrow argmin (see nearestSeed): the old
+    // crossJoin + min(struct) shape both SORTED the N·k expansion in
+    // every map task (SortAggregate spill at 100×) and exchanged one
+    // row per vector per round — this exchanges nothing
     def assignTo(cent: DataFrame): DataFrame =
-      e.crossJoin(broadcast(cent))
-        .groupBy(col(idCol))
-        .agg(min(struct(sqDist(col("_x"), col("cvec")).as("_d"),
-          col("cluster").as("_c"))).as("_b"))
+      e.crossJoin(broadcast(seedArray(cent)))
+        .select(col(idCol), nearestSeed(col("_x")).as("_b"))
         .select(col(idCol), col("_b._c").as("cluster"), col("_b._d").as("_d"))
     def summarize(a: DataFrame, round: Int): DataFrame =
       a.groupBy(col("cluster"))
@@ -267,10 +313,19 @@ object Clustering {
       .select(lit(0).as("step"), col("_id").as("center_id"),
         lit(0.0).as("radius"), col("_x").as("_cv")))
     for (s <- 1 until k) {
-      val dmin = pts.crossJoin(broadcast(centers.select(col("_cv"))))
-        .groupBy(col("_id"))
-        .agg(min(sqDist(col("_x"), col("_cv"))).as("_d"),
-          first(col("_x")).as("_xx")) // _x is constant per id
+      // nearest-center distance as a per-row fold over ONE broadcast
+      // row of ≤ s center vectors (the nearestSeed shape): no N·s row
+      // expansion, no per-round exchange — exact min commutes, so the
+      // collect_list order is irrelevant
+      val carr = centers.agg(collect_list(col("_cv")).as("_cvs"))
+      val dmin = pts.crossJoin(broadcast(carr))
+        .select(col("_id"),
+          aggregate(col("_cvs"), lit(null).cast(DecimalType(30, 12)),
+            (acc, cv) => {
+              val d = sqDist(col("_x"), cv)
+              when(acc.isNull || d < acc, d).otherwise(acc)
+            }).as("_d"),
+          col("_x").as("_xx"))
       val next = dmin
         .agg(min(struct((col("_d") * -1).as("_nd"), col("_id").as("_id"),
           col("_xx").as("_xx"))).as("_m"))

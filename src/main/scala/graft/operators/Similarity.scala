@@ -313,19 +313,45 @@ object Similarity {
     * out — standard k-means death; encode/ADC never assume exactly
     * `codes` surviving rows. `iters = 0` returns the seeds untouched.
     */
+  /** Per-`sub` codebook rows (sub, _code, cvec) folded into ONE array
+    * row per subspace, code-ascending — the input shape for
+    * [[nearestCodeL2]]'s per-row argmin. The km01/dd15 lesson applied
+    * to the PQ family: the previous crossJoin/join + min(struct)
+    * aggregation planned as SortAggregate (struct buffers can't hash-
+    * aggregate), which SORTED the N·m·codes expansion inside every map
+    * task — the same disk-spill wall assignToSeeds hit at the 100×
+    * rehearsal — and exchanged N·m rows for the groupBy. The fold
+    * evaluates the same distances as straight-line expression code:
+    * zero expansion, zero sort, zero exchange.
+    */
+  private def subCodeArrays(cb: DataFrame): DataFrame =
+    cb.groupBy(col("sub"))
+      .agg(array_sort(collect_list(struct(col("_code"), col("cvec"))))
+        .as("_codes"))
+
+  /** Per-row argmin code over a `_codes` array under IEEE squared-L2.
+    * Codes iterate ascending with strict `<`, so equal distances keep
+    * the lowest code — identical to min(struct(_d, _code)).
+    */
+  private def nearestCodeL2(v: Column): Column =
+    aggregate(col("_codes"),
+      struct(lit(null).cast(DoubleType).as("_d"),
+        lit(null).cast(LongType).as("_c")),
+      (acc, s) => {
+        val d = aggregate(zip_with(v, s.getField("cvec"),
+          (x, y) => (x - y) * (x - y)), lit(0.0), (a2, t) => a2 + t)
+        when(acc.getField("_c").isNull || d < acc.getField("_d"),
+          struct(d.as("_d"), s.getField("_code").cast(LongType).as("_c")))
+          .otherwise(acc)
+      }).getField("_c")
+
   private def refineCodebook(seeds: DataFrame, subs: DataFrame,
                              iters: Int): DataFrame = {
-    def l2(a: Column, b: Column) =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, v) => acc + v)
     (1 to iters).foldLeft(seeds) { (cb, _) =>
       subs
-        .join(broadcast(cb), "sub")
-        .select(col("cid"), col("sub"), col("sv"),
-          struct(l2(col("sv"), col("cvec")).as("_d"), col("_code")).as("_dc"))
-        .groupBy(col("cid"), col("sub"))
-        .agg(min(col("_dc")).getField("_code").as("_code"),
-          first(col("sv")).as("sv"))
+        .join(broadcast(subCodeArrays(cb)), "sub")
+        .select(col("sub"), nearestCodeL2(col("sv")).as("_code"),
+          col("sv"))
         .select(col("sub"), col("_code"), posexplode(col("sv")))
         .groupBy(col("sub"), col("_code"), col("pos"))
         .agg(avg(col("col").cast(DecimalType(25, 12))).cast(DoubleType).as("_m"))
@@ -405,20 +431,16 @@ object Similarity {
       subSplit(col("cv"))).withColumnRenamed("pos", "sub")
       .withColumnRenamed("col", "sv"), refineIters)
 
-    // encode: per (vector, subspace) the argmin-distance code. The
-    // codes dimension collapses via map-side min(struct) partial
-    // aggregation BEFORE the exchange (the km01 lesson) — the shuffle
-    // carries N·m narrow rows, never the N·m·codes distance explosion
-    // a row_number window would ship (measured: 7.5 s → 3.3 s wall at
-    // the 10× rehearsal). Struct ordering (_d, _code) ties identically
-    // to the window's (orderBy _d, _code).
+    // encode: per (vector, subspace) the argmin-distance code as a
+    // per-row fold over the broadcast per-subspace code array
+    // (nearestCodeL2) — zero expansion, zero sort, zero exchange; ties
+    // (_d, _code) identical to the min(struct) and window shapes it
+    // replaces (the r16 SortAggregate lesson: struct-buffer aggregates
+    // sort their expanded input inside every map task)
     val encoded = cand.select(col("cid"), subSplit(col("cv")))
       .withColumnRenamed("pos", "sub").withColumnRenamed("col", "sv")
-      .join(broadcast(cents), "sub")
-      .select(col("cid"), col("sub"),
-        struct(l2(col("sv"), col("cvec")).as("_d"), col("_code")).as("_dc"))
-      .groupBy(col("cid"), col("sub"))
-      .agg(min(col("_dc")).getField("_code").as("_code"))
+      .join(broadcast(subCodeArrays(cents)), "sub")
+      .select(col("cid"), col("sub"), nearestCodeL2(col("sv")).as("_code"))
 
     // ADC distance table: (qid, sub, code) → exact subspace distance,
     // DECIMAL so the per-candidate sum is order-independent
@@ -514,12 +536,15 @@ object Similarity {
       .join(broadcast(coarseIds), col(idCol) === col("_sid"))
       .select(col("cell"), dbl(col(vecCol)).as("cellv"))
 
-    // assign candidates to their nearest cell; residual = cv − cellv
-    val assigned = cand.crossJoin(broadcast(coarse))
-      .select(col("cid"), col("cv"),
-        struct(l2(col("cv"), col("cellv")).as("_d"), col("cell")).as("_dc"))
-      .groupBy(col("cid")).agg(min(col("_dc")).getField("cell").as("cell"),
-        first(col("cv")).as("cv"))
+    // assign candidates to their nearest cell via the per-row fold
+    // (cells renamed to the shared (_code, cvec) shape; no expansion,
+    // no SortAggregate — the r16 lesson); residual = cv − cellv
+    val cellArr = coarse
+      .select(col("cell").as("_code"), col("cellv").as("cvec"))
+      .agg(array_sort(collect_list(struct(col("_code"), col("cvec"))))
+        .as("_codes"))
+    val assigned = cand.crossJoin(broadcast(cellArr))
+      .select(col("cid"), col("cv"), nearestCodeL2(col("cv")).as("cell"))
       .join(broadcast(coarse), "cell")
       .select(col("cid"), col("cell"),
         zip_with(col("cv"), col("cellv"), (x, y) => x - y).as("rv"))
@@ -537,14 +562,12 @@ object Similarity {
       subSplit(col("rv"))).withColumnRenamed("pos", "sub")
       .withColumnRenamed("col", "sv"), refineIters)
 
-    // encode residuals: map-side argmin, same shape as pqTopK
+    // encode residuals: per-row fold, same shape as pqTopK's encode
     val encoded = assigned.select(col("cid"), col("cell"), subSplit(col("rv")))
       .withColumnRenamed("pos", "sub").withColumnRenamed("col", "sv")
-      .join(broadcast(cents), "sub")
+      .join(broadcast(subCodeArrays(cents)), "sub")
       .select(col("cid"), col("cell"), col("sub"),
-        struct(l2(col("sv"), col("cvec")).as("_d"), col("_code")).as("_dc"))
-      .groupBy(col("cid"), col("cell"), col("sub"))
-      .agg(min(col("_dc")).getField("_code").as("_code"))
+        nearestCodeL2(col("sv")).as("_code"))
 
     // probe: per query the nprobe nearest cells. Only nlist rows per
     // query, but the bounded TopKAgg keeps even this stage map-side

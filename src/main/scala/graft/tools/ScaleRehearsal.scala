@@ -151,6 +151,29 @@ object ScaleRehearsal {
         }
       }
 
+      // ta12 winnowing: scan-fused HOF array math — zero shuffle
+      // before the output explode; wall must track token volume
+      for ((tag, dp) <- Seq(("1x", s"$sfDir/documents.parquet"),
+          ("10x", s"$work/documents10x.parquet"),
+          ("100x", s"$work/documents100x.parquet"))) {
+        measure(s"ta12_winnow        $tag") {
+          TextAnalysis.winnow(docsAt(dp), "doc_id", "text").count()
+        }
+      }
+
+      // dd15 SemDeDup with k ∝ N (the scaladoc's design contract):
+      // pair volume Σ|cluster|² stays ~linear when cluster width is
+      // held constant across decades — the k-FIXED trap was measured
+      // at 10× in r9; this is the same check one decade further out
+      for ((tag, ep, k) <- Seq(("1x k=16", s"$sfDir/embeddings.parquet", 16),
+          ("10x k=160", s"$work/embeddings10x.parquet", 160),
+          ("100x k=1600", s"$work/embeddings100x.parquet", 1600))) {
+        measure(f"dd15_semdedup $tag%-11s") {
+          Dedup.semanticDedup(embAt(ep), k, 0.99)
+            .filter(!col("keep")).count()
+        }
+      }
+
       // sim12-shape two-level under the r16 candidateGroups=2 default
       // (the r15 ledger ran cg=1): the candidate pass gains one more
       // bounded TopKAgg scan term — wall must stay in the ~120 s

@@ -509,13 +509,27 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastExchange"), plan)
   }
 
-  test("km05: the Lloyd loop stays window-free — argmins are partial min(struct)") {
-    // both rounds' nearest-centroid picks must collapse map-side; a
-    // rank-window assignment would ship N·k scored rows per round
+  test("km05: the Lloyd loop stays window-free and sort-free — argmins are per-row folds") {
+    // both rounds' nearest-centroid picks are codegen'd folds over ONE
+    // broadcast seed-array row: a rank-window assignment would ship
+    // N·k scored rows per round, and the pre-r16 crossJoin+min(struct)
+    // shape planned as SortAggregate, which SORTED the N·k expansion
+    // in every map task (the measured 100× disk-spill wall)
     val plan = planOf("km05_lloyd_rounds")
     assert(!plan.contains("Window"), plan)
-    assert(plan.contains("partial_min"), plan)
+    assert(!plan.contains("SortAggregate"), plan)
     assert(plan.contains("BroadcastExchange"), plan)
+  }
+
+  test("km01/km03/dd15: seed assignment is a zero-expansion fold — no SortAggregate anywhere") {
+    // the shared assignToSeeds/silhouette path: no struct-buffer
+    // aggregate (SortAggregate) may appear — the argmin/best-2 run
+    // in-register over the broadcast seed array
+    for (q <- Seq("km01_kmeans_assign", "km03_silhouette", "dd15_semdedup")) {
+      val plan = planOf(q)
+      assert(!plan.contains("SortAggregate"), s"$q:\n$plan")
+      assert(!plan.contains("Window"), s"$q:\n$plan")
+    }
   }
 
   test("sim12: corpus-wide kNN graph never broadcasts the query side") {
