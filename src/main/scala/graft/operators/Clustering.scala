@@ -292,12 +292,13 @@ object Clustering {
     * bit-identical on any engine/partitioning — a DuckDB oracle
     * replays the identical unrolled steps.
     *
-    * Scale shape: k passes over the corpus, each a narrow projection
-    * against ≤ k broadcast centers with a map-side `min(struct)`
-    * partial collapsing to ONE exchanged row per vector, then a 1-row
-    * global argmax — no pairwise joins, no windows. The per-round
-    * checkpoint keeps round r from re-evaluating rounds 1..r−1
-    * (the [[Graph.pageRank]] discipline).
+    * Scale shape: k passes over the corpus, each a ZERO-exchange
+    * narrow pass — the ≤ k chosen centers ride ONE broadcast row and
+    * each vector folds its nearest-center distance in-register (the
+    * [[nearestSeed]] shape) — followed by a 1-row global argmax; no
+    * pairwise joins, no windows, no sorts. The per-round checkpoint
+    * keeps round r from re-evaluating rounds 1..r−1 (the
+    * [[Graph.pageRank]] discipline).
     */
   def farthestPointSeeds(df: DataFrame, k: Int,
                          idCol: String = "vec_id",

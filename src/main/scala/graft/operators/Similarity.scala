@@ -850,10 +850,11 @@ object Similarity {
     * config; the residual gap vs exact-assign 0.86 is query-side
     * group visibility — BENCH_NOTES r16).
     *
-    * In two-level mode the centroid table is localCheckpoint-
-    * materialized: leaders/groups derive from it here AND in
-    * [[ivfSearch]], and the live centroid chain re-scans the corpus
-    * per reference (the measured r15 trap).
+    * The centroid table is localCheckpoint-materialized in BOTH
+    * modes: leaders/groups derive from it here AND in [[ivfSearch]],
+    * and the live centroid chain re-scans the corpus per reference
+    * (the measured r15 trap) — materializing once also makes every
+    * ivfSearch flag combination safe on any built index.
     */
   def ivfBuild(candidates: DataFrame,
                nlist: Int = 16, iters: Int = 0, sampleMod: Int = 4,
@@ -902,10 +903,20 @@ object Similarity {
           array_sort(collect_list(struct(col("pos"), col("_m")))),
           s => s.getField("_m")).as("cvec"))
     }
-    val centroidsLive = refined
+    // the centroid table is ALWAYS localCheckpoint-materialized: the
+    // live chain re-scans the corpus per reference (seeds are a
+    // corpus groupBy + join), and the index is referenced from the
+    // build's assignment, from ivfSearch's probe side, and — in
+    // two-level mode — from the leader/group derivations on BOTH
+    // sides. Materializing once also makes EVERY ivfSearch flag
+    // combination safe on any built index: a twoLevelAssign=true
+    // search over an exact-built fused index derives its leaders from
+    // nlist materialized rows, never from ~5 corpus re-scans (the
+    // measured r15 trap).
+    val centroids = refined
       .withColumn("cnorm", sqrt(ivfDot(col("cvec"), col("cvec"))))
+      .localCheckpoint()
     if (twoLevelAssign) {
-      val centroids = centroidsLive.localCheckpoint()
       // g derives from the ACTUAL surviving centroid count (hash-bucket
       // collisions and k-means death can leave < nlist), exactly as
       // ivfSearch re-derives it — build and search MUST group leaders
@@ -915,8 +926,8 @@ object Similarity {
       IvfIndex(centroids,
         ivfAssign2(candidates, leaders, grouped, 1, candidateGroups,
           idCol, vecCol, "cid", "cv", "cn"))
-    } else IvfIndex(centroidsLive,
-      ivfAssign(candidates, centroidsLive, 1, idCol, vecCol,
+    } else IvfIndex(centroids,
+      ivfAssign(candidates, centroids, 1, idCol, vecCol,
         "cid", "cv", "cn"))
   }
 
@@ -1219,8 +1230,12 @@ object Similarity {
     * ranked shortlist ([[cosineTopK]], [[ivfTopK]], [[rrfFuse]] output
     * re-keyed); `truth` is (qid, cid) — the relevant items per query
     * (a labeled eval set, a human-judged pool, or label-match
-    * relevance). Emits one row per qid:
-    * (qid, n_hits, n_truth, recall_at_k, mrr, ndcg).
+    * relevance). Emits one row per qid appearing on EITHER side:
+    * (qid, n_hits, n_truth, recall_at_k, mrr, ndcg) — a query with
+    * judged-relevant items but zero retrieved results gets a
+    * zero-metrics row (dropping it would bias any mean over the
+    * output upward), and duplicate judgment rows in `truth`
+    * deduplicate (relevance is a set).
     *
     *   recall@k = hits / min(k, n_truth)
     *   MRR      = 1 / rank of the first relevant result (0 if none)
@@ -1249,8 +1264,12 @@ object Similarity {
       col("cid").cast(LongType).as("cid"),
       col("rank").cast(LongType).as("rank"))
       .filter(col("rank") <= k)
+    // relevance is a SET: duplicate (qid, cid) judgment rows must not
+    // double-count a hit or inflate n_truth (one exchange over the
+    // truth side; the results side is k-bounded and needs none)
     val tru = truth.select(col("qid").cast(LongType).as("qid"),
-      col("cid").cast(LongType).as("cid"), lit(1L).as("_rel"))
+      col("cid").cast(LongType).as("cid")).distinct()
+      .withColumn("_rel", lit(1L))
     val nTruth = tru.groupBy("qid")
       .agg(count(lit(1)).as("n_truth"))
     val perHit = res.join(tru, Seq("qid", "cid"), "left")
@@ -1259,7 +1278,14 @@ object Similarity {
         min(when(col("_rel").isNotNull, col("rank"))).as("_first"),
         coalesce(sum(when(col("_rel").isNotNull, dcgTerm(col("rank")))),
           lit(0).cast(DecimalType(18, 6))).as("_dcg"))
-    perHit.join(nTruth, Seq("qid"), "left")
+    // FULL outer: a query with judged-relevant items but ZERO
+    // retrieved results must emit a zero-metrics row, not vanish — a
+    // mean over the output would otherwise exclude exactly the
+    // worst-performing queries
+    perHit.join(nTruth, Seq("qid"), "full_outer")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      .withColumn("_dcg", coalesce(col("_dcg"),
+        lit(0).cast(DecimalType(18, 6))))
       .withColumn("n_truth", coalesce(col("n_truth"), lit(0L)))
       .withColumn("_den", least(lit(k.toLong), col("n_truth")))
       // IDCG: the ideal ranking puts all relevant items first — a

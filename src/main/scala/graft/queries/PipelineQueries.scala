@@ -2753,8 +2753,12 @@ object PipelineQueries {
         |     (SELECT count(*) AS n_all FROM embeddings) c""".stripMargin) { (s, dir) =>
       val e = emb(s, dir)
       val q = e.filter(col("vec_id") < 10)
-      val idxDir = java.nio.file.Files
-        .createTempDirectory("graft-ivf-idx").toString
+      // ONE deterministic index path per SF, overwritten each run —
+      // a fresh createTempDirectory per invocation would persist a
+      // full corpus copy on every bench/verify execution and
+      // accumulate until the box's /tmp fills
+      val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft-sim16-" +
+        java.lang.Integer.toHexString(dir.hashCode)
       Similarity.ivfBuild(e).save(idxDir)
       val served = Similarity.ivfSearch(q, Similarity.ivfLoad(s, idxDir), 5)
       recallFloor(Similarity.cosineTopK(q, e, 5), served, floorPct = 85)
@@ -2802,9 +2806,12 @@ object PipelineQueries {
         |           END), CAST(0 AS DECIMAL(18,6))) AS dcg
         |       FROM res r LEFT JOIN tru t ON t.qid = r.qid AND t.cid = r.cid
         |       GROUP BY r.qid),
-        | m AS (SELECT h.qid, n_hits, coalesce(n_truth, 0) AS n_truth,
-        |         first_hit, dcg, least(5, coalesce(n_truth, 0)) AS den
-        |       FROM h LEFT JOIN nt ON nt.qid = h.qid),
+        | m AS (SELECT coalesce(h.qid, nt.qid) AS qid,
+        |         coalesce(n_hits, 0) AS n_hits,
+        |         coalesce(n_truth, 0) AS n_truth, first_hit,
+        |         coalesce(dcg, CAST(0 AS DECIMAL(18,6))) AS dcg,
+        |         least(5, coalesce(n_truth, 0)) AS den
+        |       FROM h FULL JOIN nt ON nt.qid = h.qid),
         | idcg AS (SELECT qid,
         |            sum(CAST(1.0 / log2(CAST(r AS DOUBLE) + 1.0) AS DECIMAL(18,6))) AS idcg
         |          FROM (SELECT qid, unnest(range(1, den + 1)) AS r FROM m) u

@@ -86,12 +86,29 @@ object AvroFiles {
         rows.foreach(r => writer.append(toRecord(r, sparkSchema, schema)))
         ok = true
       } finally {
-        writer.close()
-        if (ok) {
-          // last-attempt-wins commit; if another complete attempt got
-          // there first the rename fails harmlessly and we discard ours
-          tfs.delete(file, false)
-          if (!tfs.rename(tmp, file)) tfs.delete(tmp, false)
+        var closed = false
+        try { writer.close(); closed = true }
+        catch {
+          // an append already failed: let ITS exception propagate —
+          // a secondary close failure on the doomed stream would mask
+          // the root cause
+          case e: Throwable => if (ok) throw e
+        }
+        if (ok && closed) {
+          // FIRST-attempt-wins commit, atomic: rename refuses an
+          // existing destination, so there is no window in which a
+          // killed attempt leaves the partition with NO file (the
+          // delete-then-rename shape had one). A lost rename against
+          // an existing file means a sibling attempt committed a
+          // complete identical part — drop ours; a lost rename with
+          // NO committed file is a real filesystem error and must
+          // fail the task, not silently discard the partition.
+          if (!tfs.rename(tmp, file)) {
+            tfs.delete(tmp, false)
+            if (!tfs.exists(file))
+              sys.error(s"could not commit $tmp -> $file and no " +
+                "sibling attempt committed it")
+          }
         } else tfs.delete(tmp, false)
       }
     }

@@ -13,7 +13,9 @@ import graft.operators.Similarity
 object RecallProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    // optional section filter: lsh | ivf | 2lv | pq | ivfpq (default all)
+    // optional section filter (default all):
+    //   lsh | ivf | 2lv (corpus-scaled nlist) | 2lv16 (gate config)
+    //   | 2lv160 (r15 rehearsal config) | pq | ivfpq
     val only = args.lift(1).getOrElse("all")
     def section(name: String): Boolean = only == "all" || only == name
     val spark = SparkSession.builder().master("local[8]")
@@ -55,8 +57,7 @@ object RecallProbe {
     // candidate assignment to the top-2 leader groups. nlist is
     // corpus-scaled (N/31, the sim12 rehearsal convention) so the
     // two-level pruning is actually exercised at every SF.
-    val nTot = e.count()
-    val nlBig = math.max(16, (nTot / 31).toInt)
+    lazy val nlBig = math.max(16, (e.count() / 31).toInt)
     for ((np, lg, cg) <- Seq((10, 3, 1), (10, 3, 2), (12, 3, 1), (12, 3, 2))
          if section("2lv16")) {
       val t0 = System.nanoTime()

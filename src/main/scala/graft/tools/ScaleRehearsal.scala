@@ -72,8 +72,11 @@ object ScaleRehearsal {
     // two-level re-measure under the candidateGroups=2 default.
     // Replicas generate only if absent so the mode is re-runnable.
     if (args.lift(2).contains("r16")) {
+      // a replica counts as present only with its _SUCCESS marker: a
+      // killed partial write leaves the bare directory, and silently
+      // reusing it would record "100×" rows against a truncated corpus
       def ensure(path: String)(gen: => Unit): Unit = {
-        val p = new org.apache.hadoop.fs.Path(path)
+        val p = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
         val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (!f.exists(p)) gen
       }

@@ -299,12 +299,16 @@ class PipelineSpec extends AnyFunSuite {
     // query 2: no hits -> all zeros except n_truth
     val results = Seq((1L, 10L, 1L), (1L, 20L, 2L), (1L, 30L, 3L),
       (2L, 10L, 1L)).toDF("qid", "cid", "rank")
-    val truth = Seq((1L, 10L), (1L, 30L), (1L, 40L), (2L, 99L))
-      .toDF("qid", "cid")
+    // (1, 30) judged twice: relevance is a set — the duplicate must
+    // not double-count the hit or inflate n_truth. Query 3 has truth
+    // but NO results: it must emit a zero-metrics row, not vanish
+    val truth = Seq((1L, 10L), (1L, 30L), (1L, 30L), (1L, 40L), (2L, 99L),
+      (3L, 7L)).toDF("qid", "cid")
     val m = Similarity.retrievalMetrics(results, truth, 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSeq
-    assert(m.length == 2, m.toString)
+    assert(m.length == 3, m.toString)
+    assert(m(2) == ((3L, 0L, 1L, 0.0, 0.0, 0.0)), m.toString)
     val q1 = m.head
     assert(q1._1 == 1L && q1._2 == 2L && q1._3 == 3L, m.toString)
     assert(q1._4 == 2.0 / 3.0, s"recall: $q1")
