@@ -103,6 +103,107 @@ object Clustering {
       .select(col(idCol), nearestSeed(col("_x")).getField("_c").as("cluster"))
   }
 
+  /** Two-level variant of [[assignToSeeds]] for corpus-scaled k — the
+    * [[graft.operators.Similarity.ivfTopK]] leader trick on exact
+    * decimal distances. Exact assignment folds k distances per vector,
+    * and with k ∝ N (the SemDeDup regime) that term is QUADRATIC in N
+    * — the measured dd15 wall at the 100× rehearsal (718 s of decimal
+    * assignment CPU; SCALE.md r16 part 2). Here the k seeds group
+    * under √k hash-picked LEADER seeds; each vector scores the g
+    * leaders, spills into its top-2 leader groups (the sim13
+    * candidate-side lesson: one group loses boundary vectors
+    * permanently), and scans only those groups' seeds —
+    * g + 2·(k/g) distances per vector instead of k (~13× fewer at
+    * k=1600).
+    *
+    * APPROXIMATE by design: a vector whose true nearest seed lives
+    * outside its two leader groups lands in a near-best cell instead.
+    * What a dedup pipeline actually needs survives exactly: identical
+    * vectors fold over identical arrays, so EXACT duplicates co-assign
+    * with certainty, and everything stays deterministic (hash-picked
+    * leaders, strict-< folds over ascending arrays — bit-identical
+    * runs). Not used by any oracle gate (those keep [[assignToSeeds]]);
+    * this is the big-corpus switch, exactly like
+    * `ivfTopK(twoLevelAssign = true)`.
+    *
+    * Scale shape: the leader/group prep is k·g work on k seed rows;
+    * the corpus pass is one zero-exchange narrow fold over ONE
+    * broadcast row of nested (leader, member-seeds) groups.
+    */
+  def assignToSeedsTwoLevel(df: DataFrame, k: Int,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding"): DataFrame = {
+    val seeds = seedCentroids(df, k, idCol, vecCol)
+      .select(col("cluster").cast(LongType).as("cluster"), col("cvec"))
+      .localCheckpoint()
+    val g = math.max(1, math.round(math.sqrt(k.toDouble)).toInt)
+    val leaders = seeds
+      .groupBy(pmod(xxhash64(col("cluster")), lit(g)).as("_lb"))
+      .agg(min(col("cluster")).as("_lid"))
+      .join(seeds, col("_lid") === col("cluster"))
+      .select(col("_lid"), col("cvec").as("lvec"))
+    // every seed to its nearest leader (k·g pairs via the same fold —
+    // negligible at any scale), then ONE broadcast row of groups:
+    // (_lid, lvec, member seeds cluster-ascending), _lid-ascending
+    val la = leaders
+      .agg(array_sort(collect_list(struct(col("_lid"), col("lvec"))))
+        .as("_lds"))
+    val seedLeader = seeds.crossJoin(broadcast(la))
+      .select(col("cluster"), col("cvec"),
+        aggregate(col("_lds"),
+          struct(lit(null).cast(DecimalType(30, 12)).as("_d"),
+            lit(-1L).as("_c")),
+          (acc, s) => {
+            val d = sqDist(col("cvec"), s.getField("lvec"))
+            when(acc.getField("_c") === -1L || d < acc.getField("_d"),
+              struct(d.as("_d"), s.getField("_lid").as("_c")))
+              .otherwise(acc)
+          }).getField("_c").as("_lid"))
+    val groups = seedLeader
+      .groupBy(col("_lid"))
+      .agg(array_sort(collect_list(struct(col("cluster"), col("cvec"))))
+        .as("seeds"))
+      .join(leaders, "_lid")
+      .agg(array_sort(collect_list(struct(col("_lid"), col("lvec"),
+        col("seeds")))).as("_groups"))
+    // per vector: best-2 leader groups by strict-< fold (ties keep the
+    // lower _lid — the arrays are ascending), then the nearestSeed
+    // argmin over the two groups' member seeds concatenated
+    val seedsType = ArrayType(StructType(Seq(
+      StructField("cluster", LongType),
+      StructField("cvec", ArrayType(DecimalType(12, 6))))))
+    val emptySeeds = array().cast(seedsType)
+    val nullG = struct(lit(null).cast(DecimalType(30, 12)).as("_d"),
+      lit(null).cast(seedsType).as("seeds"))
+    val best2 = aggregate(col("_groups"), struct(nullG.as("a"), nullG.as("b")),
+      (acc, grp) => {
+        val d = sqDist(col("_x"), grp.getField("lvec"))
+        val cand = struct(d.as("_d"), grp.getField("seeds").as("seeds"))
+        val a0 = acc.getField("a")
+        val b0 = acc.getField("b")
+        when(a0.getField("seeds").isNull, struct(cand.as("a"), b0.as("b")))
+          .when(d < a0.getField("_d"), struct(cand.as("a"), a0.as("b")))
+          .when(b0.getField("seeds").isNull || d < b0.getField("_d"),
+            struct(a0.as("a"), cand.as("b")))
+          .otherwise(acc)
+      })
+    val scan = concat(col("_b2")("a")("seeds"),
+      coalesce(col("_b2")("b")("seeds"), emptySeeds))
+    val assign = aggregate(scan,
+      struct(lit(null).cast(DecimalType(30, 12)).as("_d"),
+        lit(-1L).as("_c")),
+      (acc, s) => {
+        val d = sqDist(col("_x"), s.getField("cvec"))
+        when(acc.getField("_c") === -1L || d < acc.getField("_d"),
+          struct(d.as("_d"), s.getField("cluster").as("_c")))
+          .otherwise(acc)
+      }).getField("_c")
+    df.select(col(idCol), dec(col(vecCol)).as("_x"))
+      .crossJoin(broadcast(groups))
+      .withColumn("_b2", best2)
+      .select(col(idCol), assign.as("cluster"))
+  }
+
   /** One Lloyd update, summarized exactly: per cluster, the member
     * count and the L1 norm of the updated mean centroid. Per-position
     * member sums are exact decimals (order-independent), so

@@ -692,7 +692,8 @@ object Dedup {
     */
   def semanticDedup(emb: DataFrame, k: Int, tau: Double,
                     idCol: String = "vec_id",
-                    vecCol: String = "embedding"): DataFrame = {
+                    vecCol: String = "embedding",
+                    twoLevelAssign: Boolean = false): DataFrame = {
     require(k > 0 && tau > 0.0, "need k > 0 and tau > 0")
     def decV(c: Column): Column =
       transform(c, x => x.cast(DoubleType).cast(DecimalType(12, 6)))
@@ -700,7 +701,15 @@ object Dedup {
       aggregate(zip_with(x, y, (p, q) => p * q),
         lit(0).cast(DecimalType(30, 12)),
         (acc, v) => (acc + v).cast(DecimalType(30, 12)))
-    val assigned = Clustering.assignToSeeds(emb, k, idCol, vecCol)
+    // twoLevelAssign is the big-corpus switch (k ∝ N makes the exact
+    // assignment fold quadratic — the measured 718 s dd15 wall at the
+    // 100× rehearsal): blocking cells become approximate for boundary
+    // vectors, but EXACT duplicates still co-assign with certainty
+    // (identical vectors fold identically), so the clone-recall
+    // contract survives. Gates keep the exact path.
+    val assigned =
+      if (twoLevelAssign) Clustering.assignToSeedsTwoLevel(emb, k, idCol, vecCol)
+      else Clustering.assignToSeeds(emb, k, idCol, vecCol)
     val e = emb.select(col(idCol).as("_id"), decV(col(vecCol)).as("_x"))
       .join(assigned.select(col(idCol).as("_id"), col("cluster")), "_id")
       .withColumn("_n", dot(col("_x"), col("_x")).cast(DoubleType))

@@ -51,7 +51,10 @@ object ScaleRehearsal {
     val emb = graft.Tables.load(spark, sfDir, "embeddings")
       .select("vec_id", "embedding")
 
+    // optional 4th arg: only measure rows whose label contains it
+    val rowFilter = args.lift(3)
     def measure(label: String)(body: => Long): Unit = {
+      if (rowFilter.exists(f => !label.contains(f))) return
       val mark = shuffleBytes.get()
       val t0 = System.nanoTime()
       val n = body
@@ -175,6 +178,15 @@ object ScaleRehearsal {
           Dedup.semanticDedup(embAt(ep), k, 0.99)
             .filter(!col("keep")).count()
         }
+      }
+
+      // dd15 under the two-level assignment switch: the quadratic
+      // exact-decimal assignment fold (718 s above) drops to
+      // g + 2·(k/g) distances per vector — the τ-join is untouched
+      measure("dd15_semdedup 100x 2lv") {
+        Dedup.semanticDedup(embAt(s"$work/embeddings100x.parquet"), 1600,
+          0.99, twoLevelAssign = true)
+          .filter(!col("keep")).count()
       }
 
       // sim12-shape two-level under the r16 candidateGroups=2 default

@@ -292,6 +292,38 @@ class PipelineSpec extends AnyFunSuite {
       "two-level round-trip diverged from fused ivfTopK")
   }
 
+  test("assignToSeedsTwoLevel: deterministic, clones co-assign, agrees with exact") {
+    import graft.operators.{Clustering, Dedup}
+    val e = Tables.load(spark, sf, "embeddings")
+    def runs(k: Int) = Clustering.assignToSeedsTwoLevel(e, k)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1).toSeq
+    val r1 = runs(16)
+    assert(r1.length == 500 && r1 == runs(16),
+      "two-level assignment is nondeterministic across runs")
+    // exact duplicates fold over identical arrays — they MUST co-assign,
+    // which is what keeps semanticDedup's clone recall intact on the
+    // approximate path
+    val clones = e.filter($"vec_id" < 50)
+      .select(($"vec_id" + 100000L).as("vec_id"), $"embedding")
+    val withClones = e.select($"vec_id", $"embedding").unionAll(clones)
+    val a = Clustering.assignToSeedsTwoLevel(withClones, 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (i <- 0L until 50L)
+      assert(a(i) == a(i + 100000L), s"clone of $i split from its original")
+    // the approximation stays NEAR the exact assignment (boundary
+    // vectors only may move): measured agreement 0.90+ at k=16; pin a
+    // conservative floor so a broken leader grouping fails loudly
+    val exact = Clustering.assignToSeeds(e, 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val agree = r1.count { case (id, c) => exact(id) == c }.toDouble / r1.size
+    assert(agree >= 0.7, s"two-level agreement with exact too low: $agree")
+    // end-to-end: the semanticDedup switch flags every planted clone
+    val flagged = Dedup.semanticDedup(withClones, 16, 0.99,
+      twoLevelAssign = true)
+      .filter(!$"keep" && $"vec_id" >= 100000L).count()
+    assert(flagged == 50, s"two-level semanticDedup flagged $flagged of 50 clones")
+  }
+
   test("retrievalMetrics: hand-computed recall/MRR/nDCG on a planted case") {
     // query 1: results ranked [10 hit, 20 miss, 30 hit]; truth {10, 30, 40}
     //   recall@3 = 2/3; MRR = 1/1; DCG = 1/log2(2) + 1/log2(4) = 1.5
