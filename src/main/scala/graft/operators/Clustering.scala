@@ -84,7 +84,7 @@ object Clustering {
         lit(-1L).as("_c")),
       (acc, s) => {
         val d = sqDist(x, s.getField("cvec"))
-        when(acc.getField("_c") === -1L || d < acc.getField("_d"),
+        when(acc.getField("_d").isNull || d < acc.getField("_d"),
           struct(d.as("_d"), s.getField("cluster").cast(LongType).as("_c")))
           .otherwise(acc)
       })
@@ -155,7 +155,7 @@ object Clustering {
             lit(-1L).as("_c")),
           (acc, s) => {
             val d = sqDist(col("cvec"), s.getField("lvec"))
-            when(acc.getField("_c") === -1L || d < acc.getField("_d"),
+            when(acc.getField("_d").isNull || d < acc.getField("_d"),
               struct(d.as("_d"), s.getField("_lid").as("_c")))
               .otherwise(acc)
           }).getField("_c").as("_lid"))
@@ -194,7 +194,7 @@ object Clustering {
         lit(-1L).as("_c")),
       (acc, s) => {
         val d = sqDist(col("_x"), s.getField("cvec"))
-        when(acc.getField("_c") === -1L || d < acc.getField("_d"),
+        when(acc.getField("_d").isNull || d < acc.getField("_d"),
           struct(d.as("_d"), s.getField("cluster").as("_c")))
           .otherwise(acc)
       }).getField("_c")

@@ -712,7 +712,11 @@ object Similarity {
     // so a query near this bound can still see fewer than nprobe cells
     // (it probes what its scanned groups hold — graceful, top_k just
     // returns fewer). The require only rejects configurations that
-    // cannot work even with perfectly even groups.
+    // cannot work even with perfectly even groups. It is also checked
+    // against the DECLARED nlist: execution derives g via gOf() from
+    // the centroids that actually survive build (hash-bucket
+    // collisions / k-means death can leave fewer), so treat this as an
+    // approximate config check, not a bound on the executed geometry.
     if (twoLevelAssign) require(nprobe <= leaderGroups * (nlist / g),
       s"two-level probes see ~leaderGroups*(nlist/g) cells on average: " +
         s"nprobe=$nprobe > $leaderGroups*${nlist / g}")
@@ -1198,32 +1202,6 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
-  /** Reciprocal-rank fusion of two ranked shortlists — the standard
-    * hybrid-retrieval composition (Cormack/Clarke/Buettcher RRF): fuse
-    * a lexical shortlist (e.g. [[graft.operators.TextAnalysis.bm25Rank]])
-    * with a dense shortlist (e.g. [[cosineTopK]]) by summing
-    * 1/(kRrf + rank) over the lists each id appears in. RRF needs only
-    * RANKS, never the incomparable raw scores — which is why it is the
-    * fusion production retrieval stacks ship.
-    *
-    * Inputs are (idCol, rankCol) frames, k-bounded BY CONTRACT (they
-    * are top-k shortlists); an id missing from one list contributes 0
-    * from that list. Emits (id, score, rank) — top `k` by fused score,
-    * ties broken by id ascending.
-    *
-    * Cross-engine determinism: each term is one IEEE-correctly-rounded
-    * division of exact integers (1.0 / (rank + kRrf)), and the fused
-    * score is a TWO-term sum in a fixed written order — no
-    * summation-order ambiguity exists, so the doubles are bit-identical
-    * to a SQL oracle writing the same shape (no decimal machinery
-    * needed, unlike the corpus-sized sums in bm25Rank).
-    *
-    * Scale shape: both sides are ≤ shortlist-k rows regardless of
-    * corpus size, so the full-outer join and the final rank window run
-    * over O(k) rows — the expensive work already happened inside the
-    * bounded retrieval operators upstream. The window here is over ≤ 2k
-    * rows by construction, never by corpus.
-    */
   /** Retrieval-quality metrics per query — the eval side of a serving
     * stack (recall@k, MRR, nDCG@k), computed from a ranked result list
     * against a relevance set. `results` is (qid, cid, rank) — any
@@ -1313,6 +1291,32 @@ object Similarity {
       .orderBy("qid")
   }
 
+  /** Reciprocal-rank fusion of two ranked shortlists — the standard
+    * hybrid-retrieval composition (Cormack/Clarke/Buettcher RRF): fuse
+    * a lexical shortlist (e.g. [[graft.operators.TextAnalysis.bm25Rank]])
+    * with a dense shortlist (e.g. [[cosineTopK]]) by summing
+    * 1/(kRrf + rank) over the lists each id appears in. RRF needs only
+    * RANKS, never the incomparable raw scores — which is why it is the
+    * fusion production retrieval stacks ship.
+    *
+    * Inputs are (idCol, rankCol) frames, k-bounded BY CONTRACT (they
+    * are top-k shortlists); an id missing from one list contributes 0
+    * from that list. Emits (id, score, rank) — top `k` by fused score,
+    * ties broken by id ascending.
+    *
+    * Cross-engine determinism: each term is one IEEE-correctly-rounded
+    * division of exact integers (1.0 / (rank + kRrf)), and the fused
+    * score is a TWO-term sum in a fixed written order — no
+    * summation-order ambiguity exists, so the doubles are bit-identical
+    * to a SQL oracle writing the same shape (no decimal machinery
+    * needed, unlike the corpus-sized sums in bm25Rank).
+    *
+    * Scale shape: both sides are ≤ shortlist-k rows regardless of
+    * corpus size, so the full-outer join and the final rank window run
+    * over O(k) rows — the expensive work already happened inside the
+    * bounded retrieval operators upstream. The window here is over ≤ 2k
+    * rows by construction, never by corpus.
+    */
   def rrfFuse(a: DataFrame, b: DataFrame, k: Int, kRrf: Int = 60,
               idCol: String = "id", rankCol: String = "rank"): DataFrame = {
     require(k > 0 && kRrf > 0, s"need k > 0 and kRrf > 0, got k=$k kRrf=$kRrf")

@@ -2756,12 +2756,25 @@ object PipelineQueries {
       // ONE deterministic index path per SF, overwritten each run —
       // a fresh createTempDirectory per invocation would persist a
       // full corpus copy on every bench/verify execution and
-      // accumulate until the box's /tmp fills
+      // accumulate until the box's /tmp fills. Keyed by the SANITIZED
+      // dir name, not dir.hashCode: two distinct SF dirs with
+      // colliding String hashCodes would share one path and an
+      // overwrite racing a concurrent read could serve the wrong
+      // corpus; the readable name also makes leftovers auditable
       val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft-sim16-" +
-        java.lang.Integer.toHexString(dir.hashCode)
+        dir.replaceAll("[^A-Za-z0-9._-]", "_")
       Similarity.ivfBuild(e).save(idxDir)
       val served = Similarity.ivfSearch(q, Similarity.ivfLoad(s, idxDir), 5)
-      recallFloor(Similarity.cosineTopK(q, e, 5), served, floorPct = 85)
+      val out = recallFloor(Similarity.cosineTopK(q, e, 5), served,
+        floorPct = 85)
+      // recallFloor is lazy, so materialize the 1-row verdict (eager
+      // localCheckpoint) BEFORE dropping the corpus-sized index copy —
+      // otherwise the delete races the very scan that serves the gate;
+      // with the verdict pinned, nothing corpus-sized lingers in /tmp
+      val res = out.localCheckpoint()
+      val p = new org.apache.hadoop.fs.Path(idxDir)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      res
     },
 
     // Retrieval EVALUATION: recall@5 / MRR / nDCG@5 of the exact dense

@@ -95,14 +95,19 @@ object AvroFiles {
           case e: Throwable => if (ok) throw e
         }
         if (ok && closed) {
-          // FIRST-attempt-wins commit, atomic: rename refuses an
-          // existing destination, so there is no window in which a
-          // killed attempt leaves the partition with NO file (the
-          // delete-then-rename shape had one). A lost rename against
-          // an existing file means a sibling attempt committed a
-          // complete identical part — drop ours; a lost rename with
-          // NO committed file is a real filesystem error and must
-          // fail the task, not silently discard the partition.
+          // ANY-attempt-wins commit: each attempt renames its own
+          // complete, identical container into place, so whichever
+          // rename lands (LAST wins on RawLocalFileSystem, whose
+          // rename delegates to POSIX File.renameTo and atomically
+          // replaces an existing destination; HDFS rename instead
+          // refuses one and the loser's temp is dropped below) the
+          // destination is never a partial file, and there is no
+          // window in which a killed attempt leaves the partition
+          // with NO file (the delete-then-rename shape had one). A
+          // lost rename with NO committed file is a real filesystem
+          // error and must fail the task, not silently discard the
+          // partition. Do NOT build on first-wins semantics here —
+          // they do not hold on local FS.
           if (!tfs.rename(tmp, file)) {
             tfs.delete(tmp, false)
             if (!tfs.exists(file))
