@@ -510,11 +510,18 @@ object Similarity {
     * one pass LOWERS recall 0.92→0.86 at sf0.1 (the [[ivfTopK]]
     * lesson repeated on residuals: means off actual corpus residuals
     * track neighbor geometry worse than the skewed seed cells).
+    *
+    * `twoLevelAssign` is the corpus-scaled-nlist switch for the
+    * CANDIDATE-side cell assignment (the N·nlist term — quadratic once
+    * nlist ∝ N): cells group under √nlist leaders and each candidate
+    * scans only its top-2 leader groups ([[ivfPqCellsTwoLevel]]).
+    * Approximate for boundary candidates, exactly like
+    * `ivfTopK(twoLevelAssign = true)`; gates keep the exact path.
     */
   def ivfPqTopK(queries: DataFrame, candidates: DataFrame, k: Int,
                 nlist: Int = 16, nprobe: Int = 8,
                 m: Int = 16, codes: Int = 32, shortlist: Int = 100,
-                refineIters: Int = 0,
+                refineIters: Int = 0, twoLevelAssign: Boolean = false,
                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(nprobe >= 1 && nprobe <= nlist && shortlist >= k,
       "need 1 <= nprobe <= nlist and shortlist >= k")
@@ -528,23 +535,40 @@ object Similarity {
     val cand = candidates.select(col(idCol).as("cid"), dbl(col(vecCol)).as("cv"))
     val q = queries.select(col(idCol).cast(LongType).as("qid"), dbl(col(vecCol)).as("qv"))
 
-    // coarse cells: nlist corpus vectors picked in-plan by hash bucket
-    val coarseIds = candidates
-      .groupBy(pmod(xxhash64(col(idCol)), lit(nlist)).as("cell"))
-      .agg(min(col(idCol)).as("_sid"))
-    val coarse = candidates
-      .join(broadcast(coarseIds), col(idCol) === col("_sid"))
+    // coarse cells: nlist corpus vectors picked in-plan by hash bucket.
+    // Two-level mode materializes them ONCE (nlist rows): the leader /
+    // group derivations reference the table repeatedly, and the live
+    // chain re-derives the corpus join per reference — the measured
+    // r15 ivfBuild trap. Exact mode keeps the untouched lazy chain.
+    val coarse0 = candidates
+      .join(broadcast(candidates
+        .groupBy(pmod(xxhash64(col(idCol)), lit(nlist)).as("cell"))
+        .agg(min(col(idCol)).as("_sid"))), col(idCol) === col("_sid"))
       .select(col("cell"), dbl(col(vecCol)).as("cellv"))
+    val coarse = if (twoLevelAssign) coarse0.localCheckpoint() else coarse0
 
     // assign candidates to their nearest cell via the per-row fold
     // (cells renamed to the shared (_code, cvec) shape; no expansion,
-    // no SortAggregate — the r16 lesson); residual = cv − cellv
-    val cellArr = coarse
-      .select(col("cell").as("_code"), col("cellv").as("cvec"))
-      .agg(array_sort(collect_list(struct(col("_code"), col("cvec"))))
-        .as("_codes"))
-    val assigned = cand.crossJoin(broadcast(cellArr))
-      .select(col("cid"), col("cv"), nearestCodeL2(col("cv")).as("cell"))
+    // no SortAggregate — the r16 lesson); residual = cv − cellv.
+    // twoLevelAssign is the corpus-scaled-nlist switch: the exact fold
+    // scores N·nlist pairs — quadratic in N once nlist grows with the
+    // corpus (the measured 497 s ivfTopK wall, SCALE.md) — so the
+    // big-corpus path groups cells under √nlist leaders and each
+    // CANDIDATE scans only its top-2 leader groups
+    // ([[ivfPqCellsTwoLevel]]). The query-side probe stays exact: its
+    // cost is nq·nlist, and nq is serving-bounded, not corpus-bounded
+    // (a corpus-as-queries caller should use ivfTopK's two-level probe).
+    val cellPick =
+      if (twoLevelAssign) ivfPqCellsTwoLevel(cand, coarse)
+      else {
+        val cellArr = coarse
+          .select(col("cell").as("_code"), col("cellv").as("cvec"))
+          .agg(array_sort(collect_list(struct(col("_code"), col("cvec"))))
+            .as("_codes"))
+        cand.crossJoin(broadcast(cellArr))
+          .select(col("cid"), col("cv"), nearestCodeL2(col("cv")).as("cell"))
+      }
+    val assigned = cellPick
       .join(broadcast(coarse), "cell")
       .select(col("cid"), col("cell"),
         zip_with(col("cv"), col("cellv"), (x, y) => x - y).as("rv"))
@@ -829,6 +853,98 @@ object Similarity {
       .select(col(id), col(v), col(nn), explode(col("_tk")).as("_e"))
       .select(col(id), col(v), col(nn), col("_e.id").as("centroid_id"))
 
+  /** Two-level L2 cell pick for [[ivfPqTopK]]'s candidate-side coarse
+    * assignment — the sim13 leader trick carried into the L2/double
+    * regime IVF-PQ runs in (its quantizer, residuals, ADC and re-rank
+    * are all L2; reusing the cosine-metric [[ivfAssign2]] here would
+    * assign candidates by one geometry and probe them by another).
+    * The nlist cells group under g = √nlist hash-picked LEADER cells;
+    * each candidate folds over the g leaders, spills into its TOP-2
+    * leader groups (the sim13 candidate-side lesson: one group loses
+    * boundary candidates permanently — the structural 0.80 recall
+    * ceiling), and argmins over only those groups' cells —
+    * g + 2·(nlist/g) distances per candidate instead of nlist.
+    *
+    * Pure per-row folds over ONE broadcast nested-group row: zero
+    * expansion, zero exchange, zero sort on the corpus pass (the
+    * [[Clustering.assignToSeedsTwoLevel]] shape, doubles instead of
+    * decimals — IVF-PQ has no cross-engine-exactness contract on its
+    * assignment, and double L2 is ~an order of magnitude cheaper than
+    * decimal per fold step). Deterministic: hash-picked leaders,
+    * strict-< folds over ascending arrays, ties to the lower id.
+    * `coarse` must be materialized by the caller (it is referenced
+    * from the leader, group AND membership derivations).
+    */
+  private def ivfPqCellsTwoLevel(cand: DataFrame,
+                                 coarse: DataFrame): DataFrame = {
+    def l2d(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, v) => acc + v)
+    // g from the ACTUAL surviving cell count (hash-bucket collisions
+    // can leave < nlist) — one count over nlist checkpointed rows
+    val g = math.max(1, math.round(math.sqrt(coarse.count().toDouble)).toInt)
+    val leaders = coarse
+      .groupBy(pmod(xxhash64(col("cell")), lit(g)).as("_lb"))
+      .agg(min(col("cell")).as("_lid"))
+      .join(coarse, col("_lid") === col("cell"))
+      .select(col("_lid"), col("cellv").as("lvec"))
+    val la = leaders
+      .agg(array_sort(collect_list(struct(col("_lid"), col("lvec"))))
+        .as("_lds"))
+    // every cell to its nearest leader (nlist·g pairs — negligible),
+    // then ONE broadcast row of (_lid, lvec, member cells) groups,
+    // member arrays cell-ascending, _lid-ascending
+    val cellLeader = coarse.crossJoin(broadcast(la))
+      .select(col("cell"), col("cellv"),
+        aggregate(col("_lds"),
+          struct(lit(null).cast(DoubleType).as("_d"),
+            lit(null).cast(LongType).as("_c")),
+          (acc, s) => {
+            val d = l2d(col("cellv"), s.getField("lvec"))
+            when(acc.getField("_d").isNull || d < acc.getField("_d"),
+              struct(d.as("_d"), s.getField("_lid").as("_c")))
+              .otherwise(acc)
+          }).getField("_c").as("_lid"))
+    val groups = cellLeader
+      .groupBy(col("_lid"))
+      .agg(array_sort(collect_list(struct(col("cell").as("_code"),
+        col("cellv").as("cvec")))).as("cells"))
+      .join(leaders, "_lid")
+      .agg(array_sort(collect_list(struct(col("_lid"), col("lvec"),
+        col("cells")))).as("_groups"))
+    val cellsType = ArrayType(StructType(Seq(
+      StructField("_code", LongType),
+      StructField("cvec", ArrayType(DoubleType)))))
+    val nullG = struct(lit(null).cast(DoubleType).as("_d"),
+      lit(null).cast(cellsType).as("cells"))
+    val best2 = aggregate(col("_groups"), struct(nullG.as("a"), nullG.as("b")),
+      (acc, grp) => {
+        val d = l2d(col("cv"), grp.getField("lvec"))
+        val c0 = struct(d.as("_d"), grp.getField("cells").as("cells"))
+        val a0 = acc.getField("a")
+        val b0 = acc.getField("b")
+        when(a0.getField("cells").isNull, struct(c0.as("a"), b0.as("b")))
+          .when(d < a0.getField("_d"), struct(c0.as("a"), a0.as("b")))
+          .when(b0.getField("cells").isNull || d < b0.getField("_d"),
+            struct(a0.as("a"), c0.as("b")))
+          .otherwise(acc)
+      })
+    val scan = concat(col("_b2")("a")("cells"),
+      coalesce(col("_b2")("b")("cells"), array().cast(cellsType)))
+    val pick = aggregate(scan,
+      struct(lit(null).cast(DoubleType).as("_d"),
+        lit(null).cast(LongType).as("_c")),
+      (acc, s) => {
+        val d = l2d(col("cv"), s.getField("cvec"))
+        when(acc.getField("_d").isNull || d < acc.getField("_d"),
+          struct(d.as("_d"), s.getField("_code").as("_c")))
+          .otherwise(acc)
+      }).getField("_c")
+    cand.crossJoin(broadcast(groups))
+      .withColumn("_b2", best2)
+      .select(col("cid"), col("cv"), pick.as("cell"))
+  }
+
   /** Build the IVF index once — the production split: [[ivfBuild]]
     * runs the expensive corpus passes (quantizer training + cell
     * assignment), [[IvfIndex.save]] persists the result, and any
@@ -947,6 +1063,20 @@ object Similarity {
     * After [[ivfLoad]] both index frames are parquet scans, so the
     * leader/group derivation (two-level mode) costs nlist-row work —
     * the corpus is never touched again.
+    *
+    * STALENESS CONTRACT: the index is a SNAPSHOT of the corpus at
+    * build time. A vector appended to the source table after
+    * [[ivfBuild]] is invisible to every ivfSearch against the
+    * persisted index — there is no incremental maintenance path. A
+    * pipeline that appends must either REBUILD (periodic, the
+    * production norm — the build is one linear corpus pass) or serve
+    * the delta separately and UNION the shortlists (search the stale
+    * index + brute-force the small unindexed tail, then keep the
+    * overall top-k — rank fusion is unnecessary because both sides
+    * score the same metric). Serving a grown corpus against a stale
+    * index silently degrades recall with zero errors, which is why
+    * this is a documented contract and a pinned spec
+    * (PipelineSpec "IVF index staleness"), not just behavior.
     */
   def ivfSearch(queries: DataFrame, index: IvfIndex, k: Int,
                 nprobe: Int = 8,

@@ -1634,6 +1634,37 @@ object PipelineQueries {
             .otherwise(0L).as("recall_ok"))
     },
 
+    // The dd15_recall contract replayed through the BIG-CORPUS config:
+    // semanticDedup(twoLevelAssign = true) is the switch a 100 TB
+    // SemDeDup run must use (exact-decimal assignment is quadratic at
+    // k ∝ N — 718.6 s at the 100× rehearsal vs 158.5 s two-level,
+    // SCALE.md), and until this row it was the engine's only
+    // scale-critical path with no oracle gate. The two-level argmin is
+    // approximate for boundary vectors, but a ×1.001 same-direction
+    // clone scores every leader and every member seed within 0.2% of
+    // its original, so clone/original co-assignment survives the
+    // approximation (measured 100% at all three SFs) — the ≥95% floor
+    // is the same honest bound dd15_recall pins on the exact path.
+    QueryDef("dd18_semdedup_twolevel",
+      """SELECT CAST(count(*) AS BIGINT) AS n_planted,
+        |  CAST(1 AS BIGINT) AS recall_ok
+        |FROM embeddings WHERE vec_id < 200""".stripMargin) { (s, dir) =>
+      // same planted-id collision guard as dd15_semdedup above
+      val base = embWide(s, dir).select(guardedId(col("vec_id")).as("vec_id"),
+        transform(col("embedding"), x => x.cast(DoubleType)).as("embedding"))
+      val clones = base.filter(col("vec_id") < 200)
+        .select((col("vec_id") + 100000).as("vec_id"),
+          transform(col("embedding"), x => x * lit(1.001)).as("embedding"))
+      Dedup.semanticDedup(base.unionAll(clones), 16, 0.99,
+        twoLevelAssign = true)
+        .filter(col("vec_id") >= 100000)
+        .agg(count(lit(1)).cast(LongType).as("n_planted"),
+          sum(when(col("keep"), 0L).otherwise(1L)).as("_flagged"))
+        .select(col("n_planted"),
+          when(col("_flagged") * 100 >= col("n_planted") * 95, 1L)
+            .otherwise(0L).as("recall_ok"))
+    },
+
     // ================= text analysis =================
 
     QueryDef("ta01_term_freq",
@@ -2775,6 +2806,28 @@ object PipelineQueries {
       val p = new org.apache.hadoop.fs.Path(idxDir)
       p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
       res
+    },
+
+    // IVF-PQ under the BIG-CORPUS coarse assignment: sim07's composed
+    // architecture with twoLevelAssign = true — candidates pick their
+    // cell through √nlist leader groups (top-2 spill) instead of the
+    // exact N·nlist fold, the same quadratic-killer sim13 gates for
+    // plain IVF. The candidate-side approximation moves boundary
+    // candidates into near-best cells, costing ~0.06–0.10 recall vs
+    // exact assignment at the same geometry; nprobe rises 8 → 12 to
+    // buy margin, the sim13 convention (measured two-level recall
+    // 0.88/0.88/0.86 across the three SFs vs exact 0.96/0.96/0.94 —
+    // RecallProbe ivfpq2) over sim07's floor 80.
+    QueryDef("sim17_ivfpq_two_level",
+      """SELECT CAST(q.nq * least(5, c.n_all - 1) AS BIGINT) AS n_exact,
+        |  CAST(1 AS BIGINT) AS recall_ok
+        |FROM (SELECT count(*) AS nq FROM embeddings WHERE vec_id < 10) q,
+        |     (SELECT count(*) AS n_all FROM embeddings) c""".stripMargin) { (s, dir) =>
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 10)
+      recallFloor(Similarity.l2TopK(q, e, 5),
+        Similarity.ivfPqTopK(q, e, 5, nprobe = 12, twoLevelAssign = true),
+        floorPct = 80)
     },
 
     // Retrieval EVALUATION: recall@5 / MRR / nDCG@5 of the exact dense

@@ -114,6 +114,18 @@ object RecallProbe {
       val s = (System.nanoTime() - t0) / 1e9
       println(f"[recall] ivfpq nlist=$nlist%2d nprobe=$nprobe%d refine=$refine%d recall=$r%.3f  ${s}%.1f s")
     }
+    // IVF-PQ with the two-level candidate-side coarse assignment (the
+    // sim17 gate config) vs the exact assignment at the same geometry
+    // — the recall cost of the big-corpus switch in isolation
+    for ((nlist, nprobe) <- Seq((8, 4), (16, 8), (16, 10), (16, 12))
+         if section("ivfpq2")) {
+      val t0 = System.nanoTime()
+      val rx = recallL2(Similarity.ivfPqTopK(q, e, 5, nlist, nprobe))
+      val r2 = recallL2(Similarity.ivfPqTopK(q, e, 5, nlist, nprobe,
+        twoLevelAssign = true))
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"[recall] ivfpq2 nlist=$nlist%2d nprobe=$nprobe%2d exact=$rx%.3f twoLevel=$r2%.3f  ${s}%.1f s")
+    }
     spark.stop()
   }
 }

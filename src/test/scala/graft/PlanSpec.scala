@@ -532,6 +532,31 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("dd18: two-level SemDeDup keeps the dd15 shape — cell-blocked equi-join, fold assignment") {
+    // the big-corpus config must inherit every dd15 plan guarantee:
+    // the τ-join keys on the cluster id (never all-pairs), and both
+    // assignment levels are per-row folds over broadcast group rows —
+    // no struct-buffer SortAggregate, no rank window
+    val plan = planOf("dd18_semdedup_twolevel")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("SortAggregate"), plan)
+    assert(!plan.contains("Window"), plan)
+    val pairJoinIsEqui = plan.contains("SortMergeJoin") ||
+      plan.contains("ShuffledHashJoin") || plan.contains("BroadcastHashJoin")
+    assert(pairJoinIsEqui, plan)
+  }
+
+  test("sim17: two-level IVF-PQ stays fold-assigned and window-free") {
+    // candidate cell pick = per-row best-2-groups fold over ONE
+    // broadcast nested-group row; every bounded top-k is TopKAgg —
+    // nothing may plan as a rank window, a struct-buffer
+    // SortAggregate, or an unbroadcast cartesian
+    val plan = planOf("sim17_ivfpq_two_level")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("SortAggregate"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("sim12: corpus-wide kNN graph never broadcasts the query side") {
     // queries = the whole corpus: both sides must assign to cells
     // map-side (broadcast centroids only) and meet in an equi-join on
