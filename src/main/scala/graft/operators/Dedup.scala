@@ -688,12 +688,17 @@ object Dedup {
     * At corpus scale, k grows with N (the paper runs ~100k clusters for
     * 100M+ embeddings) so clusters stay bounded-size; boundary-
     * straddling near-dups are the accepted recall loss, exactly as the
-    * paper frames it.
+    * paper frames it. Because k ∝ N also makes the exact assignment
+    * fold quadratic, the two-level assignment engages automatically at
+    * k ≥ `twoLevelAutoK` (default 512 — safely above every gate's
+    * k=16, safely below the measured 718 s k=1600 wall); see the
+    * switch note in the body.
     */
   def semanticDedup(emb: DataFrame, k: Int, tau: Double,
                     idCol: String = "vec_id",
                     vecCol: String = "embedding",
-                    twoLevelAssign: Boolean = false): DataFrame = {
+                    twoLevelAssign: Boolean = false,
+                    twoLevelAutoK: Int = 512): DataFrame = {
     require(k > 0 && tau > 0.0, "need k > 0 and tau > 0")
     def decV(c: Column): Column =
       transform(c, x => x.cast(DoubleType).cast(DecimalType(12, 6)))
@@ -706,9 +711,17 @@ object Dedup {
     // 100× rehearsal): blocking cells become approximate for boundary
     // vectors, but EXACT duplicates still co-assign with certainty
     // (identical vectors fold identically), so the clone-recall
-    // contract survives. Gates keep the exact path.
+    // contract survives. The switch also engages ITSELF at k ≥
+    // twoLevelAutoK (the ev09 knownKeyCount guard pattern): in the
+    // SemDeDup regime k scales with the corpus, so k — known
+    // statically, no corpus count needed — IS the quadratic-wall
+    // signal, and a 100 TB run must not depend on the caller knowing
+    // a flag exists. Pass twoLevelAutoK = Int.MaxValue to force the
+    // exact path at any k. Gates run k=16 (exact) and the dd18 gate
+    // pins the two-level path explicitly.
     val assigned =
-      if (twoLevelAssign) Clustering.assignToSeedsTwoLevel(emb, k, idCol, vecCol)
+      if (twoLevelAssign || k >= twoLevelAutoK)
+        Clustering.assignToSeedsTwoLevel(emb, k, idCol, vecCol)
       else Clustering.assignToSeeds(emb, k, idCol, vecCol)
     val e = emb.select(col(idCol).as("_id"), decV(col(vecCol)).as("_x"))
       .join(assigned.select(col(idCol).as("_id"), col("cluster")), "_id")

@@ -718,6 +718,26 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got(20L) == ((0L, None, true)), got(20L))
   }
 
+  test("semanticDedup: k >= twoLevelAutoK engages the two-level assignment by itself") {
+    // the 100 TB default must not depend on a caller knowing the flag:
+    // at k past the threshold, the auto path must produce EXACTLY what
+    // an explicit twoLevelAssign = true produces, and the disarmed
+    // (autoK = MaxValue) run must replay the exact-assign path
+    val e = graft.Tables.load(spark, sf, "embeddings")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("vec_id").collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]), r.getBoolean(3))).toSeq
+    val auto = rows(graft.operators.Dedup
+      .semanticDedup(e, 16, 0.99, twoLevelAutoK = 16))
+    val explicitTl = rows(graft.operators.Dedup
+      .semanticDedup(e, 16, 0.99, twoLevelAssign = true))
+    assert(auto == explicitTl, "auto threshold did not engage the two-level path")
+    val exact = rows(graft.operators.Dedup
+      .semanticDedup(e, 16, 0.99, twoLevelAutoK = Int.MaxValue))
+    val gateDefault = rows(graft.operators.Dedup.semanticDedup(e, 16, 0.99))
+    assert(exact == gateDefault, "disarmed autoK diverged from the default exact path")
+  }
+
   test("distributionDrift: zero PSI on identical snapshots, >0 on shift") {
     val vals = (0 until 200).map(i => (i.toLong, (i % 50).toDouble)).toDF("id", "v")
     val same = graft.operators.Quality
