@@ -2830,6 +2830,76 @@ object PipelineQueries {
         floorPct = 80)
     },
 
+    // FILTERED vector search, pre-filter flavor — the production
+    // "tenant/language/visibility predicate + ANN" composition every
+    // serving stack needs. The metadata predicate restricts the
+    // CANDIDATE side before any vector math: at 100 TB the label
+    // filter reaches the parquet scan (PushedFilters — PlanSpec pins
+    // it), so the engine reads 30% of the corpus instead of scoring
+    // 100% and discarding 70% post-hoc. Full oracle: sim01's exact
+    // formulation with the candidate filter folded in — same decimal
+    // dots, same tie-breaks, bit-identical.
+    QueryDef("sim18_filtered_search",
+      """WITH e0 AS (SELECT vec_id, unnest(embedding) AS rawx,
+        |                    unnest(range(1, len(embedding) + 1)) AS i
+        |             FROM embeddings),
+        | e AS (SELECT vec_id, i,
+        |       CAST(CAST(rawx AS DOUBLE) AS DECIMAL(12,6)) AS x FROM e0),
+        | allow AS (SELECT vec_id FROM embeddings WHERE label IN (2, 5, 7)),
+        | n AS (SELECT vec_id, sum(x * x) AS nrm FROM e GROUP BY vec_id),
+        | d AS (SELECT q.vec_id AS qid, c.vec_id AS cid, sum(q.x * c.x) AS dot
+        |       FROM e q JOIN e c ON q.i = c.i
+        |       JOIN allow a ON a.vec_id = c.vec_id
+        |       WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+        |       GROUP BY 1, 2),
+        | sim AS (SELECT qid, cid,
+        |           CAST(dot AS DOUBLE) /
+        |             sqrt(CAST(nq.nrm AS DOUBLE) * CAST(nc.nrm AS DOUBLE)) AS sim
+        |         FROM d
+        |         JOIN n nq ON nq.vec_id = qid
+        |         JOIN n nc ON nc.vec_id = cid)
+        |SELECT qid, cid, sim, rank FROM
+        |  (SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS BIGINT) AS rank
+        |   FROM sim) r
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin) { (s, dir) =>
+      val e = emb(s, dir)
+      Similarity.cosineTopK(e.filter(col("vec_id") < 10),
+        e.filter(col("label").isin(2, 5, 7)), 5, exact = true)
+    },
+
+    // FILTERED vector search, post-filter flavor — the shape a stack
+    // is forced into when the index is already built over the FULL
+    // corpus (per-predicate indexes don't exist): over-fetch an
+    // UNfiltered ANN shortlist, apply the predicate, re-rank. The
+    // over-fetch factor is the starvation control: a bare top-5
+    // post-filtered at ~30% selectivity starves (expected ~1.5
+    // surviving rows), so the shortlist is 10·k before the filter.
+    // Invariant gate: ≥70% of the exact FILTERED top-5 recovered
+    // (measured 0.94/0.86/0.96 across the three SFs at the 10·k
+    // over-fetch; a 3·k fetch sits at 0.72–0.86 — the fetch depth IS
+    // the starvation/recall lever, RecallProbe `pf` sweep; pre-filter
+    // sim18 is the design to prefer when the predicate is known at
+    // build time).
+    QueryDef("sim19_postfilter_ann",
+      """SELECT CAST(q.nq * least(5, c.n_allow) AS BIGINT) AS n_exact,
+        |  CAST(1 AS BIGINT) AS recall_ok
+        |FROM (SELECT count(*) AS nq FROM embeddings WHERE vec_id < 10) q,
+        |     (SELECT count(*) AS n_allow FROM embeddings
+        |      WHERE label IN (2, 5, 7)) c""".stripMargin) { (s, dir) =>
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 10)
+      val allowed = e.filter(col("label").isin(2, 5, 7))
+      val short = Similarity.ivfTopK(q, e, 50, nlist = 16, nprobe = 10)
+        .join(allowed.select(col("vec_id").as("cid")), "cid")
+      val rr = short
+        .groupBy(col("qid"))
+        .agg(graft.functions.TopKAgg.top_k(col("sim"), col("cid"), 5,
+          ascending = false).as("_tk"))
+        .select(col("qid"), posexplode(col("_tk")))
+        .select(col("qid"), col("col.id").as("cid"))
+      recallFloor(Similarity.cosineTopK(q, allowed, 5), rr, floorPct = 70)
+    },
+
     // Retrieval EVALUATION: recall@5 / MRR / nDCG@5 of the exact dense
     // shortlist against label-match relevance (same-label candidates
     // are the relevant set — the embeddings table's planted cluster

@@ -114,6 +114,27 @@ object RecallProbe {
       val s = (System.nanoTime() - t0) / 1e9
       println(f"[recall] ivfpq nlist=$nlist%2d nprobe=$nprobe%d refine=$refine%d recall=$r%.3f  ${s}%.1f s")
     }
+    // post-filter ANN (sim19): over-fetched unfiltered IVF shortlist,
+    // label predicate applied after, re-ranked — recall vs the exact
+    // FILTERED top-5, across over-fetch depths
+    if (section("pf")) {
+      val allowed = e.filter(col("label").isin(2, 5, 7))
+      val exactF = Similarity.cosineTopK(q, allowed, 5)
+        .select("qid", "cid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      for (fetch <- Seq(15, 25, 50)) {
+        val short = Similarity.ivfTopK(q, e, fetch, nlist = 16, nprobe = 10)
+          .join(allowed.select(col("vec_id").as("cid")), "cid")
+        val rr = short.groupBy(col("qid"))
+          .agg(graft.functions.TopKAgg.top_k(col("sim"), col("cid"), 5,
+            ascending = false).as("_tk"))
+          .select(col("qid"), explode(col("_tk")).as("_e"))
+          .select(col("qid"), col("_e.id").as("cid"))
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        val rec = rr.count(exactF.contains).toDouble / exactF.size
+        println(f"[recall] postfilter fetch=$fetch%3d recall=$rec%.3f")
+      }
+    }
     // IVF-PQ with the two-level candidate-side coarse assignment (the
     // sim17 gate config) vs the exact assignment at the same geometry
     // — the recall cost of the big-corpus switch in isolation

@@ -557,6 +557,31 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("sim18: the metadata predicate reaches the candidate parquet scan") {
+    // pre-filter vector search is only the right design if the filter
+    // PRUNES THE SCAN: at 100 TB the label In-filter must appear in
+    // PushedFilters on the embeddings read (the engine reads ~30% of
+    // the corpus), and the rank must stay a bounded top_k agg — a
+    // post-scan Filter over a full read would silently degrade to the
+    // score-everything shape sim19 exists to bound
+    val plan = planOf("sim18_filtered_search")
+    assert(plan.contains("PushedFilters: [In(label"), plan)
+    assert(plan.contains("partial_top_k"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("sim19: post-filter re-rank stays bounded — no window, no cartesian") {
+    // the over-fetched shortlist is ≤ fetch·nq rows by construction;
+    // the predicate join and the final top-5 re-rank must ride that
+    // bounded frame (TopKAgg partial), never a rank window or an
+    // unbroadcast cartesian over the corpus
+    val plan = planOf("sim19_postfilter_ann")
+    assert(plan.contains("partial_top_k"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("sim12: corpus-wide kNN graph never broadcasts the query side") {
     // queries = the whole corpus: both sides must assign to cells
     // map-side (broadcast centroids only) and meet in an equi-join on
