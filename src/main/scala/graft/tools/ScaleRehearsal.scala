@@ -175,7 +175,10 @@ object ScaleRehearsal {
           ("10x k=160", s"$work/embeddings10x.parquet", 160),
           ("100x k=1600", s"$work/embeddings100x.parquet", 1600))) {
         measure(f"dd15_semdedup $tag%-11s") {
-          Dedup.semanticDedup(embAt(ep), k, 0.99)
+          // twoLevelAutoK disarmed: this leg MEASURES the exact-assign
+          // wall the auto heuristic exists to avoid
+          Dedup.semanticDedup(embAt(ep), k, 0.99,
+            twoLevelAutoK = Int.MaxValue)
             .filter(!col("keep")).count()
         }
       }
@@ -200,6 +203,142 @@ object ScaleRehearsal {
           Similarity.ivfTopK(e, e, 3, nlist = nlist, nprobe = 6,
             twoLevelAssign = true).count()
         }
+      }
+      spark.stop()
+      return
+    }
+
+    // r17 mode: the three second-decade rows this round adds —
+    // gr02 connected components (the heaviest graph row without a
+    // measured 100×: convergence rounds × checkpoint cost is the term
+    // to pin), IVF-PQ candidate assignment exact vs two-level at
+    // corpus-scaled nlist (the sim17 quadratic-killer, measured), and
+    // the st08 CDC merge contract (per-batch cost O(batch + touched
+    // buckets), never O(table)) one and two decades out.
+    if (args.lift(2).contains("r17")) {
+      def ensure(path: String)(gen: => Unit): Unit = {
+        val p = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+        val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!f.exists(p)) gen
+      }
+      // --- gr02: 100 id-offset disjoint graph copies (component
+      // structure preserved per copy, so the min-label fixpoint needs
+      // the same round count at every decade — wall must scale with
+      // |E|·rounds, the BSP contract, plus the per-round checkpoint
+      // fixed cost that dominates at 1×)
+      ensure(s"$work/edges1x.parquet") {
+        val ps = graft.Tables.load(spark, sfDir, "lineitem")
+          .select("l_orderkey", "l_suppkey").distinct()
+        ps.select(col("l_orderkey"), col("l_suppkey").as("s1"))
+          .join(ps.select(col("l_orderkey"), col("l_suppkey").as("s2")),
+            "l_orderkey")
+          .filter(col("s1") < col("s2"))
+          .groupBy("s1", "s2").agg(count(lit(1)).as("w"))
+          .filter(col("w") >= 5)
+          .select(col("s1").as("src"), col("s2").as("dst"))
+          .write.mode("overwrite").parquet(s"$work/edges1x.parquet")
+      }
+      for (f <- Seq(10, 100))
+        ensure(s"$work/edges${f}x.parquet") {
+          replicate(spark.read.parquet(s"$work/edges1x.parquet"), f, { (d, k) =>
+            d.select((col("src") + lit(k * 10000000L)).as("src"),
+              (col("dst") + lit(k * 10000000L)).as("dst"))
+          }).write.mode("overwrite").parquet(s"$work/edges${f}x.parquet")
+        }
+      for ((tag, pth) <- Seq(("1x", s"$work/edges1x.parquet"),
+          ("10x", s"$work/edges10x.parquet"),
+          ("100x", s"$work/edges100x.parquet"))) {
+        measure(s"gr02_components    $tag") {
+          Dedup.connectedComponents(spark.read.parquet(pth)).count()
+        }
+      }
+
+      // --- sim07 IVF-PQ at corpus-scaled nlist (the dd15 k ∝ N
+      // lesson): exact candidate assignment folds N·nlist L2
+      // distances — the quadratic term — while the two-level path
+      // folds g + 2·(nlist/g) per candidate. Serving queries stay the
+      // 10 originals, so probe/ADC/re-rank cost is flat across
+      // decades and the curve isolates the assignment term.
+      ensure(s"$work/embeddings10x.parquet") {
+        replicate(emb, 10, { (d, k) =>
+          d.select((col("vec_id") + lit(k * 10000000L)).as("vec_id"),
+            col("embedding"))
+        }).write.mode("overwrite").parquet(s"$work/embeddings10x.parquet")
+      }
+      ensure(s"$work/embeddings100x.parquet") {
+        replicate(emb, 100, { (d, k) =>
+          d.select((col("vec_id") + lit(k * 10000000L)).as("vec_id"),
+            col("embedding"))
+        }).write.mode("overwrite").parquet(s"$work/embeddings100x.parquet")
+      }
+      for ((tag, ep, nlist) <- Seq(("1x", s"$sfDir/embeddings.parquet", 16),
+          ("10x", s"$work/embeddings10x.parquet", 160),
+          ("100x", s"$work/embeddings100x.parquet", 1600))) {
+        val e = embAt(ep)
+        val q = e.filter(col("vec_id") < 10)
+        measure(f"sim07_ivfpq n=$nlist%-5d $tag%-4s") {
+          Similarity.ivfPqTopK(q, e, 5, nlist = nlist,
+            nprobe = math.min(nlist, 12)).count()
+        }
+        if (nlist > 16) measure(f"sim07_2lv   n=$nlist%-5d $tag%-4s") {
+          Similarity.ivfPqTopK(q, e, 5, nlist = nlist,
+            nprobe = math.min(nlist, 12), twoLevelAssign = true).count()
+        }
+      }
+
+      // --- st08 CDC merge, two decades out. Keys grow with the
+      // corpus (replicas offset user_id), `buckets` scales with the
+      // table per the StreamingJobs scale note (8 / 80 / 800 — fixed
+      // expected bytes per bucket), and each decade measures:
+      //   build  — batch 0 = the full corpus (touches all buckets;
+      //            linear table build, the uninteresting baseline)
+      //   update — batch 1 = a CONSTANT-size batch for 5 fixed users
+      //            (≤ 5 touched buckets): the contract says its cost
+      //            is O(batch + 5/buckets of the table), so the wall
+      //            and the rewritten bytes must stay ~flat while the
+      //            table grows 100×
+      // This drives cdcApplyBatch — the exact foreachBatch body the
+      // streaming query runs; the wrapper adds only source listing.
+      val ev = graft.Tables.load(spark, sfDir, "events")
+        .select("event_id", "ts", "user_id")
+      for (f <- Seq(1, 10, 100))
+        ensure(s"$work/events_cdc${f}x.parquet") {
+          replicate(ev, f, { (d, k) =>
+            d.select((col("event_id") + lit(k * 100000000L)).as("event_id"),
+              col("ts"), (col("user_id") + lit(k * 10000000L)).as("user_id"))
+          }).write.mode("overwrite").parquet(s"$work/events_cdc${f}x.parquet")
+        }
+      val hotUsers = ev.select("user_id").distinct().orderBy("user_id")
+        .limit(5).collect().map(_.getLong(0))
+      val fs = new org.apache.hadoop.fs.Path(work)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def dirBytes(p: String): Long = {
+        val hp = new org.apache.hadoop.fs.Path(p)
+        if (fs.exists(hp)) fs.getContentSummary(hp).getLength else 0L
+      }
+      for ((tag, f) <- Seq(("1x", 1), ("10x", 10), ("100x", 100))) {
+        val buckets = 8 * f
+        val wd = s"$work/cdc_$tag"
+        fs.delete(new org.apache.hadoop.fs.Path(wd), true)
+        val full = spark.read.parquet(s"$work/events_cdc${f}x.parquet")
+        val nFull = full.count()
+        measure(f"st08_cdc_build  b=$buckets%-4d $tag%-4s") {
+          graft.streaming.StreamingJobs.cdcApplyBatch(full, 0, wd, buckets)
+          nFull
+        }
+        // table size captured BEFORE the update: its GC deletes the
+        // displaced gen0 buckets, so a later gen0 reading undercounts
+        val tableBytes = dirBytes(s"$wd/gen0")
+        val upd = ev.filter(col("user_id").isin(hotUsers.map(Long.box): _*))
+          .select((col("event_id") + lit(900000000L)).as("event_id"),
+            (col("ts") + expr("INTERVAL 1 HOUR")).as("ts"), col("user_id"))
+        val nUpd = upd.count()
+        measure(f"st08_cdc_update b=$buckets%-4d $tag%-4s") {
+          graft.streaming.StreamingJobs.cdcApplyBatch(upd, 1, wd, buckets)
+          nUpd
+        }
+        println(f"[scale-cdc] $tag%-4s table=${tableBytes / 1e6}%9.1f MB" +
+          f"  update_rewrote=${dirBytes(s"$wd/gen1") / 1e6}%9.3f MB")
       }
       spark.stop()
       return
