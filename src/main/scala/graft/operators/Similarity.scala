@@ -1073,7 +1073,8 @@ object Similarity {
     * the delta separately and UNION the shortlists (search the stale
     * index + brute-force the small unindexed tail, then keep the
     * overall top-k — rank fusion is unnecessary because both sides
-    * score the same metric). Serving a grown corpus against a stale
+    * score the same metric; shipped as [[ivfSearchWithDelta]], gated
+    * by sim20). Serving a grown corpus against a stale
     * index silently degrades recall with zero errors, which is why
     * this is a documented contract and a pinned spec
     * (PipelineSpec "IVF index staleness"), not just behavior.
@@ -1081,7 +1082,48 @@ object Similarity {
   def ivfSearch(queries: DataFrame, index: IvfIndex, k: Int,
                 nprobe: Int = 8,
                 twoLevelAssign: Boolean = false, leaderGroups: Int = 3,
-                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    presentTopK(ivfPairs(queries, index, nprobe, twoLevelAssign,
+      leaderGroups, idCol, vecCol), k)
+
+  /** Serve top-`k` against a STALE [[IvfIndex]] plus the unindexed
+    * `delta` — the union mitigation the staleness contract above
+    * names: probe the persisted snapshot as usual, brute-force the
+    * small appended tail, and keep the overall top-k from the merged
+    * pair stream. No rank fusion is needed because both arms score
+    * the identical double cosine (dot / (‖q‖·‖c‖), norms via the same
+    * sqrt-of-self-dot), so scores are directly comparable — the merge
+    * is one bounded TopKAgg over both arms' ≤ k-per-partition partial
+    * buffers, never a second shuffle of either corpus.
+    *
+    * CONTRACT: `delta` must be DISJOINT from the indexed corpus (it is
+    * the rows appended after [[ivfBuild]]). A vector present in both
+    * would score twice and occupy two shortlist slots — this is the
+    * caller's append log, not a general union. The delta arm is EXACT
+    * (every delta candidate scored), so recall over the delta slice is
+    * 1.0 and overall recall is bounded below by the stale index's
+    * recall on the indexed slice — appending data can only ever help.
+    *
+    * Scale shape: the delta is small by construction (it is what has
+    * arrived since the last periodic rebuild) and rides the broadcast
+    * query side exactly like [[cosineTopK]]; when the delta stops
+    * being small, that IS the rebuild signal.
+    */
+  def ivfSearchWithDelta(queries: DataFrame, index: IvfIndex,
+                         delta: DataFrame, k: Int, nprobe: Int = 8,
+                         twoLevelAssign: Boolean = false,
+                         leaderGroups: Int = 3,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataFrame = {
+    val indexed = ivfPairs(queries, index, nprobe, twoLevelAssign,
+      leaderGroups, idCol, vecCol)
+    val fresh = scoredPairs(queries, delta, idCol, vecCol, exact = false)
+    presentTopK(indexed.unionByName(fresh), k)
+  }
+
+  private def ivfPairs(queries: DataFrame, index: IvfIndex, nprobe: Int,
+                       twoLevelAssign: Boolean, leaderGroups: Int,
+                       idCol: String, vecCol: String): DataFrame = {
     requireIntegralId(queries, idCol)
     val probes =
       if (twoLevelAssign) {
@@ -1099,6 +1141,10 @@ object Similarity {
       .filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid").cast(LongType).as("cid"),
         (ivfDot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("sim"))
+  }
+
+  private def presentTopK(pairs: DataFrame, k: Int): DataFrame =
+    pairs
       .groupBy(col("qid"))
       .agg(TopKAgg.top_k(col("sim"), col("cid"), k, ascending = false)
         .as("_tk"))
@@ -1106,7 +1152,6 @@ object Similarity {
       .select(col("qid"), col("col.id").as("cid"), col("col.score").as("sim"),
         (col("pos") + 1).cast(LongType).as("rank"))
       .orderBy("qid", "rank")
-  }
 
   /** √nlist leader-group count of a (possibly loaded) quantizer. One
     * tiny count over the centroid table — nlist rows, never the

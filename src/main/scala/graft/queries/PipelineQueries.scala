@@ -2900,6 +2900,31 @@ object PipelineQueries {
       recallFloor(Similarity.cosineTopK(q, allowed, 5), rr, floorPct = 70)
     },
 
+    // STALE-INDEX + DELTA serving — the staleness contract's shipped
+    // mitigation (Similarity.ivfSearch scaladoc): the index is a
+    // snapshot, so rows appended after ivfBuild are invisible to every
+    // search against it, silently, with zero errors. Here the corpus
+    // as of build time is the vec_id % 10 != 9 slice; the % 10 == 9
+    // slice plays the append log; ivfSearchWithDelta probes the stale
+    // index AND brute-forces the delta, keeping one bounded top-k from
+    // the merged pair stream (both arms score the identical double
+    // cosine — no rank fusion needed). Invariant gate: ≥85% of the
+    // exact top-5 over the FULL grown corpus recovered (sim16's floor;
+    // the delta arm is exact, so appended rows can never be silently
+    // lost — the precise failure mode the contract documents).
+    QueryDef("sim20_ivf_stale_delta",
+      """SELECT CAST(q.nq * least(5, c.n_all - 1) AS BIGINT) AS n_exact,
+        |  CAST(1 AS BIGINT) AS recall_ok
+        |FROM (SELECT count(*) AS nq FROM embeddings WHERE vec_id < 10) q,
+        |     (SELECT count(*) AS n_all FROM embeddings) c""".stripMargin) { (s, dir) =>
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 10)
+      val idx = Similarity.ivfBuild(e.filter(col("vec_id") % 10 =!= 9))
+      val served = Similarity.ivfSearchWithDelta(q, idx,
+        e.filter(col("vec_id") % 10 === 9), 5)
+      recallFloor(Similarity.cosineTopK(q, e, 5), served, floorPct = 85)
+    },
+
     // Retrieval EVALUATION: recall@5 / MRR / nDCG@5 of the exact dense
     // shortlist against label-match relevance (same-label candidates
     // are the relevant set — the embeddings table's planted cluster

@@ -332,22 +332,22 @@ class PipelineSpec extends AnyFunSuite {
       .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(stale.nonEmpty && stale.forall { case (_, c) => c < 900000L },
       "stale index served a post-build row — the snapshot contract broke")
-    // the rebuild-or-union remedy, union flavor: brute-force the small
-    // unindexed tail (same cosine metric, so the scores are
-    // comparable) and keep the overall top-k — every query must now
-    // surface its planted exact-dup clone at the top
-    val tailHits = Similarity.cosineTopK(q, tail, 5, exact = false)
-      .select("qid", "cid", "sim")
-    val fused = Similarity.ivfSearch(q, idx, 5).select("qid", "cid", "sim")
-      .unionAll(tailHits)
-      .withColumn("_r", org.apache.spark.sql.functions.row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy("qid").orderBy($"sim".desc, $"cid")))
-      .filter($"_r" <= 5)
+    // the rebuild-or-union remedy, now a SHIPPED operator
+    // (ivfSearchWithDelta, sim20's gate surface): every query must
+    // surface its planted exact-dup clone at the top of the fused
+    // shortlist — the delta arm is exact, so an appended row can
+    // never be silently lost
+    val fused = Similarity.ivfSearchWithDelta(q, idx, tail, 5)
       .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1)))
     val byQ = fused.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
     assert(byQ.size == 3 && byQ.forall { case (qq, cs) => cs(qq + 900000L) },
       s"union-the-tail failed to surface a planted clone: ${byQ.toMap}")
+    // an empty append log degenerates to the plain stale search,
+    // row-for-row — the delta arm must add nothing, not perturb ranks
+    val emptyDelta = tail.filter($"vec_id" < 0)
+    assert(Similarity.ivfSearchWithDelta(q, idx, emptyDelta, 5)
+      .collect().toSeq == Similarity.ivfSearch(q, idx, 5).collect().toSeq,
+      "empty delta perturbed the stale search results")
   }
 
   test("assignToSeedsTwoLevel: deterministic, clones co-assign, agrees with exact") {

@@ -582,6 +582,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("sim20: stale-index + delta fusion merges in ONE bounded top-k") {
+    // both arms emit (qid, cid, sim) pair streams; the merge must be
+    // the single TopKAgg presenter (partials bounded by k on each
+    // side), never a rank window over the union — and the only
+    // non-equi join allowed is the broadcast of the 10-row query side
+    // against the small delta (cosineTopK's own shape)
+    val plan = planOf("sim20_ivf_stale_delta")
+    assert(plan.contains("partial_top_k"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("sim12: corpus-wide kNN graph never broadcasts the query side") {
     // queries = the whole corpus: both sides must assign to cells
     // map-side (broadcast centroids only) and meet in an equi-join on
