@@ -522,18 +522,71 @@ object Similarity {
                 nlist: Int = 16, nprobe: Int = 8,
                 m: Int = 16, codes: Int = 32, shortlist: Int = 100,
                 refineIters: Int = 0, twoLevelAssign: Boolean = false,
+                twoLevelAutoNlist: Int = 512,
                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(nprobe >= 1 && nprobe <= nlist && shortlist >= k,
       "need 1 <= nprobe <= nlist and shortlist >= k")
-    requireIntegralIds(queries, candidates, idCol)
+    // self-engaging big-corpus switch, same rationale and default as
+    // ivfTopK's twoLevelAutoNlist (nlist ∝ N makes the exact candidate
+    // assignment quadratic — measured 869 s vs 179 s two-level at the
+    // 100× rehearsal, SCALE.md r17); Int.MaxValue disarms
+    val twoLevel = twoLevelAssign || nlist >= twoLevelAutoNlist
+    ivfPqSearch(queries,
+      ivfPqBuild(candidates, nlist, m, codes, refineIters, twoLevel,
+        twoLevelAutoNlist, idCol, vecCol),
+      candidates, k, nprobe, shortlist, m, idCol, vecCol)
+  }
+
+  /** A built IVF-PQ index — three plain relational tables, the
+    * persistable state of the production architecture: `coarse` is the
+    * cell quantizer (cell, cellv array<double>), `codebook` the shared
+    * residual PQ codebook (sub, _code, cvec array<double> — codes × m
+    * rows, kilobytes at any corpus size), and `codes` the coded corpus
+    * (cid, cell, sub, _code — m rows per vector, INTEGERS ONLY). The
+    * codes table is the memory-bounded serving asset: m bytes-ish per
+    * vector instead of the raw doubles; the raw corpus is NOT part of
+    * the index — the exact re-rank stage reads it from wherever it
+    * already lives (the corpus parquet), exactly like a production
+    * store keeps codes hot and fetches full vectors only for the
+    * shortlist. [[save]] persists all three as parquet;
+    * [[Similarity.ivfPqLoad]] reads them back; any engine can inspect
+    * them.
+    */
+  final case class IvfPqIndex(coarse: DataFrame, codebook: DataFrame,
+                              codes: DataFrame) {
+    def save(path: String): Unit = {
+      coarse.write.mode("overwrite").parquet(s"$path/coarse")
+      codebook.write.mode("overwrite").parquet(s"$path/codebook")
+      codes.write.mode("overwrite").parquet(s"$path/codes")
+    }
+  }
+
+  def ivfPqLoad(spark: org.apache.spark.sql.SparkSession,
+                path: String): IvfPqIndex =
+    IvfPqIndex(spark.read.parquet(s"$path/coarse"),
+      spark.read.parquet(s"$path/codebook"),
+      spark.read.parquet(s"$path/codes"))
+
+  /** Build the [[IvfPqIndex]]: coarse cells hash-seeded in-plan,
+    * candidates assigned per-row (exact fold, or the two-level
+    * leader-group fold past `nlist ≥ 512` / `twoLevelAssign` — see
+    * [[ivfPqTopK]]), residuals split into `m` subvectors and encoded
+    * against one shared `codes`-entry codebook. One linear corpus pass;
+    * every quantizer artifact is broadcast-tiny.
+    */
+  def ivfPqBuild(candidates: DataFrame,
+                 nlist: Int = 16, m: Int = 16, codes: Int = 32,
+                 refineIters: Int = 0, twoLevelAssign: Boolean = false,
+                 twoLevelAutoNlist: Int = 512,
+                 idCol: String = "vec_id",
+                 vecCol: String = "embedding"): IvfPqIndex = {
+    requireIntegralId(candidates, idCol)
+    // self-engaging big-corpus switch; Int.MaxValue disarms (ivfTopK doc)
+    val twoLevel = twoLevelAssign || nlist >= twoLevelAutoNlist
     def dbl(c: Column) = transform(c, x => x.cast(DoubleType))
-    def l2(a: Column, b: Column) =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, v) => acc + v)
     def subSplit(v: Column): Column = subSplitExplode(v, m)
 
     val cand = candidates.select(col(idCol).as("cid"), dbl(col(vecCol)).as("cv"))
-    val q = queries.select(col(idCol).cast(LongType).as("qid"), dbl(col(vecCol)).as("qv"))
 
     // coarse cells: nlist corpus vectors picked in-plan by hash bucket.
     // Two-level mode materializes them ONCE (nlist rows): the leader /
@@ -545,7 +598,7 @@ object Similarity {
         .groupBy(pmod(xxhash64(col(idCol)), lit(nlist)).as("cell"))
         .agg(min(col(idCol)).as("_sid"))), col(idCol) === col("_sid"))
       .select(col("cell"), dbl(col(vecCol)).as("cellv"))
-    val coarse = if (twoLevelAssign) coarse0.localCheckpoint() else coarse0
+    val coarse = if (twoLevel) coarse0.localCheckpoint() else coarse0
 
     // assign candidates to their nearest cell via the per-row fold
     // (cells renamed to the shared (_code, cvec) shape; no expansion,
@@ -559,7 +612,7 @@ object Similarity {
     // cost is nq·nlist, and nq is serving-bounded, not corpus-bounded
     // (a corpus-as-queries caller should use ivfTopK's two-level probe).
     val cellPick =
-      if (twoLevelAssign) ivfPqCellsTwoLevel(cand, coarse)
+      if (twoLevel) ivfPqCellsTwoLevel(cand, coarse)
       else {
         val cellArr = coarse
           .select(col("cell").as("_code"), col("cellv").as("cvec"))
@@ -593,6 +646,49 @@ object Similarity {
       .select(col("cid"), col("cell"), col("sub"),
         nearestCodeL2(col("sv")).as("_code"))
 
+    IvfPqIndex(coarse, cents, encoded)
+  }
+
+  /** Serve top-`k` L2 neighbors against a built [[IvfPqIndex]]:
+    * queries pick their `nprobe` nearest cells, build one ADC table per
+    * probed cell from the query's residual w.r.t. THAT cell's centroid,
+    * score only the probed cells' candidates over their integer codes,
+    * and exact-re-rank the `shortlist` against `rerank` — the raw
+    * corpus table (idCol, vecCol), which is NOT part of the index (a
+    * production store keeps codes hot and fetches full vectors only
+    * for the ≤ shortlist·nq re-rank rows). All quantizer artifacts are
+    * broadcast-tiny; both argmins collapse map-side.
+    *
+    * `m` (the subvector count the index was built with) is taken from
+    * the caller when positive — the fused [[ivfPqTopK]] path passes it
+    * through so no extra job runs — and otherwise derived from the
+    * persisted codebook (one max over a codes×m-row broadcast-sized
+    * table, the [[ivfPqLoad]] path). The same STALENESS CONTRACT as
+    * [[ivfSearch]] applies: the index is a snapshot; rows appended to
+    * the corpus after [[ivfPqBuild]] are invisible until a rebuild.
+    */
+  def ivfPqSearch(queries: DataFrame, index: IvfPqIndex, rerank: DataFrame,
+                  k: Int, nprobe: Int = 8, shortlist: Int = 100,
+                  m: Int = -1,
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    require(shortlist >= k, "need shortlist >= k")
+    requireIntegralId(queries, idCol)
+    val mEff =
+      if (m > 0) m
+      else index.codebook.agg(max(col("sub"))).head().getInt(0) + 1
+    def dbl(c: Column) = transform(c, x => x.cast(DoubleType))
+    def l2(a: Column, b: Column) =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, v) => acc + v)
+
+    val coarse = index.coarse
+    val cents = index.codebook
+    val encoded = index.codes
+    val cand = rerank.select(col(idCol).as("cid"), dbl(col(vecCol)).as("cv"))
+    val q = queries.select(col(idCol).cast(LongType).as("qid"),
+      dbl(col(vecCol)).as("qv"))
+
     // probe: per query the nprobe nearest cells. Only nlist rows per
     // query, but the bounded TopKAgg keeps even this stage map-side
     // (no per-query window anywhere in the plan — PlanSpec pins it);
@@ -611,7 +707,8 @@ object Similarity {
         zip_with(col("qv"), col("cellv"), (x, y) => x - y).as("qrv"))
 
     // per-(query, probed cell) ADC table against the shared codebook
-    val adc = probes.select(col("qid"), col("cell"), subSplit(col("qrv")))
+    val adc = probes.select(col("qid"), col("cell"),
+        subSplitExplode(col("qrv"), mEff))
       .withColumnRenamed("pos", "sub").withColumnRenamed("col", "qsv")
       .join(broadcast(cents), "sub")
       .select(col("qid"), col("cell"), col("sub"), col("_code"),
@@ -727,9 +824,18 @@ object Similarity {
               nlist: Int = 16, nprobe: Int = 8,
               iters: Int = 0, sampleMod: Int = 4,
               twoLevelAssign: Boolean = false, leaderGroups: Int = 3,
-              candidateGroups: Int = 2,
+              candidateGroups: Int = 2, twoLevelAutoNlist: Int = 512,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     requireIntegralIds(queries, candidates, idCol)
+    // the two-level path engages ITSELF at nlist ≥ twoLevelAutoNlist
+    // (the semanticDedup twoLevelAutoK pattern): nlist scales with the
+    // corpus in the IVF regime, so nlist — known statically — IS the
+    // quadratic-wall signal (the measured 497 s exact-assign wall at
+    // nlist=1600, SCALE.md), and a 100 TB run must not depend on the
+    // caller knowing a flag exists. Default 512: safely above every
+    // gate's nlist=16, safely below the measured wall. Pass
+    // Int.MaxValue to force the exact assignment at any nlist.
+    val twoLevel = twoLevelAssign || nlist >= twoLevelAutoNlist
     val g = math.max(1, math.round(math.sqrt(nlist.toDouble)).toInt)
     // AVERAGE-capacity sanity bound, not a guarantee: leader groups
     // are hash-picked and nearest-leader regrouping makes them uneven,
@@ -741,13 +847,13 @@ object Similarity {
     // the centroids that actually survive build (hash-bucket
     // collisions / k-means death can leave fewer), so treat this as an
     // approximate config check, not a bound on the executed geometry.
-    if (twoLevelAssign) require(nprobe <= leaderGroups * (nlist / g),
+    if (twoLevel) require(nprobe <= leaderGroups * (nlist / g),
       s"two-level probes see ~leaderGroups*(nlist/g) cells on average: " +
         s"nprobe=$nprobe > $leaderGroups*${nlist / g}")
     ivfSearch(queries,
-      ivfBuild(candidates, nlist, iters, sampleMod, twoLevelAssign,
-        candidateGroups, idCol, vecCol),
-      k, nprobe, twoLevelAssign, leaderGroups, idCol, vecCol)
+      ivfBuild(candidates, nlist, iters, sampleMod, twoLevel,
+        candidateGroups, twoLevelAutoNlist, idCol, vecCol),
+      k, nprobe, twoLevel, leaderGroups, idCol, vecCol)
   }
 
   /** A built IVF index: `centroids` is the coarse quantizer
@@ -979,8 +1085,12 @@ object Similarity {
   def ivfBuild(candidates: DataFrame,
                nlist: Int = 16, iters: Int = 0, sampleMod: Int = 4,
                twoLevelAssign: Boolean = false, candidateGroups: Int = 2,
+               twoLevelAutoNlist: Int = 512,
                idCol: String = "vec_id", vecCol: String = "embedding"): IvfIndex = {
     requireIntegralId(candidates, idCol)
+    // self-engaging big-corpus switch (nlist ∝ N ⇒ the exact candidate
+    // assignment is quadratic); Int.MaxValue disarms — see ivfTopK
+    val twoLevel = twoLevelAssign || nlist >= twoLevelAutoNlist
     // seed centroids picked ENTIRELY in-plan: min id per
     // pmod(xxhash64(id), nlist) hash bucket — ≤ nlist well-spread ids
     // with no driver-side action (an earlier candidates.count() here cost
@@ -1004,17 +1114,28 @@ object Similarity {
       .withColumn("_sn", sqrt(ivfDot(col("_sv"), col("_sv"))))
     val refined = (1 to iters).foldLeft(seeds) { (cents, _) =>
       val cn = cents.withColumn("_cn", sqrt(ivfDot(col("cvec"), col("cvec"))))
-      // map-side min(struct) argmin — the centroids dimension collapses
-      // BEFORE the exchange; ties (_d, centroid_id) match the old
-      // window's orderBy
-      sample.crossJoin(broadcast(cn))
+      // per-row codegen'd argmin fold over ONE broadcast centroid
+      // array (the r16 SortAggregate lesson applied to the refinement
+      // loop, closing the last flagged expansion site): no sample×nlist
+      // row blow-up, no struct-min SortAggregate, no groupBy exchange —
+      // each sample row picks its centroid in place. Array sorted by
+      // centroid_id asc + strict-< fold ⇒ lowest id wins ties, the
+      // old min(struct(_d, centroid_id)) semantics exactly.
+      val centArr = cn.agg(array_sort(collect_list(
+        struct(col("centroid_id"), col("cvec"), col("_cn")))).as("_cs"))
+      sample.crossJoin(broadcast(centArr))
         .select(col("_sid"), col("_sv"),
-          struct((lit(1.0) -
-            ivfDot(col("_sv"), col("cvec")) / (col("_sn") * col("_cn"))).as("_d"),
-            col("centroid_id")).as("_dc"))
-        .groupBy(col("_sid"))
-        .agg(min(col("_dc")).getField("centroid_id").as("centroid_id"),
-          first(col("_sv")).as("_sv"))
+          aggregate(col("_cs"),
+            struct(lit(null).cast(DoubleType).as("_d"),
+              lit(-1L).as("_c")),
+            (acc, s) => {
+              val d = lit(1.0) - ivfDot(col("_sv"), s.getField("cvec")) /
+                (col("_sn") * s.getField("_cn"))
+              when(acc.getField("_d").isNull || d < acc.getField("_d"),
+                struct(d.as("_d"),
+                  s.getField("centroid_id").cast(LongType).as("_c")))
+                .otherwise(acc)
+            }).getField("_c").as("centroid_id"))
         .select(col("centroid_id"), posexplode(col("_sv")))
         .groupBy(col("centroid_id"), col("pos"))
         .agg(avg(col("col").cast(DecimalType(25, 12))).cast(DoubleType).as("_m"))
@@ -1036,7 +1157,7 @@ object Similarity {
     val centroids = refined
       .withColumn("cnorm", sqrt(ivfDot(col("cvec"), col("cvec"))))
       .localCheckpoint()
-    if (twoLevelAssign) {
+    if (twoLevel) {
       // g derives from the ACTUAL surviving centroid count (hash-bucket
       // collisions and k-means death can leave < nlist), exactly as
       // ivfSearch re-derives it — build and search MUST group leaders

@@ -2925,6 +2925,38 @@ object PipelineQueries {
       recallFloor(Similarity.cosineTopK(q, e, 5), served, floorPct = 85)
     },
 
+    // IVF-PQ index BUILD/SERVE split — the sim16 lifecycle applied to
+    // the production architecture (SCALE.md calls IVF-PQ the 100 TB
+    // serving config): build coarse quantizer + residual PQ codebook +
+    // integer-coded corpus once, persist all three as plain parquet,
+    // load back, and serve with the raw corpus touched ONLY for the
+    // bounded exact re-rank (codes stay hot, full vectors fetched per
+    // shortlist — the memory-bounded store shape). Same recall-floor
+    // contract as sim07 (≥80% of the exact L2 top-5); PipelineSpec
+    // pins the round-trip row-for-row against the fused ivfPqTopK,
+    // exact-assign AND two-level.
+    QueryDef("sim21_ivfpq_index_serve",
+      """SELECT CAST(q.nq * least(5, c.n_all - 1) AS BIGINT) AS n_exact,
+        |  CAST(1 AS BIGINT) AS recall_ok
+        |FROM (SELECT count(*) AS nq FROM embeddings WHERE vec_id < 10) q,
+        |     (SELECT count(*) AS n_all FROM embeddings) c""".stripMargin) { (s, dir) =>
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 10)
+      // one deterministic, name-keyed index path per SF (the sim16
+      // hygiene: no hashCode collisions, no /tmp accumulation)
+      val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft-sim21-" +
+        dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      Similarity.ivfPqBuild(e).save(idxDir)
+      val served = Similarity.ivfPqSearch(q, Similarity.ivfPqLoad(s, idxDir),
+        e, 5)
+      val out = recallFloor(Similarity.l2TopK(q, e, 5), served, floorPct = 80)
+      // materialize the verdict before dropping the index copy
+      val res = out.localCheckpoint()
+      val p = new org.apache.hadoop.fs.Path(idxDir)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      res
+    },
+
     // Retrieval EVALUATION: recall@5 / MRR / nDCG@5 of the exact dense
     // shortlist against label-match relevance (same-label candidates
     // are the relevant set — the embeddings table's planted cluster

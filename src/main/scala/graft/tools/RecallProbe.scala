@@ -79,7 +79,7 @@ object RecallProbe {
     for (nprobe <- Seq(6, 8, 10) if section("2lv")) {
       val t0 = System.nanoTime()
       val r = recallOf(Similarity.ivfTopK(q, e, 5, nlist = nlBig,
-        nprobe = nprobe))
+        nprobe = nprobe, twoLevelAutoNlist = Int.MaxValue))
       val s = (System.nanoTime() - t0) / 1e9
       println(f"[recall] ivf nlist=$nlBig%d nprobe=$nprobe%d exact-assign recall=$r%.3f  ${s}%.1f s")
     }

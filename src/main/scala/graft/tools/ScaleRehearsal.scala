@@ -277,8 +277,11 @@ object ScaleRehearsal {
         val e = embAt(ep)
         val q = e.filter(col("vec_id") < 10)
         measure(f"sim07_ivfpq n=$nlist%-5d $tag%-4s") {
+          // autoNlist disarmed: this leg MEASURES the exact-assign
+          // wall the auto heuristic exists to avoid
           Similarity.ivfPqTopK(q, e, 5, nlist = nlist,
-            nprobe = math.min(nlist, 12)).count()
+            nprobe = math.min(nlist, 12),
+            twoLevelAutoNlist = Int.MaxValue).count()
         }
         if (nlist > 16) measure(f"sim07_2lv   n=$nlist%-5d $tag%-4s") {
           Similarity.ivfPqTopK(q, e, 5, nlist = nlist,
@@ -618,7 +621,9 @@ object ScaleRehearsal {
           ("100x", s"$work/embeddings100x.parquet", 1600))) {
         measure(f"sim12_knn nlist=$nlist%-5d $tag%-4s") {
           val e = embAt(ep)
-          Similarity.ivfTopK(e, e, 3, nlist = nlist, nprobe = 6).count()
+          // autoNlist disarmed: measuring the exact-assign wall
+          Similarity.ivfTopK(e, e, 3, nlist = nlist, nprobe = 6,
+            twoLevelAutoNlist = Int.MaxValue).count()
         }
       }
       // the fix for the assignment-bound 100× wall: two-level coarse

@@ -274,6 +274,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(agree >= 0.7, s"two-level diverges from exact assignment: $agree")
   }
 
+  test("IVF/IVF-PQ: nlist >= twoLevelAutoNlist engages the two-level path by itself") {
+    // the 100 TB default must not depend on a caller knowing the flag
+    // (the semanticDedup twoLevelAutoK contract, mirrored): at nlist
+    // past the threshold the auto path must produce EXACTLY what an
+    // explicit twoLevelAssign = true produces, and the disarmed run
+    // (autoNlist = MaxValue) must replay the exact-assign default
+    val e = Tables.load(spark, sf, "embeddings")
+    val q = e.filter($"vec_id" < 10)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "cid", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val autoIvf = rows(Similarity.ivfTopK(q, e, 5, nlist = 16, nprobe = 6,
+      twoLevelAutoNlist = 16))
+    val explIvf = rows(Similarity.ivfTopK(q, e, 5, nlist = 16, nprobe = 6,
+      twoLevelAssign = true))
+    assert(autoIvf == explIvf, "ivfTopK auto threshold did not engage two-level")
+    val disIvf = rows(Similarity.ivfTopK(q, e, 5, nlist = 16, nprobe = 6,
+      twoLevelAutoNlist = Int.MaxValue))
+    assert(disIvf == rows(Similarity.ivfTopK(q, e, 5, nlist = 16, nprobe = 6)),
+      "disarmed autoNlist diverged from the default exact ivfTopK path")
+    val autoPq = rows(Similarity.ivfPqTopK(q, e, 5, nprobe = 12,
+      twoLevelAutoNlist = 16))
+    val explPq = rows(Similarity.ivfPqTopK(q, e, 5, nprobe = 12,
+      twoLevelAssign = true))
+    assert(autoPq == explPq, "ivfPqTopK auto threshold did not engage two-level")
+    val disPq = rows(Similarity.ivfPqTopK(q, e, 5, nprobe = 12,
+      twoLevelAutoNlist = Int.MaxValue))
+    assert(disPq == rows(Similarity.ivfPqTopK(q, e, 5, nprobe = 12)),
+      "disarmed autoNlist diverged from the default exact ivfPqTopK path")
+  }
+
   test("rrfFuse: exact fusion arithmetic, missing-side zero, id tie-break") {
     val a = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("id", "rank")
     val b = Seq((20L, 1L), (40L, 2L)).toDF("id", "rank")
@@ -316,6 +347,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows(Similarity.ivfSearch(q, Similarity.ivfLoad(spark, d2), 5,
       nprobe = 10, twoLevelAssign = true)) == fused2,
       "two-level round-trip diverged from fused ivfTopK")
+  }
+
+  test("IVF-PQ build/save/load/search round-trip equals the fused ivfPqTopK row-for-row") {
+    // the production-architecture lifecycle (sim21): coarse quantizer,
+    // residual codebook, and integer codes all persist as parquet;
+    // doubles round-trip bit-exactly, so the served shortlist must be
+    // IDENTICAL to the fused path — including the ADC decimal sums —
+    // with m re-derived from the persisted codebook (the load path
+    // never receives it)
+    val e = Tables.load(spark, sf, "embeddings")
+    val q = e.filter($"vec_id" < 10)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toSeq
+    val fused = rows(Similarity.ivfPqTopK(q, e, 5))
+    val d1 = java.nio.file.Files.createTempDirectory("ivfpq-rt").toString
+    Similarity.ivfPqBuild(e).save(d1)
+    assert(rows(Similarity.ivfPqSearch(q, Similarity.ivfPqLoad(spark, d1),
+      e, 5)) == fused, "exact-assign round-trip diverged from fused ivfPqTopK")
+    // two-level build round-trip (the big-corpus config)
+    val fused2 = rows(Similarity.ivfPqTopK(q, e, 5, nprobe = 12,
+      twoLevelAssign = true))
+    val d2 = java.nio.file.Files.createTempDirectory("ivfpq-rt2").toString
+    Similarity.ivfPqBuild(e, twoLevelAssign = true).save(d2)
+    assert(rows(Similarity.ivfPqSearch(q, Similarity.ivfPqLoad(spark, d2),
+      e, 5, nprobe = 12)) == fused2,
+      "two-level round-trip diverged from fused ivfPqTopK")
   }
 
   test("IVF index staleness: post-build rows are invisible; union-the-tail serves them") {

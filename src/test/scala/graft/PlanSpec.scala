@@ -582,6 +582,28 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("sim21: served IVF-PQ stays fold-assigned, window-free, bounded") {
+    // the served path must keep every fused-plan property: integer
+    // codes meet broadcast ADC tables in an equi-join, both argmins
+    // are per-row folds (no struct-min SortAggregate), every top-k is
+    // a bounded TopKAgg — loading from parquet must not reintroduce
+    // any expansion shape. Inspect the OPERATOR plan (the gate row
+    // localCheckpoints its 1-row verdict, which hides the subtree
+    // behind a LogicalRDD scan).
+    import spark.implicits._
+    val e = Tables.load(spark, sf, "embeddings")
+    val q = e.filter($"vec_id" < 10)
+    val d = java.nio.file.Files.createTempDirectory("ivfpq-plan").toString
+    graft.operators.Similarity.ivfPqBuild(e).save(d)
+    val plan = graft.operators.Similarity
+      .ivfPqSearch(q, graft.operators.Similarity.ivfPqLoad(spark, d), e, 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_top_k"), plan)
+    assert(!plan.contains("SortAggregate"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("sim20: stale-index + delta fusion merges in ONE bounded top-k") {
     // both arms emit (qid, cid, sim) pair streams; the merge must be
     // the single TopKAgg presenter (partials bounded by k on each
