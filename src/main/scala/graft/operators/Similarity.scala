@@ -671,7 +671,34 @@ object Similarity {
                   k: Int, nprobe: Int = 8, shortlist: Int = 100,
                   m: Int = -1,
                   idCol: String = "vec_id",
-                  vecCol: String = "embedding"): DataFrame = {
+                  vecCol: String = "embedding"): DataFrame =
+    ivfPqServe(queries, index, rerank, None, k, nprobe, shortlist, m,
+      idCol, vecCol)
+
+  /** [[ivfPqSearch]] against a STALE [[IvfPqIndex]] plus the unindexed
+    * `delta` — the same union mitigation [[ivfSearchWithDelta]] ships
+    * for plain IVF, placed where the PQ pipeline makes it free: every
+    * delta candidate joins the ADC shortlist straight into the EXACT
+    * L2 re-rank stage (which scores raw vectors anyway), so the delta
+    * arm needs no codes, no cells, and no separate scoring pass — the
+    * fused re-rank ranks stale-shortlist and appended rows on the one
+    * exact metric. Same disjointness contract as ivfSearchWithDelta:
+    * `delta` is the append log since the last [[ivfPqBuild]], never a
+    * general union; when it stops being small, rebuild.
+    */
+  def ivfPqSearchWithDelta(queries: DataFrame, index: IvfPqIndex,
+                           rerank: DataFrame, delta: DataFrame, k: Int,
+                           nprobe: Int = 8, shortlist: Int = 100,
+                           m: Int = -1,
+                           idCol: String = "vec_id",
+                           vecCol: String = "embedding"): DataFrame =
+    ivfPqServe(queries, index, rerank, Some(delta), k, nprobe, shortlist,
+      m, idCol, vecCol)
+
+  private def ivfPqServe(queries: DataFrame, index: IvfPqIndex,
+                         rerank: DataFrame, delta: Option[DataFrame],
+                         k: Int, nprobe: Int, shortlist: Int, m: Int,
+                         idCol: String, vecCol: String): DataFrame = {
     require(shortlist >= k, "need shortlist >= k")
     requireIntegralId(queries, idCol)
     val mEff =
@@ -685,7 +712,12 @@ object Similarity {
     val coarse = index.coarse
     val cents = index.codebook
     val encoded = index.codes
-    val cand = rerank.select(col(idCol).as("cid"), dbl(col(vecCol)).as("cv"))
+    // the re-rank vector source: the indexed corpus, plus the appended
+    // tail when serving a stale index — disjoint by contract, so the
+    // union never double-scores a candidate
+    val cand0 = rerank.select(col(idCol).as("cid"), dbl(col(vecCol)).as("cv"))
+    val cand = delta.fold(cand0)(d => cand0.unionByName(
+      d.select(col(idCol).as("cid"), dbl(col(vecCol)).as("cv"))))
     val q = queries.select(col(idCol).cast(LongType).as("qid"),
       dbl(col(vecCol)).as("qv"))
 
@@ -727,7 +759,16 @@ object Similarity {
       .select(col("qid"), explode(col("_tk")).as("_e"))
       .select(col("qid"), col("_e.id").as("cid"))
 
-    short
+    // delta arm: EVERY appended candidate enters every query's re-rank
+    // set (the tail is small by contract — it rides the broadcast of
+    // the nq-bounded query-id side), where the exact L2 ranks it
+    // against the stale shortlist on the one shared metric
+    val rerankSet = delta.fold(short)(d => short.unionByName(
+      broadcast(q.select(col("qid")))
+        .crossJoin(d.select(col(idCol).cast(LongType).as("cid")))
+        .filter(col("qid") =!= col("cid"))))
+
+    rerankSet
       .join(broadcast(q), "qid").join(cand, "cid")
       .select(col("qid"), col("cid").cast(LongType).as("cid"),
         l2(col("qv"), col("cv")).as("dist"))

@@ -2957,6 +2957,29 @@ object PipelineQueries {
       res
     },
 
+    // STALE IVF-PQ + DELTA serving — sim20's union mitigation on the
+    // production architecture, placed where the PQ pipeline makes it
+    // free: appended candidates join the ADC shortlist straight into
+    // the exact L2 re-rank (which scores raw vectors anyway), so the
+    // delta needs no codes and no separate scoring pass. Index built
+    // over the vec_id % 10 != 9 slice; the % 10 == 9 slice plays the
+    // append log. Invariant gate: ≥80% of the exact L2 top-5 over the
+    // FULL grown corpus recovered (sim07's floor — the delta arm is
+    // exact, so appended rows are never silently lost).
+    QueryDef("sim22_ivfpq_stale_delta",
+      """SELECT CAST(q.nq * least(5, c.n_all - 1) AS BIGINT) AS n_exact,
+        |  CAST(1 AS BIGINT) AS recall_ok
+        |FROM (SELECT count(*) AS nq FROM embeddings WHERE vec_id < 10) q,
+        |     (SELECT count(*) AS n_all FROM embeddings) c""".stripMargin) { (s, dir) =>
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 10)
+      val indexed = e.filter(col("vec_id") % 10 =!= 9)
+      val served = Similarity.ivfPqSearchWithDelta(q,
+        Similarity.ivfPqBuild(indexed), indexed,
+        e.filter(col("vec_id") % 10 === 9), 5)
+      recallFloor(Similarity.l2TopK(q, e, 5), served, floorPct = 80)
+    },
+
     // Retrieval EVALUATION: recall@5 / MRR / nDCG@5 of the exact dense
     // shortlist against label-match relevance (same-label candidates
     // are the relevant set — the embeddings table's planted cluster

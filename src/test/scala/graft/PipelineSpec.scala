@@ -376,6 +376,26 @@ class PipelineSpec extends AnyFunSuite {
       "two-level round-trip diverged from fused ivfPqTopK")
   }
 
+  test("IVF-PQ staleness remedy: delta rows reach the exact re-rank; empty delta is a no-op") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val q = e.filter($"vec_id" < 3)
+    val idx = Similarity.ivfPqBuild(e)
+    // clone the query vectors at new ids AFTER the build: the snapshot
+    // cannot serve them, the delta arm must rank each at the top (an
+    // exact duplicate has L2 distance 0 — nothing beats it)
+    val tail = q.select(($"vec_id" + 900000L).as("vec_id"), $"embedding")
+    val fused = Similarity.ivfPqSearchWithDelta(q, idx, e, tail, 5)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byQ = fused.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    assert(byQ.size == 3 && byQ.forall { case (qq, cs) => cs(qq + 900000L) },
+      s"delta clone missing from a fused shortlist: ${byQ.toMap}")
+    // empty append log ⇒ identical to the plain served path, row-for-row
+    val emptyDelta = tail.filter($"vec_id" < 0)
+    assert(Similarity.ivfPqSearchWithDelta(q, idx, e, emptyDelta, 5)
+      .collect().toSeq == Similarity.ivfPqSearch(q, idx, e, 5).collect().toSeq,
+      "empty delta perturbed the served IVF-PQ results")
+  }
+
   test("IVF index staleness: post-build rows are invisible; union-the-tail serves them") {
     val e = Tables.load(spark, sf, "embeddings")
     val q = e.filter($"vec_id" < 3)
