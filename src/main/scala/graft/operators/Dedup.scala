@@ -123,6 +123,81 @@ object Dedup {
       .select("id_a", "id_b").distinct()
   }
 
+  /** Incremental NEAR-dup screening of a new batch against a persisted
+    * signature registry — the daily-crawl-vs-corpus shape: the corpus
+    * is represented ONLY by its MinHash signatures
+    * ([[minHashSignatures]] output: (id, sig), one fixed-width row per
+    * document — raw text never needed again), the batch computes its
+    * own signatures in one pass, candidates meet in an LSH-banded
+    * equi-join on (band, bucket), and each candidate pair is verified
+    * by the SIGNATURE-estimated Jaccard (matching component fraction —
+    * the standard unbiased MinHash estimator). Per batch doc the best
+    * registry match rides a bounded top-1 aggregate (ties to the
+    * lowest registry id); `keep = false` iff the best estimate clears
+    * `minEstJac`. Exact copies of a registry doc are flagged with
+    * CERTAINTY: identical text ⇒ identical shingle set ⇒ identical
+    * signature ⇒ same bucket in every band and estimate 1.0.
+    *
+    * Emits one row per batch doc: (idCol, keep, dup_of, est_jac) —
+    * dup_of/est_jac NULL for docs with no clearing match (including
+    * docs under `shingleN` words, which have no signature; screen
+    * those with the exact [[incremental]] registry instead).
+    * Within-batch duplicates are OUT of scope by design — this is the
+    * batch-vs-corpus screen; run the intra-batch pass ([[exact]] /
+    * [[minHashCandidates]]) separately, then append the survivors'
+    * signatures to the registry.
+    *
+    * Scale shape: the registry is never scanned as text — it is
+    * |corpus| fixed-width signature rows, bandable by pure array
+    * slicing (no shuffle); at 100 TB persist the banded buckets
+    * bucketed BY (band, bucket) so the daily candidate join co-locates
+    * without exchanging the registry, exactly like [[incremental]]'s
+    * hash registry. The only quadratic risk is a degenerate bucket
+    * (all-identical boilerplate); the verify join is still keyed on
+    * candidate PAIRS, never all-pairs.
+    */
+  def incrementalNearDup(batch: DataFrame, registrySigs: DataFrame,
+                         idCol: String, textCol: String,
+                         shingleN: Int = 3, numHashes: Int = 32,
+                         bands: Int = 8,
+                         minEstJac: Double = 0.7): DataFrame = {
+    require(numHashes % bands == 0, s"bands must divide numHashes")
+    require(minEstJac > 0.0 && minEstJac <= 1.0, "need 0 < minEstJac <= 1")
+    val r = numHashes / bands
+    def banded(sigs: DataFrame, id: String): DataFrame =
+      sigs.select(col(idCol).as(id), posexplode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("sig"), b * r + 1, lit(r))))))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val batchSigs = minHashSignatures(
+      shingles(batch, idCol, textCol, shingleN), idCol, numHashes)
+      .localCheckpoint() // referenced by the banding AND the verify join
+    val cands = banded(batchSigs, "_bid")
+      .join(banded(registrySigs, "_rid"), Seq("band", "bucket"))
+      .select("_bid", "_rid").distinct()
+    val est = cands
+      .join(batchSigs.select(col(idCol).as("_bid"), col("sig").as("_bs")),
+        "_bid")
+      .join(registrySigs.select(col(idCol).as("_rid"), col("sig").as("_rs")),
+        "_rid")
+      .select(col("_bid"), col("_rid"),
+        (size(filter(zip_with(col("_bs"), col("_rs"), (x, y) => x === y),
+          v => v)).cast(DoubleType) / numHashes).as("_e"))
+      .filter(col("_e") >= minEstJac)
+      // bounded top-1, ties to the LOWEST registry id (TopKAgg's
+      // (score desc, id asc) order) — never a struct-min SortAggregate
+      .groupBy(col("_bid"))
+      .agg(graft.functions.TopKAgg.top_k(col("_e"), col("_rid").cast(LongType),
+        1, ascending = false).as("_tk"))
+      .select(col("_bid"), element_at(col("_tk"), 1).as("_b1"))
+      .select(col("_bid"), col("_b1.id").as("dup_of"),
+        col("_b1.score").as("est_jac"))
+    batch.select(col(idCol))
+      .join(est.withColumnRenamed("_bid", idCol), Seq(idCol), "left")
+      .select(col(idCol), col("dup_of").isNull.as("keep"),
+        col("dup_of"), col("est_jac"))
+  }
+
   /** All-pairs word-n-gram Jaccard similarities: (da, db, jac) with
     * da < db. Shingles are keyed by xxhash64 (longs shuffle, not
     * strings); pair generation groups each shingle's doc list ONCE and

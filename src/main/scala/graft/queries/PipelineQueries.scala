@@ -1665,6 +1665,51 @@ object PipelineQueries {
             .otherwise(0L).as("recall_ok"))
     },
 
+    // Incremental NEAR-dup screening — the daily-crawl-vs-corpus
+    // lifecycle (the dd09 registry pattern lifted from exact hashes to
+    // MinHash): the even-doc_id half plays the existing corpus,
+    // represented ONLY by its persisted signatures; the odd half plays
+    // the new batch. Invariant gate: every batch doc whose text
+    // EXACTLY matches a registry doc (≥ shingleN words) must be
+    // flagged — identical text ⇒ identical signature ⇒ co-bucket in
+    // every band and estimate 1.0, so the floor is certainty, not a
+    // tuned recall. The oracle counts the planted truth in SQL;
+    // all_flagged pins the coverage.
+    QueryDef("dd19_incremental_neardup",
+      """WITH reg AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+        | batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+        |           UNION ALL
+        |           SELECT doc_id + 10000001 AS doc_id, text FROM documents
+        |           WHERE doc_id % 2 = 0 AND doc_id < 40),
+        | rt AS (SELECT DISTINCT text FROM reg
+        |        WHERE len(string_split(text, ' ')) >= 3)
+        |SELECT CAST(count(DISTINCT b.doc_id) AS BIGINT) AS n_clones,
+        |  CAST(1 AS BIGINT) AS all_flagged
+        |FROM batch b JOIN rt ON b.text = rt.text""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir)
+      val reg = d.filter(col("doc_id") % 2 === 0)
+      // the natural odd half PLUS planted re-crawls of 20 registry
+      // docs (the parity split alone leaves the truth set empty at the
+      // small SFs — planted clones keep the coverage check binding at
+      // every SF; id offset clears every natural doc_id)
+      val batch = d.filter(col("doc_id") % 2 === 1)
+        .select("doc_id", "text")
+        .unionAll(d.filter(col("doc_id") % 2 === 0 && col("doc_id") < 40)
+          .select((col("doc_id") + 10000001L).as("doc_id"), col("text")))
+      val regSigs = Dedup.minHashSignatures(
+        Dedup.shingles(reg, "doc_id", "text", 3), "doc_id", 32)
+      val flagged = Dedup.incrementalNearDup(batch, regSigs, "doc_id", "text")
+        .filter(!col("keep")).select(col("doc_id")).withColumn("_f", lit(1L))
+      val clones = batch.select(col("doc_id"), col("text"))
+        .join(reg.filter(size(split(col("text"), " ")) >= 3)
+          .select("text").distinct(), Seq("text"))
+        .select("doc_id").distinct()
+      clones.join(flagged, Seq("doc_id"), "left")
+        .agg(count(lit(1)).cast(LongType).as("n_clones"),
+          coalesce(min(coalesce(col("_f"), lit(0L))), lit(1L))
+            .as("all_flagged"))
+    },
+
     // ================= text analysis =================
 
     QueryDef("ta01_term_freq",

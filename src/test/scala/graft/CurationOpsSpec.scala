@@ -718,6 +718,36 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got(20L) == ((0L, None, true)), got(20L))
   }
 
+  test("incrementalNearDup: clones flagged vs registry only, tie to lowest id, short docs pass") {
+    val reg = Seq(
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (4L, "alpha beta gamma delta epsilon zeta"), // duplicate registry text
+      (6L, "one two three four five six seven")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // clone of 2 AND 4
+      (3L, "one two three four five six seven"), // clone of 6
+      (5L, "totally unrelated content words here now"), // no match
+      (7L, "hi there"), // < shingleN words: no signature, must pass
+      (9L, "totally unrelated content words here now") // within-batch dup
+    ).toDF("doc_id", "text")
+    val regSigs = graft.operators.Dedup.minHashSignatures(
+      graft.operators.Dedup.shingles(reg, "doc_id", "text", 3), "doc_id", 32)
+    val out = graft.operators.Dedup
+      .incrementalNearDup(batch, regSigs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), Option(r.get(2)).map(_.asInstanceOf[Long]),
+          Option(r.get(3)).map(_.asInstanceOf[Double])))).toMap
+    assert(out.size == 5, out.toString)
+    // exact clone: estimate exactly 1.0, best match ties to LOWEST id
+    assert(out(1L) == ((false, Some(2L), Some(1.0))), out(1L).toString)
+    assert(out(3L) == ((false, Some(6L), Some(1.0))), out(3L).toString)
+    // no clearing match / no signature / within-batch dup: all keep
+    assert(out(5L)._1 && out(5L)._2.isEmpty, out(5L).toString)
+    assert(out(7L)._1 && out(7L)._2.isEmpty, out(7L).toString)
+    assert(out(9L)._1 && out(9L)._2.isEmpty, out(9L).toString)
+  }
+
   test("semanticDedup: k >= twoLevelAutoK engages the two-level assignment by itself") {
     // the 100 TB default must not depend on a caller knowing the flag:
     // at k past the threshold, the auto path must produce EXACTLY what

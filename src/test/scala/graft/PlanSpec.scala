@@ -582,6 +582,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("dd19: incremental near-dup joins banded buckets — no cartesian, bounded best-match") {
+    // candidates must meet in an equi-join on (band, bucket) — never
+    // an all-pairs shape — and the per-doc best registry match is the
+    // bounded top-1 TopKAgg, not a rank window or a struct-min
+    // SortAggregate
+    val plan = planOf("dd19_incremental_neardup")
+    assert(plan.contains("partial_top_k"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("SortAggregate"), plan)
+  }
+
   test("sim21: served IVF-PQ stays fold-assigned, window-free, bounded") {
     // the served path must keep every fused-plan property: integer
     // codes meet broadcast ADC tables in an equi-join, both argmins
