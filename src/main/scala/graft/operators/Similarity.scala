@@ -1449,6 +1449,84 @@ object Similarity {
     * approximate index gets a full row-for-row SQL oracle, not just a
     * recall floor.
     */
+  /** Binary-quantized two-stage retrieval — the 1-bit compression
+    * serving shape (32× smaller than int8, 256× smaller than doubles):
+    * each vector packs to one sign bit per dimension (bit = xᵢ > 0,
+    * ⌈d/64⌉ longs), the shortlist ranks by HAMMING distance — packed
+    * XOR + popcount, pure integer ops over 1/64th the bytes — and the
+    * ≤ shortlist·nq survivors re-rank through the exact-decimal cosine
+    * (sim01/sim11's formulation). Cross-engine determinism end-to-end:
+    * the hamming count is an exact integer a SQL oracle computes as
+    * per-dimension sign-mismatch counting (bit-packing is an encoding,
+    * not math), shortlist ties break (distance, cid asc) = the oracle's
+    * row_number order, and the re-rank is the established decimal dot
+    * — so the gate is a FULL row-for-row replay, not a recall floor.
+    *
+    * Scale shape: the scan stage streams ⌈d/64⌉-long codes against a
+    * broadcast nq-row query side with a bounded TopKAgg — the exchange
+    * carries ≤ shortlist pairs per (query × partition); raw vectors are
+    * touched only below the shortlist join. At 100 TB the code table is
+    * the only corpus-wide read — the reason production stores keep BQ
+    * codes in memory and fetch full vectors per shortlist.
+    */
+  def bqTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+             shortlist: Int = 50,
+             idCol: String = "vec_id",
+             vecCol: String = "embedding"): DataFrame = {
+    require(shortlist >= k, s"need shortlist >= k, got $shortlist < $k")
+    requireIntegralIds(queries, candidates, idCol)
+    def dec(c: Column) =
+      transform(c, x => x.cast(DoubleType).cast(DecimalType(12, 6)))
+    def dotD(x: Column, y: Column) =
+      aggregate(zip_with(x, y, (p, q) => p * q),
+        lit(0).cast(DecimalType(30, 12)),
+        (acc, v) => (acc + v).cast(DecimalType(30, 12)))
+    // pack sign bits little-endian within each 64-dim word; dims past
+    // the vector length contribute 0 (identical on both sides, so they
+    // never affect a hamming distance)
+    def pack(df: DataFrame, id: String, b: String): DataFrame =
+      df.select(col(idCol).cast(LongType).as(id),
+        transform(sequence(lit(0),
+          ((size(col(vecCol)) - 1) / 64).cast(IntegerType)), w =>
+          aggregate(sequence(lit(0), lit(63)), lit(0L), (acc, j) => {
+            val idx = w * 64 + j + 1
+            acc + when(idx <= size(col(vecCol)) &&
+              element_at(col(vecCol), idx).cast(DoubleType) > 0.0,
+              call_function("shiftleft", lit(1L), j)).otherwise(0L)
+          })).as(b))
+    val qp = pack(queries, "qid", "_qb")
+    val cp = pack(candidates, "cid", "_cb")
+    val hamming = aggregate(
+      zip_with(col("_qb"), col("_cb"),
+        (a, b) => bit_count(a.bitwiseXOR(b)).cast(LongType)),
+      lit(0L), (acc, v) => acc + v)
+    val sl = cp.join(broadcast(qp), col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), hamming.cast(DoubleType).as("_h"))
+      .groupBy(col("qid"))
+      .agg(TopKAgg.top_k(col("_h"), col("cid"), shortlist, ascending = true)
+        .as("_tk"))
+      .select(col("qid"), explode(col("_tk")).as("_e"))
+      .select(col("qid"), col("_e.id").as("cid"))
+    val qv = queries
+      .select(col(idCol).cast(LongType).as("qid"), dec(col(vecCol)).as("_qv"))
+      .withColumn("_qn", dotD(col("_qv"), col("_qv")))
+    val cvRaw = candidates
+      .select(col(idCol).cast(LongType).as("cid"), col(vecCol).as("_craw"))
+    val cd = dec(col("_craw"))
+    sl.join(cvRaw, "cid").join(broadcast(qv), "qid")
+      .select(col("qid"), col("cid"),
+        (dotD(col("_qv"), cd).cast(DoubleType) /
+          sqrt(col("_qn").cast(DoubleType) * dotD(cd, cd).cast(DoubleType)))
+          .as("sim"))
+      .groupBy(col("qid"))
+      .agg(TopKAgg.top_k(col("sim"), col("cid"), k, ascending = false)
+        .as("_tk"))
+      .select(col("qid"), posexplode(col("_tk")))
+      .select(col("qid"), col("col.id").as("cid"), col("col.score").as("sim"),
+        (col("pos") + 1).cast(LongType).as("rank"))
+      .orderBy("qid", "rank")
+  }
+
   def int8RerankTopK(queries: DataFrame, candidates: DataFrame, k: Int,
                      shortlist: Int = 50,
                      idCol: String = "vec_id",

@@ -3025,6 +3025,50 @@ object PipelineQueries {
       recallFloor(Similarity.l2TopK(q, e, 5), served, floorPct = 80)
     },
 
+    // BINARY-QUANTIZED two-stage retrieval — the 1-bit compression
+    // serving shape (sign-bit codes, 32× smaller than int8): hamming
+    // shortlist over packed codes, exact-decimal cosine re-rank. FULL
+    // oracle: the hamming count is per-dimension sign-mismatch
+    // counting in SQL (bit-packing is an encoding, not math), the
+    // shortlist tie-breaks (h, cid) match TopKAgg's, and the re-rank
+    // is sim01's decimal formulation — row-for-row replay, no recall
+    // floor needed.
+    QueryDef("sim23_binary_quant",
+      """WITH e0 AS (SELECT vec_id, unnest(embedding) AS rawx,
+        |                    unnest(range(1, len(embedding) + 1)) AS i
+        |             FROM embeddings),
+        | ed AS (SELECT vec_id, i, CAST(rawx AS DOUBLE) AS xd FROM e0),
+        | e AS (SELECT vec_id, i, CAST(xd AS DECIMAL(12,6)) AS x FROM ed),
+        | ham AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+        |           sum(CASE WHEN (q.xd > 0) <> (c.xd > 0)
+        |               THEN 1 ELSE 0 END) AS h
+        |         FROM ed q JOIN ed c ON q.i = c.i
+        |         WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+        |         GROUP BY 1, 2),
+        | sl AS (SELECT qid, cid FROM (
+        |          SELECT qid, cid,
+        |            row_number() OVER (PARTITION BY qid ORDER BY h, cid) AS r
+        |          FROM ham) t WHERE r <= 50),
+        | n AS (SELECT vec_id, sum(x * x) AS nrm FROM e GROUP BY vec_id),
+        | d AS (SELECT s.qid, s.cid, sum(q.x * c.x) AS dot
+        |       FROM sl s
+        |       JOIN e q ON q.vec_id = s.qid
+        |       JOIN e c ON c.vec_id = s.cid AND c.i = q.i
+        |       GROUP BY 1, 2),
+        | sim AS (SELECT qid, cid,
+        |           CAST(dot AS DOUBLE) /
+        |             sqrt(CAST(nq.nrm AS DOUBLE) * CAST(nc.nrm AS DOUBLE)) AS sim
+        |         FROM d
+        |         JOIN n nq ON nq.vec_id = qid
+        |         JOIN n nc ON nc.vec_id = cid)
+        |SELECT qid, cid, sim, rank FROM
+        |  (SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS BIGINT) AS rank
+        |   FROM sim) r
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin) { (s, dir) =>
+      val e = emb(s, dir)
+      Similarity.bqTopK(e.filter(col("vec_id") < 10), e, 5)
+    },
+
     // Retrieval EVALUATION: recall@5 / MRR / nDCG@5 of the exact dense
     // shortlist against label-match relevance (same-label candidates
     // are the relevant set — the embeddings table's planted cluster

@@ -376,6 +376,28 @@ class PipelineSpec extends AnyFunSuite {
       "two-level round-trip diverged from fused ivfPqTopK")
   }
 
+  test("bqTopK: packed hamming = sign-mismatch count (multi-word), exact re-rank ranks by cosine") {
+    // 70-dim vectors exercise the second packed word; flipping n signs
+    // of a ±1 vector changes hamming by exactly n and the dot by −2n,
+    // so both stages are hand-checkable end-to-end
+    val base = (1 to 70).map(i => if (i % 3 == 0) -1.0f else 1.0f)
+    def flip(idxs: Set[Int]) =
+      base.zipWithIndex.map { case (x, i) => if (idxs(i)) -x else x }
+    val rows = Seq(
+      (0L, base), // the query
+      (1L, base), // exact dup: hamming 0, cosine 1.0 → rank 1
+      (2L, flip(Set(0, 10, 65))), // hamming 3 (one flip in word 2), dot 64
+      (3L, flip(Set(1))) // hamming 1, dot 68
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.bqTopK(rows.filter($"vec_id" === 0), rows, 3,
+      shortlist = 3)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(out.map(_._1).toSeq == Seq(1L, 3L, 2L), out.toSeq.toString)
+    assert(out(0)._2 == 1.0, out.toSeq.toString)
+    assert(math.abs(out(1)._2 - 68.0 / 70.0) < 1e-12, out.toSeq.toString)
+    assert(math.abs(out(2)._2 - 64.0 / 70.0) < 1e-12, out.toSeq.toString)
+  }
+
   test("IVF-PQ staleness remedy: delta rows reach the exact re-rank; empty delta is a no-op") {
     val e = Tables.load(spark, sf, "embeddings")
     val q = e.filter($"vec_id" < 3)

@@ -582,6 +582,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("sim23: binary-quant shortlist and re-rank stay bounded and window-free") {
+    // the hamming scan streams packed codes against the broadcast
+    // query side into a bounded TopKAgg; raw vectors are read only
+    // below the shortlist join; no rank window, no SortAggregate
+    val plan = planOf("sim23_binary_quant")
+    assert(plan.contains("partial_top_k"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("SortAggregate"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("dd19: incremental near-dup joins banded buckets — no cartesian, bounded best-match") {
     // candidates must meet in an equi-join on (band, bucket) — never
     // an all-pairs shape — and the per-doc best registry match is the
