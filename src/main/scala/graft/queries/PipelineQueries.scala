@@ -4503,6 +4503,77 @@ object PipelineQueries {
         .orderBy("user_id")
     },
 
+    // Streaming NEAR-dup ingestion screen — dd19's registry lifecycle
+    // as a streaming job: batch 0 (the even docs) seeds the signature
+    // registry from an empty start; batch 1 (the odd docs plus 20
+    // planted re-crawls of batch-0 docs) is screened against it,
+    // ACROSS a query restart between the batches (the registry and
+    // checkpoint both live on disk — the outage is part of the gate).
+    // Invariants: every batch-1 doc text-equal to a batch-0 doc
+    // (≥ shingleN words) flagged; batch 0 clean (empty registry can
+    // flag nothing); total verdict count = everything screened.
+    QueryDef("st10_stream_neardup_screen",
+      """WITH b0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+        | b1 AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+        |        UNION ALL
+        |        SELECT doc_id + 10000001 AS doc_id, text FROM documents
+        |        WHERE doc_id % 2 = 0 AND doc_id < 40),
+        | rt AS (SELECT DISTINCT text FROM b0
+        |        WHERE len(string_split(text, ' ')) >= 3),
+        | cl AS (SELECT DISTINCT b.doc_id FROM b1 b JOIN rt ON b.text = rt.text)
+        |SELECT
+        |  CAST((SELECT count(*) FROM b0) + (SELECT count(*) FROM b1) AS BIGINT)
+        |    AS n_screened,
+        |  CAST((SELECT count(*) FROM cl) AS BIGINT) AS n_clones,
+        |  CAST(1 AS BIGINT) AS all_flagged,
+        |  CAST(1 AS BIGINT) AS batch0_clean""".stripMargin) { (s, dir) =>
+      val work = java.nio.file.Files.createTempDirectory("graft-st10").toString
+      val in = s"$work/in"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+      val d = docs(s, dir).select("doc_id", "text")
+      val b0 = d.filter(col("doc_id") % 2 === 0)
+      val b1 = d.filter(col("doc_id") % 2 === 1).unionAll(
+        d.filter(col("doc_id") % 2 === 0 && col("doc_id") < 40)
+          .select((col("doc_id") + 10000001L).as("doc_id"), col("text")))
+      def land(phase: Int, df: DataFrame): Unit = {
+        // ONE file per phase: each phase must be exactly one micro-batch
+        val staging = s"$work/staging$phase"
+        df.coalesce(1).write.mode("overwrite").parquet(staging)
+        val destP = java.nio.file.Paths.get(in)
+        val files = java.nio.file.Files.list(java.nio.file.Paths.get(staging))
+        try files.filter(_.getFileName.toString.startsWith("part-"))
+          .forEach(p => java.nio.file.Files.move(p,
+            destP.resolve(s"p$phase-${p.getFileName}")))
+        finally files.close()
+      }
+      val sch = b0.schema
+      def stream() = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+      land(0, b0)
+      val q0 = graft.streaming.StreamingJobs.nearDupScreenStream(stream(), work)
+      try q0.processAllAvailable() finally q0.stop() // outage between batches
+      land(1, b1)
+      val q1 = graft.streaming.StreamingJobs.nearDupScreenStream(stream(), work)
+      try q1.processAllAvailable() finally q1.stop()
+      val v = s.read.parquet(s"$work/verdicts")
+      val flagged = v.filter(!col("keep")).select(col("doc_id"))
+        .withColumn("_f", lit(1L))
+      val clones = b1.join(
+        b0.filter(size(split(col("text"), " ")) >= 3)
+          .select("text").distinct(), Seq("text"))
+        .select("doc_id").distinct()
+      val totals = v.agg(count(lit(1)).cast(LongType).as("n_screened"),
+        coalesce(max(when(col("batch") === 0 && !col("keep"), 1L)), lit(0L))
+          .as("_b0bad"))
+      val cover = clones.join(flagged, Seq("doc_id"), "left")
+        .agg(count(lit(1)).cast(LongType).as("n_clones"),
+          coalesce(min(coalesce(col("_f"), lit(0L))), lit(1L))
+            .as("all_flagged"))
+      totals.crossJoin(cover)
+        .select(col("n_screened"), col("n_clones"), col("all_flagged"),
+          (lit(1L) - col("_b0bad")).as("batch0_clean"))
+    },
+
     // Time-series gap fill: the hourly rollup densified onto the full
     // hour grid per event_type — absent buckets get n = 0 and carry the
     // last observed v forward (null before the first observation). The

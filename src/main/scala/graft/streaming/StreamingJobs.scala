@@ -378,6 +378,72 @@ object StreamingJobs {
     table()
   }
 
+  /** Streaming NEAR-dup ingestion screen — the
+    * [[graft.operators.Dedup.incrementalNearDup]] registry lifecycle
+    * run as a Structured Streaming job: each micro-batch of documents
+    * is screened against the MinHash signature registry built by all
+    * PRIOR batches, its verdicts land under `workDir/verdicts/batch=N`,
+    * and the batch's SURVIVORS' signatures append to the registry
+    * (`workDir/registry/batch=N`) so every later batch sees them. The
+    * streaming crawl-ingestion gate: a re-crawl of anything already
+    * accepted — in any earlier batch — is flagged before it enters the
+    * corpus.
+    *
+    * Exactly-once without a transactional store: both per-batch writes
+    * are overwrite-idempotent under the batch-id key, and the registry
+    * read PRUNES to `batch < batchId` (a partition filter), so a retry
+    * of batch N never sees its own partial signature output —
+    * re-running N reproduces identical verdicts. Registry reads are
+    * signatures only (fixed-width rows, never raw text); at scale the
+    * registry is the same bucketable asset the batch operator
+    * documents, and the per-batch cost is O(batch + its candidate
+    * buckets), never O(corpus).
+    */
+  def nearDupScreenStream(docs: DataFrame, workDir: String,
+                          idCol: String = "doc_id",
+                          textCol: String = "text",
+                          shingleN: Int = 3, numHashes: Int = 32,
+                          bands: Int = 8, minEstJac: Double = 0.7)
+    : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream.outputMode("append")
+      .option("checkpointLocation", s"$workDir/ckpt")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        screenBatch(batch, batchId, workDir, idCol, textCol,
+          shingleN, numHashes, bands, minEstJac)
+      }.start()
+
+  private[graft] def screenBatch(batch: DataFrame, batchId: Long,
+                                 workDir: String, idCol: String,
+                                 textCol: String, shingleN: Int,
+                                 numHashes: Int, bands: Int,
+                                 minEstJac: Double): Unit = {
+    val spark = batch.sparkSession
+    val regDir = s"$workDir/registry"
+    val fs = new Path(regDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val regSigs =
+      if (fs.exists(new Path(regDir)))
+        // batch < batchId is a PARTITION filter: a retry of this batch
+        // never reads its own (possibly partial) signature write
+        spark.read.parquet(regDir).filter(col("batch") < batchId)
+          .select(col(idCol), col("sig"))
+      else {
+        import spark.implicits._
+        Seq.empty[(Long, Array[Long])].toDF(idCol, "sig")
+      }
+    val verdicts = graft.operators.Dedup.incrementalNearDup(
+      batch, regSigs, idCol, textCol, shingleN, numHashes, bands, minEstJac)
+    verdicts.write.mode("overwrite")
+      .parquet(s"$workDir/verdicts/batch=$batchId")
+    val survivors = batch.join(
+      spark.read.parquet(s"$workDir/verdicts/batch=$batchId")
+        .filter(col("keep")).select(col(idCol)), Seq(idCol))
+    graft.operators.Dedup.minHashSignatures(
+      graft.operators.Dedup.shingles(survivors, idCol, textCol, shingleN),
+      idCol, numHashes)
+      .write.mode("overwrite").parquet(s"$regDir/batch=$batchId")
+  }
+
   /** Streaming exact dedup over a content hash: each distinct payload is
     * emitted once; duplicate arrivals within the watermark horizon are
     * dropped, and the hash leaves the state store once the watermark

@@ -557,6 +557,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(e.getMessage.contains("no committed CDC generation"), e.getMessage)
   }
 
+  test("near-dup screen: retried batch replays identically and never sees its own signatures") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val work = java.nio.file.Files.createTempDirectory("st10-retry").toString
+    val b0 = Seq((2L, "alpha beta gamma delta epsilon"),
+      (4L, "one two three four five")).toDF("doc_id", "text")
+    val b1 = Seq((1L, "alpha beta gamma delta epsilon"), // re-crawl of 2
+      (3L, "something else entirely here now")).toDF("doc_id", "text")
+    def verdicts(id: Long) = spark.read
+      .parquet(s"$work/verdicts/batch=$id").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSeq
+    StreamingJobs.screenBatch(b0, 0L, work, "doc_id", "text", 3, 32, 8, 0.7)
+    StreamingJobs.screenBatch(b1, 1L, work, "doc_id", "text", 3, 32, 8, 0.7)
+    val first = verdicts(1L)
+    assert(first == Seq((1L, false), (3L, true)), first.toString)
+    // RETRY batch 1 with its own signature write already on disk: the
+    // registry read prunes batch < batchId, so the replay must neither
+    // self-flag doc 3 (whose own signature is sitting in
+    // registry/batch=1) nor change any verdict
+    StreamingJobs.screenBatch(b1, 1L, work, "doc_id", "text", 3, 32, 8, 0.7)
+    assert(verdicts(1L) == first, "retried batch changed its verdicts")
+    // batch 2 sees BOTH earlier batches' survivors: a re-crawl of the
+    // batch-1 survivor is now flagged too
+    val b2 = Seq((5L, "something else entirely here now")).toDF("doc_id", "text")
+    StreamingJobs.screenBatch(b2, 2L, work, "doc_id", "text", 3, 32, 8, 0.7)
+    assert(verdicts(2L) == Seq((5L, false)), verdicts(2L).toString)
+    // flagged docs never entered the registry
+    val reg = spark.read.parquet(s"$work/registry").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(reg == Set(2L, 4L, 3L), reg.toString)
+  }
+
   test("stateful sessionization closes sessions on gap and on timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
