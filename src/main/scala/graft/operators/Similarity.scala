@@ -1472,30 +1472,59 @@ object Similarity {
   def bqTopK(queries: DataFrame, candidates: DataFrame, k: Int,
              shortlist: Int = 50,
              idCol: String = "vec_id",
-             vecCol: String = "embedding"): DataFrame = {
+             vecCol: String = "embedding"): DataFrame =
+    bqSearch(queries, binaryCodes(candidates, idCol, vecCol), candidates,
+      k, shortlist, idCol, vecCol)
+
+  /** The packed sign-bit codes of a vector column — the persistable
+    * 1-bit index asset: (idCol, code array<long>), one bit per
+    * dimension packed little-endian within each 64-dim word (bit =
+    * xᵢ > 0; dims past the vector length pack as 0, identical on both
+    * sides of any hamming distance). A pure narrow projection —
+    * scan-fused, zero shuffle; persist as parquet and serve with
+    * [[bqSearch]] without touching raw vectors again except for the
+    * bounded re-rank.
+    */
+  def binaryCodes(df: DataFrame,
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame =
+    df.select(col(idCol).cast(LongType).as(idCol),
+      transform(sequence(lit(0),
+        ((size(col(vecCol)) - 1) / 64).cast(IntegerType)), w =>
+        aggregate(sequence(lit(0), lit(63)), lit(0L), (acc, j) => {
+          val idx = w * 64 + j + 1
+          acc + when(idx <= size(col(vecCol)) &&
+            element_at(col(vecCol), idx).cast(DoubleType) > 0.0,
+            call_function("shiftleft", lit(1L), j)).otherwise(0L)
+        })).as("code"))
+
+  /** Serve [[bqTopK]] against PRE-BUILT codes ([[binaryCodes]] output,
+    * typically a persisted parquet table): the hamming scan reads ONLY
+    * the ⌈d/64⌉-long code column — 1/64th the bytes of the raw doubles,
+    * the actual storage/bandwidth win of binary quantization — and raw
+    * vectors are fetched from `rerank` only for the ≤ shortlist·nq
+    * exact-decimal re-rank rows. Same staleness contract as every
+    * persisted index here: codes are a snapshot; rebuild (one narrow
+    * pass) or screen the append log separately.
+    */
+  def bqSearch(queries: DataFrame, codes: DataFrame, rerank: DataFrame,
+               k: Int, shortlist: Int = 50,
+               idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame = {
     require(shortlist >= k, s"need shortlist >= k, got $shortlist < $k")
-    requireIntegralIds(queries, candidates, idCol)
+    requireIntegralId(queries, idCol)
     def dec(c: Column) =
       transform(c, x => x.cast(DoubleType).cast(DecimalType(12, 6)))
     def dotD(x: Column, y: Column) =
       aggregate(zip_with(x, y, (p, q) => p * q),
         lit(0).cast(DecimalType(30, 12)),
         (acc, v) => (acc + v).cast(DecimalType(30, 12)))
-    // pack sign bits little-endian within each 64-dim word; dims past
-    // the vector length contribute 0 (identical on both sides, so they
-    // never affect a hamming distance)
-    def pack(df: DataFrame, id: String, b: String): DataFrame =
-      df.select(col(idCol).cast(LongType).as(id),
-        transform(sequence(lit(0),
-          ((size(col(vecCol)) - 1) / 64).cast(IntegerType)), w =>
-          aggregate(sequence(lit(0), lit(63)), lit(0L), (acc, j) => {
-            val idx = w * 64 + j + 1
-            acc + when(idx <= size(col(vecCol)) &&
-              element_at(col(vecCol), idx).cast(DoubleType) > 0.0,
-              call_function("shiftleft", lit(1L), j)).otherwise(0L)
-          })).as(b))
-    val qp = pack(queries, "qid", "_qb")
-    val cp = pack(candidates, "cid", "_cb")
+    val qp = binaryCodes(queries, idCol, vecCol)
+      .select(col(idCol).as("qid"), col("code").as("_qb"))
+    val cp = codes.select(col(idCol).cast(LongType).as("cid"),
+      col("code").as("_cb"))
+    val queriesRaw = queries
+    val candidates = rerank
     val hamming = aggregate(
       zip_with(col("_qb"), col("_cb"),
         (a, b) => bit_count(a.bitwiseXOR(b)).cast(LongType)),
@@ -1507,13 +1536,17 @@ object Similarity {
         .as("_tk"))
       .select(col("qid"), explode(col("_tk")).as("_e"))
       .select(col("qid"), col("_e.id").as("cid"))
-    val qv = queries
+    val qv = queriesRaw
       .select(col(idCol).cast(LongType).as("qid"), dec(col(vecCol)).as("_qv"))
       .withColumn("_qn", dotD(col("_qv"), col("_qv")))
     val cvRaw = candidates
       .select(col(idCol).cast(LongType).as("cid"), col(vecCol).as("_craw"))
     val cd = dec(col("_craw"))
-    sl.join(cvRaw, "cid").join(broadcast(qv), "qid")
+    // the shortlist is ≤ shortlist·nq rows — BROADCAST it into the
+    // corpus-sized raw-vector scan (unhinted, the planner shuffles the
+    // corpus at scale: measured 52.6 MB at the 100× rehearsal for a
+    // 500-row shortlist)
+    cvRaw.join(broadcast(sl), "cid").join(broadcast(qv), "qid")
       .select(col("qid"), col("cid"),
         (dotD(col("_qv"), cd).cast(DoubleType) /
           sqrt(col("_qn").cast(DoubleType) * dotD(cd, cd).cast(DoubleType)))
@@ -1573,7 +1606,9 @@ object Similarity {
     val cvRaw = candidates
       .select(col(idCol).cast(LongType).as("cid"), col(vecCol).as("_craw"))
     val cd = dec(col("_craw"))
-    sl.join(cvRaw, "cid").join(broadcast(qv), "qid")
+    // broadcast the bounded shortlist into the raw-vector scan (the
+    // unhinted join shuffles the corpus at scale — the bqSearch lesson)
+    cvRaw.join(broadcast(sl), "cid").join(broadcast(qv), "qid")
       .select(col("qid"), col("cid"),
         (dotD(col("_qv"), cd).cast(DoubleType) /
           sqrt(col("_qn").cast(DoubleType) * dotD(cd, cd).cast(DoubleType)))

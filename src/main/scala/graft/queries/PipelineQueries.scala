@@ -314,6 +314,41 @@ object PipelineQueries {
       |   FROM sim) r
       |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
 
+  // shared by sim23 (fused) and sim24 (served from persisted codes):
+  // both paths must hash-match the IDENTICAL full SQL replay
+  private val BqTopkSql: String =
+      """WITH e0 AS (SELECT vec_id, unnest(embedding) AS rawx,
+        |                    unnest(range(1, len(embedding) + 1)) AS i
+        |             FROM embeddings),
+        | ed AS (SELECT vec_id, i, CAST(rawx AS DOUBLE) AS xd FROM e0),
+        | e AS (SELECT vec_id, i, CAST(xd AS DECIMAL(12,6)) AS x FROM ed),
+        | ham AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+        |           sum(CASE WHEN (q.xd > 0) <> (c.xd > 0)
+        |               THEN 1 ELSE 0 END) AS h
+        |         FROM ed q JOIN ed c ON q.i = c.i
+        |         WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+        |         GROUP BY 1, 2),
+        | sl AS (SELECT qid, cid FROM (
+        |          SELECT qid, cid,
+        |            row_number() OVER (PARTITION BY qid ORDER BY h, cid) AS r
+        |          FROM ham) t WHERE r <= 50),
+        | n AS (SELECT vec_id, sum(x * x) AS nrm FROM e GROUP BY vec_id),
+        | d AS (SELECT s.qid, s.cid, sum(q.x * c.x) AS dot
+        |       FROM sl s
+        |       JOIN e q ON q.vec_id = s.qid
+        |       JOIN e c ON c.vec_id = s.cid AND c.i = q.i
+        |       GROUP BY 1, 2),
+        | sim AS (SELECT qid, cid,
+        |           CAST(dot AS DOUBLE) /
+        |             sqrt(CAST(nq.nrm AS DOUBLE) * CAST(nc.nrm AS DOUBLE)) AS sim
+        |         FROM d
+        |         JOIN n nq ON nq.vec_id = qid
+        |         JOIN n nc ON nc.vec_id = cid)
+        |SELECT qid, cid, sim, rank FROM
+        |  (SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS BIGINT) AS rank
+        |   FROM sim) r
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
   /** Memory-sink name sequence for st01: Verify and Bench call each
     * query several times in one session; each run gets a fresh sink so a
     * prior run's table can't shadow the new results.
@@ -3033,40 +3068,31 @@ object PipelineQueries {
     // shortlist tie-breaks (h, cid) match TopKAgg's, and the re-rank
     // is sim01's decimal formulation — row-for-row replay, no recall
     // floor needed.
-    QueryDef("sim23_binary_quant",
-      """WITH e0 AS (SELECT vec_id, unnest(embedding) AS rawx,
-        |                    unnest(range(1, len(embedding) + 1)) AS i
-        |             FROM embeddings),
-        | ed AS (SELECT vec_id, i, CAST(rawx AS DOUBLE) AS xd FROM e0),
-        | e AS (SELECT vec_id, i, CAST(xd AS DECIMAL(12,6)) AS x FROM ed),
-        | ham AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
-        |           sum(CASE WHEN (q.xd > 0) <> (c.xd > 0)
-        |               THEN 1 ELSE 0 END) AS h
-        |         FROM ed q JOIN ed c ON q.i = c.i
-        |         WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
-        |         GROUP BY 1, 2),
-        | sl AS (SELECT qid, cid FROM (
-        |          SELECT qid, cid,
-        |            row_number() OVER (PARTITION BY qid ORDER BY h, cid) AS r
-        |          FROM ham) t WHERE r <= 50),
-        | n AS (SELECT vec_id, sum(x * x) AS nrm FROM e GROUP BY vec_id),
-        | d AS (SELECT s.qid, s.cid, sum(q.x * c.x) AS dot
-        |       FROM sl s
-        |       JOIN e q ON q.vec_id = s.qid
-        |       JOIN e c ON c.vec_id = s.cid AND c.i = q.i
-        |       GROUP BY 1, 2),
-        | sim AS (SELECT qid, cid,
-        |           CAST(dot AS DOUBLE) /
-        |             sqrt(CAST(nq.nrm AS DOUBLE) * CAST(nc.nrm AS DOUBLE)) AS sim
-        |         FROM d
-        |         JOIN n nq ON nq.vec_id = qid
-        |         JOIN n nc ON nc.vec_id = cid)
-        |SELECT qid, cid, sim, rank FROM
-        |  (SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS BIGINT) AS rank
-        |   FROM sim) r
-        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin) { (s, dir) =>
+    QueryDef("sim23_binary_quant", BqTopkSql) { (s, dir) =>
       val e = emb(s, dir)
       Similarity.bqTopK(e.filter(col("vec_id") < 10), e, 5)
+    },
+
+    // The same search SERVED from persisted codes — the storage shape
+    // that realizes binary quantization's 64× byte win (the fused path
+    // re-packs from raw vectors, so its scan still reads the doubles;
+    // the ScaleRehearsal r17b rows measure the difference): codes
+    // build once (a pure narrow pass), land as parquet, and the
+    // hamming scan reads ONLY the code column. Same FULL oracle as
+    // sim23 — the served path must be row-for-row identical.
+    QueryDef("sim24_bq_code_serve", BqTopkSql) { (s, dir) =>
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 10)
+      val codesDir = s"${System.getProperty("java.io.tmpdir")}/graft-sim24-" +
+        dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      Similarity.binaryCodes(e).write.mode("overwrite").parquet(codesDir)
+      val served = Similarity.bqSearch(q, s.read.parquet(codesDir), e, 5)
+      // pin the 50-row result before dropping the code table (sim16/21
+      // hygiene: nothing index-sized lingers in /tmp)
+      val res = served.localCheckpoint()
+      val p = new org.apache.hadoop.fs.Path(codesDir)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      res
     },
 
     // Retrieval EVALUATION: recall@5 / MRR / nDCG@5 of the exact dense

@@ -215,6 +215,89 @@ object ScaleRehearsal {
     // corpus-scaled nlist (the sim17 quadratic-killer, measured), and
     // the st08 CDC merge contract (per-batch cost O(batch + touched
     // buckets), never O(table)) one and two decades out.
+    // r17b mode: receipts for the round's new family — the dd19/st10
+    // incremental near-dup screen with the REGISTRY grown two decades
+    // against a CONSTANT batch (the st08-update-style money curve:
+    // per-batch cost must track the batch and its candidate buckets,
+    // not the registry scan alone — the banded join's shuffle is the
+    // number to watch), and the sim23 binary-quant scan vs the exact
+    // double cosine scan at the same decades (the 64×-smaller-bytes
+    // claim, measured).
+    if (args.lift(2).contains("r17b")) {
+      def ensure(path: String)(gen: => Unit): Unit = {
+        val p = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+        val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!f.exists(p)) gen
+      }
+      // registries: id-offset doc replicas KEEP their text (a re-crawl
+      // matches every copy — candidate postings grow with the corpus,
+      // the honest stress), persisted as parquet signatures exactly
+      // like the production registry asset
+      for (f <- Seq(1, 10, 100))
+        ensure(s"$work/regsigs${f}x.parquet") {
+          val corpus = replicate(docs, f, { (d, k) =>
+            d.select((col("doc_id") + lit(k * 10000000L)).as("doc_id"),
+              col("text"))
+          })
+          Dedup.minHashSignatures(
+            Dedup.shingles(corpus, "doc_id", "text", 3), "doc_id", 32)
+            .write.mode("overwrite").parquet(s"$work/regsigs${f}x.parquet")
+        }
+      // constant batch: ~half the 1× corpus plus 20 planted re-crawls
+      val batch = docs.filter(col("doc_id") % 2 === 1)
+        .unionAll(docs.filter(col("doc_id") % 2 === 0 && col("doc_id") < 40)
+          .select((col("doc_id") + 10000001L).as("doc_id"), col("text")))
+        .localCheckpoint()
+      for (f <- Seq(1, 10, 100)) {
+        val reg = spark.read.parquet(s"$work/regsigs${f}x.parquet")
+        measure(f"dd19_screen reg=${f}x") {
+          Dedup.incrementalNearDup(batch, reg, "doc_id", "text")
+            .filter(!col("keep")).count()
+        }
+      }
+
+      // sim23 binary-quant scan vs the exact cosine scan at decades:
+      // the shortlist stage reads 1/64th the bytes per pair and does
+      // integer xor/popcount instead of 64 double multiplies
+      ensure(s"$work/embeddings10x.parquet") {
+        replicate(emb, 10, { (d, k) =>
+          d.select((col("vec_id") + lit(k * 10000000L)).as("vec_id"),
+            col("embedding"))
+        }).write.mode("overwrite").parquet(s"$work/embeddings10x.parquet")
+      }
+      ensure(s"$work/embeddings100x.parquet") {
+        replicate(emb, 100, { (d, k) =>
+          d.select((col("vec_id") + lit(k * 10000000L)).as("vec_id"),
+            col("embedding"))
+        }).write.mode("overwrite").parquet(s"$work/embeddings100x.parquet")
+      }
+      for ((tag, ep) <- Seq(("1x", s"$sfDir/embeddings.parquet"),
+          ("10x", s"$work/embeddings10x.parquet"),
+          ("100x", s"$work/embeddings100x.parquet"))) {
+        val e = embAt(ep)
+        val q = e.filter(col("vec_id") < 10)
+        measure(f"sim23_bq_scan    $tag%-4s") {
+          Similarity.bqTopK(q, e, 5).count()
+        }
+        // the served shape (sim24): hamming scan over PERSISTED codes —
+        // this is where the 64×-smaller-bytes claim is realized; the
+        // fused row above re-packs from raw doubles, so its scan cost
+        // tracks the exact scan
+        val codesDir = s"$work/bqcodes_$tag.parquet"
+        ensure(codesDir) {
+          Similarity.binaryCodes(e).write.mode("overwrite").parquet(codesDir)
+        }
+        measure(f"sim24_bq_served  $tag%-4s") {
+          Similarity.bqSearch(q, spark.read.parquet(codesDir), e, 5).count()
+        }
+        measure(f"sim01_exact_scan $tag%-4s") {
+          Similarity.cosineTopK(q, e, 5).count()
+        }
+      }
+      spark.stop()
+      return
+    }
+
     if (args.lift(2).contains("r17")) {
       def ensure(path: String)(gen: => Unit): Unit = {
         val p = new org.apache.hadoop.fs.Path(path, "_SUCCESS")

@@ -398,6 +398,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(math.abs(out(2)._2 - 64.0 / 70.0) < 1e-12, out.toSeq.toString)
   }
 
+  test("bq codes build/save/load/search round-trip equals the fused bqTopK row-for-row") {
+    // sign bits are integers — parquet round-trips them exactly, so
+    // the served path must be IDENTICAL to the fused path, not merely
+    // close (sim24's gate contract: both hash-match one oracle)
+    val e = Tables.load(spark, sf, "embeddings")
+    val q = e.filter($"vec_id" < 10)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toSeq
+    val fused = rows(Similarity.bqTopK(q, e, 5))
+    val d = java.nio.file.Files.createTempDirectory("bq-rt").toString
+    Similarity.binaryCodes(e).write.mode("overwrite").parquet(d)
+    assert(rows(Similarity.bqSearch(q, spark.read.parquet(d), e, 5)) == fused,
+      "served binary-quant search diverged from the fused path")
+  }
+
   test("IVF-PQ staleness remedy: delta rows reach the exact re-rank; empty delta is a no-op") {
     val e = Tables.load(spark, sf, "embeddings")
     val q = e.filter($"vec_id" < 3)
