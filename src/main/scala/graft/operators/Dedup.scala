@@ -98,12 +98,23 @@ object Dedup {
     * signature aggregation.
     */
   def lshBuckets(df: DataFrame, idCol: String, textCol: String,
-                 shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8): DataFrame = {
+                 shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8): DataFrame =
+    bandSignatures(
+      minHashSignatures(shingles(df, idCol, textCol, shingleN), idCol, numHashes),
+      idCol, idCol, numHashes, bands)
+
+  /** LSH banding of a signature frame (id, sig) → (idAs, band, bucket):
+    * pure array slicing, no shuffle. ONE definition for every banding
+    * consumer ([[lshBuckets]], [[incrementalNearDup]]'s batch AND
+    * registry sides) — batch and registry candidates only meet if they
+    * band identically, so the scheme must never fork.
+    */
+  private def bandSignatures(sigs: DataFrame, idCol: String, idAs: String,
+                             numHashes: Int, bands: Int): DataFrame = {
     val r = numHashes / bands
-    minHashSignatures(shingles(df, idCol, textCol, shingleN), idCol, numHashes)
-      .select(col(idCol), posexplode(
-        transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(slice(col("sig"), b * r + 1, lit(r))))))
+    sigs.select(col(idCol).as(idAs), posexplode(
+      transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"), b * r + 1, lit(r))))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
   }
@@ -163,12 +174,8 @@ object Dedup {
                          minEstJac: Double = 0.7): DataFrame = {
     require(numHashes % bands == 0, s"bands must divide numHashes")
     require(minEstJac > 0.0 && minEstJac <= 1.0, "need 0 < minEstJac <= 1")
-    val r = numHashes / bands
     def banded(sigs: DataFrame, id: String): DataFrame =
-      sigs.select(col(idCol).as(id), posexplode(
-        transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(slice(col("sig"), b * r + 1, lit(r))))))
-        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+      bandSignatures(sigs, idCol, id, numHashes, bands)
     val batchSigs = minHashSignatures(
       shingles(batch, idCol, textCol, shingleN), idCol, numHashes)
       .localCheckpoint() // referenced by the banding AND the verify join

@@ -571,8 +571,11 @@ object Similarity {
     * candidates assigned per-row (exact fold, or the two-level
     * leader-group fold past `nlist ≥ 512` / `twoLevelAssign` — see
     * [[ivfPqTopK]]), residuals split into `m` subvectors and encoded
-    * against one shared `codes`-entry codebook. One linear corpus pass;
-    * every quantizer artifact is broadcast-tiny.
+    * against one shared `codes`-entry codebook. O(1) corpus passes
+    * regardless of how the index is consumed: the coarse quantizer and
+    * the codebook are localCheckpoint-materialized at build (both
+    * broadcast-tiny), so [[IvfPqIndex.save]]'s three writes and every
+    * serve re-derive nothing corpus-sized.
     */
   def ivfPqBuild(candidates: DataFrame,
                  nlist: Int = 16, m: Int = 16, codes: Int = 32,
@@ -598,7 +601,12 @@ object Similarity {
         .groupBy(pmod(xxhash64(col(idCol)), lit(nlist)).as("cell"))
         .agg(min(col(idCol)).as("_sid"))), col(idCol) === col("_sid"))
       .select(col("cell"), dbl(col(vecCol)).as("cellv"))
-    val coarse = if (twoLevel) coarse0.localCheckpoint() else coarse0
+    // ALWAYS materialized (the ivfBuild centroid precedent): coarse is
+    // referenced by the assignment, the probe side, and — via save() —
+    // its own write; lazy, each reference re-runs the corpus hash-pick
+    // join (save()'s three artifact writes would re-execute the corpus
+    // chain once each)
+    val coarse = coarse0.localCheckpoint()
 
     // assign candidates to their nearest cell via the per-row fold
     // (cells renamed to the shared (_code, cvec) shape; no expansion,
@@ -646,7 +654,10 @@ object Similarity {
       .select(col("cid"), col("cell"), col("sub"),
         nearestCodeL2(col("sv")).as("_code"))
 
-    IvfPqIndex(coarse, cents, encoded)
+    // cents is codes×m rows — checkpointing costs one corpus pass and
+    // makes the codes write (and every served ADC build) free of the
+    // codebook re-derivation
+    IvfPqIndex(coarse, cents.localCheckpoint(), encoded)
   }
 
   /** Serve top-`k` L2 neighbors against a built [[IvfPqIndex]]:
@@ -743,8 +754,20 @@ object Similarity {
         subSplitExplode(col("qrv"), mEff))
       .withColumnRenamed("pos", "sub").withColumnRenamed("col", "qsv")
       .join(broadcast(cents), "sub")
+      // in-plan guard, zero extra jobs: a caller-passed m that
+      // mismatches the index's built m slices query residuals into
+      // subvectors of a different width than the codebook's — without
+      // this check the zip_with yields nulls and the shortlist goes
+      // silently wrong/empty
       .select(col("qid"), col("cell"), col("sub"), col("_code"),
-        l2(col("qsv"), col("cvec")).cast(DecimalType(28, 12)).as("_d"))
+        when(size(col("qsv")) =!= size(col("cvec")),
+          raise_error(concat(lit("ivfPqSearch: subvector width "),
+            size(col("qsv")).cast(StringType),
+            lit(" != codebook width "),
+            size(col("cvec")).cast(StringType),
+            lit(" — the m passed to search must match the built index"))))
+          .otherwise(l2(col("qsv"), col("cvec")))
+          .cast(DecimalType(28, 12)).as("_d"))
 
     // bounded map-side shortlist + re-rank (see pqTopK): exchange bytes
     // per query bounded by shortlist/k, never the probed candidate count
@@ -768,8 +791,10 @@ object Similarity {
         .crossJoin(d.select(col(idCol).cast(LongType).as("cid")))
         .filter(col("qid") =!= col("cid"))))
 
-    rerankSet
-      .join(broadcast(q), "qid").join(cand, "cid")
+    // the re-rank set is ≤ shortlist·nq (+ nq·|delta|) rows — BROADCAST
+    // it into the corpus-sized raw-vector scan (the bqSearch lesson:
+    // unhinted, the planner shuffles the corpus at scale)
+    cand.join(broadcast(rerankSet), "cid").join(broadcast(q), "qid")
       .select(col("qid"), col("cid").cast(LongType).as("cid"),
         l2(col("qv"), col("cv")).as("dist"))
       .groupBy(col("qid"))
@@ -1507,45 +1532,33 @@ object Similarity {
     * persisted index here: codes are a snapshot; rebuild (one narrow
     * pass) or screen the append log separately.
     */
-  def bqSearch(queries: DataFrame, codes: DataFrame, rerank: DataFrame,
-               k: Int, shortlist: Int = 50,
-               idCol: String = "vec_id",
-               vecCol: String = "embedding"): DataFrame = {
-    require(shortlist >= k, s"need shortlist >= k, got $shortlist < $k")
-    requireIntegralId(queries, idCol)
+  /** Shared exact-decimal cosine re-rank of a bounded (qid, cid)
+    * shortlist against raw vectors — the final stage of every two-stage
+    * retrieval here ([[bqSearch]], [[int8RerankTopK]]): the shortlist
+    * and the nq-row query side broadcast into the corpus-sized raw scan
+    * (unhinted, the planner shuffles the corpus at scale — measured
+    * 52.6 MB at the 100× rehearsal for a 500-row shortlist), and the
+    * decimal dot is the sim01 formulation, bit-identical cross-engine.
+    * `dropZeroNormQueries` preserves int8RerankTopK's historical guard;
+    * bqSearch keeps the raw arithmetic its oracle replays.
+    */
+  private def exactCosineRerank(sl: DataFrame, queries: DataFrame,
+                                rerank: DataFrame, k: Int,
+                                idCol: String, vecCol: String,
+                                dropZeroNormQueries: Boolean): DataFrame = {
     def dec(c: Column) =
       transform(c, x => x.cast(DoubleType).cast(DecimalType(12, 6)))
     def dotD(x: Column, y: Column) =
       aggregate(zip_with(x, y, (p, q) => p * q),
         lit(0).cast(DecimalType(30, 12)),
         (acc, v) => (acc + v).cast(DecimalType(30, 12)))
-    val qp = binaryCodes(queries, idCol, vecCol)
-      .select(col(idCol).as("qid"), col("code").as("_qb"))
-    val cp = codes.select(col(idCol).cast(LongType).as("cid"),
-      col("code").as("_cb"))
-    val queriesRaw = queries
-    val candidates = rerank
-    val hamming = aggregate(
-      zip_with(col("_qb"), col("_cb"),
-        (a, b) => bit_count(a.bitwiseXOR(b)).cast(LongType)),
-      lit(0L), (acc, v) => acc + v)
-    val sl = cp.join(broadcast(qp), col("qid") =!= col("cid"))
-      .select(col("qid"), col("cid"), hamming.cast(DoubleType).as("_h"))
-      .groupBy(col("qid"))
-      .agg(TopKAgg.top_k(col("_h"), col("cid"), shortlist, ascending = true)
-        .as("_tk"))
-      .select(col("qid"), explode(col("_tk")).as("_e"))
-      .select(col("qid"), col("_e.id").as("cid"))
-    val qv = queriesRaw
+    val qv0 = queries
       .select(col(idCol).cast(LongType).as("qid"), dec(col(vecCol)).as("_qv"))
       .withColumn("_qn", dotD(col("_qv"), col("_qv")))
-    val cvRaw = candidates
+    val qv = if (dropZeroNormQueries) qv0.filter(col("_qn") > 0) else qv0
+    val cvRaw = rerank
       .select(col(idCol).cast(LongType).as("cid"), col(vecCol).as("_craw"))
     val cd = dec(col("_craw"))
-    // the shortlist is ≤ shortlist·nq rows — BROADCAST it into the
-    // corpus-sized raw-vector scan (unhinted, the planner shuffles the
-    // corpus at scale: measured 52.6 MB at the 100× rehearsal for a
-    // 500-row shortlist)
     cvRaw.join(broadcast(sl), "cid").join(broadcast(qv), "qid")
       .select(col("qid"), col("cid"),
         (dotD(col("_qv"), cd).cast(DoubleType) /
@@ -1558,6 +1571,31 @@ object Similarity {
       .select(col("qid"), col("col.id").as("cid"), col("col.score").as("sim"),
         (col("pos") + 1).cast(LongType).as("rank"))
       .orderBy("qid", "rank")
+  }
+
+  def bqSearch(queries: DataFrame, codes: DataFrame, rerank: DataFrame,
+               k: Int, shortlist: Int = 50,
+               idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame = {
+    require(shortlist >= k, s"need shortlist >= k, got $shortlist < $k")
+    requireIntegralId(queries, idCol)
+    val qp = binaryCodes(queries, idCol, vecCol)
+      .select(col(idCol).as("qid"), col("code").as("_qb"))
+    val cp = codes.select(col(idCol).cast(LongType).as("cid"),
+      col("code").as("_cb"))
+    val hamming = aggregate(
+      zip_with(col("_qb"), col("_cb"),
+        (a, b) => bit_count(a.bitwiseXOR(b)).cast(LongType)),
+      lit(0L), (acc, v) => acc + v)
+    val sl = cp.join(broadcast(qp), col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), hamming.cast(DoubleType).as("_h"))
+      .groupBy(col("qid"))
+      .agg(TopKAgg.top_k(col("_h"), col("cid"), shortlist, ascending = true)
+        .as("_tk"))
+      .select(col("qid"), explode(col("_tk")).as("_e"))
+      .select(col("qid"), col("_e.id").as("cid"))
+    exactCosineRerank(sl, queries, rerank, k, idCol, vecCol,
+      dropZeroNormQueries = false)
   }
 
   def int8RerankTopK(queries: DataFrame, candidates: DataFrame, k: Int,
@@ -1597,29 +1635,10 @@ object Similarity {
         .as("_tk"))
       .select(col("qid"), explode(col("_tk")).as("_e"))
       .select(col("qid"), col("_e.id").as("cid"))
-    val qv = queries
-      .select(col(idCol).cast(LongType).as("qid"), dec(col(vecCol)).as("_qv"))
-      .withColumn("_qn", dotD(col("_qv"), col("_qv")))
-      .filter(col("_qn") > 0)
     // raw bytes below the shortlist join; decimal projection + norm
     // only for the ≤ |Q|·shortlist surviving pairs
-    val cvRaw = candidates
-      .select(col(idCol).cast(LongType).as("cid"), col(vecCol).as("_craw"))
-    val cd = dec(col("_craw"))
-    // broadcast the bounded shortlist into the raw-vector scan (the
-    // unhinted join shuffles the corpus at scale — the bqSearch lesson)
-    cvRaw.join(broadcast(sl), "cid").join(broadcast(qv), "qid")
-      .select(col("qid"), col("cid"),
-        (dotD(col("_qv"), cd).cast(DoubleType) /
-          sqrt(col("_qn").cast(DoubleType) * dotD(cd, cd).cast(DoubleType)))
-          .as("sim"))
-      .groupBy(col("qid"))
-      .agg(TopKAgg.top_k(col("sim"), col("cid"), k, ascending = false)
-        .as("_tk"))
-      .select(col("qid"), posexplode(col("_tk")))
-      .select(col("qid"), col("col.id").as("cid"), col("col.score").as("sim"),
-        (col("pos") + 1).cast(LongType).as("rank"))
-      .orderBy("qid", "rank")
+    exactCosineRerank(sl, queries, candidates, k, idCol, vecCol,
+      dropZeroNormQueries = true)
   }
 
   def annTopK(queries: DataFrame, candidates: DataFrame, k: Int,

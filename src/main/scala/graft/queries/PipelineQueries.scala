@@ -4553,7 +4553,16 @@ object PipelineQueries {
         |  CAST((SELECT count(*) FROM cl) AS BIGINT) AS n_clones,
         |  CAST(1 AS BIGINT) AS all_flagged,
         |  CAST(1 AS BIGINT) AS batch0_clean""".stripMargin) { (s, dir) =>
-      val work = java.nio.file.Files.createTempDirectory("graft-st10").toString
+      // name-keyed per SF + deleted before AND after the run (the sim16
+      // hygiene): a fresh createTempDirectory per invocation would leave
+      // a corpus-sized copy (docs, registry, checkpoint) in /tmp per
+      // bench/verify execution; reuse without the pre-delete would
+      // resume the old checkpoint and accumulate stale verdict batches
+      val work = s"${System.getProperty("java.io.tmpdir")}/graft-st10-" +
+        dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      val workP = new org.apache.hadoop.fs.Path(work)
+      val workFs = workP.getFileSystem(s.sparkContext.hadoopConfiguration)
+      workFs.delete(workP, true)
       val in = s"$work/in"
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
       val d = docs(s, dir).select("doc_id", "text")
@@ -4595,9 +4604,12 @@ object PipelineQueries {
         .agg(count(lit(1)).cast(LongType).as("n_clones"),
           coalesce(min(coalesce(col("_f"), lit(0L))), lit(1L))
             .as("all_flagged"))
-      totals.crossJoin(cover)
+      val out = totals.crossJoin(cover)
         .select(col("n_screened"), col("n_clones"), col("all_flagged"),
           (lit(1L) - col("_b0bad")).as("batch0_clean"))
+        .localCheckpoint() // pin the verdict, then drop the work tree
+      workFs.delete(workP, true)
+      out
     },
 
     // Time-series gap fill: the hourly rollup densified onto the full

@@ -394,10 +394,17 @@ object StreamingJobs {
     * read PRUNES to `batch < batchId` (a partition filter), so a retry
     * of batch N never sees its own partial signature output —
     * re-running N reproduces identical verdicts. Registry reads are
-    * signatures only (fixed-width rows, never raw text); at scale the
-    * registry is the same bucketable asset the batch operator
-    * documents, and the per-batch cost is O(batch + its candidate
-    * buckets), never O(corpus).
+    * signatures only (fixed-width rows, never raw text) — but AS
+    * SHIPPED each batch re-scans and re-bands the full signature
+    * registry (persisted partitioned by batch, not bucketed), so
+    * per-batch cost carries a term linear in the registry's signature
+    * count: the r17b rehearsal measured a constant batch against a
+    * 100×-grown registry at a flat ~3.3 s wall, with the banded join's
+    * broadcast→shuffle flip at 100× (207 MB). At cluster scale,
+    * pre-band the registry once and bucket it BY (band, bucket) — the
+    * q41/q42 zero-exchange machinery — to reach the
+    * O(batch + candidate buckets) per-batch shape; sizing a production
+    * stream from this operator as-is must budget the registry scan.
     */
   def nearDupScreenStream(docs: DataFrame, workDir: String,
                           idCol: String = "doc_id",

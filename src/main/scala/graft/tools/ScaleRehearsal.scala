@@ -215,6 +215,25 @@ object ScaleRehearsal {
     // corpus-scaled nlist (the sim17 quadratic-killer, measured), and
     // the st08 CDC merge contract (per-batch cost O(batch + touched
     // buckets), never O(table)) one and two decades out.
+    // shared by the r17/r17b modes: generate-if-absent (keyed on the
+    // _SUCCESS marker — a killed partial write must not be reused) and
+    // the standard id-offset embeddings replica
+    def ensureSuccess(path: String)(gen: => Unit): Unit = {
+      val p = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+      val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!f.exists(p)) gen
+    }
+    def ensureEmbReplica(factor: Int): String = {
+      val path = s"$work/embeddings${factor}x.parquet"
+      ensureSuccess(path) {
+        replicate(emb, factor, { (d, k) =>
+          d.select((col("vec_id") + lit(k * 10000000L)).as("vec_id"),
+            col("embedding"))
+        }).write.mode("overwrite").parquet(path)
+      }
+      path
+    }
+
     // r17b mode: receipts for the round's new family — the dd19/st10
     // incremental near-dup screen with the REGISTRY grown two decades
     // against a CONSTANT batch (the st08-update-style money curve:
@@ -224,11 +243,7 @@ object ScaleRehearsal {
     // double cosine scan at the same decades (the 64×-smaller-bytes
     // claim, measured).
     if (args.lift(2).contains("r17b")) {
-      def ensure(path: String)(gen: => Unit): Unit = {
-        val p = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
-        val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (!f.exists(p)) gen
-      }
+      def ensure(path: String)(gen: => Unit): Unit = ensureSuccess(path)(gen)
       // registries: id-offset doc replicas KEEP their text (a re-crawl
       // matches every copy — candidate postings grow with the corpus,
       // the honest stress), persisted as parquet signatures exactly
@@ -259,18 +274,7 @@ object ScaleRehearsal {
       // sim23 binary-quant scan vs the exact cosine scan at decades:
       // the shortlist stage reads 1/64th the bytes per pair and does
       // integer xor/popcount instead of 64 double multiplies
-      ensure(s"$work/embeddings10x.parquet") {
-        replicate(emb, 10, { (d, k) =>
-          d.select((col("vec_id") + lit(k * 10000000L)).as("vec_id"),
-            col("embedding"))
-        }).write.mode("overwrite").parquet(s"$work/embeddings10x.parquet")
-      }
-      ensure(s"$work/embeddings100x.parquet") {
-        replicate(emb, 100, { (d, k) =>
-          d.select((col("vec_id") + lit(k * 10000000L)).as("vec_id"),
-            col("embedding"))
-        }).write.mode("overwrite").parquet(s"$work/embeddings100x.parquet")
-      }
+      ensureEmbReplica(10); ensureEmbReplica(100)
       for ((tag, ep) <- Seq(("1x", s"$sfDir/embeddings.parquet"),
           ("10x", s"$work/embeddings10x.parquet"),
           ("100x", s"$work/embeddings100x.parquet"))) {
@@ -299,11 +303,7 @@ object ScaleRehearsal {
     }
 
     if (args.lift(2).contains("r17")) {
-      def ensure(path: String)(gen: => Unit): Unit = {
-        val p = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
-        val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (!f.exists(p)) gen
-      }
+      def ensure(path: String)(gen: => Unit): Unit = ensureSuccess(path)(gen)
       // --- gr02: 100 id-offset disjoint graph copies (component
       // structure preserved per copy, so the min-label fixpoint needs
       // the same round count at every decade — wall must scale with
@@ -342,18 +342,7 @@ object ScaleRehearsal {
       // folds g + 2·(nlist/g) per candidate. Serving queries stay the
       // 10 originals, so probe/ADC/re-rank cost is flat across
       // decades and the curve isolates the assignment term.
-      ensure(s"$work/embeddings10x.parquet") {
-        replicate(emb, 10, { (d, k) =>
-          d.select((col("vec_id") + lit(k * 10000000L)).as("vec_id"),
-            col("embedding"))
-        }).write.mode("overwrite").parquet(s"$work/embeddings10x.parquet")
-      }
-      ensure(s"$work/embeddings100x.parquet") {
-        replicate(emb, 100, { (d, k) =>
-          d.select((col("vec_id") + lit(k * 10000000L)).as("vec_id"),
-            col("embedding"))
-        }).write.mode("overwrite").parquet(s"$work/embeddings100x.parquet")
-      }
+      ensureEmbReplica(10); ensureEmbReplica(100)
       for ((tag, ep, nlist) <- Seq(("1x", s"$sfDir/embeddings.parquet", 16),
           ("10x", s"$work/embeddings10x.parquet", 160),
           ("100x", s"$work/embeddings100x.parquet", 1600))) {
