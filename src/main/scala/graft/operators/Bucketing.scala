@@ -39,7 +39,17 @@ object Bucketing {
     * downstream merge joins skip the per-partition re-sort too.
     */
   def writeBucketedAt(df: DataFrame, table: String, bucketCol: String,
+                      numBuckets: Int, path: String): Unit =
+    writeBucketedAt(df, table, Seq(bucketCol), numBuckets, path)
+
+  /** Multi-column variant: bucket (and bucket-sort) on a composite key —
+    * e.g. the near-dup signature registry's (band, bucket) join key.
+    * Joins keyed on ALL bucket columns read the table with zero
+    * exchanges, exactly like the single-column form.
+    */
+  def writeBucketedAt(df: DataFrame, table: String, bucketCols: Seq[String],
                       numBuckets: Int, path: String): Unit = {
+    require(bucketCols.nonEmpty, "need at least one bucket column")
     df.sparkSession.sql(s"DROP TABLE IF EXISTS $table")
     // DROP on an external table removes only metadata; Spark >= 3.2
     // refuses CTAS into a non-empty location, so a rerun against the
@@ -47,12 +57,12 @@ object Bucketing {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true)
-    df.repartition(numBuckets, df.col(bucketCol))
+    df.repartition(numBuckets, bucketCols.map(df.col): _*)
       .write.mode(SaveMode.Overwrite)
       .format("parquet")
       .option("path", path)
-      .bucketBy(numBuckets, bucketCol)
-      .sortBy(bucketCol)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
       .saveAsTable(table)
   }
 

@@ -103,20 +103,105 @@ object Dedup {
       minHashSignatures(shingles(df, idCol, textCol, shingleN), idCol, numHashes),
       idCol, idCol, numHashes, bands)
 
-  /** LSH banding of a signature frame (id, sig) → (idAs, band, bucket):
-    * pure array slicing, no shuffle. ONE definition for every banding
-    * consumer ([[lshBuckets]], [[incrementalNearDup]]'s batch AND
-    * registry sides) — batch and registry candidates only meet if they
-    * band identically, so the scheme must never fork.
+  /** LSH banding of a signature frame (id, sig) → (id, band, bucket,
+    * sig): pure array slicing, no shuffle, the signature carried
+    * alongside its band rows. This is the PERSISTABLE registry layout:
+    * write it bucketed BY (band, bucket) ([[writeBandedRegistry]]) and
+    * every subsequent [[incrementalNearDupBanded]] screen joins it with
+    * ZERO registry-side exchange — the candidate join co-locates on the
+    * bucket layout and the signature needed for verification arrives
+    * WITH the candidate, so the corpus-sized signature table is never
+    * shuffled and never joined a second time. The price is `bands`
+    * copies of each fixed-width signature at rest (8 × ~260 B per doc
+    * at the defaults) — storage traded for a per-batch shuffle that
+    * otherwise grows with the corpus.
+    *
+    * ONE banding definition for every consumer ([[lshBuckets]],
+    * [[incrementalNearDup]]'s batch AND registry sides, the persisted
+    * registry) — batch and registry candidates only meet if they band
+    * identically, so the scheme must never fork.
     */
-  private def bandSignatures(sigs: DataFrame, idCol: String, idAs: String,
-                             numHashes: Int, bands: Int): DataFrame = {
+  def bandedSignatures(sigs: DataFrame, idCol: String, numHashes: Int,
+                       bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    sigs.select(col(idCol).as(idAs), posexplode(
+    sigs.select(col(idCol), col("sig"), posexplode(
       transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(slice(col("sig"), b * r + 1, lit(r))))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
+      .select(col(idCol), col("band"), col("bucket"), col("sig"))
+  }
+
+  private def bandSignatures(sigs: DataFrame, idCol: String, idAs: String,
+                             numHashes: Int, bands: Int): DataFrame =
+    bandedSignatures(sigs, idCol, numHashes, bands)
+      .select(col(idCol).as(idAs), col("band"), col("bucket"))
+
+  /** Persist `sigs` (id, sig) as the pre-banded signature registry: an
+    * external parquet TABLE bucketed AND bucket-sorted BY (band,
+    * bucket) — the q42 zero-exchange layout applied to the operator a
+    * crawl pipeline runs most often. Written once (or appended per
+    * ingest batch by the streaming screen), the registry side of every
+    * daily [[incrementalNearDupBanded]] join reads co-located: per-batch
+    * cost stops carrying an O(registry) shuffle term (measured 207 MB
+    * per batch at the 100× rehearsal under the re-band-per-call path).
+    */
+  def writeBandedRegistry(sigs: DataFrame, idCol: String, table: String,
+                          path: String, numHashes: Int = 32, bands: Int = 8,
+                          numBuckets: Int = 32): Unit =
+    Bucketing.writeBucketedAt(bandedSignatures(sigs, idCol, numHashes, bands),
+      table, Seq("band", "bucket"), numBuckets, path)
+
+  /** Registry-side signature guard, applied to every registry row
+    * BEFORE the candidate join: a registry persisted under a different
+    * MinHash config (numHashes/bands) would otherwise band into
+    * different buckets and simply stop colliding — duplicates passing
+    * unflagged with zero errors (a guard at estimate time never fires,
+    * because mismatched configs produce no candidate pairs to
+    * estimate). Costs one size()/comparison per registry row.
+    */
+  private def guardRegistrySig(sig: Column, band: Column, numHashes: Int,
+                               bands: Int): Column =
+    when(size(sig) =!= numHashes || band >= bands,
+      raise_error(concat(
+        lit("incrementalNearDup: registry row has signature width "),
+        size(sig).cast(StringType), lit(" / band "), band.cast(StringType),
+        lit(s" but the caller screens with numHashes=$numHashes, " +
+          s"bands=$bands — the registry was built under a different " +
+          "MinHash config; rebuild it or pass the matching parameters"))))
+      .otherwise(sig)
+
+  /** Shared screening core: banded batch rows (_bid, band, bucket, _bs)
+    * meet banded registry rows (_rid, band, bucket, _rs) in the
+    * (band, bucket) equi-join; each colliding pair is verified by the
+    * signature-estimated Jaccard and the per-doc best registry match
+    * rides a bounded top-1 aggregate. A pair colliding in several bands
+    * re-enters the aggregate with IDENTICAL (score, id) rows — top-1
+    * with deterministic ties is unaffected, so no distinct (and no
+    * extra shuffle) is spent on collapsing them.
+    */
+  private def screenAgainstBanded(batch: DataFrame, batchBanded: DataFrame,
+                                  regBanded: DataFrame, idCol: String,
+                                  numHashes: Int,
+                                  minEstJac: Double): DataFrame = {
+    val est = batchBanded.join(regBanded, Seq("band", "bucket"))
+      .select(col("_bid"), col("_rid"),
+        (size(filter(zip_with(col("_bs"), col("_rs"), (x, y) => x === y),
+          v => v)).cast(DoubleType) / numHashes).as("_e"))
+      .filter(col("_e") >= minEstJac)
+      // bounded top-1, ties to the LOWEST registry id (TopKAgg's
+      // (score desc, id asc) order) — never a struct-min SortAggregate
+      .groupBy(col("_bid"))
+      .agg(graft.functions.TopKAgg.top_k(col("_e"), col("_rid").cast(LongType),
+        1, ascending = false).as("_tk"))
+      .select(col("_bid"), element_at(col("_tk"), 1).as("_b1"))
+      .select(col("_bid"), col("_b1.id").as("dup_of"),
+        col("_b1.score").as("est_jac"))
+    batch.select(col(idCol))
+      .join(est.withColumnRenamed("_bid", idCol), Seq(idCol), "left")
+      .select(col(idCol), col("dup_of").isNull.as("keep"),
+        col("dup_of"), col("est_jac"))
   }
 
   /** Near-dup candidate pairs from LSH buckets: only rows sharing a
@@ -160,12 +245,21 @@ object Dedup {
     *
     * Scale shape: the registry is never scanned as text — it is
     * |corpus| fixed-width signature rows, bandable by pure array
-    * slicing (no shuffle); at 100 TB persist the banded buckets
-    * bucketed BY (band, bucket) so the daily candidate join co-locates
-    * without exchanging the registry, exactly like [[incremental]]'s
-    * hash registry. The only quadratic risk is a degenerate bucket
-    * (all-identical boilerplate); the verify join is still keyed on
-    * candidate PAIRS, never all-pairs.
+    * slicing (no shuffle). THIS entry point re-bands the registry per
+    * call (right for an in-memory/ad-hoc registry); a standing 100 TB
+    * registry should be persisted ONCE via [[writeBandedRegistry]]
+    * (bucketed BY (band, bucket), exactly like [[incremental]]'s hash
+    * registry) and screened through [[incrementalNearDupBanded]], whose
+    * candidate join co-locates with zero registry-side exchange. The
+    * only quadratic risk is a degenerate bucket (all-identical
+    * boilerplate); the verify work is still keyed on candidate PAIRS,
+    * never all-pairs.
+    *
+    * IDs must be integral (they ride the bounded top-1 aggregate as
+    * bigint — a lossy cast would null `dup_of` and silently under-flag),
+    * and every registry signature must be `numHashes` wide (an in-plan
+    * guard raises otherwise — a mismatched registry would silently stop
+    * colliding instead).
     */
   def incrementalNearDup(batch: DataFrame, registrySigs: DataFrame,
                          idCol: String, textCol: String,
@@ -174,35 +268,65 @@ object Dedup {
                          minEstJac: Double = 0.7): DataFrame = {
     require(numHashes % bands == 0, s"bands must divide numHashes")
     require(minEstJac > 0.0 && minEstJac <= 1.0, "need 0 < minEstJac <= 1")
-    def banded(sigs: DataFrame, id: String): DataFrame =
-      bandSignatures(sigs, idCol, id, numHashes, bands)
+    Similarity.requireIntegralId(batch, idCol)
+    Similarity.requireIntegralId(registrySigs, idCol)
     val batchSigs = minHashSignatures(
       shingles(batch, idCol, textCol, shingleN), idCol, numHashes)
-      .localCheckpoint() // referenced by the banding AND the verify join
-    val cands = banded(batchSigs, "_bid")
-      .join(banded(registrySigs, "_rid"), Seq("band", "bucket"))
-      .select("_bid", "_rid").distinct()
-    val est = cands
-      .join(batchSigs.select(col(idCol).as("_bid"), col("sig").as("_bs")),
-        "_bid")
-      .join(registrySigs.select(col(idCol).as("_rid"), col("sig").as("_rs")),
-        "_rid")
-      .select(col("_bid"), col("_rid"),
-        (size(filter(zip_with(col("_bs"), col("_rs"), (x, y) => x === y),
-          v => v)).cast(DoubleType) / numHashes).as("_e"))
-      .filter(col("_e") >= minEstJac)
-      // bounded top-1, ties to the LOWEST registry id (TopKAgg's
-      // (score desc, id asc) order) — never a struct-min SortAggregate
-      .groupBy(col("_bid"))
-      .agg(graft.functions.TopKAgg.top_k(col("_e"), col("_rid").cast(LongType),
-        1, ascending = false).as("_tk"))
-      .select(col("_bid"), element_at(col("_tk"), 1).as("_b1"))
-      .select(col("_bid"), col("_b1.id").as("dup_of"),
-        col("_b1.score").as("est_jac"))
-    batch.select(col(idCol))
-      .join(est.withColumnRenamed("_bid", idCol), Seq(idCol), "left")
-      .select(col(idCol), col("dup_of").isNull.as("keep"),
-        col("dup_of"), col("est_jac"))
+      .localCheckpoint() // referenced by the banding AND the left join
+    val bb = bandedSignatures(batchSigs, idCol, numHashes, bands)
+      .select(col(idCol).as("_bid"), col("band"), col("bucket"),
+        col("sig").as("_bs"))
+    // width-guard BEFORE banding collisions are relied on: band the
+    // guarded rows so a mismatched registry errors on its first
+    // scanned row (band < bands always holds here — it is ours)
+    val rb = bandedSignatures(
+      registrySigs.select(col(idCol),
+        guardRegistrySig(col("sig"), lit(0), numHashes, bands).as("sig")),
+      idCol, numHashes, bands)
+      .select(col(idCol).as("_rid"), col("band"), col("bucket"),
+        col("sig").as("_rs"))
+    screenAgainstBanded(batch, bb, rb, idCol, numHashes, minEstJac)
+  }
+
+  /** [[incrementalNearDup]] against a PRE-BANDED registry — the 100 TB
+    * daily-screen path: `registryBanded` is the (idCol, band, bucket,
+    * sig) layout [[bandedSignatures]] emits and [[writeBandedRegistry]]
+    * persists bucketed BY (band, bucket). Read back via
+    * `spark.table(...)`, the candidate join co-locates on the bucket
+    * layout with ZERO registry-side exchange (PlanSpec pins it): the
+    * per-batch cost is O(batch + colliding buckets), flat as the
+    * registry grows — not the O(registry) re-band-and-shuffle the
+    * in-memory entry point pays per call.
+    *
+    * The registry must have been banded under the SAME (shingleN,
+    * numHashes, bands): width and band-range violations raise in-plan
+    * (per-row guard); a registry banded with FEWER bands than the
+    * caller's cannot be detected from the rows alone (its buckets
+    * simply never collide) — persist the build params alongside the
+    * table and verify them on read, as the streaming screen's registry
+    * lifecycle does (`StreamingJobs.screenBatch`).
+    */
+  def incrementalNearDupBanded(batch: DataFrame, registryBanded: DataFrame,
+                               idCol: String, textCol: String,
+                               shingleN: Int = 3, numHashes: Int = 32,
+                               bands: Int = 8,
+                               minEstJac: Double = 0.7): DataFrame = {
+    require(numHashes % bands == 0, s"bands must divide numHashes")
+    require(minEstJac > 0.0 && minEstJac <= 1.0, "need 0 < minEstJac <= 1")
+    Similarity.requireIntegralId(batch, idCol)
+    Similarity.requireIntegralId(registryBanded, idCol)
+    val batchSigs = minHashSignatures(
+      shingles(batch, idCol, textCol, shingleN), idCol, numHashes)
+      .localCheckpoint() // referenced by the banding AND the left join
+    val bb = bandedSignatures(batchSigs, idCol, numHashes, bands)
+      .select(col(idCol).as("_bid"), col("band"), col("bucket"),
+        col("sig").as("_bs"))
+    // the projection renames only non-key columns, so the bucketed
+    // scan's (band, bucket) partitioning survives to the join
+    val rb = registryBanded.select(col(idCol).as("_rid"), col("band"),
+      col("bucket"),
+      guardRegistrySig(col("sig"), col("band"), numHashes, bands).as("_rs"))
+    screenAgainstBanded(batch, bb, rb, idCol, numHashes, minEstJac)
   }
 
   /** All-pairs word-n-gram Jaccard similarities: (da, db, jac) with

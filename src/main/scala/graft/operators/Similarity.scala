@@ -33,7 +33,7 @@ object Similarity {
     * lossy cast (string, float, decimal) would cast to null and
     * silently drop rows instead of erroring.
     */
-  private def requireIntegralId(df: DataFrame, idCol: String): Unit = {
+  private[operators] def requireIntegralId(df: DataFrame, idCol: String): Unit = {
     val dt = df.schema(idCol).dataType
     require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
       s"idCol '$idCol' must be integral (byte/short/int/long): ids ride " +

@@ -1745,6 +1745,59 @@ object PipelineQueries {
             .as("all_flagged"))
     },
 
+    // dd19 against the PERSISTED BUCKETED registry — the layout that
+    // closes r17's one open scale flank: the registry is written ONCE
+    // pre-banded and bucketed BY (band, bucket) (the q42 zero-exchange
+    // machinery), so the daily screen's candidate join co-locates with
+    // no registry-side exchange and per-batch cost stops carrying the
+    // O(registry) re-band-and-shuffle term (207 MB/batch at the 100×
+    // rehearsal). Identical truth set and invariant as dd19 — the
+    // layout must change the PLAN, never the verdicts.
+    QueryDef("dd20_banded_registry_screen",
+      """WITH reg AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+        | batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+        |           UNION ALL
+        |           SELECT doc_id + 10000001 AS doc_id, text FROM documents
+        |           WHERE doc_id % 2 = 0 AND doc_id < 40),
+        | rt AS (SELECT DISTINCT text FROM reg
+        |        WHERE len(string_split(text, ' ')) >= 3)
+        |SELECT CAST(count(DISTINCT b.doc_id) AS BIGINT) AS n_clones,
+        |  CAST(1 AS BIGINT) AS all_flagged
+        |FROM batch b JOIN rt ON b.text = rt.text""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir)
+      val reg = d.filter(col("doc_id") % 2 === 0)
+      val batch = d.filter(col("doc_id") % 2 === 1)
+        .select("doc_id", "text")
+        .unionAll(d.filter(col("doc_id") % 2 === 0 && col("doc_id") < 40)
+          .select((col("doc_id") + 10000001L).as("doc_id"), col("text")))
+      val regSigs = Dedup.minHashSignatures(
+        Dedup.shingles(reg, "doc_id", "text", 3), "doc_id", 32)
+      // one deterministic, name-keyed table + path per SF (sim21
+      // hygiene: no collisions, no /tmp accumulation)
+      val sfx = dir.replaceAll("[^A-Za-z0-9_]", "_")
+      val tbl = s"graft_dd20_reg_$sfx"
+      val tblDir = s"${System.getProperty("java.io.tmpdir")}/graft-dd20-$sfx"
+      Dedup.writeBandedRegistry(regSigs, "doc_id", tbl, tblDir,
+        numHashes = 32, bands = 8, numBuckets = 16)
+      val flagged = Dedup.incrementalNearDupBanded(batch,
+        s.table(tbl).select("doc_id", "band", "bucket", "sig"),
+        "doc_id", "text")
+        .filter(!col("keep")).select(col("doc_id")).withColumn("_f", lit(1L))
+      val clones = batch.select(col("doc_id"), col("text"))
+        .join(reg.filter(size(split(col("text"), " ")) >= 3)
+          .select("text").distinct(), Seq("text"))
+        .select("doc_id").distinct()
+      val out = clones.join(flagged, Seq("doc_id"), "left")
+        .agg(count(lit(1)).cast(LongType).as("n_clones"),
+          coalesce(min(coalesce(col("_f"), lit(0L))), lit(1L))
+            .as("all_flagged"))
+        .localCheckpoint() // pin the verdict, then drop the registry copy
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      val p = new org.apache.hadoop.fs.Path(tblDir)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      out
+    },
+
     // ================= text analysis =================
 
     QueryDef("ta01_term_freq",

@@ -390,65 +390,143 @@ object StreamingJobs {
     * corpus.
     *
     * Exactly-once without a transactional store: both per-batch writes
-    * are overwrite-idempotent under the batch-id key, and the registry
-    * read PRUNES to `batch < batchId` (a partition filter), so a retry
-    * of batch N never sees its own partial signature output —
-    * re-running N reproduces identical verdicts. Registry reads are
-    * signatures only (fixed-width rows, never raw text) — but AS
-    * SHIPPED each batch re-scans and re-bands the full signature
-    * registry (persisted partitioned by batch, not bucketed), so
-    * per-batch cost carries a term linear in the registry's signature
-    * count: the r17b rehearsal measured a constant batch against a
-    * 100×-grown registry at a flat ~3.3 s wall, with the banded join's
-    * broadcast→shuffle flip at 100× (207 MB). At cluster scale,
-    * pre-band the registry once and bucket it BY (band, bucket) — the
-    * q41/q42 zero-exchange machinery — to reach the
-    * O(batch + candidate buckets) per-batch shape; sizing a production
-    * stream from this operator as-is must budget the registry scan.
+    * are idempotent under the batch-id key (the verdict write
+    * overwrites its path; the registry append first deletes this
+    * batch's partition directory and refreshes the table), and the
+    * registry read PRUNES to `batch < batchId` (a partition filter), so
+    * a retry of batch N never sees its own partial signature output —
+    * re-running N reproduces identical verdicts.
+    *
+    * Registry layout: PRE-BANDED rows (id, band, bucket, sig) in an
+    * external parquet table partitioned by ingest batch and BUCKETED BY
+    * (band, bucket) — the q42 zero-exchange machinery applied to the
+    * join a crawl pipeline runs most often. Each micro-batch's
+    * candidate join therefore co-locates on the registry's bucket
+    * layout with no registry-side exchange (the r17b rehearsal measured
+    * the re-band-per-batch alternative at a 207 MB registry shuffle PER
+    * BATCH at 100×; PlanSpec pins the exchange-free shape, the r18
+    * rehearsal the flat per-batch shuffle). The banding params
+    * (shingleN, numHashes, bands) persist as table properties and are
+    * verified on every read — restarting the stream over an existing
+    * registry with a different MinHash config fails loudly instead of
+    * silently never colliding.
     */
   def nearDupScreenStream(docs: DataFrame, workDir: String,
                           idCol: String = "doc_id",
                           textCol: String = "text",
                           shingleN: Int = 3, numHashes: Int = 32,
-                          bands: Int = 8, minEstJac: Double = 0.7)
+                          bands: Int = 8, minEstJac: Double = 0.7,
+                          regBuckets: Int = 32)
     : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream.outputMode("append")
       .option("checkpointLocation", s"$workDir/ckpt")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         screenBatch(batch, batchId, workDir, idCol, textCol,
-          shingleN, numHashes, bands, minEstJac)
+          shingleN, numHashes, bands, minEstJac, regBuckets)
       }.start()
+
+  /** Deterministic catalog name for `workDir`'s registry table: stable
+    * across query restarts over the same work tree (the table must be
+    * found again), distinct across work trees sharing one session.
+    */
+  private[graft] def registryTable(workDir: String): String =
+    "graft_neardup_reg_" + java.security.MessageDigest.getInstance("MD5")
+      .digest(workDir.getBytes("UTF-8"))
+      .take(8).map(b => f"$b%02x").mkString
 
   private[graft] def screenBatch(batch: DataFrame, batchId: Long,
                                  workDir: String, idCol: String,
                                  textCol: String, shingleN: Int,
                                  numHashes: Int, bands: Int,
-                                 minEstJac: Double): Unit = {
+                                 minEstJac: Double, regBuckets: Int): Unit = {
     val spark = batch.sparkSession
     val regDir = s"$workDir/registry"
+    val regTable = registryTable(workDir)
     val fs = new Path(regDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val regSigs =
-      if (fs.exists(new Path(regDir)))
-        // batch < batchId is a PARTITION filter: a retry of this batch
-        // never reads its own (possibly partial) signature write
-        spark.read.parquet(regDir).filter(col("batch") < batchId)
-          .select(col(idCol), col("sig"))
-      else {
-        import spark.implicits._
-        Seq.empty[(Long, Array[Long])].toDF(idCol, "sig")
+    val params = Seq("graft.shingleN" -> shingleN.toString,
+      "graft.numHashes" -> numHashes.toString,
+      "graft.bands" -> bands.toString)
+    // the registry is live iff BOTH the catalog entry and its data dir
+    // exist — a work tree deleted out-of-band (fresh run in the same
+    // JVM) leaves a dangling catalog entry that must be rebuilt, never
+    // read
+    val live = spark.catalog.tableExists(regTable) &&
+      fs.exists(new Path(regDir))
+    if (live) {
+      // param contract (persisted at create): a restart over an
+      // existing registry with a different MinHash config would band
+      // into different buckets and simply never collide — duplicates
+      // passing unflagged with zero errors — so fail loudly instead
+      val props = spark.sql(s"SHOW TBLPROPERTIES $regTable").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      params.foreach { case (k, v) =>
+        val got = props.getOrElse(k, "<absent>")
+        require(got == v,
+          s"near-dup registry $regDir was built with $k=$got but this " +
+            s"stream screens with $k=$v — mismatched MinHash configs " +
+            "never collide (duplicates would pass unflagged); restart " +
+            "with the original parameters or rebuild the registry")
       }
-    val verdicts = graft.operators.Dedup.incrementalNearDup(
-      batch, regSigs, idCol, textCol, shingleN, numHashes, bands, minEstJac)
+    }
+    val verdicts =
+      if (live) {
+        // batch < batchId is a PARTITION filter: a retry of this batch
+        // never reads its own (possibly partial) signature write. The
+        // bucketed table scan keeps the registry side of the candidate
+        // join exchange-free (PlanSpec pins the shape).
+        val reg = spark.table(regTable).filter(col("batch") < batchId)
+          .select(col(idCol), col("band"), col("bucket"), col("sig"))
+        graft.operators.Dedup.incrementalNearDupBanded(
+          batch, reg, idCol, textCol, shingleN, numHashes, bands, minEstJac)
+      } else {
+        import spark.implicits._
+        graft.operators.Dedup.incrementalNearDup(
+          batch, Seq.empty[(Long, Array[Long])].toDF(idCol, "sig"),
+          idCol, textCol, shingleN, numHashes, bands, minEstJac)
+      }
     verdicts.write.mode("overwrite")
       .parquet(s"$workDir/verdicts/batch=$batchId")
     val survivors = batch.join(
       spark.read.parquet(s"$workDir/verdicts/batch=$batchId")
         .filter(col("keep")).select(col(idCol)), Seq(idCol))
-    graft.operators.Dedup.minHashSignatures(
-      graft.operators.Dedup.shingles(survivors, idCol, textCol, shingleN),
-      idCol, numHashes)
-      .write.mode("overwrite").parquet(s"$regDir/batch=$batchId")
+    // survivors' signatures append to the registry PRE-BANDED in the
+    // bucketed layout every later batch joins against; the pre-write
+    // repartition on the bucket key writes one file per (batch, bucket)
+    val banded = graft.operators.Dedup.bandedSignatures(
+      graft.operators.Dedup.minHashSignatures(
+        graft.operators.Dedup.shingles(survivors, idCol, textCol, shingleN),
+        idCol, numHashes), idCol, numHashes, bands)
+      .withColumn("batch", lit(batchId))
+      .repartition(regBuckets, col("band"), col("bucket"))
+    if (!live) {
+      spark.sql(s"DROP TABLE IF EXISTS $regTable")
+      if (fs.exists(new Path(regDir))) fs.delete(new Path(regDir), true)
+      banded.write.mode("overwrite")
+        .option("path", regDir)
+        .partitionBy("batch")
+        .bucketBy(regBuckets, "band", "bucket")
+        .sortBy("band", "bucket")
+        .format("parquet")
+        .saveAsTable(regTable)
+      val kv = params.map { case (k, v) => s"'$k'='$v'" }.mkString(", ")
+      spark.sql(s"ALTER TABLE $regTable SET TBLPROPERTIES ($kv)")
+    } else {
+      // retry hygiene on the WRITE side: clear this batch's partition
+      // directory and refresh the file index, then re-append — the
+      // append is idempotent under the batch-id key
+      val part = new Path(s"$regDir/batch=$batchId")
+      if (fs.exists(part)) {
+        fs.delete(part, true)
+        spark.sql(s"REFRESH TABLE $regTable")
+      }
+      banded.write.mode("append")
+        .partitionBy("batch")
+        .bucketBy(regBuckets, "band", "bucket")
+        .sortBy("band", "bucket")
+        .format("parquet")
+        .saveAsTable(regTable)
+    }
   }
 
   /** Streaming exact dedup over a content hash: each distinct payload is

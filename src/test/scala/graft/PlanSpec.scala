@@ -1001,4 +1001,83 @@ class PlanSpec extends AnyFunSuite {
     assert(p47.contains("LeftAnti"), p47)
     assert(!p47.contains("CartesianProduct"), p47)
   }
+
+  test("dd20: pre-banded registry joins exchange-free on the bucket layout") {
+    // the point of writeBandedRegistry: the corpus-proportional
+    // registry side must never re-shuffle per screen — only the small
+    // batch side exchanges into the (band, bucket) layout. Broadcast is
+    // disabled so the sort-merge path (the at-scale shape, where the
+    // batch outgrows the broadcast threshold) is what gets pinned.
+    import org.apache.spark.sql.functions._
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val d = java.nio.file.Files.createTempDirectory("nd-reg-plan").toString
+    try {
+      val docs = Tables.load(spark, sf, "documents")
+      val reg = docs.filter(col("doc_id") % 2 === 0)
+      val batch = docs.filter(col("doc_id") % 2 === 1).select("doc_id", "text")
+      graft.operators.Dedup.writeBandedRegistry(
+        graft.operators.Dedup.minHashSignatures(
+          graft.operators.Dedup.shingles(reg, "doc_id", "text", 3),
+          "doc_id", 32),
+        "doc_id", "graft_plan_nd_reg", s"$d/reg",
+        numHashes = 32, bands = 8, numBuckets = 8)
+      val screened = graft.operators.Dedup.incrementalNearDupBanded(batch,
+        spark.table("graft_plan_nd_reg")
+          .select("doc_id", "band", "bucket", "sig"),
+        "doc_id", "text")
+      screened.collect() // finalize the adaptive plan
+      val plan = screened.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      // the registry scan rides its bucket layout…
+      assert(plan.contains("Bucketed: true"), plan)
+      // …and exactly ONE exchange keys on the (band, bucket) candidate
+      // join — the batch side; a second would be the per-screen
+      // registry re-shuffle this layout exists to kill (207 MB/batch
+      // at the r17b 100× rehearsal)
+      assert(plan.linesIterator.count(
+        _.contains("Exchange hashpartitioning(band")) == 1, plan)
+      // and the screen keeps dd19's bounded, window-free verify shape
+      assert(plan.contains("partial_top_k"), plan)
+      assert(!plan.contains("Window"), plan)
+      assert(!plan.contains("CartesianProduct"), plan)
+      assert(!plan.contains("SortAggregate"), plan)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS graft_plan_nd_reg")
+    }
+  }
+
+  test("dd09: exact-hash registry anti-joins exchange-free under the bucketed layout") {
+    // the same zero-exchange contract for the EXACT incremental
+    // registry (incremental()'s scaladoc names it): persisted bucketed
+    // on the content hash, the daily anti-join exchanges only the
+    // batch side — and the survivor window reuses that partitioning,
+    // so the whole screen is ONE batch-sized shuffle
+    import org.apache.spark.sql.functions._
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val d = java.nio.file.Files.createTempDirectory("h-reg-plan").toString
+    try {
+      val docs = Tables.load(spark, sf, "documents")
+      val reg = docs.filter(col("doc_id") % 2 === 0)
+        .select(sha2(col("text"), 256).as("h"))
+      val batch = docs.filter(col("doc_id") % 2 === 1)
+        .select("doc_id", "text")
+      graft.operators.Bucketing.writeBucketedAt(reg, "graft_plan_h_reg",
+        "h", 8, s"$d/reg")
+      val inc = graft.operators.Dedup.incremental(batch,
+        spark.table("graft_plan_h_reg"), "text", col("doc_id"))
+      inc.collect() // finalize the adaptive plan
+      val plan = inc.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(plan.contains("Bucketed: true"), plan)
+      assert(plan.contains("LeftAnti"), plan)
+      assert(plan.linesIterator.count(
+        _.contains("Exchange hashpartitioning")) == 1, plan)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS graft_plan_h_reg")
+    }
+  }
 }

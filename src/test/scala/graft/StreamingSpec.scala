@@ -568,25 +568,52 @@ class StreamingSpec extends AnyFunSuite {
     def verdicts(id: Long) = spark.read
       .parquet(s"$work/verdicts/batch=$id").orderBy("doc_id")
       .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSeq
-    StreamingJobs.screenBatch(b0, 0L, work, "doc_id", "text", 3, 32, 8, 0.7)
-    StreamingJobs.screenBatch(b1, 1L, work, "doc_id", "text", 3, 32, 8, 0.7)
+    StreamingJobs.screenBatch(b0, 0L, work, "doc_id", "text", 3, 32, 8, 0.7, 4)
+    StreamingJobs.screenBatch(b1, 1L, work, "doc_id", "text", 3, 32, 8, 0.7, 4)
     val first = verdicts(1L)
     assert(first == Seq((1L, false), (3L, true)), first.toString)
     // RETRY batch 1 with its own signature write already on disk: the
     // registry read prunes batch < batchId, so the replay must neither
     // self-flag doc 3 (whose own signature is sitting in
     // registry/batch=1) nor change any verdict
-    StreamingJobs.screenBatch(b1, 1L, work, "doc_id", "text", 3, 32, 8, 0.7)
+    StreamingJobs.screenBatch(b1, 1L, work, "doc_id", "text", 3, 32, 8, 0.7, 4)
     assert(verdicts(1L) == first, "retried batch changed its verdicts")
     // batch 2 sees BOTH earlier batches' survivors: a re-crawl of the
     // batch-1 survivor is now flagged too
     val b2 = Seq((5L, "something else entirely here now")).toDF("doc_id", "text")
-    StreamingJobs.screenBatch(b2, 2L, work, "doc_id", "text", 3, 32, 8, 0.7)
+    StreamingJobs.screenBatch(b2, 2L, work, "doc_id", "text", 3, 32, 8, 0.7, 4)
     assert(verdicts(2L) == Seq((5L, false)), verdicts(2L).toString)
-    // flagged docs never entered the registry
+    // flagged docs never entered the registry (read the banded table's
+    // files directly: bands copies per doc, same id set)
     val reg = spark.read.parquet(s"$work/registry").select("doc_id")
       .collect().map(_.getLong(0)).toSet
     assert(reg == Set(2L, 4L, 3L), reg.toString)
+    // and the registry table is the BUCKETED layout (the screen's
+    // zero-exchange contract rides on it)
+    val tbl = StreamingJobs.registryTable(work)
+    val bucketSpec = spark.sql(s"DESCRIBE TABLE EXTENDED $tbl").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(bucketSpec.get("Num Buckets").contains("4"), bucketSpec.toString)
+    assert(bucketSpec.get("Bucket Columns").exists(c =>
+      c.contains("band") && c.contains("bucket")), bucketSpec.toString)
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  test("near-dup screen: restart under a different MinHash config fails loudly") {
+    // the ADVICE r17 scenario: a registry built under numHashes=32
+    // re-screened with numHashes=16 would band into different buckets
+    // and simply never collide — duplicates passing unflagged with
+    // zero errors. The persisted table properties must reject it.
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("st10-params").toString
+    val b0 = Seq((2L, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    StreamingJobs.screenBatch(b0, 0L, work, "doc_id", "text", 3, 32, 8, 0.7, 4)
+    val e = intercept[IllegalArgumentException] {
+      StreamingJobs.screenBatch(b0, 1L, work, "doc_id", "text", 3, 16, 8, 0.7, 4)
+    }
+    assert(e.getMessage.contains("numHashes"), e.getMessage)
+    spark.sql(s"DROP TABLE IF EXISTS ${StreamingJobs.registryTable(work)}")
   }
 
   test("stateful sessionization closes sessions on gap and on timeout") {
