@@ -925,6 +925,8 @@ object Dedup {
     // a flag exists. Pass twoLevelAutoK = Int.MaxValue to force the
     // exact path at any k. Gates run k=16 (exact) and the dd18 gate
     // pins the two-level path explicitly.
+    if (!twoLevelAssign && k >= twoLevelAutoK)
+      Similarity.warnAutoTwoLevel("semanticDedup", k, twoLevelAutoK)
     val assigned =
       if (twoLevelAssign || k >= twoLevelAutoK)
         Clustering.assignToSeedsTwoLevel(emb, k, idCol, vecCol)

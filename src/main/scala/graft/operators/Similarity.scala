@@ -46,6 +46,23 @@ object Similarity {
     requireIntegralId(candidates, idCol)
   }
 
+  private lazy val logger = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** One-line runtime signal when the two-level path engages via the
+    * AUTO threshold rather than the explicit flag: the switch changes
+    * results (approximate assignment, ~0.06–0.10 measured recall drop
+    * vs exact at the rehearsal scales), and a caller crossing the
+    * threshold by growing nlist/k should learn that from the log, not
+    * from silently different output.
+    */
+  private[operators] def warnAutoTwoLevel(site: String, n: Long,
+                                          threshold: Int): Unit =
+    logger.warn(s"graft $site: two-level assignment AUTO-ENGAGED " +
+      s"($n >= $threshold): assignment is approximate (~0.06-0.10 " +
+      "measured recall cost vs exact) and kills the quadratic " +
+      "exact-assign wall. Pass twoLevelAssign = true to acknowledge, " +
+      "or threshold Int.MaxValue to force exact assignment.")
+
   /** Higher-order-function cosine similarity between two double arrays
     * (codegen'd; one pass, no explode).
     */
@@ -531,6 +548,8 @@ object Similarity {
     // assignment quadratic — measured 869 s vs 179 s two-level at the
     // 100× rehearsal, SCALE.md r17); Int.MaxValue disarms
     val twoLevel = twoLevelAssign || nlist >= twoLevelAutoNlist
+    if (!twoLevelAssign && twoLevel)
+      warnAutoTwoLevel("ivfPqTopK", nlist, twoLevelAutoNlist)
     ivfPqSearch(queries,
       ivfPqBuild(candidates, nlist, m, codes, refineIters, twoLevel,
         twoLevelAutoNlist, idCol, vecCol),
@@ -586,6 +605,8 @@ object Similarity {
     requireIntegralId(candidates, idCol)
     // self-engaging big-corpus switch; Int.MaxValue disarms (ivfTopK doc)
     val twoLevel = twoLevelAssign || nlist >= twoLevelAutoNlist
+    if (!twoLevelAssign && twoLevel)
+      warnAutoTwoLevel("ivfPqBuild", nlist, twoLevelAutoNlist)
     def dbl(c: Column) = transform(c, x => x.cast(DoubleType))
     def subSplit(v: Column): Column = subSplitExplode(v, m)
 
@@ -621,14 +642,7 @@ object Similarity {
     // (a corpus-as-queries caller should use ivfTopK's two-level probe).
     val cellPick =
       if (twoLevel) ivfPqCellsTwoLevel(cand, coarse)
-      else {
-        val cellArr = coarse
-          .select(col("cell").as("_code"), col("cellv").as("cvec"))
-          .agg(array_sort(collect_list(struct(col("_code"), col("cvec"))))
-            .as("_codes"))
-        cand.crossJoin(broadcast(cellArr))
-          .select(col("cid"), col("cv"), nearestCodeL2(col("cv")).as("cell"))
-      }
+      else ivfPqCellsExact(cand, coarse)
     val assigned = cellPick
       .join(broadcast(coarse), "cell")
       .select(col("cid"), col("cell"),
@@ -705,6 +719,73 @@ object Similarity {
                            vecCol: String = "embedding"): DataFrame =
     ivfPqServe(queries, index, rerank, Some(delta), k, nprobe, shortlist,
       m, idCol, vecCol)
+
+  /** Fold the append log back INTO a built [[IvfPqIndex]] —
+    * [[ivfAbsorbDelta]]'s contract on the production architecture:
+    * delta rows assign to the EXISTING coarse quantizer's cells (one
+    * bounded pass over the delta; exact fold, or the two-level fold
+    * past the auto threshold), their residuals encode against the
+    * EXISTING codebook, and the integer codes append to the codes
+    * table. Neither quantizer retrains, the indexed corpus is never
+    * re-read, and the absorbed index serves through [[ivfPqSearch]]
+    * with the delta arm retired. The re-rank corpus passed to search
+    * must then include the absorbed rows (they are indexed now — the
+    * raw-vector side lives wherever the corpus lives, per the
+    * IvfPqIndex contract).
+    *
+    * Same disjointness contract and absorb-vs-rebuild trade as
+    * [[ivfAbsorbDelta]]: absorbed rows get probe-path + ADC recall
+    * instead of the delta arm's exact scoring, and quantizer drift
+    * after many absorptions still means rebuild. `m` as in
+    * [[ivfPqSearch]]: positive = caller-known, otherwise derived from
+    * the persisted codebook; a mismatched m raises in-plan via the
+    * same width guard the serve path ships.
+    */
+  def ivfPqAbsorbDelta(index: IvfPqIndex, delta: DataFrame,
+                       m: Int = -1, twoLevelAssign: Boolean = false,
+                       twoLevelAutoNlist: Int = 512,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): IvfPqIndex = {
+    requireIntegralId(delta, idCol)
+    val mEff =
+      if (m > 0) m
+      else index.codebook.agg(max(col("sub"))).head().getInt(0) + 1
+    def dbl(c: Column) = transform(c, x => x.cast(DoubleType))
+    val cand = delta.select(col(idCol).as("cid"), dbl(col(vecCol)).as("cv"))
+    val coarse = index.coarse
+    val nlist = coarse.count() // quantizer-sized, never the corpus
+    val twoLevel = twoLevelAssign || nlist >= twoLevelAutoNlist
+    if (!twoLevelAssign && twoLevel)
+      warnAutoTwoLevel("ivfPqAbsorbDelta", nlist, twoLevelAutoNlist)
+    val cellPick =
+      if (twoLevel) ivfPqCellsTwoLevel(cand, coarse)
+      else ivfPqCellsExact(cand, coarse)
+    val assigned = cellPick
+      .join(broadcast(coarse), "cell")
+      .select(col("cid"), col("cell"),
+        zip_with(col("cv"), col("cellv"), (x, y) => x - y).as("rv"))
+    // encode residuals against the EXISTING codebook — the build's
+    // per-row fold, with the serve path's width guard (a delta of a
+    // different dimensionality, or a wrong caller m, slices residual
+    // subvectors that mismatch the codebook and must raise, not
+    // silently mis-encode)
+    val encoded = assigned
+      .select(col("cid"), col("cell"), subSplitExplode(col("rv"), mEff))
+      .withColumnRenamed("pos", "sub").withColumnRenamed("col", "sv")
+      .join(broadcast(subCodeArrays(index.codebook)), "sub")
+      .select(col("cid"), col("cell"),
+        when(size(col("sv")) =!= size(element_at(col("_codes"), 1)
+            .getField("cvec")),
+          raise_error(concat(lit("ivfPqAbsorbDelta: residual subvector "),
+            lit("width "), size(col("sv")).cast(StringType),
+            lit(" != codebook width "),
+            size(element_at(col("_codes"), 1).getField("cvec"))
+              .cast(StringType),
+            lit(" — delta dimensionality / m must match the built index"))))
+          .otherwise(col("sub")).as("sub"),
+        nearestCodeL2(col("sv")).as("_code"))
+    IvfPqIndex(coarse, index.codebook, index.codes.unionByName(encoded))
+  }
 
   private def ivfPqServe(queries: DataFrame, index: IvfPqIndex,
                          rerank: DataFrame, delta: Option[DataFrame],
@@ -785,11 +866,19 @@ object Similarity {
     // delta arm: EVERY appended candidate enters every query's re-rank
     // set (the tail is small by contract — it rides the broadcast of
     // the nq-bounded query-id side), where the exact L2 ranks it
-    // against the stale shortlist on the one shared metric
+    // against the stale shortlist on the one shared metric. The
+    // (qid, cid) distinct is cheap hardening over the bounded set: a
+    // delta id that ALSO exists in the indexed corpus (disjointness-
+    // contract violation) would otherwise enter via both arms and hold
+    // two result slots; the distinct collapses the pair so the
+    // violation costs a double-scored candidate at most once — the
+    // contract (and the sim20/sim22 gates' construction) remains the
+    // real defense against duplicate SCORING rows in `cand`.
     val rerankSet = delta.fold(short)(d => short.unionByName(
       broadcast(q.select(col("qid")))
         .crossJoin(d.select(col(idCol).cast(LongType).as("cid")))
-        .filter(col("qid") =!= col("cid"))))
+        .filter(col("qid") =!= col("cid")))
+      .distinct())
 
     // the re-rank set is ≤ shortlist·nq (+ nq·|delta|) rows — BROADCAST
     // it into the corpus-sized raw-vector scan (the bqSearch lesson:
@@ -902,6 +991,8 @@ object Similarity {
     // gate's nlist=16, safely below the measured wall. Pass
     // Int.MaxValue to force the exact assignment at any nlist.
     val twoLevel = twoLevelAssign || nlist >= twoLevelAutoNlist
+    if (!twoLevelAssign && twoLevel)
+      warnAutoTwoLevel("ivfTopK", nlist, twoLevelAutoNlist)
     val g = math.max(1, math.round(math.sqrt(nlist.toDouble)).toInt)
     // AVERAGE-capacity sanity bound, not a guarantee: leader groups
     // are hash-picked and nearest-leader regrouping makes them uneven,
@@ -1047,6 +1138,22 @@ object Similarity {
     * `coarse` must be materialized by the caller (it is referenced
     * from the leader, group AND membership derivations).
     */
+  /** Exact L2 cell pick for the IVF-PQ family: per-row argmin fold
+    * over the ONE broadcast cell array — zero expansion, zero
+    * exchange, zero sort (the km01/dd15 fold shape). Shared by
+    * [[ivfPqBuild]]'s assignment and [[ivfPqAbsorbDelta]]'s
+    * re-assignment of the append log. `coarse` must be materialized
+    * by the caller.
+    */
+  private def ivfPqCellsExact(cand: DataFrame, coarse: DataFrame): DataFrame = {
+    val cellArr = coarse
+      .select(col("cell").as("_code"), col("cellv").as("cvec"))
+      .agg(array_sort(collect_list(struct(col("_code"), col("cvec"))))
+        .as("_codes"))
+    cand.crossJoin(broadcast(cellArr))
+      .select(col("cid"), col("cv"), nearestCodeL2(col("cv")).as("cell"))
+  }
+
   private def ivfPqCellsTwoLevel(cand: DataFrame,
                                  coarse: DataFrame): DataFrame = {
     def l2d(a: Column, b: Column): Column =
@@ -1157,6 +1264,8 @@ object Similarity {
     // self-engaging big-corpus switch (nlist ∝ N ⇒ the exact candidate
     // assignment is quadratic); Int.MaxValue disarms — see ivfTopK
     val twoLevel = twoLevelAssign || nlist >= twoLevelAutoNlist
+    if (!twoLevelAssign && twoLevel)
+      warnAutoTwoLevel("ivfBuild", nlist, twoLevelAutoNlist)
     // seed centroids picked ENTIRELY in-plan: min id per
     // pmod(xxhash64(id), nlist) hash bucket — ≤ nlist well-spread ids
     // with no driver-side action (an earlier candidates.count() here cost
@@ -1306,6 +1415,63 @@ object Similarity {
       leaderGroups, idCol, vecCol)
     val fresh = scoredPairs(queries, delta, idCol, vecCol, exact = false)
     presentTopK(indexed.unionByName(fresh), k)
+  }
+
+  /** Fold the append log back INTO a built [[IvfIndex]] — the delta
+    * REABSORPTION step that closes the serving lifecycle
+    * [[ivfSearchWithDelta]] opens ("a growing delta IS the rebuild
+    * signal" — but a full rebuild re-clusters and re-reads the whole
+    * corpus; absorption doesn't): delta rows are assigned to the
+    * EXISTING quantizer's cells in one bounded pass over the DELTA
+    * (the same per-row argmin fold the build uses — the indexed corpus
+    * is never re-read and the quantizer is never re-trained) and
+    * appended to the cell table. Saving the absorbed index rewrites
+    * the cells compacted; serving it sees the absorbed rows through
+    * the normal probe path, so the per-query exact delta arm retires
+    * until the next append.
+    *
+    * CONTRACT: same disjointness as [[ivfSearchWithDelta]] — `delta`
+    * is the append log, so its ids must not already be in the index (a
+    * row in both would hold two cell slots and score twice). Absorption
+    * is NOT a rebuild: cell centroids keep their built positions, so
+    * after many absorptions the quantizer drifts from the grown data
+    * distribution — absorbed rows are exactly as findable as built
+    * rows (probe-path recall, vs the delta arm's exact 1.0), and a
+    * delta that stops being small relative to the built corpus still
+    * means REBUILD. Absorb on the serving cadence, rebuild on the
+    * drift cadence.
+    *
+    * EQUIVALENCE (the gate's oracle): with every cell probed
+    * (nprobe ≥ surviving cells), [[ivfSearch]] over the absorbed index
+    * scores exactly the rows ivfSearchWithDelta scores, on the same
+    * double cosine — row-for-row identical output. At bounded nprobe
+    * the two differ only in the delta slice's recall (probe-path vs
+    * exact), which is the absorb-vs-delta-arm trade by construction.
+    */
+  def ivfAbsorbDelta(index: IvfIndex, delta: DataFrame,
+                     twoLevelAssign: Boolean = false,
+                     candidateGroups: Int = 2,
+                     twoLevelAutoNlist: Int = 512,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): IvfIndex = {
+    requireIntegralId(delta, idCol)
+    val centroids = index.centroids
+    // nlist-sized count (the gOf discipline), never the corpus: the
+    // auto two-level switch keys on the PERSISTED quantizer's size
+    val nlist = centroids.count()
+    val twoLevel = twoLevelAssign || nlist >= twoLevelAutoNlist
+    if (!twoLevelAssign && twoLevel)
+      warnAutoTwoLevel("ivfAbsorbDelta", nlist, twoLevelAutoNlist)
+    val assigned =
+      if (twoLevel) {
+        val g = math.max(1, math.round(math.sqrt(nlist.toDouble)).toInt)
+        val leaders = ivfLeaders(centroids, g)
+        val grouped = ivfGrouped(centroids, leaders)
+        ivfAssign2(delta, leaders, grouped, 1, candidateGroups,
+          idCol, vecCol, "cid", "cv", "cn")
+      } else ivfAssign(delta, centroids, 1, idCol, vecCol,
+        "cid", "cv", "cn")
+    IvfIndex(centroids, index.cells.unionByName(assigned))
   }
 
   private def ivfPairs(queries: DataFrame, index: IvfIndex, nprobe: Int,

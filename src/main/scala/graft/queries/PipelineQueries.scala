@@ -3113,6 +3113,53 @@ object PipelineQueries {
       recallFloor(Similarity.l2TopK(q, e, 5), served, floorPct = 80)
     },
 
+    // DELTA REABSORPTION — the lifecycle step sim20 leaves open ("a
+    // growing delta IS the rebuild signal", but a full rebuild
+    // re-clusters and re-reads the whole corpus): ivfAbsorbDelta
+    // assigns the append log to the EXISTING quantizer's cells in one
+    // bounded pass over the DELTA and appends to the cell table — the
+    // quantizer never retrains, the indexed corpus is never re-read,
+    // and the per-query exact delta arm retires. Invariant gate:
+    // sim20's shape served from the ABSORBED index (normal probe path,
+    // no delta arm) still recovers ≥85% of the exact top-5 over the
+    // grown corpus — absorbed rows are as findable as built rows.
+    // PipelineSpec pins the stronger contract: with every cell probed,
+    // absorb-then-serve ≡ stale+delta serve row-for-row.
+    QueryDef("sim25_ivf_absorb",
+      """SELECT CAST(q.nq * least(5, c.n_all - 1) AS BIGINT) AS n_exact,
+        |  CAST(1 AS BIGINT) AS recall_ok
+        |FROM (SELECT count(*) AS nq FROM embeddings WHERE vec_id < 10) q,
+        |     (SELECT count(*) AS n_all FROM embeddings) c""".stripMargin) { (s, dir) =>
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 10)
+      val stale = Similarity.ivfBuild(e.filter(col("vec_id") % 10 =!= 9))
+      val absorbed = Similarity.ivfAbsorbDelta(stale,
+        e.filter(col("vec_id") % 10 === 9))
+      recallFloor(Similarity.cosineTopK(q, e, 5),
+        Similarity.ivfSearch(q, absorbed, 5), floorPct = 85)
+    },
+
+    // Reabsorption on the production architecture: the append log
+    // assigns to the EXISTING coarse cells, its residuals encode
+    // against the EXISTING codebook, and the integer codes append —
+    // after which sim21's serve path (ADC shortlist + exact re-rank
+    // over the GROWN corpus) sees absorbed rows through the normal
+    // probe, no delta arm. Same ≥80% floor as sim22 — absorbed rows
+    // must compete through ADC like built rows and still clear it.
+    QueryDef("sim26_ivfpq_absorb",
+      """SELECT CAST(q.nq * least(5, c.n_all - 1) AS BIGINT) AS n_exact,
+        |  CAST(1 AS BIGINT) AS recall_ok
+        |FROM (SELECT count(*) AS nq FROM embeddings WHERE vec_id < 10) q,
+        |     (SELECT count(*) AS n_all FROM embeddings) c""".stripMargin) { (s, dir) =>
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 10)
+      val stale = Similarity.ivfPqBuild(e.filter(col("vec_id") % 10 =!= 9))
+      val absorbed = Similarity.ivfPqAbsorbDelta(stale,
+        e.filter(col("vec_id") % 10 === 9))
+      recallFloor(Similarity.l2TopK(q, e, 5),
+        Similarity.ivfPqSearch(q, absorbed, e, 5), floorPct = 80)
+    },
+
     // BINARY-QUANTIZED two-stage retrieval — the 1-bit compression
     // serving shape (sign-bit codes, 32× smaller than int8): hamming
     // shortlist over packed codes, exact-decimal cosine re-rank. FULL

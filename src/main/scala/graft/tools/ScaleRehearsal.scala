@@ -234,6 +234,68 @@ object ScaleRehearsal {
       path
     }
 
+    // r18 mode: the receipt for the bucketed-registry fix (r17's one
+    // open scale flank). Same constant batch and two-decade registry
+    // growth as r17b, but the registry is the PERSISTED BUCKETED
+    // banded table [[Dedup.writeBandedRegistry]] ships — the number to
+    // watch is per-batch shuffle bytes, which must stay FLAT as the
+    // registry grows (the re-band path's shuffle grows with the
+    // registry: 207 MB at 100×, measured r17b). Both paths run at each
+    // decade so the comparison is same-session.
+    if (args.lift(2).contains("r18")) {
+      def ensure(path: String)(gen: => Unit): Unit = ensureSuccess(path)(gen)
+      for (f <- Seq(1, 10, 100))
+        ensure(s"$work/regsigs${f}x.parquet") {
+          val corpus = replicate(docs, f, { (d, k) =>
+            d.select((col("doc_id") + lit(k * 10000000L)).as("doc_id"),
+              col("text"))
+          })
+          Dedup.minHashSignatures(
+            Dedup.shingles(corpus, "doc_id", "text", 3), "doc_id", 32)
+            .write.mode("overwrite").parquet(s"$work/regsigs${f}x.parquet")
+        }
+      // the banded bucketed registry asset, built once per decade; a
+      // fresh JVM re-registers surviving data instead of rewriting it
+      def ensureBandedTable(f: Int): String = {
+        val tbl = s"graft_r18_reg_${f}x"
+        val path = s"$work/regbanded${f}x"
+        val succ = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+        val fs = succ.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(succ))
+          Dedup.writeBandedRegistry(
+            spark.read.parquet(s"$work/regsigs${f}x.parquet"), "doc_id",
+            tbl, path, numHashes = 32, bands = 8, numBuckets = 32)
+        else if (!spark.catalog.tableExists(tbl))
+          spark.sql(
+            s"""CREATE TABLE $tbl (doc_id BIGINT, band INT, bucket BIGINT,
+               |sig ARRAY<BIGINT>) USING parquet
+               |CLUSTERED BY (band, bucket) SORTED BY (band, bucket)
+               |INTO 32 BUCKETS LOCATION '$path'""".stripMargin)
+        tbl
+      }
+      // constant batch: ~half the 1× corpus plus 20 planted re-crawls
+      val batch = docs.filter(col("doc_id") % 2 === 1)
+        .unionAll(docs.filter(col("doc_id") % 2 === 0 && col("doc_id") < 40)
+          .select((col("doc_id") + 10000001L).as("doc_id"), col("text")))
+        .localCheckpoint()
+      for (f <- Seq(1, 10, 100)) {
+        val tbl = ensureBandedTable(f)
+        measure(f"dd20_banded reg=${f}x") {
+          Dedup.incrementalNearDupBanded(batch,
+            spark.table(tbl).select("doc_id", "band", "bucket", "sig"),
+            "doc_id", "text")
+            .filter(!col("keep")).count()
+        }
+        val reg = spark.read.parquet(s"$work/regsigs${f}x.parquet")
+        measure(f"dd19_reband reg=${f}x") {
+          Dedup.incrementalNearDup(batch, reg, "doc_id", "text")
+            .filter(!col("keep")).count()
+        }
+      }
+      spark.stop()
+      return
+    }
+
     // r17b mode: receipts for the round's new family — the dd19/st10
     // incremental near-dup screen with the REGISTRY grown two decades
     // against a CONSTANT batch (the st08-update-style money curve:

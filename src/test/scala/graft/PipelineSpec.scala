@@ -376,6 +376,68 @@ class PipelineSpec extends AnyFunSuite {
       "two-level round-trip diverged from fused ivfPqTopK")
   }
 
+  test("ivfAbsorbDelta: probe-all absorb-serve equals stale+delta serve row-for-row; absorbed index persists") {
+    // the absorb contract's oracle: with every cell probed, the
+    // absorbed index scores exactly the rows the stale+delta path
+    // scores, on the bit-identical double cosine — so the two serves
+    // must agree row-for-row (sims included). At bounded nprobe they
+    // may differ only in the delta slice's recall (probe-path vs the
+    // delta arm's exact scan) — that trade is the sim25 gate's floor.
+    val e = Tables.load(spark, sf, "embeddings")
+    val q = e.filter($"vec_id" < 10)
+    val indexed = e.filter($"vec_id" % 10 =!= 9)
+    val delta = e.filter($"vec_id" % 10 === 9)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toSeq
+    val stale = Similarity.ivfBuild(indexed)
+    val absorbed = Similarity.ivfAbsorbDelta(stale, delta)
+    val a = rows(Similarity.ivfSearch(q, absorbed, 5, nprobe = 16))
+    val b = rows(Similarity.ivfSearchWithDelta(q, stale, delta, 5,
+      nprobe = 16))
+    assert(a == b, "probe-all absorb-serve diverged from stale+delta serve")
+    // the absorbed index is a first-class IvfIndex: it persists, loads,
+    // and serves identically (the compaction shape — saving rewrites
+    // the cells with the delta folded in)
+    val d = java.nio.file.Files.createTempDirectory("ivf-absorb").toString
+    absorbed.save(d)
+    assert(rows(Similarity.ivfSearch(q, Similarity.ivfLoad(spark, d), 5,
+      nprobe = 16)) == a, "persisted absorbed index diverged")
+  }
+
+  test("ivfPqAbsorbDelta: probe-all + full shortlist equals stale+delta serve; wrong-m delta raises") {
+    // with every cell probed AND a shortlist covering the whole corpus,
+    // both paths re-rank the identical candidate set with the identical
+    // exact L2, so the served rows must agree row-for-row — the ADC
+    // stage only ORDERS the (here untruncated) shortlist
+    val e = Tables.load(spark, sf, "embeddings")
+    val q = e.filter($"vec_id" < 10)
+    val indexed = e.filter($"vec_id" % 10 =!= 9)
+    val delta = e.filter($"vec_id" % 10 === 9)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toSeq
+    val stale = Similarity.ivfPqBuild(indexed)
+    val absorbed = Similarity.ivfPqAbsorbDelta(stale, delta)
+    val a = rows(Similarity.ivfPqSearch(q, absorbed, e, 5, nprobe = 16,
+      shortlist = 600))
+    val b = rows(Similarity.ivfPqSearchWithDelta(q, stale, indexed, delta,
+      5, nprobe = 16, shortlist = 600))
+    assert(a == b,
+      "probe-all full-shortlist absorb-serve diverged from stale+delta")
+    // m guard: absorbing with a mismatched m slices residuals that
+    // cannot match the codebook width — must raise, never mis-encode
+    val bad = Similarity.ivfPqAbsorbDelta(stale, delta, m = 4)
+    val ex = intercept[Exception] {
+      // force the guarded `sub` projection to evaluate (a bare count
+      // would prune it away)
+      bad.codes.agg(org.apache.spark.sql.functions.sum($"sub")).collect()
+    }
+    assert(ex.getMessage.contains("ivfPqAbsorbDelta") ||
+      Option(ex.getCause).exists(_.getMessage.contains("ivfPqAbsorbDelta")),
+      s"wrong-m absorb did not raise the width guard: ${ex.getMessage}")
+  }
+
   test("bqTopK: packed hamming = sign-mismatch count (multi-word), exact re-rank ranks by cosine") {
     // 70-dim vectors exercise the second packed word; flipping n signs
     // of a ±1 vector changes hamming by exactly n and the dot by −2n,
