@@ -123,6 +123,23 @@ private[graft] object Checkpointing {
       out
     }
 
+    /** Release a frame previously truncated by THIS handle, once the
+      * caller is done with it — the explicit-double-buffer variant of
+      * [[rolling]] for loops whose convergence check must read round
+      * N−1 AFTER round N has materialized (rolling would release N−1
+      * the moment N lands, and a locally-checkpointed frame cannot be
+      * recomputed once its blocks are gone). Same exact storage
+      * attribution as rolling; never call it on the frame you are
+      * about to return.
+      */
+    def release(df: DataFrame): Unit =
+      if (checkpointDir.isEmpty) {
+        if (enabled) blockRdds(df).foreach(_.unpersist(blocking = false))
+      } else {
+        val fs = fileSystem()
+        checkpointFiles(df).foreach(p => fs.delete(p, true))
+      }
+
     private def fileSystem() = {
       val p = new Path(spark.sparkContext.getCheckpointDir.get)
       p.getFileSystem(spark.sparkContext.hadoopConfiguration)

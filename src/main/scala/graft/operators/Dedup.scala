@@ -446,20 +446,121 @@ object Dedup {
     * between candidate scoring and survivor selection in every dedup
     * pipeline. Returns (id, cluster) where cluster = min id reachable.
     *
-    * Iterative min-label propagation: each round every node takes the
-    * min of its own label and its neighbors' labels — converges in
-    * O(component diameter) rounds (near-dup components are shallow;
-    * `maxIter` bounds pathological chains). Each round is one
-    * hash-partitioned join + partial-aggregated min, and a per-round
-    * checkpoint truncates the growing lineage so round N plans O(1)
-    * work, not O(N). `checkpointDir = None` (the local default) uses
-    * `localCheckpoint` — fast, but executor-local and not
-    * fault-tolerant; pass a reliable dir (HDFS/S3 on a cluster) to use
-    * `checkpoint()` instead, making every round recoverable at the cost
-    * of a distributed write per round.
+    * ALTERNATING STAR CONTRACTION (Kiveris, Lattanzi, Mirrokni,
+    * Rastogi, Vassilvitskii — "Connected Components in MapReduce and
+    * Beyond", SoCC 2014, the standard O(log n)-round formulation):
+    * each round applies
+    *   large-star — every node points its LARGER neighbors at its
+    *   local minimum (min of itself and its neighborhood), then
+    *   small-star — edges orient toward their larger endpoint and
+    *   every node points its (now all smaller) neighbors AND itself
+    *   at its local minimum,
+    * contracting every component onto its minimum id in rounds
+    * LOGARITHMIC in component size REGARDLESS OF DIAMETER. That is the
+    * property min-label BSP ([[connectedComponentsBsp]]) lacks — BSP
+    * rounds ∝ diameter, so a chain-shaped dup graph (each crawl
+    * near-dups the previous one) costs rounds × checkpoint: measured
+    * at the r18 rehearsal, a 50k-node chain needs 2 000+ BSP rounds vs
+    * a handful of star rounds. Per round this formulation is pure
+    * aggregations + equi-joins: the local minima come from a
+    * map-side-combined `min` per node (never a collected neighbor
+    * list, so a 100M-degree hub costs its edge count, not a buffer),
+    * and each round's output is checkpoint-truncated with the
+    * superseded round released only AFTER the convergence comparison
+    * reads it (Truncator.release — O(1) live copies).
+    *
+    * Convergence = fixpoint: the deduped edge set repeats exactly
+    * (equal counts + empty exceptAll — a set comparison, not a
+    * probabilistic checksum). The fixpoint is the star forest
+    * {(member, component-min)}, read out as the labels; roots label
+    * themselves. Fails loudly past `maxIter` like every iterative
+    * operator here — silence would return a half-contracted forest as
+    * plausible-but-wrong groups.
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20,
                           checkpointDir: Option[String] = None): DataFrame = {
+    val cp = Checkpointing.truncator(edges.sparkSession, enabled = true,
+      checkpointDir)
+    def clean(e: DataFrame): DataFrame =
+      e.filter(col("src") =!= col("dst")).distinct()
+    // large-star: m(u) = min(Γ(u) ∪ {u}) over the SYMMETRIC view;
+    // emit (v, m(u)) for every neighbor v > u. Connectivity is
+    // preserved per round (Kiveris et al., Lemma 1) and every emitted
+    // edge points strictly downward (m < u < v), so self-loops cannot
+    // appear.
+    def largeStar(e: DataFrame): DataFrame = {
+      val s = e.select(explode(array(
+        struct(col("src").as("src"), col("dst").as("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("p"))
+        .select(col("p.src").as("src"), col("p.dst").as("dst"))
+      val mins = s.groupBy(col("src")).agg(min(col("dst")).as("_mn"))
+        .select(col("src"), least(col("_mn"), col("src")).as("_m"))
+      s.join(mins, "src")
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("_m").as("dst"))
+        .distinct()
+    }
+    // small-star: orient every edge toward its larger endpoint; per
+    // node u (all neighbors now < u), m(u) = min neighbor; emit
+    // (v, m(u)) for every neighbor plus (u, m(u)) itself.
+    def smallStar(e: DataFrame): DataFrame = {
+      val d = e.select(greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+      val mins = d.groupBy(col("src")).agg(min(col("dst")).as("_m"))
+      clean(d.join(mins, "src")
+        .select(col("dst").as("src"), col("_m").as("dst"))
+        .unionAll(mins.select(col("src"), col("_m").as("dst"))))
+    }
+    // one materialization of the (possibly expensive) upstream edge
+    // pipeline serves BOTH the node-set pin and round 0; self-loops
+    // are kept long enough to contribute their nodes (a (x, x)-only
+    // node must still label itself — BSP parity), then dropped
+    val e0 = cp(edges.distinct())
+    // the original node set, pinned BEFORE the loop contracts edges
+    // away (roots lose their outgoing edges; they label themselves)
+    val nodes = cp(e0.select(explode(array(col("src"), col("dst")))
+      .as("id")).distinct())
+    var e: DataFrame = e0.filter(col("src") =!= col("dst"))
+    var eCount = e.count()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val next = cp(smallStar(largeStar(e)))
+      val nextCount = next.count()
+      // deduped sets: equal size + empty one-sided difference ⇒ equal
+      converged = nextCount == eCount && next.exceptAll(e).isEmpty
+      cp.release(e) // only after the comparison read it
+      e = next
+      eCount = nextCount
+      i += 1
+    }
+    if (!converged) sys.error(
+      s"connectedComponents did not converge in $maxIter star rounds — " +
+        "raise maxIter (rounds grow ~log component size)")
+    val labels = nodes
+      .join(e.select(col("src").as("id"), col("dst").as("cluster")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
+    labels
+  }
+
+  /** Min-label BSP connected components — the pre-r18 default, kept
+    * for shallow graphs and as the independent implementation the
+    * star-contraction specs compare against. Each round every node
+    * takes the min of its own label and its neighbors' labels —
+    * converges in O(component diameter) rounds, which is FINE for the
+    * shallow components near-dup graphs usually produce and WRONG for
+    * chain-shaped ones (use [[connectedComponents]], whose round count
+    * is diameter-independent). Each round is one hash-partitioned join
+    * + partial-aggregated min, with per-round checkpoint truncation.
+    * `checkpointDir = None` (the local default) uses `localCheckpoint`
+    * — fast, but executor-local and not fault-tolerant; pass a
+    * reliable dir (HDFS/S3 on a cluster) to use `checkpoint()`
+    * instead, making every round recoverable at the cost of a
+    * distributed write per round.
+    */
+  def connectedComponentsBsp(edges: DataFrame, maxIter: Int = 20,
+                             checkpointDir: Option[String] = None): DataFrame = {
     val cp = Checkpointing.truncator(edges.sparkSession, enabled = true,
       checkpointDir)
     // symmetrize with a single explode, NOT union(e, e.swap): union would
@@ -497,8 +598,9 @@ object Dedup {
     // chain split mid-way) — fail loudly instead; callers with genuinely
     // deep components raise maxIter
     if (!converged) sys.error(
-      s"connectedComponents did not converge in $maxIter rounds — " +
-        "component diameter exceeds maxIter; raise it")
+      s"connectedComponentsBsp did not converge in $maxIter rounds — " +
+        "component diameter exceeds maxIter; raise it (or use the " +
+        "diameter-independent connectedComponents)")
     labels.select(col("id"), col("label").as("cluster"))
   }
 

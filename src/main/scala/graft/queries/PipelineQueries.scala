@@ -4712,6 +4712,61 @@ object PipelineQueries {
       out
     },
 
+    // STREAMING DELTA SERVING — the one serving-lifecycle edge with no
+    // streaming gate after r17: micro-batches of newly arrived vectors
+    // append to the batch-keyed delta log (overwrite-idempotent, the
+    // st10 exactly-once pattern, including a QUERY RESTART between the
+    // two batches), and sim20's stale-index + delta serve runs against
+    // the log mid-stream — an appended vector is searchable the moment
+    // its batch lands, exactly (the delta arm brute-forces the log).
+    // Invariant gate: sim20's floor — ≥85% of the exact top-5 over the
+    // grown corpus recovered by the stale snapshot + streamed log.
+    QueryDef("st11_stream_delta_serve",
+      """SELECT CAST(q.nq * least(5, c.n_all - 1) AS BIGINT) AS n_exact,
+        |  CAST(1 AS BIGINT) AS recall_ok
+        |FROM (SELECT count(*) AS nq FROM embeddings WHERE vec_id < 10) q,
+        |     (SELECT count(*) AS n_all FROM embeddings) c""".stripMargin) { (s, dir) =>
+      val work = s"${System.getProperty("java.io.tmpdir")}/graft-st11-" +
+        dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      val workP = new org.apache.hadoop.fs.Path(work)
+      val workFs = workP.getFileSystem(s.sparkContext.hadoopConfiguration)
+      workFs.delete(workP, true)
+      val in = s"$work/in"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 10)
+      val stale = Similarity.ivfBuild(e.filter(col("vec_id") % 10 =!= 9))
+      val d0 = e.filter(col("vec_id") % 20 === 9)
+      val d1 = e.filter(col("vec_id") % 20 === 19)
+      def land(phase: Int, df: DataFrame): Unit = {
+        // ONE file per phase: each phase must be exactly one micro-batch
+        val staging = s"$work/staging$phase"
+        df.coalesce(1).write.mode("overwrite").parquet(staging)
+        val destP = java.nio.file.Paths.get(in)
+        val files = java.nio.file.Files.list(java.nio.file.Paths.get(staging))
+        try files.filter(_.getFileName.toString.startsWith("part-"))
+          .forEach(p => java.nio.file.Files.move(p,
+            destP.resolve(s"p$phase-${p.getFileName}")))
+        finally files.close()
+      }
+      val sch = e.schema
+      def stream() = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+      land(0, d0)
+      val s0 = graft.streaming.StreamingJobs.vectorDeltaStream(stream(), work)
+      try s0.processAllAvailable() finally s0.stop() // outage between batches
+      land(1, d1)
+      val s1 = graft.streaming.StreamingJobs.vectorDeltaStream(stream(), work)
+      try s1.processAllAvailable() finally s1.stop()
+      val served = Similarity.ivfSearchWithDelta(q, stale,
+        graft.streaming.StreamingJobs.deltaLog(s, work), 5)
+      val out = recallFloor(Similarity.cosineTopK(q, e, 5), served,
+        floorPct = 85)
+        .localCheckpoint() // pin the verdict, then drop the work tree
+      workFs.delete(workP, true)
+      out
+    },
+
     // Time-series gap fill: the hourly rollup densified onto the full
     // hour grid per event_type — absent buckets get n = 0 and carry the
     // last observed v forward (null before the first observation). The

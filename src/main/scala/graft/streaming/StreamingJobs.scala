@@ -529,6 +529,40 @@ object StreamingJobs {
     }
   }
 
+  /** Streaming arm of the stale-vector-index + delta serving lifecycle
+    * (the sim20/sim25 contracts): micro-batches of newly arrived
+    * vectors append to a batch-keyed delta log that
+    * [[graft.operators.Similarity.ivfSearchWithDelta]] serves against
+    * the stale snapshot MID-STREAM (the delta arm scores appended rows
+    * exactly, so a vector is searchable the moment its batch lands),
+    * and [[graft.operators.Similarity.ivfAbsorbDelta]] folds into the
+    * index on the rebuild cadence, emptying the log.
+    *
+    * Exactly-once under retries, the st10 pattern: each batch's write
+    * is overwrite-idempotent under its batch id, so a replayed batch
+    * replaces its own (possibly partial) output and the log never
+    * double-counts an append — a duplicated delta row would violate
+    * ivfSearchWithDelta's disjointness contract and hold two result
+    * slots.
+    */
+  def vectorDeltaStream(vectors: DataFrame, workDir: String)
+    : org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream.outputMode("append")
+      .option("checkpointLocation", s"$workDir/ckpt")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write.mode("overwrite")
+          .parquet(s"$workDir/delta/batch=$batchId")
+      }.start()
+
+  /** The append log [[vectorDeltaStream]] maintains, as the one frame
+    * `ivfSearchWithDelta` / `ivfAbsorbDelta` take: every vector landed
+    * by any batch so far (batch key dropped — the log is a set of
+    * appended rows; per-batch lineage lives in the directory layout).
+    */
+  def deltaLog(spark: org.apache.spark.sql.SparkSession,
+               workDir: String): DataFrame =
+    spark.read.parquet(s"$workDir/delta").drop("batch")
+
   /** Streaming exact dedup over a content hash: each distinct payload is
     * emitted once; duplicate arrivals within the watermark horizon are
     * dropped, and the hash leaves the state store once the watermark

@@ -364,6 +364,64 @@ object ScaleRehearsal {
       return
     }
 
+    // r18cc mode: the high-diameter receipt for the star-contraction
+    // connectedComponents rewrite. CHAIN-shaped components (each crawl
+    // near-dups the previous one — the worst case the r17 verdict
+    // flagged): min-label BSP needs rounds = diameter, so its wall is
+    // rounds × (join + checkpoint) and the chain length IS the round
+    // count; star contraction's rounds grow ~log(chain), so the wall
+    // tracks |E| × a handful of rounds at every decade. BSP runs only
+    // at the two short chains (its cost is the point being proven —
+    // 5k rounds at 5k nodes is not a row worth waiting for); star runs
+    // the full two decades. Also re-measures the gr02 dup-graph shape
+    // (shallow components) under star for direct comparison with r17's
+    // BSP rows (2.45 / 2.88 / 5.25 s).
+    if (args.lift(2).contains("r18cc")) {
+      def chain(n: Long): DataFrame =
+        spark.range(n - 1).select(col("id").as("src"),
+          (col("id") + 1).as("dst"))
+      for (n <- Seq(512L, 2048L)) {
+        measure(f"ccBSP  chain=$n%-7d") {
+          Dedup.connectedComponentsBsp(chain(n), maxIter = n.toInt + 5)
+            .agg(countDistinct(col("cluster"))).head().getLong(0)
+        }
+      }
+      for (n <- Seq(5000L, 50000L, 500000L)) {
+        measure(f"ccStar chain=$n%-7d") {
+          Dedup.connectedComponents(chain(n), maxIter = 40)
+            .agg(countDistinct(col("cluster"))).head().getLong(0)
+        }
+      }
+      def ensure(path: String)(gen: => Unit): Unit = ensureSuccess(path)(gen)
+      ensure(s"$work/edges1x.parquet") {
+        val ps = graft.Tables.load(spark, sfDir, "lineitem")
+          .select("l_orderkey", "l_suppkey").distinct()
+        ps.select(col("l_orderkey"), col("l_suppkey").as("s1"))
+          .join(ps.select(col("l_orderkey"), col("l_suppkey").as("s2")),
+            "l_orderkey")
+          .filter(col("s1") < col("s2"))
+          .groupBy("s1", "s2").agg(count(lit(1)).as("w"))
+          .filter(col("w") >= 5)
+          .select(col("s1").as("src"), col("s2").as("dst"))
+          .write.mode("overwrite").parquet(s"$work/edges1x.parquet")
+      }
+      for (f <- Seq(10, 100))
+        ensure(s"$work/edges${f}x.parquet") {
+          replicate(spark.read.parquet(s"$work/edges1x.parquet"), f, { (d, k) =>
+            d.select((col("src") + lit(k * 10000000L)).as("src"),
+              (col("dst") + lit(k * 10000000L)).as("dst"))
+          }).write.mode("overwrite").parquet(s"$work/edges${f}x.parquet")
+        }
+      for (f <- Seq(1, 10, 100)) {
+        measure(f"ccStar gr02-shape ${f}x") {
+          Dedup.connectedComponents(
+            spark.read.parquet(s"$work/edges${f}x.parquet")).count()
+        }
+      }
+      spark.stop()
+      return
+    }
+
     if (args.lift(2).contains("r17")) {
       def ensure(path: String)(gen: => Unit): Unit = ensureSuccess(path)(gen)
       // --- gr02: 100 id-offset disjoint graph copies (component

@@ -666,17 +666,48 @@ class PipelineSpec extends AnyFunSuite {
     assert((1L to 8L).forall(cc(_) == 1L), s"path not fully labeled: $cc")
   }
 
-  test("connected components: deep chain fails loudly at maxIter, converges when raised") {
-    // path of 12 nodes has diameter 11 > maxIter=5: silent truncation
-    // would split the group — it must throw instead
+  test("connected components: deep chain converges in log rounds where BSP fails loudly") {
+    // path of 12 nodes has diameter 11: min-label BSP at maxIter=5
+    // must throw (silent truncation would split the group), while the
+    // star-contraction default contracts it well inside 5 rounds —
+    // the diameter-independence that makes chain-shaped dup graphs
+    // survivable at scale
     val edges = (1L until 12L).map(i => (i, i + 1)).toDF("src", "dst")
     val e = intercept[RuntimeException] {
-      Dedup.connectedComponents(edges, maxIter = 5).collect()
+      Dedup.connectedComponentsBsp(edges, maxIter = 5).collect()
     }
     assert(e.getMessage.contains("did not converge"), e.getMessage)
-    val cc = Dedup.connectedComponents(edges, maxIter = 15)
+    val cc = Dedup.connectedComponents(edges, maxIter = 5)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert((1L to 12L).forall(cc(_) == 1L), s"$cc")
+  }
+
+  test("connected components: star contraction equals BSP on chains, blobs, and noise") {
+    // two independent implementations must label identically: a
+    // planted 400-node chain (diameter far past any BSP default), a
+    // mesh blob, 200 random pairs over a small id space (dense
+    // transitive merges), a self loop, an isolated self-loop-only
+    // node, and duplicate edges
+    val rnd = new scala.util.Random(42)
+    val chain = (1000L until 1399L).map(i => (i, i + 1))
+    val blob = for {
+      i <- 0 until 15; j <- (i + 1) until 15 if (i + j) % 3 == 0
+    } yield (2000L + i, 2000L + j)
+    val noise = Seq.fill(200)(
+      (rnd.nextInt(300).toLong, rnd.nextInt(300).toLong))
+    val edges = (chain ++ blob ++ noise ++
+      Seq((7L, 7L), (9999L, 9999L), (1000L, 1001L)))
+      .toDF("src", "dst")
+    val star = Dedup.connectedComponents(edges, maxIter = 30)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bsp = Dedup.connectedComponentsBsp(edges, maxIter = 500)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star == bsp,
+      s"star vs BSP diverged: ${star.toSet.diff(bsp.toSet)} / " +
+        s"${bsp.toSet.diff(star.toSet)}")
+    // the chain really is one component rooted at its minimum
+    assert((1000L to 1399L).forall(star(_) == 1000L))
+    assert(star(9999L) == 9999L, "isolated self-loop node lost")
   }
 
   test("funnel: out-of-order steps don't count, ordered paths do") {

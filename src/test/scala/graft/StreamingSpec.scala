@@ -599,6 +599,42 @@ class StreamingSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  test("vector delta stream: appends accumulate, replays overwrite, and the log serves mid-lifecycle") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val work = java.nio.file.Files.createTempDirectory("st11-delta").toString
+    val base = (1 to 64).map(_.toFloat).toArray
+    val in = MemoryStream[(Long, Array[Float])]
+    val q = StreamingJobs.vectorDeltaStream(
+      in.toDF().toDF("vec_id", "embedding"), work)
+    in.addData((100L, base))
+    q.processAllAvailable()
+    // searchable the moment the batch lands
+    assert(StreamingJobs.deltaLog(spark, work).count() == 1)
+    in.addData((101L, base.map(-_)))
+    q.processAllAvailable()
+    q.stop()
+    assert(StreamingJobs.deltaLog(spark, work).count() == 2)
+    // a replayed batch OVERWRITES its own output — the log never
+    // double-counts an append (the disjointness contract's guard)
+    Seq((101L, base.map(-_))).toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$work/delta/batch=1")
+    assert(StreamingJobs.deltaLog(spark, work).count() == 2)
+    // mid-lifecycle serve: a stale index over unrelated vectors + the
+    // streamed log — the appended exact clone of the query must win
+    // rank 1 through the delta arm (it is not in the index at all)
+    val corpus = (1 to 20).map { i =>
+      (i * 2L, Array.tabulate(64)(j => if (j == i % 64) 1.0f else 0.1f))
+    }.toDF("vec_id", "embedding")
+    val query = Seq((999L, base)).toDF("vec_id", "embedding")
+    val served = graft.operators.Similarity.ivfSearchWithDelta(query,
+      graft.operators.Similarity.ivfBuild(corpus),
+      StreamingJobs.deltaLog(spark, work), 3)
+      .collect().map(r => (r.getLong(1), r.getLong(3)))
+    assert(served.head == (100L, 1L),
+      s"streamed clone not served at rank 1: ${served.toSeq}")
+  }
+
   test("near-dup screen: restart under a different MinHash config fails loudly") {
     // the ADVICE r17 scenario: a registry built under numHashes=32
     // re-screened with numHashes=16 would band into different buckets
