@@ -270,9 +270,13 @@ object Dedup {
     require(minEstJac > 0.0 && minEstJac <= 1.0, "need 0 < minEstJac <= 1")
     Similarity.requireIntegralId(batch, idCol)
     Similarity.requireIntegralId(registrySigs, idCol)
+    // lazy: since the signature rides the banded rows, the batch
+    // signatures have exactly ONE consumer (the banding) — the old
+    // second reference (a separate verify join) is gone, so a
+    // checkpoint here would cost an extra job per (micro-)batch for
+    // nothing
     val batchSigs = minHashSignatures(
       shingles(batch, idCol, textCol, shingleN), idCol, numHashes)
-      .localCheckpoint() // referenced by the banding AND the left join
     val bb = bandedSignatures(batchSigs, idCol, numHashes, bands)
       .select(col(idCol).as("_bid"), col("band"), col("bucket"),
         col("sig").as("_bs"))
@@ -315,9 +319,9 @@ object Dedup {
     require(minEstJac > 0.0 && minEstJac <= 1.0, "need 0 < minEstJac <= 1")
     Similarity.requireIntegralId(batch, idCol)
     Similarity.requireIntegralId(registryBanded, idCol)
+    // lazy — one consumer (see incrementalNearDup)
     val batchSigs = minHashSignatures(
       shingles(batch, idCol, textCol, shingleN), idCol, numHashes)
-      .localCheckpoint() // referenced by the banding AND the left join
     val bb = bandedSignatures(batchSigs, idCol, numHashes, bands)
       .select(col(idCol).as("_bid"), col("band"), col("bucket"),
         col("sig").as("_bs"))

@@ -640,13 +640,7 @@ object Similarity {
     // ([[ivfPqCellsTwoLevel]]). The query-side probe stays exact: its
     // cost is nq·nlist, and nq is serving-bounded, not corpus-bounded
     // (a corpus-as-queries caller should use ivfTopK's two-level probe).
-    val cellPick =
-      if (twoLevel) ivfPqCellsTwoLevel(cand, coarse)
-      else ivfPqCellsExact(cand, coarse)
-    val assigned = cellPick
-      .join(broadcast(coarse), "cell")
-      .select(col("cid"), col("cell"),
-        zip_with(col("cv"), col("cellv"), (x, y) => x - y).as("rv"))
+    val assigned = ivfPqAssignResiduals(cand, coarse, twoLevel)
 
     // one shared PQ codebook over residuals, seeded by hash bucket,
     // optionally Lloyd-refined on the residual subvector stream
@@ -661,17 +655,12 @@ object Similarity {
       subSplit(col("rv"))).withColumnRenamed("pos", "sub")
       .withColumnRenamed("col", "sv"), refineIters)
 
-    // encode residuals: per-row fold, same shape as pqTopK's encode
-    val encoded = assigned.select(col("cid"), col("cell"), subSplit(col("rv")))
-      .withColumnRenamed("pos", "sub").withColumnRenamed("col", "sv")
-      .join(broadcast(subCodeArrays(cents)), "sub")
-      .select(col("cid"), col("cell"), col("sub"),
-        nearestCodeL2(col("sv")).as("_code"))
-
     // cents is codes×m rows — checkpointing costs one corpus pass and
-    // makes the codes write (and every served ADC build) free of the
-    // codebook re-derivation
-    IvfPqIndex(coarse, cents.localCheckpoint(), encoded)
+    // makes the encode, the codes write, and every served ADC build
+    // free of the codebook re-derivation (the encode reads the
+    // CHECKPOINTED frame, not the live chain)
+    val cb = cents.localCheckpoint()
+    IvfPqIndex(coarse, cb, ivfPqEncode(assigned, cb, m, None))
   }
 
   /** Serve top-`k` L2 neighbors against a built [[IvfPqIndex]]:
@@ -757,33 +746,9 @@ object Similarity {
     val twoLevel = twoLevelAssign || nlist >= twoLevelAutoNlist
     if (!twoLevelAssign && twoLevel)
       warnAutoTwoLevel("ivfPqAbsorbDelta", nlist, twoLevelAutoNlist)
-    val cellPick =
-      if (twoLevel) ivfPqCellsTwoLevel(cand, coarse)
-      else ivfPqCellsExact(cand, coarse)
-    val assigned = cellPick
-      .join(broadcast(coarse), "cell")
-      .select(col("cid"), col("cell"),
-        zip_with(col("cv"), col("cellv"), (x, y) => x - y).as("rv"))
-    // encode residuals against the EXISTING codebook — the build's
-    // per-row fold, with the serve path's width guard (a delta of a
-    // different dimensionality, or a wrong caller m, slices residual
-    // subvectors that mismatch the codebook and must raise, not
-    // silently mis-encode)
-    val encoded = assigned
-      .select(col("cid"), col("cell"), subSplitExplode(col("rv"), mEff))
-      .withColumnRenamed("pos", "sub").withColumnRenamed("col", "sv")
-      .join(broadcast(subCodeArrays(index.codebook)), "sub")
-      .select(col("cid"), col("cell"),
-        when(size(col("sv")) =!= size(element_at(col("_codes"), 1)
-            .getField("cvec")),
-          raise_error(concat(lit("ivfPqAbsorbDelta: residual subvector "),
-            lit("width "), size(col("sv")).cast(StringType),
-            lit(" != codebook width "),
-            size(element_at(col("_codes"), 1).getField("cvec"))
-              .cast(StringType),
-            lit(" — delta dimensionality / m must match the built index"))))
-          .otherwise(col("sub")).as("sub"),
-        nearestCodeL2(col("sv")).as("_code"))
+    val encoded = ivfPqEncode(
+      ivfPqAssignResiduals(cand, coarse, twoLevel),
+      index.codebook, mEff, Some("ivfPqAbsorbDelta"))
     IvfPqIndex(coarse, index.codebook, index.codes.unionByName(encoded))
   }
 
@@ -1152,6 +1117,52 @@ object Similarity {
         .as("_codes"))
     cand.crossJoin(broadcast(cellArr))
       .select(col("cid"), col("cv"), nearestCodeL2(col("cv")).as("cell"))
+  }
+
+  /** Coarse-assign `cand` (cid, cv) to `coarse`'s cells and attach the
+    * residual rv = cv − cellv — the ONE assignment definition shared by
+    * [[ivfPqBuild]] and [[ivfPqAbsorbDelta]]: built and absorbed rows
+    * must land in identical cells with identical residual math, or
+    * served probes against an absorbed index go silently wrong.
+    */
+  private def ivfPqAssignResiduals(cand: DataFrame, coarse: DataFrame,
+                                   twoLevel: Boolean): DataFrame = {
+    val cellPick =
+      if (twoLevel) ivfPqCellsTwoLevel(cand, coarse)
+      else ivfPqCellsExact(cand, coarse)
+    cellPick.join(broadcast(coarse), "cell")
+      .select(col("cid"), col("cell"),
+        zip_with(col("cv"), col("cellv"), (x, y) => x - y).as("rv"))
+  }
+
+  /** Encode assigned residuals (cid, cell, rv) against `codebook` via
+    * the per-row argmin fold — the ONE encode definition shared by
+    * build and absorb (same discipline as the assignment above).
+    * `guardSite` (set by absorb) arms a per-row width raise_error: a
+    * delta of the wrong dimensionality, or a wrong caller `m`, slices
+    * residual subvectors that mismatch the codebook and must fail
+    * loudly, never silently mis-encode. Build passes None — it derives
+    * both sides from the same corpus, so the guard would only cost.
+    */
+  private def ivfPqEncode(assigned: DataFrame, codebook: DataFrame, m: Int,
+                          guardSite: Option[String]): DataFrame = {
+    val subs = assigned
+      .select(col("cid"), col("cell"), subSplitExplode(col("rv"), m))
+      .withColumnRenamed("pos", "sub").withColumnRenamed("col", "sv")
+      .join(broadcast(subCodeArrays(codebook)), "sub")
+    val subCol = guardSite.fold(col("sub")) { site =>
+      when(size(col("sv")) =!= size(element_at(col("_codes"), 1)
+          .getField("cvec")),
+        raise_error(concat(lit(s"$site: residual subvector width "),
+          size(col("sv")).cast(StringType),
+          lit(" != codebook width "),
+          size(element_at(col("_codes"), 1).getField("cvec"))
+            .cast(StringType),
+          lit(" — delta dimensionality / m must match the built index"))))
+        .otherwise(col("sub"))
+    }
+    subs.select(col("cid"), col("cell"), subCol.as("sub"),
+      nearestCodeL2(col("sv")).as("_code"))
   }
 
   private def ivfPqCellsTwoLevel(cand: DataFrame,

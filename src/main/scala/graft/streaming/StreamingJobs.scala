@@ -405,11 +405,15 @@ object StreamingJobs {
     * layout with no registry-side exchange (the r17b rehearsal measured
     * the re-band-per-batch alternative at a 207 MB registry shuffle PER
     * BATCH at 100×; PlanSpec pins the exchange-free shape, the r18
-    * rehearsal the flat per-batch shuffle). The banding params
-    * (shingleN, numHashes, bands) persist as table properties and are
-    * verified on every read — restarting the stream over an existing
-    * registry with a different MinHash config fails loudly instead of
-    * silently never colliding.
+    * rehearsal the flat per-batch shuffle). Durability keys on the
+    * FILESYSTEM, not the catalog: the registry's build params
+    * (shingleN, numHashes, bands, regBuckets) persist in a params file
+    * next to the data and are verified on every batch — restarting
+    * over an existing registry with a different MinHash config fails
+    * loudly instead of silently never colliding — and a resumed
+    * APPLICATION (fresh in-memory catalog, surviving work tree)
+    * re-registers the table on its existing location instead of
+    * treating catalog loss as registry loss.
     */
   def nearDupScreenStream(docs: DataFrame, workDir: String,
                           idCol: String = "doc_id",
@@ -434,6 +438,56 @@ object StreamingJobs {
       .digest(workDir.getBytes("UTF-8"))
       .take(8).map(b => f"$b%02x").mkString
 
+  /** Commit a small key=value file via write-tmp + rename (atomic on
+    * HDFS, close enough locally): the registry's build params must
+    * survive APPLICATION restarts — catalog entries die with an
+    * in-memory-catalog app, the filesystem doesn't.
+    */
+  private def writeParamsFile(fs: FileSystem, p: Path,
+                              params: Seq[(String, String)]): Unit = {
+    val tmp = new Path(p.getParent, p.getName + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(params.map { case (k, v) => s"$k=$v" }.mkString("\n")
+      .getBytes("UTF-8"))
+    finally out.close()
+    fs.delete(p, false)
+    if (!fs.rename(tmp, p)) sys.error(s"could not commit params file $p")
+  }
+
+  private def readParamsFile(fs: FileSystem, p: Path): Map[String, String] = {
+    val in = fs.open(p)
+    val txt = try {
+      val b = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, b, 4096, false)
+      b.toString("UTF-8")
+    } finally in.close()
+    txt.linesIterator.filter(_.contains("=")).map { l =>
+      val i = l.indexOf('=')
+      l.substring(0, i) -> l.substring(i + 1)
+    }.toMap
+  }
+
+  /** Re-create the catalog entry for a surviving registry data
+    * directory — the application-restart path: the parquet (and the
+    * params file) outlive the app, the in-memory catalog doesn't, so a
+    * resumed stream must RE-REGISTER the table on its existing
+    * location (bucket spec and all) and recover its partitions — never
+    * treat catalog loss as registry loss.
+    */
+  private def registerRegistry(spark: org.apache.spark.sql.SparkSession,
+                               table: String, path: String, idCol: String,
+                               idType: String, buckets: Int): Unit = {
+    spark.sql(
+      s"""CREATE TABLE $table (`$idCol` $idType, band INT, bucket BIGINT,
+         |sig ARRAY<BIGINT>, batch BIGINT) USING parquet
+         |PARTITIONED BY (batch)
+         |CLUSTERED BY (band, bucket) SORTED BY (band, bucket)
+         |INTO $buckets BUCKETS LOCATION '$path'""".stripMargin)
+    // partition metadata is NOT inferred from the location — without
+    // this the re-registered table reads zero rows, silently
+    spark.catalog.recoverPartitions(table)
+  }
+
   private[graft] def screenBatch(batch: DataFrame, batchId: Long,
                                  workDir: String, idCol: String,
                                  textCol: String, shingleN: Int,
@@ -444,30 +498,38 @@ object StreamingJobs {
     val regTable = registryTable(workDir)
     val fs = new Path(regDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val params = Seq("graft.shingleN" -> shingleN.toString,
-      "graft.numHashes" -> numHashes.toString,
-      "graft.bands" -> bands.toString)
-    // the registry is live iff BOTH the catalog entry and its data dir
-    // exist — a work tree deleted out-of-band (fresh run in the same
-    // JVM) leaves a dangling catalog entry that must be rebuilt, never
-    // read
-    val live = spark.catalog.tableExists(regTable) &&
-      fs.exists(new Path(regDir))
+    val params = Seq("shingleN" -> shingleN.toString,
+      "numHashes" -> numHashes.toString, "bands" -> bands.toString,
+      "regBuckets" -> regBuckets.toString)
+    val paramsPath = new Path(s"$workDir/registry_params")
+    // the DATA DIRECTORY is the registry's source of truth: the
+    // catalog entry and this session die with the application, the
+    // parquet and the params file don't — so liveness keys on the
+    // filesystem, and a live registry whose catalog entry is gone gets
+    // RE-REGISTERED, never wiped
+    val live = fs.exists(new Path(regDir))
     if (live) {
-      // param contract (persisted at create): a restart over an
-      // existing registry with a different MinHash config would band
-      // into different buckets and simply never collide — duplicates
-      // passing unflagged with zero errors — so fail loudly instead
-      val props = spark.sql(s"SHOW TBLPROPERTIES $regTable").collect()
-        .map(r => r.getString(0) -> r.getString(1)).toMap
+      // param contract (persisted at create, NEXT TO THE DATA): a
+      // restart over an existing registry with a different MinHash
+      // config would band into different buckets and simply never
+      // collide — duplicates passing unflagged with zero errors — so
+      // fail loudly instead
+      require(fs.exists(paramsPath),
+        s"near-dup registry $regDir has no params file $paramsPath — " +
+          "refusing to guess its MinHash config; rebuild the registry " +
+          "(or restore the params file) before resuming the stream")
+      val stored = readParamsFile(fs, paramsPath)
       params.foreach { case (k, v) =>
-        val got = props.getOrElse(k, "<absent>")
+        val got = stored.getOrElse(k, "<absent>")
         require(got == v,
           s"near-dup registry $regDir was built with $k=$got but this " +
             s"stream screens with $k=$v — mismatched MinHash configs " +
             "never collide (duplicates would pass unflagged); restart " +
             "with the original parameters or rebuild the registry")
       }
+      if (!spark.catalog.tableExists(regTable))
+        registerRegistry(spark, regTable, regDir, idCol,
+          batch.schema(idCol).dataType.sql, regBuckets)
     }
     val verdicts =
       if (live) {
@@ -500,8 +562,13 @@ object StreamingJobs {
       .withColumn("batch", lit(batchId))
       .repartition(regBuckets, col("band"), col("bucket"))
     if (!live) {
+      // fresh work tree: a catalog entry with this name can only be a
+      // stale leftover pointing at a deleted location — drop it. The
+      // params file commits BEFORE the data (a crash in between leaves
+      // params-without-data, which the next attempt overwrites — the
+      // reverse order would leave data guarded by nothing).
       spark.sql(s"DROP TABLE IF EXISTS $regTable")
-      if (fs.exists(new Path(regDir))) fs.delete(new Path(regDir), true)
+      writeParamsFile(fs, paramsPath, params)
       banded.write.mode("overwrite")
         .option("path", regDir)
         .partitionBy("batch")
@@ -509,8 +576,6 @@ object StreamingJobs {
         .sortBy("band", "bucket")
         .format("parquet")
         .saveAsTable(regTable)
-      val kv = params.map { case (k, v) => s"'$k'='$v'" }.mkString(", ")
-      spark.sql(s"ALTER TABLE $regTable SET TBLPROPERTIES ($kv)")
     } else {
       // retry hygiene on the WRITE side: clear this batch's partition
       // directory and refresh the file index, then re-append — the

@@ -635,6 +635,34 @@ class StreamingSpec extends AnyFunSuite {
       s"streamed clone not served at rank 1: ${served.toSeq}")
   }
 
+  test("near-dup screen: catalog loss (app restart) re-registers the surviving registry — never wipes it") {
+    // the r18 review finding: an APPLICATION restart kills the
+    // in-memory catalog but not the work tree; the resumed stream must
+    // re-register the table on its surviving location — treating
+    // catalog loss as registry loss would silently pass every
+    // duplicate of the pre-restart corpus and delete the history
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("st10-catloss").toString
+    val b0 = Seq((2L, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    StreamingJobs.screenBatch(b0, 0L, work, "doc_id", "text", 3, 32, 8, 0.7, 4)
+    val tbl = StreamingJobs.registryTable(work)
+    spark.sql(s"DROP TABLE $tbl") // the app restart
+    val b1 = Seq((1L, "alpha beta gamma delta epsilon"), // re-crawl of 2
+      (3L, "fresh new content right here")).toDF("doc_id", "text")
+    StreamingJobs.screenBatch(b1, 1L, work, "doc_id", "text", 3, 32, 8, 0.7, 4)
+    val v = spark.read.parquet(s"$work/verdicts/batch=1").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSeq
+    assert(v == Seq((1L, false), (3L, true)),
+      s"post-restart batch lost the pre-restart registry: $v")
+    // the pre-restart survivor is still in the registry, joined by the
+    // batch-1 survivor
+    val reg = spark.read.parquet(s"$work/registry").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(reg == Set(2L, 3L), reg.toString)
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("near-dup screen: restart under a different MinHash config fails loudly") {
     // the ADVICE r17 scenario: a registry built under numHashes=32
     // re-screened with numHashes=16 would band into different buckets
