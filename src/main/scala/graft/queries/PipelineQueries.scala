@@ -1798,6 +1798,66 @@ object PipelineQueries {
       out
     },
 
+    // Registry COMPACTION — the maintenance op a long-running screen
+    // needs: the registry accrues one partition per micro-batch
+    // (listing cost ∝ batch count, content ∝ survivors);
+    // compactRegistry folds every batch partition into ONE (write-new +
+    // rename-swap, at-rest contract) with identical screening
+    // semantics. Gate: the corpus enters as batch 0, compacts to a
+    // single partition, and dd19's truth set must flag identically
+    // against the compacted registry.
+    QueryDef("dd21_registry_compact",
+      """WITH reg AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+        | batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+        |           UNION ALL
+        |           SELECT doc_id + 10000001 AS doc_id, text FROM documents
+        |           WHERE doc_id % 2 = 0 AND doc_id < 40),
+        | rt AS (SELECT DISTINCT text FROM reg
+        |        WHERE len(string_split(text, ' ')) >= 3)
+        |SELECT CAST(count(DISTINCT b.doc_id) AS BIGINT) AS n_clones,
+        |  CAST(1 AS BIGINT) AS all_flagged,
+        |  CAST(1 AS BIGINT) AS compact_ok
+        |FROM batch b JOIN rt ON b.text = rt.text""".stripMargin) { (s, dir) =>
+      val work = s"${System.getProperty("java.io.tmpdir")}/graft-dd21-" +
+        dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      val workP = new org.apache.hadoop.fs.Path(work)
+      val workFs = workP.getFileSystem(s.sparkContext.hadoopConfiguration)
+      workFs.delete(workP, true)
+      val d = docs(s, dir)
+      val reg = d.filter(col("doc_id") % 2 === 0).select("doc_id", "text")
+      val batch = d.filter(col("doc_id") % 2 === 1)
+        .select("doc_id", "text")
+        .unionAll(d.filter(col("doc_id") % 2 === 0 && col("doc_id") < 40)
+          .select((col("doc_id") + 10000001L).as("doc_id"), col("text")))
+      graft.streaming.StreamingJobs.screenBatch(reg, 0L, work,
+        "doc_id", "text", 3, 32, 8, 0.7, 16)
+      graft.streaming.StreamingJobs.compactRegistry(s, work)
+      // exactly one partition after compaction (checked BEFORE batch 1
+      // appends its own)
+      val nParts = workFs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$work/registry"))
+        .count(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+      graft.streaming.StreamingJobs.screenBatch(batch, 1L, work,
+        "doc_id", "text", 3, 32, 8, 0.7, 16)
+      val flagged = s.read.parquet(s"$work/verdicts/batch=1")
+        .filter(!col("keep")).select(col("doc_id")).withColumn("_f", lit(1L))
+      val clones = batch.select(col("doc_id"), col("text"))
+        .join(reg.filter(size(split(col("text"), " ")) >= 3)
+          .select("text").distinct(), Seq("text"))
+        .select("doc_id").distinct()
+      val out = clones.join(flagged, Seq("doc_id"), "left")
+        .agg(count(lit(1)).cast(LongType).as("n_clones"),
+          coalesce(min(coalesce(col("_f"), lit(0L))), lit(1L))
+            .as("all_flagged"))
+        .select(col("n_clones"), col("all_flagged"),
+          lit(if (nParts == 1) 1L else 0L).as("compact_ok"))
+        .localCheckpoint() // pin the verdict, then drop the work tree
+      s.sql(s"DROP TABLE IF EXISTS " +
+        graft.streaming.StreamingJobs.registryTable(work))
+      workFs.delete(workP, true)
+      out
+    },
+
     // ================= text analysis =================
 
     QueryDef("ta01_term_freq",

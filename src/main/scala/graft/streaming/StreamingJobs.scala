@@ -507,6 +507,14 @@ object StreamingJobs {
     // parquet and the params file don't — so liveness keys on the
     // filesystem, and a live registry whose catalog entry is gone gets
     // RE-REGISTERED, never wiped
+    // an interrupted [[compactRegistry]] leaves the previous registry
+    // under registry_precompact — proceeding as if the tree were fresh
+    // would WIPE the surviving history; fail loudly with the recovery
+    // path instead
+    require(!fs.exists(new Path(s"$workDir/registry_precompact")),
+      s"interrupted registry compaction under $workDir — restore " +
+        "registry_precompact/ to registry/ (or delete it if the swap " +
+        "completed) before resuming the stream")
     val live = fs.exists(new Path(regDir))
     if (live) {
       // param contract (persisted at create, NEXT TO THE DATA): a
@@ -592,6 +600,81 @@ object StreamingJobs {
         .format("parquet")
         .saveAsTable(regTable)
     }
+  }
+
+  /** Compact the near-dup signature registry's batch partitions into
+    * ONE — out-of-band maintenance for a long-running screen: the
+    * registry accrues a partition (and ≥1 file per bucket) per
+    * micro-batch, so partition listing and per-bucket file counts grow
+    * with BATCH COUNT while content grows only with survivors; a year
+    * of 5-minute batches is ~100k partitions of mostly-tiny files.
+    * Rewrites every row into a single partition keyed by the highest
+    * compacted batch id — `batch < N` pruning sees exactly the same
+    * survivor set afterwards — with one file per bucket, via a
+    * write-new / rename-swap (never in place: the registry stays
+    * readable until the swap, and a crash leaves marker directories
+    * that [[screenBatch]] refuses to run over, rather than a silently
+    * half-compacted table).
+    *
+    * CONTRACT: run AT REST — stream stopped, no batch mid-retry. A
+    * replayed batch whose own signatures were folded into the
+    * compacted partition (batch id = maxBatch ≥ its own) would read
+    * them back and self-flag; the `batch < batchId` retry defense
+    * assumes per-batch partitions. Same posture as any table
+    * maintenance job (OPTIMIZE/VACUUM).
+    */
+  def compactRegistry(spark: org.apache.spark.sql.SparkSession,
+                      workDir: String): Unit = {
+    val regDir = s"$workDir/registry"
+    val regTable = registryTable(workDir)
+    val fs = new Path(regDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new Path(regDir)), s"no registry at $regDir")
+    val params = readParamsFile(fs, new Path(s"$workDir/registry_params"))
+    val regBuckets = params("regBuckets").toInt
+    val compactDir = s"$workDir/registry_compacting"
+    val trashDir = s"$workDir/registry_precompact"
+    // leftovers of an earlier interrupted compaction are recoverable
+    // state, not garbage — refuse to proceed over them (screenBatch
+    // refuses too); a fresh attempt may clear a compacting dir that
+    // never swapped, but a precompact dir IS the previous registry
+    require(!fs.exists(new Path(trashDir)),
+      s"interrupted compaction: $trashDir still holds the previous " +
+        "registry — restore it to registry/ (or delete it if the swap " +
+        "completed) before compacting again")
+    fs.delete(new Path(compactDir), true)
+    // id column name/type come from the data itself (first column of
+    // the banded layout) — the one place they are always right
+    val idField = spark.read.parquet(regDir).schema.fields.head
+    val (idColName, idType) = (idField.name, idField.dataType.sql)
+    if (!spark.catalog.tableExists(regTable))
+      registerRegistry(spark, regTable, regDir, idColName, idType,
+        regBuckets)
+    val maxBatch = spark.table(regTable)
+      .agg(max(col("batch"))).head().getLong(0)
+    val cTable = regTable + "_c"
+    spark.sql(s"DROP TABLE IF EXISTS $cTable")
+    spark.table(regTable).drop("batch")
+      .withColumn("batch", lit(maxBatch))
+      .repartition(regBuckets, col("band"), col("bucket"))
+      .write.mode("overwrite")
+      .option("path", compactDir)
+      .partitionBy("batch")
+      .bucketBy(regBuckets, "band", "bucket")
+      .sortBy("band", "bucket")
+      .format("parquet")
+      .saveAsTable(cTable)
+    // swap: old → trash, new → live, drop stale catalog entries, then
+    // re-register the live location and clear the trash
+    spark.sql(s"DROP TABLE IF EXISTS $cTable")
+    spark.sql(s"DROP TABLE IF EXISTS $regTable")
+    if (!fs.rename(new Path(regDir), new Path(trashDir)))
+      sys.error(s"compactRegistry: could not move $regDir aside")
+    if (!fs.rename(new Path(compactDir), new Path(regDir)))
+      sys.error(s"compactRegistry: could not install $compactDir — " +
+        s"the previous registry is intact at $trashDir; restore it")
+    registerRegistry(spark, regTable, regDir, idColName, idType, regBuckets)
+    fs.delete(new Path(trashDir), true)
   }
 
   /** Streaming arm of the stale-vector-index + delta serving lifecycle

@@ -663,6 +663,47 @@ class StreamingSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  test("registry compaction: one partition, verdicts preserved, interrupted swap blocks everything") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("st10-compact").toString
+    val b0 = Seq((2L, "alpha beta gamma delta epsilon"),
+      (4L, "one two three four five")).toDF("doc_id", "text")
+    val b1 = Seq((3L, "something else entirely here now")).toDF("doc_id", "text")
+    StreamingJobs.screenBatch(b0, 0L, work, "doc_id", "text", 3, 32, 8, 0.7, 4)
+    StreamingJobs.screenBatch(b1, 1L, work, "doc_id", "text", 3, 32, 8, 0.7, 4)
+    StreamingJobs.compactRegistry(spark, work)
+    // every batch partition folded into ONE keyed by the max batch id
+    val parts = new java.io.File(s"$work/registry").listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.getName).toSeq
+    assert(parts == Seq("batch=1"), parts.toString)
+    val reg = spark.read.parquet(s"$work/registry").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(reg == Set(2L, 3L, 4L), reg.toString)
+    // screening continues over the compacted registry: re-crawls of
+    // BOTH pre-compaction batches still flag, novel text passes
+    val b2 = Seq((11L, "alpha beta gamma delta epsilon"),
+      (13L, "something else entirely here now"),
+      (15L, "genuinely novel text right here")).toDF("doc_id", "text")
+    StreamingJobs.screenBatch(b2, 2L, work, "doc_id", "text", 3, 32, 8, 0.7, 4)
+    val v = spark.read.parquet(s"$work/verdicts/batch=2").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSeq
+    assert(v == Seq((11L, false), (13L, false), (15L, true)), v.toString)
+    // an interrupted swap (precompact marker) must block the screen AND
+    // a re-compaction — proceeding would wipe or double the history
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$work/registry_precompact"))
+    val e1 = intercept[IllegalArgumentException] {
+      StreamingJobs.screenBatch(b2, 3L, work, "doc_id", "text", 3, 32, 8,
+        0.7, 4)
+    }
+    assert(e1.getMessage.contains("interrupted"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      StreamingJobs.compactRegistry(spark, work)
+    }
+    assert(e2.getMessage.contains("interrupted"), e2.getMessage)
+    spark.sql(s"DROP TABLE IF EXISTS ${StreamingJobs.registryTable(work)}")
+  }
+
   test("near-dup screen: restart under a different MinHash config fails loudly") {
     // the ADVICE r17 scenario: a registry built under numHashes=32
     // re-screened with numHashes=16 would band into different buckets
