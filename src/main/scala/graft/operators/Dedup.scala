@@ -499,10 +499,13 @@ object Dedup {
         .select(col("p.src").as("src"), col("p.dst").as("dst"))
       val mins = s.groupBy(col("src")).agg(min(col("dst")).as("_mn"))
         .select(col("src"), least(col("_mn"), col("src")).as("_m"))
+      // NOT deduped: duplicates out of large-star are absorbed by
+      // small-star's map-side-combined min and its final distinct —
+      // multiplicity is bounded within the round (the input was
+      // deduped), so spending a full shuffle here would buy nothing
       s.join(mins, "src")
         .filter(col("dst") > col("src"))
         .select(col("dst").as("src"), col("_m").as("dst"))
-        .distinct()
     }
     // small-star: orient every edge toward its larger endpoint; per
     // node u (all neighbors now < u), m(u) = min neighbor; emit
