@@ -498,9 +498,13 @@ object StreamingJobs {
     val regTable = registryTable(workDir)
     val fs = new Path(regDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // idCol is part of the config contract too: re-registering a
+    // surviving registry under a RENAMED id column would declare a
+    // column the parquet lacks — by-name resolution reads NULL ids,
+    // dup_of nulls out, and every duplicate passes silently
     val params = Seq("shingleN" -> shingleN.toString,
       "numHashes" -> numHashes.toString, "bands" -> bands.toString,
-      "regBuckets" -> regBuckets.toString)
+      "regBuckets" -> regBuckets.toString, "idCol" -> idCol)
     val paramsPath = new Path(s"$workDir/registry_params")
     // the DATA DIRECTORY is the registry's source of truth: the
     // catalog entry and this session die with the application, the
@@ -524,8 +528,14 @@ object StreamingJobs {
       // fail loudly instead
       require(fs.exists(paramsPath),
         s"near-dup registry $regDir has no params file $paramsPath — " +
-          "refusing to guess its MinHash config; rebuild the registry " +
-          "(or restore the params file) before resuming the stream")
+          "refusing to guess its MinHash config. If the registry was " +
+          "built by THIS layout (pre-banded, bucketed, params-file " +
+          "contract), restore or recreate the params file " +
+          "(k=v lines: shingleN/numHashes/bands/regBuckets/idCol); a " +
+          "registry from the pre-banded era stores raw (id, sig) rows " +
+          "and must be re-banded into this layout regardless — " +
+          "writeBandedRegistry over its signatures, then write the " +
+          "params file")
       val stored = readParamsFile(fs, paramsPath)
       params.foreach { case (k, v) =>
         val got = stored.getOrElse(k, "<absent>")
@@ -536,8 +546,19 @@ object StreamingJobs {
             "with the original parameters or rebuild the registry")
       }
       if (!spark.catalog.tableExists(regTable))
-        registerRegistry(spark, regTable, regDir, idCol,
-          batch.schema(idCol).dataType.sql, regBuckets)
+        // declare the id column AS THE DATA HAS IT (one leaf-file
+        // read) — the params check above already proved the caller's
+        // idCol matches the registry's; an empty-but-live registry
+        // (no data files yet) falls back to the caller's own schema,
+        // which created it in the first place
+        registryIdField(spark, fs, regDir) match {
+          case Some(f) =>
+            registerRegistry(spark, regTable, regDir, f.name,
+              f.dataType.sql, regBuckets)
+          case None =>
+            registerRegistry(spark, regTable, regDir, idCol,
+              batch.schema(idCol).dataType.sql, regBuckets)
+        }
     }
     val verdicts =
       if (live) {
@@ -619,9 +640,15 @@ object StreamingJobs {
     * CONTRACT: run AT REST — stream stopped, no batch mid-retry. A
     * replayed batch whose own signatures were folded into the
     * compacted partition (batch id = maxBatch ≥ its own) would read
-    * them back and self-flag; the `batch < batchId` retry defense
-    * assumes per-batch partitions. Same posture as any table
-    * maintenance job (OPTIMIZE/VACUUM).
+    * them back and self-flag — or, worse, its retry hygiene would
+    * delete the compacted partition, wiping the folded history. "At
+    * rest" is not operator-observable (a stream can stop AFTER a
+    * batch's writes but BEFORE its checkpoint commit), so when the
+    * work tree carries a streaming checkpoint this function VERIFIES
+    * it: the registry's max batch must be committed in `ckpt/commits/`
+    * — a committed batch is never replayed, so everything folded in is
+    * replay-safe. Same posture as any table maintenance job
+    * (OPTIMIZE/VACUUM), with the contract enforced instead of assumed.
     */
   def compactRegistry(spark: org.apache.spark.sql.SparkSession,
                       workDir: String): Unit = {
@@ -644,14 +671,33 @@ object StreamingJobs {
         "completed) before compacting again")
     fs.delete(new Path(compactDir), true)
     // id column name/type come from the data itself (first column of
-    // the banded layout) — the one place they are always right
-    val idField = spark.read.parquet(regDir).schema.fields.head
+    // the banded layout) — the one place they are always right. Read
+    // from ONE leaf file: a full spark.read.parquet(regDir) listing
+    // over the very many-partition directory this function exists to
+    // fix would double its dominant metadata cost.
+    val idField = registryIdField(spark, fs, regDir).getOrElse {
+      // zero data files: nothing to compact (an all-duplicate or
+      // all-short first batch leaves a live but empty registry)
+      return
+    }
     val (idColName, idType) = (idField.name, idField.dataType.sql)
     if (!spark.catalog.tableExists(regTable))
       registerRegistry(spark, regTable, regDir, idColName, idType,
         regBuckets)
-    val maxBatch = spark.table(regTable)
-      .agg(max(col("batch"))).head().getLong(0)
+    val maxRow = spark.table(regTable).agg(max(col("batch"))).head()
+    if (maxRow.isNullAt(0)) return // registered but empty — no-op
+    val maxBatch = maxRow.getLong(0)
+    // replay-safety check (see CONTRACT): with a streaming checkpoint
+    // present, the max folded batch must be COMMITTED — an uncommitted
+    // batch will be replayed on resume, and its retry hygiene would
+    // delete the compacted partition it now lives in
+    if (fs.exists(new Path(s"$workDir/ckpt")))
+      require(fs.exists(new Path(s"$workDir/ckpt/commits/$maxBatch")),
+        s"registry holds batch $maxBatch but the stream checkpoint has " +
+          "not committed it — a resumed stream would replay that batch " +
+          "and wipe the compacted history; resume the stream to let the " +
+          "commit land (or discard ckpt/ to start a fresh query) before " +
+          "compacting")
     val cTable = regTable + "_c"
     spark.sql(s"DROP TABLE IF EXISTS $cTable")
     spark.table(regTable).drop("batch")
@@ -674,7 +720,29 @@ object StreamingJobs {
       sys.error(s"compactRegistry: could not install $compactDir — " +
         s"the previous registry is intact at $trashDir; restore it")
     registerRegistry(spark, regTable, regDir, idColName, idType, regBuckets)
-    fs.delete(new Path(trashDir), true)
+    // a failed trash delete must raise: silence would leave the
+    // completed compaction permanently locked out as "interrupted"
+    // (both the screen and a re-compaction refuse over the marker)
+    if (!fs.delete(new Path(trashDir), true))
+      sys.error(s"compactRegistry: swap COMPLETED but the superseded " +
+        s"registry at $trashDir could not be deleted — delete it " +
+        "manually to unblock the screen (the live registry is intact)")
+  }
+
+  /** The id field (name + type) of a banded registry, read from ONE
+    * leaf parquet file — never a full-directory listing. None when the
+    * registry holds no data files yet.
+    */
+  private def registryIdField(spark: org.apache.spark.sql.SparkSession,
+                              fs: FileSystem, regDir: String)
+    : Option[org.apache.spark.sql.types.StructField] = {
+    val leaf = fs.listStatus(new Path(regDir)).iterator
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+      .flatMap(d => fs.listStatus(d.getPath).iterator
+        .filter(f => f.isFile && f.getPath.getName.startsWith("part-")))
+      .take(1).toSeq.headOption
+    leaf.map(f =>
+      spark.read.parquet(f.getPath.toString).schema.fields.head)
   }
 
   /** Streaming arm of the stale-vector-index + delta serving lifecycle

@@ -688,6 +688,19 @@ class StreamingSpec extends AnyFunSuite {
     val v = spark.read.parquet(s"$work/verdicts/batch=2").orderBy("doc_id")
       .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSeq
     assert(v == Seq((11L, false), (13L, false), (15L, true)), v.toString)
+    // replay safety: with a streaming checkpoint present, compaction
+    // must REFUSE while the registry's max batch is uncommitted (a
+    // resumed stream would replay it and wipe the folded history) and
+    // proceed once the commit exists
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$work/ckpt/commits"))
+    val eC = intercept[IllegalArgumentException] {
+      StreamingJobs.compactRegistry(spark, work)
+    }
+    assert(eC.getMessage.contains("not committed"), eC.getMessage)
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(s"$work/ckpt/commits/2"))
+    StreamingJobs.compactRegistry(spark, work) // committed → allowed
     // an interrupted swap (precompact marker) must block the screen AND
     // a re-compaction — proceeding would wipe or double the history
     java.nio.file.Files.createDirectories(
