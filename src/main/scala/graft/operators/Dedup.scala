@@ -611,6 +611,94 @@ object Dedup {
     labels.select(col("id"), col("label").as("cluster"))
   }
 
+  /** Hybrid connected components — min-label BSP rounds first, star
+    * contraction as the escape hatch: the r18 measurements
+    * (SCALE.md r18cc) showed each implementation losing on the other's
+    * shape. BSP ([[connectedComponentsBsp]]) runs ONE join + partial
+    * min per round and wins on the SHALLOW graphs near-dup pipelines
+    * usually produce (5.25 vs 8.15 s at the 100× rehearsal), but its
+    * round count is the component DIAMETER — unbounded, 225 s at a
+    * 2k-node chain. Star contraction ([[connectedComponents]]) is
+    * diameter-immune (~log rounds) but pays two grouped aggregations +
+    * joins per round, ~1.6× BSP on shallow graphs. The hybrid takes
+    * both ends: run BSP for at most `bspRounds` cheap rounds — a graph
+    * whose diameter fits converges there and pays nothing more — and
+    * otherwise CONTRACT the graph by the partial labels and hand the
+    * contracted edge set to star contraction, bounding the deep-graph
+    * cost at `bspRounds` wasted-cheap rounds + star on a graph already
+    * shrunk ~bspRounds× along every path.
+    *
+    * Correctness of the handoff: after k BSP rounds label(u) is the
+    * minimum id within distance k of u, so every label class is
+    * CONNECTED (each member has a ≤k path to the label node) and
+    * contracting classes to single nodes preserves the component
+    * structure exactly — an original edge (u,v) becomes
+    * (label(u), label(v)) and label(u) is connected to u, so
+    * contracted components biject with original ones. The component's
+    * global minimum m always survives contraction (label(m) = m: no
+    * smaller id exists in its component, at any distance), so star's
+    * min-id cluster labels over the contracted graph ARE the original
+    * min-id labels, and composing star(label(id)) reproduces
+    * [[connectedComponents]]' output row for row.
+    */
+  def connectedComponentsHybrid(edges: DataFrame, bspRounds: Int = 4,
+                                maxIter: Int = 20,
+                                checkpointDir: Option[String] = None)
+    : DataFrame = {
+    require(bspRounds >= 1, s"bspRounds must be >= 1, got $bspRounds")
+    val cp = Checkpointing.truncator(edges.sparkSession, enabled = true,
+      checkpointDir)
+    // one materialization of the (possibly expensive) upstream edge
+    // pipeline serves the BSP rounds AND the contraction joins; the
+    // per-round symmetric view is a cheap explode over the checkpoint
+    val e0 = cp(edges.distinct())
+    val sym = e0.select(explode(array(
+        struct(col("src").as("src"), col("dst").as("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    var labels = cp.rolling(sym.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")))
+    var converged = false
+    var i = 0
+    while (!converged && i < bspRounds) {
+      val nbrMin = sym
+        .join(labels.select(col("id").as("src"), col("label")), "src")
+        .groupBy(col("dst").as("id")).agg(min(col("label")).as("_nbr"))
+      val joined = cp.rolling(labels.join(nbrMin, Seq("id"), "left"))
+      converged = joined.filter(col("_nbr") < col("label")).isEmpty
+      labels = joined.select(col("id"),
+        least(col("label"), coalesce(col("_nbr"), col("label"))).as("label"))
+      i += 1
+    }
+    if (converged) {
+      cp.release(e0)
+      labels.select(col("id"), col("label").as("cluster"))
+    } else {
+      // escape hatch: diameter exceeds the BSP budget — contract by
+      // the partial labels (two id-keyed joins over the checkpointed
+      // edges) and let star contraction finish diameter-free. No
+      // distinct on the contracted edges: connectedComponents dedupes
+      // its input in the same shuffle its own first checkpoint needs.
+      val contracted = e0
+        .join(labels.select(col("id").as("src"), col("label").as("_ls")),
+          "src")
+        .join(labels.select(col("id").as("dst"), col("label").as("_ld")),
+          "dst")
+        .select(col("_ls").as("src"), col("_ld").as("dst"))
+      val star = connectedComponents(contracted, maxIter, checkpointDir)
+      cp.release(e0)
+      // compose: classes whose label kept all its edges in-class have
+      // no contracted edge and label themselves (star pins its node
+      // set from the contracted EDGES — a fully-converged class is
+      // absent there, not mislabeled)
+      labels
+        .join(star.select(col("id").as("label"), col("cluster")),
+          Seq("label"), "left")
+        .select(col("id"),
+          coalesce(col("cluster"), col("label")).as("cluster"))
+    }
+  }
+
   /** Cluster resolution — the step that makes dup CLUSTERS a dedup:
     * per cluster, keep the highest-scoring member (ties to the lowest
     * id) and report the survivor with the member count. Composes the

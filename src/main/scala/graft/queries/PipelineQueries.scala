@@ -667,12 +667,14 @@ object PipelineQueries {
         | )
         |SELECT id AS doc_id, CAST(min(label) AS BIGINT) AS cluster
         |FROM cc GROUP BY id ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      // uncapped: mirrors the oracle's exact recursive-CTE edge set
+      // uncapped: mirrors the oracle's exact recursive-CTE edge set.
+      // Hybrid CC: near-dup graphs are usually shallow (BSP price),
+      // but a chain-shaped crawl history can't hang it (star escape)
       val edges = Dedup.jaccardPairs(docsWide(s, dir), "doc_id", "text", 3,
           maxPosting = Int.MaxValue)
         .filter(col("jac") >= 0.5)
         .select(col("da").as("src"), col("db").as("dst"))
-      Dedup.connectedComponents(edges)
+      Dedup.connectedComponentsHybrid(edges)
         .select(col("id").as("doc_id"), col("cluster"))
         .orderBy("doc_id")
     },
@@ -728,12 +730,13 @@ object PipelineQueries {
         |SELECT cluster, doc_id AS survivor_id, quality AS survivor_score,
         |  CAST(n_members AS BIGINT) AS n_members
         |FROM m WHERE rn = 1 ORDER BY cluster""".stripMargin) { (s, dir) =>
-      // uncapped: mirrors the oracle's exact recursive-CTE edge set
+      // uncapped: mirrors the oracle's exact recursive-CTE edge set;
+      // hybrid CC as in dd08 (shallow at BSP price, chain-immune)
       val edges = Dedup.jaccardPairs(docsWide(s, dir), "doc_id", "text", 3,
           maxPosting = Int.MaxValue)
         .filter(col("jac") >= 0.5)
         .select(col("da").as("src"), col("db").as("dst"))
-      val clusters = Dedup.connectedComponents(edges)
+      val clusters = Dedup.connectedComponentsHybrid(edges)
         .select(col("id").as("doc_id"), col("cluster"))
       val quality = TextAnalysis.qualityScore(docs(s, dir), "doc_id", "text")
       Dedup.resolveClusters(clusters, quality)
@@ -3955,6 +3958,35 @@ object PipelineQueries {
         .orderBy(desc("authority"), desc("hub"), col("node")).limit(20)
     },
 
+    // Connected components on a DEEP graph — the hybrid's escape path
+    // as a gate row, not just a rehearsal: each customer's orders
+    // linked consecutively by date form a CHAIN whose diameter is the
+    // customer's order count (~10–25 at the gate SF), far past the
+    // bspRounds = 2 budget, so star contraction finishes every
+    // component. The oracle needs no recursion: a chain connects ALL
+    // of its customer's orders, so the component label is simply the
+    // customer's min order key and the size its order count —
+    // closed-form ground truth against a genuinely iterative run.
+    QueryDef("gr10_components_chain",
+      """WITH c AS (SELECT o_custkey, count(*) AS n, min(o_orderkey) AS m
+        |           FROM orders GROUP BY 1 HAVING count(*) >= 2)
+        |SELECT CAST(m AS BIGINT) AS comp, CAST(n AS BIGINT) AS n_orders
+        |FROM c ORDER BY comp""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val edges = Tables.load(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+        .withColumn("prev", lag(col("o_orderkey"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(col("prev").as("src"), col("o_orderkey").as("dst"))
+      graft.operators.Dedup.connectedComponentsHybrid(edges,
+          bspRounds = 2, maxIter = 40)
+        .groupBy(col("cluster").cast(LongType).as("comp"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy("comp")
+    },
+
     // ================= multimodal (binary columns) =================
 
     // Deterministic synthetic assets (payload bytes derived from ids) →
@@ -4822,6 +4854,104 @@ object PipelineQueries {
         graft.streaming.StreamingJobs.deltaLog(s, work), 5)
       val out = recallFloor(Similarity.cosineTopK(q, e, 5), served,
         floorPct = 85)
+        .localCheckpoint() // pin the verdict, then drop the work tree
+      workFs.delete(workP, true)
+      out
+    },
+
+    // ONLINE registry compaction — the st10 screen run for FIVE
+    // micro-batches with compactEvery = 2 and a query restart
+    // mid-stream: compaction engages INSIDE foreachBatch (single
+    // writer, everything folded already committed — the at-rest
+    // contract held by construction, see StreamingJobs
+    // .maybeCompactInStream), so the registry never accrues more than
+    // compactEvery batch partitions while the stream runs. Invariants:
+    // the planted re-crawls of batch-0 docs in the LAST batch are all
+    // flagged against the thrice-compacted registry (folding re-keys
+    // partitions; it must never lose or duplicate a signature), and
+    // the final partition count is ≤ 2 — five uncompacted batches
+    // would hold five, so the bound is the proof compaction engaged.
+    QueryDef("st12_stream_online_compact",
+      """WITH d AS (SELECT doc_id, text FROM documents),
+        | pl AS (SELECT doc_id, text FROM d WHERE doc_id % 4 = 0 AND doc_id < 40),
+        | rt AS (SELECT DISTINCT text FROM d WHERE doc_id % 4 = 0
+        |        AND len(string_split(text, ' ')) >= 3),
+        | cl AS (SELECT DISTINCT p.doc_id FROM pl p JOIN rt ON p.text = rt.text)
+        |SELECT
+        |  CAST((SELECT count(*) FROM d) + (SELECT count(*) FROM pl) AS BIGINT)
+        |    AS n_screened,
+        |  CAST((SELECT count(*) FROM cl) AS BIGINT) AS n_clones,
+        |  CAST(1 AS BIGINT) AS all_flagged,
+        |  CAST(1 AS BIGINT) AS parts_bounded""".stripMargin) { (s, dir) =>
+      val work = s"${System.getProperty("java.io.tmpdir")}/graft-st12-" +
+        dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      val workP = new org.apache.hadoop.fs.Path(work)
+      val workFs = workP.getFileSystem(s.sparkContext.hadoopConfiguration)
+      workFs.delete(workP, true)
+      val in = s"$work/in"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+      val d = docs(s, dir).select("doc_id", "text")
+      val planted = d
+        .filter(col("doc_id") % 4 === 0 && col("doc_id") < 40)
+        .select((col("doc_id") + 10000001L).as("doc_id"), col("text"))
+      def land(phase: Int, df: DataFrame): Unit = {
+        // ONE file per phase: each phase must be exactly one micro-batch
+        val staging = s"$work/staging$phase"
+        df.coalesce(1).write.mode("overwrite").parquet(staging)
+        val destP = java.nio.file.Paths.get(in)
+        val files = java.nio.file.Files.list(java.nio.file.Paths.get(staging))
+        try files.filter(_.getFileName.toString.startsWith("part-"))
+          .forEach(p => java.nio.file.Files.move(p,
+            destP.resolve(s"p$phase-${p.getFileName}")))
+        finally files.close()
+      }
+      val sch = d.schema
+      def stream() = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+      // batches 0..2 land one at a time (deterministic batch order for
+      // the registry-seeding prefix); the restart happens mid-cadence,
+      // between a compacted batch and the next compaction
+      land(0, d.filter(col("doc_id") % 4 === 0))
+      val q0 = graft.streaming.StreamingJobs.nearDupScreenStream(stream(),
+        work, compactEvery = 2)
+      try {
+        q0.processAllAvailable()
+        land(1, d.filter(col("doc_id") % 4 === 1))
+        q0.processAllAvailable()
+        land(2, d.filter(col("doc_id") % 4 === 2))
+        q0.processAllAvailable()
+      } finally q0.stop() // outage
+      // batches 3 and 4 land during the outage; their relative order
+      // is irrelevant to the invariants (the planted clones' originals
+      // are all in the batch-0 registry slice)
+      land(3, d.filter(col("doc_id") % 4 === 3))
+      land(4, planted)
+      val q1 = graft.streaming.StreamingJobs.nearDupScreenStream(stream(),
+        work, compactEvery = 2)
+      try q1.processAllAvailable() finally q1.stop()
+      val v = s.read.parquet(s"$work/verdicts")
+      val flagged = v.filter(!col("keep")).select(col("doc_id"))
+        .withColumn("_f", lit(1L))
+      // expected-flag set: planted clones whose ORIGINAL text shingles
+      // (≥ 3 words) — those originals all survived batch 0's empty-
+      // registry screen, so their signatures are in the registry no
+      // matter how many times it was folded since
+      val clones = planted.join(
+        d.filter(col("doc_id") % 4 === 0 &&
+            size(split(col("text"), " ")) >= 3)
+          .select("text").distinct(), Seq("text"))
+        .select("doc_id").distinct()
+      val nParts = workFs.listStatus(
+          new org.apache.hadoop.fs.Path(s"$work/registry"))
+        .count(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+      val totals = v.agg(count(lit(1)).cast(LongType).as("n_screened"))
+      val cover = clones.join(flagged, Seq("doc_id"), "left")
+        .agg(count(lit(1)).cast(LongType).as("n_clones"),
+          coalesce(min(coalesce(col("_f"), lit(0L))), lit(1L))
+            .as("all_flagged"))
+      val out = totals.crossJoin(cover)
+        .select(col("n_screened"), col("n_clones"), col("all_flagged"),
+          lit(if (nParts <= 2) 1L else 0L).as("parts_bounded"))
         .localCheckpoint() // pin the verdict, then drop the work tree
       workFs.delete(workP, true)
       out

@@ -420,13 +420,14 @@ object StreamingJobs {
                           textCol: String = "text",
                           shingleN: Int = 3, numHashes: Int = 32,
                           bands: Int = 8, minEstJac: Double = 0.7,
-                          regBuckets: Int = 32)
+                          regBuckets: Int = 32,
+                          compactEvery: Int = 0)
     : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream.outputMode("append")
       .option("checkpointLocation", s"$workDir/ckpt")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         screenBatch(batch, batchId, workDir, idCol, textCol,
-          shingleN, numHashes, bands, minEstJac, regBuckets)
+          shingleN, numHashes, bands, minEstJac, regBuckets, compactEvery)
       }.start()
 
   /** Deterministic catalog name for `workDir`'s registry table: stable
@@ -492,7 +493,8 @@ object StreamingJobs {
                                  workDir: String, idCol: String,
                                  textCol: String, shingleN: Int,
                                  numHashes: Int, bands: Int,
-                                 minEstJac: Double, regBuckets: Int): Unit = {
+                                 minEstJac: Double, regBuckets: Int,
+                                 compactEvery: Int = 0): Unit = {
     val spark = batch.sparkSession
     val regDir = s"$workDir/registry"
     val regTable = registryTable(workDir)
@@ -560,6 +562,14 @@ object StreamingJobs {
               batch.schema(idCol).dataType.sql, regBuckets)
         }
     }
+    // online maintenance point: with the params verified and the table
+    // registered, and BEFORE this batch reads the registry, fold the
+    // accrued batch partitions when they pass the cadence — see
+    // [[maybeCompactInStream]] for why this spot (and only this spot)
+    // satisfies compactRegistry's at-rest contract mid-stream
+    if (live && compactEvery > 0)
+      maybeCompactInStream(spark, fs, workDir, regDir, regTable, batchId,
+        compactEvery)
     val verdicts =
       if (live) {
         // batch < batchId is a PARTITION filter: a retry of this batch
@@ -623,6 +633,58 @@ object StreamingJobs {
     }
   }
 
+  /** ONLINE registry compaction — [[compactRegistry]] run from inside
+    * the screen's own foreachBatch loop, where its at-rest contract
+    * holds BY CONSTRUCTION instead of by operator discipline. The
+    * commit-log reasoning (the st08 pattern, applied to the streaming
+    * engine's own log rather than a bespoke one):
+    *
+    *  - SINGLE WRITER: foreachBatch is the only thing that ever
+    *    touches the registry, and it is here, compacting — there is no
+    *    concurrent batch to race.
+    *  - EVERYTHING FOLDED IS COMMITTED: batch N's foreachBatch runs
+    *    only after batch N−1's checkpoint commit, so every partition
+    *    with batch < batchId is durable and will never be replayed;
+    *    compactRegistry's own commits/ check then passes naturally.
+    *    The one partition that may exist UNCOMMITTED is batch=batchId
+    *    itself — a crashed earlier attempt of THIS batch — which is
+    *    deleted first (the same retry hygiene the append side applies;
+    *    folding it under a committed key would instead trip the commit
+    *    check and wedge the stream).
+    *  - REPLAY AFTER COMPACTION IS IDENTICAL: a replayed batch N reads
+    *    `batch < N`, and compaction re-keys rows to max folded id
+    *    (< N) without changing their content — same registry view,
+    *    same verdicts; its retry hygiene deletes only batch=N, never
+    *    the compacted partition.
+    *
+    * A crash MID-compaction keeps the fail-loud posture: the swap
+    * leaves `registry_precompact`, the resumed stream refuses to run
+    * over it, and the recovery message names the fix — "online" means
+    * no intervention in the happy path, not silent self-repair of a
+    * half-swapped table.
+    *
+    * Cost gate: one partition-directory listing per batch (pure
+    * namenode metadata), the rewrite itself only every ~`compactEvery`
+    * batches; between compactions the registry holds at most
+    * `compactEvery + 1` partitions, so listing and per-bucket file
+    * counts stay O(compactEvery) forever instead of O(stream age).
+    */
+  private def maybeCompactInStream(spark: org.apache.spark.sql.SparkSession,
+                                   fs: FileSystem, workDir: String,
+                                   regDir: String, regTable: String,
+                                   batchId: Long, compactEvery: Int): Unit = {
+    // a leftover partition for THIS batch is the only possibly-
+    // uncommitted state — drop it before counting or folding
+    val own = new Path(s"$regDir/batch=$batchId")
+    if (fs.exists(own)) {
+      fs.delete(own, true)
+      spark.sql(s"REFRESH TABLE $regTable")
+    }
+    val nParts = fs.listStatus(new Path(regDir))
+      .count(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+    if (nParts >= compactEvery) compactRegistry(spark, workDir)
+  }
+
   /** Compact the near-dup signature registry's batch partitions into
     * ONE — out-of-band maintenance for a long-running screen: the
     * registry accrues a partition (and ≥1 file per bucket) per
@@ -637,7 +699,12 @@ object StreamingJobs {
     * that [[screenBatch]] refuses to run over, rather than a silently
     * half-compacted table).
     *
-    * CONTRACT: run AT REST — stream stopped, no batch mid-retry. A
+    * CONTRACT: everything folded must be COMMITTED. Two callers
+    * satisfy it: [[maybeCompactInStream]] (the ONLINE arm — inside
+    * foreachBatch, where batch ordering makes it hold by construction;
+    * enable with `nearDupScreenStream(compactEvery = N)`), and
+    * out-of-band maintenance run AT REST — stream stopped, no batch
+    * mid-retry. A
     * replayed batch whose own signatures were folded into the
     * compacted partition (batch id = maxBatch ≥ its own) would read
     * them back and self-flag — or, worse, its retry hygiene would

@@ -422,6 +422,66 @@ object ScaleRehearsal {
       return
     }
 
+    // r19cc mode: the HYBRID receipt — connectedComponentsHybrid must
+    // track BSP on the shallow gr02 shape (where r18cc measured star
+    // paying ~1.6× at 100×) AND track star on chains (where BSP is
+    // unbounded). Runs the same shapes as r18cc so the three
+    // implementations compare row-for-row across rounds.
+    if (args.lift(2).contains("r19cc")) {
+      def chain(n: Long): DataFrame =
+        spark.range(n - 1).select(col("id").as("src"),
+          (col("id") + 1).as("dst"))
+      for (n <- Seq(5000L, 50000L, 500000L)) {
+        measure(f"ccHybrid chain=$n%-7d") {
+          Dedup.connectedComponentsHybrid(chain(n), maxIter = 40)
+            .agg(countDistinct(col("cluster"))).head().getLong(0)
+        }
+      }
+      def ensure(path: String)(gen: => Unit): Unit = ensureSuccess(path)(gen)
+      ensure(s"$work/edges1x.parquet") {
+        val ps = graft.Tables.load(spark, sfDir, "lineitem")
+          .select("l_orderkey", "l_suppkey").distinct()
+        ps.select(col("l_orderkey"), col("l_suppkey").as("s1"))
+          .join(ps.select(col("l_orderkey"), col("l_suppkey").as("s2")),
+            "l_orderkey")
+          .filter(col("s1") < col("s2"))
+          .groupBy("s1", "s2").agg(count(lit(1)).as("w"))
+          .filter(col("w") >= 5)
+          .select(col("s1").as("src"), col("s2").as("dst"))
+          .write.mode("overwrite").parquet(s"$work/edges1x.parquet")
+      }
+      for (f <- Seq(10, 100))
+        ensure(s"$work/edges${f}x.parquet") {
+          replicate(spark.read.parquet(s"$work/edges1x.parquet"), f, { (d, k) =>
+            d.select((col("src") + lit(k * 10000000L)).as("src"),
+              (col("dst") + lit(k * 10000000L)).as("dst"))
+          }).write.mode("overwrite").parquet(s"$work/edges${f}x.parquet")
+        }
+      for (f <- Seq(1, 10, 100)) {
+        measure(f"ccHybrid gr02-shape ${f}x") {
+          Dedup.connectedComponentsHybrid(
+            spark.read.parquet(s"$work/edges${f}x.parquet")).count()
+        }
+      }
+      // BSP same-session reference on the shallow shape (r17's rows
+      // were a different session/day — bench noise makes cross-day
+      // comparison untrustworthy, ADVICE r18)
+      for (f <- Seq(1, 10, 100)) {
+        measure(f"ccBSP    gr02-shape ${f}x") {
+          Dedup.connectedComponentsBsp(
+            spark.read.parquet(s"$work/edges${f}x.parquet")).count()
+        }
+      }
+      for (f <- Seq(1, 10, 100)) {
+        measure(f"ccStar   gr02-shape ${f}x") {
+          Dedup.connectedComponents(
+            spark.read.parquet(s"$work/edges${f}x.parquet")).count()
+        }
+      }
+      spark.stop()
+      return
+    }
+
     if (args.lift(2).contains("r17")) {
       def ensure(path: String)(gen: => Unit): Unit = ensureSuccess(path)(gen)
       // --- gr02: 100 id-offset disjoint graph copies (component

@@ -710,6 +710,56 @@ class PipelineSpec extends AnyFunSuite {
     assert(star(9999L) == 9999L, "isolated self-loop node lost")
   }
 
+  test("hybrid components: escape path equals star and BSP on the mixed graph") {
+    // same adversarial mix as the star-vs-BSP spec; bspRounds = 2
+    // cannot converge the 400-chain, so the star escape hatch engages
+    // — the composed labels must still match both pure implementations
+    val rnd = new scala.util.Random(42)
+    val chain = (1000L until 1399L).map(i => (i, i + 1))
+    val blob = for {
+      i <- 0 until 15; j <- (i + 1) until 15 if (i + j) % 3 == 0
+    } yield (2000L + i, 2000L + j)
+    val noise = Seq.fill(200)(
+      (rnd.nextInt(300).toLong, rnd.nextInt(300).toLong))
+    val edges = (chain ++ blob ++ noise ++
+      Seq((7L, 7L), (9999L, 9999L), (1000L, 1001L)))
+      .toDF("src", "dst")
+    val hybrid = Dedup.connectedComponentsHybrid(edges, bspRounds = 2,
+        maxIter = 30)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val star = Dedup.connectedComponents(edges, maxIter = 30)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hybrid == star,
+      s"hybrid vs star diverged: ${hybrid.toSet.diff(star.toSet)} / " +
+        s"${star.toSet.diff(hybrid.toSet)}")
+    assert((1000L to 1399L).forall(hybrid(_) == 1000L))
+    assert(hybrid(9999L) == 9999L, "isolated self-loop node lost")
+  }
+
+  test("hybrid components: shallow graph converges inside the BSP budget") {
+    // diameter 2 — converges (and is DETECTED converged) within
+    // bspRounds = 4, so the escape never runs; labels match star
+    val edges = Seq((2L, 1L), (2L, 3L), (10L, 11L), (21L, 20L), (5L, 5L))
+      .toDF("src", "dst")
+    val hybrid = Dedup.connectedComponentsHybrid(edges, bspRounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hybrid == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L,
+      11L -> 10L, 20L -> 20L, 21L -> 20L, 5L -> 5L), s"$hybrid")
+  }
+
+  test("hybrid components: mixed convergence — pair settles in BSP, chain needs star") {
+    // the pair's class is fully contracted after round 1; the 30-node
+    // chain is not — the escape must finish the chain WITHOUT
+    // disturbing the already-converged class
+    val edges = ((100L until 129L).map(i => (i, i + 1)) ++ Seq((10L, 11L)))
+      .toDF("src", "dst")
+    val hybrid = Dedup.connectedComponentsHybrid(edges, bspRounds = 2,
+        maxIter = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((100L to 129L).forall(hybrid(_) == 100L), s"$hybrid")
+    assert(hybrid(10L) == 10L && hybrid(11L) == 10L)
+  }
+
   test("funnel: out-of-order steps don't count, ordered paths do") {
     import java.sql.Timestamp
     def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")

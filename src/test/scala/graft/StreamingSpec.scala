@@ -717,6 +717,80 @@ class StreamingSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE IF EXISTS ${StreamingJobs.registryTable(work)}")
   }
 
+  test("online compaction: partitions stay bounded, verdicts and registry match the uncompacted screen") {
+    import spark.implicits._
+    val b = Seq(
+      Seq((2L, "alpha beta gamma delta epsilon"),
+        (4L, "one two three four five")),
+      Seq((3L, "something else entirely here now")),
+      Seq((11L, "alpha beta gamma delta epsilon"), // re-crawl of 2
+        (15L, "genuinely novel text right here")),
+      Seq((21L, "one two three four five"), // re-crawl of 4
+        (23L, "later fresh content arrives here")),
+      // re-crawl of 15 — a POST-fold survivor: folding must carry it
+      Seq((31L, "genuinely novel text right here"),
+        (33L, "closing unique words finish line"))
+    ).map(_.toDF("doc_id", "text"))
+    val plain = java.nio.file.Files.createTempDirectory("st12-plain").toString
+    val onl = java.nio.file.Files.createTempDirectory("st12-online").toString
+    b.zipWithIndex.foreach { case (df, i) =>
+      StreamingJobs.screenBatch(df, i.toLong, plain, "doc_id", "text",
+        3, 32, 8, 0.7, 4)
+      StreamingJobs.screenBatch(df, i.toLong, onl, "doc_id", "text",
+        3, 32, 8, 0.7, 4, compactEvery = 2)
+    }
+    def verdicts(w: String) = spark.read.parquet(s"$w/verdicts")
+      .selectExpr("CAST(batch AS LONG) AS batch", "doc_id", "keep")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(verdicts(onl) == verdicts(plain),
+      s"compaction changed verdicts: ${verdicts(onl).diff(verdicts(plain))}")
+    // the expected flags really happened (not just agreement on wrong)
+    val flagged = verdicts(onl).filter(!_._3).map(_._2)
+    assert(flagged == Set(11L, 21L, 31L), flagged.toString)
+    def parts(w: String) = new java.io.File(s"$w/registry").listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.getName).sorted.toSeq
+    assert(parts(plain).size == 5, parts(plain).toString)
+    assert(parts(onl) == Seq("batch=3", "batch=4"), parts(onl).toString)
+    def reg(w: String) = spark.read.parquet(s"$w/registry")
+      .select("doc_id", "band", "bucket")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(reg(onl) == reg(plain),
+      "folding lost or duplicated registry signatures")
+    Seq(plain, onl).foreach(w =>
+      spark.sql(s"DROP TABLE IF EXISTS ${StreamingJobs.registryTable(w)}"))
+  }
+
+  test("online compaction: replaying the batch that folded reproduces its verdicts") {
+    // crash AFTER batch 2's writes but BEFORE its checkpoint commit:
+    // the replay re-enters maybeCompactInStream with batch=2's own
+    // (uncommitted) partition on disk — it must be dropped before the
+    // partition count, never folded under a committed key
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("st12-replay").toString
+    val b0 = Seq((2L, "alpha beta gamma delta epsilon"),
+      (4L, "one two three four five")).toDF("doc_id", "text")
+    val b1 = Seq((3L, "something else entirely here now")).toDF("doc_id", "text")
+    val b2 = Seq((11L, "alpha beta gamma delta epsilon"),
+      (15L, "genuinely novel text right here")).toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame, id: Long) =
+      StreamingJobs.screenBatch(df, id, work, "doc_id", "text",
+        3, 32, 8, 0.7, 4, compactEvery = 2)
+    run(b0, 0L); run(b1, 1L); run(b2, 2L) // batch 2 folds {0,1} -> {1}
+    val first = spark.read.parquet(s"$work/verdicts/batch=2")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSet
+    val regFirst = spark.read.parquet(s"$work/registry").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    run(b2, 2L) // the replay
+    val again = spark.read.parquet(s"$work/verdicts/batch=2")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSet
+    assert(again == first, s"replay diverged: $again vs $first")
+    val regAgain = spark.read.parquet(s"$work/registry").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(regAgain == regFirst, s"replay corrupted registry: $regAgain")
+    assert(again == Set((11L, false), (15L, true)), again.toString)
+    spark.sql(s"DROP TABLE IF EXISTS ${StreamingJobs.registryTable(work)}")
+  }
+
   test("near-dup screen: restart under a different MinHash config fails loudly") {
     // the ADVICE r17 scenario: a registry built under numHashes=32
     // re-screened with numHashes=16 would band into different buckets
