@@ -579,6 +579,31 @@ object Dedup {
         struct(col("src").as("src"), col("dst").as("dst")),
         struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst")))
+    val (labels, converged) = bspMinLabelRounds(sym, cp, maxIter)
+    sym.unpersist()
+    // silence here would return plausible-but-WRONG groups (a transitive
+    // chain split mid-way) — fail loudly instead; callers with genuinely
+    // deep components raise maxIter
+    if (!converged) sys.error(
+      s"connectedComponentsBsp did not converge in $maxIter rounds — " +
+        "component diameter exceeds maxIter; raise it (or use the " +
+        "diameter-independent connectedComponents)")
+    labels.select(col("id"), col("label").as("cluster"))
+  }
+
+  /** The ONE min-label BSP core, shared by [[connectedComponentsBsp]]
+    * (runs to convergence, fails loudly past its budget) and
+    * [[connectedComponentsHybrid]] (runs a short budget, escapes to
+    * star contraction on non-convergence): up to `maxRounds` rounds
+    * over the SYMMETRIC edge view, returning the final (id, label)
+    * frame and whether the fixpoint was DETECTED inside the budget.
+    * The per-round join/min/checkpoint/convergence discipline lives
+    * exactly once so the hybrid's BSP prefix and the standalone BSP
+    * can never silently diverge.
+    */
+  private def bspMinLabelRounds(sym: DataFrame,
+                                cp: Checkpointing.Truncator,
+                                maxRounds: Int): (DataFrame, Boolean) = {
     var labels = cp.rolling(sym.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")))
     var converged = false
@@ -587,7 +612,7 @@ object Dedup {
     // materialization — Truncator.rolling releases the superseded
     // round (files in reliable mode, blocks in local mode), so
     // executor storage holds O(1) label-table copies, not O(rounds)
-    while (!converged && i < maxIter) {
+    while (!converged && i < maxRounds) {
       val nbrMin = sym
         .join(labels.select(col("id").as("src"), col("label")), "src")
         .groupBy(col("dst").as("id")).agg(min(col("label")).as("_nbr"))
@@ -600,15 +625,7 @@ object Dedup {
         least(col("label"), coalesce(col("_nbr"), col("label"))).as("label"))
       i += 1
     }
-    sym.unpersist()
-    // silence here would return plausible-but-WRONG groups (a transitive
-    // chain split mid-way) — fail loudly instead; callers with genuinely
-    // deep components raise maxIter
-    if (!converged) sys.error(
-      s"connectedComponentsBsp did not converge in $maxIter rounds — " +
-        "component diameter exceeds maxIter; raise it (or use the " +
-        "diameter-independent connectedComponents)")
-    labels.select(col("id"), col("label").as("cluster"))
+    (labels, converged)
   }
 
   /** Hybrid connected components — min-label BSP rounds first, star
@@ -625,8 +642,22 @@ object Dedup {
     * whose diameter fits converges there and pays nothing more — and
     * otherwise CONTRACT the graph by the partial labels and hand the
     * contracted edge set to star contraction, bounding the deep-graph
-    * cost at `bspRounds` wasted-cheap rounds + star on a graph already
-    * shrunk ~bspRounds× along every path.
+    * cost at `bspRounds` wasted-cheap rounds + two contraction joins
+    * before star's diameter-free rounds take over.
+    *
+    * How much the contraction shrinks depends on the ID LAYOUT, not
+    * just the shape: after k rounds label(u) = min id within distance
+    * k, so label classes are min-of-window regions — on random-id
+    * paths a local minimum captures its ~(2k+1)-hop window and the
+    * contracted graph shrinks multiplicatively, and on shallow blobs
+    * most nodes reach the component minimum and whole components
+    * vanish into self-loops; but on a MONOTONE-id chain (crawl doc
+    * ids ascending along the dup chain — the motivating worst case)
+    * label(i) = i − k, classes are singletons, and the chain shrinks
+    * only ADDITIVELY by k. The hybrid's chain guarantee is therefore
+    * NOT a shorter star run — it is that the overhead stays bounded
+    * (k cheap rounds + the joins) while star does the diameter-free
+    * work, vs BSP's unbounded rounds-=-diameter wall.
     *
     * Correctness of the handoff: after k BSP rounds label(u) is the
     * minimum id within distance k of u, so every label class is
@@ -656,20 +687,7 @@ object Dedup {
         struct(col("src").as("src"), col("dst").as("dst")),
         struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-    var labels = cp.rolling(sym.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")))
-    var converged = false
-    var i = 0
-    while (!converged && i < bspRounds) {
-      val nbrMin = sym
-        .join(labels.select(col("id").as("src"), col("label")), "src")
-        .groupBy(col("dst").as("id")).agg(min(col("label")).as("_nbr"))
-      val joined = cp.rolling(labels.join(nbrMin, Seq("id"), "left"))
-      converged = joined.filter(col("_nbr") < col("label")).isEmpty
-      labels = joined.select(col("id"),
-        least(col("label"), coalesce(col("_nbr"), col("label"))).as("label"))
-      i += 1
-    }
+    val (labels, converged) = bspMinLabelRounds(sym, cp, bspRounds)
     if (converged) {
       cp.release(e0)
       labels.select(col("id"), col("label").as("cluster"))
@@ -687,10 +705,12 @@ object Dedup {
         .select(col("_ls").as("src"), col("_ld").as("dst"))
       val star = connectedComponents(contracted, maxIter, checkpointDir)
       cp.release(e0)
-      // compose: classes whose label kept all its edges in-class have
-      // no contracted edge and label themselves (star pins its node
-      // set from the contracted EDGES — a fully-converged class is
-      // absent there, not mislabeled)
+      // compose. Every label is present in star's output: intra-class
+      // edges contract to (L, L) self-loops, which are KEPT in
+      // `contracted` precisely so they pin L into star's node set (a
+      // fully-converged class would otherwise vanish) — do not
+      // "optimize" them away. The left join + coalesce is therefore
+      // belt-and-braces, not a live path.
       labels
         .join(star.select(col("id").as("label"), col("cluster")),
           Seq("label"), "left")

@@ -4860,17 +4860,20 @@ object PipelineQueries {
     },
 
     // ONLINE registry compaction — the st10 screen run for FIVE
-    // micro-batches with compactEvery = 2 and a query restart
-    // mid-stream: compaction engages INSIDE foreachBatch (single
-    // writer, everything folded already committed — the at-rest
-    // contract held by construction, see StreamingJobs
-    // .maybeCompactInStream), so the registry never accrues more than
-    // compactEvery batch partitions while the stream runs. Invariants:
-    // the planted re-crawls of batch-0 docs in the LAST batch are all
-    // flagged against the thrice-compacted registry (folding re-keys
-    // partitions; it must never lose or duplicate a signature), and
-    // the final partition count is ≤ 2 — five uncompacted batches
-    // would hold five, so the bound is the proof compaction engaged.
+    // micro-batches at the most aggressive cadence (compactEvery = 1:
+    // fold whenever more than one partition has accrued — three folds
+    // in five batches, including a fold of a fold and one immediately
+    // after the mid-stream query restart). Compaction engages INSIDE
+    // foreachBatch (single writer, everything folded already
+    // committed — the at-rest contract held by construction, see
+    // StreamingJobs.maybeCompactInStream), so the registry never
+    // accrues more than compactEvery + 1 partitions while the stream
+    // runs. Invariants: the planted re-crawls of batch-0 docs in the
+    // LAST batch are all flagged against the thrice-folded registry
+    // (folding re-keys partitions; it must never lose or duplicate a
+    // signature), and the final partition count is ≤ 2 — five
+    // uncompacted batches would hold five, so the bound is the proof
+    // compaction engaged.
     QueryDef("st12_stream_online_compact",
       """WITH d AS (SELECT doc_id, text FROM documents),
         | pl AS (SELECT doc_id, text FROM d WHERE doc_id % 4 = 0 AND doc_id < 40),
@@ -4913,7 +4916,7 @@ object PipelineQueries {
       // between a compacted batch and the next compaction
       land(0, d.filter(col("doc_id") % 4 === 0))
       val q0 = graft.streaming.StreamingJobs.nearDupScreenStream(stream(),
-        work, compactEvery = 2)
+        work, compactEvery = 1)
       try {
         q0.processAllAvailable()
         land(1, d.filter(col("doc_id") % 4 === 1))
@@ -4927,7 +4930,7 @@ object PipelineQueries {
       land(3, d.filter(col("doc_id") % 4 === 3))
       land(4, planted)
       val q1 = graft.streaming.StreamingJobs.nearDupScreenStream(stream(),
-        work, compactEvery = 2)
+        work, compactEvery = 1)
       try q1.processAllAvailable() finally q1.stop()
       val v = s.read.parquet(s"$work/verdicts")
       val flagged = v.filter(!col("keep")).select(col("doc_id"))

@@ -664,10 +664,13 @@ object StreamingJobs {
     * half-swapped table.
     *
     * Cost gate: one partition-directory listing per batch (pure
-    * namenode metadata), the rewrite itself only every ~`compactEvery`
-    * batches; between compactions the registry holds at most
-    * `compactEvery + 1` partitions, so listing and per-bucket file
-    * counts stay O(compactEvery) forever instead of O(stream age).
+    * namenode metadata), the rewrite itself exactly once per
+    * `compactEvery` batches in steady state (the trigger is
+    * `nParts > compactEvery`, so the folded partition plus
+    * compactEvery fresh appends arm the next fold); the registry
+    * holds at most `compactEvery + 1` partitions, so listing and
+    * per-bucket file counts stay O(compactEvery) forever instead of
+    * O(stream age).
     */
   private def maybeCompactInStream(spark: org.apache.spark.sql.SparkSession,
                                    fs: FileSystem, workDir: String,
@@ -680,9 +683,16 @@ object StreamingJobs {
       fs.delete(own, true)
       spark.sql(s"REFRESH TABLE $regTable")
     }
+    // STRICTLY greater: the folded partition itself counts toward
+    // nParts, so `>=` would re-fold after only compactEvery−1 appends
+    // (at compactEvery=2, EVERY batch — a full registry rewrite per
+    // micro-batch, exactly the quadratic cost the cadence exists to
+    // amortize). With `>`, a fold leaves 1 partition, compactEvery
+    // appends grow it to compactEvery+1, and the next batch folds:
+    // one rewrite per compactEvery batches, bound compactEvery+1.
     val nParts = fs.listStatus(new Path(regDir))
       .count(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
-    if (nParts >= compactEvery) compactRegistry(spark, workDir)
+    if (nParts > compactEvery) compactRegistry(spark, workDir)
   }
 
   /** Compact the near-dup signature registry's batch partitions into

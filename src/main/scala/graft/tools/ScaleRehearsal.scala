@@ -233,6 +233,39 @@ object ScaleRehearsal {
       }
       path
     }
+    // the gr02-shape edge corpus (supplier co-occurrence, 1×/10×/100×
+    // id-offset replicas) — shared by the r17 / r18cc / r19cc modes.
+    // All three read the SAME $work/edgesNx.parquet cache and
+    // ensureSuccess skips regeneration, so the recipe must exist
+    // exactly once: a second copy edited out of sync would leave the
+    // other modes silently reading a stale file built by a different
+    // recipe, invalidating cross-round comparisons.
+    def ensureGr02Edges(): Unit = {
+      ensureSuccess(s"$work/edges1x.parquet") {
+        val ps = graft.Tables.load(spark, sfDir, "lineitem")
+          .select("l_orderkey", "l_suppkey").distinct()
+        ps.select(col("l_orderkey"), col("l_suppkey").as("s1"))
+          .join(ps.select(col("l_orderkey"), col("l_suppkey").as("s2")),
+            "l_orderkey")
+          .filter(col("s1") < col("s2"))
+          .groupBy("s1", "s2").agg(count(lit(1)).as("w"))
+          .filter(col("w") >= 5)
+          .select(col("s1").as("src"), col("s2").as("dst"))
+          .write.mode("overwrite").parquet(s"$work/edges1x.parquet")
+      }
+      for (f <- Seq(10, 100))
+        ensureSuccess(s"$work/edges${f}x.parquet") {
+          replicate(spark.read.parquet(s"$work/edges1x.parquet"), f, { (d, k) =>
+            d.select((col("src") + lit(k * 10000000L)).as("src"),
+              (col("dst") + lit(k * 10000000L)).as("dst"))
+          }).write.mode("overwrite").parquet(s"$work/edges${f}x.parquet")
+        }
+    }
+    // an n-node path with ASCENDING ids — the chain-shaped worst case
+    // (each crawl near-dups the previous one) used by r18cc / r19cc
+    def idChain(n: Long): DataFrame =
+      spark.range(n - 1).select(col("id").as("src"),
+        (col("id") + 1).as("dst"))
 
     // r18 mode: the receipt for the bucketed-registry fix (r17's one
     // open scale flank). Same constant batch and two-decade registry
@@ -377,41 +410,19 @@ object ScaleRehearsal {
     // (shallow components) under star for direct comparison with r17's
     // BSP rows (2.45 / 2.88 / 5.25 s).
     if (args.lift(2).contains("r18cc")) {
-      def chain(n: Long): DataFrame =
-        spark.range(n - 1).select(col("id").as("src"),
-          (col("id") + 1).as("dst"))
       for (n <- Seq(512L, 2048L)) {
         measure(f"ccBSP  chain=$n%-7d") {
-          Dedup.connectedComponentsBsp(chain(n), maxIter = n.toInt + 5)
+          Dedup.connectedComponentsBsp(idChain(n), maxIter = n.toInt + 5)
             .agg(countDistinct(col("cluster"))).head().getLong(0)
         }
       }
       for (n <- Seq(5000L, 50000L, 500000L)) {
         measure(f"ccStar chain=$n%-7d") {
-          Dedup.connectedComponents(chain(n), maxIter = 40)
+          Dedup.connectedComponents(idChain(n), maxIter = 40)
             .agg(countDistinct(col("cluster"))).head().getLong(0)
         }
       }
-      def ensure(path: String)(gen: => Unit): Unit = ensureSuccess(path)(gen)
-      ensure(s"$work/edges1x.parquet") {
-        val ps = graft.Tables.load(spark, sfDir, "lineitem")
-          .select("l_orderkey", "l_suppkey").distinct()
-        ps.select(col("l_orderkey"), col("l_suppkey").as("s1"))
-          .join(ps.select(col("l_orderkey"), col("l_suppkey").as("s2")),
-            "l_orderkey")
-          .filter(col("s1") < col("s2"))
-          .groupBy("s1", "s2").agg(count(lit(1)).as("w"))
-          .filter(col("w") >= 5)
-          .select(col("s1").as("src"), col("s2").as("dst"))
-          .write.mode("overwrite").parquet(s"$work/edges1x.parquet")
-      }
-      for (f <- Seq(10, 100))
-        ensure(s"$work/edges${f}x.parquet") {
-          replicate(spark.read.parquet(s"$work/edges1x.parquet"), f, { (d, k) =>
-            d.select((col("src") + lit(k * 10000000L)).as("src"),
-              (col("dst") + lit(k * 10000000L)).as("dst"))
-          }).write.mode("overwrite").parquet(s"$work/edges${f}x.parquet")
-        }
+      ensureGr02Edges()
       for (f <- Seq(1, 10, 100)) {
         measure(f"ccStar gr02-shape ${f}x") {
           Dedup.connectedComponents(
@@ -428,35 +439,13 @@ object ScaleRehearsal {
     // unbounded). Runs the same shapes as r18cc so the three
     // implementations compare row-for-row across rounds.
     if (args.lift(2).contains("r19cc")) {
-      def chain(n: Long): DataFrame =
-        spark.range(n - 1).select(col("id").as("src"),
-          (col("id") + 1).as("dst"))
       for (n <- Seq(5000L, 50000L, 500000L)) {
         measure(f"ccHybrid chain=$n%-7d") {
-          Dedup.connectedComponentsHybrid(chain(n), maxIter = 40)
+          Dedup.connectedComponentsHybrid(idChain(n), maxIter = 40)
             .agg(countDistinct(col("cluster"))).head().getLong(0)
         }
       }
-      def ensure(path: String)(gen: => Unit): Unit = ensureSuccess(path)(gen)
-      ensure(s"$work/edges1x.parquet") {
-        val ps = graft.Tables.load(spark, sfDir, "lineitem")
-          .select("l_orderkey", "l_suppkey").distinct()
-        ps.select(col("l_orderkey"), col("l_suppkey").as("s1"))
-          .join(ps.select(col("l_orderkey"), col("l_suppkey").as("s2")),
-            "l_orderkey")
-          .filter(col("s1") < col("s2"))
-          .groupBy("s1", "s2").agg(count(lit(1)).as("w"))
-          .filter(col("w") >= 5)
-          .select(col("s1").as("src"), col("s2").as("dst"))
-          .write.mode("overwrite").parquet(s"$work/edges1x.parquet")
-      }
-      for (f <- Seq(10, 100))
-        ensure(s"$work/edges${f}x.parquet") {
-          replicate(spark.read.parquet(s"$work/edges1x.parquet"), f, { (d, k) =>
-            d.select((col("src") + lit(k * 10000000L)).as("src"),
-              (col("dst") + lit(k * 10000000L)).as("dst"))
-          }).write.mode("overwrite").parquet(s"$work/edges${f}x.parquet")
-        }
+      ensureGr02Edges()
       for (f <- Seq(1, 10, 100)) {
         measure(f"ccHybrid gr02-shape ${f}x") {
           Dedup.connectedComponentsHybrid(
@@ -489,25 +478,7 @@ object ScaleRehearsal {
       // the same round count at every decade — wall must scale with
       // |E|·rounds, the BSP contract, plus the per-round checkpoint
       // fixed cost that dominates at 1×)
-      ensure(s"$work/edges1x.parquet") {
-        val ps = graft.Tables.load(spark, sfDir, "lineitem")
-          .select("l_orderkey", "l_suppkey").distinct()
-        ps.select(col("l_orderkey"), col("l_suppkey").as("s1"))
-          .join(ps.select(col("l_orderkey"), col("l_suppkey").as("s2")),
-            "l_orderkey")
-          .filter(col("s1") < col("s2"))
-          .groupBy("s1", "s2").agg(count(lit(1)).as("w"))
-          .filter(col("w") >= 5)
-          .select(col("s1").as("src"), col("s2").as("dst"))
-          .write.mode("overwrite").parquet(s"$work/edges1x.parquet")
-      }
-      for (f <- Seq(10, 100))
-        ensure(s"$work/edges${f}x.parquet") {
-          replicate(spark.read.parquet(s"$work/edges1x.parquet"), f, { (d, k) =>
-            d.select((col("src") + lit(k * 10000000L)).as("src"),
-              (col("dst") + lit(k * 10000000L)).as("dst"))
-          }).write.mode("overwrite").parquet(s"$work/edges${f}x.parquet")
-        }
+      ensureGr02Edges()
       for ((tag, pth) <- Seq(("1x", s"$work/edges1x.parquet"),
           ("10x", s"$work/edges10x.parquet"),
           ("100x", s"$work/edges100x.parquet"))) {
@@ -738,20 +709,7 @@ object ScaleRehearsal {
     // scale ~linearly in |E|); triangle enumeration's wedge volume is
     // degeneracy-bounded per copy, so 10 copies cost ~10×, never
     // copies² — the no-quadratic-term evidence for the graph family.
-    val ps = graft.Tables.load(spark, sfDir, "lineitem")
-      .select("l_orderkey", "l_suppkey").distinct()
-    ps.select(col("l_orderkey"), col("l_suppkey").as("s1"))
-      .join(ps.select(col("l_orderkey"), col("l_suppkey").as("s2")),
-        "l_orderkey")
-      .filter(col("s1") < col("s2"))
-      .groupBy("s1", "s2").agg(count(lit(1)).as("w"))
-      .filter(col("w") >= 5)
-      .select(col("s1").as("src"), col("s2").as("dst"))
-      .write.mode("overwrite").parquet(s"$work/edges1x.parquet")
-    replicate(spark.read.parquet(s"$work/edges1x.parquet"), 10, { (d, k) =>
-      d.select((col("src") + lit(k * 10000000L)).as("src"),
-        (col("dst") + lit(k * 10000000L)).as("dst"))
-    }).write.mode("overwrite").parquet(s"$work/edges10x.parquet")
+    ensureGr02Edges()
     for ((tag, pth) <- Seq(("1x", s"$work/edges1x.parquet"),
         ("10x", s"$work/edges10x.parquet"))) {
       val sym = spark.read.parquet(pth)

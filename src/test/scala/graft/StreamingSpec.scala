@@ -737,7 +737,7 @@ class StreamingSpec extends AnyFunSuite {
       StreamingJobs.screenBatch(df, i.toLong, plain, "doc_id", "text",
         3, 32, 8, 0.7, 4)
       StreamingJobs.screenBatch(df, i.toLong, onl, "doc_id", "text",
-        3, 32, 8, 0.7, 4, compactEvery = 2)
+        3, 32, 8, 0.7, 4, compactEvery = 1)
     }
     def verdicts(w: String) = spark.read.parquet(s"$w/verdicts")
       .selectExpr("CAST(batch AS LONG) AS batch", "doc_id", "keep")
@@ -774,7 +774,7 @@ class StreamingSpec extends AnyFunSuite {
       (15L, "genuinely novel text right here")).toDF("doc_id", "text")
     def run(df: org.apache.spark.sql.DataFrame, id: Long) =
       StreamingJobs.screenBatch(df, id, work, "doc_id", "text",
-        3, 32, 8, 0.7, 4, compactEvery = 2)
+        3, 32, 8, 0.7, 4, compactEvery = 1)
     run(b0, 0L); run(b1, 1L); run(b2, 2L) // batch 2 folds {0,1} -> {1}
     val first = spark.read.parquet(s"$work/verdicts/batch=2")
       .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSet
