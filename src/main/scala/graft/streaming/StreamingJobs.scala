@@ -29,6 +29,17 @@ case class SessionAgg(user_id: Long, session_start: Timestamp,
 case class SState(start: Long, end: Long, n: Long, total: Double)
 
 object StreamingJobs {
+  private lazy val logger = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Default online-compaction cadence for the near-dup screen: ON by
+    * default (the twoLevelAuto discipline — the 100 TB-safe path is
+    * the default, not a flag), folding once the registry accrues more
+    * than this many batch partitions. 64 keeps partition listings and
+    * per-bucket file counts trivially bounded while amortizing the
+    * registry rewrite to 1/64 of batches; pass `compactEvery = 0` to
+    * disable (at-rest [[compactRegistry]] remains available).
+    */
+  val compactEveryDefault: Int = 64
 
   /** Tumbling-window rollup with watermark: counts + value sums per
     * (1-hour window, event_type); windows finalize (append-mode emit)
@@ -421,7 +432,7 @@ object StreamingJobs {
                           shingleN: Int = 3, numHashes: Int = 32,
                           bands: Int = 8, minEstJac: Double = 0.7,
                           regBuckets: Int = 32,
-                          compactEvery: Int = 0)
+                          compactEvery: Int = compactEveryDefault)
     : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream.outputMode("append")
       .option("checkpointLocation", s"$workDir/ckpt")
@@ -494,7 +505,7 @@ object StreamingJobs {
                                  textCol: String, shingleN: Int,
                                  numHashes: Int, bands: Int,
                                  minEstJac: Double, regBuckets: Int,
-                                 compactEvery: Int = 0): Unit = {
+                                 compactEvery: Int = compactEveryDefault): Unit = {
     val spark = batch.sparkSession
     val regDir = s"$workDir/registry"
     val regTable = registryTable(workDir)
@@ -692,7 +703,18 @@ object StreamingJobs {
     // one rewrite per compactEvery batches, bound compactEvery+1.
     val nParts = fs.listStatus(new Path(regDir))
       .count(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
-    if (nParts > compactEvery) compactRegistry(spark, workDir)
+    if (nParts > compactEvery) {
+      // the fold changes no verdicts, but it is a registry-sized
+      // rewrite inside this batch's latency — same signal discipline
+      // as the two-level auto-engage: learn it from the log, not from
+      // a latency spike graph
+      logger.warn(s"graft nearDupScreen: ONLINE registry compaction " +
+        s"engaged at batch $batchId ($nParts partitions > " +
+        s"compactEvery=$compactEvery): folding into one partition. " +
+        "Tune the cadence with nearDupScreenStream(compactEvery = N); " +
+        "0 disables (use at-rest compactRegistry instead).")
+      compactRegistry(spark, workDir)
+    }
   }
 
   /** Compact the near-dup signature registry's batch partitions into

@@ -760,6 +760,29 @@ class StreamingSpec extends AnyFunSuite {
       spark.sql(s"DROP TABLE IF EXISTS ${StreamingJobs.registryTable(w)}"))
   }
 
+  test("online compaction: compactEvery = 0 disables the fold; the default is self-engaging") {
+    // the twoLevelAuto discipline: ON by default (the 100 TB-safe
+    // path), 0 is the explicit opt-out — partitions then accrue one
+    // per batch exactly as the pre-online layout did
+    import spark.implicits._
+    assert(StreamingJobs.compactEveryDefault > 0,
+      "online compaction must be self-engaging by default")
+    val work = java.nio.file.Files.createTempDirectory("st12-off").toString
+    val b = Seq(
+      Seq((2L, "alpha beta gamma delta epsilon")),
+      Seq((3L, "something else entirely here now")),
+      Seq((5L, "genuinely novel text right here"))
+    ).map(_.toDF("doc_id", "text"))
+    b.zipWithIndex.foreach { case (df, i) =>
+      StreamingJobs.screenBatch(df, i.toLong, work, "doc_id", "text",
+        3, 32, 8, 0.7, 4, compactEvery = 0)
+    }
+    val parts = new java.io.File(s"$work/registry").listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.getName).sorted.toSeq
+    assert(parts == Seq("batch=0", "batch=1", "batch=2"), parts.toString)
+    spark.sql(s"DROP TABLE IF EXISTS ${StreamingJobs.registryTable(work)}")
+  }
+
   test("online compaction: replaying the batch that folded reproduces its verdicts") {
     // crash AFTER batch 2's writes but BEFORE its checkpoint commit:
     // the replay re-enters maybeCompactInStream with batch=2's own
