@@ -17,6 +17,8 @@ import org.apache.spark.sql.types._
   */
 object Dedup {
 
+  private lazy val logger = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Deterministic exact dedup: keep exactly one row per key set — the
     * one minimizing `tiebreak` — unlike `dropDuplicates`, whose survivor
     * is partition-order-dependent. One shuffle on the keys.
@@ -660,23 +662,45 @@ object Dedup {
     * work, vs BSP's unbounded rounds-=-diameter wall.
     *
     * Correctness of the handoff: after k BSP rounds label(u) is the
-    * minimum id within distance k of u, so every label class is
-    * CONNECTED (each member has a ≤k path to the label node) and
-    * contracting classes to single nodes preserves the component
-    * structure exactly — an original edge (u,v) becomes
-    * (label(u), label(v)) and label(u) is connected to u, so
-    * contracted components biject with original ones. The component's
-    * global minimum m always survives contraction (label(m) = m: no
-    * smaller id exists in its component, at any distance), so star's
-    * min-id cluster labels over the contracted graph ARE the original
-    * min-id labels, and composing star(label(id)) reproduces
-    * [[connectedComponents]]' output row for row.
+    * minimum id within distance k of u, so every member of label
+    * class L has a ≤k path to the label node L itself — any two
+    * members are connected THROUGH L in the original graph (the class
+    * need not induce a connected subgraph: with k=1 and edges 7-5,
+    * 8-5, 5-2, class {7,8} of label 5 has no internal edge, yet both
+    * members reach 5), and that via-L connectivity is all contraction
+    * needs: collapsing each class onto its label node preserves the
+    * component structure exactly — an original edge (u,v) becomes
+    * (label(u), label(v)) and label(u) is connected to u. The
+    * component's global minimum m always survives contraction
+    * (label(m) = m: no smaller id exists in its component, at any
+    * distance), so star's min-id cluster labels over the contracted
+    * graph ARE the original min-id labels, and composing
+    * star(label(id)) reproduces [[connectedComponents]]' output row
+    * for row.
+    *
+    * ADAPTIVE handoff: the contraction joins roughly DOUBLE the
+    * shuffle bytes of a pure star run (447.8 vs 211.0 MB on the
+    * shallow 100× rehearsal, SCALE.md r19cc) and buy nothing when the
+    * BSP prefix barely merged labels — on a monotone-id chain the
+    * classes are singletons and the graph shrinks only additively by
+    * `bspRounds`. The label table already in hand carries the signal:
+    * distinct-label count vs node count (node-sized aggregates, never
+    * the edge set). When the proxy shrinkage (1 − labels/nodes) is
+    * below `contractMinShrink`, the contraction AND the composition
+    * join are skipped and star contraction runs on the ORIGINAL
+    * edges — its output is the same min-id component labeling either
+    * way (CCPropSpec holds at every budget), so the switch changes
+    * the plan, never the rows. Warn-logged like every self-engaging
+    * switch; 0.0 forces contraction, 1.0 forces the direct-star path.
     */
   def connectedComponentsHybrid(edges: DataFrame, bspRounds: Int = 4,
                                 maxIter: Int = 20,
+                                contractMinShrink: Double = 0.3,
                                 checkpointDir: Option[String] = None)
     : DataFrame = {
     require(bspRounds >= 1, s"bspRounds must be >= 1, got $bspRounds")
+    require(contractMinShrink >= 0.0 && contractMinShrink <= 1.0,
+      s"contractMinShrink must be in [0, 1], got $contractMinShrink")
     val cp = Checkpointing.truncator(edges.sparkSession, enabled = true,
       checkpointDir)
     // one materialization of the (possibly expensive) upstream edge
@@ -692,30 +716,55 @@ object Dedup {
       cp.release(e0)
       labels.select(col("id"), col("label").as("cluster"))
     } else {
-      // escape hatch: diameter exceeds the BSP budget — contract by
-      // the partial labels (two id-keyed joins over the checkpointed
-      // edges) and let star contraction finish diameter-free. No
-      // distinct on the contracted edges: connectedComponents dedupes
-      // its input in the same shuffle its own first checkpoint needs.
-      val contracted = e0
-        .join(labels.select(col("id").as("src"), col("label").as("_ls")),
-          "src")
-        .join(labels.select(col("id").as("dst"), col("label").as("_ld")),
-          "dst")
-        .select(col("_ls").as("src"), col("_ld").as("dst"))
-      val star = connectedComponents(contracted, maxIter, checkpointDir)
-      cp.release(e0)
-      // compose. Every label is present in star's output: intra-class
-      // edges contract to (L, L) self-loops, which are KEPT in
-      // `contracted` precisely so they pin L into star's node set (a
-      // fully-converged class would otherwise vanish) — do not
-      // "optimize" them away. The left join + coalesce is therefore
-      // belt-and-braces, not a live path.
-      labels
-        .join(star.select(col("id").as("label"), col("cluster")),
-          Seq("label"), "left")
-        .select(col("id"),
-          coalesce(col("cluster"), col("label")).as("cluster"))
+      // escape hatch: diameter exceeds the BSP budget. Decide from the
+      // label table (node-sized, already checkpointed) whether the
+      // contraction pays: one agg over it, never a pass over the edges
+      val stats = labels
+        .agg(count(lit(1)).as("_n"), countDistinct(col("label")).as("_d"))
+        .head()
+      val (nNodes, nLabels) = (stats.getLong(0), stats.getLong(1))
+      val shrink =
+        if (nNodes == 0) 0.0 else (nNodes - nLabels).toDouble / nNodes
+      if (shrink < contractMinShrink) {
+        // the BSP prefix barely merged anything (the monotone-id chain
+        // shape): contracting would pay two edge-keyed joins plus the
+        // composition join to shrink the graph by ~nothing — hand the
+        // ORIGINAL edges to star contraction instead and drop the
+        // partial labels (bounded waste: bspRounds cheap rounds)
+        logger.warn(f"graft connectedComponentsHybrid: contraction " +
+          f"SKIPPED at shrinkage $shrink%.3f < $contractMinShrink%.2f " +
+          f"($nLabels%d labels / $nNodes%d nodes after $bspRounds%d BSP " +
+          "rounds) — star contraction runs on the original edges. " +
+          "Tune with contractMinShrink (0.0 always contracts).")
+        val star = connectedComponents(e0, maxIter, checkpointDir)
+        cp.release(e0)
+        star
+      } else {
+        // contract by the partial labels (two id-keyed joins over the
+        // checkpointed edges) and let star contraction finish
+        // diameter-free. No distinct on the contracted edges:
+        // connectedComponents dedupes its input in the same shuffle
+        // its own first checkpoint needs.
+        val contracted = e0
+          .join(labels.select(col("id").as("src"), col("label").as("_ls")),
+            "src")
+          .join(labels.select(col("id").as("dst"), col("label").as("_ld")),
+            "dst")
+          .select(col("_ls").as("src"), col("_ld").as("dst"))
+        val star = connectedComponents(contracted, maxIter, checkpointDir)
+        cp.release(e0)
+        // compose. Every label is present in star's output: intra-class
+        // edges contract to (L, L) self-loops, which are KEPT in
+        // `contracted` precisely so they pin L into star's node set (a
+        // fully-converged class would otherwise vanish) — do not
+        // "optimize" them away. The left join + coalesce is therefore
+        // belt-and-braces, not a live path.
+        labels
+          .join(star.select(col("id").as("label"), col("cluster")),
+            Seq("label"), "left")
+          .select(col("id"),
+            coalesce(col("cluster"), col("label")).as("cluster"))
+      }
     }
   }
 

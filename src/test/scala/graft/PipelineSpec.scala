@@ -760,6 +760,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(hybrid(10L) == 10L && hybrid(11L) == 10L)
   }
 
+  test("hybrid components: adaptive handoff skips contraction on monotone chains") {
+    // a monotone-id chain shrinks only ADDITIVELY by bspRounds, so the
+    // default threshold skips the contraction joins and hands the
+    // ORIGINAL edges to star — and forcing contraction
+    // (contractMinShrink = 0.0) must produce identical labels: the
+    // switch changes the plan, never the rows
+    val edges = (500L until 560L).map(i => (i, i + 1)).toDF("src", "dst")
+    val skip = Dedup.connectedComponentsHybrid(edges, bspRounds = 2,
+        maxIter = 30)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val forced = Dedup.connectedComponentsHybrid(edges, bspRounds = 2,
+        maxIter = 30, contractMinShrink = 0.0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(skip == forced,
+      s"skip vs forced-contraction diverged: ${skip.toSet.diff(forced.toSet)}" +
+        s" / ${forced.toSet.diff(skip.toSet)}")
+    assert((500L to 560L).forall(skip(_) == 500L), s"$skip")
+  }
+
   test("funnel: out-of-order steps don't count, ordered paths do") {
     import java.sql.Timestamp
     def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
