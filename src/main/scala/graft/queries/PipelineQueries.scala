@@ -1861,6 +1861,156 @@ object PipelineQueries {
       out
     },
 
+    // Registry DELETION — the right-to-be-forgotten arm dd21's fold
+    // machinery was built to carry: deleteFromRegistry folds the banded
+    // registry MINUS a tombstone id set (broadcast anti-join inside the
+    // same write-new/rename-swap), so a doc whose ONLY match was a
+    // deleted registry doc stops being flagged — dd19's planted-
+    // re-crawl pattern INVERTED. Twenty synthetic docs (nonsense
+    // tokens, zero shingle overlap with the corpus) register alongside
+    // the even half, are tombstoned, and their re-crawls must all PASS
+    // while dd19's natural planted clones (whose registry docs
+    // survive) must all still flag.
+    QueryDef("dd22_registry_delete",
+      """WITH reg AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+        | batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+        |           UNION ALL
+        |           SELECT doc_id + 10000001 AS doc_id, text FROM documents
+        |           WHERE doc_id % 2 = 0 AND doc_id < 40),
+        | rt AS (SELECT DISTINCT text FROM reg
+        |        WHERE len(string_split(text, ' ')) >= 3)
+        |SELECT CAST(count(DISTINCT b.doc_id) AS BIGINT) AS n_clones,
+        |  CAST(1 AS BIGINT) AS all_flagged,
+        |  CAST(20 AS BIGINT) AS n_tomb,
+        |  CAST(1 AS BIGINT) AS tomb_kept
+        |FROM batch b JOIN rt ON b.text = rt.text""".stripMargin) { (s, dir) =>
+      val work = s"${System.getProperty("java.io.tmpdir")}/graft-dd22-" +
+        dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      val workP = new org.apache.hadoop.fs.Path(work)
+      val workFs = workP.getFileSystem(s.sparkContext.hadoopConfiguration)
+      workFs.delete(workP, true)
+      val d = docs(s, dir)
+      val reg = d.filter(col("doc_id") % 2 === 0).select("doc_id", "text")
+      // synthetic tombstone targets: unique nonsense tokens — no
+      // shingle overlap with the corpus, so after deletion their
+      // re-crawls share no signature components with any survivor
+      val tomb = s.range(1, 21).select(
+        (col("id") + 20000000L).as("doc_id"),
+        concat_ws(" ", (1 to 6).map(j =>
+          concat(lit("zzq"), col("id"), lit(s"x$j"))): _*).as("text"))
+      graft.streaming.StreamingJobs.screenBatch(reg.unionAll(tomb), 0L, work,
+        "doc_id", "text", 3, 32, 8, 0.7, 16)
+      graft.streaming.StreamingJobs.deleteFromRegistry(s, work,
+        tomb.select("doc_id"))
+      val batch = d.filter(col("doc_id") % 2 === 1)
+        .select("doc_id", "text")
+        .unionAll(d.filter(col("doc_id") % 2 === 0 && col("doc_id") < 40)
+          .select((col("doc_id") + 10000001L).as("doc_id"), col("text")))
+        .unionAll(tomb.select((col("doc_id") + 10000000L).as("doc_id"),
+          col("text")))
+      graft.streaming.StreamingJobs.screenBatch(batch, 1L, work,
+        "doc_id", "text", 3, 32, 8, 0.7, 16)
+      val verd = s.read.parquet(s"$work/verdicts/batch=1")
+      val flagged = verd.filter(!col("keep")).select(col("doc_id"))
+        .withColumn("_f", lit(1L))
+      val clones = batch.filter(col("doc_id") < 30000000L)
+        .select(col("doc_id"), col("text"))
+        .join(reg.filter(size(split(col("text"), " ")) >= 3)
+          .select("text").distinct(), Seq("text"))
+        .select("doc_id").distinct()
+      val natural = clones.join(flagged, Seq("doc_id"), "left")
+        .agg(count(lit(1)).cast(LongType).as("n_clones"),
+          coalesce(min(coalesce(col("_f"), lit(0L))), lit(1L))
+            .as("all_flagged"))
+      val tombRows = verd.filter(col("doc_id") > 30000000L)
+        .agg(count(lit(1)).cast(LongType).as("n_tomb"),
+          min(when(col("keep"), 1L).otherwise(0L)).as("tomb_kept"))
+      val out = natural.crossJoin(broadcast(tombRows)).localCheckpoint()
+      s.sql(s"DROP TABLE IF EXISTS " +
+        graft.streaming.StreamingJobs.registryTable(work))
+      workFs.delete(workP, true)
+      out
+    },
+
+    // Registry RETENTION — the TTL arm: compactRegistry(retainIngestSince)
+    // drops rows below an ingest-batch horizon during the fold it
+    // already performs, keyed on the ingest_batch DATA column (which
+    // survives a prior fold's partition re-keying — the gate folds
+    // TWICE to prove it). Twenty synthetic docs ingest at batch 0, the
+    // even half at batch 1; after a plain fold + a retain-since-1 fold
+    // the aged set's re-crawls must all PASS while dd19's natural
+    // clones (in-window registry) must all still flag.
+    QueryDef("dd23_registry_retention",
+      """WITH reg AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+        | batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+        |           UNION ALL
+        |           SELECT doc_id + 10000001 AS doc_id, text FROM documents
+        |           WHERE doc_id % 2 = 0 AND doc_id < 40),
+        | rt AS (SELECT DISTINCT text FROM reg
+        |        WHERE len(string_split(text, ' ')) >= 3)
+        |SELECT CAST(count(DISTINCT b.doc_id) AS BIGINT) AS n_clones,
+        |  CAST(1 AS BIGINT) AS all_flagged,
+        |  CAST(20 AS BIGINT) AS n_aged,
+        |  CAST(1 AS BIGINT) AS aged_kept,
+        |  CAST(1 AS BIGINT) AS one_part
+        |FROM batch b JOIN rt ON b.text = rt.text""".stripMargin) { (s, dir) =>
+      val work = s"${System.getProperty("java.io.tmpdir")}/graft-dd23-" +
+        dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      val workP = new org.apache.hadoop.fs.Path(work)
+      val workFs = workP.getFileSystem(s.sparkContext.hadoopConfiguration)
+      workFs.delete(workP, true)
+      val d = docs(s, dir)
+      val aged = s.range(1, 21).select(
+        (col("id") + 20000000L).as("doc_id"),
+        concat_ws(" ", (1 to 6).map(j =>
+          concat(lit("zzq"), col("id"), lit(s"x$j"))): _*).as("text"))
+      val reg = d.filter(col("doc_id") % 2 === 0).select("doc_id", "text")
+      graft.streaming.StreamingJobs.screenBatch(aged, 0L, work,
+        "doc_id", "text", 3, 32, 8, 0.7, 16)
+      graft.streaming.StreamingJobs.screenBatch(reg, 1L, work,
+        "doc_id", "text", 3, 32, 8, 0.7, 16)
+      // plain fold FIRST: re-keys every partition to batch=1 — the
+      // retention fold must then age by ingest provenance, not by the
+      // re-keyed partition
+      graft.streaming.StreamingJobs.compactRegistry(s, work)
+      graft.streaming.StreamingJobs.compactRegistry(s, work,
+        retainIngestSince = 1L)
+      val nParts = workFs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$work/registry"))
+        .count(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+      val batch = d.filter(col("doc_id") % 2 === 1)
+        .select("doc_id", "text")
+        .unionAll(d.filter(col("doc_id") % 2 === 0 && col("doc_id") < 40)
+          .select((col("doc_id") + 10000001L).as("doc_id"), col("text")))
+        .unionAll(aged.select((col("doc_id") + 10000000L).as("doc_id"),
+          col("text")))
+      graft.streaming.StreamingJobs.screenBatch(batch, 2L, work,
+        "doc_id", "text", 3, 32, 8, 0.7, 16)
+      val verd = s.read.parquet(s"$work/verdicts/batch=2")
+      val flagged = verd.filter(!col("keep")).select(col("doc_id"))
+        .withColumn("_f", lit(1L))
+      val clones = batch.filter(col("doc_id") < 30000000L)
+        .select(col("doc_id"), col("text"))
+        .join(reg.filter(size(split(col("text"), " ")) >= 3)
+          .select("text").distinct(), Seq("text"))
+        .select("doc_id").distinct()
+      val natural = clones.join(flagged, Seq("doc_id"), "left")
+        .agg(count(lit(1)).cast(LongType).as("n_clones"),
+          coalesce(min(coalesce(col("_f"), lit(0L))), lit(1L))
+            .as("all_flagged"))
+      val agedRows = verd.filter(col("doc_id") > 30000000L)
+        .agg(count(lit(1)).cast(LongType).as("n_aged"),
+          min(when(col("keep"), 1L).otherwise(0L)).as("aged_kept"))
+      val out = natural.crossJoin(broadcast(agedRows))
+        .select(col("n_clones"), col("all_flagged"), col("n_aged"),
+          col("aged_kept"), lit(if (nParts == 1) 1L else 0L).as("one_part"))
+        .localCheckpoint()
+      s.sql(s"DROP TABLE IF EXISTS " +
+        graft.streaming.StreamingJobs.registryTable(work))
+      workFs.delete(workP, true)
+      out
+    },
+
     // ================= text analysis =================
 
     QueryDef("ta01_term_freq",

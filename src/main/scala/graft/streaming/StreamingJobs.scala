@@ -489,9 +489,17 @@ object StreamingJobs {
   private def registerRegistry(spark: org.apache.spark.sql.SparkSession,
                                table: String, path: String, idCol: String,
                                idType: String, buckets: Int): Unit = {
+    // ingest_batch is a DATA column (the batch that first wrote the
+    // row), distinct from the `batch` PARTITION key (re-keyed to the
+    // fold id by compaction): retention folds age rows out by
+    // ingest_batch, which survives every fold untouched. A registry
+    // from the pre-ingest_batch era reads NULL here — the retention
+    // filter coalesces to the partition key, which for never-folded
+    // legacy rows IS the ingest batch and for folded ones is an upper
+    // bound (conservative: keeps too long, never drops early).
     spark.sql(
       s"""CREATE TABLE $table (`$idCol` $idType, band INT, bucket BIGINT,
-         |sig ARRAY<BIGINT>, batch BIGINT) USING parquet
+         |sig ARRAY<BIGINT>, ingest_batch BIGINT, batch BIGINT) USING parquet
          |PARTITIONED BY (batch)
          |CLUSTERED BY (band, bucket) SORTED BY (band, bucket)
          |INTO $buckets BUCKETS LOCATION '$path'""".stripMargin)
@@ -609,6 +617,7 @@ object StreamingJobs {
       graft.operators.Dedup.minHashSignatures(
         graft.operators.Dedup.shingles(survivors, idCol, textCol, shingleN),
         idCol, numHashes), idCol, numHashes, bands)
+      .withColumn("ingest_batch", lit(batchId))
       .withColumn("batch", lit(batchId))
       .repartition(regBuckets, col("band"), col("bucket"))
     if (!live) {
@@ -750,7 +759,72 @@ object StreamingJobs {
     * (OPTIMIZE/VACUUM), with the contract enforced instead of assumed.
     */
   def compactRegistry(spark: org.apache.spark.sql.SparkSession,
-                      workDir: String): Unit = {
+                      workDir: String): Unit =
+    foldRegistry(spark, workDir, "compactRegistry", (df, _) => df)
+
+  /** [[compactRegistry]] with a RETENTION WINDOW — the TTL arm of the
+    * registry lifecycle: during the fold it already performs, rows
+    * whose `ingest_batch` (the batch that first wrote them — a data
+    * column that survives every fold untouched, unlike the `batch`
+    * partition key the fold re-keys) is below `retainIngestSince` are
+    * dropped. A crawl pipeline screening against "the last N days of
+    * signatures" calls this on the at-rest cadence with the horizon
+    * batch id; docs whose only match has aged out stop being flagged
+    * deterministically at the fold — no tombstone bookkeeping, the age
+    * IS the row's own provenance. Same at-rest/commit contract, same
+    * write-new/rename-swap, same bucketed layout as the plain fold.
+    * Pre-ingest_batch-era rows (NULL) fall back to their partition key
+    * — exact for never-folded rows, conservative after a legacy fold.
+    */
+  def compactRegistry(spark: org.apache.spark.sql.SparkSession,
+                      workDir: String, retainIngestSince: Long): Unit =
+    foldRegistry(spark, workDir,
+      s"compactRegistry(retainIngestSince=$retainIngestSince)",
+      (df, _) => df.filter(
+        coalesce(col("ingest_batch"), col("batch")) >= lit(retainIngestSince)))
+
+  /** Delete signatures from the near-dup registry by document id — the
+    * right-to-be-forgotten / license-revocation arm: fold the banded
+    * registry MINUS the tombstoned ids through the same write-new /
+    * rename-swap machinery as [[compactRegistry]], preserving the
+    * bucketed (band, bucket) layout, the params contract, and the
+    * zero-registry-exchange screen plan. After the fold a screen no
+    * longer flags batch docs whose only match was a deleted registry
+    * doc, and the superseded data directory is REMOVED at swap end (the
+    * deleted signatures do not linger in a trash dir).
+    *
+    * `tombstones`' FIRST column is the id set (cast to the registry's
+    * own id type); it is broadcast — the tombstone side is metadata-
+    * sized by nature (a deletion request list, never a corpus), and the
+    * broadcast keeps the registry side's scan exchange-free so the fold
+    * pays exactly its rewrite, which doubles as a compaction (the
+    * surviving rows land in ONE partition). Same at-rest/committed
+    * contract as the plain fold: run it with the stream stopped (or let
+    * a future online arm call it from inside foreachBatch).
+    */
+  def deleteFromRegistry(spark: org.apache.spark.sql.SparkSession,
+                         workDir: String, tombstones: DataFrame): Unit = {
+    val tCol = tombstones.columns.head
+    foldRegistry(spark, workDir, "deleteFromRegistry",
+      (df, idName) => df.join(
+        broadcast(tombstones
+          .select(col(tCol).cast(df.schema(idName).dataType).as(idName))
+          .distinct()),
+        Seq(idName), "left_anti"))
+  }
+
+  /** The ONE fold core behind [[compactRegistry]] (both arms) and
+    * [[deleteFromRegistry]]: rewrite the registry's batch partitions
+    * into a single partition keyed by the highest folded batch id,
+    * with `transform` (given the table and its id column name) applied
+    * to the rows on the way — identity for plain compaction, a
+    * retention filter, or a tombstone anti-join. The at-rest/committed
+    * CONTRACT, the commit-log verification, the precompact fail-loud
+    * recovery, and the write-new/rename-swap live exactly once here.
+    */
+  private def foldRegistry(spark: org.apache.spark.sql.SparkSession,
+                           workDir: String, what: String,
+                           transform: (DataFrame, String) => DataFrame): Unit = {
     val regDir = s"$workDir/registry"
     val regTable = registryTable(workDir)
     val fs = new Path(regDir)
@@ -799,7 +873,10 @@ object StreamingJobs {
           "compacting")
     val cTable = regTable + "_c"
     spark.sql(s"DROP TABLE IF EXISTS $cTable")
-    spark.table(regTable).drop("batch")
+    // transform sees the table WITH its partition key (retention reads
+    // it as the legacy ingest fallback); the fold then re-keys every
+    // surviving row to the highest folded batch id
+    transform(spark.table(regTable), idColName).drop("batch")
       .withColumn("batch", lit(maxBatch))
       .repartition(regBuckets, col("band"), col("bucket"))
       .write.mode("overwrite")
@@ -814,16 +891,16 @@ object StreamingJobs {
     spark.sql(s"DROP TABLE IF EXISTS $cTable")
     spark.sql(s"DROP TABLE IF EXISTS $regTable")
     if (!fs.rename(new Path(regDir), new Path(trashDir)))
-      sys.error(s"compactRegistry: could not move $regDir aside")
+      sys.error(s"$what: could not move $regDir aside")
     if (!fs.rename(new Path(compactDir), new Path(regDir)))
-      sys.error(s"compactRegistry: could not install $compactDir — " +
+      sys.error(s"$what: could not install $compactDir — " +
         s"the previous registry is intact at $trashDir; restore it")
     registerRegistry(spark, regTable, regDir, idColName, idType, regBuckets)
     // a failed trash delete must raise: silence would leave the
     // completed compaction permanently locked out as "interrupted"
     // (both the screen and a re-compaction refuse over the marker)
     if (!fs.delete(new Path(trashDir), true))
-      sys.error(s"compactRegistry: swap COMPLETED but the superseded " +
+      sys.error(s"$what: swap COMPLETED but the superseded " +
         s"registry at $trashDir could not be deleted — delete it " +
         "manually to unblock the screen (the live registry is intact)")
   }

@@ -717,6 +717,86 @@ class StreamingSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE IF EXISTS ${StreamingJobs.registryTable(work)}")
   }
 
+  test("registry deletion: tombstoned signatures stop flagging, layout and history survive") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("st10-delete").toString
+    val b0 = Seq((2L, "alpha beta gamma delta epsilon"),
+      (4L, "one two three four five")).toDF("doc_id", "text")
+    val b1 = Seq((3L, "something else entirely here now")).toDF("doc_id", "text")
+    StreamingJobs.screenBatch(b0, 0L, work, "doc_id", "text", 3, 32, 8, 0.7, 4)
+    StreamingJobs.screenBatch(b1, 1L, work, "doc_id", "text", 3, 32, 8, 0.7, 4)
+    // right-to-be-forgotten: doc 2 is un-indexed; docs 3 and 4 stay
+    StreamingJobs.deleteFromRegistry(spark, work, Seq(2L).toDF("doc_id"))
+    val reg = spark.read.parquet(s"$work/registry").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(reg == Set(3L, 4L), reg.toString)
+    // the fold doubles as a compaction: one partition, max folded key
+    val parts = new java.io.File(s"$work/registry").listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.getName).toSeq
+    assert(parts == Seq("batch=1"), parts.toString)
+    // a re-crawl of the DELETED doc passes (its only match is gone);
+    // re-crawls of the surviving docs still flag
+    val b2 = Seq((31L, "alpha beta gamma delta epsilon"),
+      (33L, "one two three four five"),
+      (35L, "something else entirely here now")).toDF("doc_id", "text")
+    StreamingJobs.screenBatch(b2, 2L, work, "doc_id", "text", 3, 32, 8, 0.7, 4)
+    val v = spark.read.parquet(s"$work/verdicts/batch=2").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSeq
+    assert(v == Seq((31L, true), (33L, false), (35L, false)), v.toString)
+    // the bucketed layout survived the fold (zero-exchange contract)
+    val tbl = StreamingJobs.registryTable(work)
+    val bucketSpec = spark.sql(s"DESCRIBE TABLE EXTENDED $tbl").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(bucketSpec.get("Num Buckets").contains("4"), bucketSpec.toString)
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  test("registry deletion: deleting every id leaves a live empty registry the screen keeps using") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("st10-delall").toString
+    val b0 = Seq((2L, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    StreamingJobs.screenBatch(b0, 0L, work, "doc_id", "text", 3, 32, 8, 0.7, 4)
+    StreamingJobs.deleteFromRegistry(spark, work, Seq(2L).toDF("doc_id"))
+    // a re-crawl of the wiped corpus passes and re-enters the registry
+    val b1 = Seq((11L, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    StreamingJobs.screenBatch(b1, 1L, work, "doc_id", "text", 3, 32, 8, 0.7, 4)
+    val v = spark.read.parquet(s"$work/verdicts/batch=1")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSeq
+    assert(v == Seq((11L, true)), v.toString)
+    val reg = spark.read.parquet(s"$work/registry").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(reg == Set(11L), reg.toString)
+    spark.sql(s"DROP TABLE IF EXISTS ${StreamingJobs.registryTable(work)}")
+  }
+
+  test("registry retention: rows age out by ingest batch, surviving a prior fold's re-keying") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("st10-retain").toString
+    val b0 = Seq((2L, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val b1 = Seq((4L, "one two three four five")).toDF("doc_id", "text")
+    StreamingJobs.screenBatch(b0, 0L, work, "doc_id", "text", 3, 32, 8, 0.7, 4)
+    StreamingJobs.screenBatch(b1, 1L, work, "doc_id", "text", 3, 32, 8, 0.7, 4)
+    // a PLAIN fold first: re-keys both rows' partition to batch=1 —
+    // retention must key on ingest_batch (data column), which the fold
+    // preserves, never on the re-keyed partition
+    StreamingJobs.compactRegistry(spark, work)
+    StreamingJobs.compactRegistry(spark, work, retainIngestSince = 1L)
+    val reg = spark.read.parquet(s"$work/registry").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(reg == Set(4L), s"ingest-0 row survived the horizon: $reg")
+    // aged-out content passes; in-window content still flags
+    val b2 = Seq((11L, "alpha beta gamma delta epsilon"),
+      (13L, "one two three four five")).toDF("doc_id", "text")
+    StreamingJobs.screenBatch(b2, 2L, work, "doc_id", "text", 3, 32, 8, 0.7, 4)
+    val v = spark.read.parquet(s"$work/verdicts/batch=2").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSeq
+    assert(v == Seq((11L, true), (13L, false)), v.toString)
+    spark.sql(s"DROP TABLE IF EXISTS ${StreamingJobs.registryTable(work)}")
+  }
+
   test("online compaction: partitions stay bounded, verdicts and registry match the uncompacted screen") {
     import spark.implicits._
     val b = Seq(
