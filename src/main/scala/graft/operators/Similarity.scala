@@ -1485,6 +1485,57 @@ object Similarity {
     IvfIndex(centroids, index.cells.unionByName(assigned))
   }
 
+  /** Delete vectors from a built [[IvfIndex]] by id — the absorb
+    * machinery's mirror image, and the operation a training-data
+    * pipeline legally cannot run without (right-to-be-forgotten,
+    * license revocation): the cell table drops the tombstoned rows in
+    * one bounded anti-join on the id key; the quantizer is untouched
+    * (deletion never retrains — cells keep their built centroids, the
+    * surviving rows their assignments). `tombstones`' FIRST column is
+    * the id set, broadcast — a deletion request list is metadata-sized
+    * by nature, so the corpus-sized cell side is never shuffled; the
+    * rewrite happens when the caller [[IvfIndex.save]]s the returned
+    * index (write-new over the cells artifact, like absorb).
+    *
+    * EQUIVALENCE (PipelineSpec pins it): because assignment is
+    * per-row, the deleted index is IDENTICAL to assigning only the
+    * survivors against the same quantizer — serve-after-delete returns
+    * no deleted id and scores exactly the surviving cells, so recall
+    * floors transfer to the surviving corpus unchanged. Mass deletion
+    * can empty cells (fine — probes just find fewer) and, like many
+    * absorptions, SKEW the live distribution away from the built
+    * quantizer: the drift signal ([[ivfDriftStats]]) and a rebuild
+    * remain the answer when deletion stops being incremental.
+    */
+  def ivfDeleteIds(index: IvfIndex, tombstones: DataFrame): IvfIndex = {
+    val tCol = tombstones.columns.head
+    IvfIndex(index.centroids,
+      index.cells.join(
+        broadcast(tombstones.select(col(tCol).cast(LongType).as("cid"))
+          .distinct()),
+        Seq("cid"), "left_anti"))
+  }
+
+  /** [[ivfDeleteIds]] on the production architecture: the integer
+    * codes table drops the tombstoned rows (one broadcast anti-join on
+    * the id key); coarse quantizer and codebook are untouched. The
+    * caller's re-rank corpus must likewise stop carrying the deleted
+    * rows — the raw-vector side lives outside the index by contract,
+    * and a deleted id can only re-enter serving through a stale
+    * re-rank source (it can never be SHORTLISTED: its codes are gone),
+    * so delete from both stores on the same cadence.
+    */
+  def ivfPqDeleteIds(index: IvfPqIndex, tombstones: DataFrame): IvfPqIndex = {
+    val tCol = tombstones.columns.head
+    IvfPqIndex(index.coarse, index.codebook,
+      index.codes.join(
+        broadcast(tombstones
+          .select(col(tCol).cast(index.codes.schema("cid").dataType)
+            .as("cid"))
+          .distinct()),
+        Seq("cid"), "left_anti"))
+  }
+
   private def ivfPairs(queries: DataFrame, index: IvfIndex, nprobe: Int,
                        twoLevelAssign: Boolean, leaderGroups: Int,
                        idCol: String, vecCol: String): DataFrame = {

@@ -3373,6 +3373,67 @@ object PipelineQueries {
         Similarity.ivfPqSearch(q, absorbed, e, 5), floorPct = 80)
     },
 
+    // Index DELETION — absorb's mirror image and the lifecycle arm a
+    // training pipeline legally cannot run without: ivfDeleteIds drops
+    // the % 10 == 9 slice from the cell table (broadcast anti-join on
+    // the id key; the quantizer never retrains) and the served
+    // shortlist must (a) contain NO deleted id — certainty, their
+    // cells are gone — and (b) still clear sim25's ≥85% floor against
+    // the exact top-5 over the SURVIVING corpus: per-row assignment
+    // means the deleted index IS the survivors assigned to the same
+    // quantizer (PipelineSpec pins that equivalence row-for-row).
+    QueryDef("sim27_ivf_delete",
+      """SELECT CAST((q.nq - q.nq_del) * least(5, c.n_surv - 1)
+        |    + q.nq_del * least(5, c.n_surv) AS BIGINT) AS n_exact,
+        |  CAST(1 AS BIGINT) AS recall_ok,
+        |  CAST(1 AS BIGINT) AS none_deleted
+        |FROM (SELECT count(*) AS nq,
+        |        sum(CASE WHEN vec_id % 10 = 9 THEN 1 ELSE 0 END) AS nq_del
+        |      FROM embeddings WHERE vec_id < 10) q,
+        |     (SELECT count(*) AS n_surv FROM embeddings
+        |      WHERE vec_id % 10 <> 9) c""".stripMargin) { (s, dir) =>
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 10)
+      val tomb = e.filter(col("vec_id") % 10 === 9).select("vec_id")
+      val surv = e.filter(col("vec_id") % 10 =!= 9)
+      val served = Similarity.ivfSearch(q,
+        Similarity.ivfDeleteIds(Similarity.ivfBuild(e), tomb), 5)
+        .localCheckpoint() // two consumers: recall + the deleted-id scan
+      val leaked = served.join(tomb.select(col("vec_id").as("cid")), Seq("cid"))
+        .agg(when(count(lit(1)) === 0, 1L).otherwise(0L).as("none_deleted"))
+      recallFloor(Similarity.cosineTopK(q, surv, 5), served, floorPct = 85)
+        .crossJoin(broadcast(leaked))
+    },
+
+    // Deletion on the production architecture: the integer codes drop
+    // the tombstoned slice (coarse quantizer and codebook untouched),
+    // the re-rank corpus is the survivors, and sim26's ≥80% floor must
+    // hold against the exact L2 top-5 over the surviving corpus — with
+    // the same no-deleted-id certainty (deleted rows can never be
+    // shortlisted: their codes are gone).
+    QueryDef("sim28_ivfpq_delete",
+      """SELECT CAST((q.nq - q.nq_del) * least(5, c.n_surv - 1)
+        |    + q.nq_del * least(5, c.n_surv) AS BIGINT) AS n_exact,
+        |  CAST(1 AS BIGINT) AS recall_ok,
+        |  CAST(1 AS BIGINT) AS none_deleted
+        |FROM (SELECT count(*) AS nq,
+        |        sum(CASE WHEN vec_id % 10 = 9 THEN 1 ELSE 0 END) AS nq_del
+        |      FROM embeddings WHERE vec_id < 10) q,
+        |     (SELECT count(*) AS n_surv FROM embeddings
+        |      WHERE vec_id % 10 <> 9) c""".stripMargin) { (s, dir) =>
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 10)
+      val tomb = e.filter(col("vec_id") % 10 === 9).select("vec_id")
+      val surv = e.filter(col("vec_id") % 10 =!= 9)
+      val served = Similarity.ivfPqSearch(q,
+        Similarity.ivfPqDeleteIds(Similarity.ivfPqBuild(e), tomb), surv, 5)
+        .localCheckpoint()
+      val leaked = served.join(tomb.select(col("vec_id").as("cid")), Seq("cid"))
+        .agg(when(count(lit(1)) === 0, 1L).otherwise(0L).as("none_deleted"))
+      recallFloor(Similarity.l2TopK(q, surv, 5), served, floorPct = 80)
+        .crossJoin(broadcast(leaked))
+    },
+
     // BINARY-QUANTIZED two-stage retrieval — the 1-bit compression
     // serving shape (sign-bit codes, 32× smaller than int8): hamming
     // shortlist over packed codes, exact-decimal cosine re-rank. FULL

@@ -438,6 +438,53 @@ class PipelineSpec extends AnyFunSuite {
       s"wrong-m absorb did not raise the width guard: ${ex.getMessage}")
   }
 
+  test("ivfDeleteIds: deleted index equals survivors assigned to the same quantizer; no deleted id served") {
+    // per-row assignment makes the equivalence exact: dropping rows
+    // from the cell table IS assigning only the survivors against the
+    // unchanged quantizer — reconstructed here through the public API
+    // (absorb the survivors into the same index with its cells emptied)
+    // and pinned row-for-row, sims included
+    val e = Tables.load(spark, sf, "embeddings")
+    val q = e.filter($"vec_id" < 10)
+    val tomb = e.filter($"vec_id" % 10 === 9).select("vec_id")
+    val surv = e.filter($"vec_id" % 10 =!= 9)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toSeq
+    val full = Similarity.ivfBuild(e)
+    val deleted = Similarity.ivfDeleteIds(full, tomb)
+    val rebuilt = Similarity.ivfAbsorbDelta(
+      full.copy(cells = full.cells.filter(org.apache.spark.sql.functions
+        .lit(false))), surv)
+    val a = rows(Similarity.ivfSearch(q, deleted, 5, nprobe = 16))
+    assert(a == rows(Similarity.ivfSearch(q, rebuilt, 5, nprobe = 16)),
+      "delete-serve diverged from survivors-on-same-quantizer serve")
+    val tombIds = tomb.collect().map(_.getLong(0)).toSet
+    assert(!a.exists(r => tombIds(r._2)), s"deleted id served: $a")
+  }
+
+  test("ivfPqDeleteIds: deleted codes equal survivors encoded against the same artifacts") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val q = e.filter($"vec_id" < 10)
+    val tomb = e.filter($"vec_id" % 10 === 9).select("vec_id")
+    val surv = e.filter($"vec_id" % 10 =!= 9)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toSeq
+    val full = Similarity.ivfPqBuild(e)
+    val deleted = Similarity.ivfPqDeleteIds(full, tomb)
+    val rebuilt = Similarity.ivfPqAbsorbDelta(
+      full.copy(codes = full.codes.filter(org.apache.spark.sql.functions
+        .lit(false))), surv)
+    val a = rows(Similarity.ivfPqSearch(q, deleted, surv, 5, nprobe = 16,
+      shortlist = 600))
+    assert(a == rows(Similarity.ivfPqSearch(q, rebuilt, surv, 5,
+      nprobe = 16, shortlist = 600)),
+      "PQ delete-serve diverged from survivors-on-same-artifacts serve")
+    val tombIds = tomb.collect().map(_.getLong(0)).toSet
+    assert(!a.exists(r => tombIds(r._2)), s"deleted id served: $a")
+  }
+
   test("bqTopK: packed hamming = sign-mismatch count (multi-word), exact re-rank ranks by cosine") {
     // 70-dim vectors exercise the second packed word; flipping n signs
     // of a ±1 vector changes hamming by exactly n and the dot by −2n,
