@@ -1485,6 +1485,154 @@ object Similarity {
     IvfIndex(centroids, index.cells.unionByName(assigned))
   }
 
+  /** Per-cell assignment-quality statistics of a built [[IvfIndex]] —
+    * the THIRD index artifact (alongside centroids and cells) that
+    * turns sim20/sim22's prose contract ("a growing delta IS the
+    * rebuild signal") into a MEASURED one: (centroid_id, n, mean_dist)
+    * where mean_dist is the mean cosine distance of the cell's built
+    * members to their centroid, computed in ONE bounded pass over the
+    * cell table — run it at build/save time (when the corpus pass is
+    * amortized) and persist with [[ivfSaveStats]]; [[ivfDriftCheck]]
+    * then prices any later delta against it without ever re-reading
+    * the indexed corpus. The mean rides an exact decimal sum (the
+    * SparkEntry discipline), so the artifact is bit-deterministic
+    * across partitionings.
+    */
+  def ivfCellStats(index: IvfIndex): DataFrame =
+    index.cells
+      .join(broadcast(index.centroids), "centroid_id")
+      .select(col("centroid_id"),
+        (lit(1.0) - ivfDot(col("cv"), col("cvec")) /
+          (col("cn") * col("cnorm"))).as("_d"))
+      .groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("_d").cast(DecimalType(30, 12))) / count(lit(1)))
+          .cast(DoubleType).as("mean_dist"))
+
+  /** Persist [[ivfCellStats]] next to the index artifacts (one pass
+    * over the cells, amortized into the build/save cadence).
+    */
+  def ivfSaveStats(index: IvfIndex, path: String): Unit =
+    ivfCellStats(index).write.mode("overwrite").parquet(s"$path/cellstats")
+
+  /** Load the stats artifact persisted by [[ivfSaveStats]]. */
+  def ivfLoadStats(spark: org.apache.spark.sql.SparkSession,
+                   path: String): DataFrame =
+    spark.read.parquet(s"$path/cellstats")
+
+  /** The drift report [[ivfDriftCheck]] computes. Two complementary
+    * signals, either of which trips `drifted`:
+    *  - FIT: deltaMeanDist > ratioThreshold × expectedMeanDist — the
+    *    delta's vectors sit farther from their assigned centroids than
+    *    the built members of those same cells did (no division: a zero
+    *    expectation with a zero delta mean is NOT drift). Catches a
+    *    delta the quantizer can no longer REPRESENT.
+    *  - SHIFT: cellShift (total-variation distance between the
+    *    delta's and the build's cell-occupancy distributions, ∈ [0,1])
+    *    > shiftThreshold. Catches a delta that still FITS but lands
+    *    somewhere else entirely — on a near-isotropic corpus any new
+    *    direction scores ordinary distances (best-of-nlist cosine is
+    *    distribution-free there), so a single-domain delta that would
+    *    skew one cell to half the index announces itself ONLY through
+    *    occupancy; this is also the precursor of the hot-cell join
+    *    skew the serving path would pay.
+    */
+  final case class IvfDriftReport(nDelta: Long, pricedRows: Long,
+                                  deltaMeanDist: Double,
+                                  expectedMeanDist: Double,
+                                  cellShift: Double,
+                                  drifted: Boolean)
+
+  /** Measure quantizer DRIFT of an append log against a built index —
+    * the signal that decides absorb-vs-rebuild, which absorption
+    * (sim25/sim26) deliberately cannot: after many absorptions the
+    * quantizer silently degrades (absorbed rows ride cells trained on
+    * an old distribution) with zero errors and slowly sinking recall.
+    * ONE bounded pass over the DELTA: each delta row assigns to its
+    * nearest cell exactly as the build would (the same per-row argmin
+    * fold) and folds into a per-cell (count, distance-sum) frame —
+    * quantizer-sized — from which both report signals derive: the fit
+    * ratio prices delta rows against the BUILD's per-cell means
+    * ([[ivfCellStats]], weighted by where the delta actually lands, so
+    * a delta legitimately concentrated in wide cells is priced against
+    * those cells), and the occupancy shift compares cell-share
+    * distributions. Delta rows landing in cells with no built members
+    * carry no fit expectation and are excluded from the means
+    * (`pricedRows` reports how many were priced) but DO count toward
+    * the shift — landing where the build put nothing is shift by
+    * definition. The indexed corpus is never re-read.
+    *
+    * Defaults chosen from the measured margins (DriftProbe,
+    * BENCH_NOTES r19): an un-drifted corpus slice reads ratio ≈ 1.00
+    * ± 0.01 and shift ≈ sampling noise (~0.15 at 71 rows × 16 cells),
+    * while a planted off-distribution delta concentrates its mass
+    * (shift ≳ 0.8) long before the cosine fit ratio moves past ~1.16
+    * on an isotropic corpus — so fit trips at 1.5 (half again worse
+    * than build, the anisotropic-regime signal) and shift at 0.5
+    * (>2.5× sampling noise, far under the planted reading). WARN-logs
+    * like every self-engaging switch; the caller reacts by REBUILDING
+    * instead of absorbing. This is an ACTION (one job over the delta),
+    * sized to the absorb cadence it gates.
+    */
+  def ivfDriftCheck(stats: DataFrame, centroids: DataFrame,
+                    delta: DataFrame, ratioThreshold: Double = 1.5,
+                    shiftThreshold: Double = 0.5,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): IvfDriftReport = {
+    require(ratioThreshold > 0.0, "ratioThreshold must be positive")
+    require(shiftThreshold > 0.0 && shiftThreshold <= 1.0,
+      "shiftThreshold must be in (0, 1]")
+    requireIntegralId(delta, idCol)
+    // the one delta-sized pass: assign + per-cell fold; checkpointed so
+    // the tiny downstream jobs never re-run it
+    val perCell = ivfAssign(delta, centroids, 1, idCol, vecCol,
+        "cid", "cv", "cn")
+      .join(broadcast(centroids), "centroid_id")
+      .select(col("centroid_id"),
+        (lit(1.0) - ivfDot(col("cv"), col("cvec")) /
+          (col("cn") * col("cnorm"))).as("_d"))
+      .groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("_dn"),
+        sum(col("_d").cast(DecimalType(30, 12))).as("_ds"))
+      .localCheckpoint()
+    val mix = perCell.join(
+      stats.select(col("centroid_id"), col("n").as("_bn"),
+        col("mean_dist")),
+      Seq("centroid_id"), "full_outer")
+      .select(coalesce(col("_dn"), lit(0L)).as("_dn"), col("_ds"),
+        coalesce(col("_bn"), lit(0L)).as("_bn"), col("mean_dist"))
+      .localCheckpoint() // quantizer-sized; two tiny aggs below read it
+    val tots = mix.agg(sum(col("_dn")).as("dTot"), sum(col("_bn")).as("bTot"),
+      sum(when(col("mean_dist").isNotNull, col("_dn"))).as("priced"),
+      sum(when(col("mean_dist").isNotNull, col("_ds"))).as("ds"),
+      sum(when(col("mean_dist").isNotNull,
+        col("mean_dist").cast(DecimalType(30, 12)) * col("_dn"))).as("es"))
+      .head()
+    val dTot = tots.getLong(0)
+    val bTot = tots.getLong(1)
+    val priced = if (tots.isNullAt(2)) 0L else tots.getLong(2)
+    val (dm, em) =
+      if (priced == 0) (0.0, 0.0)
+      else (tots.getDecimal(3).doubleValue() / priced,
+        tots.getDecimal(4).doubleValue() / priced)
+    val shift =
+      if (dTot == 0 || bTot == 0) 0.0
+      else mix.agg(sum(abs(col("_dn").cast(DoubleType) / dTot -
+          col("_bn").cast(DoubleType) / bTot)))
+        .head().getDouble(0) / 2.0
+    val fitTrip = priced > 0 && dm > ratioThreshold * em
+    val shiftTrip = dTot > 0 && shift > shiftThreshold
+    if (fitTrip || shiftTrip)
+      logger.warn(f"graft ivfDriftCheck: quantizer DRIFT detected — " +
+        f"fit ratio ${if (em > 0) dm / em else Double.NaN}%.4f " +
+        f"(trip > $ratioThreshold%.2f: $fitTrip) over $priced%d priced " +
+        f"rows, cell-occupancy shift $shift%.4f (trip > " +
+        f"$shiftThreshold%.2f: $shiftTrip) over $dTot%d delta rows. " +
+        "Absorbing into this index degrades recall silently; REBUILD " +
+        "instead (ivfBuild over the grown corpus).")
+    IvfDriftReport(dTot, priced, dm, em, shift, fitTrip || shiftTrip)
+  }
+
   /** Delete vectors from a built [[IvfIndex]] by id — the absorb
     * machinery's mirror image, and the operation a training-data
     * pipeline legally cannot run without (right-to-be-forgotten,
@@ -1504,7 +1652,7 @@ object Similarity {
     * floors transfer to the surviving corpus unchanged. Mass deletion
     * can empty cells (fine — probes just find fewer) and, like many
     * absorptions, SKEW the live distribution away from the built
-    * quantizer: the drift signal ([[ivfDriftStats]]) and a rebuild
+    * quantizer: the drift signal ([[ivfDriftCheck]]) and a rebuild
     * remain the answer when deletion stops being incremental.
     */
   def ivfDeleteIds(index: IvfIndex, tombstones: DataFrame): IvfIndex = {

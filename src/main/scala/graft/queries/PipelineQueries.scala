@@ -3434,6 +3434,39 @@ object PipelineQueries {
         .crossJoin(broadcast(leaked))
     },
 
+    // DRIFT-TRIGGERED REBUILD SIGNAL — the measurement that decides
+    // absorb-vs-rebuild, which sim20/sim22 left as prose ("a growing
+    // delta IS the rebuild signal") and sim25/sim26's absorption
+    // cannot provide (after many absorptions the quantizer degrades
+    // silently): ivfDriftCheck prices a delta against the persisted
+    // per-cell build stats (ivfCellStats, the third index artifact) in
+    // one bounded delta pass — fit ratio vs the build's per-cell mean
+    // assignment distance, plus cell-occupancy shift (total variation)
+    // for the isotropic regime where any direction FITS but lands
+    // wrong. Invariant gate at all three SFs: an un-drifted corpus
+    // slice must NOT trip (ratio ≈ 1, shift ≈ sampling noise), the
+    // same slice pushed off-distribution MUST (measured shift ≥ 0.80
+    // vs the 0.5 threshold; DriftProbe/BENCH_NOTES r19).
+    QueryDef("sim29_ivf_drift",
+      """SELECT CAST(c.n AS BIGINT) AS n_delta,
+        |  CAST(0 AS BIGINT) AS clean_trips,
+        |  CAST(1 AS BIGINT) AS drifted_trips
+        |FROM (SELECT count(*) AS n FROM embeddings
+        |      WHERE vec_id % 7 = 3) c""".stripMargin) { (s, dir) =>
+      val e = emb(s, dir)
+      val idx = Similarity.ivfBuild(e)
+      val stats = Similarity.ivfCellStats(idx).localCheckpoint()
+      val slice = e.filter(col("vec_id") % 7 === 3)
+        .select("vec_id", "embedding")
+      val clean = Similarity.ivfDriftCheck(stats, idx.centroids, slice)
+      val shifted = slice.select(col("vec_id"),
+        transform(col("embedding"), x => x + lit(2.0)).as("embedding"))
+      val moved = Similarity.ivfDriftCheck(stats, idx.centroids, shifted)
+      s.range(1).select(lit(clean.nDelta).as("n_delta"),
+        lit(if (clean.drifted) 1L else 0L).as("clean_trips"),
+        lit(if (moved.drifted) 1L else 0L).as("drifted_trips"))
+    },
+
     // BINARY-QUANTIZED two-stage retrieval — the 1-bit compression
     // serving shape (sign-bit codes, 32× smaller than int8): hamming
     // shortlist over packed codes, exact-decimal cosine re-rank. FULL

@@ -485,6 +485,48 @@ class PipelineSpec extends AnyFunSuite {
     assert(!a.exists(r => tombIds(r._2)), s"deleted id served: $a")
   }
 
+  test("ivfDriftCheck: stats persist, fit ratio trips on a tight-cluster corpus, occupancy shift stays quiet") {
+    // a corpus of TIGHT clusters (members within ~2° of their axis)
+    // builds per-cell means near zero; a delta that mirrors the
+    // cluster MIX (shift stays small) but sits ~18° off-axis reads a
+    // fit ratio orders of magnitude past 1.5 — the anisotropic-regime
+    // signal, complementing the gate's isotropic shift plant
+    def unit(axis: Int, off: Double): Array[Float] = {
+      val v = Array.fill(8)(0.0)
+      v(axis) = 1.0; v((axis + 1) % 8) = off
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val corpus = (0 until 60).map { i =>
+      (i.toLong, unit(i % 3, 0.03 * (i % 5 - 2)))
+    }.toDF("vec_id", "embedding")
+    val idx = Similarity.ivfBuild(corpus, nlist = 3)
+    val stats = Similarity.ivfCellStats(idx).localCheckpoint()
+    // persistence round-trip: the third artifact loads back identically
+    val d = java.nio.file.Files.createTempDirectory("ivf-stats").toString
+    Similarity.ivfSaveStats(idx, d)
+    val loaded = Similarity.ivfLoadStats(spark, d)
+    assert(loaded.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2))).toSet ==
+      stats.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2))).toSet, "cellstats round-trip diverged")
+    // mirrored-mix delta, off-axis: fit must trip, shift must not
+    val delta = (0 until 30).map { i =>
+      (1000L + i, unit(i % 3, 0.33))
+    }.toDF("vec_id", "embedding")
+    val r = Similarity.ivfDriftCheck(loaded, idx.centroids, delta)
+    assert(r.drifted, s"off-axis delta did not trip: $r")
+    assert(r.deltaMeanDist > 1.5 * r.expectedMeanDist,
+      s"fit ratio did not trip: $r")
+    assert(r.cellShift < 0.5, s"mirrored mix read as occupancy shift: $r")
+    // the clean control: a delta drawn exactly like the corpus is quiet
+    val clean = (0 until 30).map { i =>
+      (2000L + i, unit(i % 3, 0.03 * (i % 5 - 2)))
+    }.toDF("vec_id", "embedding")
+    val rc = Similarity.ivfDriftCheck(loaded, idx.centroids, clean)
+    assert(!rc.drifted, s"in-distribution delta tripped: $rc")
+  }
+
   test("bqTopK: packed hamming = sign-mismatch count (multi-word), exact re-rank ranks by cosine") {
     // 70-dim vectors exercise the second packed word; flipping n signs
     // of a ±1 vector changes hamming by exactly n and the dot by −2n,
