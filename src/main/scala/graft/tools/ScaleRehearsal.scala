@@ -474,6 +474,65 @@ object ScaleRehearsal {
       return
     }
 
+    // r19skew mode: the IVF HOT-CELL receipt. The scenario is absorb-
+    // past-the-drift-signal: an index built on a balanced corpus
+    // absorbs a same-direction delta equal to the corpus (≥50% of the
+    // grown index lands in ONE cell — exactly what sim29's cellShift
+    // signal exists to catch, and this mode prints that the signal
+    // fires). The serve-path question: does the cell-keyed candidate
+    // join skew like q41's hot key? Answer measured here and pinned in
+    // PipelineSpec: NO SHUFFLED JOIN EXISTS on the serve path — the
+    // probe side (queries × nprobe) broadcasts into the cell table's
+    // scan and the final top-k rides TopKAgg's ≤ k-per-(query ×
+    // partition) partials, so a dominant cell adds map-side scoring
+    // work that parallelizes over the cell table's partitions (no
+    // straggler task, no AQE skew split needed — there is no skewed
+    // exchange to split; q41's machinery covers the joins that DO
+    // shuffle). Expect: shuffle bytes ~flat balanced→hot, wall growing
+    // only with scanned-candidate volume.
+    if (args.lift(2).contains("r19skew")) {
+      val e10p = ensureEmbReplica(10)
+      for ((tag, ep) <- Seq(("1x", s"$sfDir/embeddings.parquet"),
+          ("10x", e10p))) {
+        val e = embAt(ep).select("vec_id", "embedding")
+        // base direction + per-row sub-2% jitter: mutually near-parallel,
+        // so every planted row assigns to the SAME balanced-index cell
+        val planted = e.select((col("vec_id") + 50000000L).as("vec_id"),
+          transform(sequence(lit(0), lit(63)), j =>
+            (when(j === lit(0), lit(1.0)).otherwise(
+              (pmod(xxhash64(col("vec_id"), j), lit(101)) - lit(50))
+                .cast("double") / 2500.0)).cast("float")).as("embedding"))
+        val q = e.filter(col("vec_id") < 10)
+          .unionAll(planted.filter(col("vec_id") < 50000010L))
+        val idx = Similarity.ivfBuild(e)
+        val stats = Similarity.ivfCellStats(idx).localCheckpoint()
+        val hotIdx = Similarity.ivfAbsorbDelta(idx, planted)
+        // the drift signal that SHOULD have blocked this absorb
+        val rep = Similarity.ivfDriftCheck(stats, idx.centroids, planted)
+        println(f"[scale] driftCheck $tag: shift=${rep.cellShift}%.4f " +
+          f"drifted=${rep.drifted} (must be true)")
+        val share = Similarity.ivfCellStats(hotIdx)
+          .agg(max(col("n")).cast("double") / sum(col("n"))).head().getDouble(0)
+        println(f"[scale] hot-cell share $tag: $share%.4f (plant target ≥0.5)")
+        // materialize both cell tables OUTSIDE the measured rows so the
+        // measurement is the SERVE path alone, not the lazy cell
+        // assignment (the persisted-index shape: after ivfLoad the
+        // cells are a parquet scan)
+        val idxM = Similarity.IvfIndex(idx.centroids,
+          idx.cells.localCheckpoint())
+        val hotM = Similarity.IvfIndex(hotIdx.centroids,
+          hotIdx.cells.localCheckpoint())
+        measure(s"ivf_serve_balanced $tag") {
+          Similarity.ivfSearch(q, idxM, 5, nprobe = 6).count()
+        }
+        measure(s"ivf_serve_hotcell  $tag") {
+          Similarity.ivfSearch(q, hotM, 5, nprobe = 6).count()
+        }
+      }
+      spark.stop()
+      return
+    }
+
     if (args.lift(2).contains("r17")) {
       def ensure(path: String)(gen: => Unit): Unit = ensureSuccess(path)(gen)
       // --- gr02: 100 id-offset disjoint graph copies (component

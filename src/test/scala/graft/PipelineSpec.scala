@@ -527,6 +527,50 @@ class PipelineSpec extends AnyFunSuite {
     assert(!rc.drifted, s"in-distribution delta tripped: $rc")
   }
 
+  test("IVF hot cell: recall holds and the serve path stays broadcast-probe + bounded top-k under a dominant cell") {
+    // the q41 question asked of the ANN serving path: a pathological
+    // corpus (mass same-direction duplicates — here absorbed past the
+    // drift signal, the realistic route) concentrates ≥50% of the index
+    // into ONE cell. The pin: (a) recall still clears the gate floor,
+    // (b) the plan has NO shuffled join for AQE to skew-split — the
+    // probe side broadcasts into the cell scan and the top-k rides
+    // TopKAgg partials, so the hot cell parallelizes over the cell
+    // table's partitions instead of landing on one task, and (c) the
+    // drift signal would have flagged the absorb that created it.
+    val e = Tables.load(spark, sf, "embeddings").select("vec_id", "embedding")
+    val planted = e.select(($"vec_id" + 50000000L).as("vec_id"),
+      transform(sequence(lit(0), lit(63)), j =>
+        (when(j === lit(0), lit(1.0)).otherwise(
+          (pmod(xxhash64($"vec_id", j), lit(101)) - lit(50))
+            .cast("double") / 2500.0)).cast("float")).as("embedding"))
+    val idx = Similarity.ivfBuild(e)
+    val hotIdx = Similarity.ivfAbsorbDelta(idx, planted)
+    val share = Similarity.ivfCellStats(hotIdx)
+      .agg(max($"n").cast("double") / sum($"n")).head().getDouble(0)
+    assert(share >= 0.5, f"plant failed — max cell share $share%.3f < 0.5")
+    val q = e.filter($"vec_id" < 10)
+      .unionAll(planted.filter($"vec_id" < 50000010L))
+    val served = Similarity.ivfSearch(q, hotIdx, 5)
+    served.collect()
+    // final adaptive plan only — the pre-AQE section keeps the static
+    // SMJ that runtime stats convert to broadcast (the q36 discipline)
+    val plan = served.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!plan.contains("SortMergeJoin"),
+      s"serve path shuffled the cell join under a hot cell:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    val grown = e.unionAll(planted)
+    val exact = Similarity.cosineTopK(q, grown, 5).select("qid", "cid")
+    val hits = exact.join(served.select("qid", "cid"), Seq("qid", "cid"))
+      .count()
+    val total = exact.count()
+    assert(hits * 100 >= total * 80,
+      s"hot-cell recall $hits/$total below the 80% floor")
+    assert(Similarity.ivfDriftCheck(Similarity.ivfCellStats(idx),
+      idx.centroids, planted).drifted,
+      "the absorb that created the hot cell did not trip the drift signal")
+  }
+
   test("bqTopK: packed hamming = sign-mismatch count (multi-word), exact re-rank ranks by cosine") {
     // 70-dim vectors exercise the second packed word; flipping n signs
     // of a ±1 vector changes hamming by exactly n and the dot by −2n,
