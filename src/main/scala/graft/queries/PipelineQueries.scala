@@ -4965,6 +4965,41 @@ object PipelineQueries {
         .orderBy("user_id")
     },
 
+    // CDC key DELETION — the right-to-be-forgotten arm of st08's
+    // maintained table, completing delete-everywhere (registry dd22,
+    // vector indexes sim27/28, keyed CDC state here): cdcDeleteKeys
+    // anti-joins ONLY the buckets holding a tombstoned key and commits
+    // the rewrite as a REVISION of the latest batch (c{N}r{R}), so
+    // maintenance never occupies the stream's batch-id space; the
+    // following GC removes the displaced pre-delete partitions, so
+    // the rows leave storage, not just the view. Oracle: the full
+    // merged table recomputed over events EXCLUDING the deleted users
+    // (remaining users' latest-wins rows and counts are untouched).
+    QueryDef("st13_cdc_delete",
+      """WITH l AS (SELECT user_id, ts, event_id,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY ts DESC, event_id DESC) AS r,
+        |    count(*) OVER (PARTITION BY user_id) AS n
+        |  FROM events WHERE user_id % 10 <> 7)
+        |SELECT user_id, event_id AS last_event_id,
+        |  CAST(ts AS TIMESTAMP) AS last_ts, CAST(n AS BIGINT) AS n_updates
+        |FROM l WHERE r = 1 ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val work = java.nio.file.Files.createTempDirectory("graft-st13").toString
+      val ev = Tables.events(s, dir).select("event_id", "ts", "user_id")
+      graft.streaming.StreamingJobs.cdcApplyBatch(
+        ev.filter(pmod(col("event_id"), lit(2)) === 0), 0L, work, 8)
+      graft.streaming.StreamingJobs.cdcApplyBatch(
+        ev.filter(pmod(col("event_id"), lit(2)) === 1), 1L, work, 8)
+      graft.streaming.StreamingJobs.cdcDeleteKeys(s, work,
+        ev.filter(col("user_id") % 10 === 7).select("user_id").distinct())
+      graft.streaming.StreamingJobs.cdcTable(s, work)
+        .select(col("user_id"),
+          col("_m.event_id").as("last_event_id"),
+          col("_m.ts").cast(TimestampNTZType).as("last_ts"),
+          col("n_updates"))
+        .orderBy("user_id")
+    },
+
     // Streaming NEAR-dup ingestion screen — dd19's registry lifecycle
     // as a streaming job: batch 0 (the even docs) seeds the signature
     // registry from an empty start; batch 1 (the odd docs plus 20

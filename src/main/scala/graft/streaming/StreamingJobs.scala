@@ -205,17 +205,37 @@ object StreamingJobs {
                     workDir: String): FileSystem =
     new Path(workDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def cdcCommitIds(fs: FileSystem, workDir: String): Seq[Long] = {
+  /** Commit log keys, newest first. A key is (batchId, rev): rev 0 is
+    * the stream's own merge commit for that batch (file `c{N}`), rev
+    * ≥ 1 an AT-REST maintenance rewrite of the same batch's state
+    * (file `c{N}r{R}`, written by [[cdcDeleteKeys]]). Revisions keep
+    * maintenance out of the stream's batch-id space: the replay check
+    * compares batch ids only, so a resumed stream's batch N+1 is never
+    * swallowed by a maintenance commit at (N, 1), while a replayed
+    * batch ≤ N still no-ops against it.
+    */
+  private def cdcCommitKeys(fs: FileSystem, workDir: String): Seq[(Long, Long)] = {
     val dir = new Path(s"$workDir/_commits")
     if (!fs.exists(dir)) Seq.empty
     else fs.listStatus(dir).map(_.getPath.getName)
-      .filter(_.startsWith("c")).flatMap(_.drop(1).toLongOption)
-      .toSeq.sorted(Ordering[Long].reverse)
+      .filter(n => n.startsWith("c") && !n.endsWith(".tmp"))
+      .flatMap { n =>
+        n.drop(1).split("r", 2) match {
+          case Array(b)    => b.toLongOption.map(_ -> 0L)
+          case Array(b, r) => for { bb <- b.toLongOption
+                                    rr <- r.toLongOption } yield (bb, rr)
+          case _           => None
+        }
+      }
+      .toSeq.sorted(Ordering[(Long, Long)].reverse)
   }
 
+  private def cdcCommitName(key: (Long, Long)): String =
+    if (key._2 == 0L) s"c${key._1}" else s"c${key._1}r${key._2}"
+
   private def cdcParseCommit(fs: FileSystem, workDir: String,
-                             batchId: Long): (Int, Map[Int, String]) = {
-    val in = fs.open(new Path(s"$workDir/_commits/c$batchId"))
+                             key: (Long, Long)): (Int, Map[Int, String]) = {
+    val in = fs.open(new Path(s"$workDir/_commits/${cdcCommitName(key)}"))
     val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
     val lines = body.linesIterator.filter(_.nonEmpty).toSeq
@@ -231,9 +251,9 @@ object StreamingJobs {
                                    workDir: String)
       : Option[(Long, Int, Map[Int, String])] = {
     val fs = cdcFs(spark, workDir)
-    cdcCommitIds(fs, workDir).headOption.map { latest =>
+    cdcCommitKeys(fs, workDir).headOption.map { latest =>
       val (b, m) = cdcParseCommit(fs, workDir, latest)
-      (latest, b, m)
+      (latest._1, b, m)
     }
   }
 
@@ -248,10 +268,11 @@ object StreamingJobs {
     * forever.
     */
   private def cdcGc(fs: FileSystem, workDir: String): Unit = {
-    val ids = cdcCommitIds(fs, workDir)
+    val ids = cdcCommitKeys(fs, workDir)
     if (ids.size < 2) return
     ids.drop(2).foreach { old =>
-      fs.delete(new Path(s"$workDir/_commits/c$old"), false); () }
+      fs.delete(new Path(s"$workDir/_commits/${cdcCommitName(old)}"), false)
+      () }
     val keep = cdcParseCommit(fs, workDir, ids(0))._2.values.toSet
     val displaced = cdcParseCommit(fs, workDir, ids(1))._2.values
       .filterNot(keep).toSeq.distinct
@@ -349,6 +370,70 @@ object StreamingJobs {
       ()
     }
     true
+  }
+
+  /** Delete keys from the maintained CDC table — the right-to-be-
+    * forgotten arm of the st08 lifecycle, completing the
+    * delete-everywhere story (signature registry:
+    * [[deleteFromRegistry]]; vector indexes:
+    * `Similarity.ivfDeleteIds`/`ivfPqDeleteIds`; keyed CDC state:
+    * here). `keys`' FIRST column is the tombstone set (cast to the
+    * table's own key type — the cast must precede the bucket hash,
+    * xxhash64 is type-sensitive); only the buckets actually holding a
+    * tombstoned key are read, anti-joined, and rewritten into a new
+    * generation — per-delete cost is O(touched buckets), never
+    * O(table), the same bound the merge path holds.
+    *
+    * The rewrite commits as a REVISION of the latest batch
+    * (`c{N}r{R}`, see [[cdcCommitKeys]]): maintenance never occupies
+    * the stream's batch-id space, so a resumed stream's next batch
+    * N+1 is not swallowed and a replayed batch ≤ N still no-ops. The
+    * following [[cdcGc]] deletes the displaced pre-delete bucket
+    * partitions, so the tombstoned rows leave STORAGE, not just the
+    * view — deletion a regulator would recognize. Run it AT REST
+    * (same single-writer contract as the registry folds: the commit
+    * log has one owner; a delete racing a live merge could lose its
+    * revision to the merge's newer commit).
+    */
+  def cdcDeleteKeys(spark: org.apache.spark.sql.SparkSession,
+                    workDir: String, keys: DataFrame): Unit = {
+    val fs = cdcFs(spark, workDir)
+    val commits = cdcCommitKeys(fs, workDir)
+    require(commits.nonEmpty, s"no committed CDC generation under $workDir")
+    val latest = commits.head
+    val (buckets, map) = cdcParseCommit(fs, workDir, latest)
+    if (map.isEmpty) return
+    val idType = spark.read.parquet(map.values.head)
+      .schema("user_id").dataType
+    val kCol = keys.columns.head
+    val tomb = keys.select(col(kCol).cast(idType).as("user_id")).distinct()
+    val bucketOf = pmod(xxhash64(col("user_id")), lit(buckets.toLong))
+    // metadata-sized: ≤ buckets rows, the cdcApplyBatch discipline
+    val touched = tomb.select(bucketOf.cast(IntegerType).as("_b"))
+      .distinct().collect().map(_.getInt(0)).filter(map.contains).sorted
+    if (touched.isEmpty) return
+    val genDir = s"$workDir/gen${latest._1}r${latest._2 + 1}"
+    spark.read.parquet(touched.map(map).distinct.sorted.toIndexedSeq: _*)
+      .join(broadcast(tomb), Seq("user_id"), "left_anti")
+      .withColumn("_bucket", bucketOf)
+      .write.mode("overwrite").partitionBy("_bucket").parquet(genDir)
+    // a bucket whose every key was tombstoned writes no partition dir —
+    // it leaves the map entirely (absent bucket = no rows, and a later
+    // merge touching it starts fresh, exactly like a never-written one)
+    val rewritten = touched.map(b => b -> s"$genDir/_bucket=$b")
+      .filter { case (_, p) => fs.exists(new Path(p)) }
+    val newMap = (map -- touched) ++ rewritten
+    val commit = new Path(
+      s"$workDir/_commits/${cdcCommitName((latest._1, latest._2 + 1))}")
+    val tmp = new Path(s"$workDir/_commits/.${commit.getName}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write((buckets.toString +: newMap.toSeq.sortBy(_._1)
+      .map { case (b, p) => s"$b\t$p" }).mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    if (!fs.rename(tmp, commit))
+      sys.error(s"cdcDeleteKeys: could not commit $commit — the table " +
+        "is unchanged (the previous commit remains authoritative)")
+    cdcGc(fs, workDir)
   }
 
   /** [[cdcUpsertStream]] with the query lifecycle in the caller's hands

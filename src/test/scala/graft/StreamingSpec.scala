@@ -557,6 +557,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(e.getMessage.contains("no committed CDC generation"), e.getMessage)
   }
 
+  test("CDC deletion: tombstoned keys leave table AND storage; stream and replays continue past the revision") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("cdc-delete").toString
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    def table() = StreamingJobs.cdcTable(spark, work)
+      .select($"user_id", $"_m.event_id".as("last"), $"n_updates")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    StreamingJobs.cdcApplyBatch(
+      Seq((1L, t(1), 10L), (2L, t(2), 20L), (3L, t(3), 30L))
+        .toDF("event_id", "ts", "user_id"), 0L, work, 4)
+    val b1 = Seq((4L, t(4), 10L), (5L, t(5), 40L))
+      .toDF("event_id", "ts", "user_id")
+    StreamingJobs.cdcApplyBatch(b1, 1L, work, 4)
+    assert(table() == Map(10L -> (4L, 2L), 20L -> (2L, 1L),
+      30L -> (3L, 1L), 40L -> (5L, 1L)))
+    StreamingJobs.cdcDeleteKeys(spark, work, Seq(10L, 30L).toDF("user_id"))
+    // the view drops the keys, survivors keep their update history
+    assert(table() == Map(20L -> (2L, 1L), 40L -> (5L, 1L)), table().toString)
+    // STORAGE drops them too (the GC deletes displaced partitions):
+    // every surviving parquet row under the work tree is a survivor
+    val leaked = spark.read.parquet(
+        StreamingJobs.cdcReadCommit(spark, work).get._3.values.toSeq ++ {
+          // plus anything an incomplete GC might have left behind
+          val root = new java.io.File(work)
+          root.listFiles().filter(_.getName.startsWith("gen"))
+            .flatMap(_.listFiles()).filter(_.getName.startsWith("_bucket="))
+            .map(_.toString)
+        }.distinct: _*)
+      .filter($"user_id".isin(10L, 30L)).count()
+    assert(leaked == 0, s"$leaked tombstoned rows still on disk")
+    // the stream continues: a later batch re-inserts a deleted key
+    // FRESH (deletion erased its history, so the count restarts)
+    StreamingJobs.cdcApplyBatch(Seq((6L, t(6), 10L))
+      .toDF("event_id", "ts", "user_id"), 2L, work, 4)
+    assert(table() == Map(10L -> (6L, 1L), 20L -> (2L, 1L),
+      40L -> (5L, 1L)), table().toString)
+    // a replayed pre-delete batch still no-ops against the revision
+    StreamingJobs.cdcApplyBatch(b1, 1L, work, 4)
+    assert(table() == Map(10L -> (6L, 1L), 20L -> (2L, 1L),
+      40L -> (5L, 1L)), "replayed batch disturbed the revised table")
+  }
+
   test("near-dup screen: retried batch replays identically and never sees its own signatures") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
