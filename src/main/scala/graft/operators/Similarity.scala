@@ -1579,9 +1579,6 @@ object Similarity {
                     shiftThreshold: Double = 0.5,
                     idCol: String = "vec_id",
                     vecCol: String = "embedding"): IvfDriftReport = {
-    require(ratioThreshold > 0.0, "ratioThreshold must be positive")
-    require(shiftThreshold > 0.0 && shiftThreshold <= 1.0,
-      "shiftThreshold must be in (0, 1]")
     requireIntegralId(delta, idCol)
     // the one delta-sized pass: assign + per-cell fold; checkpointed so
     // the tiny downstream jobs never re-run it
@@ -1595,10 +1592,103 @@ object Similarity {
       .agg(count(lit(1)).as("_dn"),
         sum(col("_d").cast(DecimalType(30, 12))).as("_ds"))
       .localCheckpoint()
+    driftReport(perCell, stats, "centroid_id", "ivfDriftCheck",
+      "ivfBuild over the grown corpus", ratioThreshold, shiftThreshold)
+  }
+
+  /** [[ivfCellStats]] on the production architecture — the per-cell
+    * stats of an [[IvfPqIndex]]'s COARSE quantizer. Unlike the plain
+    * IVF case the index alone cannot yield them (the codes table is
+    * quantized — residual magnitudes are not recoverable from it), so
+    * the stats compute from the raw `corpus` in ONE bounded pass at
+    * build/save time, when the corpus pass is amortized: assign every
+    * row to its cell with the build's own fold (two-level past the
+    * auto threshold) and fold the per-cell mean SQUARED-L2 residual —
+    * the same metric the ADC/serve path ranks by. Persist with
+    * [[ivfPqSaveStats]]; [[ivfLoadStats]] reads it back (the artifact
+    * layout is family-agnostic).
+    */
+  def ivfPqCellStats(index: IvfPqIndex, corpus: DataFrame,
+                     twoLevelAssign: Boolean = false,
+                     twoLevelAutoNlist: Int = 512,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    requireIntegralId(corpus, idCol)
+    val nlist = index.coarse.count() // quantizer-sized, never the corpus
+    val twoLevel = twoLevelAssign || nlist >= twoLevelAutoNlist
+    if (!twoLevelAssign && twoLevel)
+      warnAutoTwoLevel("ivfPqCellStats", nlist, twoLevelAutoNlist)
+    def dbl(c: Column) = transform(c, x => x.cast(DoubleType))
+    ivfPqAssignResiduals(
+      corpus.select(col(idCol).as("cid"), dbl(col(vecCol)).as("cv")),
+      index.coarse, twoLevel)
+      .select(col("cell"),
+        aggregate(col("rv"), lit(0.0), (a, v) => a + v * v).as("_d"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("_d").cast(DecimalType(30, 12))) / count(lit(1)))
+          .cast(DoubleType).as("mean_dist"))
+  }
+
+  /** Persist [[ivfPqCellStats]] next to the index artifacts — the
+    * fourth IVF-PQ artifact (coarse, codebook, codes, cellstats).
+    */
+  def ivfPqSaveStats(index: IvfPqIndex, corpus: DataFrame, path: String,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): Unit =
+    ivfPqCellStats(index, corpus, idCol = idCol, vecCol = vecCol)
+      .write.mode("overwrite").parquet(s"$path/cellstats")
+
+  /** [[ivfDriftCheck]] for the IVF-PQ family: price a delta against
+    * the coarse quantizer's build-time stats ([[ivfPqCellStats]]) in
+    * one bounded delta pass — same two signals (squared-L2 residual
+    * FIT ratio, cell-occupancy SHIFT), same thresholds, same
+    * WARN-and-rebuild contract. The codebook never enters: drift is a
+    * property of the coarse partition; a quantizer whose cells no
+    * longer fit the data mis-buckets rows before any code is read.
+    */
+  def ivfPqDriftCheck(stats: DataFrame, coarse: DataFrame,
+                      delta: DataFrame, ratioThreshold: Double = 1.5,
+                      shiftThreshold: Double = 0.5,
+                      twoLevelAssign: Boolean = false,
+                      twoLevelAutoNlist: Int = 512,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): IvfDriftReport = {
+    requireIntegralId(delta, idCol)
+    val nlist = coarse.count()
+    val twoLevel = twoLevelAssign || nlist >= twoLevelAutoNlist
+    if (!twoLevelAssign && twoLevel)
+      warnAutoTwoLevel("ivfPqDriftCheck", nlist, twoLevelAutoNlist)
+    def dbl(c: Column) = transform(c, x => x.cast(DoubleType))
+    val perCell = ivfPqAssignResiduals(
+      delta.select(col(idCol).as("cid"), dbl(col(vecCol)).as("cv")),
+      coarse, twoLevel)
+      .select(col("cell"),
+        aggregate(col("rv"), lit(0.0), (a, v) => a + v * v).as("_d"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("_dn"),
+        sum(col("_d").cast(DecimalType(30, 12))).as("_ds"))
+      .localCheckpoint()
+    driftReport(perCell, stats, "cell", "ivfPqDriftCheck",
+      "ivfPqBuild over the grown corpus", ratioThreshold, shiftThreshold)
+  }
+
+  /** The ONE drift-report core behind [[ivfDriftCheck]] and
+    * [[ivfPqDriftCheck]]: fold a per-cell delta frame (keyCol, _dn,
+    * _ds — ONE delta pass, checkpointed by the caller) against build
+    * stats (keyCol, n, mean_dist) into the fit and shift signals.
+    * Everything here is quantizer-sized.
+    */
+  private def driftReport(perCell: DataFrame, stats: DataFrame,
+                          keyCol: String, site: String, rebuildHint: String,
+                          ratioThreshold: Double,
+                          shiftThreshold: Double): IvfDriftReport = {
+    require(ratioThreshold > 0.0, "ratioThreshold must be positive")
+    require(shiftThreshold > 0.0 && shiftThreshold <= 1.0,
+      "shiftThreshold must be in (0, 1]")
     val mix = perCell.join(
-      stats.select(col("centroid_id"), col("n").as("_bn"),
-        col("mean_dist")),
-      Seq("centroid_id"), "full_outer")
+      stats.select(col(keyCol), col("n").as("_bn"), col("mean_dist")),
+      Seq(keyCol), "full_outer")
       .select(coalesce(col("_dn"), lit(0L)).as("_dn"), col("_ds"),
         coalesce(col("_bn"), lit(0L)).as("_bn"), col("mean_dist"))
       .localCheckpoint() // quantizer-sized; two tiny aggs below read it
@@ -1623,13 +1713,13 @@ object Similarity {
     val fitTrip = priced > 0 && dm > ratioThreshold * em
     val shiftTrip = dTot > 0 && shift > shiftThreshold
     if (fitTrip || shiftTrip)
-      logger.warn(f"graft ivfDriftCheck: quantizer DRIFT detected — " +
+      logger.warn(f"graft $site: quantizer DRIFT detected — " +
         f"fit ratio ${if (em > 0) dm / em else Double.NaN}%.4f " +
         f"(trip > $ratioThreshold%.2f: $fitTrip) over $priced%d priced " +
         f"rows, cell-occupancy shift $shift%.4f (trip > " +
         f"$shiftThreshold%.2f: $shiftTrip) over $dTot%d delta rows. " +
         "Absorbing into this index degrades recall silently; REBUILD " +
-        "instead (ivfBuild over the grown corpus).")
+        s"instead ($rebuildHint).")
     IvfDriftReport(dTot, priced, dm, em, shift, fitTrip || shiftTrip)
   }
 

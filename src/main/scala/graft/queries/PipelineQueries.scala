@@ -3467,6 +3467,35 @@ object PipelineQueries {
         lit(if (moved.drifted) 1L else 0L).as("drifted_trips"))
     },
 
+    // sim29 on the PRODUCTION architecture: the IVF-PQ coarse
+    // quantizer's stats come from the raw corpus at build time (the
+    // codes table is quantized — residual magnitudes are not
+    // recoverable from it) and the fit metric is the squared-L2
+    // residual the ADC path ranks by — where the cosine fit ratio
+    // compresses on this isotropic corpus (~1.16 planted), the L2
+    // residual EXPLODES under an offset plant (measured ratio ≈ 165
+    // vs clean ≈ 1.00; shift identical to sim29), so BOTH signals
+    // trip. Same invariant: clean slice quiet, shifted slice trips.
+    QueryDef("sim30_ivfpq_drift",
+      """SELECT CAST(c.n AS BIGINT) AS n_delta,
+        |  CAST(0 AS BIGINT) AS clean_trips,
+        |  CAST(1 AS BIGINT) AS drifted_trips
+        |FROM (SELECT count(*) AS n FROM embeddings
+        |      WHERE vec_id % 7 = 3) c""".stripMargin) { (s, dir) =>
+      val e = emb(s, dir)
+      val idx = Similarity.ivfPqBuild(e)
+      val stats = Similarity.ivfPqCellStats(idx, e).localCheckpoint()
+      val slice = e.filter(col("vec_id") % 7 === 3)
+        .select("vec_id", "embedding")
+      val clean = Similarity.ivfPqDriftCheck(stats, idx.coarse, slice)
+      val shifted = slice.select(col("vec_id"),
+        transform(col("embedding"), x => x + lit(2.0)).as("embedding"))
+      val moved = Similarity.ivfPqDriftCheck(stats, idx.coarse, shifted)
+      s.range(1).select(lit(clean.nDelta).as("n_delta"),
+        lit(if (clean.drifted) 1L else 0L).as("clean_trips"),
+        lit(if (moved.drifted) 1L else 0L).as("drifted_trips"))
+    },
+
     // BINARY-QUANTIZED two-stage retrieval — the 1-bit compression
     // serving shape (sign-bit codes, 32× smaller than int8): hamming
     // shortlist over packed codes, exact-decimal cosine re-rank. FULL

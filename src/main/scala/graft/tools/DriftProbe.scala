@@ -36,6 +36,11 @@ object DriftProbe {
     val shifted = slice.select(col("vec_id"),
       transform(col("embedding"), x => x + lit(offset)).as("embedding"))
     show(f"offset+$offset%.1f", Similarity.ivfDriftCheck(stats, idx.centroids, shifted))
+    val pq = Similarity.ivfPqBuild(e)
+    val pqStats = Similarity.ivfPqCellStats(pq, e).localCheckpoint()
+    show("pq clean", Similarity.ivfPqDriftCheck(pqStats, pq.coarse, slice))
+    show(f"pq offset+$offset%.1f",
+      Similarity.ivfPqDriftCheck(pqStats, pq.coarse, shifted))
     spark.stop()
   }
 }

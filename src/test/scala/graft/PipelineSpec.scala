@@ -525,6 +525,15 @@ class PipelineSpec extends AnyFunSuite {
     }.toDF("vec_id", "embedding")
     val rc = Similarity.ivfDriftCheck(loaded, idx.centroids, clean)
     assert(!rc.drifted, s"in-distribution delta tripped: $rc")
+    // the PQ family reads the same plants through its L2-residual fit:
+    // off-axis trips, in-distribution stays quiet
+    val pq = Similarity.ivfPqBuild(corpus, nlist = 3, m = 4, codes = 8)
+    val pqStats = Similarity.ivfPqCellStats(pq, corpus).localCheckpoint()
+    val rp = Similarity.ivfPqDriftCheck(pqStats, pq.coarse, delta)
+    assert(rp.drifted && rp.deltaMeanDist > 1.5 * rp.expectedMeanDist,
+      s"PQ fit did not trip on the off-axis delta: $rp")
+    assert(!Similarity.ivfPqDriftCheck(pqStats, pq.coarse, clean).drifted,
+      "PQ tripped on the in-distribution delta")
   }
 
   test("IVF hot cell: recall holds and the serve path stays broadcast-probe + bounded top-k under a dominant cell") {
