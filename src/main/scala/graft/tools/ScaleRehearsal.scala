@@ -533,6 +533,71 @@ object ScaleRehearsal {
       return
     }
 
+    // r19life mode: the round-19 lifecycle receipts. (1) deleteFromRegistry
+    // across registry decades — the fold IS a registry rewrite, so its
+    // cost must track the REGISTRY (the honest O(registry) curve;
+    // deployments batch tombstones and fold once per window, exactly
+    // like compaction), while the per-batch screen AFTER the fold stays
+    // flat (the dd20 contract must survive deletion). (2) cdcDeleteKeys
+    // at two table decades — per-delete cost must track the TOUCHED
+    // BUCKETS (~table/64), mirroring the cdc_1key_batch merge rows.
+    // (3) ivfDriftCheck across delta decades — one bounded delta pass,
+    // wall must track the DELTA, never the indexed corpus.
+    if (args.lift(2).contains("r19life")) {
+      val batch = docs.filter(col("doc_id") % 2 === 1).localCheckpoint()
+      for (f <- Seq(1, 10, 100)) {
+        val wd = s"$work/lifereg${f}x"
+        val p = new org.apache.hadoop.fs.Path(wd)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(p, true)
+        val corpus = replicate(docs, f, { (d, k) =>
+          d.select((col("doc_id") + lit(k * 10000000L)).as("doc_id"),
+            col("text"))
+        })
+        graft.streaming.StreamingJobs.screenBatch(corpus, 0L, wd,
+          "doc_id", "text", 3, 32, 8, 0.7, 32)
+        val tomb = spark.range(100).select((col("id") * 2).as("doc_id"))
+        measure(f"dd22_delete_fold reg=${f}x") {
+          graft.streaming.StreamingJobs.deleteFromRegistry(spark, wd, tomb)
+          1L
+        }
+        measure(f"screen_post_delete reg=${f}x") {
+          graft.streaming.StreamingJobs.screenBatch(batch, 1L, wd,
+            "doc_id", "text", 3, 32, 8, 0.7, 32)
+          1L
+        }
+        spark.sql(s"DROP TABLE IF EXISTS " +
+          graft.streaming.StreamingJobs.registryTable(wd))
+      }
+      val t0ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      for (k <- Seq(200000L, 2000000L)) {
+        val wd = s"$work/lifecdc-k$k"
+        val p = new org.apache.hadoop.fs.Path(wd)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+        val big = spark.range(k).select(col("id").as("event_id"),
+          lit(t0ts).as("ts"), col("id").as("user_id"))
+        graft.streaming.StreamingJobs.cdcApplyBatch(big, 0L, wd, 64)
+        measure(f"cdc_delete_1key k=$k%-8d") {
+          graft.streaming.StreamingJobs.cdcDeleteKeys(spark, wd,
+            spark.range(1).select(lit(7L).as("user_id")))
+          1L
+        }
+      }
+      val e10p = ensureEmbReplica(10)
+      val idx = Similarity.ivfBuild(
+        embAt(s"$sfDir/embeddings.parquet").select("vec_id", "embedding"))
+      val stats = Similarity.ivfCellStats(idx).localCheckpoint()
+      for ((tag, ep) <- Seq(("1x", s"$sfDir/embeddings.parquet"),
+          ("10x", e10p))) {
+        measure(s"drift_check delta=$tag") {
+          Similarity.ivfDriftCheck(stats, idx.centroids,
+            embAt(ep).select("vec_id", "embedding")).nDelta
+        }
+      }
+      spark.stop()
+      return
+    }
+
     if (args.lift(2).contains("r17")) {
       def ensure(path: String)(gen: => Unit): Unit = ensureSuccess(path)(gen)
       // --- gr02: 100 id-offset disjoint graph copies (component

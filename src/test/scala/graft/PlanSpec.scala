@@ -26,6 +26,27 @@ class PlanSpec extends AnyFunSuite {
       case e: Exchange => e
     }.size
 
+  test("index deletion: tombstone anti-joins broadcast — the corpus side is never shuffled") {
+    // the sim27/sim28 scale contract: a deletion request list is
+    // metadata-sized, so the cells/codes side must stream through a
+    // BroadcastHashJoin LeftAnti — an SMJ here would shuffle the
+    // corpus-sized table once per deletion batch
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val e = Tables.load(spark, sf, "embeddings")
+    val tomb = Seq(1L, 2L, 3L).toDF("vec_id")
+    val deleted = graft.operators.Similarity.ivfDeleteIds(
+      graft.operators.Similarity.ivfBuild(e), tomb)
+    val p = deleted.cells.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    val pqDeleted = graft.operators.Similarity.ivfPqDeleteIds(
+      graft.operators.Similarity.ivfPqBuild(e), tomb)
+    val pp = pqDeleted.codes.queryExecution.executedPlan.toString
+    assert(pp.contains("BroadcastHashJoin") && pp.contains("LeftAnti"), pp)
+    assert(!pp.contains("SortMergeJoin"), pp)
+  }
+
   test("q02: predicate and column pushdown reach the parquet scan") {
     val plan = planOf("q02_filter_pushdown")
     assert(plan.contains("PushedFilters: ["), plan)
