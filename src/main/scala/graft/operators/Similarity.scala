@@ -1577,37 +1577,71 @@ object Similarity {
   def ivfDriftCheck(stats: DataFrame, centroids: DataFrame,
                     delta: DataFrame, ratioThreshold: Double = 1.5,
                     shiftThreshold: Double = 0.5,
+                    twoLevelAssign: Boolean = false,
+                    candidateGroups: Int = 2,
+                    twoLevelAutoNlist: Int = 512,
                     idCol: String = "vec_id",
                     vecCol: String = "embedding"): IvfDriftReport = {
     requireIntegralId(delta, idCol)
-    // the one delta-sized pass: a MAP-SIDE per-row argmin fold over one
-    // broadcast sorted centroid array (the ivfBuild-refinement pattern
-    // — array sorted by centroid_id asc + strict-< fold ⇒ lowest id
-    // wins ties, ivfAssign's TopKAgg semantics exactly), emitting
-    // (cell, distance) in place. ivfAssign's groupBy(id) would instead
-    // EXCHANGE every delta vector (measured 8.4 MB at a 20k-row delta,
-    // r19life — delta-sized at 100 TB); here the only exchange left is
-    // the quantizer-sized per-cell partial agg. Checkpointed so the
-    // tiny downstream jobs never re-run the pass.
-    val cn = centroids
-      .agg(array_sort(collect_list(struct(col("centroid_id"), col("cvec"),
-        col("cnorm")))).as("_cs"))
-    val perCell = delta
-      .select(col(idCol), transform(col(vecCol),
-        x => x.cast(DoubleType)).as("_v"))
-      .withColumn("_n", sqrt(ivfDot(col("_v"), col("_v"))))
-      .crossJoin(broadcast(cn))
-      .select(aggregate(col("_cs"),
-        struct(lit(null).cast(DoubleType).as("_d"), lit(-1L).as("_c")),
-        (acc, s) => {
-          val d = lit(1.0) - ivfDot(col("_v"), s.getField("cvec")) /
-            (col("_n") * s.getField("cnorm"))
-          when(acc.getField("_d").isNull || d < acc.getField("_d"),
-            struct(d.as("_d"),
-              s.getField("centroid_id").cast(LongType).as("_c")))
-            .otherwise(acc)
-        }).as("_best"))
-      .select(col("_best._c").as("centroid_id"), col("_best._d").as("_d"))
+    // the delta must be assigned the way the BUILD assigned its cells,
+    // or the report compares incompatible rules: a two-level-built
+    // index (nlist past the auto threshold) placed its rows through
+    // the leader-group fold, so an exact-assigned delta would land
+    // differently on an IN-distribution delta, inflating cellShift and
+    // biasing the fit low. Same auto-engage contract as every other
+    // entry point; the threshold doubles as the cost switch — the
+    // exact map-side fold is O(nlist) per row, the two-level arm
+    // O(√nlist).
+    val nlist = centroids.count() // quantizer-sized, never the corpus
+    val twoLevel = twoLevelAssign || nlist >= twoLevelAutoNlist
+    if (!twoLevelAssign && twoLevel)
+      warnAutoTwoLevel("ivfDriftCheck", nlist, twoLevelAutoNlist)
+    val scored =
+      if (twoLevel) {
+        // the build's own leader-group fold (ivfAssign2 — identical
+        // cell placement), distance recovered via one broadcast join
+        // on the picked cell; the groupBy exchange inside ivfAssign2
+        // carries the delta once, the price of assignment parity in
+        // the big-nlist regime
+        val leaders = ivfLeaders(centroids, gOf(centroids))
+        val grouped = ivfGrouped(centroids, leaders)
+        ivfAssign2(delta, leaders, grouped, 1, candidateGroups,
+          idCol, vecCol, "cid", "cv", "cn")
+          .join(broadcast(centroids), "centroid_id")
+          .select(col("centroid_id"),
+            (lit(1.0) - ivfDot(col("cv"), col("cvec")) /
+              (col("cn") * col("cnorm"))).as("_d"))
+      } else {
+        // exact arm: a MAP-SIDE per-row argmin fold over one broadcast
+        // sorted centroid array (the ivfBuild-refinement pattern —
+        // array sorted by centroid_id asc + strict-< fold ⇒ lowest id
+        // wins ties, ivfAssign's TopKAgg semantics exactly), emitting
+        // (cell, distance) in place. ivfAssign's groupBy(id) would
+        // instead EXCHANGE every delta vector (measured 8.4 MB at a
+        // 20k-row delta, r19life — delta-sized at 100 TB); here the
+        // only exchange is the quantizer-sized per-cell partial agg.
+        val cn = centroids
+          .agg(array_sort(collect_list(struct(col("centroid_id"),
+            col("cvec"), col("cnorm")))).as("_cs"))
+        delta
+          .select(col(idCol), transform(col(vecCol),
+            x => x.cast(DoubleType)).as("_v"))
+          .withColumn("_n", sqrt(ivfDot(col("_v"), col("_v"))))
+          .crossJoin(broadcast(cn))
+          .select(aggregate(col("_cs"),
+            struct(lit(null).cast(DoubleType).as("_d"), lit(-1L).as("_c")),
+            (acc, s) => {
+              val d = lit(1.0) - ivfDot(col("_v"), s.getField("cvec")) /
+                (col("_n") * s.getField("cnorm"))
+              when(acc.getField("_d").isNull || d < acc.getField("_d"),
+                struct(d.as("_d"),
+                  s.getField("centroid_id").cast(LongType).as("_c")))
+                .otherwise(acc)
+            }).as("_best"))
+          .select(col("_best._c").as("centroid_id"), col("_best._d").as("_d"))
+      }
+    // checkpointed so the tiny downstream jobs never re-run the pass
+    val perCell = scored
       .groupBy(col("centroid_id"))
       .agg(count(lit(1)).as("_dn"),
         sum(col("_d").cast(DecimalType(30, 12))).as("_ds"))
@@ -1638,16 +1672,30 @@ object Similarity {
     val twoLevel = twoLevelAssign || nlist >= twoLevelAutoNlist
     if (!twoLevelAssign && twoLevel)
       warnAutoTwoLevel("ivfPqCellStats", nlist, twoLevelAutoNlist)
+    pqPerCellResiduals(corpus, index.coarse, twoLevel, idCol, vecCol)
+      .select(col("cell"), col("_cnt").as("n"),
+        (col("_sum") / col("_cnt")).cast(DoubleType).as("mean_dist"))
+  }
+
+  /** The ONE residual-squared per-cell fold behind [[ivfPqCellStats]]
+    * (the build-time expectation) and [[ivfPqDriftCheck]] (the delta
+    * pricing): both sides MUST aggregate the identical metric through
+    * the identical assignment, or the fit ratio compares apples to
+    * oranges — the `ivfPqAssignResiduals` one-definition discipline
+    * extended to the statistic computed on top of it.
+    */
+  private def pqPerCellResiduals(df: DataFrame, coarse: DataFrame,
+                                 twoLevel: Boolean, idCol: String,
+                                 vecCol: String): DataFrame = {
     def dbl(c: Column) = transform(c, x => x.cast(DoubleType))
     ivfPqAssignResiduals(
-      corpus.select(col(idCol).as("cid"), dbl(col(vecCol)).as("cv")),
-      index.coarse, twoLevel)
+      df.select(col(idCol).as("cid"), dbl(col(vecCol)).as("cv")),
+      coarse, twoLevel)
       .select(col("cell"),
         aggregate(col("rv"), lit(0.0), (a, v) => a + v * v).as("_d"))
       .groupBy(col("cell"))
-      .agg(count(lit(1)).as("n"),
-        (sum(col("_d").cast(DecimalType(30, 12))) / count(lit(1)))
-          .cast(DoubleType).as("mean_dist"))
+      .agg(count(lit(1)).as("_cnt"),
+        sum(col("_d").cast(DecimalType(30, 12))).as("_sum"))
   }
 
   /** Persist [[ivfPqCellStats]] next to the index artifacts — the
@@ -1679,15 +1727,8 @@ object Similarity {
     val twoLevel = twoLevelAssign || nlist >= twoLevelAutoNlist
     if (!twoLevelAssign && twoLevel)
       warnAutoTwoLevel("ivfPqDriftCheck", nlist, twoLevelAutoNlist)
-    def dbl(c: Column) = transform(c, x => x.cast(DoubleType))
-    val perCell = ivfPqAssignResiduals(
-      delta.select(col(idCol).as("cid"), dbl(col(vecCol)).as("cv")),
-      coarse, twoLevel)
-      .select(col("cell"),
-        aggregate(col("rv"), lit(0.0), (a, v) => a + v * v).as("_d"))
-      .groupBy(col("cell"))
-      .agg(count(lit(1)).as("_dn"),
-        sum(col("_d").cast(DecimalType(30, 12))).as("_ds"))
+    val perCell = pqPerCellResiduals(delta, coarse, twoLevel, idCol, vecCol)
+      .select(col("cell"), col("_cnt").as("_dn"), col("_sum").as("_ds"))
       .localCheckpoint()
     driftReport(perCell, stats, "cell", "ivfPqDriftCheck",
       "ivfPqBuild over the grown corpus", ratioThreshold, shiftThreshold)
@@ -1765,11 +1806,37 @@ object Similarity {
     * quantizer: the drift signal ([[ivfDriftCheck]]) and a rebuild
     * remain the answer when deletion stops being incremental.
     */
+  /** Cast a tombstone id to the store's own id type, RAISING on a
+    * lossy cast instead of nulling it: a null tombstone matches
+    * nothing in the anti-join, and a deletion API that silently skips
+    * an unparseable id "succeeds" having deleted zero rows — the exact
+    * failure mode requireIntegralId exists to prevent, applied at the
+    * four right-to-be-forgotten entry points (ivfDeleteIds /
+    * ivfPqDeleteIds / deleteFromRegistry / cdcDeleteKeys).
+    */
+  private[graft] def castTombstone(c: Column, to: org.apache.spark.sql.types.DataType,
+                                   site: String): Column = {
+    // try_cast in the guard: under ANSI (the Spark 4 default) a plain
+    // cast of a malformed id throws a generic CAST_INVALID_INPUT before
+    // the guard runs, and under ansi=false it NULLs silently — try_cast
+    // makes the check mode-independent and the error name the SITE.
+    // The otherwise-branch cast is safe: CaseWhen evaluates only the
+    // taken branch, and a non-null try_cast implies the cast succeeds.
+    val tc = c.try_cast(to)
+    when(c.isNotNull && tc.isNull,
+      raise_error(concat(lit(s"$site: tombstone id "), c.cast(StringType),
+        lit(s" does not cast to ${to.sql} — the deletion would silently " +
+          "skip it"))).cast(to))
+      .otherwise(tc)
+  }
+
   def ivfDeleteIds(index: IvfIndex, tombstones: DataFrame): IvfIndex = {
     val tCol = tombstones.columns.head
     IvfIndex(index.centroids,
       index.cells.join(
-        broadcast(tombstones.select(col(tCol).cast(LongType).as("cid"))
+        broadcast(tombstones
+          .select(castTombstone(col(tCol), LongType, "ivfDeleteIds")
+            .as("cid"))
           .distinct()),
         Seq("cid"), "left_anti"))
   }
@@ -1788,8 +1855,8 @@ object Similarity {
     IvfPqIndex(index.coarse, index.codebook,
       index.codes.join(
         broadcast(tombstones
-          .select(col(tCol).cast(index.codes.schema("cid").dataType)
-            .as("cid"))
+          .select(castTombstone(col(tCol), index.codes.schema("cid").dataType,
+            "ivfPqDeleteIds").as("cid"))
           .distinct()),
         Seq("cid"), "left_anti"))
   }

@@ -298,6 +298,13 @@ object StreamingJobs {
       .getOrElse(throw new IllegalStateException(
         s"no committed CDC generation under $workDir"))
       ._3.values.toSeq.distinct.sorted
+    // an EMPTY committed map is legitimate state (cdcDeleteKeys can
+    // tombstone every key) — but with zero data files there is no
+    // schema to read; fail with the semantics, not a parquet
+    // inference error. The next merged batch recreates the table.
+    if (paths.isEmpty) throw new IllegalStateException(
+      s"CDC table under $workDir is EMPTY — every key was deleted; " +
+        "the next merged batch recreates it")
     spark.read.parquet(paths: _*)
   }
 
@@ -406,7 +413,8 @@ object StreamingJobs {
     val idType = spark.read.parquet(map.values.head)
       .schema("user_id").dataType
     val kCol = keys.columns.head
-    val tomb = keys.select(col(kCol).cast(idType).as("user_id")).distinct()
+    val tomb = keys.select(graft.operators.Similarity.castTombstone(
+      col(kCol), idType, "cdcDeleteKeys").as("user_id")).distinct()
     val bucketOf = pmod(xxhash64(col("user_id")), lit(buckets.toLong))
     // metadata-sized: ≤ buckets rows, the cdcApplyBatch discipline
     val touched = tomb.select(bucketOf.cast(IntegerType).as("_b"))
@@ -893,7 +901,8 @@ object StreamingJobs {
     foldRegistry(spark, workDir, "deleteFromRegistry",
       (df, idName) => df.join(
         broadcast(tombstones
-          .select(col(tCol).cast(df.schema(idName).dataType).as(idName))
+          .select(graft.operators.Similarity.castTombstone(col(tCol),
+            df.schema(idName).dataType, "deleteFromRegistry").as(idName))
           .distinct()),
         Seq(idName), "left_anti"))
   }

@@ -27,11 +27,18 @@ object DriftProbe {
     val idx = Similarity.ivfBuild(e)
     val stats = Similarity.ivfCellStats(idx).localCheckpoint()
     val slice = e.filter(col("vec_id") % 7 === 3)
-    def show(tag: String, r: Similarity.IvfDriftReport): Unit =
+    def show(tag: String, r: Similarity.IvfDriftReport): Unit = {
+      // guard the ratio like driftReport does — zero priced rows (or a
+      // zero expectation) has no meaningful ratio, and printing NaN
+      // as a "measured margin" would be worse than saying so
+      val ratio =
+        if (r.pricedRows > 0 && r.expectedMeanDist > 0)
+          f"${r.deltaMeanDist / r.expectedMeanDist}%.4f"
+        else "n/a"
       println(f"[drift] $sfDir $tag%-14s n=${r.nDelta} priced=${r.pricedRows} " +
         f"dm=${r.deltaMeanDist}%.6f em=${r.expectedMeanDist}%.6f " +
-        f"ratio=${r.deltaMeanDist / r.expectedMeanDist}%.4f " +
-        f"shift=${r.cellShift}%.4f drifted=${r.drifted}")
+        f"ratio=$ratio shift=${r.cellShift}%.4f drifted=${r.drifted}")
+    }
     show("clean", Similarity.ivfDriftCheck(stats, idx.centroids, slice))
     val shifted = slice.select(col("vec_id"),
       transform(col("embedding"), x => x + lit(offset)).as("embedding"))

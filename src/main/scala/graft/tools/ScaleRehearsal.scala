@@ -497,13 +497,17 @@ object ScaleRehearsal {
         val e = embAt(ep).select("vec_id", "embedding")
         // base direction + per-row sub-2% jitter: mutually near-parallel,
         // so every planted row assigns to the SAME balanced-index cell
-        val planted = e.select((col("vec_id") + 50000000L).as("vec_id"),
+        // +500M: clear of EVERY replica band (copy k offsets ids by
+        // k*10M, k ≤ 9 → max ~90M+base) — a 50M offset would alias
+        // planted rows onto copies 5–9's ids, breaking the absorb
+        // path's id-disjointness contract on the 10× arm
+        val planted = e.select((col("vec_id") + 500000000L).as("vec_id"),
           transform(sequence(lit(0), lit(63)), j =>
             (when(j === lit(0), lit(1.0)).otherwise(
               (pmod(xxhash64(col("vec_id"), j), lit(101)) - lit(50))
                 .cast("double") / 2500.0)).cast("float")).as("embedding"))
         val q = e.filter(col("vec_id") < 10)
-          .unionAll(planted.filter(col("vec_id") < 50000010L))
+          .unionAll(planted.filter(col("vec_id") < 500000010L))
         val idx = Similarity.ivfBuild(e)
         val stats = Similarity.ivfCellStats(idx).localCheckpoint()
         val hotIdx = Similarity.ivfAbsorbDelta(idx, planted)

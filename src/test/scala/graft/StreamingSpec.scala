@@ -599,6 +599,34 @@ class StreamingSpec extends AnyFunSuite {
       40L -> (5L, 1L)), "replayed batch disturbed the revised table")
   }
 
+  test("CDC deletion: deleting every key is legit state — cdcTable fails with semantics, the next batch recreates") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("cdc-delall").toString
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    StreamingJobs.cdcApplyBatch(Seq((1L, t(1), 10L))
+      .toDF("event_id", "ts", "user_id"), 0L, work, 4)
+    StreamingJobs.cdcDeleteKeys(spark, work, Seq(10L).toDF("user_id"))
+    val e = intercept[IllegalStateException] {
+      StreamingJobs.cdcTable(spark, work)
+    }
+    assert(e.getMessage.contains("EMPTY"), e.getMessage)
+    StreamingJobs.cdcApplyBatch(Seq((2L, t(2), 20L))
+      .toDF("event_id", "ts", "user_id"), 1L, work, 4)
+    val rows = StreamingJobs.cdcTable(spark, work)
+      .select($"user_id", $"n_updates").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows == Map(20L -> 1L), rows.toString)
+    // tombstones that don't cast to the key type must RAISE, never
+    // silently delete nothing (the requireIntegralId discipline)
+    val bad = intercept[Exception] {
+      StreamingJobs.cdcDeleteKeys(spark, work,
+        Seq("not-an-id").toDF("user_id"))
+    }
+    assert(bad.getMessage.contains("cdcDeleteKeys") ||
+      Option(bad.getCause).exists(_.getMessage.contains("cdcDeleteKeys")),
+      s"lossy tombstone cast did not raise: ${bad.getMessage}")
+  }
+
   test("near-dup screen: retried batch replays identically and never sees its own signatures") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
