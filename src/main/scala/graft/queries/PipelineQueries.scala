@@ -5268,6 +5268,226 @@ object PipelineQueries {
       out
     },
 
+    // DELTA-LOG DELETION — the right-to-be-forgotten hole the index
+    // deletes (sim27/28) cannot close alone: a tombstoned vector still
+    // sitting in the not-yet-absorbed append log keeps being served by
+    // ivfSearchWithDelta's EXACT delta arm (recall 1.0 on the deleted
+    // row — worse than the probe path sim27 already guards), so the
+    // log must be deleted from on the same cadence as the index.
+    // deltaLogDeleteIds rewrites ONLY the batch directories holding a
+    // tombstoned id through a write-new/rename-swap: here batch 0
+    // (% 20 == 9) holds no tombstone and keeps its files byte-for-byte
+    // while batch 1 (% 20 == 19) is fully tombstoned and keeps a
+    // zero-row schema-bearing directory. Invariants: no deleted id
+    // served (index OR log arm), sim27's ≥85% floor over the SURVIVING
+    // corpus, and the post-delete log row count = exactly the
+    // untouched batch.
+    QueryDef("st14_delta_delete",
+      """SELECT CAST((q.nq - q.nq_del) * least(5, c.n_surv - 1)
+        |    + q.nq_del * least(5, c.n_surv) AS BIGINT) AS n_exact,
+        |  CAST(1 AS BIGINT) AS recall_ok,
+        |  CAST(1 AS BIGINT) AS none_deleted,
+        |  CAST(l.n AS BIGINT) AS log_rows
+        |FROM (SELECT count(*) AS nq,
+        |        sum(CASE WHEN vec_id % 10 = 4 OR vec_id % 20 = 19
+        |            THEN 1 ELSE 0 END) AS nq_del
+        |      FROM embeddings WHERE vec_id < 10) q,
+        |     (SELECT count(*) AS n_surv FROM embeddings
+        |      WHERE vec_id % 10 <> 4 AND vec_id % 20 <> 19) c,
+        |     (SELECT count(*) AS n FROM embeddings
+        |      WHERE vec_id % 20 = 9) l""".stripMargin) { (s, dir) =>
+      val work = s"${System.getProperty("java.io.tmpdir")}/graft-st14-" +
+        dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      val workP = new org.apache.hadoop.fs.Path(work)
+      val workFs = workP.getFileSystem(s.sparkContext.hadoopConfiguration)
+      workFs.delete(workP, true)
+      val in = s"$work/in"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 10)
+      val stale = Similarity.ivfBuild(e.filter(col("vec_id") % 10 =!= 9))
+      def land(phase: Int, df: DataFrame): Unit = {
+        // ONE file per phase: each phase must be exactly one micro-batch
+        val staging = s"$work/staging$phase"
+        df.coalesce(1).write.mode("overwrite").parquet(staging)
+        val destP = java.nio.file.Paths.get(in)
+        val files = java.nio.file.Files.list(java.nio.file.Paths.get(staging))
+        try files.filter(_.getFileName.toString.startsWith("part-"))
+          .forEach(p => java.nio.file.Files.move(p,
+            destP.resolve(s"p$phase-${p.getFileName}")))
+        finally files.close()
+      }
+      val sch = e.schema
+      def stream() = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+      land(0, e.filter(col("vec_id") % 20 === 9))
+      val s0 = graft.streaming.StreamingJobs.vectorDeltaStream(stream(), work)
+      try {
+        s0.processAllAvailable()
+        land(1, e.filter(col("vec_id") % 20 === 19))
+        s0.processAllAvailable()
+      } finally s0.stop()
+      val tomb = e.filter(col("vec_id") % 10 === 4 ||
+          col("vec_id") % 20 === 19).select("vec_id")
+      graft.streaming.StreamingJobs.deltaLogDeleteIds(s, work, tomb)
+      val served = Similarity.ivfSearchWithDelta(q,
+          Similarity.ivfDeleteIds(stale, tomb),
+          graft.streaming.StreamingJobs.deltaLog(s, work), 5)
+        .localCheckpoint() // two consumers: recall + the deleted-id scan
+      val leaked = served.join(tomb.select(col("vec_id").as("cid")), Seq("cid"))
+        .agg(when(count(lit(1)) === 0, 1L).otherwise(0L).as("none_deleted"))
+      val logRows = graft.streaming.StreamingJobs.deltaLog(s, work)
+        .agg(count(lit(1)).as("log_rows"))
+      val surv = e.filter(col("vec_id") % 10 =!= 4 &&
+        col("vec_id") % 20 =!= 19)
+      val out = recallFloor(Similarity.cosineTopK(q, surv, 5), served,
+          floorPct = 85)
+        .crossJoin(broadcast(leaked)).crossJoin(broadcast(logRows))
+        .localCheckpoint() // pin the verdict, then drop the work tree
+      workFs.delete(workP, true)
+      out
+    },
+
+    // DELTA-LOG ABSORPTION + GC — st11's contract ("absorb empties the
+    // log") as an OPERATOR over the on-disk artifacts, the dd21
+    // discipline applied to the vector lifecycle: ivfAbsorbLog loads
+    // the persisted index, folds every landed batch in one bounded
+    // delta pass (the quantizer never retrains, the corpus is never
+    // re-read), swaps the index directory write-new/rename-swap with
+    // fail-loud markers, and REMOVES the absorbed batch directories —
+    // afterwards the log's bytes are exactly the rows the index does
+    // NOT hold, the disjointness invariant ivfSearchWithDelta serves
+    // by. Invariants: both streamed batches absorbed, the log left
+    // empty, a second absorb a no-op, and sim25's ≥85% floor served
+    // from the RELOADED index with no delta arm at all.
+    QueryDef("st15_ivf_absorb_log",
+      """SELECT CAST(q.nq * least(5, c.n_all - 1) AS BIGINT) AS n_exact,
+        |  CAST(1 AS BIGINT) AS recall_ok,
+        |  CAST(2 AS BIGINT) AS n_absorbed,
+        |  CAST(1 AS BIGINT) AS log_empty,
+        |  CAST(1 AS BIGINT) AS absorb_noop
+        |FROM (SELECT count(*) AS nq FROM embeddings WHERE vec_id < 10) q,
+        |     (SELECT count(*) AS n_all FROM embeddings) c""".stripMargin) { (s, dir) =>
+      val work = s"${System.getProperty("java.io.tmpdir")}/graft-st15-" +
+        dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      val workP = new org.apache.hadoop.fs.Path(work)
+      val workFs = workP.getFileSystem(s.sparkContext.hadoopConfiguration)
+      workFs.delete(workP, true)
+      val in = s"$work/in"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 10)
+      Similarity.ivfBuild(e.filter(col("vec_id") % 10 =!= 9))
+        .save(s"$work/idx")
+      def land(phase: Int, df: DataFrame): Unit = {
+        // ONE file per phase: each phase must be exactly one micro-batch
+        val staging = s"$work/staging$phase"
+        df.coalesce(1).write.mode("overwrite").parquet(staging)
+        val destP = java.nio.file.Paths.get(in)
+        val files = java.nio.file.Files.list(java.nio.file.Paths.get(staging))
+        try files.filter(_.getFileName.toString.startsWith("part-"))
+          .forEach(p => java.nio.file.Files.move(p,
+            destP.resolve(s"p$phase-${p.getFileName}")))
+        finally files.close()
+      }
+      val sch = e.schema
+      def stream() = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+      land(0, e.filter(col("vec_id") % 20 === 9))
+      val s0 = graft.streaming.StreamingJobs.vectorDeltaStream(stream(), work)
+      try {
+        s0.processAllAvailable()
+        land(1, e.filter(col("vec_id") % 20 === 19))
+        s0.processAllAvailable()
+      } finally s0.stop()
+      val absorbed = graft.streaming.StreamingJobs.ivfAbsorbLog(
+        s, s"$work/idx", work)
+      val noop = graft.streaming.StreamingJobs.ivfAbsorbLog(
+        s, s"$work/idx", work)
+      val remaining = workFs.listStatus(
+          new org.apache.hadoop.fs.Path(s"$work/delta"))
+        .count(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+      val served = Similarity.ivfSearch(q,
+        Similarity.ivfLoad(s, s"$work/idx"), 5)
+      val out = recallFloor(Similarity.cosineTopK(q, e, 5), served,
+          floorPct = 85)
+        .select(col("n_exact"), col("recall_ok"),
+          lit(absorbed.size.toLong).as("n_absorbed"),
+          lit(if (remaining == 0) 1L else 0L).as("log_empty"),
+          lit(if (noop.isEmpty) 1L else 0L).as("absorb_noop"))
+        .localCheckpoint() // pin the verdict, then drop the work tree
+      workFs.delete(workP, true)
+      out
+    },
+
+    // st15 on the PRODUCTION architecture: the streamed log's rows
+    // assign to the persisted coarse quantizer, their residuals encode
+    // against the persisted codebook, the integer codes append, and
+    // the same index-directory swap + log GC runs — after which
+    // sim21's serve path (ADC shortlist + exact re-rank over the GROWN
+    // corpus) sees the absorbed rows through the normal probe with no
+    // delta arm, clearing sim26's ≥80% floor. Same emptied-log /
+    // second-absorb-no-op invariants as st15.
+    QueryDef("st16_ivfpq_absorb_log",
+      """SELECT CAST(q.nq * least(5, c.n_all - 1) AS BIGINT) AS n_exact,
+        |  CAST(1 AS BIGINT) AS recall_ok,
+        |  CAST(2 AS BIGINT) AS n_absorbed,
+        |  CAST(1 AS BIGINT) AS log_empty,
+        |  CAST(1 AS BIGINT) AS absorb_noop
+        |FROM (SELECT count(*) AS nq FROM embeddings WHERE vec_id < 10) q,
+        |     (SELECT count(*) AS n_all FROM embeddings) c""".stripMargin) { (s, dir) =>
+      val work = s"${System.getProperty("java.io.tmpdir")}/graft-st16-" +
+        dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      val workP = new org.apache.hadoop.fs.Path(work)
+      val workFs = workP.getFileSystem(s.sparkContext.hadoopConfiguration)
+      workFs.delete(workP, true)
+      val in = s"$work/in"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 10)
+      Similarity.ivfPqBuild(e.filter(col("vec_id") % 10 =!= 9))
+        .save(s"$work/idx")
+      def land(phase: Int, df: DataFrame): Unit = {
+        // ONE file per phase: each phase must be exactly one micro-batch
+        val staging = s"$work/staging$phase"
+        df.coalesce(1).write.mode("overwrite").parquet(staging)
+        val destP = java.nio.file.Paths.get(in)
+        val files = java.nio.file.Files.list(java.nio.file.Paths.get(staging))
+        try files.filter(_.getFileName.toString.startsWith("part-"))
+          .forEach(p => java.nio.file.Files.move(p,
+            destP.resolve(s"p$phase-${p.getFileName}")))
+        finally files.close()
+      }
+      val sch = e.schema
+      def stream() = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+      land(0, e.filter(col("vec_id") % 20 === 9))
+      val s0 = graft.streaming.StreamingJobs.vectorDeltaStream(stream(), work)
+      try {
+        s0.processAllAvailable()
+        land(1, e.filter(col("vec_id") % 20 === 19))
+        s0.processAllAvailable()
+      } finally s0.stop()
+      val absorbed = graft.streaming.StreamingJobs.ivfPqAbsorbLog(
+        s, s"$work/idx", work)
+      val noop = graft.streaming.StreamingJobs.ivfPqAbsorbLog(
+        s, s"$work/idx", work)
+      val remaining = workFs.listStatus(
+          new org.apache.hadoop.fs.Path(s"$work/delta"))
+        .count(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+      val served = Similarity.ivfPqSearch(q,
+        Similarity.ivfPqLoad(s, s"$work/idx"), e, 5)
+      val out = recallFloor(Similarity.l2TopK(q, e, 5), served,
+          floorPct = 80)
+        .select(col("n_exact"), col("recall_ok"),
+          lit(absorbed.size.toLong).as("n_absorbed"),
+          lit(if (remaining == 0) 1L else 0L).as("log_empty"),
+          lit(if (noop.isEmpty) 1L else 0L).as("absorb_noop"))
+        .localCheckpoint() // pin the verdict, then drop the work tree
+      workFs.delete(workP, true)
+      out
+    },
+
     // Time-series gap fill: the hourly rollup densified onto the full
     // hour grid per event_type — absent buckets get n = 0 and carry the
     // last observed v forward (null before the first observation). The

@@ -1021,8 +1021,9 @@ object StreamingJobs {
     * [[graft.operators.Similarity.ivfSearchWithDelta]] serves against
     * the stale snapshot MID-STREAM (the delta arm scores appended rows
     * exactly, so a vector is searchable the moment its batch lands),
-    * and [[graft.operators.Similarity.ivfAbsorbDelta]] folds into the
-    * index on the rebuild cadence, emptying the log.
+    * and [[ivfAbsorbLog]] / [[ivfPqAbsorbLog]] fold it into the
+    * persisted index on the rebuild cadence, emptying the log;
+    * [[deltaLogDeleteIds]] is the log's right-to-be-forgotten arm.
     *
     * Exactly-once under retries, the st10 pattern: each batch's write
     * is overwrite-idempotent under its batch id, so a replayed batch
@@ -1044,10 +1045,289 @@ object StreamingJobs {
     * `ivfSearchWithDelta` / `ivfAbsorbDelta` take: every vector landed
     * by any batch so far (batch key dropped — the log is a set of
     * appended rows; per-batch lineage lives in the directory layout).
+    *
+    * Refuses to read over the maintenance markers
+    * (`delta_predelete` from an interrupted [[deltaLogDeleteIds]],
+    * `delta_absorbed` from an interrupted [[ivfAbsorbLog]] /
+    * [[ivfPqAbsorbLog]]): while either exists, rows are mid-move and a
+    * read would silently serve a log that resurrects deleted vectors
+    * or drops absorbed-but-not-yet-indexed ones — the screenBatch
+    * fail-loud posture, applied to the read path.
     */
   def deltaLog(spark: org.apache.spark.sql.SparkSession,
-               workDir: String): DataFrame =
-    spark.read.parquet(s"$workDir/delta").drop("batch")
+               workDir: String): DataFrame = {
+    val p = new Path(s"$workDir/delta")
+    requireNoDeltaMarkers(
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration),
+      workDir, "deltaLog")
+    spark.read.parquet(p.toString).drop("batch")
+  }
+
+  /** Fail loudly when a delta-log maintenance marker is present — the
+    * shared refusal behind [[deltaLog]], [[deltaLogDeleteIds]] and the
+    * absorb arms. Each message names the marker AND the recovery.
+    */
+  private def requireNoDeltaMarkers(fs: FileSystem, workDir: String,
+                                    what: String): Unit = {
+    require(!fs.exists(new Path(s"$workDir/delta_predelete")),
+      s"$what: interrupted deletion — $workDir/delta_predelete still " +
+        "holds pre-delete batch directories; if the rewritten batch is " +
+        "installed under delta/ delete the marker, otherwise restore " +
+        "its contents to delta/ before reading or deleting again")
+    require(!fs.exists(new Path(s"$workDir/delta_absorbed")),
+      s"$what: interrupted absorption — $workDir/delta_absorbed still " +
+        "holds absorbed batch directories; if the index swap completed " +
+        "(the live index directory lists these batches in " +
+        "_absorbed_batches) delete the marker, otherwise restore its " +
+        "contents to delta/ and delete the _absorbing index directory " +
+        "before reading or absorbing again")
+  }
+
+  /** Delete vectors from the streaming append log by id — the
+    * right-to-be-forgotten arm of the st11 delta-log lifecycle,
+    * closing the one hole the delete-everywhere story (registry
+    * [[deleteFromRegistry]], vector indexes `Similarity.ivfDeleteIds`/
+    * `ivfPqDeleteIds`, keyed CDC state [[cdcDeleteKeys]]) left open:
+    * deleting an id from the PERSISTED index does nothing to a copy of
+    * it still sitting in the not-yet-absorbed log, and
+    * `ivfSearchWithDelta`'s delta arm scores every log row EXACTLY —
+    * the deleted vector would keep coming back with recall 1.0. Delete
+    * from the index and the log on the same cadence.
+    *
+    * Rewrites ONLY the batch directories that actually hold a
+    * tombstoned id (one metadata-sized pass finds them — ≤ one row per
+    * log batch, the [[cdcDeleteKeys]] bound), each through a
+    * write-new / rename-swap: never in place, so a crash leaves
+    * `delta_predelete` marker state that [[deltaLog]] and every
+    * maintenance entry refuse to run over (with the fix named), not a
+    * silently half-deleted batch. Untouched batch directories keep
+    * their files byte-for-byte; a fully-tombstoned batch keeps a
+    * zero-row schema-bearing directory so the log stays readable.
+    * Returns the rewritten batch ids.
+    *
+    * At-rest contract, the [[deleteFromRegistry]] rationale: deletion
+    * requests arrive out-of-band (a compliance queue, not the vector
+    * stream), so run with the stream stopped. With a checkpoint
+    * present every TOUCHED batch must be committed — a resumed stream
+    * replays an uncommitted batch and its whole-directory retry
+    * overwrite would resurrect exactly the rows this function deleted.
+    */
+  def deltaLogDeleteIds(spark: org.apache.spark.sql.SparkSession,
+                        workDir: String, tombstones: DataFrame,
+                        idCol: String = "vec_id"): Seq[Long] = {
+    val deltaDir = s"$workDir/delta"
+    val fs = new Path(deltaDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    requireNoDeltaMarkers(fs, workDir, "deltaLogDeleteIds")
+    // an absent log, or one with zero batch directories (everything
+    // absorbed), holds nothing to delete — and a parquet read over the
+    // empty directory could not even infer a schema
+    if (!fs.exists(new Path(deltaDir)) ||
+        !fs.listStatus(new Path(deltaDir)).exists(st =>
+          st.isDirectory && st.getPath.getName.startsWith("batch=")))
+      return Nil
+    val log = spark.read.parquet(deltaDir) // carries the batch key
+    val tCol = tombstones.columns.head
+    val tomb = tombstones.select(graft.operators.Similarity
+        .castTombstone(col(tCol), log.schema(idCol).dataType,
+          "deltaLogDeleteIds").as(idCol))
+      .distinct()
+    // metadata-sized driver set: ≤ one row per log batch (the
+    // cdcDeleteKeys discipline), never the log rows themselves
+    val touched = log.join(broadcast(tomb), Seq(idCol))
+      .select(col("batch").cast(LongType)).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    if (touched.isEmpty) return Nil
+    if (fs.exists(new Path(s"$workDir/ckpt"))) touched.foreach { b =>
+      require(fs.exists(new Path(s"$workDir/ckpt/commits/$b")),
+        s"delta batch $b holds tombstoned ids but the stream " +
+          "checkpoint has not committed it — a resumed stream would " +
+          "replay the batch and resurrect the deleted rows; resume " +
+          "the stream to let the commit land (or discard ckpt/ to " +
+          "start a fresh query) before deleting")
+    }
+    val preRoot = new Path(s"$workDir/delta_predelete")
+    touched.foreach { b =>
+      val live = new Path(s"$deltaDir/batch=$b")
+      val next = new Path(s"$workDir/delta_deleting/batch=$b")
+      fs.delete(next, true) // pre-swap leftover of an earlier attempt
+      deltaBatchSurvivors(spark, live.toString, tomb, idCol)
+        .write.mode("overwrite").parquet(next.toString)
+      fs.mkdirs(preRoot)
+      val pre = new Path(preRoot, s"batch=$b")
+      if (!fs.rename(live, pre))
+        sys.error(s"deltaLogDeleteIds: could not move $live aside")
+      if (!fs.rename(next, live))
+        sys.error(s"deltaLogDeleteIds: could not install $next — the " +
+          s"pre-delete batch is intact at $pre; restore it to delta/")
+      // a failed marker delete must raise: the completed batch would
+      // otherwise permanently lock out the log (reads refuse over it)
+      if (!fs.delete(pre, true))
+        sys.error(s"deltaLogDeleteIds: batch $b rewritten but the " +
+          s"superseded directory at $pre could not be deleted — " +
+          "delete it manually to unblock the log")
+    }
+    if (fs.exists(preRoot) && fs.listStatus(preRoot).isEmpty)
+      fs.delete(preRoot, true)
+    fs.delete(new Path(s"$workDir/delta_deleting"), true)
+    touched
+  }
+
+  /** The per-batch rewrite frame of [[deltaLogDeleteIds]] — one batch
+    * directory minus the broadcast tombstone set. Factored out so
+    * PlanSpec pins the OPERATOR's plan (BroadcastHashJoin LeftAnti,
+    * never a shuffle of the batch side — the sim27/sim28 contract on
+    * the log's rewrite path).
+    */
+  private[graft] def deltaBatchSurvivors(
+      spark: org.apache.spark.sql.SparkSession, batchDir: String,
+      tomb: DataFrame, idCol: String): DataFrame =
+    spark.read.parquet(batchDir)
+      .join(broadcast(tomb), Seq(idCol), "left_anti")
+
+  /** Fold the persisted delta log into the persisted [[graft.operators.
+    * Similarity.IvfIndex]] at `indexPath` and GC the absorbed batch
+    * directories — `ivfAbsorbDelta` run against the ON-DISK artifacts,
+    * turning the st11 contract's prose ("absorb empties the log") into
+    * an operator, exactly as dd21 did for the registry's "compact
+    * eventually". One bounded pass over the DELTA (the quantizer never
+    * retrains, the indexed corpus is never re-read), then a
+    * write-new / rename-swap of the index directory and removal of the
+    * absorbed `delta/batch=N` directories, so the log's remaining
+    * bytes are exactly the rows the index does NOT yet hold — the
+    * disjointness invariant `ivfSearchWithDelta` serves by. Returns
+    * the absorbed batch ids (empty when the log held nothing).
+    */
+  def ivfAbsorbLog(spark: org.apache.spark.sql.SparkSession,
+                   indexPath: String, workDir: String,
+                   twoLevelAssign: Boolean = false,
+                   candidateGroups: Int = 2,
+                   twoLevelAutoNlist: Int = 512,
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): Seq[Long] =
+    absorbLogCore(spark, indexPath, workDir, "ivfAbsorbLog") {
+      (delta, absorbing) =>
+        graft.operators.Similarity.ivfAbsorbDelta(
+            graft.operators.Similarity.ivfLoad(spark, indexPath), delta,
+            twoLevelAssign, candidateGroups, twoLevelAutoNlist,
+            idCol, vecCol)
+          .save(absorbing)
+    }
+
+  /** [[ivfAbsorbLog]] on the production architecture: the log's rows
+    * assign to the persisted coarse quantizer, their residuals encode
+    * against the persisted codebook, and the integer codes append —
+    * then the same index-directory swap and log GC. The caller's
+    * re-rank corpus must include the absorbed rows afterwards (they
+    * are indexed now; the raw-vector side lives outside the index by
+    * the IvfPqIndex contract).
+    */
+  def ivfPqAbsorbLog(spark: org.apache.spark.sql.SparkSession,
+                     indexPath: String, workDir: String,
+                     m: Int = -1, twoLevelAssign: Boolean = false,
+                     twoLevelAutoNlist: Int = 512,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): Seq[Long] =
+    absorbLogCore(spark, indexPath, workDir, "ivfPqAbsorbLog") {
+      (delta, absorbing) =>
+        graft.operators.Similarity.ivfPqAbsorbDelta(
+            graft.operators.Similarity.ivfPqLoad(spark, indexPath), delta,
+            m, twoLevelAssign, twoLevelAutoNlist, idCol, vecCol)
+          .save(absorbing)
+    }
+
+  /** The ONE absorb-and-GC core behind [[ivfAbsorbLog]] and
+    * [[ivfPqAbsorbLog]] — `absorbTo` reads the live index itself and
+    * writes the absorbed one to the staging path it is given; the
+    * marker discipline, the committed check, the swap, and the log GC
+    * live exactly once here (the foldRegistry shape).
+    *
+    * Crash anatomy, fail-loud at every window (never self-repair of a
+    * half-swapped state):
+    *  - before the batch-dir moves: only `_absorbing` staging exists —
+    *    garbage a fresh attempt clears;
+    *  - after moves, before the index swap: `delta_absorbed` holds the
+    *    moved batches; reads and maintenance refuse over it, and the
+    *    recovery (restore to delta/, drop staging) is in the message;
+    *  - between the two index renames: `_preabsorb` additionally holds
+    *    the previous index — refused, restore named;
+    *  - after the swap: `_absorbed_batches` inside the live index
+    *    proves completion — the fix is deleting the two leftovers.
+    *
+    * At-rest/committed contract as [[deleteFromRegistry]]: stream
+    * stopped, and with a checkpoint present the newest absorbed batch
+    * must be committed (a replayed batch would re-append rows the
+    * index now holds, breaking the disjointness contract).
+    */
+  private def absorbLogCore(spark: org.apache.spark.sql.SparkSession,
+                            indexPath: String, workDir: String,
+                            what: String)
+                           (absorbTo: (DataFrame, String) => Unit)
+    : Seq[Long] = {
+    val deltaDir = s"$workDir/delta"
+    val fs = new Path(deltaDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    requireNoDeltaMarkers(fs, workDir, what)
+    val preAbs = new Path(s"${indexPath}_preabsorb")
+    require(!fs.exists(preAbs),
+      s"$what: interrupted absorption — $preAbs still holds the " +
+        s"previous index; if $indexPath/_absorbed_batches exists the " +
+        s"swap completed (delete $preAbs and $workDir/delta_absorbed), " +
+        s"otherwise restore $preAbs to $indexPath before absorbing " +
+        "again")
+    require(fs.exists(new Path(indexPath)), s"no index at $indexPath")
+    if (!fs.exists(new Path(deltaDir))) return Nil // no log yet: no-op
+    val batches = fs.listStatus(new Path(deltaDir)).iterator
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+      .map(_.getPath.getName.stripPrefix("batch=").toLong)
+      .toSeq.sorted
+    if (batches.isEmpty) return Nil
+    // committed check on the NEWEST absorbed batch only: the engine
+    // commits in batch order, so its commit implies every older one's
+    if (fs.exists(new Path(s"$workDir/ckpt")))
+      require(fs.exists(new Path(s"$workDir/ckpt/commits/${batches.max}")),
+        s"delta batch ${batches.max} is not committed in the stream " +
+          "checkpoint — a resumed stream would replay it and re-append " +
+          "rows the absorbed index already holds; resume the stream to " +
+          "let the commit land (or discard ckpt/) before absorbing")
+    val delta = spark.read.parquet(
+      batches.map(b => s"$deltaDir/batch=$b"): _*)
+    val absorbing = s"${indexPath}_absorbing"
+    fs.delete(new Path(absorbing), true) // pre-swap leftover: garbage
+    absorbTo(delta, absorbing)
+    // the manifest rides INSIDE the new index directory BEFORE any
+    // rename: it is what makes every later window's recovery decidable
+    val mf = fs.create(new Path(s"$absorbing/_absorbed_batches"), true)
+    try mf.write(batches.mkString("\n").getBytes("UTF-8"))
+    finally mf.close()
+    val absRoot = new Path(s"$workDir/delta_absorbed")
+    fs.mkdirs(absRoot)
+    batches.foreach { b =>
+      if (!fs.rename(new Path(s"$deltaDir/batch=$b"),
+          new Path(absRoot, s"batch=$b")))
+        sys.error(s"$what: could not move $deltaDir/batch=$b aside — " +
+          s"restore any batches already under $absRoot to delta/ and " +
+          "retry")
+    }
+    if (!fs.rename(new Path(indexPath), preAbs))
+      sys.error(s"$what: could not move $indexPath aside — the log " +
+        s"batches are under $absRoot; restore them to delta/ and drop " +
+        s"$absorbing to retry")
+    if (!fs.rename(new Path(absorbing), new Path(indexPath)))
+      sys.error(s"$what: could not install $absorbing — the previous " +
+        s"index is intact at $preAbs; restore it to $indexPath and the " +
+        s"$absRoot batches to delta/")
+    // swap complete: the two leftovers are superseded data — a failed
+    // delete must raise (reads stay locked out over delta_absorbed)
+    if (!fs.delete(preAbs, true))
+      sys.error(s"$what: swap COMPLETED but the superseded index at " +
+        s"$preAbs could not be deleted — delete it manually")
+    if (!fs.delete(absRoot, true))
+      sys.error(s"$what: swap COMPLETED but the absorbed batches at " +
+        s"$absRoot could not be deleted — delete them manually to " +
+        "unblock the log")
+    batches
+  }
 
   /** Streaming exact dedup over a content hash: each distinct payload is
     * emitted once; duplicate arrivals within the watermark horizon are

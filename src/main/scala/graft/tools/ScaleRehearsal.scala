@@ -602,6 +602,67 @@ object ScaleRehearsal {
       return
     }
 
+    // r19log mode: the delta-log lifecycle receipts (second pass).
+    // (1) deltaLogDeleteIds across LOG decades with a tombstone set
+    // touching exactly ONE of 16 batch dirs — per-delete cost must
+    // track the TOUCHED batch (one metadata-sized pass over the log to
+    // find it, one dir rewritten), never the log; the all-batches
+    // contrast row shows the other end of the honest O(touched) curve.
+    // (2) ivfAbsorbLog with a FIXED one-batch delta across INDEX
+    // decades — the assignment pass is delta-sized, but the install
+    // rewrites the cells table (save compacts), so the wall tracks the
+    // INDEX: the honest O(index) fold, amortized by the rebuild
+    // cadence exactly like compactRegistry's O(registry).
+    if (args.lift(2).contains("r19log")) {
+      val nBatches = 16
+      for (f <- Seq(1, 10)) {
+        val wd = s"$work/log${f}x"
+        val p = new org.apache.hadoop.fs.Path(wd)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(p, true)
+        val big = replicate(emb, f, { (d, k) =>
+          d.select((col("vec_id") + lit(k * 10000000L)).as("vec_id"),
+            col("embedding"))
+        }).localCheckpoint()
+        // 16 batch dirs, round-robin by id — the layout the stream
+        // writes, minus the stream (the measured operator is the
+        // delete, not ingestion). No checkpoint dir: at-rest fold.
+        for (b <- 0 until nBatches)
+          big.filter(pmod(col("vec_id"), lit(nBatches.toLong)) === b)
+            .write.mode("overwrite").parquet(s"$wd/delta/batch=$b")
+        val tomb = spark.range(64)
+          .select((col("id") * nBatches + 3).as("vec_id")) // ≡3 (mod 16)
+        measure(f"log_delete_1batch   log=${f}x") {
+          graft.streaming.StreamingJobs.deltaLogDeleteIds(spark, wd, tomb)
+            .size.toLong
+        }
+        measure(f"log_delete_allbatch log=${f}x") {
+          graft.streaming.StreamingJobs.deltaLogDeleteIds(spark, wd,
+            spark.range(nBatches.toLong).select(col("id").as("vec_id")))
+            .size.toLong
+        }
+      }
+      val e10 = ensureEmbReplica(10)
+      for ((tag, ep) <- Seq(("1x", s"$sfDir/embeddings.parquet"),
+          ("10x", e10))) {
+        val wd = s"$work/abs$tag"
+        val p = new org.apache.hadoop.fs.Path(wd)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+        Similarity.ivfBuild(embAt(ep).select("vec_id", "embedding"))
+          .save(s"$wd/idx")
+        emb.limit(500)
+          .select((col("vec_id") + 900000000L).as("vec_id"),
+            col("embedding"))
+          .write.mode("overwrite").parquet(s"$wd/delta/batch=0")
+        measure(s"absorb_log idx=$tag") {
+          graft.streaming.StreamingJobs.ivfAbsorbLog(spark, s"$wd/idx", wd)
+            .size.toLong
+        }
+      }
+      spark.stop()
+      return
+    }
+
     if (args.lift(2).contains("r17")) {
       def ensure(path: String)(gen: => Unit): Unit = ensureSuccess(path)(gen)
       // --- gr02: 100 id-offset disjoint graph copies (component

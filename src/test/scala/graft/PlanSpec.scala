@@ -47,6 +47,25 @@ class PlanSpec extends AnyFunSuite {
     assert(!pp.contains("SortMergeJoin"), pp)
   }
 
+  test("delta-log deletion: the per-batch rewrite anti-joins broadcast — the batch side is never shuffled") {
+    // the st14 scale contract, same shape as the index deletes above:
+    // the tombstone list is metadata-sized and the batch directory is
+    // delta-sized, so the rewrite must stream the batch through a
+    // BroadcastHashJoin LeftAnti (an SMJ would shuffle every touched
+    // batch once per deletion request)
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("plan-st14").toString
+    Tables.load(spark, sf, "embeddings").limit(50)
+      .write.mode("overwrite").parquet(s"$dir/batch=0")
+    val tomb = Seq(1L, 2L).toDF("vec_id")
+    val p = graft.streaming.StreamingJobs
+      .deltaBatchSurvivors(spark, s"$dir/batch=0", tomb, "vec_id")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q02: predicate and column pushdown reach the parquet scan") {
     val plan = planOf("q02_filter_pushdown")
     assert(plan.contains("PushedFilters: ["), plan)

@@ -705,6 +705,169 @@ class StreamingSpec extends AnyFunSuite {
       s"streamed clone not served at rank 1: ${served.toSeq}")
   }
 
+  test("delta-log deletion: only touched batches rewritten, emptied batch stays readable, markers and uncommitted batches fail loud") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val work = java.nio.file.Files.createTempDirectory("st14-del").toString
+    val v = Array.tabulate(8)(_.toFloat + 1f)
+    val in = MemoryStream[(Long, Array[Float])]
+    val q = StreamingJobs.vectorDeltaStream(
+      in.toDF().toDF("vec_id", "embedding"), work)
+    in.addData((1L, v), (2L, v.map(-_)))
+    q.processAllAvailable()
+    in.addData((3L, v.map(_ * 2)), (4L, v.map(_ + 1)))
+    q.processAllAvailable()
+    q.stop()
+    val fs = new org.apache.hadoop.fs.Path(work)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def files(b: Long) = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$work/delta/batch=$b"))
+      .map(st => (st.getPath.getName, st.getModificationTime)).toSet
+    val b0Before = files(0)
+    // ids 3 and 4 are ALL of batch 1: the fully-tombstoned-batch path
+    val touched = StreamingJobs.deltaLogDeleteIds(spark, work,
+      Seq(3L, 4L).toDF("vec_id"))
+    assert(touched == Seq(1L), touched.toString)
+    // the untouched batch keeps its files byte-for-byte (same names,
+    // same mtimes — it was never rewritten)
+    assert(files(0) == b0Before, "untouched batch 0 was rewritten")
+    // the emptied batch keeps a schema-bearing directory: the log
+    // stays readable and serves exactly the survivors
+    assert(StreamingJobs.deltaLog(spark, work)
+      .select("vec_id").as[Long].collect().toSet == Set(1L, 2L))
+    // a tombstone set hitting nothing is a no-op (no dir rewritten)
+    assert(StreamingJobs.deltaLogDeleteIds(spark, work,
+      Seq(99L).toDF("vec_id")).isEmpty)
+    // an UNCOMMITTED touched batch refuses: a resumed stream would
+    // replay it and its whole-dir overwrite resurrects the deleted rows
+    Seq((7L, v)).toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$work/delta/batch=9")
+    val e1 = intercept[IllegalArgumentException] {
+      StreamingJobs.deltaLogDeleteIds(spark, work, Seq(7L).toDF("vec_id"))
+    }
+    assert(e1.getMessage.contains("has not committed"), e1.getMessage)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$work/delta/batch=9"), true)
+    // an interrupted-deletion marker blocks BOTH the read path and a
+    // fresh delete, with the recovery named
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$work/delta_predelete/batch=0"))
+    val e2 = intercept[IllegalArgumentException] {
+      StreamingJobs.deltaLog(spark, work)
+    }
+    assert(e2.getMessage.contains("delta_predelete"), e2.getMessage)
+    intercept[IllegalArgumentException] {
+      StreamingJobs.deltaLogDeleteIds(spark, work, Seq(1L).toDF("vec_id"))
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(s"$work/delta_predelete"), true)
+  }
+
+  test("delta-log absorption: index swap + log GC equals the in-memory absorb, rerun no-ops, leftovers refuse") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val work = java.nio.file.Files.createTempDirectory("st15-abs").toString
+    val corpus = (1 to 20).map(i =>
+        (i.toLong, Array.tabulate(8)(j => (i * (j + 1)).toFloat)))
+      .toDF("vec_id", "embedding")
+    graft.operators.Similarity.ivfBuild(corpus, nlist = 4)
+      .save(s"$work/idx")
+    val in = MemoryStream[(Long, Array[Float])]
+    val q = StreamingJobs.vectorDeltaStream(
+      in.toDF().toDF("vec_id", "embedding"), work)
+    in.addData((100L, Array.tabulate(8)(_.toFloat + 0.5f)))
+    q.processAllAvailable()
+    in.addData((101L, Array.tabulate(8)(j => -(j + 1).toFloat)))
+    q.processAllAvailable()
+    q.stop()
+    val queries = corpus.filter("vec_id <= 3")
+    // the in-memory reference, COLLECTED before the swap mutates the
+    // on-disk index its lazy plan reads from
+    val ref = graft.operators.Similarity.ivfSearch(queries,
+        graft.operators.Similarity.ivfAbsorbDelta(
+          graft.operators.Similarity.ivfLoad(spark, s"$work/idx"),
+          StreamingJobs.deltaLog(spark, work)),
+        3, nprobe = 4).collect().toSeq
+    val absorbed = StreamingJobs.ivfAbsorbLog(spark, s"$work/idx", work)
+    assert(absorbed == Seq(0L, 1L), absorbed.toString)
+    val fs = new org.apache.hadoop.fs.Path(work)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // log emptied, manifest inside the live index proves completion
+    assert(!fs.listStatus(new org.apache.hadoop.fs.Path(s"$work/delta"))
+      .exists(_.getPath.getName.startsWith("batch=")))
+    assert(fs.exists(
+      new org.apache.hadoop.fs.Path(s"$work/idx/_absorbed_batches")))
+    // serve parity: the swapped on-disk index is the in-memory absorb,
+    // row-for-row at full probe
+    val onDisk = graft.operators.Similarity.ivfSearch(queries,
+        graft.operators.Similarity.ivfLoad(spark, s"$work/idx"),
+        3, nprobe = 4).collect().toSeq
+    assert(onDisk == ref, s"on-disk=$onDisk vs in-memory=$ref")
+    // a second absorb over the emptied log is a no-op
+    assert(StreamingJobs.ivfAbsorbLog(spark, s"$work/idx", work).isEmpty)
+    // an interrupted-swap leftover refuses with the recovery named
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$work/idx_preabsorb"))
+    val e1 = intercept[IllegalArgumentException] {
+      StreamingJobs.ivfAbsorbLog(spark, s"$work/idx", work)
+    }
+    assert(e1.getMessage.contains("_absorbed_batches"), e1.getMessage)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$work/idx_preabsorb"), true)
+    // the absorbed-batches marker blocks the read path too
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$work/delta_absorbed/batch=0"))
+    val e2 = intercept[IllegalArgumentException] {
+      StreamingJobs.deltaLog(spark, work)
+    }
+    assert(e2.getMessage.contains("delta_absorbed"), e2.getMessage)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$work/delta_absorbed"), true)
+    // an UNCOMMITTED newest batch refuses the absorb (a resumed stream
+    // would replay it and re-append rows the index now holds)
+    Seq((102L, Array.tabulate(8)(_.toFloat)))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$work/delta/batch=9")
+    val e3 = intercept[IllegalArgumentException] {
+      StreamingJobs.ivfAbsorbLog(spark, s"$work/idx", work)
+    }
+    assert(e3.getMessage.contains("not committed"), e3.getMessage)
+  }
+
+  test("delta-log absorption, IVF-PQ family: swap equals the in-memory absorb and GCs the log") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val work = java.nio.file.Files.createTempDirectory("st16-abs").toString
+    val corpus = (1 to 24).map(i =>
+        (i.toLong, Array.tabulate(8)(j => (i * (j + 1)).toFloat)))
+      .toDF("vec_id", "embedding")
+    graft.operators.Similarity.ivfPqBuild(corpus, nlist = 4, m = 4,
+      codes = 8).save(s"$work/idx")
+    val in = MemoryStream[(Long, Array[Float])]
+    val q = StreamingJobs.vectorDeltaStream(
+      in.toDF().toDF("vec_id", "embedding"), work)
+    in.addData((100L, Array.tabulate(8)(_.toFloat + 0.5f)),
+      (101L, Array.tabulate(8)(j => -(j + 1).toFloat)))
+    q.processAllAvailable()
+    q.stop()
+    val queries = corpus.filter("vec_id <= 3")
+    // the grown corpus is PINNED before the GC empties the log (the
+    // lazy union would otherwise re-read deleted batch directories)
+    val grown = corpus.unionByName(StreamingJobs.deltaLog(spark, work))
+      .localCheckpoint()
+    // in-memory reference, collected before the swap (lazy plans read
+    // the on-disk index)
+    val ref = graft.operators.Similarity.ivfPqSearch(queries,
+        graft.operators.Similarity.ivfPqAbsorbDelta(
+          graft.operators.Similarity.ivfPqLoad(spark, s"$work/idx"),
+          StreamingJobs.deltaLog(spark, work)),
+        grown, 3, nprobe = 4).collect().toSeq
+    val absorbed = StreamingJobs.ivfPqAbsorbLog(spark, s"$work/idx", work)
+    assert(absorbed == Seq(0L), absorbed.toString)
+    val fs = new org.apache.hadoop.fs.Path(work)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.listStatus(new org.apache.hadoop.fs.Path(s"$work/delta"))
+      .exists(_.getPath.getName.startsWith("batch=")))
+    val onDisk = graft.operators.Similarity.ivfPqSearch(queries,
+        graft.operators.Similarity.ivfPqLoad(spark, s"$work/idx"),
+        grown, 3, nprobe = 4).collect().toSeq
+    assert(onDisk == ref, s"on-disk=$onDisk vs in-memory=$ref")
+    assert(StreamingJobs.ivfPqAbsorbLog(spark, s"$work/idx", work).isEmpty)
+  }
+
   test("near-dup screen: catalog loss (app restart) re-registers the surviving registry — never wipes it") {
     // the r18 review finding: an APPLICATION restart kills the
     // in-memory catalog but not the work tree; the resumed stream must
