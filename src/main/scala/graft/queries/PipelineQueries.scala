@@ -382,6 +382,24 @@ object PipelineQueries {
     * and pins recall_ok = 1, so a recall regression OR a broken
     * brute-force baseline breaks the hash match.
     */
+  /** Land `df` as exactly ONE parquet file named `p<phase>-*` under
+    * `in` — each phase must be exactly one micro-batch of a
+    * maxFilesPerTrigger=1 file stream. The shared scaffolding of every
+    * streaming gate that drives batch boundaries by hand
+    * (st10/st11/st12/st14/st15/st16).
+    */
+  private def landPhase(work: String, in: String, phase: Int,
+                        df: DataFrame): Unit = {
+    val staging = s"$work/staging$phase"
+    df.coalesce(1).write.mode("overwrite").parquet(staging)
+    val destP = java.nio.file.Paths.get(in)
+    val files = java.nio.file.Files.list(java.nio.file.Paths.get(staging))
+    try files.filter(_.getFileName.toString.startsWith("part-"))
+      .forEach(p => java.nio.file.Files.move(p,
+        destP.resolve(s"p$phase-${p.getFileName}")))
+    finally files.close()
+  }
+
   private def recallFloor(exact: DataFrame, ann: DataFrame,
                           floorPct: Int): DataFrame =
     exact.select("qid", "cid")
@@ -5070,24 +5088,13 @@ object PipelineQueries {
       val b1 = d.filter(col("doc_id") % 2 === 1).unionAll(
         d.filter(col("doc_id") % 2 === 0 && col("doc_id") < 40)
           .select((col("doc_id") + 10000001L).as("doc_id"), col("text")))
-      def land(phase: Int, df: DataFrame): Unit = {
-        // ONE file per phase: each phase must be exactly one micro-batch
-        val staging = s"$work/staging$phase"
-        df.coalesce(1).write.mode("overwrite").parquet(staging)
-        val destP = java.nio.file.Paths.get(in)
-        val files = java.nio.file.Files.list(java.nio.file.Paths.get(staging))
-        try files.filter(_.getFileName.toString.startsWith("part-"))
-          .forEach(p => java.nio.file.Files.move(p,
-            destP.resolve(s"p$phase-${p.getFileName}")))
-        finally files.close()
-      }
       val sch = b0.schema
       def stream() = s.readStream.schema(sch)
         .option("maxFilesPerTrigger", "1").parquet(in)
-      land(0, b0)
+      landPhase(work, in, 0, b0)
       val q0 = graft.streaming.StreamingJobs.nearDupScreenStream(stream(), work)
       try q0.processAllAvailable() finally q0.stop() // outage between batches
-      land(1, b1)
+      landPhase(work, in, 1, b1)
       val q1 = graft.streaming.StreamingJobs.nearDupScreenStream(stream(), work)
       try q1.processAllAvailable() finally q1.stop()
       val v = s.read.parquet(s"$work/verdicts")
@@ -5138,24 +5145,13 @@ object PipelineQueries {
       val stale = Similarity.ivfBuild(e.filter(col("vec_id") % 10 =!= 9))
       val d0 = e.filter(col("vec_id") % 20 === 9)
       val d1 = e.filter(col("vec_id") % 20 === 19)
-      def land(phase: Int, df: DataFrame): Unit = {
-        // ONE file per phase: each phase must be exactly one micro-batch
-        val staging = s"$work/staging$phase"
-        df.coalesce(1).write.mode("overwrite").parquet(staging)
-        val destP = java.nio.file.Paths.get(in)
-        val files = java.nio.file.Files.list(java.nio.file.Paths.get(staging))
-        try files.filter(_.getFileName.toString.startsWith("part-"))
-          .forEach(p => java.nio.file.Files.move(p,
-            destP.resolve(s"p$phase-${p.getFileName}")))
-        finally files.close()
-      }
       val sch = e.schema
       def stream() = s.readStream.schema(sch)
         .option("maxFilesPerTrigger", "1").parquet(in)
-      land(0, d0)
+      landPhase(work, in, 0, d0)
       val s0 = graft.streaming.StreamingJobs.vectorDeltaStream(stream(), work)
       try s0.processAllAvailable() finally s0.stop() // outage between batches
-      land(1, d1)
+      landPhase(work, in, 1, d1)
       val s1 = graft.streaming.StreamingJobs.vectorDeltaStream(stream(), work)
       try s1.processAllAvailable() finally s1.stop()
       val served = Similarity.ivfSearchWithDelta(q, stale,
@@ -5205,38 +5201,27 @@ object PipelineQueries {
       val planted = d
         .filter(col("doc_id") % 4 === 0 && col("doc_id") < 40)
         .select((col("doc_id") + 10000001L).as("doc_id"), col("text"))
-      def land(phase: Int, df: DataFrame): Unit = {
-        // ONE file per phase: each phase must be exactly one micro-batch
-        val staging = s"$work/staging$phase"
-        df.coalesce(1).write.mode("overwrite").parquet(staging)
-        val destP = java.nio.file.Paths.get(in)
-        val files = java.nio.file.Files.list(java.nio.file.Paths.get(staging))
-        try files.filter(_.getFileName.toString.startsWith("part-"))
-          .forEach(p => java.nio.file.Files.move(p,
-            destP.resolve(s"p$phase-${p.getFileName}")))
-        finally files.close()
-      }
       val sch = d.schema
       def stream() = s.readStream.schema(sch)
         .option("maxFilesPerTrigger", "1").parquet(in)
       // batches 0..2 land one at a time (deterministic batch order for
       // the registry-seeding prefix); the restart happens mid-cadence,
       // between a compacted batch and the next compaction
-      land(0, d.filter(col("doc_id") % 4 === 0))
+      landPhase(work, in, 0, d.filter(col("doc_id") % 4 === 0))
       val q0 = graft.streaming.StreamingJobs.nearDupScreenStream(stream(),
         work, compactEvery = 1)
       try {
         q0.processAllAvailable()
-        land(1, d.filter(col("doc_id") % 4 === 1))
+        landPhase(work, in, 1, d.filter(col("doc_id") % 4 === 1))
         q0.processAllAvailable()
-        land(2, d.filter(col("doc_id") % 4 === 2))
+        landPhase(work, in, 2, d.filter(col("doc_id") % 4 === 2))
         q0.processAllAvailable()
       } finally q0.stop() // outage
       // batches 3 and 4 land during the outage; their relative order
       // is irrelevant to the invariants (the planted clones' originals
       // are all in the batch-0 registry slice)
-      land(3, d.filter(col("doc_id") % 4 === 3))
-      land(4, planted)
+      landPhase(work, in, 3, d.filter(col("doc_id") % 4 === 3))
+      landPhase(work, in, 4, planted)
       val q1 = graft.streaming.StreamingJobs.nearDupScreenStream(stream(),
         work, compactEvery = 1)
       try q1.processAllAvailable() finally q1.stop()
@@ -5306,25 +5291,14 @@ object PipelineQueries {
       val e = emb(s, dir)
       val q = e.filter(col("vec_id") < 10)
       val stale = Similarity.ivfBuild(e.filter(col("vec_id") % 10 =!= 9))
-      def land(phase: Int, df: DataFrame): Unit = {
-        // ONE file per phase: each phase must be exactly one micro-batch
-        val staging = s"$work/staging$phase"
-        df.coalesce(1).write.mode("overwrite").parquet(staging)
-        val destP = java.nio.file.Paths.get(in)
-        val files = java.nio.file.Files.list(java.nio.file.Paths.get(staging))
-        try files.filter(_.getFileName.toString.startsWith("part-"))
-          .forEach(p => java.nio.file.Files.move(p,
-            destP.resolve(s"p$phase-${p.getFileName}")))
-        finally files.close()
-      }
       val sch = e.schema
       def stream() = s.readStream.schema(sch)
         .option("maxFilesPerTrigger", "1").parquet(in)
-      land(0, e.filter(col("vec_id") % 20 === 9))
+      landPhase(work, in, 0, e.filter(col("vec_id") % 20 === 9))
       val s0 = graft.streaming.StreamingJobs.vectorDeltaStream(stream(), work)
       try {
         s0.processAllAvailable()
-        land(1, e.filter(col("vec_id") % 20 === 19))
+        landPhase(work, in, 1, e.filter(col("vec_id") % 20 === 19))
         s0.processAllAvailable()
       } finally s0.stop()
       val tomb = e.filter(col("vec_id") % 10 === 4 ||
@@ -5379,25 +5353,14 @@ object PipelineQueries {
       val q = e.filter(col("vec_id") < 10)
       Similarity.ivfBuild(e.filter(col("vec_id") % 10 =!= 9))
         .save(s"$work/idx")
-      def land(phase: Int, df: DataFrame): Unit = {
-        // ONE file per phase: each phase must be exactly one micro-batch
-        val staging = s"$work/staging$phase"
-        df.coalesce(1).write.mode("overwrite").parquet(staging)
-        val destP = java.nio.file.Paths.get(in)
-        val files = java.nio.file.Files.list(java.nio.file.Paths.get(staging))
-        try files.filter(_.getFileName.toString.startsWith("part-"))
-          .forEach(p => java.nio.file.Files.move(p,
-            destP.resolve(s"p$phase-${p.getFileName}")))
-        finally files.close()
-      }
       val sch = e.schema
       def stream() = s.readStream.schema(sch)
         .option("maxFilesPerTrigger", "1").parquet(in)
-      land(0, e.filter(col("vec_id") % 20 === 9))
+      landPhase(work, in, 0, e.filter(col("vec_id") % 20 === 9))
       val s0 = graft.streaming.StreamingJobs.vectorDeltaStream(stream(), work)
       try {
         s0.processAllAvailable()
-        land(1, e.filter(col("vec_id") % 20 === 19))
+        landPhase(work, in, 1, e.filter(col("vec_id") % 20 === 19))
         s0.processAllAvailable()
       } finally s0.stop()
       val absorbed = graft.streaming.StreamingJobs.ivfAbsorbLog(
@@ -5407,13 +5370,17 @@ object PipelineQueries {
       val remaining = workFs.listStatus(
           new org.apache.hadoop.fs.Path(s"$work/delta"))
         .count(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+      // emptied = zero DATA rows, still readable through deltaLog (the
+      // one schema-bearing placeholder dir keeps the serve path alive)
+      val logEmpty = remaining <= 1 &&
+        graft.streaming.StreamingJobs.deltaLog(s, work).isEmpty
       val served = Similarity.ivfSearch(q,
         Similarity.ivfLoad(s, s"$work/idx"), 5)
       val out = recallFloor(Similarity.cosineTopK(q, e, 5), served,
           floorPct = 85)
         .select(col("n_exact"), col("recall_ok"),
           lit(absorbed.size.toLong).as("n_absorbed"),
-          lit(if (remaining == 0) 1L else 0L).as("log_empty"),
+          lit(if (logEmpty) 1L else 0L).as("log_empty"),
           lit(if (noop.isEmpty) 1L else 0L).as("absorb_noop"))
         .localCheckpoint() // pin the verdict, then drop the work tree
       workFs.delete(workP, true)
@@ -5447,25 +5414,14 @@ object PipelineQueries {
       val q = e.filter(col("vec_id") < 10)
       Similarity.ivfPqBuild(e.filter(col("vec_id") % 10 =!= 9))
         .save(s"$work/idx")
-      def land(phase: Int, df: DataFrame): Unit = {
-        // ONE file per phase: each phase must be exactly one micro-batch
-        val staging = s"$work/staging$phase"
-        df.coalesce(1).write.mode("overwrite").parquet(staging)
-        val destP = java.nio.file.Paths.get(in)
-        val files = java.nio.file.Files.list(java.nio.file.Paths.get(staging))
-        try files.filter(_.getFileName.toString.startsWith("part-"))
-          .forEach(p => java.nio.file.Files.move(p,
-            destP.resolve(s"p$phase-${p.getFileName}")))
-        finally files.close()
-      }
       val sch = e.schema
       def stream() = s.readStream.schema(sch)
         .option("maxFilesPerTrigger", "1").parquet(in)
-      land(0, e.filter(col("vec_id") % 20 === 9))
+      landPhase(work, in, 0, e.filter(col("vec_id") % 20 === 9))
       val s0 = graft.streaming.StreamingJobs.vectorDeltaStream(stream(), work)
       try {
         s0.processAllAvailable()
-        land(1, e.filter(col("vec_id") % 20 === 19))
+        landPhase(work, in, 1, e.filter(col("vec_id") % 20 === 19))
         s0.processAllAvailable()
       } finally s0.stop()
       val absorbed = graft.streaming.StreamingJobs.ivfPqAbsorbLog(
@@ -5475,13 +5431,17 @@ object PipelineQueries {
       val remaining = workFs.listStatus(
           new org.apache.hadoop.fs.Path(s"$work/delta"))
         .count(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+      // emptied = zero DATA rows, still readable through deltaLog (the
+      // one schema-bearing placeholder dir keeps the serve path alive)
+      val logEmpty = remaining <= 1 &&
+        graft.streaming.StreamingJobs.deltaLog(s, work).isEmpty
       val served = Similarity.ivfPqSearch(q,
         Similarity.ivfPqLoad(s, s"$work/idx"), e, 5)
       val out = recallFloor(Similarity.l2TopK(q, e, 5), served,
           floorPct = 80)
         .select(col("n_exact"), col("recall_ok"),
           lit(absorbed.size.toLong).as("n_absorbed"),
-          lit(if (remaining == 0) 1L else 0L).as("log_empty"),
+          lit(if (logEmpty) 1L else 0L).as("log_empty"),
           lit(if (noop.isEmpty) 1L else 0L).as("absorb_noop"))
         .localCheckpoint() // pin the verdict, then drop the work tree
       workFs.delete(workP, true)

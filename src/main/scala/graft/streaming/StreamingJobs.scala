@@ -1065,22 +1065,34 @@ object StreamingJobs {
 
   /** Fail loudly when a delta-log maintenance marker is present — the
     * shared refusal behind [[deltaLog]], [[deltaLogDeleteIds]] and the
-    * absorb arms. Each message names the marker AND the recovery.
+    * absorb arms. Each message names the marker AND the recovery. An
+    * EMPTY marker directory is cleared instead of refused: it is the
+    * residue of a move that moved nothing (the mkdirs ran, the first
+    * rename failed), so it provably holds nothing to restore and
+    * refusing over it would misdirect the operator toward repairing a
+    * log whose bytes are fully consistent.
     */
   private def requireNoDeltaMarkers(fs: FileSystem, workDir: String,
                                     what: String): Unit = {
-    require(!fs.exists(new Path(s"$workDir/delta_predelete")),
+    def holdsState(p: Path): Boolean =
+      fs.exists(p) && {
+        if (fs.listStatus(p).isEmpty) { fs.delete(p, true); false }
+        else true
+      }
+    require(!holdsState(new Path(s"$workDir/delta_predelete")),
       s"$what: interrupted deletion — $workDir/delta_predelete still " +
         "holds pre-delete batch directories; if the rewritten batch is " +
         "installed under delta/ delete the marker, otherwise restore " +
         "its contents to delta/ before reading or deleting again")
-    require(!fs.exists(new Path(s"$workDir/delta_absorbed")),
+    require(!holdsState(new Path(s"$workDir/delta_absorbed")),
       s"$what: interrupted absorption — $workDir/delta_absorbed still " +
         "holds absorbed batch directories; if the index swap completed " +
         "(the live index directory lists these batches in " +
-        "_absorbed_batches) delete the marker, otherwise restore its " +
-        "contents to delta/ and delete the _absorbing index directory " +
-        "before reading or absorbing again")
+        "_absorbed_batches) delete the marker; if the index directory " +
+        "is MISSING, restore it from its *_preabsorb sibling first; " +
+        "otherwise restore the marker's contents to delta/ and delete " +
+        "the _absorbing index directory before reading or absorbing " +
+        "again")
   }
 
   /** Delete vectors from the streaming append log by id — the
@@ -1250,9 +1262,17 @@ object StreamingJobs {
     *    moved batches; reads and maintenance refuse over it, and the
     *    recovery (restore to delta/, drop staging) is in the message;
     *  - between the two index renames: `_preabsorb` additionally holds
-    *    the previous index — refused, restore named;
+    *    the previous index — refused (the preabsorb message, checked
+    *    first, carries this window's full recovery);
     *  - after the swap: `_absorbed_batches` inside the live index
-    *    proves completion — the fix is deleting the two leftovers.
+    *    proves completion — the fix is carrying any sibling artifacts
+    *    (cellstats) out of `_preabsorb`, then deleting the leftovers.
+    *
+    * The emptied log keeps one zero-row schema-bearing placeholder
+    * directory (keyed by the highest absorbed batch id), so
+    * [[deltaLog]] — and every serve composed over it — stays readable
+    * between an absorb and the next append; a later absorb treats a
+    * placeholder-only log as a no-op (zero rows fold nothing).
     *
     * At-rest/committed contract as [[deleteFromRegistry]]: stream
     * stopped, and with a checkpoint present the newest absorbed batch
@@ -1267,15 +1287,23 @@ object StreamingJobs {
     val deltaDir = s"$workDir/delta"
     val fs = new Path(deltaDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    requireNoDeltaMarkers(fs, workDir, what)
+    // preabsorb is checked FIRST: after a crash between the two index
+    // renames BOTH it and delta_absorbed exist, and this is the message
+    // with the complete recovery (the marker check's would be shown
+    // instead and its happy-path branches don't apply to that window)
     val preAbs = new Path(s"${indexPath}_preabsorb")
     require(!fs.exists(preAbs),
       s"$what: interrupted absorption — $preAbs still holds the " +
         s"previous index; if $indexPath/_absorbed_batches exists the " +
-        s"swap completed (delete $preAbs and $workDir/delta_absorbed), " +
-        s"otherwise restore $preAbs to $indexPath before absorbing " +
-        "again")
-    require(fs.exists(new Path(indexPath)), s"no index at $indexPath")
+        s"swap completed (move any extra artifacts such as cellstats " +
+        s"from $preAbs into $indexPath, then delete $preAbs and " +
+        s"$workDir/delta_absorbed), otherwise restore $preAbs to " +
+        s"$indexPath and the $workDir/delta_absorbed batches to " +
+        "delta/ before absorbing again")
+    requireNoDeltaMarkers(fs, workDir, what)
+    require(fs.exists(new Path(indexPath)),
+      s"no index at $indexPath (if ${indexPath}_preabsorb exists, " +
+        "restore it there first)")
     if (!fs.exists(new Path(deltaDir))) return Nil // no log yet: no-op
     val batches = fs.listStatus(new Path(deltaDir)).iterator
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
@@ -1292,6 +1320,11 @@ object StreamingJobs {
           "let the commit land (or discard ckpt/) before absorbing")
     val delta = spark.read.parquet(
       batches.map(b => s"$deltaDir/batch=$b"): _*)
+    // a log holding only the zero-row placeholder a previous absorb
+    // left (or fully-tombstoned batches) has nothing to fold — a
+    // rewrite of the whole index for zero rows would be all cost and
+    // no state change. One limit-1 read, never a full delta pass.
+    if (delta.isEmpty) return Nil
     val absorbing = s"${indexPath}_absorbing"
     fs.delete(new Path(absorbing), true) // pre-swap leftover: garbage
     absorbTo(delta, absorbing)
@@ -1317,11 +1350,34 @@ object StreamingJobs {
       sys.error(s"$what: could not install $absorbing — the previous " +
         s"index is intact at $preAbs; restore it to $indexPath and the " +
         s"$absRoot batches to delta/")
+    // sibling artifacts the save functions don't know about (e.g. the
+    // cellstats drift baseline, which must KEEP describing the BUILD's
+    // expectation — ivfDriftCheck prices drift against the build, not
+    // against the absorbed state) carry over into the installed index
+    // before the superseded directory is dropped
+    fs.listStatus(preAbs).foreach { st =>
+      val dest = new Path(indexPath, st.getPath.getName)
+      if (!fs.exists(dest) && !fs.rename(st.getPath, dest))
+        sys.error(s"$what: swap COMPLETED but the sibling artifact " +
+          s"${st.getPath.getName} could not be carried from $preAbs " +
+          s"into $indexPath — move it manually, then delete $preAbs " +
+          s"and $absRoot")
+    }
     // swap complete: the two leftovers are superseded data — a failed
     // delete must raise (reads stay locked out over delta_absorbed)
     if (!fs.delete(preAbs, true))
       sys.error(s"$what: swap COMPLETED but the superseded index at " +
         s"$preAbs could not be deleted — delete it manually")
+    // the emptied log keeps ONE zero-row schema-bearing placeholder
+    // (keyed by the highest absorbed batch — committed, so a resumed
+    // stream never collides with it): deltaLog stays readable between
+    // an absorb and the next append, exactly the guarantee the delete
+    // path's fully-tombstoned rewrite provides. Built from the schema,
+    // never the (already-moved) batch paths.
+    spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), delta.schema)
+      .write.mode("overwrite")
+      .parquet(s"$deltaDir/batch=${batches.max}")
     if (!fs.delete(absRoot, true))
       sys.error(s"$what: swap COMPLETED but the absorbed batches at " +
         s"$absRoot could not be deleted — delete them manually to " +

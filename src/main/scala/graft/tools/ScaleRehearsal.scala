@@ -637,8 +637,14 @@ object ScaleRehearsal {
             .size.toLong
         }
         measure(f"log_delete_allbatch log=${f}x") {
+          // one surviving id per residue class: ids 16..31 cover every
+          // batch EXCEPT that 19 (≡3) was already deleted by the
+          // one-batch row above — residue 3 rides 64·16+3 instead, so
+          // this row genuinely rewrites all 16 directories
           graft.streaming.StreamingJobs.deltaLogDeleteIds(spark, wd,
-            spark.range(nBatches.toLong).select(col("id").as("vec_id")))
+            spark.range(nBatches.toLong).select(
+              when(col("id") === 3, lit(64L * nBatches + 3))
+                .otherwise(col("id") + nBatches).as("vec_id")))
             .size.toLong
         }
       }

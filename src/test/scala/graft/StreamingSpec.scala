@@ -758,6 +758,12 @@ class StreamingSpec extends AnyFunSuite {
       StreamingJobs.deltaLogDeleteIds(spark, work, Seq(1L).toDF("vec_id"))
     }
     fs.delete(new org.apache.hadoop.fs.Path(s"$work/delta_predelete"), true)
+    // an EMPTY marker (a failed move that moved nothing) self-clears:
+    // it provably holds nothing to restore, so refusing over it would
+    // misdirect the operator toward repairing a consistent log
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$work/delta_predelete"))
+    assert(StreamingJobs.deltaLog(spark, work).count() == 2)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$work/delta_predelete")))
   }
 
   test("delta-log absorption: index swap + log GC equals the in-memory absorb, rerun no-ops, leftovers refuse") {
@@ -778,6 +784,13 @@ class StreamingSpec extends AnyFunSuite {
     q.processAllAvailable()
     q.stop()
     val queries = corpus.filter("vec_id <= 3")
+    // a sibling artifact (the drift baseline) must survive the swap —
+    // it describes the BUILD's expectation and absorb never retrains
+    graft.operators.Similarity.ivfSaveStats(
+      graft.operators.Similarity.ivfLoad(spark, s"$work/idx"),
+      s"$work/idx")
+    val statsBefore = graft.operators.Similarity
+      .ivfLoadStats(spark, s"$work/idx").collect().toSet
     // the in-memory reference, COLLECTED before the swap mutates the
     // on-disk index its lazy plan reads from
     val ref = graft.operators.Similarity.ivfSearch(queries,
@@ -789,11 +802,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(absorbed == Seq(0L, 1L), absorbed.toString)
     val fs = new org.apache.hadoop.fs.Path(work)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // log emptied, manifest inside the live index proves completion
-    assert(!fs.listStatus(new org.apache.hadoop.fs.Path(s"$work/delta"))
-      .exists(_.getPath.getName.startsWith("batch=")))
+    // log emptied DOWN TO the zero-row schema-bearing placeholder: the
+    // serve path (deltaLog) stays readable between absorb and the next
+    // append, and the placeholder rides the highest absorbed batch id
+    val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$work/delta"))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+      .map(_.getPath.getName).toSeq
+    assert(dirs == Seq("batch=1"), dirs.toString)
+    assert(StreamingJobs.deltaLog(spark, work).isEmpty)
     assert(fs.exists(
       new org.apache.hadoop.fs.Path(s"$work/idx/_absorbed_batches")))
+    // the drift baseline carried over, byte-identical
+    assert(graft.operators.Similarity
+      .ivfLoadStats(spark, s"$work/idx").collect().toSet == statsBefore)
     // serve parity: the swapped on-disk index is the in-memory absorb,
     // row-for-row at full probe
     val onDisk = graft.operators.Similarity.ivfSearch(queries,
@@ -857,10 +878,8 @@ class StreamingSpec extends AnyFunSuite {
         grown, 3, nprobe = 4).collect().toSeq
     val absorbed = StreamingJobs.ivfPqAbsorbLog(spark, s"$work/idx", work)
     assert(absorbed == Seq(0L), absorbed.toString)
-    val fs = new org.apache.hadoop.fs.Path(work)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    assert(!fs.listStatus(new org.apache.hadoop.fs.Path(s"$work/delta"))
-      .exists(_.getPath.getName.startsWith("batch=")))
+    // zero data rows behind the readable placeholder (the st15 shape)
+    assert(StreamingJobs.deltaLog(spark, work).isEmpty)
     val onDisk = graft.operators.Similarity.ivfPqSearch(queries,
         graft.operators.Similarity.ivfPqLoad(spark, s"$work/idx"),
         grown, 3, nprobe = 4).collect().toSeq
