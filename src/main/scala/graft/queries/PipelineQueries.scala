@@ -5047,6 +5047,49 @@ object PipelineQueries {
         .orderBy("user_id")
     },
 
+    // CDC RETENTION WINDOW — the TTL arm of the st08 maintained table,
+    // dd23's discipline on the keyed store: cdcRetention rewrites the
+    // buckets keeping only keys whose LAST merged update is inside the
+    // window, committed as a revision (maintenance stays out of the
+    // stream's batch-id space) with the displaced partitions GC'd. The
+    // plant makes the horizon BIND deterministically: batch 1 carries
+    // the post-horizon events of every user EXCEPT user_id % 10 == 7,
+    // so those users' last update stays pre-horizon and they age out
+    // (1/15/150 users at the three SFs) while everyone else survives
+    // with row and count untouched. No tombstone bookkeeping: the
+    // key's own last-update time is the provenance that ages it out.
+    QueryDef("st17_cdc_retention",
+      """WITH src AS (SELECT user_id, ts, event_id FROM events
+        |    WHERE ts < TIMESTAMP '2024-01-10 00:00:00'
+        |       OR user_id % 10 <> 7),
+        | l AS (SELECT user_id, ts, event_id,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY ts DESC, event_id DESC) AS r,
+        |    count(*) OVER (PARTITION BY user_id) AS n
+        |  FROM src),
+        | keep AS (SELECT user_id FROM src GROUP BY user_id
+        |          HAVING max(ts) >= TIMESTAMP '2024-01-10 00:00:00')
+        |SELECT user_id, event_id AS last_event_id,
+        |  CAST(ts AS TIMESTAMP) AS last_ts, CAST(n AS BIGINT) AS n_updates
+        |FROM l JOIN keep USING (user_id)
+        |WHERE r = 1 ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val work = java.nio.file.Files.createTempDirectory("graft-st17").toString
+      val ev = Tables.events(s, dir).select("event_id", "ts", "user_id")
+      val cut = to_timestamp(lit("2024-01-10 00:00:00"))
+      graft.streaming.StreamingJobs.cdcApplyBatch(
+        ev.filter(col("ts") < cut), 0L, work, 8)
+      graft.streaming.StreamingJobs.cdcApplyBatch(
+        ev.filter(col("ts") >= cut && col("user_id") % 10 =!= 7), 1L,
+        work, 8)
+      graft.streaming.StreamingJobs.cdcRetention(s, work, cut)
+      graft.streaming.StreamingJobs.cdcTable(s, work)
+        .select(col("user_id"),
+          col("_m.event_id").as("last_event_id"),
+          col("_m.ts").cast(TimestampNTZType).as("last_ts"),
+          col("n_updates"))
+        .orderBy("user_id")
+    },
+
     // Streaming NEAR-dup ingestion screen — dd19's registry lifecycle
     // as a streaming job: batch 0 (the even docs) seeds the signature
     // registry from an empty start; batch 1 (the odd docs plus 20

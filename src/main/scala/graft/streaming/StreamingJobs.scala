@@ -3,7 +3,7 @@ package graft.streaming
 import java.sql.Timestamp
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
@@ -403,31 +403,82 @@ object StreamingJobs {
     * revision to the merge's newer commit).
     */
   def cdcDeleteKeys(spark: org.apache.spark.sql.SparkSession,
-                    workDir: String, keys: DataFrame): Unit = {
+                    workDir: String, keys: DataFrame): Unit =
+    cdcRewriteCommit(spark, workDir, "cdcDeleteKeys")(
+      { (buckets, map) =>
+        val idType = spark.read.parquet(map.values.head)
+          .schema("user_id").dataType
+        val kCol = keys.columns.head
+        val tomb = keys.select(graft.operators.Similarity.castTombstone(
+          col(kCol), idType, "cdcDeleteKeys").as("user_id")).distinct()
+        // metadata-sized: ≤ buckets rows, the cdcApplyBatch discipline
+        val touched = tomb.select(
+            pmod(xxhash64(col("user_id")), lit(buckets.toLong))
+              .cast(IntegerType).as("_b"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        (touched, df => df.join(broadcast(tomb), Seq("user_id"), "left_anti"))
+      })
+
+  /** Age keys out of the maintained CDC table by LAST-UPDATE time —
+    * the TTL arm of the st08 lifecycle, the dd23 retention discipline
+    * applied to the keyed store: every bucket is rewritten keeping
+    * only keys whose latest merged update (`_m.ts`) satisfies
+    * `_m.ts >= retainSince`, committed as a REVISION of the latest
+    * batch (the [[cdcDeleteKeys]] pattern — maintenance never occupies
+    * the stream's batch-id space, replayed batches still no-op) and
+    * the displaced pre-retention partitions GC'd, so aged-out rows
+    * leave STORAGE. An inactive key needs no tombstone bookkeeping:
+    * its own last-update time is the provenance that ages it out, and
+    * a key that becomes active again after aging out simply re-enters
+    * through the next merge like a never-seen one (its update count
+    * restarts — the table answers "state within the retention window",
+    * not all-time history).
+    *
+    * `retainSince` is a Column so the caller controls the timestamp
+    * semantics (e.g. `to_timestamp(lit("2024-01-10 00:00:00"))` rides
+    * the session time zone; a java.sql.Timestamp literal would ride
+    * the JVM default).
+    *
+    * Unlike deletion — O(touched buckets) by nature — retention is a
+    * FULL-TABLE fold (any bucket may hold stale keys), the same
+    * honest O(store) cost as the registry's retention fold, amortized
+    * the same way: run it on the maintenance cadence, never per
+    * batch. Same at-rest/single-writer contract as cdcDeleteKeys.
+    */
+  def cdcRetention(spark: org.apache.spark.sql.SparkSession,
+                   workDir: String, retainSince: Column): Unit =
+    cdcRewriteCommit(spark, workDir, "cdcRetention")(
+      (_, map) => (map.keys.toSeq, df => df.filter(col("_m.ts") >= retainSince)))
+
+  /** The ONE bucket-rewrite + revision-commit core behind
+    * [[cdcDeleteKeys]] and [[cdcRetention]]: `pick(buckets, map)`
+    * returns the bucket ids to rewrite and the row-level transform;
+    * the rewrite lands as generation `gen{N}r{R}`, buckets emptied by
+    * the transform leave the commit map entirely (absent bucket = no
+    * rows; a later merge touching one starts fresh, exactly like a
+    * never-written one), the revision commit renames in atomically,
+    * and [[cdcGc]] removes the displaced pre-rewrite partitions so
+    * rows leave storage, not just the view.
+    */
+  private def cdcRewriteCommit(spark: org.apache.spark.sql.SparkSession,
+                               workDir: String, what: String)
+                              (pick: (Int, Map[Int, String]) =>
+                                (Seq[Int], DataFrame => DataFrame)): Unit = {
     val fs = cdcFs(spark, workDir)
     val commits = cdcCommitKeys(fs, workDir)
     require(commits.nonEmpty, s"no committed CDC generation under $workDir")
     val latest = commits.head
     val (buckets, map) = cdcParseCommit(fs, workDir, latest)
     if (map.isEmpty) return
-    val idType = spark.read.parquet(map.values.head)
-      .schema("user_id").dataType
-    val kCol = keys.columns.head
-    val tomb = keys.select(graft.operators.Similarity.castTombstone(
-      col(kCol), idType, "cdcDeleteKeys").as("user_id")).distinct()
-    val bucketOf = pmod(xxhash64(col("user_id")), lit(buckets.toLong))
-    // metadata-sized: ≤ buckets rows, the cdcApplyBatch discipline
-    val touched = tomb.select(bucketOf.cast(IntegerType).as("_b"))
-      .distinct().collect().map(_.getInt(0)).filter(map.contains).sorted
+    val (picked, transform) = pick(buckets, map)
+    val touched = picked.filter(map.contains).distinct.sorted
     if (touched.isEmpty) return
+    val bucketOf = pmod(xxhash64(col("user_id")), lit(buckets.toLong))
     val genDir = s"$workDir/gen${latest._1}r${latest._2 + 1}"
-    spark.read.parquet(touched.map(map).distinct.sorted.toIndexedSeq: _*)
-      .join(broadcast(tomb), Seq("user_id"), "left_anti")
+    transform(
+        spark.read.parquet(touched.map(map).distinct.sorted.toIndexedSeq: _*))
       .withColumn("_bucket", bucketOf)
       .write.mode("overwrite").partitionBy("_bucket").parquet(genDir)
-    // a bucket whose every key was tombstoned writes no partition dir —
-    // it leaves the map entirely (absent bucket = no rows, and a later
-    // merge touching it starts fresh, exactly like a never-written one)
     val rewritten = touched.map(b => b -> s"$genDir/_bucket=$b")
       .filter { case (_, p) => fs.exists(new Path(p)) }
     val newMap = (map -- touched) ++ rewritten
@@ -439,7 +490,7 @@ object StreamingJobs {
       .map { case (b, p) => s"$b\t$p" }).mkString("\n").getBytes("UTF-8"))
     finally out.close()
     if (!fs.rename(tmp, commit))
-      sys.error(s"cdcDeleteKeys: could not commit $commit — the table " +
+      sys.error(s"$what: could not commit $commit — the table " +
         "is unchanged (the previous commit remains authoritative)")
     cdcGc(fs, workDir)
   }

@@ -665,6 +665,28 @@ object ScaleRehearsal {
             .size.toLong
         }
       }
+      // (3) cdcRetention across table decades — retention is by nature
+      // a FULL-TABLE fold (any bucket may hold stale keys), so its
+      // wall must track the TABLE (the honest O(store) curve, the
+      // registry-retention shape), amortized by the maintenance
+      // cadence; contrast with cdc_delete_1key's O(touched) flatness.
+      val t0ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      val t1ts = java.sql.Timestamp.valueOf("2024-02-01 00:00:00")
+      for (k <- Seq(200000L, 2000000L)) {
+        val wd = s"$work/retaincdc-k$k"
+        val p = new org.apache.hadoop.fs.Path(wd)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+        // half the keys last-updated before the horizon, half after
+        val big = spark.range(k).select(col("id").as("event_id"),
+          when(col("id") % 2 === 0, lit(t0ts)).otherwise(lit(t1ts)).as("ts"),
+          col("id").as("user_id"))
+        graft.streaming.StreamingJobs.cdcApplyBatch(big, 0L, wd, 64)
+        measure(f"cdc_retention k=$k%-8d") {
+          graft.streaming.StreamingJobs.cdcRetention(spark, wd,
+            to_timestamp(lit("2024-01-15 00:00:00")))
+          1L
+        }
+      }
       spark.stop()
       return
     }

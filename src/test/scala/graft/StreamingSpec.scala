@@ -599,6 +599,58 @@ class StreamingSpec extends AnyFunSuite {
       40L -> (5L, 1L)), "replayed batch disturbed the revised table")
   }
 
+  test("CDC retention: stale keys age out of table AND storage; reactivated keys restart; replays no-op") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{lit, to_timestamp}
+    val work = java.nio.file.Files.createTempDirectory("cdc-retain").toString
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    def table() = StreamingJobs.cdcTable(spark, work)
+      .select($"user_id", $"_m.event_id".as("last"), $"n_updates")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    StreamingJobs.cdcApplyBatch(
+      Seq((1L, t(1), 10L), (2L, t(2), 20L), (3L, t(3), 30L))
+        .toDF("event_id", "ts", "user_id"), 0L, work, 4)
+    val b1 = Seq((4L, t(10), 10L), (5L, t(12), 40L))
+      .toDF("event_id", "ts", "user_id")
+    StreamingJobs.cdcApplyBatch(b1, 1L, work, 4)
+    // horizon 00:05 — users 20 and 30 last updated before it age out;
+    // 10's history (2 updates, one pre-horizon) survives INTACT: the
+    // window keys on the row's last update, not on per-update pruning
+    StreamingJobs.cdcRetention(spark, work,
+      to_timestamp(lit("2024-01-01 00:05:00")))
+    assert(table() == Map(10L -> (4L, 2L), 40L -> (5L, 1L)),
+      table().toString)
+    // aged-out rows leave STORAGE (the GC deletes displaced partitions)
+    val leaked = spark.read.parquet(
+        StreamingJobs.cdcReadCommit(spark, work).get._3.values.toSeq ++ {
+          val root = new java.io.File(work)
+          root.listFiles().filter(_.getName.startsWith("gen"))
+            .flatMap(_.listFiles()).filter(_.getName.startsWith("_bucket="))
+            .map(_.toString)
+        }.distinct: _*)
+      .filter($"user_id".isin(20L, 30L)).count()
+    assert(leaked == 0, s"$leaked aged-out rows still on disk")
+    // an aged-out key that becomes active again re-enters FRESH (its
+    // update count restarts — retention erased its history)
+    StreamingJobs.cdcApplyBatch(Seq((6L, t(20), 20L))
+      .toDF("event_id", "ts", "user_id"), 2L, work, 4)
+    assert(table() == Map(10L -> (4L, 2L), 20L -> (6L, 1L),
+      40L -> (5L, 1L)), table().toString)
+    // a replayed pre-retention batch still no-ops against the revision
+    StreamingJobs.cdcApplyBatch(b1, 1L, work, 4)
+    assert(table() == Map(10L -> (4L, 2L), 20L -> (6L, 1L),
+      40L -> (5L, 1L)), "replayed batch disturbed the revised table")
+    // maintenance COMPOSES: two at-rest ops without an intervening
+    // batch land as successive revisions of the same batch (c2r1 then
+    // c2r2), never touching the stream's id space
+    StreamingJobs.cdcDeleteKeys(spark, work, Seq(40L).toDF("user_id"))
+    assert(table() == Map(10L -> (4L, 2L), 20L -> (6L, 1L)),
+      table().toString)
+    StreamingJobs.cdcRetention(spark, work,
+      to_timestamp(lit("2024-01-01 00:15:00")))
+    assert(table() == Map(20L -> (6L, 1L)), table().toString)
+  }
+
   test("CDC deletion: deleting every key is legit state — cdcTable fails with semantics, the next batch recreates") {
     import spark.implicits._
     val work = java.nio.file.Files.createTempDirectory("cdc-delall").toString
