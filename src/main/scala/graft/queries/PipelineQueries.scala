@@ -5031,7 +5031,14 @@ object PipelineQueries {
         |SELECT user_id, event_id AS last_event_id,
         |  CAST(ts AS TIMESTAMP) AS last_ts, CAST(n AS BIGINT) AS n_updates
         |FROM l WHERE r = 1 ORDER BY user_id""".stripMargin) { (s, dir) =>
-      val work = java.nio.file.Files.createTempDirectory("graft-st13").toString
+      // name-keyed per SF + deleted before and after (the st10 hygiene):
+      // a fresh temp dir per invocation would leave an events-sized CDC
+      // store in /tmp per bench/verify execution
+      val work = s"${System.getProperty("java.io.tmpdir")}/graft-st13-" +
+        dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      val workP = new org.apache.hadoop.fs.Path(work)
+      val workFs = workP.getFileSystem(s.sparkContext.hadoopConfiguration)
+      workFs.delete(workP, true)
       val ev = Tables.events(s, dir).select("event_id", "ts", "user_id")
       graft.streaming.StreamingJobs.cdcApplyBatch(
         ev.filter(pmod(col("event_id"), lit(2)) === 0), 0L, work, 8)
@@ -5039,12 +5046,15 @@ object PipelineQueries {
         ev.filter(pmod(col("event_id"), lit(2)) === 1), 1L, work, 8)
       graft.streaming.StreamingJobs.cdcDeleteKeys(s, work,
         ev.filter(col("user_id") % 10 === 7).select("user_id").distinct())
-      graft.streaming.StreamingJobs.cdcTable(s, work)
+      val out = graft.streaming.StreamingJobs.cdcTable(s, work)
         .select(col("user_id"),
           col("_m.event_id").as("last_event_id"),
           col("_m.ts").cast(TimestampNTZType).as("last_ts"),
           col("n_updates"))
         .orderBy("user_id")
+        .localCheckpoint() // pin the result, then drop the work tree
+      workFs.delete(workP, true)
+      out
     },
 
     // CDC RETENTION WINDOW — the TTL arm of the st08 maintained table,
@@ -5073,7 +5083,14 @@ object PipelineQueries {
         |  CAST(ts AS TIMESTAMP) AS last_ts, CAST(n AS BIGINT) AS n_updates
         |FROM l JOIN keep USING (user_id)
         |WHERE r = 1 ORDER BY user_id""".stripMargin) { (s, dir) =>
-      val work = java.nio.file.Files.createTempDirectory("graft-st17").toString
+      // name-keyed per SF + deleted before and after (the st10 hygiene):
+      // a fresh temp dir per invocation would leave an events-sized CDC
+      // store in /tmp per bench/verify execution
+      val work = s"${System.getProperty("java.io.tmpdir")}/graft-st17-" +
+        dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      val workP = new org.apache.hadoop.fs.Path(work)
+      val workFs = workP.getFileSystem(s.sparkContext.hadoopConfiguration)
+      workFs.delete(workP, true)
       val ev = Tables.events(s, dir).select("event_id", "ts", "user_id")
       val cut = to_timestamp(lit("2024-01-10 00:00:00"))
       graft.streaming.StreamingJobs.cdcApplyBatch(
@@ -5082,12 +5099,15 @@ object PipelineQueries {
         ev.filter(col("ts") >= cut && col("user_id") % 10 =!= 7), 1L,
         work, 8)
       graft.streaming.StreamingJobs.cdcRetention(s, work, cut)
-      graft.streaming.StreamingJobs.cdcTable(s, work)
+      val out = graft.streaming.StreamingJobs.cdcTable(s, work)
         .select(col("user_id"),
           col("_m.event_id").as("last_event_id"),
           col("_m.ts").cast(TimestampNTZType).as("last_ts"),
           col("n_updates"))
         .orderBy("user_id")
+        .localCheckpoint() // pin the result, then drop the work tree
+      workFs.delete(workP, true)
+      out
     },
 
     // Streaming NEAR-dup ingestion screen — dd19's registry lifecycle

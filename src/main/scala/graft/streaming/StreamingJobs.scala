@@ -201,6 +201,15 @@ object StreamingJobs {
         sum(col("n_updates")).as("n_updates")))
   }
 
+  /** The ONE bucket-routing expression of the CDC table. The merge,
+    * deletion, and retention paths MUST bucket identically — any drift
+    * silently routes keys to buckets maintenance never rewrites while
+    * the view keeps serving them — so the expression exists exactly
+    * once.
+    */
+  private def cdcBucketOf(buckets: Int): Column =
+    pmod(xxhash64(col("user_id")), lit(buckets.toLong))
+
   private def cdcFs(spark: org.apache.spark.sql.SparkSession,
                     workDir: String): FileSystem =
     new Path(workDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -343,7 +352,7 @@ object StreamingJobs {
     }
     val prevMap = committed.map(_._3).getOrElse(Map.empty[Int, String])
 
-    val bucketOf = pmod(xxhash64(col("user_id")), lit(buckets.toLong))
+    val bucketOf = cdcBucketOf(buckets)
     val touched = batch.select(bucketOf.cast(IntegerType).as("_b"))
       .distinct().collect().map(_.getInt(0)).sorted
     if (touched.isEmpty) return false // empty batch: nothing to merge or commit
@@ -413,7 +422,7 @@ object StreamingJobs {
           col(kCol), idType, "cdcDeleteKeys").as("user_id")).distinct()
         // metadata-sized: ≤ buckets rows, the cdcApplyBatch discipline
         val touched = tomb.select(
-            pmod(xxhash64(col("user_id")), lit(buckets.toLong))
+            cdcBucketOf(buckets)
               .cast(IntegerType).as("_b"))
           .distinct().collect().map(_.getInt(0)).toSeq
         (touched, df => df.join(broadcast(tomb), Seq("user_id"), "left_anti"))
@@ -473,7 +482,7 @@ object StreamingJobs {
     val (picked, transform) = pick(buckets, map)
     val touched = picked.filter(map.contains).distinct.sorted
     if (touched.isEmpty) return
-    val bucketOf = pmod(xxhash64(col("user_id")), lit(buckets.toLong))
+    val bucketOf = cdcBucketOf(buckets)
     val genDir = s"$workDir/gen${latest._1}r${latest._2 + 1}"
     transform(
         spark.read.parquet(touched.map(map).distinct.sorted.toIndexedSeq: _*))
@@ -1110,25 +1119,30 @@ object StreamingJobs {
     val p = new Path(s"$workDir/delta")
     requireNoDeltaMarkers(
       p.getFileSystem(spark.sparkContext.hadoopConfiguration),
-      workDir, "deltaLog")
+      workDir, "deltaLog", clearEmpty = false)
     spark.read.parquet(p.toString).drop("batch")
   }
 
   /** Fail loudly when a delta-log maintenance marker is present — the
     * shared refusal behind [[deltaLog]], [[deltaLogDeleteIds]] and the
     * absorb arms. Each message names the marker AND the recovery. An
-    * EMPTY marker directory is cleared instead of refused: it is the
-    * residue of a move that moved nothing (the mkdirs ran, the first
-    * rename failed), so it provably holds nothing to restore and
-    * refusing over it would misdirect the operator toward repairing a
-    * log whose bytes are fully consistent.
+    * EMPTY marker directory is the residue of a move that moved
+    * nothing (the mkdirs ran, the first rename failed): it provably
+    * holds nothing to restore, so it never refuses — and MAINTENANCE
+    * entries (`clearEmpty`) additionally delete it. The READ path must
+    * NOT delete: a concurrent read racing a maintenance writer between
+    * its mkdirs and its first rename would otherwise rip the freshly
+    * created marker out from under the in-flight operation (reads may
+    * legitimately race maintenance — refusal is their only side
+    * effect).
     */
   private def requireNoDeltaMarkers(fs: FileSystem, workDir: String,
-                                    what: String): Unit = {
+                                    what: String,
+                                    clearEmpty: Boolean): Unit = {
     def holdsState(p: Path): Boolean =
       fs.exists(p) && {
-        if (fs.listStatus(p).isEmpty) { fs.delete(p, true); false }
-        else true
+        if (fs.listStatus(p).nonEmpty) true
+        else { if (clearEmpty) fs.delete(p, true); false }
       }
     require(!holdsState(new Path(s"$workDir/delta_predelete")),
       s"$what: interrupted deletion — $workDir/delta_predelete still " +
@@ -1141,9 +1155,10 @@ object StreamingJobs {
         "(the live index directory lists these batches in " +
         "_absorbed_batches) delete the marker; if the index directory " +
         "is MISSING, restore it from its *_preabsorb sibling first; " +
-        "otherwise restore the marker's contents to delta/ and delete " +
-        "the _absorbing index directory before reading or absorbing " +
-        "again")
+        "otherwise restore the marker's contents to delta/ (replacing " +
+        "the zero-row placeholder directory if one shares a batch id) " +
+        "and delete the _absorbing index directory before reading or " +
+        "absorbing again")
   }
 
   /** Delete vectors from the streaming append log by id — the
@@ -1181,7 +1196,8 @@ object StreamingJobs {
     val deltaDir = s"$workDir/delta"
     val fs = new Path(deltaDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    requireNoDeltaMarkers(fs, workDir, "deltaLogDeleteIds")
+    requireNoDeltaMarkers(fs, workDir, "deltaLogDeleteIds",
+      clearEmpty = true)
     // an absent log, or one with zero batch directories (everything
     // absorbed), holds nothing to delete — and a parquet read over the
     // empty directory could not even infer a schema
@@ -1310,8 +1326,11 @@ object StreamingJobs {
     *  - before the batch-dir moves: only `_absorbing` staging exists —
     *    garbage a fresh attempt clears;
     *  - after moves, before the index swap: `delta_absorbed` holds the
-    *    moved batches; reads and maintenance refuse over it, and the
-    *    recovery (restore to delta/, drop staging) is in the message;
+    *    moved batches (the zero-row placeholder lands right after the
+    *    moves, so every later window's recovery ends with a READABLE
+    *    log); reads and maintenance refuse over the marker, and the
+    *    recovery (restore to delta/ — replacing the placeholder where
+    *    the batch id collides — drop staging) is in the message;
     *  - between the two index renames: `_preabsorb` additionally holds
     *    the previous index — refused (the preabsorb message, checked
     *    first, carries this window's full recovery);
@@ -1351,7 +1370,7 @@ object StreamingJobs {
         s"$workDir/delta_absorbed), otherwise restore $preAbs to " +
         s"$indexPath and the $workDir/delta_absorbed batches to " +
         "delta/ before absorbing again")
-    requireNoDeltaMarkers(fs, workDir, what)
+    requireNoDeltaMarkers(fs, workDir, what, clearEmpty = true)
     require(fs.exists(new Path(indexPath)),
       s"no index at $indexPath (if ${indexPath}_preabsorb exists, " +
         "restore it there first)")
@@ -1393,6 +1412,18 @@ object StreamingJobs {
           s"restore any batches already under $absRoot to delta/ and " +
           "retry")
     }
+    // the zero-row schema-bearing placeholder lands IMMEDIATELY after
+    // the moves (keyed by the highest absorbed batch — committed, so a
+    // resumed stream never collides with it): from here on EVERY crash
+    // window leaves a log that reads fine once the markers are cleared
+    // — deltaLog stays readable between an absorb and the next append,
+    // exactly the guarantee the delete path's fully-tombstoned rewrite
+    // provides. Built from the schema, never the (already-moved) batch
+    // paths.
+    spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), delta.schema)
+      .write.mode("overwrite")
+      .parquet(s"$deltaDir/batch=${batches.max}")
     if (!fs.rename(new Path(indexPath), preAbs))
       sys.error(s"$what: could not move $indexPath aside — the log " +
         s"batches are under $absRoot; restore them to delta/ and drop " +
@@ -1419,16 +1450,6 @@ object StreamingJobs {
     if (!fs.delete(preAbs, true))
       sys.error(s"$what: swap COMPLETED but the superseded index at " +
         s"$preAbs could not be deleted — delete it manually")
-    // the emptied log keeps ONE zero-row schema-bearing placeholder
-    // (keyed by the highest absorbed batch — committed, so a resumed
-    // stream never collides with it): deltaLog stays readable between
-    // an absorb and the next append, exactly the guarantee the delete
-    // path's fully-tombstoned rewrite provides. Built from the schema,
-    // never the (already-moved) batch paths.
-    spark.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](), delta.schema)
-      .write.mode("overwrite")
-      .parquet(s"$deltaDir/batch=${batches.max}")
     if (!fs.delete(absRoot, true))
       sys.error(s"$what: swap COMPLETED but the absorbed batches at " +
         s"$absRoot could not be deleted — delete them manually to " +

@@ -601,7 +601,7 @@ class StreamingSpec extends AnyFunSuite {
 
   test("CDC retention: stale keys age out of table AND storage; reactivated keys restart; replays no-op") {
     import spark.implicits._
-    import org.apache.spark.sql.functions.{lit, to_timestamp}
+    import org.apache.spark.sql.functions.lit
     val work = java.nio.file.Files.createTempDirectory("cdc-retain").toString
     def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
     def table() = StreamingJobs.cdcTable(spark, work)
@@ -615,9 +615,12 @@ class StreamingSpec extends AnyFunSuite {
     StreamingJobs.cdcApplyBatch(b1, 1L, work, 4)
     // horizon 00:05 — users 20 and 30 last updated before it age out;
     // 10's history (2 updates, one pre-horizon) survives INTACT: the
-    // window keys on the row's last update, not on per-update pruning
-    StreamingJobs.cdcRetention(spark, work,
-      to_timestamp(lit("2024-01-01 00:05:00")))
+    // window keys on the row's last update, not on per-update pruning.
+    // lit(Timestamp) rides the SAME JVM-default frame as the t() data
+    // instants — a session-tz string literal here would shift the
+    // horizon against the data on any non-UTC host (the cdcRetention
+    // doc's frame warning, exercised)
+    StreamingJobs.cdcRetention(spark, work, lit(t(5)))
     assert(table() == Map(10L -> (4L, 2L), 40L -> (5L, 1L)),
       table().toString)
     // aged-out rows leave STORAGE (the GC deletes displaced partitions)
@@ -646,8 +649,7 @@ class StreamingSpec extends AnyFunSuite {
     StreamingJobs.cdcDeleteKeys(spark, work, Seq(40L).toDF("user_id"))
     assert(table() == Map(10L -> (4L, 2L), 20L -> (6L, 1L)),
       table().toString)
-    StreamingJobs.cdcRetention(spark, work,
-      to_timestamp(lit("2024-01-01 00:15:00")))
+    StreamingJobs.cdcRetention(spark, work, lit(t(15)))
     assert(table() == Map(20L -> (6L, 1L)), table().toString)
   }
 
@@ -810,12 +812,20 @@ class StreamingSpec extends AnyFunSuite {
       StreamingJobs.deltaLogDeleteIds(spark, work, Seq(1L).toDF("vec_id"))
     }
     fs.delete(new org.apache.hadoop.fs.Path(s"$work/delta_predelete"), true)
-    // an EMPTY marker (a failed move that moved nothing) self-clears:
-    // it provably holds nothing to restore, so refusing over it would
-    // misdirect the operator toward repairing a consistent log
+    // an EMPTY marker (a failed move that moved nothing) never
+    // refuses — it provably holds nothing to restore. The READ path
+    // tolerates it WITHOUT mutating (a read racing a maintenance
+    // writer between its mkdirs and first rename must not rip the
+    // fresh marker out from under it); the next MAINTENANCE entry
+    // clears it
     fs.mkdirs(new org.apache.hadoop.fs.Path(s"$work/delta_predelete"))
     assert(StreamingJobs.deltaLog(spark, work).count() == 2)
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$work/delta_predelete")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$work/delta_predelete")),
+      "read path mutated the marker")
+    assert(StreamingJobs.deltaLogDeleteIds(spark, work,
+      Seq(99L).toDF("vec_id")).isEmpty)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$work/delta_predelete")),
+      "maintenance entry left the empty marker")
   }
 
   test("delta-log absorption: index swap + log GC equals the in-memory absorb, rerun no-ops, leftovers refuse") {
