@@ -49,6 +49,43 @@ object PipelineQueries {
       lit("dd15 planted-clone offset 100000 collides with real vec_id "),
       id.cast(StringType))).cast(LongType))
 
+  /** Per-run /tmp work tree for a lifecycle gate (the sim16/st10
+    * hygiene, hardened): name-keyed by (gate, SF dir) so repeated runs
+    * of the same gate inside ONE process reuse — and therefore clean
+    * up — the same tree (Verify and Bench call each query several
+    * times per session; a fresh dir per invocation would leave an
+    * events-sized store in /tmp per call), PLUS this JVM's pid so two
+    * CONCURRENT processes running the same gate at the same SF can
+    * never share a tree — each gate leads with a recursive delete of
+    * its work path, which would otherwise destroy the sibling's
+    * in-flight store mid-query. Crash leftovers (a clean gate deletes
+    * its tree on the way out) are swept here by prefix, but ONLY
+    * entries whose embedded pid is provably dead, so the sweep itself
+    * cannot race a live sibling. Returns a freshly-deleted path.
+    */
+  private def gateWork(s: SparkSession, gate: String, dir: String): String = {
+    val tmp = System.getProperty("java.io.tmpdir")
+    val prefix = s"graft-$gate-" +
+      dir.replaceAll("[^A-Za-z0-9._-]", "_") + ".p"
+    val fs = new org.apache.hadoop.fs.Path(tmp)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val kids = new java.io.File(tmp).listFiles()
+    if (kids != null) kids.foreach { k =>
+      if (k.getName.startsWith(prefix)) {
+        val alive = scala.util.Try(k.getName.drop(prefix.length).toLong)
+          .toOption
+          .flatMap(p => scala.jdk.OptionConverters
+            .RichOptional(ProcessHandle.of(p)).toScala)
+          .exists(_.isAlive)
+        if (!alive)
+          fs.delete(new org.apache.hadoop.fs.Path(k.getAbsolutePath), true)
+      }
+    }
+    val work = s"$tmp/$prefix${ProcessHandle.current().pid()}"
+    fs.delete(new org.apache.hadoop.fs.Path(work), true)
+    work
+  }
+
   /** The exact-decimal cosine top-5 oracle (DuckDB): shared verbatim by
     * sim01 (posexplode/groupBy formulation) and sim02 (one-pass HOF
     * formulation) — both assemble the same exact decimal sums into the
@@ -1795,9 +1832,10 @@ object PipelineQueries {
         Dedup.shingles(reg, "doc_id", "text", 3), "doc_id", 32)
       // one deterministic, name-keyed table + path per SF (sim21
       // hygiene: no collisions, no /tmp accumulation)
-      val sfx = dir.replaceAll("[^A-Za-z0-9_]", "_")
-      val tbl = s"graft_dd20_reg_$sfx"
-      val tblDir = s"${System.getProperty("java.io.tmpdir")}/graft-dd20-$sfx"
+      val tblDir = gateWork(s, "dd20", dir)
+      val tbl = "graft_dd20_reg_" +
+        tblDir.substring(tblDir.lastIndexOf('/') + 1)
+          .replaceAll("[^A-Za-z0-9_]", "_")
       Dedup.writeBandedRegistry(regSigs, "doc_id", tbl, tblDir,
         numHashes = 32, bands = 8, numBuckets = 16)
       val flagged = Dedup.incrementalNearDupBanded(batch,
@@ -1839,8 +1877,7 @@ object PipelineQueries {
         |  CAST(1 AS BIGINT) AS all_flagged,
         |  CAST(1 AS BIGINT) AS compact_ok
         |FROM batch b JOIN rt ON b.text = rt.text""".stripMargin) { (s, dir) =>
-      val work = s"${System.getProperty("java.io.tmpdir")}/graft-dd21-" +
-        dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      val work = gateWork(s, "dd21", dir)
       val workP = new org.apache.hadoop.fs.Path(work)
       val workFs = workP.getFileSystem(s.sparkContext.hadoopConfiguration)
       workFs.delete(workP, true)
@@ -1902,8 +1939,7 @@ object PipelineQueries {
         |  CAST(20 AS BIGINT) AS n_tomb,
         |  CAST(1 AS BIGINT) AS tomb_kept
         |FROM batch b JOIN rt ON b.text = rt.text""".stripMargin) { (s, dir) =>
-      val work = s"${System.getProperty("java.io.tmpdir")}/graft-dd22-" +
-        dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      val work = gateWork(s, "dd22", dir)
       val workP = new org.apache.hadoop.fs.Path(work)
       val workFs = workP.getFileSystem(s.sparkContext.hadoopConfiguration)
       workFs.delete(workP, true)
@@ -1972,8 +2008,7 @@ object PipelineQueries {
         |  CAST(1 AS BIGINT) AS aged_kept,
         |  CAST(1 AS BIGINT) AS one_part
         |FROM batch b JOIN rt ON b.text = rt.text""".stripMargin) { (s, dir) =>
-      val work = s"${System.getProperty("java.io.tmpdir")}/graft-dd23-" +
-        dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      val work = gateWork(s, "dd23", dir)
       val workP = new org.apache.hadoop.fs.Path(work)
       val workFs = workP.getFileSystem(s.sparkContext.hadoopConfiguration)
       workFs.delete(workP, true)
@@ -3156,8 +3191,7 @@ object PipelineQueries {
       // colliding String hashCodes would share one path and an
       // overwrite racing a concurrent read could serve the wrong
       // corpus; the readable name also makes leftovers auditable
-      val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft-sim16-" +
-        dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      val idxDir = gateWork(s, "sim16", dir)
       Similarity.ivfBuild(e).save(idxDir)
       val served = Similarity.ivfSearch(q, Similarity.ivfLoad(s, idxDir), 5)
       val out = recallFloor(Similarity.cosineTopK(q, e, 5), served,
@@ -3308,8 +3342,7 @@ object PipelineQueries {
       val q = e.filter(col("vec_id") < 10)
       // one deterministic, name-keyed index path per SF (the sim16
       // hygiene: no hashCode collisions, no /tmp accumulation)
-      val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft-sim21-" +
-        dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      val idxDir = gateWork(s, "sim21", dir)
       Similarity.ivfPqBuild(e).save(idxDir)
       val served = Similarity.ivfPqSearch(q, Similarity.ivfPqLoad(s, idxDir),
         e, 5)
@@ -3537,8 +3570,7 @@ object PipelineQueries {
     QueryDef("sim24_bq_code_serve", BqTopkSql) { (s, dir) =>
       val e = emb(s, dir)
       val q = e.filter(col("vec_id") < 10)
-      val codesDir = s"${System.getProperty("java.io.tmpdir")}/graft-sim24-" +
-        dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      val codesDir = gateWork(s, "sim24", dir)
       Similarity.binaryCodes(e).write.mode("overwrite").parquet(codesDir)
       val served = Similarity.bqSearch(q, s.read.parquet(codesDir), e, 5)
       // pin the 50-row result before dropping the code table (sim16/21
@@ -5034,8 +5066,7 @@ object PipelineQueries {
       // name-keyed per SF + deleted before and after (the st10 hygiene):
       // a fresh temp dir per invocation would leave an events-sized CDC
       // store in /tmp per bench/verify execution
-      val work = s"${System.getProperty("java.io.tmpdir")}/graft-st13-" +
-        dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      val work = gateWork(s, "st13", dir)
       val workP = new org.apache.hadoop.fs.Path(work)
       val workFs = workP.getFileSystem(s.sparkContext.hadoopConfiguration)
       workFs.delete(workP, true)
@@ -5086,8 +5117,7 @@ object PipelineQueries {
       // name-keyed per SF + deleted before and after (the st10 hygiene):
       // a fresh temp dir per invocation would leave an events-sized CDC
       // store in /tmp per bench/verify execution
-      val work = s"${System.getProperty("java.io.tmpdir")}/graft-st17-" +
-        dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      val work = gateWork(s, "st17", dir)
       val workP = new org.apache.hadoop.fs.Path(work)
       val workFs = workP.getFileSystem(s.sparkContext.hadoopConfiguration)
       workFs.delete(workP, true)
@@ -5139,8 +5169,7 @@ object PipelineQueries {
       // a corpus-sized copy (docs, registry, checkpoint) in /tmp per
       // bench/verify execution; reuse without the pre-delete would
       // resume the old checkpoint and accumulate stale verdict batches
-      val work = s"${System.getProperty("java.io.tmpdir")}/graft-st10-" +
-        dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      val work = gateWork(s, "st10", dir)
       val workP = new org.apache.hadoop.fs.Path(work)
       val workFs = workP.getFileSystem(s.sparkContext.hadoopConfiguration)
       workFs.delete(workP, true)
@@ -5196,8 +5225,7 @@ object PipelineQueries {
         |  CAST(1 AS BIGINT) AS recall_ok
         |FROM (SELECT count(*) AS nq FROM embeddings WHERE vec_id < 10) q,
         |     (SELECT count(*) AS n_all FROM embeddings) c""".stripMargin) { (s, dir) =>
-      val work = s"${System.getProperty("java.io.tmpdir")}/graft-st11-" +
-        dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      val work = gateWork(s, "st11", dir)
       val workP = new org.apache.hadoop.fs.Path(work)
       val workFs = workP.getFileSystem(s.sparkContext.hadoopConfiguration)
       workFs.delete(workP, true)
@@ -5253,8 +5281,7 @@ object PipelineQueries {
         |  CAST((SELECT count(*) FROM cl) AS BIGINT) AS n_clones,
         |  CAST(1 AS BIGINT) AS all_flagged,
         |  CAST(1 AS BIGINT) AS parts_bounded""".stripMargin) { (s, dir) =>
-      val work = s"${System.getProperty("java.io.tmpdir")}/graft-st12-" +
-        dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      val work = gateWork(s, "st12", dir)
       val workP = new org.apache.hadoop.fs.Path(work)
       val workFs = workP.getFileSystem(s.sparkContext.hadoopConfiguration)
       workFs.delete(workP, true)
@@ -5344,8 +5371,7 @@ object PipelineQueries {
         |      WHERE vec_id % 10 <> 4 AND vec_id % 20 <> 19) c,
         |     (SELECT count(*) AS n FROM embeddings
         |      WHERE vec_id % 20 = 9) l""".stripMargin) { (s, dir) =>
-      val work = s"${System.getProperty("java.io.tmpdir")}/graft-st14-" +
-        dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      val work = gateWork(s, "st14", dir)
       val workP = new org.apache.hadoop.fs.Path(work)
       val workFs = workP.getFileSystem(s.sparkContext.hadoopConfiguration)
       workFs.delete(workP, true)
@@ -5405,8 +5431,7 @@ object PipelineQueries {
         |  CAST(1 AS BIGINT) AS absorb_noop
         |FROM (SELECT count(*) AS nq FROM embeddings WHERE vec_id < 10) q,
         |     (SELECT count(*) AS n_all FROM embeddings) c""".stripMargin) { (s, dir) =>
-      val work = s"${System.getProperty("java.io.tmpdir")}/graft-st15-" +
-        dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      val work = gateWork(s, "st15", dir)
       val workP = new org.apache.hadoop.fs.Path(work)
       val workFs = workP.getFileSystem(s.sparkContext.hadoopConfiguration)
       workFs.delete(workP, true)
@@ -5466,8 +5491,7 @@ object PipelineQueries {
         |  CAST(1 AS BIGINT) AS absorb_noop
         |FROM (SELECT count(*) AS nq FROM embeddings WHERE vec_id < 10) q,
         |     (SELECT count(*) AS n_all FROM embeddings) c""".stripMargin) { (s, dir) =>
-      val work = s"${System.getProperty("java.io.tmpdir")}/graft-st16-" +
-        dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      val work = gateWork(s, "st16", dir)
       val workP = new org.apache.hadoop.fs.Path(work)
       val workFs = workP.getFileSystem(s.sparkContext.hadoopConfiguration)
       workFs.delete(workP, true)

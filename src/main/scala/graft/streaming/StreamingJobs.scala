@@ -446,7 +446,13 @@ object StreamingJobs {
     * `retainSince` is a Column so the caller controls the timestamp
     * semantics (e.g. `to_timestamp(lit("2024-01-10 00:00:00"))` rides
     * the session time zone; a java.sql.Timestamp literal would ride
-    * the JVM default).
+    * the JVM default). A key whose merged `_m.ts` is NULL is KEPT, not
+    * aged out: `NULL >= horizon` is never true, so a bare filter would
+    * silently delete exactly the rows whose provenance is missing —
+    * retention must never be the place where a malformed timestamp
+    * turns into a silent deletion. Current merge sources always carry
+    * a non-null ts, so the branch is latent; it exists because this is
+    * public API.
     *
     * Unlike deletion — O(touched buckets) by nature — retention is a
     * FULL-TABLE fold (any bucket may hold stale keys), the same
@@ -457,7 +463,8 @@ object StreamingJobs {
   def cdcRetention(spark: org.apache.spark.sql.SparkSession,
                    workDir: String, retainSince: Column): Unit =
     cdcRewriteCommit(spark, workDir, "cdcRetention")(
-      (_, map) => (map.keys.toSeq, df => df.filter(col("_m.ts") >= retainSince)))
+      (_, map) => (map.keys.toSeq, df => df.filter(
+        col("_m.ts").isNull || col("_m.ts") >= retainSince)))
 
   /** The ONE bucket-rewrite + revision-commit core behind
     * [[cdcDeleteKeys]] and [[cdcRetention]]: `pick(buckets, map)`

@@ -682,8 +682,14 @@ object ScaleRehearsal {
           col("id").as("user_id"))
         graft.streaming.StreamingJobs.cdcApplyBatch(big, 0L, wd, 64)
         measure(f"cdc_retention k=$k%-8d") {
+          // horizon as a Timestamp literal so data and horizon ride the
+          // SAME time frame (the planted ts above are Timestamp
+          // literals; to_timestamp(lit(...)) would ride the session TZ
+          // instead — the mixed-frame foot-gun the verify notes warn
+          // about, benign only while the horizon sits days from both
+          // planted instants)
           graft.streaming.StreamingJobs.cdcRetention(spark, wd,
-            to_timestamp(lit("2024-01-15 00:00:00")))
+            lit(java.sql.Timestamp.valueOf("2024-01-15 00:00:00")))
           1L
         }
       }
