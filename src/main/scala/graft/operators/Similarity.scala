@@ -2076,6 +2076,63 @@ object Similarity {
             call_function("shiftleft", lit(1L), j)).otherwise(0L)
         })).as("code"))
 
+  /** Delete vectors from a binary-quantized code store by id — the
+    * right-to-be-forgotten arm of the BQ family, closing the lifecycle
+    * matrix's last column (registry dd22, IVF/IVF-PQ sim27/sim28, CDC
+    * st13, delta log st14 all ship it; a user who adopted the sim24
+    * persisted-codes shape for its measured 64× byte win could until
+    * now not un-index a document without a full re-encode): the code
+    * table drops the tombstoned rows in ONE bounded broadcast
+    * anti-join on the id key — `tombstones`' FIRST column is the id
+    * set, metadata-sized by nature, so the corpus-sized code side is
+    * never shuffled. There is NO quantizer to touch (the encoder is
+    * per-row sign bits — stateless), so deletion here is even simpler
+    * than sim27's: the deleted store IS [[binaryCodes]] over the
+    * survivors, row-for-row, by construction. The rewrite lands when
+    * the caller persists the returned frame (write-new over the codes
+    * artifact, like every index save here); the re-rank corpus must
+    * stop carrying the deleted rows on the same cadence — a deleted id
+    * can never be SHORTLISTED (its code row is gone), so a stale
+    * re-rank side is the only path back into serving, exactly the
+    * [[ivfPqDeleteIds]] contract.
+    */
+  def bqDeleteIds(codes: DataFrame, tombstones: DataFrame,
+                  idCol: String = "vec_id"): DataFrame = {
+    val tCol = tombstones.columns.head
+    codes.join(
+      broadcast(tombstones
+        .select(castTombstone(col(tCol), codes.schema(idCol).dataType,
+          "bqDeleteIds").as(idCol))
+        .distinct()),
+      Seq(idCol), "left_anti")
+  }
+
+  /** Fold an append log into a binary-quantized code store —
+    * [[ivfAbsorbDelta]]'s contract on the BQ family, and the one place
+    * in the index-lifecycle matrix where absorption is EXACT rather
+    * than a recall trade: the sign-bit encoder has no trained state
+    * (no centroids, no codebook — each row's code is a pure function
+    * of that row), so absorbed rows serve bit-identically to
+    * built-at-rest rows, a second absorb of the same store composes,
+    * and the quantizer-DRIFT column of the lifecycle matrix
+    * (sim29/sim30's ivfDriftCheck) is VACUOUS here by construction —
+    * there is nothing trainable to drift, hence no drift signal and no
+    * rebuild cadence; the BQ lifecycle closes with delete + absorb
+    * alone. Delta rows encode through the ONE shared [[binaryCodes]]
+    * definition and append; at rest this is a parquet append of
+    * `binaryCodes(delta)` — delta-sized IO, nothing rewritten (the
+    * SimilaritySpec pins append-file ≡ this union row-for-row). Same
+    * disjointness contract as every absorb: `delta` is the append log,
+    * its ids must not already be in `codes` (a row in both would hold
+    * two shortlist slots).
+    */
+  def bqAbsorbDelta(codes: DataFrame, delta: DataFrame,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    requireIntegralId(delta, idCol)
+    codes.unionByName(binaryCodes(delta, idCol, vecCol))
+  }
+
   /** Serve [[bqTopK]] against PRE-BUILT codes ([[binaryCodes]] output,
     * typically a persisted parquet table): the hamming scan reads ONLY
     * the ⌈d/64⌉-long code column — 1/64th the bytes of the raw doubles,

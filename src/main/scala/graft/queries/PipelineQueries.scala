@@ -351,10 +351,13 @@ object PipelineQueries {
       |   FROM sim) r
       |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
 
-  // shared by sim23 (fused) and sim24 (served from persisted codes):
-  // both paths must hash-match the IDENTICAL full SQL replay
-  private val BqTopkSql: String =
-      """WITH e0 AS (SELECT vec_id, unnest(embedding) AS rawx,
+  // shared by sim23 (fused), sim24 (served from persisted codes),
+  // sim31 (served after deletion — candidates restricted to the
+  // survivors) and sim32 (served after absorb — grown corpus, default
+  // predicate): every path must hash-match the IDENTICAL full SQL
+  // replay, parameterized only by which vec_ids are in the code store
+  private def bqTopkSql(candWhere: String = ""): String =
+      s"""WITH e0 AS (SELECT vec_id, unnest(embedding) AS rawx,
         |                    unnest(range(1, len(embedding) + 1)) AS i
         |             FROM embeddings),
         | ed AS (SELECT vec_id, i, CAST(rawx AS DOUBLE) AS xd FROM e0),
@@ -363,7 +366,7 @@ object PipelineQueries {
         |           sum(CASE WHEN (q.xd > 0) <> (c.xd > 0)
         |               THEN 1 ELSE 0 END) AS h
         |         FROM ed q JOIN ed c ON q.i = c.i
-        |         WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+        |         WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id$candWhere
         |         GROUP BY 1, 2),
         | sl AS (SELECT qid, cid FROM (
         |          SELECT qid, cid,
@@ -385,6 +388,8 @@ object PipelineQueries {
         |  (SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS BIGINT) AS rank
         |   FROM sim) r
         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
+  private val BqTopkSql: String = bqTopkSql()
 
   /** Memory-sink name sequence for st01: Verify and Bench call each
     * query several times in one session; each run gets a fresh sink so a
@@ -3575,6 +3580,62 @@ object PipelineQueries {
       val served = Similarity.bqSearch(q, s.read.parquet(codesDir), e, 5)
       // pin the 50-row result before dropping the code table (sim16/21
       // hygiene: nothing index-sized lingers in /tmp)
+      val res = served.localCheckpoint()
+      val p = new org.apache.hadoop.fs.Path(codesDir)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      res
+    },
+
+    // BQ code-store DELETION — the last column of the lifecycle
+    // matrix (registry dd22, IVF/IVF-PQ sim27/sim28, CDC st13, delta
+    // log st14): bqDeleteIds drops the % 10 == 9 slice from the
+    // PERSISTED code table (broadcast anti-join on the id key; there
+    // is no quantizer to touch — the encoder is stateless sign bits),
+    // and because the deleted store IS binaryCodes over the survivors
+    // row-for-row by construction, the gate is sim23's FULL SQL replay
+    // restricted to the surviving candidates — a hash match, not a
+    // recall floor, and strictly stronger than sim27's certainty
+    // column: a deleted id in the served shortlist would break the
+    // hash outright.
+    QueryDef("sim31_bq_delete",
+      bqTopkSql(" AND c.vec_id % 10 <> 9")) { (s, dir) =>
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 10)
+      val surv = e.filter(col("vec_id") % 10 =!= 9)
+      val codesDir = gateWork(s, "sim31", dir)
+      Similarity.binaryCodes(e).write.mode("overwrite").parquet(codesDir)
+      val deleted = Similarity.bqDeleteIds(s.read.parquet(codesDir),
+        e.filter(col("vec_id") % 10 === 9).select("vec_id"))
+      // re-rank side drops the rows on the same cadence (the
+      // bqDeleteIds/ivfPqDeleteIds contract: codes gone = never
+      // shortlisted; a stale re-rank source is the only path back)
+      val served = Similarity.bqSearch(q, deleted, surv, 5)
+      val res = served.localCheckpoint()
+      val p = new org.apache.hadoop.fs.Path(codesDir)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      res
+    },
+
+    // BQ code-store ABSORPTION — ivfAbsorbDelta's contract on the BQ
+    // family, and the one absorb in the matrix that is EXACT rather
+    // than a recall trade: the sign-bit encoder has no trained state,
+    // so the absorbed store is bit-identical to building at rest over
+    // the grown corpus (no drift column exists for this family — there
+    // is nothing trainable to drift; the lifecycle closes with
+    // delete + absorb alone). The base (% 5 != 2) persists as parquet,
+    // the delta (% 5 == 2) encodes through the one shared binaryCodes
+    // definition and appends in-plan, and the served result must
+    // hash-match sim23's FULL replay over the grown corpus — the
+    // fused-path oracle, unchanged.
+    QueryDef("sim32_bq_absorb", BqTopkSql) { (s, dir) =>
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 10)
+      val codesDir = gateWork(s, "sim32", dir)
+      Similarity.binaryCodes(e.filter(col("vec_id") % 5 =!= 2))
+        .write.mode("overwrite").parquet(codesDir)
+      val absorbed = Similarity.bqAbsorbDelta(s.read.parquet(codesDir),
+        e.filter(col("vec_id") % 5 === 2))
+      val served = Similarity.bqSearch(q, absorbed, e, 5)
       val res = served.localCheckpoint()
       val p = new org.apache.hadoop.fs.Path(codesDir)
       p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)

@@ -618,6 +618,59 @@ class PipelineSpec extends AnyFunSuite {
       "served binary-quant search diverged from the fused path")
   }
 
+  test("bqDeleteIds: deleted store = survivor codes row-for-row; malformed tombstone raises") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val tomb = e.filter($"vec_id" % 10 === 9).select("vec_id")
+    val surv = e.filter($"vec_id" % 10 =!= 9)
+    def codeSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getSeq[Long](1).toList)).toSet
+    // stateless encoder ⇒ the deleted store IS binaryCodes(survivors),
+    // not merely equivalent under search (sim31's hash-oracle premise)
+    assert(codeSet(Similarity.bqDeleteIds(Similarity.binaryCodes(e), tomb))
+      == codeSet(Similarity.binaryCodes(surv)),
+      "deleted BQ store diverged from survivor re-encode")
+    // a tombstone id that cannot cast to the store's id type must
+    // RAISE, never null-and-skip (the castTombstone contract shared by
+    // every right-to-be-forgotten entry point)
+    val bad = Seq("not-an-id").toDF("vec_id")
+    val ex = intercept[Exception] {
+      Similarity.bqDeleteIds(Similarity.binaryCodes(e), bad).count()
+    }
+    assert(ex.getMessage.contains("bqDeleteIds"), ex.getMessage)
+  }
+
+  test("bqAbsorbDelta: exact absorb — union = at-rest parquet append = grown-corpus re-encode") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val q = e.filter($"vec_id" < 10)
+    val base = e.filter($"vec_id" % 5 =!= 2)
+    val delta = e.filter($"vec_id" % 5 === 2)
+    def codeSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getSeq[Long](1).toList)).toSet
+    val grown = codeSet(Similarity.binaryCodes(e))
+    // in-plan union: absorbed store = building at rest over the grown
+    // corpus (no trained state, so absorption is EXACT — the one
+    // family where the absorb-vs-rebuild trade does not exist)
+    assert(codeSet(Similarity.bqAbsorbDelta(
+      Similarity.binaryCodes(base), delta)) == grown,
+      "absorbed BQ store diverged from grown-corpus re-encode")
+    // at rest the same absorb is a delta-sized parquet APPEND of
+    // binaryCodes(delta) — nothing rewritten; the store reads back
+    // identical to the grown re-encode
+    val d = java.nio.file.Files.createTempDirectory("bq-absorb").toString
+    Similarity.binaryCodes(base).write.mode("overwrite").parquet(d)
+    Similarity.binaryCodes(delta).write.mode("append").parquet(d)
+    assert(codeSet(spark.read.parquet(d)) == grown,
+      "appended BQ store diverged from grown-corpus re-encode")
+    // and the served search over the absorbed store is row-for-row the
+    // fused path over the grown corpus (sim32's gate contract)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toSeq
+    assert(rows(Similarity.bqSearch(q, spark.read.parquet(d), e, 5))
+      == rows(Similarity.bqTopK(q, e, 5)),
+      "absorbed-store serve diverged from fused grown-corpus search")
+  }
+
   test("IVF-PQ staleness remedy: delta rows reach the exact re-rank; empty delta is a no-op") {
     val e = Tables.load(spark, sf, "embeddings")
     val q = e.filter($"vec_id" < 3)
