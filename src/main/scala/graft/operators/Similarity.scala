@@ -1861,6 +1861,125 @@ object Similarity {
         Seq("cid"), "left_anti"))
   }
 
+  /** What [[ivfMaintain]] did and why: the absorbed-or-rebuilt index,
+    * the drift report that decided, and which arm ran. The caller
+    * persists `index` (and re-derives stats with [[ivfSaveStats]] /
+    * [[ivfPqSaveStats]] on the same save — after a rebuild the old
+    * stats price against a quantizer that no longer exists).
+    */
+  final case class IvfMaintainResult(index: IvfIndex,
+                                     report: IvfDriftReport,
+                                     rebuilt: Boolean)
+
+  /** The drift→action composition the signals were built for — closes
+    * the loop sim20/sim25 left as prose and [[ivfDriftCheck]] (sim29)
+    * made measurable but not actionable: ONE maintenance entry point
+    * that prices the append log against the persisted build stats and
+    * routes it — a QUIET delta absorbs ([[ivfAbsorbDelta]]: bounded
+    * delta pass, quantizer untouched, the cheap arm that is correct
+    * almost always), a DRIFTED delta triggers the rebuild the absorb
+    * would silently degrade ([[ivfBuild]] over the grown corpus — the
+    * indexed rows come from the index's own cell table, which carries
+    * the raw vectors, so no external corpus handle is needed; the
+    * quantizer re-trains on the distribution it will actually serve).
+    * Run it on the absorb cadence; the drift check it fronts is one
+    * bounded delta pass, so the quiet path costs what plain absorption
+    * cost, and the rebuild path costs what the rebuild always cost —
+    * now spent exactly when the measurement says it must be.
+    *
+    * EQUIVALENCE (sim33 pins both arms): quiet ⇒ the returned index
+    * serves row-for-row as [[ivfAbsorbDelta]]'s; drifted ⇒ row-for-row
+    * as a fresh [[ivfBuild]] over the grown corpus (build is
+    * value-deterministic — hash-seeded centroids, per-row argmin — so
+    * reconstruction from the cell table changes nothing). Rebuild
+    * keeps the index's own nlist; `rebuildIters`/`rebuildSampleMod`
+    * pass through to [[ivfBuild]] (defaults = build defaults).
+    */
+  def ivfMaintain(index: IvfIndex, stats: DataFrame, delta: DataFrame,
+                  ratioThreshold: Double = 1.5,
+                  shiftThreshold: Double = 0.5,
+                  rebuildIters: Int = 0, rebuildSampleMod: Int = 4,
+                  twoLevelAssign: Boolean = false,
+                  candidateGroups: Int = 2,
+                  twoLevelAutoNlist: Int = 512,
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): IvfMaintainResult = {
+    val report = ivfDriftCheck(stats, index.centroids, delta,
+      ratioThreshold, shiftThreshold, twoLevelAssign, candidateGroups,
+      twoLevelAutoNlist, idCol, vecCol)
+    if (!report.drifted)
+      IvfMaintainResult(ivfAbsorbDelta(index, delta, twoLevelAssign,
+        candidateGroups, twoLevelAutoNlist, idCol, vecCol),
+        report, rebuilt = false)
+    else {
+      logger.warn("graft ivfMaintain: drift verdict REBUILD — " +
+        "re-training the quantizer over the grown corpus instead of " +
+        "absorbing (re-derive stats on save; the old expectations " +
+        "price a quantizer that no longer exists).")
+      val nlist = index.centroids.count().toInt // quantizer-sized
+      val grown = index.cells
+        .select(col("cid").cast(LongType).as(idCol), col("cv").as(vecCol))
+        .unionByName(delta.select(col(idCol).cast(LongType).as(idCol),
+          ivfDbl(col(vecCol)).as(vecCol)))
+      IvfMaintainResult(ivfBuild(grown, nlist, rebuildIters,
+        rebuildSampleMod, twoLevelAssign, candidateGroups,
+        twoLevelAutoNlist, idCol, vecCol), report, rebuilt = true)
+    }
+  }
+
+  /** [[ivfMaintain]]'s result on the production architecture. */
+  final case class IvfPqMaintainResult(index: IvfPqIndex,
+                                       report: IvfDriftReport,
+                                       rebuilt: Boolean)
+
+  /** [[ivfMaintain]] on the production architecture: price the delta
+    * with [[ivfPqDriftCheck]] (squared-L2 residuals — the metric the
+    * ADC path ranks by), absorb if quiet, rebuild if drifted. Unlike
+    * plain IVF the index CANNOT reconstruct its corpus (the codes
+    * table is quantized — residuals are lossy), so the raw `corpus`
+    * rides in explicitly — it is the same handle the serve path
+    * already requires as `rerank`, per the IvfPqIndex contract that
+    * raw vectors live outside the index. Rebuild keeps the index's own
+    * nlist and m (m derived from the codebook when not caller-known,
+    * the [[ivfPqSearch]] pattern); `codes` cannot be derived from a
+    * possibly-gapped codebook, so pass the build's own value when it
+    * wasn't the default.
+    */
+  def ivfPqMaintain(index: IvfPqIndex, stats: DataFrame,
+                    corpus: DataFrame, delta: DataFrame,
+                    ratioThreshold: Double = 1.5,
+                    shiftThreshold: Double = 0.5,
+                    m: Int = -1, codes: Int = 32, refineIters: Int = 0,
+                    twoLevelAssign: Boolean = false,
+                    twoLevelAutoNlist: Int = 512,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): IvfPqMaintainResult = {
+    val report = ivfPqDriftCheck(stats, index.coarse, delta,
+      ratioThreshold, shiftThreshold, twoLevelAssign, twoLevelAutoNlist,
+      idCol, vecCol)
+    if (!report.drifted)
+      IvfPqMaintainResult(ivfPqAbsorbDelta(index, delta, m,
+        twoLevelAssign, twoLevelAutoNlist, idCol, vecCol),
+        report, rebuilt = false)
+    else {
+      logger.warn("graft ivfPqMaintain: drift verdict REBUILD — " +
+        "re-training coarse quantizer and codebook over the grown " +
+        "corpus instead of absorbing (re-derive stats on save).")
+      val nlist = index.coarse.count().toInt // quantizer-sized
+      val mEff =
+        if (m > 0) m
+        else index.codebook.agg(max(col("sub"))).head().getInt(0) + 1
+      val grown = corpus
+        .select(col(idCol).cast(LongType).as(idCol),
+          ivfDbl(col(vecCol)).as(vecCol))
+        .unionByName(delta.select(col(idCol).cast(LongType).as(idCol),
+          ivfDbl(col(vecCol)).as(vecCol)))
+      IvfPqMaintainResult(ivfPqBuild(grown, nlist, mEff, codes,
+        refineIters, twoLevelAssign, twoLevelAutoNlist, idCol, vecCol),
+        report, rebuilt = true)
+    }
+  }
+
   private def ivfPairs(queries: DataFrame, index: IvfIndex, nprobe: Int,
                        twoLevelAssign: Boolean, leaderGroups: Int,
                        idCol: String, vecCol: String): DataFrame = {

@@ -442,6 +442,19 @@ object PipelineQueries {
     finally files.close()
   }
 
+  /** Count of (qid, rank, cid) rows on which two served shortlists
+    * disagree, either direction — the row-for-row equivalence measure
+    * of the sim33/sim34 maintain gates (scores are excluded on
+    * purpose: rank identity IS the semantic claim, and both sides
+    * compute the same deterministic arithmetic anyway). Gate-sized
+    * inputs (≤ nq·k rows each), so the exceptAll exchanges are noise.
+    */
+  private def rankMismatches(a: DataFrame, b: DataFrame): Long = {
+    val ka = a.select(col("qid"), col("rank"), col("cid"))
+    val kb = b.select(col("qid"), col("rank"), col("cid"))
+    ka.exceptAll(kb).count() + kb.exceptAll(ka).count()
+  }
+
   private def recallFloor(exact: DataFrame, ann: DataFrame,
                           floorPct: Int): DataFrame =
     exact.select("qid", "cid")
@@ -3550,6 +3563,98 @@ object PipelineQueries {
       s.range(1).select(lit(clean.nDelta).as("n_delta"),
         lit(if (clean.drifted) 1L else 0L).as("clean_trips"),
         lit(if (moved.drifted) 1L else 0L).as("drifted_trips"))
+    },
+
+    // DRIFT→ACTION composition — the maintain entry point that closes
+    // the loop sim29 measured: ivfMaintain prices the delta against
+    // the persisted build stats and routes it, absorb when quiet,
+    // rebuild when drifted. Invariant gate, both arms equivalence-
+    // checked row-for-row (build is value-deterministic, so the
+    // routed result must be IDENTICAL to calling the arm directly —
+    // zero mismatches, not a floor): a clean clone of a corpus slice
+    // (at fresh ids — absorb's disjointness contract) must take the
+    // absorb arm and serve exactly as ivfAbsorbDelta's index; the
+    // same clone pushed off-distribution must take the rebuild arm
+    // and serve exactly as a fresh ivfBuild over the grown corpus.
+    QueryDef("sim33_ivf_maintain",
+      """SELECT CAST(c.n AS BIGINT) AS n_delta,
+        |  CAST(0 AS BIGINT) AS quiet_rebuilt,
+        |  CAST(0 AS BIGINT) AS quiet_mismatch,
+        |  CAST(1 AS BIGINT) AS drift_rebuilt,
+        |  CAST(0 AS BIGINT) AS drift_mismatch
+        |FROM (SELECT count(*) AS n FROM embeddings
+        |      WHERE vec_id % 7 = 3) c""".stripMargin) { (s, dir) =>
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 10)
+      val idx = Similarity.ivfBuild(e)
+      val stats = Similarity.ivfCellStats(idx).localCheckpoint()
+      val slice = e.filter(col("vec_id") % 7 === 3)
+        .select((col("vec_id") + 200000L).as("vec_id"), col("embedding"))
+      val quiet = Similarity.ivfMaintain(idx, stats, slice)
+      val qm = rankMismatches(
+        Similarity.ivfSearch(q, quiet.index, 5),
+        Similarity.ivfSearch(q, Similarity.ivfAbsorbDelta(idx, slice), 5))
+      val shifted = slice.select(col("vec_id"),
+        transform(col("embedding"), x => x + lit(2.0)).as("embedding"))
+      val moved = Similarity.ivfMaintain(idx, stats, shifted)
+      val grown = e
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast(DoubleType))
+            .as("embedding"))
+        .unionByName(shifted)
+      val dm = rankMismatches(
+        Similarity.ivfSearch(q, moved.index, 5),
+        Similarity.ivfSearch(q, Similarity.ivfBuild(grown), 5))
+      s.range(1).select(lit(moved.report.nDelta).as("n_delta"),
+        lit(if (quiet.rebuilt) 1L else 0L).as("quiet_rebuilt"),
+        lit(qm).as("quiet_mismatch"),
+        lit(if (moved.rebuilt) 1L else 0L).as("drift_rebuilt"),
+        lit(dm).as("drift_mismatch"))
+    },
+
+    // sim33 on the PRODUCTION architecture: ivfPqMaintain routes on
+    // the squared-L2 residual signal (sim30) and rebuilds BOTH
+    // quantizers when it trips — the raw corpus rides in explicitly
+    // (codes are lossy; it is the same handle the serve path already
+    // requires as rerank). Same zero-mismatch equivalence on both
+    // arms, served through the full ADC + exact-re-rank path over the
+    // grown re-rank corpus.
+    QueryDef("sim34_ivfpq_maintain",
+      """SELECT CAST(c.n AS BIGINT) AS n_delta,
+        |  CAST(0 AS BIGINT) AS quiet_rebuilt,
+        |  CAST(0 AS BIGINT) AS quiet_mismatch,
+        |  CAST(1 AS BIGINT) AS drift_rebuilt,
+        |  CAST(0 AS BIGINT) AS drift_mismatch
+        |FROM (SELECT count(*) AS n FROM embeddings
+        |      WHERE vec_id % 7 = 3) c""".stripMargin) { (s, dir) =>
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 10)
+      val idx = Similarity.ivfPqBuild(e)
+      val stats = Similarity.ivfPqCellStats(idx, e).localCheckpoint()
+      val slice = e.filter(col("vec_id") % 7 === 3)
+        .select((col("vec_id") + 200000L).as("vec_id"), col("embedding"))
+      val rerankQuiet = e.select("vec_id", "embedding").unionByName(slice)
+      val quiet = Similarity.ivfPqMaintain(idx, stats, e, slice)
+      val qm = rankMismatches(
+        Similarity.ivfPqSearch(q, quiet.index, rerankQuiet, 5),
+        Similarity.ivfPqSearch(q, Similarity.ivfPqAbsorbDelta(idx, slice),
+          rerankQuiet, 5))
+      val shifted = slice.select(col("vec_id"),
+        transform(col("embedding"), x => x + lit(2.0)).as("embedding"))
+      val moved = Similarity.ivfPqMaintain(idx, stats, e, shifted)
+      val grown = e
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast(DoubleType))
+            .as("embedding"))
+        .unionByName(shifted)
+      val dm = rankMismatches(
+        Similarity.ivfPqSearch(q, moved.index, grown, 5),
+        Similarity.ivfPqSearch(q, Similarity.ivfPqBuild(grown), grown, 5))
+      s.range(1).select(lit(moved.report.nDelta).as("n_delta"),
+        lit(if (quiet.rebuilt) 1L else 0L).as("quiet_rebuilt"),
+        lit(qm).as("quiet_mismatch"),
+        lit(if (moved.rebuilt) 1L else 0L).as("drift_rebuilt"),
+        lit(dm).as("drift_mismatch"))
     },
 
     // BINARY-QUANTIZED two-stage retrieval — the 1-bit compression

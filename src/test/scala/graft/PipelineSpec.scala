@@ -580,6 +580,60 @@ class PipelineSpec extends AnyFunSuite {
       "the absorb that created the hot cell did not trip the drift signal")
   }
 
+  test("ivfMaintain acts on the drift verdict: hot-cell plant rebuilds and de-concentrates") {
+    // the r19skew fixture driven through the maintain entry point: the
+    // mass same-direction plant that ivfAbsorbDelta concentrates into
+    // ONE ≥50%-share cell (previous test) must ROUTE TO REBUILD, and
+    // the re-trained quantizer must dissolve that hot cell — the
+    // measured failure mode of absorbing past the signal is the
+    // serving-skew cell (at gate scale in-cell scoring keeps recall
+    // above floor either way; at 100 TB the hot cell is the join-skew
+    // precursor the drift check exists to prevent). A clean clone
+    // delta through the same entry point must take the absorb arm.
+    val e = Tables.load(spark, sf, "embeddings").select("vec_id", "embedding")
+    val planted = e.select(($"vec_id" + 50000000L).as("vec_id"),
+      transform(sequence(lit(0), lit(63)), j =>
+        (when(j === lit(0), lit(1.0)).otherwise(
+          (pmod(xxhash64($"vec_id", j), lit(101)) - lit(50))
+            .cast("double") / 2500.0)).cast("float")).as("embedding"))
+    val idx = Similarity.ivfBuild(e)
+    val stats = Similarity.ivfCellStats(idx).localCheckpoint()
+    val quiet = Similarity.ivfMaintain(idx, stats,
+      e.select(($"vec_id" + 60000000L).as("vec_id"), $"embedding"))
+    assert(!quiet.rebuilt && !quiet.report.drifted,
+      "an in-distribution clone delta should take the absorb arm")
+    val res = Similarity.ivfMaintain(idx, stats, planted)
+    assert(res.rebuilt && res.report.drifted,
+      "the hot-cell plant did not route to rebuild")
+    // what the rebuild buys is RE-PRICED EXPECTATIONS, not a smaller
+    // max cell: a corpus that is 50% one direction legitimately keeps
+    // a large cell under ANY quantizer (the points really are near-
+    // identical; serving stays skew-free via the broadcast probe path,
+    // previous test), but the rebuilt stats now carry the planted mass
+    // as the new normal — the absorbed-index stats (built pre-plant)
+    // would keep tripping on every further batch of the same stream.
+    val freshStats = Similarity.ivfCellStats(res.index).localCheckpoint()
+    val planted2 = planted.select(($"vec_id" + 70000000L).as("vec_id"),
+      $"embedding")
+    assert(!Similarity.ivfDriftCheck(freshStats, res.index.centroids,
+      planted2).drifted,
+      "post-rebuild stats still flag the re-priced distribution as drift")
+    assert(Similarity.ivfDriftCheck(stats, idx.centroids,
+      planted2).drifted,
+      "fixture drifted — the pre-rebuild stats no longer trip on the plant")
+    // and the rebuilt index serves the grown corpus above the floor
+    val q = e.filter($"vec_id" < 10)
+      .unionAll(planted.filter($"vec_id" < 50000010L))
+    val served = Similarity.ivfSearch(q, res.index, 5)
+    val exact = Similarity.cosineTopK(q, e.unionAll(planted), 5)
+      .select("qid", "cid")
+    val hits = exact.join(served.select("qid", "cid"), Seq("qid", "cid"))
+      .count()
+    val total = exact.count()
+    assert(hits * 100 >= total * 80,
+      s"rebuilt-index recall $hits/$total below the 80% floor")
+  }
+
   test("bqTopK: packed hamming = sign-mismatch count (multi-word), exact re-rank ranks by cosine") {
     // 70-dim vectors exercise the second packed word; flipping n signs
     // of a ±1 vector changes hamming by exactly n and the dot by −2n,
