@@ -67,9 +67,11 @@ object Multimodal {
     */
   def syntheticAssets(spark: SparkSession, n: Int,
                       payloadBytes: Int = 4096,
-                      withPayload: Boolean = true): Dataset[MediaAsset] = {
+                      withPayload: Boolean = true,
+                      offset: Long = 0L): Dataset[MediaAsset] = {
     import spark.implicits._
-    spark.range(n.toLong).map(i => makeAsset(i, payloadBytes, withPayload))
+    spark.range(n.toLong).map(i => makeAsset(i + offset, payloadBytes,
+      withPayload))
   }
 
   /** The generation contract for asset `i` — a pure function of the
@@ -609,6 +611,46 @@ object Multimodal {
        |  CAST(dist AS BIGINT) AS dist
        |FROM (VALUES ${rows.mkString(",\n  ")}) AS t(id_a, id_b, dist)
        |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** DuckDB oracle for the mm07 media-registry screen: replay the
+    * asset, clone and fresh-asset contracts sequentially, dHash each
+    * image, and compute each batch asset's BRUTE-FORCE best registry
+    * match (min hamming dist, ties to the lowest registry id — the
+    * screen's own TopKAgg order) as a literal VALUES table. The
+    * distributed side blocks on the persisted (band, bv) layout; by
+    * pigeonhole the blocking is lossless at dist ≤ maxDist, so a
+    * row-for-row hash match proves the REGISTRY screen drops nothing
+    * vs exact all-pairs — dd20's invariant, hamming edition.
+    */
+  def mediaRegistryOracleSql(n: Int, freshN: Int, freshOffset: Long,
+                             maxDist: Int): String = {
+    require(freshOffset >= n && freshOffset + freshN <= CloneOffset,
+      s"fresh id range [$freshOffset, ${freshOffset + freshN}) collides " +
+        s"with base [0, $n) or clones [$CloneOffset, …)")
+    val reg = (0L until n.toLong).filter(_ % 3 == 0)
+      .map(i => i -> dHash64(makeAsset(i).payload))
+    val batch =
+      (0L until n.toLong).filter(_ % 3 == 0)
+        .map(i => (i + CloneOffset) -> dHash64(makeCloneAsset(i).payload)) ++
+        (freshOffset until freshOffset + freshN).filter(_ % 3 == 0)
+          .map(i => i -> dHash64(makeAsset(i).payload))
+    val rows = batch.sortBy(_._1).map { case (bid, bh) =>
+      val cands = reg
+        .map { case (rid, rh) => (java.lang.Long.bitCount(bh ^ rh), rid) }
+        .filter(_._1 <= maxDist)
+      if (cands.isEmpty)
+        s"($bid, 1, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT))"
+      else { val (d, rid) = cands.min; s"($bid, 0, $rid, $d)" }
+    }
+    require(rows.exists(_.contains(", 0, ")) && rows.exists(_.contains(", 1, ")),
+      "mm07 oracle degenerate — need both flagged clones and kept fresh assets")
+    s"""SELECT CAST(asset_id AS BIGINT) AS asset_id,
+       |  CAST(keep AS BIGINT) AS keep,
+       |  CAST(dup_of AS BIGINT) AS dup_of, CAST(dist AS BIGINT) AS dist
+       |FROM (VALUES ${rows.mkString(",\n  ")})
+       |  AS t(asset_id, keep, dup_of, dist)
+       |ORDER BY asset_id""".stripMargin
   }
 
   /** 64-bit perceptual difference hash of an audio payload — the audio

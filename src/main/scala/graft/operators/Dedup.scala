@@ -968,26 +968,40 @@ object Dedup {
     * decode), materialize it first (persist / write to a table), or
     * the plan evaluates the derivation once per side.
     */
-  def hammingPairs(hashes: DataFrame, idCol: String, hashCol: String,
+  /** The (band, bv) blocking layout of a 64-bit hash column — the rows
+    * [[hammingPairs]] self-joins and [[writeHammingRegistry]] persists:
+    * each hash explodes into `maxDist + 1` disjoint bit bands (the
+    * pigeonhole guarantee: `maxDist` differing bits cannot touch all
+    * `maxDist + 1` bands), the full hash riding every banded row for
+    * the exact verify. Emits (idCol, band, bv, h64) — a pure narrow
+    * explode, zero shuffle.
+    */
+  def bandedHashes(hashes: DataFrame, idCol: String, hashCol: String,
                    maxDist: Int): DataFrame = {
     require(maxDist >= 0 && maxDist <= 7,
       s"maxDist must be in [0, 7] (band width = 64/(maxDist+1) ≥ 8 bits " +
         s"keeps blocks selective), got $maxDist")
     val bands = maxDist + 1
     val width = 64 / bands
-    val h = hashes.select(col(idCol).cast(LongType).as("hid"),
-      col(hashCol).cast(LongType).as("h64"))
-    val banded = h
-      .select(col("hid"), col("h64"),
+    hashes
+      .select(col(idCol).cast(LongType).as(idCol),
+        col(hashCol).cast(LongType).as("h64"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"))
-      .select(col("hid"), col("h64"), col("band"),
+      .select(col(idCol), col("band"),
         // band value: bits [band*width, …); the LAST band absorbs the
         // 64 % bands leftover bits so the bands cover all 64
         when(col("band") === bands - 1,
           call_function("shiftrightunsigned", col("h64"), col("band") * width))
           .otherwise(call_function("shiftrightunsigned",
             col("h64"), col("band") * width)
-            .bitwiseAND(lit((1L << width) - 1))).as("bv"))
+            .bitwiseAND(lit((1L << width) - 1))).as("bv"),
+        col("h64"))
+  }
+
+  def hammingPairs(hashes: DataFrame, idCol: String, hashCol: String,
+                   maxDist: Int): DataFrame = {
+    val banded = bandedHashes(hashes, idCol, hashCol, maxDist)
+      .withColumnRenamed(idCol, "hid")
     val a = banded.select(col("band"), col("bv"),
       col("hid").as("id_a"), col("h64").as("ha"))
     val b = banded.select(col("band"), col("bv"),
@@ -1001,6 +1015,96 @@ object Dedup {
       // a pair at distance < bands can share several bands — collapse
       // map-side (partial agg), never a distinct over the joined width
       .groupBy("id_a", "id_b").agg(min(col("dist")).as("dist"))
+  }
+
+  /** Persist a hamming-hash registry pre-banded and bucketed BY
+    * (band, bv) — [[writeBandedRegistry]]'s contract for the 64-bit
+    * perceptual-hash family (dHash/audio/video from
+    * [[graft.multimodal.Multimodal]], [[simHash]]): the media corpus
+    * is represented by 16 bytes per asset, written ONCE in the
+    * blocking layout, so every subsequent batch screen
+    * ([[incrementalHammingDup]]) co-locates its candidate join on the
+    * bucket layout with ZERO registry-side exchange — per-batch cost
+    * O(batch + colliding buckets), flat as the registry grows, instead
+    * of the O(corpus) re-hash-and-shuffle a batch-mode
+    * [[hammingPairs]] sweep pays per crawl. Persist `maxDist`
+    * alongside (the band count is derived from it); a registry banded
+    * under a different maxDist raises in-plan on read where
+    * detectable (band index out of range) — the same config-mismatch
+    * discipline as the MinHash registry.
+    */
+  def writeHammingRegistry(hashes: DataFrame, idCol: String,
+                           hashCol: String, table: String, path: String,
+                           maxDist: Int = 3, numBuckets: Int = 32): Unit =
+    Bucketing.writeBucketedAt(bandedHashes(hashes, idCol, hashCol, maxDist),
+      table, Seq("band", "bv"), numBuckets, path)
+
+  /** Incremental near-dup screening of a batch of 64-bit hashes
+    * against a persisted [[writeHammingRegistry]] registry — the
+    * daily-crawl shape for MEDIA (dd19/dd20's lifecycle lifted to the
+    * dHash family): the batch bands in one narrow pass, candidates
+    * meet the pre-banded registry in the (band, bv) equi-join that
+    * co-locates on the bucket layout (zero registry-side exchange —
+    * PlanSpec pins it), each colliding pair verifies by the exact
+    * `bit_count(xor)` — LOSSLESS by pigeonhole at dist ≤ maxDist,
+    * unlike the MinHash screen's probabilistic estimate — and the
+    * per-batch-asset best match rides a bounded top-1 aggregate
+    * (dist asc, ties to the lowest registry id).
+    *
+    * Emits one row per batch hash: (idCol, keep, dup_of, dist) —
+    * keep = false iff some registry hash sits within `maxDist`;
+    * dup_of/dist NULL otherwise. Batch-vs-corpus only, like the text
+    * screen: run the intra-batch pass ([[hammingPairs]]) separately,
+    * then append the survivors' banded rows to the registry.
+    *
+    * `registryBanded` must carry the (idCol, band, bv, h64) layout
+    * banded under the SAME maxDist: an out-of-range band raises
+    * in-plan per row; a registry banded COARSER (fewer bands) is not
+    * detectable from rows alone — persist maxDist next to the table
+    * and verify on read, the [[incrementalNearDupBanded]] caveat
+    * verbatim.
+    */
+  def incrementalHammingDup(batch: DataFrame, registryBanded: DataFrame,
+                            idCol: String, hashCol: String,
+                            maxDist: Int = 3): DataFrame = {
+    Similarity.requireIntegralId(batch, idCol)
+    Similarity.requireIntegralId(registryBanded, idCol)
+    val bands = maxDist + 1
+    val bb = bandedHashes(batch, idCol, hashCol, maxDist)
+      .select(col(idCol).as("_bid"), col("band"), col("bv"),
+        col("h64").as("_bh"))
+    // the projection renames only non-key columns, so the bucketed
+    // scan's (band, bv) partitioning survives to the join; the guard
+    // raises on the first row of a finer-banded registry
+    val rb = registryBanded.select(col(idCol).as("_rid"), col("band"),
+      col("bv"),
+      when(col("band") >= bands, raise_error(concat(
+        lit("incrementalHammingDup: registry row has band "),
+        col("band").cast(StringType),
+        lit(s" but the caller screens with maxDist=$maxDist (" +
+          s"$bands bands) — the registry was banded under a different " +
+          "maxDist; rebuild it or pass the matching value")))
+        .cast(LongType))
+        .otherwise(col("h64")).as("_rh"))
+    val best = bb.join(rb, Seq("band", "bv"))
+      .select(col("_bid"), col("_rid"),
+        call_function("bit_count", col("_bh").bitwiseXOR(col("_rh")))
+          .cast(LongType).as("_d"))
+      .filter(col("_d") <= maxDist)
+      // bounded top-1 (dist asc, ties to the lowest registry id); a
+      // pair colliding in several bands re-enters with IDENTICAL rows
+      // — top-1 with deterministic ties is unaffected (the
+      // screenAgainstBanded argument, hamming edition)
+      .groupBy(col("_bid"))
+      .agg(graft.functions.TopKAgg.top_k(col("_d").cast(DoubleType),
+        col("_rid").cast(LongType), 1, ascending = true).as("_tk"))
+      .select(col("_bid"), element_at(col("_tk"), 1).as("_b1"))
+      .select(col("_bid"), col("_b1.id").as("dup_of"),
+        col("_b1.score").cast(LongType).as("dist"))
+    batch.select(col(idCol).cast(LongType).as(idCol))
+      .join(best.withColumnRenamed("_bid", idCol), Seq(idCol), "left")
+      .select(col(idCol), col("dup_of").isNull.as("keep"),
+        col("dup_of"), col("dist"))
   }
 
   /** Typo-pair detection over a token vocabulary (the fuzzy-key-matching

@@ -4641,6 +4641,45 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // INCREMENTAL media near-dup — the dd19/dd20 registry lifecycle
+    // lifted to the dHash family, closing the one operational gap of
+    // mm04-06 (batch-only: a daily crawl with images paid O(corpus)
+    // per batch where text paid O(batch + colliding buckets)): the
+    // image corpus persists ONCE as a (band, bv)-bucketed hash
+    // registry — 16 bytes per asset — and each crawl batch screens
+    // against it with the lossless banded hamming join, zero
+    // registry-side exchange (PlanSpec pins the plan). The batch
+    // plants the re-crawled thumbnails/brightness-shifts (every clone
+    // must flag with its source as best match) alongside genuinely
+    // fresh images (every one must keep). Oracle = sequential contract
+    // replay + BRUTE-FORCE best-match per batch asset — a row-for-row
+    // hash match, so the registry blocking provably drops nothing.
+    QueryDef("mm07_media_registry_screen",
+      graft.multimodal.Multimodal
+        .mediaRegistryOracleSql(300, 100, 5000L, 3)) { (s, dir) =>
+      val m = graft.multimodal.Multimodal
+      val work = gateWork(s, "mm07", dir)
+      val tbl = "graft_mm07_reg_" +
+        work.substring(work.lastIndexOf('/') + 1)
+          .replaceAll("[^A-Za-z0-9_]", "_")
+      Dedup.writeHammingRegistry(
+        m.dHashes(m.syntheticAssets(s, 300)).toDF(),
+        "asset_id", "dhash", tbl, work, maxDist = 3, numBuckets = 16)
+      val batch = m.cloneAssets(s, 300)
+        .unionByName(m.syntheticAssets(s, 100, offset = 5000L))
+      val screened = Dedup.incrementalHammingDup(
+        m.dHashes(batch).toDF(), s.table(tbl),
+        "asset_id", "dhash", maxDist = 3)
+        .select(col("asset_id"), col("keep").cast(LongType).as("keep"),
+          col("dup_of"), col("dist"))
+        .orderBy("asset_id")
+      val out = screened.localCheckpoint() // pin, then drop the registry
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      val p = new org.apache.hadoop.fs.Path(work)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      out
+    },
+
     // ================= events: JSON / sessions / windows =================
 
     QueryDef("ev01_json_extract",

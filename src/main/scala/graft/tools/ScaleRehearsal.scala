@@ -697,6 +697,72 @@ object ScaleRehearsal {
       return
     }
 
+    // r20 mode: the round-20 lifecycle receipts. (1) the media hamming
+    // registry screen across registry decades — per-batch shuffle must
+    // stay FLAT as the registry grows (the dd20 receipt, hamming
+    // edition: the registry side rides its bucketed (band, bv) layout
+    // with zero exchange; only the fixed-size batch shuffles). (2) the
+    // BQ code-store lifecycle at corpus decades — delete is a
+    // broadcast anti-join over the code scan and absorb a narrow
+    // encode + union, so BOTH must show (near-)zero shuffle at every
+    // decade: the whole point of the 1-bit family is that maintenance
+    // never exchanges the corpus.
+    if (args.lift(2).contains("r20")) {
+      import graft.operators.Dedup
+      import graft.operators.Similarity
+      for (k <- Seq(100000L, 1000000L, 10000000L)) {
+        val wd = s"$work/hmreg-k$k"
+        val p = new org.apache.hadoop.fs.Path(wd)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+        val reg = spark.range(k).select(col("id").as("asset_id"),
+          xxhash64(col("id")).as("dhash"))
+        val tbl = s"graft_r20_hm_$k"
+        Dedup.writeHammingRegistry(reg, "asset_id", "dhash", tbl, wd,
+          maxDist = 3, numBuckets = 32)
+        // fixed 1000-asset batch: half re-crawls (1 bit off a registry
+        // hash — must flag), half fresh (independent hashes — keep)
+        val batch = spark.range(1000L).select(
+          (col("id") + k).as("asset_id"),
+          when(col("id") < 500L,
+            xxhash64(col("id")).bitwiseXOR(lit(1L)))
+            .otherwise(xxhash64(col("id") + k + 77L)).as("dhash"))
+        measure(f"hm_screen reg=$k%-9d") {
+          Dedup.incrementalHammingDup(batch, spark.table(tbl),
+            "asset_id", "dhash", maxDist = 3)
+            .filter(!col("keep")).count()
+        }
+        spark.sql(s"DROP TABLE IF EXISTS $tbl")
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+      for (k <- Seq(100000L, 1000000L)) {
+        val wd = s"$work/bqlife-k$k"
+        val p = new org.apache.hadoop.fs.Path(wd)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+        val vecs = spark.range(k).select(col("id").as("vec_id"),
+          transform(sequence(lit(0), lit(15)), j =>
+            ((pmod(xxhash64(col("id"), j), lit(1001)) - 500)
+              .cast("double") / 250.0)).as("embedding"))
+        Similarity.binaryCodes(vecs).write.mode("overwrite")
+          .parquet(s"$wd/codes")
+        val tomb = spark.range(1000L).select((col("id") * 97L % k).as("vec_id"))
+        measure(f"bq_delete  k=$k%-9d") {
+          Similarity.bqDeleteIds(spark.read.parquet(s"$wd/codes"), tomb)
+            .count()
+        }
+        val delta = spark.range(1000L).select((col("id") + k).as("vec_id"),
+          transform(sequence(lit(0), lit(15)), j =>
+            ((pmod(xxhash64(col("id") + k, j), lit(1001)) - 500)
+              .cast("double") / 250.0)).as("embedding"))
+        measure(f"bq_absorb  k=$k%-9d") {
+          Similarity.bqAbsorbDelta(spark.read.parquet(s"$wd/codes"), delta)
+            .count()
+        }
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+      spark.stop()
+      return
+    }
+
     if (args.lift(2).contains("r17")) {
       def ensure(path: String)(gen: => Unit): Unit = ensureSuccess(path)(gen)
       // --- gr02: 100 id-offset disjoint graph copies (component

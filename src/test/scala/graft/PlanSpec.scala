@@ -1093,6 +1093,49 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("mm07: pre-banded hamming registry joins exchange-free on the bucket layout") {
+    // the dd20 contract for the MEDIA registry: the hash registry —
+    // 16 bytes per asset, corpus-proportional — must never re-shuffle
+    // per crawl screen; only the batch side exchanges into the
+    // (band, bv) layout. Broadcast disabled to pin the at-scale SMJ
+    // shape, same as dd20's pin.
+    import org.apache.spark.sql.functions._
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val d = java.nio.file.Files.createTempDirectory("hm-reg-plan").toString
+    try {
+      // synthetic 64-bit hashes — the screen is hash-space-only, so the
+      // plan pin needs no media decode
+      val reg = spark.range(4000L).select(col("id").as("asset_id"),
+        xxhash64(col("id")).as("dhash"))
+      // batch = 1-bit-flipped registry hashes: every row matches at
+      // dist 1, so AQE's empty-relation propagation can't collapse the
+      // candidate join away and the pinned plan is the real screen
+      val batch = spark.range(400L).select((col("id") + 4000L).as("asset_id"),
+        xxhash64(col("id")).bitwiseXOR(lit(1L)).as("dhash"))
+      graft.operators.Dedup.writeHammingRegistry(reg, "asset_id", "dhash",
+        "graft_plan_hm_reg", s"$d/reg", maxDist = 3, numBuckets = 8)
+      val screened = graft.operators.Dedup.incrementalHammingDup(batch,
+        spark.table("graft_plan_hm_reg"), "asset_id", "dhash", maxDist = 3)
+      screened.collect() // finalize the adaptive plan
+      val plan = screened.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(plan.contains("Bucketed: true"), plan)
+      // exactly ONE exchange keys on the (band, bv) candidate join —
+      // the batch side; a second would be the per-screen registry
+      // re-shuffle the persisted layout exists to kill
+      assert(plan.linesIterator.count(
+        _.contains("Exchange hashpartitioning(band")) == 1, plan)
+      assert(plan.contains("partial_top_k"), plan)
+      assert(!plan.contains("Window"), plan)
+      assert(!plan.contains("CartesianProduct"), plan)
+      assert(!plan.contains("SortAggregate"), plan)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS graft_plan_hm_reg")
+    }
+  }
+
   test("dd09: exact-hash registry anti-joins exchange-free under the bucketed layout") {
     // the same zero-exchange contract for the EXACT incremental
     // registry (incremental()'s scaladoc names it): persisted bucketed
