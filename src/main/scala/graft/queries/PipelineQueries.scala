@@ -5345,6 +5345,53 @@ object PipelineQueries {
       out
     },
 
+    // CDC SCHEMA EVOLUTION — the contract the commit log can now
+    // enforce because the table schema commits next to the bucket
+    // count: a later batch ADDING a column widens the table (payload
+    // columns ride latest-wins inside the _m struct; keys whose last
+    // update predates the widening carry NULL), while a RETYPED column
+    // is refused with the column named (StreamingSpec pins the error).
+    // Batch 0 is the legacy shape (no `amount`); batch 1 adds it —
+    // the merged table must match a full recompute where amount exists
+    // exactly on the odd-event rows, latest-wins across the boundary.
+    QueryDef("st18_cdc_schema_evolution",
+      """WITH src AS (SELECT event_id, ts, user_id,
+        |    CASE WHEN event_id % 2 = 1 THEN event_id % 97
+        |         ELSE NULL END AS amount
+        |  FROM events),
+        | l AS (SELECT user_id, ts, event_id, amount,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY ts DESC, event_id DESC) AS r,
+        |    count(*) OVER (PARTITION BY user_id) AS n
+        |  FROM src)
+        |SELECT user_id, event_id AS last_event_id,
+        |  CAST(ts AS TIMESTAMP) AS last_ts,
+        |  CAST(amount AS BIGINT) AS last_amount,
+        |  CAST(n AS BIGINT) AS n_updates
+        |FROM l WHERE r = 1 ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val work = gateWork(s, "st18", dir)
+      val workP = new org.apache.hadoop.fs.Path(work)
+      val workFs = workP.getFileSystem(s.sparkContext.hadoopConfiguration)
+      workFs.delete(workP, true)
+      val ev = Tables.events(s, dir).select("event_id", "ts", "user_id")
+      graft.streaming.StreamingJobs.cdcApplyBatch(
+        ev.filter(pmod(col("event_id"), lit(2)) === 0), 0L, work, 8)
+      graft.streaming.StreamingJobs.cdcApplyBatch(
+        ev.filter(pmod(col("event_id"), lit(2)) === 1)
+          .withColumn("amount", pmod(col("event_id"), lit(97L))),
+        1L, work, 8)
+      val out = graft.streaming.StreamingJobs.cdcTable(s, work)
+        .select(col("user_id"),
+          col("_m.event_id").as("last_event_id"),
+          col("_m.ts").cast(TimestampNTZType).as("last_ts"),
+          col("_m.amount").as("last_amount"),
+          col("n_updates"))
+        .orderBy("user_id")
+        .localCheckpoint() // pin the result, then drop the work tree
+      workFs.delete(workP, true)
+      out
+    },
+
     // Streaming NEAR-dup ingestion screen — dd19's registry lifecycle
     // as a streaming job: batch 0 (the even docs) seeds the signature
     // registry from an empty start; batch 1 (the odd docs plus 20

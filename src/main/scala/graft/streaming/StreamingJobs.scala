@@ -192,13 +192,41 @@ object StreamingJobs {
     */
   private[graft] def cdcFold(prev: Option[DataFrame],
                              batch: DataFrame): DataFrame = {
+    // payload columns (everything beyond the key and the ordering
+    // pair) ride INSIDE the _m struct, so latest-wins extends to them
+    // for free: struct max orders by (ts, event_id) first — unique per
+    // event by contract — and the winner's payload comes along. Names
+    // sort so the struct shape is deterministic across batches; a side
+    // missing a field (an older generation, or a batch from before a
+    // widening) carries NULL there — the schema-evolution contract
+    // cdcMergeAndCommit enforces at the type level.
+    val keyCols = Set("user_id", "ts", "event_id")
+    val bType = batch.schema.fields
+      .filterNot(f => keyCols(f.name)).map(f => f.name -> f.dataType).toMap
+    val pType = prev.map(_.schema("_m").dataType
+        .asInstanceOf[org.apache.spark.sql.types.StructType].fields
+        .filterNot(f => Set("ts", "event_id")(f.name))
+        .map(f => f.name -> f.dataType).toMap)
+      .getOrElse(Map.empty)
+    val pay = (bType.keySet ++ pType.keySet).toSeq.sorted
+    def typ(n: String) = bType.getOrElse(n, pType(n))
     val bs = batch.groupBy(col("user_id"))
-      .agg(max(struct(col("ts"), col("event_id"))).as("_m"),
+      .agg(max(struct(col("ts") +: col("event_id") +: pay.map(n =>
+        if (bType.contains(n)) col(n)
+        else lit(null).cast(typ(n)).as(n)): _*)).as("_m"),
         count(lit(1)).as("n_updates"))
-    prev.fold(bs)(t => t.unionByName(bs)
-      .groupBy(col("user_id"))
-      .agg(max(col("_m")).as("_m"),
-        sum(col("n_updates")).as("n_updates")))
+    prev.fold(bs) { t =>
+      val tn = t.select(col("user_id"),
+        struct(col("_m.ts").as("ts") +: col("_m.event_id").as("event_id") +:
+          pay.map(n =>
+            if (pType.contains(n)) col(s"_m.`$n`").as(n)
+            else lit(null).cast(typ(n)).as(n)): _*).as("_m"),
+        col("n_updates"))
+      tn.unionByName(bs)
+        .groupBy(col("user_id"))
+        .agg(max(col("_m")).as("_m"),
+          sum(col("n_updates")).as("n_updates"))
+    }
   }
 
   /** The ONE bucket-routing expression of the CDC table. The merge,
@@ -242,16 +270,43 @@ object StreamingJobs {
   private def cdcCommitName(key: (Long, Long)): String =
     if (key._2 == 0L) s"c${key._1}" else s"c${key._1}r${key._2}"
 
+  /** Parsed commit: bucket count, the table's cumulative SOURCE schema
+    * (the union of every merged batch's fields, committed next to the
+    * bucket count so an incompatible batch is refused BEFORE it
+    * corrupts the fold — absent only in a commit predating the schema
+    * line), and the bucket → generation-partition map.
+    */
   private def cdcParseCommit(fs: FileSystem, workDir: String,
-                             key: (Long, Long)): (Int, Map[Int, String]) = {
+                             key: (Long, Long))
+      : (Int, Option[org.apache.spark.sql.types.StructType],
+         Map[Int, String]) = {
     val in = fs.open(new Path(s"$workDir/_commits/${cdcCommitName(key)}"))
     val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
     val lines = body.linesIterator.filter(_.nonEmpty).toSeq
-    (lines.head.toInt, lines.tail.map { l =>
-      val Array(b, p) = l.split("\t", 2); b.toInt -> p
-    }.toMap)
+    val schema = lines.tail.collectFirst {
+      case l if l.startsWith("schema\t") =>
+        org.apache.spark.sql.types.DataType.fromJson(l.drop(7))
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+    }
+    (lines.head.toInt, schema,
+      lines.tail.filterNot(_.startsWith("schema\t")).map { l =>
+        val Array(b, p) = l.split("\t", 2); b.toInt -> p
+      }.toMap)
   }
+
+  /** One serializer for both commit writers (merge and maintenance
+    * rewrite): bucket count, then the schema line, then the map — the
+    * rewrite paths must CARRY the schema forward or a post-maintenance
+    * batch would lose the evolution guard.
+    */
+  private def cdcCommitBody(buckets: Int,
+                            schema: Option[org.apache.spark.sql.types.StructType],
+                            map: Map[Int, String]): Array[Byte] =
+    (buckets.toString +:
+      (schema.map(s => s"schema\t${s.json}").toSeq ++
+        map.toSeq.sortBy(_._1).map { case (b, p) => s"$b\t$p" }))
+      .mkString("\n").getBytes("UTF-8")
 
   /** Last committed CDC state under `workDir`: (batchId, buckets,
     * bucket → generation-partition path). None before the first commit.
@@ -261,9 +316,22 @@ object StreamingJobs {
       : Option[(Long, Int, Map[Int, String])] = {
     val fs = cdcFs(spark, workDir)
     cdcCommitKeys(fs, workDir).headOption.map { latest =>
-      val (b, m) = cdcParseCommit(fs, workDir, latest)
+      val (b, _, m) = cdcParseCommit(fs, workDir, latest)
       (latest._1, b, m)
     }
+  }
+
+  /** The committed cumulative source schema (None before the first
+    * commit) — the read-side handle of the evolution contract, for
+    * callers that must know which columns the maintained table carries
+    * without scanning it.
+    */
+  private[graft] def cdcReadSchema(spark: org.apache.spark.sql.SparkSession,
+                                   workDir: String)
+      : Option[org.apache.spark.sql.types.StructType] = {
+    val fs = cdcFs(spark, workDir)
+    cdcCommitKeys(fs, workDir).headOption
+      .flatMap(k => cdcParseCommit(fs, workDir, k)._2)
   }
 
   /** Bounded storage: the log keeps exactly the TWO newest commit files
@@ -282,8 +350,8 @@ object StreamingJobs {
     ids.drop(2).foreach { old =>
       fs.delete(new Path(s"$workDir/_commits/${cdcCommitName(old)}"), false)
       () }
-    val keep = cdcParseCommit(fs, workDir, ids(0))._2.values.toSet
-    val displaced = cdcParseCommit(fs, workDir, ids(1))._2.values
+    val keep = cdcParseCommit(fs, workDir, ids(0))._3.values.toSet
+    val displaced = cdcParseCommit(fs, workDir, ids(1))._3.values
       .filterNot(keep).toSeq.distinct
     displaced.foreach { p =>
       val path = new Path(p)
@@ -314,7 +382,10 @@ object StreamingJobs {
     if (paths.isEmpty) throw new IllegalStateException(
       s"CDC table under $workDir is EMPTY — every key was deleted; " +
         "the next merged batch recreates it")
-    spark.read.parquet(paths: _*)
+    // generations written before a schema widening carry a narrower _m
+    // struct — merge so older rows surface the new fields as NULL (the
+    // evolution contract's read side)
+    spark.read.option("mergeSchema", "true").parquet(paths: _*)
   }
 
   /** One micro-batch of the CDC merge, commit included; a no-op when
@@ -341,27 +412,81 @@ object StreamingJobs {
     */
   private[graft] def cdcMergeAndCommit(batch: DataFrame, batchId: Long,
                                        workDir: String, buckets: Int): Boolean = {
+    import org.apache.spark.sql.types.{StructField, StructType}
     val s = batch.sparkSession
-    val committed = cdcReadCommit(s, workDir)
-    committed.foreach { case (_, b, _) =>
+    val fs0 = cdcFs(s, workDir)
+    val committed = cdcCommitKeys(fs0, workDir).headOption.map { k =>
+      val (b, sch, m) = cdcParseCommit(fs0, workDir, k)
+      (k._1, b, sch, m)
+    }
+    committed.foreach { case (_, b, _, _) =>
       require(b == buckets,
         s"CDC table at $workDir was committed with $b buckets, got $buckets") }
     if (committed.exists(_._1 >= batchId)) {
       // replayed batch: the merge is already durable
       return true
     }
-    val prevMap = committed.map(_._3).getOrElse(Map.empty[Int, String])
+    val prevMap = committed.map(_._4).getOrElse(Map.empty[Int, String])
+
+    // ---- schema-evolution contract ------------------------------------
+    // The commit log pins the cumulative SOURCE schema next to the
+    // bucket count. A batch may ADD columns (nullable widening: older
+    // generations and structurally-poorer batches carry NULL there) or
+    // OMIT committed ones (they merge as NULLs, latest-wins keeps older
+    // values); a batch that RETYPES a committed column is refused with
+    // the column named — silently merging it would corrupt the fold
+    // (struct max across incomparable types) or, worse, cast-mangle
+    // history. Structural columns are the merge keys and cannot evolve.
+    Seq("user_id", "ts", "event_id").foreach(c =>
+      require(batch.columns.contains(c),
+        s"CDC batch $batchId is missing structural column '$c' " +
+          s"(required: user_id, ts, event_id)"))
+    Seq("_m", "n_updates", "_bucket").foreach(c =>
+      require(!batch.columns.contains(c),
+        s"CDC batch $batchId carries reserved column name '$c'"))
+    val committedFields = committed.flatMap(_._3)
+      .map(_.fields.toSeq).getOrElse(Seq.empty)
+    committedFields.foreach { f =>
+      if (batch.columns.contains(f.name)) {
+        val bt = batch.schema(f.name).dataType
+        require(bt == f.dataType,
+          s"CDC table at $workDir committed column '${f.name}' as " +
+            s"${f.dataType.sql}; batch $batchId arrives with ${bt.sql}. " +
+            "A retyped column cannot merge — migrate to a new table " +
+            "(or cast the source) instead.")
+      }
+    }
+    val newFields = batch.schema.fields
+      .filterNot(f => committedFields.exists(_.name == f.name))
+      .map(f => StructField(f.name, f.dataType, nullable = true)).toSeq
+    if (committedFields.nonEmpty && newFields.nonEmpty)
+      logger.warn(s"graft cdcMergeAndCommit: batch $batchId WIDENS the " +
+        s"CDC table at $workDir with new column(s) " +
+        newFields.map(f => s"'${f.name}' ${f.dataType.sql}").mkString(", ") +
+        " — older keys carry NULL there until their next update.")
+    val unionFields =
+      committedFields.map(f => StructField(f.name, f.dataType,
+        nullable = true)) ++ newFields
+    // normalize to the cumulative schema so every generation written
+    // from here on carries every committed column
+    val normBatch = unionFields.foldLeft(batch)((df, f) =>
+      if (df.columns.contains(f.name)) df
+      else df.withColumn(f.name, lit(null).cast(f.dataType)))
+    // --------------------------------------------------------------------
 
     val bucketOf = cdcBucketOf(buckets)
-    val touched = batch.select(bucketOf.cast(IntegerType).as("_b"))
+    val touched = normBatch.select(bucketOf.cast(IntegerType).as("_b"))
       .distinct().collect().map(_.getInt(0)).sorted
     if (touched.isEmpty) return false // empty batch: nothing to merge or commit
     val prev = touched.flatMap(prevMap.get).distinct.sorted match {
       case Array() => None
-      case paths   => Some(s.read.parquet(paths.toIndexedSeq: _*))
+      // mergeSchema: touched buckets may span generations written
+      // before and after a widening
+      case paths   => Some(s.read.option("mergeSchema", "true")
+        .parquet(paths.toIndexedSeq: _*))
     }
     val genDir = s"$workDir/gen$batchId"
-    cdcFold(prev, batch)
+    cdcFold(prev, normBatch)
       .withColumn("_bucket", bucketOf)
       .write.mode("overwrite").partitionBy("_bucket").parquet(genDir)
 
@@ -370,8 +495,8 @@ object StreamingJobs {
     fs.mkdirs(new Path(s"$workDir/_commits"))
     val tmp = new Path(s"$workDir/_commits/.c$batchId.tmp")
     val out = fs.create(tmp, true)
-    try out.write((buckets.toString +: newMap.toSeq.sortBy(_._1)
-      .map { case (b, p) => s"$b\t$p" }).mkString("\n").getBytes("UTF-8"))
+    try out.write(cdcCommitBody(buckets, Some(StructType(unionFields)),
+      newMap))
     finally out.close()
     val commit = new Path(s"$workDir/_commits/c$batchId")
     if (!fs.rename(tmp, commit)) {
@@ -484,7 +609,7 @@ object StreamingJobs {
     val commits = cdcCommitKeys(fs, workDir)
     require(commits.nonEmpty, s"no committed CDC generation under $workDir")
     val latest = commits.head
-    val (buckets, map) = cdcParseCommit(fs, workDir, latest)
+    val (buckets, schema, map) = cdcParseCommit(fs, workDir, latest)
     if (map.isEmpty) return
     val (picked, transform) = pick(buckets, map)
     val touched = picked.filter(map.contains).distinct.sorted
@@ -492,7 +617,8 @@ object StreamingJobs {
     val bucketOf = cdcBucketOf(buckets)
     val genDir = s"$workDir/gen${latest._1}r${latest._2 + 1}"
     transform(
-        spark.read.parquet(touched.map(map).distinct.sorted.toIndexedSeq: _*))
+        spark.read.option("mergeSchema", "true")
+          .parquet(touched.map(map).distinct.sorted.toIndexedSeq: _*))
       .withColumn("_bucket", bucketOf)
       .write.mode("overwrite").partitionBy("_bucket").parquet(genDir)
     val rewritten = touched.map(b => b -> s"$genDir/_bucket=$b")
@@ -502,8 +628,7 @@ object StreamingJobs {
       s"$workDir/_commits/${cdcCommitName((latest._1, latest._2 + 1))}")
     val tmp = new Path(s"$workDir/_commits/.${commit.getName}.tmp")
     val out = fs.create(tmp, true)
-    try out.write((buckets.toString +: newMap.toSeq.sortBy(_._1)
-      .map { case (b, p) => s"$b\t$p" }).mkString("\n").getBytes("UTF-8"))
+    try out.write(cdcCommitBody(buckets, schema, newMap))
     finally out.close()
     if (!fs.rename(tmp, commit))
       sys.error(s"$what: could not commit $commit — the table " +

@@ -394,6 +394,65 @@ class StreamingSpec extends AnyFunSuite {
     assert(snap() == after1, "retried batch 1 double-counted")
   }
 
+  test("CDC schema evolution: nullable widening merges, retype is refused, maintenance keeps the schema") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-cdcevo").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // batch 0: legacy shape
+    StreamingJobs.cdcApplyBatch(
+      Seq((1L, ts("2024-01-01 10:00:00"), 10L),
+        (2L, ts("2024-01-01 11:00:00"), 20L))
+        .toDF("event_id", "ts", "user_id"), 0L, work, 8)
+    // batch 1 ADDS amount (bigint): widening — user 10's last update
+    // now carries it, user 20's stays NULL
+    StreamingJobs.cdcApplyBatch(
+      Seq((3L, ts("2024-01-01 12:00:00"), 10L, 42L))
+        .toDF("event_id", "ts", "user_id", "amount"), 1L, work, 8)
+    val snap1 = StreamingJobs.cdcTable(spark, work)
+      .selectExpr("user_id", "_m.event_id", "_m.amount", "n_updates")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2), r.getLong(3))).toSet
+    assert(snap1 == Set((10L, 3L, 42L, 2L), (20L, 2L, -1L, 1L)), snap1)
+    // batch 2 OMITS the committed column: merges, column survives
+    // (latest-wins: user 20's last update has no amount → still NULL)
+    StreamingJobs.cdcApplyBatch(
+      Seq((4L, ts("2024-01-01 13:00:00"), 20L))
+        .toDF("event_id", "ts", "user_id"), 2L, work, 8)
+    val snap2 = StreamingJobs.cdcTable(spark, work)
+      .selectExpr("user_id", "_m.amount", "n_updates")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1), r.getLong(2))).toSet
+    assert(snap2 == Set((10L, 42L, 2L), (20L, -1L, 2L)), snap2)
+    // a RETYPED column is refused with the column named
+    val ex = intercept[IllegalArgumentException] {
+      StreamingJobs.cdcApplyBatch(
+        Seq((5L, ts("2024-01-01 14:00:00"), 10L, "not-a-number"))
+          .toDF("event_id", "ts", "user_id", "amount"), 3L, work, 8)
+    }
+    assert(ex.getMessage.contains("amount") &&
+      ex.getMessage.contains("retyped") || ex.getMessage.contains("BIGINT"),
+      ex.getMessage)
+    // the refused batch committed NOTHING — the table is unchanged
+    val snap3 = StreamingJobs.cdcTable(spark, work)
+      .selectExpr("user_id", "_m.amount", "n_updates")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1), r.getLong(2))).toSet
+    assert(snap3 == snap2, "a refused batch mutated the table")
+    // a maintenance rewrite (deletion revision) CARRIES the committed
+    // schema forward — without it the next merge would lose the guard
+    StreamingJobs.cdcDeleteKeys(spark, work, Seq(20L).toDF("user_id"))
+    val sch = StreamingJobs.cdcReadSchema(spark, work)
+    assert(sch.exists(_.fieldNames.contains("amount")),
+      s"maintenance rewrite dropped the committed schema: $sch")
+    // and the guard still fires post-maintenance
+    val ex2 = intercept[IllegalArgumentException] {
+      StreamingJobs.cdcApplyBatch(
+        Seq((6L, ts("2024-01-01 15:00:00"), 10L, "nope"))
+          .toDF("event_id", "ts", "user_id", "amount"), 4L, work, 8)
+    }
+    assert(ex2.getMessage.contains("amount"), ex2.getMessage)
+  }
+
   test("CDC merge rewrites only touched buckets; untouched bucket files stay byte-identical") {
     import spark.implicits._
     val work = java.nio.file.Files.createTempDirectory("graft-cdcbkt").toString
