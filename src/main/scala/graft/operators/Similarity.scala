@@ -914,6 +914,70 @@ object Similarity {
       .withColumnRenamed("col", "bucket")
   }
 
+  /** The PERSISTABLE LSH index asset — the sim16 build/serve split for
+    * the hyperplane-LSH family, which until now existed only fused
+    * ([[annTopK]] re-derives every corpus signature per query batch):
+    * (idCol, table, bucket), one 24-byte row per (vector, table) —
+    * raw vectors deliberately NOT included (the re-rank side lives
+    * with the corpus, the IvfPqIndex contract). Because the
+    * hyperplanes are derived from (table·bits + j) hashes rather than
+    * a stored projection matrix, the asset needs NO quantizer
+    * artifact: a query batch re-derives the identical planes from the
+    * same (bits, tables) — persist those two ints next to the table
+    * (a mismatched serve simply stops colliding, the undetectable-
+    * from-rows caveat the MinHash registry documents). Same staleness
+    * contract as every persisted index here; append-absorb is EXACT
+    * like [[bqAbsorbDelta]] (the encoder is stateless — new rows band
+    * through the same definition and append).
+    */
+  def lshBuild(df: DataFrame, bits: Int = 4, tables: Int = 16,
+               idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame = {
+    requireIntegralId(df, idCol)
+    lshTables(df, bits, tables, idCol, vecCol)
+      .select(col(idCol).cast(LongType).as(idCol), col("table"),
+        col("bucket"))
+  }
+
+  /** Serve top-k against a PRE-BUILT [[lshBuild]] table (typically
+    * persisted parquet): the query batch derives its own signatures
+    * (same (bits, tables) ⇒ same hyperplanes), candidates meet in the
+    * (table, bucket) equi-join against the persisted layout — the
+    * corpus-sized signature derivation [[annTopK]] pays per call never
+    * runs — and the exact cosine + bounded top-k scores only the
+    * colliding candidates against `rerank` (the raw corpus handle).
+    * EQUIVALENCE (sim35 pins it): row-for-row identical to the fused
+    * [[annTopK]] at the same (bits, tables) — the signatures are
+    * value-deterministic, so persistence changes where they are read
+    * from, never what they are.
+    */
+  def lshSearch(queries: DataFrame, index: DataFrame, rerank: DataFrame,
+                k: Int, bits: Int = 4, tables: Int = 16,
+                idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    requireIntegralIds(queries, rerank, idCol)
+    val qb = lshTables(queries, bits, tables, idCol, vecCol)
+      .select(col(idCol).cast(LongType).as("qid"), col("table"),
+        col("bucket"))
+    val cb = index.select(col(idCol).as("cid"), col("table"), col("bucket"))
+    val pairs = qb.join(cb, Seq("table", "bucket"))
+      .filter(col("qid") =!= col("cid"))
+      .select("qid", "cid").distinct()
+    val qv = queries.select(col(idCol).cast(LongType).as("qid"),
+      col(vecCol).as("qv"))
+    val cv = rerank.select(col(idCol).as("cid"), col(vecCol).as("cv"))
+    pairs.join(broadcast(qv), "qid").join(cv, "cid")
+      .select(col("qid"), col("cid").cast(LongType).as("cid"),
+        cosine(col("qv"), col("cv")).as("sim"))
+      .groupBy(col("qid"))
+      .agg(TopKAgg.top_k(col("sim"), col("cid"), k, ascending = false)
+        .as("_tk"))
+      .select(col("qid"), posexplode(col("_tk")))
+      .select(col("qid"), col("col.id").as("cid"), col("col.score").as("sim"),
+        (col("pos") + 1).cast(LongType).as("rank"))
+      .orderBy("qid", "rank")
+  }
+
   /** IVF-style ANN: a coarse quantizer of `nlist` centroids — real
     * corpus vectors picked by hash, optionally refined by `iters` Lloyd
     * rounds of spherical k-means over a deterministic hash SAMPLE of the

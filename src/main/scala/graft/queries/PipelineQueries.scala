@@ -3657,6 +3657,39 @@ object PipelineQueries {
         lit(dm).as("drift_mismatch"))
     },
 
+    // LSH persisted BUILD/SERVE split — the sim16 contract for the
+    // hyperplane family (the last fused-only index): lshBuild persists
+    // the (id, table, bucket) layout — 24 bytes per (vector, table),
+    // no quantizer artifact because the hyperplanes derive from
+    // (table·bits + j) hashes — and lshSearch serves a query batch
+    // against it without ever re-deriving corpus signatures. Invariant
+    // gate: the served path must equal the fused annTopK row-for-row
+    // (signatures are value-deterministic) AND clear sim03's recall
+    // floor against the exact top-5 through the persisted path.
+    QueryDef("sim35_lsh_index_serve",
+      """SELECT CAST(q.nq * least(5, c.n_all - 1) AS BIGINT) AS n_exact,
+        |  CAST(1 AS BIGINT) AS recall_ok,
+        |  CAST(0 AS BIGINT) AS serve_mismatch
+        |FROM (SELECT count(*) AS nq FROM embeddings WHERE vec_id < 10) q,
+        |     (SELECT count(*) AS n_all FROM embeddings) c""".stripMargin) {
+      (s, dir) =>
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 10)
+      val idxDir = gateWork(s, "sim35", dir)
+      Similarity.lshBuild(e).write.mode("overwrite").parquet(idxDir)
+      val served = Similarity.lshSearch(q, s.read.parquet(idxDir), e, 5)
+        .localCheckpoint() // two consumers + the dir drops below
+      val mism = rankMismatches(served, Similarity.annTopK(q, e, 5))
+      val out = recallFloor(Similarity.cosineTopK(q, e, 5), served,
+        floorPct = 80)
+        .select(col("n_exact"), col("recall_ok"),
+          lit(mism).as("serve_mismatch"))
+        .localCheckpoint()
+      val p = new org.apache.hadoop.fs.Path(idxDir)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      out
+    },
+
     // BINARY-QUANTIZED two-stage retrieval — the 1-bit compression
     // serving shape (sign-bit codes, 32× smaller than int8): hamming
     // shortlist over packed codes, exact-decimal cosine re-rank. FULL

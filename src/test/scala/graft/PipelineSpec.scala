@@ -672,6 +672,25 @@ class PipelineSpec extends AnyFunSuite {
       "served binary-quant search diverged from the fused path")
   }
 
+  test("lshBuild: persisted layout absorbs by append and deletes by anti-join (stateless encoder)") {
+    // like the BQ family, the hyperplane encoder has no trained state:
+    // the index over base ∪ delta IS build(base) ∪ build(delta)
+    // row-for-row, and dropping an id's rows equals building over the
+    // survivors — so the lifecycle needs no dedicated operators, just
+    // the layout (lshBuild) and the serve (lshSearch, gate sim35)
+    val e = Tables.load(spark, sf, "embeddings")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "table", "bucket")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val full = rows(Similarity.lshBuild(e))
+    assert(rows(Similarity.lshBuild(e.filter($"vec_id" % 5 =!= 2)))
+      ++ rows(Similarity.lshBuild(e.filter($"vec_id" % 5 === 2))) == full,
+      "LSH layout is not append-composable")
+    assert(full.filterNot(_._1 % 10 == 9)
+      == rows(Similarity.lshBuild(e.filter($"vec_id" % 10 =!= 9))),
+      "LSH layout deletion diverged from survivor rebuild")
+  }
+
   test("bqDeleteIds: deleted store = survivor codes row-for-row; malformed tombstone raises") {
     val e = Tables.load(spark, sf, "embeddings")
     val tomb = e.filter($"vec_id" % 10 === 9).select("vec_id")
