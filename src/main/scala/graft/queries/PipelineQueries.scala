@@ -2533,6 +2533,120 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // END-TO-END CURATION COMPOSITION — the five stages every
+    // training-data pipeline chains, composed in ONE gate so the
+    // operators are proven to compose, not just to pass alone:
+    // ta25 quality-filter (verdict = keep) → dd08 near-dup clustering
+    // over the kept docs, min-id survivor per cluster → dd11
+    // decontamination against the % 50 == 0 holdout → sp05 md5-band
+    // split, train band only → ta19 packing at 512 tokens. The oracle
+    // replays the WHOLE chain as one SQL text (the five gates' CTEs
+    // concatenated over the shrinking doc set) and the output is the
+    // full packed-sequence table — a row-for-row hash, so a drift in
+    // ANY stage (a verdict flip, a lost cluster member, a missed
+    // contamination hit, a band boundary, a pack offset) breaks it.
+    // PlanSpec pins the post-clustering tail to a bounded exchange
+    // count (the stages hand off without gratuitous re-shuffles; the
+    // CC stage is iterative by design and runs its own jobs).
+    QueryDef("cu01_curation_pipeline",
+      """WITH RECURSIVE
+        | t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+        | f AS (SELECT doc_id,
+        |   CAST(len(toks) AS BIGINT) AS n_tokens,
+        |   CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS DOUBLE)
+        |     / CAST(len(toks) AS DOUBLE) AS stop_ratio,
+        |   CASE WHEN length(text) > 0 THEN
+        |     CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+        |       / CAST(length(text) AS DOUBLE) ELSE 0.0 END AS punct_ratio
+        | FROM t),
+        | d0 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        | s2 AS (SELECT doc_id, unnest(range(1, len(ws))) AS i, ws FROM d0 WHERE len(ws) >= 2),
+        | g2 AS (SELECT doc_id, array_to_string(ws[i:i+1], ' ') AS g FROM s2),
+        | a2 AS (SELECT doc_id, CAST(count(*) - count(DISTINCT g) AS DOUBLE)
+        |          / CAST(count(*) AS DOUBLE) AS dup2 FROM g2 GROUP BY 1),
+        | jq AS (SELECT f.doc_id, f.n_tokens, f.stop_ratio,
+        |         coalesce(a2.dup2, 0.0) AS dup_2gram_frac,
+        |         0.5 * least(f.stop_ratio / 0.08, 1.0)
+        |           + 0.3 * least(CAST(f.n_tokens AS DOUBLE) / 100.0, 1.0)
+        |           + 0.2 * (1.0 - least(f.punct_ratio / 0.2, 1.0)) AS quality
+        |       FROM f LEFT JOIN a2 USING (doc_id)),
+        | kd AS (SELECT d.doc_id, d.text FROM documents d JOIN jq USING (doc_id)
+        |        WHERE jq.n_tokens >= 20 AND jq.stop_ratio >= 0.04
+        |          AND jq.dup_2gram_frac <= 0.08 AND jq.quality >= 0.6),
+        | w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM kd
+        |           WHERE len(string_split(text, ' ')) >= 3),
+        | sh0 AS (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i FROM w),
+        | sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle FROM sh0),
+        | sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        | pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+        |           FROM sh a JOIN sh b USING (shingle)
+        |           WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        | j AS (SELECT da, db FROM pairs
+        |       JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+        |       WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.5),
+        | e AS (SELECT da AS src, db AS dst FROM j UNION ALL SELECT db, da FROM j),
+        | cc AS (
+        |   SELECT src AS id, src AS label FROM e
+        |   UNION
+        |   SELECT e.dst, cc.label FROM cc JOIN e ON cc.id = e.src WHERE cc.label < e.dst
+        | ),
+        | cl AS (SELECT id AS doc_id, CAST(min(label) AS BIGINT) AS cluster
+        |        FROM cc GROUP BY id),
+        | surv AS (SELECT kd.doc_id, kd.text FROM kd LEFT JOIN cl USING (doc_id)
+        |          WHERE cl.cluster IS NULL OR cl.cluster = kd.doc_id),
+        | w5 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM surv
+        |        WHERE doc_id % 50 <> 0
+        |          AND len(string_split(text, ' ')) >= 5),
+        | st5 AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+4], ' ') AS shingle
+        |         FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 3)) AS i FROM w5) x),
+        | hw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |        WHERE doc_id % 50 = 0 AND len(string_split(text, ' ')) >= 5),
+        | hold AS (SELECT DISTINCT array_to_string(ws[i:i+4], ' ') AS shingle
+        |          FROM (SELECT ws, unnest(range(1, len(ws) - 3)) AS i FROM hw) y),
+        | hit AS (SELECT DISTINCT st5.doc_id FROM st5 JOIN hold USING (shingle)),
+        | clean AS (SELECT doc_id, text FROM surv
+        |           WHERE doc_id % 50 <> 0
+        |             AND doc_id NOT IN (SELECT doc_id FROM hit)),
+        | tr AS (SELECT doc_id, text FROM clean
+        |        WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f5'),
+        | tt AS (SELECT doc_id, len(string_split(text, ' ')) AS n FROM tr),
+        | c AS (SELECT doc_id, n,
+        |         CAST(sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n
+        |              AS BIGINT) AS s
+        |       FROM tt),
+        | ee AS (SELECT doc_id, n, s,
+        |         unnest(range(s // 512, (s + n - 1) // 512 + 1)) AS seq_id
+        |       FROM c)
+        |SELECT doc_id, CAST(seq_id AS BIGINT) AS seq_id,
+        |  CAST(greatest(s, seq_id * 512) - seq_id * 512 AS BIGINT) AS seq_offset,
+        |  CAST(greatest(s, seq_id * 512) - s AS BIGINT) AS tok_start,
+        |  CAST(least(s + n, (seq_id + 1) * 512) - greatest(s, seq_id * 512) AS BIGINT) AS n_span
+        |FROM ee ORDER BY doc_id, seq_id""".stripMargin) { (s, dir) =>
+      val d = docsWide(s, dir)
+      val kept = d.join(TextAnalysis.curationReport(d, "doc_id", "text")
+          .filter(col("verdict") === "keep").select("doc_id"), Seq("doc_id"))
+        .select("doc_id", "text")
+      val edges = Dedup.jaccardPairs(kept, "doc_id", "text", 3,
+          maxPosting = Int.MaxValue)
+        .filter(col("jac") >= 0.5)
+        .select(col("da").as("src"), col("db").as("dst"))
+      val losers = Dedup.connectedComponentsHybrid(edges)
+        .filter(col("id") =!= col("cluster"))
+        .select(col("id").as("doc_id"))
+      val surv = kept.join(losers, Seq("doc_id"), "left_anti")
+      val candidates = surv.filter(col("doc_id") % 50 =!= 0)
+      val hits = Dedup.contaminationHits(candidates,
+        d.filter(col("doc_id") % 50 === 0), "doc_id", "text", n = 5)
+      val train = candidates
+        .join(hits.select("doc_id"), Seq("doc_id"), "left_anti")
+        .withColumn("split",
+          graft.operators.Sampling.assignSplit(col("doc_id")))
+        .filter(col("split") === "train")
+        .select("doc_id", "text")
+      TextAnalysis.packSequences(train, "doc_id", "text", seqLen = 512L)
+        .orderBy("doc_id", "seq_id")
+    },
+
     // Winnowing fingerprints (MOSS): per-window minimum of md5 3-gram
     // hashes, window 4 — any ≥6-token overlap between docs shares a
     // fingerprint. Spark side is scan-fused HOF array math; the oracle

@@ -26,6 +26,50 @@ class PlanSpec extends AnyFunSuite {
       case e: Exchange => e
     }.size
 
+  test("cu01: the curation tail composes in one bounded-exchange plan") {
+    // the composition contract of the cu01 gate: after the (by-design
+    // iterative) clustering stage, the remaining stages — survivor
+    // anti-join → decontamination → split filter → packing — must hand
+    // off inside ONE plan with a bounded exchange count, not re-shuffle
+    // the corpus between stages. The pin counts physical Exchanges on
+    // the executed plan; growth here means a stage boundary started
+    // paying a shuffle it didn't before.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val d = Tables.spread(Tables.load(spark, sf, "documents"), "doc_id")
+      .select("doc_id", "text")
+    val losers = Seq(4L, 8L).toDF("doc_id") // stand-in for the CC output
+    val surv = d.join(losers, Seq("doc_id"), "left_anti")
+    val candidates = surv.filter(col("doc_id") % 50 =!= 0)
+    val hits = graft.operators.Dedup.contaminationHits(candidates,
+      d.filter(col("doc_id") % 50 === 0), "doc_id", "text", n = 5)
+    val train = candidates
+      .join(hits.select("doc_id"), Seq("doc_id"), "left_anti")
+      .withColumn("split",
+        graft.operators.Sampling.assignSplit(col("doc_id")))
+      .filter(col("split") === "train")
+      .select("doc_id", "text")
+    val packed = graft.operators.TextAnalysis.packSequences(
+      train, "doc_id", "text", seqLen = 512L)
+    packed.collect()
+    val plan = packed.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // SHUFFLE exchanges only: broadcasts move dictionary-sized sides
+    // and ReusedExchange is a cache hit, neither is a stage-boundary
+    // re-shuffle. Measured composition today: 7 — two for the
+    // 5-shingle contamination join (shingle-keyed, batch-sized), one
+    // groupBy per hit aggregation, the survivor anti-join's build, and
+    // ta19's three-stage prefix sum (_pid partial, range repartition,
+    // and its #partitions-row SinglePartition offset window — the ta19
+    // PlanSpec test pins that the per-doc cumsums stay _pid-local).
+    val exchanges = plan.linesIterator.count(l =>
+      l.contains("Exchange ") && !l.contains("BroadcastExchange") &&
+        !l.contains("ReusedExchange"))
+    assert(exchanges <= 8,
+      s"curation tail grew to $exchanges shuffle exchanges:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("index deletion: tombstone anti-joins broadcast — the corpus side is never shuffled") {
     // the sim27/sim28 scale contract: a deletion request list is
     // metadata-sized, so the cells/codes side must stream through a
