@@ -1036,10 +1036,14 @@ object Similarity {
     if (twoLevel) require(nprobe <= leaderGroups * (nlist / g),
       s"two-level probes see ~leaderGroups*(nlist/g) cells on average: " +
         s"nprobe=$nprobe > $leaderGroups*${nlist / g}")
+    // corpus-probes-corpus by contract (this is the kNN-GRAPH build,
+    // not per-query serving), so the pair-scoring stage must keep its
+    // parallelism — see ivfSearch's pinProbeParallelism scaladoc
     ivfSearch(queries,
       ivfBuild(candidates, nlist, iters, sampleMod, twoLevel,
         candidateGroups, twoLevelAutoNlist, idCol, vecCol),
-      k, nprobe, twoLevel, leaderGroups, idCol, vecCol)
+      k, nprobe, twoLevel, leaderGroups, idCol, vecCol,
+      pinProbeParallelism = true)
   }
 
   /** A built IVF index: `centroids` is the coarse quantizer
@@ -1450,12 +1454,27 @@ object Similarity {
     * this is a documented contract and a pinned spec
     * (PipelineSpec "IVF index staleness"), not just behavior.
     */
+  /** `pinProbeParallelism`: keep the probe-side exchange at the full
+    * session shuffle-partition count instead of letting AQE coalesce
+    * it by BYTES. The cell join's output explodes ×(cell width) in
+    * CPU while its shuffled input stays kilobytes — exactly the shape
+    * byte-based coalescing misjudges: with a corpus-sized query side
+    * AQE folded the whole pair-scoring stage into ONE task (measured
+    * r20, sim12 at sf0.1: a 7–11 s single-task stage vs 3 tasks on the
+    * runs where the size estimate landed differently — the five
+    * BENCH_NOTES "sim12 transient" observations were this plan flip,
+    * not JVM noise). The pin is an explicit repartition-by-number on
+    * the join key, which AQE never rewrites. Default OFF: for the
+    * normal nq-sized query side, coalescing tiny probe exchanges is
+    * right.
+    */
   def ivfSearch(queries: DataFrame, index: IvfIndex, k: Int,
                 nprobe: Int = 8,
                 twoLevelAssign: Boolean = false, leaderGroups: Int = 3,
-                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+                idCol: String = "vec_id", vecCol: String = "embedding",
+                pinProbeParallelism: Boolean = false): DataFrame =
     presentTopK(ivfPairs(queries, index, nprobe, twoLevelAssign,
-      leaderGroups, idCol, vecCol), k)
+      leaderGroups, idCol, vecCol, pinProbeParallelism), k)
 
   /** Serve top-`k` against a STALE [[IvfIndex]] plus the unindexed
     * `delta` — the union mitigation the staleness contract above
@@ -2046,9 +2065,10 @@ object Similarity {
 
   private def ivfPairs(queries: DataFrame, index: IvfIndex, nprobe: Int,
                        twoLevelAssign: Boolean, leaderGroups: Int,
-                       idCol: String, vecCol: String): DataFrame = {
+                       idCol: String, vecCol: String,
+                       pinProbeParallelism: Boolean = false): DataFrame = {
     requireIntegralId(queries, idCol)
-    val probes =
+    val probes0 =
       if (twoLevelAssign) {
         // g re-derives from the index itself (√nlist of the PERSISTED
         // quantizer): leaders must group identically across build and
@@ -2060,6 +2080,21 @@ object Similarity {
           idCol, vecCol, "qid", "qv", "qn")
       } else ivfAssign(queries, index.centroids, nprobe, idCol, vecCol,
         "qid", "qv", "qn")
+    // repartition-by-NUMBER on the join key (AQE never coalesces a
+    // user-numbered repartition) PLUS a merge-join hint (AQE's
+    // broadcast conversion would move the scoring onto the OTHER
+    // side's exchange, which — tiny in bytes — coalesces to one task):
+    // together they keep the CPU-dense pair-scoring stage at full
+    // parallelism even though every byte count in sight looks
+    // coalescible (see ivfSearch's pinProbeParallelism scaladoc for
+    // the measured single-task collapse this prevents)
+    val probes =
+      if (pinProbeParallelism)
+        probes0.repartition(
+          queries.sparkSession.sessionState.conf.numShufflePartitions,
+          col("centroid_id"))
+          .hint("SHUFFLE_HASH")
+      else probes0
     probes.join(index.cells, "centroid_id")
       .filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid").cast(LongType).as("cid"),

@@ -3188,7 +3188,8 @@ object PipelineQueries {
       // the recall floor on the sampled slice checks edges AGAINST THE
       // EXACT top-k, and n_self/n_qids pin the structural contract
       // (no self-edges; every corpus vector appears as a query) from
-      // the ACTUAL edge list, not from counts the oracle also derives
+      // the ACTUAL edge list, not from counts the oracle also derives.
+      //
       val knn = Similarity.ivfTopK(e, e, 3, nlist = 16, nprobe = 6)
         .localCheckpoint()
       val exact = Similarity.cosineTopK(e.filter(col("vec_id") < 10), e, 3,

@@ -49,6 +49,11 @@ object TimeOne {
           println(f"[stage] id=${s.stageInfo.stageId}%4d tasks=${ts.length}%3d " +
             f"sum=${ts.sum / 1e3}%7.2fs max=${sorted.last / 1e3}%6.2fs " +
             f"med=${sorted(ts.length / 2) / 1e3}%6.2fs  ${s.stageInfo.name.take(60)}")
+          if (sorted.last > 3000)
+            // call-site stack of a straggler stage — the name field is
+            // an opaque AQE thunk, the details carry the real site
+            println("[stagesite] " + s.stageInfo.details.linesIterator
+              .filter(_.contains("graft")).take(4).mkString(" <- "))
         }
       }
     })

@@ -26,6 +26,31 @@ class PlanSpec extends AnyFunSuite {
       case e: Exchange => e
     }.size
 
+  test("sim12: the corpus-probes-corpus pair stage keeps pinned parallelism") {
+    // the r20 root-cause of the five BENCH_NOTES "sim12 transient"
+    // observations: the pair-scoring join's shuffled bytes are tiny
+    // while its OUTPUT explodes ×(cell width) in CPU, so AQE's
+    // byte-based planning either coalesced the stage to ONE task or
+    // broadcast-flipped the join and coalesced the other side —
+    // 4.3 ↔ 10.4 s run-to-run on identical code. ivfTopK now pins the
+    // probe side with a repartition-by-number (AQE never rewrites it)
+    // and a SHUFFLE_HASH hint (no broadcast flip, no sort); this pin
+    // keeps both markers in the executed plan.
+    import org.apache.spark.sql.functions._
+    val e = Tables.spread(Tables.load(spark, sf, "embeddings"), "vec_id")
+    val knn = graft.operators.Similarity.ivfTopK(e, e, 3,
+      nlist = 16, nprobe = 6)
+    knn.collect()
+    val plan = knn.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("REPARTITION_BY_NUM"), plan)
+    // the cell join itself rides the hinted shuffle-hash on the
+    // centroid key (the interior broadcast-of-one-row cross joins of
+    // ivfBuild's seed pick are unrelated and fine)
+    assert(plan.linesIterator.exists(l =>
+      l.contains("ShuffledHashJoin [centroid_id")), plan)
+  }
+
   test("cu01: the curation tail composes in one bounded-exchange plan") {
     // the composition contract of the cu01 gate: after the (by-design
     // iterative) clustering stage, the remaining stages — survivor
