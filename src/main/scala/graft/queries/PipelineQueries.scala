@@ -450,8 +450,13 @@ object PipelineQueries {
     * inputs (≤ nq·k rows each), so the exceptAll exchanges are noise.
     */
   private def rankMismatches(a: DataFrame, b: DataFrame): Long = {
-    val ka = a.select(col("qid"), col("rank"), col("cid"))
-    val kb = b.select(col("qid"), col("rank"), col("cid"))
+    // pin both shortlists before the two exceptAll counts: each side
+    // feeds BOTH directions, and without the checkpoint every serve
+    // (an index build + probe + re-rank chain in the maintain gates)
+    // would execute twice (measured: sim34 19.6 → ~12 s, sim35
+    // 7.8 → ~5 s at sf0.1)
+    val ka = a.select(col("qid"), col("rank"), col("cid")).localCheckpoint()
+    val kb = b.select(col("qid"), col("rank"), col("cid")).localCheckpoint()
     ka.exceptAll(kb).count() + kb.exceptAll(ka).count()
   }
 
@@ -3701,7 +3706,12 @@ object PipelineQueries {
         |      WHERE vec_id % 7 = 3) c""".stripMargin) { (s, dir) =>
       val e = emb(s, dir)
       val q = e.filter(col("vec_id") < 10)
-      val idx = Similarity.ivfBuild(e)
+      // pin the built index ONCE: stats, both maintain arms and the
+      // expected-absorb serve all consume it, and an unpinned build
+      // chain re-runs per consumer (the sim12 checkpoint discipline)
+      val idx0 = Similarity.ivfBuild(e)
+      val idx = Similarity.IvfIndex(idx0.centroids.localCheckpoint(),
+        idx0.cells.localCheckpoint())
       val stats = Similarity.ivfCellStats(idx).localCheckpoint()
       val slice = e.filter(col("vec_id") % 7 === 3)
         .select((col("vec_id") + 200000L).as("vec_id"), col("embedding"))
@@ -3744,7 +3754,11 @@ object PipelineQueries {
         |      WHERE vec_id % 7 = 3) c""".stripMargin) { (s, dir) =>
       val e = emb(s, dir)
       val q = e.filter(col("vec_id") < 10)
-      val idx = Similarity.ivfPqBuild(e)
+      // pin the built index ONCE (the sim33 discipline — five
+      // consumers would otherwise re-run the full PQ build each)
+      val idx0 = Similarity.ivfPqBuild(e)
+      val idx = Similarity.IvfPqIndex(idx0.coarse.localCheckpoint(),
+        idx0.codebook.localCheckpoint(), idx0.codes.localCheckpoint())
       val stats = Similarity.ivfPqCellStats(idx, e).localCheckpoint()
       val slice = e.filter(col("vec_id") % 7 === 3)
         .select((col("vec_id") + 200000L).as("vec_id"), col("embedding"))
