@@ -945,29 +945,6 @@ object Dedup {
           call_function("shiftleft", lit(1L), b)).otherwise(0L))
         .cast(LongType).as("simhash"))
 
-  /** All pairs within hamming distance `maxDist` over a 64-bit
-    * perceptual/similarity hash column (dHash from
-    * [[graft.multimodal.Multimodal.dHashes]], [[simHash]], …), via
-    * banded blocking: the hash splits into `maxDist + 1` disjoint bit
-    * bands, candidates equi-join on (band index, band value), and the
-    * exact `bit_count(xor)` filter runs only inside blocks. By
-    * pigeonhole the blocking is LOSSLESS — `maxDist` differing bits
-    * cannot touch all `maxDist + 1` bands, so every qualifying pair
-    * shares at least one exact band — unlike the probabilistic recall
-    * of MinHash banding ([[minHashCandidates]]).
-    *
-    * Output: `(id_a, id_b, dist)` with `id_a < id_b`, one row per pair.
-    *
-    * Scale posture: the shuffle carries `(maxDist + 1)` 24-byte rows
-    * per hash — never payloads, never all-pairs; block population is
-    * corpus-size / 2^bandWidth on a dispersed corpus (bandWidth ≥ 8
-    * enforced), and a hot block means genuinely near-identical media,
-    * which is the signal, not skew. Same envelope as the [[simHash]] /
-    * dd05 hamming family. NOTE: `hashes` feeds BOTH sides of the
-    * self-join — if the hash column is expensive to derive (a media
-    * decode), materialize it first (persist / write to a table), or
-    * the plan evaluates the derivation once per side.
-    */
   /** The (band, bv) blocking layout of a 64-bit hash column — the rows
     * [[hammingPairs]] self-joins and [[writeHammingRegistry]] persists:
     * each hash explodes into `maxDist + 1` disjoint bit bands (the
@@ -998,6 +975,29 @@ object Dedup {
         col("h64"))
   }
 
+  /** All pairs within hamming distance `maxDist` over a 64-bit
+    * perceptual/similarity hash column (dHash from
+    * [[graft.multimodal.Multimodal.dHashes]], [[simHash]], …), via
+    * banded blocking: the hash splits into `maxDist + 1` disjoint bit
+    * bands, candidates equi-join on (band index, band value), and the
+    * exact `bit_count(xor)` filter runs only inside blocks. By
+    * pigeonhole the blocking is LOSSLESS — `maxDist` differing bits
+    * cannot touch all `maxDist + 1` bands, so every qualifying pair
+    * shares at least one exact band — unlike the probabilistic recall
+    * of MinHash banding ([[minHashCandidates]]).
+    *
+    * Output: `(id_a, id_b, dist)` with `id_a < id_b`, one row per pair.
+    *
+    * Scale posture: the shuffle carries `(maxDist + 1)` 24-byte rows
+    * per hash — never payloads, never all-pairs; block population is
+    * corpus-size / 2^bandWidth on a dispersed corpus (bandWidth ≥ 8
+    * enforced), and a hot block means genuinely near-identical media,
+    * which is the signal, not skew. Same envelope as the [[simHash]] /
+    * dd05 hamming family. NOTE: `hashes` feeds BOTH sides of the
+    * self-join — if the hash column is expensive to derive (a media
+    * decode), materialize it first (persist / write to a table), or
+    * the plan evaluates the derivation once per side.
+    */
   def hammingPairs(hashes: DataFrame, idCol: String, hashCol: String,
                    maxDist: Int): DataFrame = {
     val banded = bandedHashes(hashes, idCol, hashCol, maxDist)

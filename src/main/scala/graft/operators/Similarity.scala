@@ -966,16 +966,9 @@ object Similarity {
     val qv = queries.select(col(idCol).cast(LongType).as("qid"),
       col(vecCol).as("qv"))
     val cv = rerank.select(col(idCol).as("cid"), col(vecCol).as("cv"))
-    pairs.join(broadcast(qv), "qid").join(cv, "cid")
+    presentTopK(pairs.join(broadcast(qv), "qid").join(cv, "cid")
       .select(col("qid"), col("cid").cast(LongType).as("cid"),
-        cosine(col("qv"), col("cv")).as("sim"))
-      .groupBy(col("qid"))
-      .agg(TopKAgg.top_k(col("sim"), col("cid"), k, ascending = false)
-        .as("_tk"))
-      .select(col("qid"), posexplode(col("_tk")))
-      .select(col("qid"), col("col.id").as("cid"), col("col.score").as("sim"),
-        (col("pos") + 1).cast(LongType).as("rank"))
-      .orderBy("qid", "rank")
+        cosine(col("qv"), col("cv")).as("sim")), k)
   }
 
   /** IVF-style ANN: a coarse quantizer of `nlist` centroids — real
@@ -1003,13 +996,24 @@ object Similarity {
     * per query ≈ nprobe/nlist of the corpus instead of all of it. The
     * k-means refinement touches only sample × nlist pairs per round
     * (tune `sampleMod` down as the corpus grows).
+    *
+    * `pinProbeParallelism`: pass TRUE when `queries` IS the corpus
+    * (the kNN-graph build, sim12's shape) — the pair-scoring stage is
+    * then CPU-dense with kilobyte-sized shuffle stats, exactly what
+    * AQE's byte-based coalescing misjudges into a one-task stage (see
+    * [[ivfSearch]]'s scaladoc for the measured flip). Leave FALSE
+    * (default) for nq-sized query sides: there the probe set should
+    * stay broadcastable and AQE keeps its freedom — pinning a tiny
+    * probe side would force a corpus-sided exchange the broadcast
+    * plan never pays.
     */
   def ivfTopK(queries: DataFrame, candidates: DataFrame, k: Int,
               nlist: Int = 16, nprobe: Int = 8,
               iters: Int = 0, sampleMod: Int = 4,
               twoLevelAssign: Boolean = false, leaderGroups: Int = 3,
               candidateGroups: Int = 2, twoLevelAutoNlist: Int = 512,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              pinProbeParallelism: Boolean = false): DataFrame = {
     requireIntegralIds(queries, candidates, idCol)
     // the two-level path engages ITSELF at nlist ≥ twoLevelAutoNlist
     // (the semanticDedup twoLevelAutoK pattern): nlist scales with the
@@ -1036,14 +1040,11 @@ object Similarity {
     if (twoLevel) require(nprobe <= leaderGroups * (nlist / g),
       s"two-level probes see ~leaderGroups*(nlist/g) cells on average: " +
         s"nprobe=$nprobe > $leaderGroups*${nlist / g}")
-    // corpus-probes-corpus by contract (this is the kNN-GRAPH build,
-    // not per-query serving), so the pair-scoring stage must keep its
-    // parallelism — see ivfSearch's pinProbeParallelism scaladoc
     ivfSearch(queries,
       ivfBuild(candidates, nlist, iters, sampleMod, twoLevel,
         candidateGroups, twoLevelAutoNlist, idCol, vecCol),
       k, nprobe, twoLevel, leaderGroups, idCol, vecCol,
-      pinProbeParallelism = true)
+      pinProbeParallelism)
   }
 
   /** A built IVF index: `centroids` is the coarse quantizer
@@ -2487,16 +2488,9 @@ object Similarity {
     // — linear in N — so the old per-query rank window shipped a
     // linear-in-N row set to one task per query; the aggregate's
     // exchange carries ≤ k pairs per (query × partition)
-    pairs.join(broadcast(qv), "qid").join(cv, "cid")
+    presentTopK(pairs.join(broadcast(qv), "qid").join(cv, "cid")
       .select(col("qid"), col("cid").cast(LongType).as("cid"),
-        cosine(col("qv"), col("cv")).as("sim"))
-      .groupBy(col("qid"))
-      .agg(TopKAgg.top_k(col("sim"), col("cid"), k, ascending = false)
-        .as("_tk"))
-      .select(col("qid"), posexplode(col("_tk")))
-      .select(col("qid"), col("col.id").as("cid"), col("col.score").as("sim"),
-        (col("pos") + 1).cast(LongType).as("rank"))
-      .orderBy("qid", "rank")
+        cosine(col("qv"), col("cv")).as("sim")), k)
   }
 
   /** Retrieval-quality metrics per query — the eval side of a serving

@@ -72,12 +72,17 @@ object PipelineQueries {
     val kids = new java.io.File(tmp).listFiles()
     if (kids != null) kids.foreach { k =>
       if (k.getName.startsWith(prefix)) {
-        val alive = scala.util.Try(k.getName.drop(prefix.length).toLong)
+        // a suffix that is not a bare pid is NOT ours to judge — it can
+        // be a different sanitized dir sharing this prefix (e.g.
+        // ".../sf0.1" vs ".../sf0.1.packed" → suffix "acked.p<pid>"),
+        // possibly a LIVE sibling's tree. Only delete what parses AND
+        // is provably dead; skip everything else.
+        val dead = scala.util.Try(k.getName.drop(prefix.length).toLong)
           .toOption
-          .flatMap(p => scala.jdk.OptionConverters
-            .RichOptional(ProcessHandle.of(p)).toScala)
-          .exists(_.isAlive)
-        if (!alive)
+          .exists(p => !scala.jdk.OptionConverters
+            .RichOptional(ProcessHandle.of(p)).toScala
+            .exists(_.isAlive))
+        if (dead)
           fs.delete(new org.apache.hadoop.fs.Path(k.getAbsolutePath), true)
       }
     }
@@ -1903,7 +1908,6 @@ object PipelineQueries {
       val work = gateWork(s, "dd21", dir)
       val workP = new org.apache.hadoop.fs.Path(work)
       val workFs = workP.getFileSystem(s.sparkContext.hadoopConfiguration)
-      workFs.delete(workP, true)
       val d = docs(s, dir)
       val reg = d.filter(col("doc_id") % 2 === 0).select("doc_id", "text")
       val batch = d.filter(col("doc_id") % 2 === 1)
@@ -1965,7 +1969,6 @@ object PipelineQueries {
       val work = gateWork(s, "dd22", dir)
       val workP = new org.apache.hadoop.fs.Path(work)
       val workFs = workP.getFileSystem(s.sparkContext.hadoopConfiguration)
-      workFs.delete(workP, true)
       val d = docs(s, dir)
       val reg = d.filter(col("doc_id") % 2 === 0).select("doc_id", "text")
       // synthetic tombstone targets: unique nonsense tokens — no
@@ -2034,7 +2037,6 @@ object PipelineQueries {
       val work = gateWork(s, "dd23", dir)
       val workP = new org.apache.hadoop.fs.Path(work)
       val workFs = workP.getFileSystem(s.sparkContext.hadoopConfiguration)
-      workFs.delete(workP, true)
       val d = docs(s, dir)
       val aged = s.range(1, 21).select(
         (col("id") + 20000000L).as("doc_id"),
@@ -3195,7 +3197,8 @@ object PipelineQueries {
       // (no self-edges; every corpus vector appears as a query) from
       // the ACTUAL edge list, not from counts the oracle also derives.
       //
-      val knn = Similarity.ivfTopK(e, e, 3, nlist = 16, nprobe = 6)
+      val knn = Similarity.ivfTopK(e, e, 3, nlist = 16, nprobe = 6,
+        pinProbeParallelism = true)
         .localCheckpoint()
       val exact = Similarity.cosineTopK(e.filter(col("vec_id") < 10), e, 3,
         exact = true)
@@ -5436,7 +5439,6 @@ object PipelineQueries {
       val work = gateWork(s, "st13", dir)
       val workP = new org.apache.hadoop.fs.Path(work)
       val workFs = workP.getFileSystem(s.sparkContext.hadoopConfiguration)
-      workFs.delete(workP, true)
       val ev = Tables.events(s, dir).select("event_id", "ts", "user_id")
       graft.streaming.StreamingJobs.cdcApplyBatch(
         ev.filter(pmod(col("event_id"), lit(2)) === 0), 0L, work, 8)
@@ -5487,7 +5489,6 @@ object PipelineQueries {
       val work = gateWork(s, "st17", dir)
       val workP = new org.apache.hadoop.fs.Path(work)
       val workFs = workP.getFileSystem(s.sparkContext.hadoopConfiguration)
-      workFs.delete(workP, true)
       val ev = Tables.events(s, dir).select("event_id", "ts", "user_id")
       val cut = to_timestamp(lit("2024-01-10 00:00:00"))
       graft.streaming.StreamingJobs.cdcApplyBatch(
@@ -5534,7 +5535,6 @@ object PipelineQueries {
       val work = gateWork(s, "st18", dir)
       val workP = new org.apache.hadoop.fs.Path(work)
       val workFs = workP.getFileSystem(s.sparkContext.hadoopConfiguration)
-      workFs.delete(workP, true)
       val ev = Tables.events(s, dir).select("event_id", "ts", "user_id")
       graft.streaming.StreamingJobs.cdcApplyBatch(
         ev.filter(pmod(col("event_id"), lit(2)) === 0), 0L, work, 8)
@@ -5586,7 +5586,6 @@ object PipelineQueries {
       val work = gateWork(s, "st10", dir)
       val workP = new org.apache.hadoop.fs.Path(work)
       val workFs = workP.getFileSystem(s.sparkContext.hadoopConfiguration)
-      workFs.delete(workP, true)
       val in = s"$work/in"
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
       val d = docs(s, dir).select("doc_id", "text")
@@ -5642,7 +5641,6 @@ object PipelineQueries {
       val work = gateWork(s, "st11", dir)
       val workP = new org.apache.hadoop.fs.Path(work)
       val workFs = workP.getFileSystem(s.sparkContext.hadoopConfiguration)
-      workFs.delete(workP, true)
       val in = s"$work/in"
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
       val e = emb(s, dir)
@@ -5698,7 +5696,6 @@ object PipelineQueries {
       val work = gateWork(s, "st12", dir)
       val workP = new org.apache.hadoop.fs.Path(work)
       val workFs = workP.getFileSystem(s.sparkContext.hadoopConfiguration)
-      workFs.delete(workP, true)
       val in = s"$work/in"
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
       val d = docs(s, dir).select("doc_id", "text")
@@ -5788,7 +5785,6 @@ object PipelineQueries {
       val work = gateWork(s, "st14", dir)
       val workP = new org.apache.hadoop.fs.Path(work)
       val workFs = workP.getFileSystem(s.sparkContext.hadoopConfiguration)
-      workFs.delete(workP, true)
       val in = s"$work/in"
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
       val e = emb(s, dir)
@@ -5848,7 +5844,6 @@ object PipelineQueries {
       val work = gateWork(s, "st15", dir)
       val workP = new org.apache.hadoop.fs.Path(work)
       val workFs = workP.getFileSystem(s.sparkContext.hadoopConfiguration)
-      workFs.delete(workP, true)
       val in = s"$work/in"
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
       val e = emb(s, dir)
@@ -5908,7 +5903,6 @@ object PipelineQueries {
       val work = gateWork(s, "st16", dir)
       val workP = new org.apache.hadoop.fs.Path(work)
       val workFs = workP.getFileSystem(s.sparkContext.hadoopConfiguration)
-      workFs.delete(workP, true)
       val in = s"$work/in"
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
       val e = emb(s, dir)

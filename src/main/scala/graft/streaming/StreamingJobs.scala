@@ -456,6 +456,20 @@ object StreamingJobs {
             "(or cast the source) instead.")
       }
     }
+    // payload columns ride inside the fold's max(struct(ts, event_id,
+    // payload…)) — a non-orderable payload type (map, …) would blow up
+    // DEEP in the fold with an error naming neither the column nor
+    // this contract; refuse it here, by name, like a retype
+    batch.schema.fields
+      .filterNot(f => Set("user_id", "ts", "event_id")(f.name))
+      .foreach(f => require(
+        org.apache.spark.sql.catalyst.expressions.RowOrdering
+          .isOrderable(f.dataType),
+        s"CDC batch $batchId payload column '${f.name}' has " +
+          s"non-orderable type ${f.dataType.sql}: latest-wins merges " +
+          "payloads through max(struct(...)), which requires an " +
+          "orderable type. Encode the column (e.g. to_json a map) " +
+          "before the CDC sink."))
     val newFields = batch.schema.fields
       .filterNot(f => committedFields.exists(_.name == f.name))
       .map(f => StructField(f.name, f.dataType, nullable = true)).toSeq

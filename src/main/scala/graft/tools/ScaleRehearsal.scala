@@ -201,7 +201,7 @@ object ScaleRehearsal {
         measure(f"sim12_2lv_cg2 n=$nlist%-5d $tag%-4s") {
           val e = embAt(ep)
           Similarity.ivfTopK(e, e, 3, nlist = nlist, nprobe = 6,
-            twoLevelAssign = true).count()
+            twoLevelAssign = true, pinProbeParallelism = true).count()
         }
       }
       spark.stop()
@@ -1128,7 +1128,8 @@ object ScaleRehearsal {
           val e = embAt(ep)
           // autoNlist disarmed: measuring the exact-assign wall
           Similarity.ivfTopK(e, e, 3, nlist = nlist, nprobe = 6,
-            twoLevelAutoNlist = Int.MaxValue).count()
+            twoLevelAutoNlist = Int.MaxValue,
+            pinProbeParallelism = true).count()
         }
       }
       // the fix for the assignment-bound 100× wall: two-level coarse
@@ -1139,7 +1140,7 @@ object ScaleRehearsal {
         measure(f"sim12_knn 2lv n=$nlist%-5d $tag%-4s") {
           val e = embAt(ep)
           Similarity.ivfTopK(e, e, 3, nlist = nlist, nprobe = 6,
-            twoLevelAssign = true).count()
+            twoLevelAssign = true, pinProbeParallelism = true).count()
         }
       }
     }

@@ -30,7 +30,7 @@ object TwoLevelProbe {
       val e = spark.read.parquet(path)
       val t0 = System.nanoTime()
       val n = Similarity.ivfTopK(e, e, 3, nlist = nlist, nprobe = 6,
-        twoLevelAssign = two).count()
+        twoLevelAssign = two, pinProbeParallelism = true).count()
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"[2lv] $tag%-5s nlist=$nlist%-5d twoLevel=$two%-5s rows=$n%8d  ${sec}%7.2f s")
     }

@@ -1409,7 +1409,8 @@ class CurationOpsSpec extends AnyFunSuite {
   test("kNN graph: every vector appears as a query with 3 distinct non-self neighbors") {
     import graft.operators.Similarity
     val e = Tables.load(spark, sf, "embeddings")
-    val knn = Similarity.ivfTopK(e, e, 3, nlist = 16, nprobe = 6)
+    val knn = Similarity.ivfTopK(e, e, 3, nlist = 16, nprobe = 6,
+        pinProbeParallelism = true)
       .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(knn.forall { case (q, c) => q != c }, "self-edge in kNN graph")
     val byQ = knn.groupBy(_._1)

@@ -32,14 +32,15 @@ class PlanSpec extends AnyFunSuite {
     // while its OUTPUT explodes ×(cell width) in CPU, so AQE's
     // byte-based planning either coalesced the stage to ONE task or
     // broadcast-flipped the join and coalesced the other side —
-    // 4.3 ↔ 10.4 s run-to-run on identical code. ivfTopK now pins the
+    // 4.3 ↔ 10.4 s run-to-run on identical code. pinProbeParallelism
+    // (opt-in, passed by every corpus-probes-corpus caller) pins the
     // probe side with a repartition-by-number (AQE never rewrites it)
     // and a SHUFFLE_HASH hint (no broadcast flip, no sort); this pin
     // keeps both markers in the executed plan.
     import org.apache.spark.sql.functions._
     val e = Tables.spread(Tables.load(spark, sf, "embeddings"), "vec_id")
     val knn = graft.operators.Similarity.ivfTopK(e, e, 3,
-      nlist = 16, nprobe = 6)
+      nlist = 16, nprobe = 6, pinProbeParallelism = true)
     knn.collect()
     val plan = knn.queryExecution.executedPlan.toString
       .split("== Initial Plan ==")(0)
@@ -49,6 +50,31 @@ class PlanSpec extends AnyFunSuite {
     // ivfBuild's seed pick are unrelated and fine)
     assert(plan.linesIterator.exists(l =>
       l.contains("ShuffledHashJoin [centroid_id")), plan)
+  }
+
+  test("ivfTopK default (per-query serving) does NOT carry the parallelism pin") {
+    // the flip side of the sim12 pin, guarding the regression the r20
+    // review caught: with an nq-sized query side the probe set must
+    // stay broadcastable (pinning it would force a corpus-sided
+    // exchange on every serve call — wrong at scale even though
+    // invisible at gate SFs). Default path: no repartition-by-number,
+    // no shuffle-hash demand — the tiny probe side broadcasts.
+    import org.apache.spark.sql.functions._
+    val e = Tables.spread(Tables.load(spark, sf, "embeddings"), "vec_id")
+    val q = e.filter(col("vec_id") < 10)
+    val serve = graft.operators.Similarity.ivfTopK(q, e, 3,
+      nlist = 16, nprobe = 6)
+    serve.collect()
+    val plan = serve.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // (Tables.spread's vec_id exchanges are REPARTITION_BY_NUM too —
+    // the pin we must NOT see is the one on the centroid join key)
+    assert(!plan.linesIterator.exists(l =>
+      l.contains("REPARTITION_BY_NUM") && l.contains("centroid_id")), plan)
+    assert(!plan.linesIterator.exists(l =>
+      l.contains("ShuffledHashJoin [centroid_id")), plan)
+    assert(plan.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("centroid_id")), plan)
   }
 
   test("cu01: the curation tail composes in one bounded-exchange plan") {
@@ -763,7 +789,7 @@ class PlanSpec extends AnyFunSuite {
     val e = Tables.spread(
       Tables.load(spark, sf, "embeddings"), "vec_id")
     val plan = graft.operators.Similarity
-      .ivfTopK(e, e, 3, nlist = 16, nprobe = 6)
+      .ivfTopK(e, e, 3, nlist = 16, nprobe = 6, pinProbeParallelism = true)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), plan)
     assert(plan.contains("partial_top_k"), plan)
