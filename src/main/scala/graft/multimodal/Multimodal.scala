@@ -653,6 +653,55 @@ object Multimodal {
        |ORDER BY asset_id""".stripMargin
   }
 
+  /** mm08's oracle: [[mediaRegistryOracleSql]] with the registry
+    * RESTRICTED to deletion survivors (image ids with
+    * `id % delMod != 0` removed by the RTBF pass) — the same clone
+    * batch then screens against the smaller hash set, so a clone
+    * whose source was deleted must now KEEP (unless another surviving
+    * hash happens to sit within `maxDist` — the brute force decides,
+    * not the plant), while survivors' clones still flag. The
+    * degenerate-guard demands all three outcomes: a clone freed by
+    * the deletion, a clone still flagged, and a kept fresh asset —
+    * otherwise the gate would pass without exercising the deletion.
+    */
+  def mediaRegistryDeleteOracleSql(n: Int, freshN: Int, freshOffset: Long,
+                                   maxDist: Int, delMod: Long): String = {
+    require(freshOffset >= n && freshOffset + freshN <= CloneOffset,
+      s"fresh id range [$freshOffset, ${freshOffset + freshN}) collides " +
+        s"with base [0, $n) or clones [$CloneOffset, …)")
+    val reg = (0L until n.toLong)
+      .filter(i => i % 3 == 0 && i % delMod != 0)
+      .map(i => i -> dHash64(makeAsset(i).payload))
+    val batch =
+      (0L until n.toLong).filter(_ % 3 == 0)
+        .map(i => (i + CloneOffset) -> dHash64(makeCloneAsset(i).payload)) ++
+        (freshOffset until freshOffset + freshN).filter(_ % 3 == 0)
+          .map(i => i -> dHash64(makeAsset(i).payload))
+    val rows = batch.sortBy(_._1).map { case (bid, bh) =>
+      val cands = reg
+        .map { case (rid, rh) => (java.lang.Long.bitCount(bh ^ rh), rid) }
+        .filter(_._1 <= maxDist)
+      if (cands.isEmpty)
+        s"($bid, 1, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT))"
+      else { val (d, rid) = cands.min; s"($bid, 0, $rid, $d)" }
+    }
+    val freedClone = batch.exists { case (bid, bh) =>
+      bid >= CloneOffset && (bid - CloneOffset) % delMod == 0 &&
+        !reg.exists { case (_, rh) =>
+          java.lang.Long.bitCount(bh ^ rh) <= maxDist }
+    }
+    require(freedClone && rows.exists(_.contains(", 0, ")) &&
+      rows.exists(r => !r.contains(", 0, ")),
+      "mm08 oracle degenerate — need a deletion-freed clone, a still-" +
+        "flagged clone, and a kept asset")
+    s"""SELECT CAST(asset_id AS BIGINT) AS asset_id,
+       |  CAST(keep AS BIGINT) AS keep,
+       |  CAST(dup_of AS BIGINT) AS dup_of, CAST(dist AS BIGINT) AS dist
+       |FROM (VALUES ${rows.mkString(",\n  ")})
+       |  AS t(asset_id, keep, dup_of, dist)
+       |ORDER BY asset_id""".stripMargin
+  }
+
   /** 64-bit perceptual difference hash of an audio payload — the audio
     * analog of [[dHash64]]: WAV decode to PCM, mean |amplitude| over 65
     * equal windows (the loudness envelope), bit i set iff window i is

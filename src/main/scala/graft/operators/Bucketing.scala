@@ -66,6 +66,57 @@ object Bucketing {
       .saveAsTable(table)
   }
 
+  /** Maintenance-rewrite variant of [[writeBucketedAt]] for a frame
+    * that is ALREADY one-partition-per-bucket — a bucketed scan of a
+    * same-(cols, count) table narrowly transformed (filter, broadcast
+    * anti-join): skips the pre-write repartition, because the exchange
+    * writeBucketedAt needs to ESTABLISH the layout from arbitrary
+    * input would here re-shuffle table-sized data that already holds
+    * it. Spark's bucketed write does not demand a distribution — it
+    * hashes rows into bucket files per task — so a task holding
+    * exactly one bucket's rows writes exactly one file, preserving
+    * the one-file-per-bucket invariant without any exchange (the
+    * registry-deletion receipt: SCALE.md r20, 0.0 MB at every
+    * decade). Caller contract: `df` derives from a scan bucketed by
+    * the SAME `bucketCols` into the SAME `numBuckets` via narrow
+    * transforms only — a frame that does not satisfy it still writes
+    * correctly (the layout math is per-row), but multi-file buckets
+    * forfeit the one-file sorted-scan invariant.
+    */
+  def rewriteBucketedAt(df: DataFrame, table: String,
+                        bucketCols: Seq[String], numBuckets: Int,
+                        path: String): Unit = {
+    require(bucketCols.nonEmpty, "need at least one bucket column")
+    df.sparkSession.sql(s"DROP TABLE IF EXISTS $table")
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    df.write.mode(SaveMode.Overwrite)
+      .format("parquet")
+      .option("path", path)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .saveAsTable(table)
+  }
+
+  /** Re-register an EXTERNAL bucketed table over data that already
+    * sits at `path` (after a maintenance rename-swap moved it there):
+    * plain DDL, no data touched. The bucket spec must match how the
+    * files were written or reads would trust a layout that is not
+    * there.
+    */
+  def registerBucketedAt(spark: SparkSession, table: String,
+                         schemaDdl: String, bucketCols: Seq[String],
+                         numBuckets: Int, path: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(
+      s"""CREATE TABLE $table ($schemaDdl) USING PARQUET
+         |CLUSTERED BY (${bucketCols.mkString(", ")})
+         |SORTED BY (${bucketCols.mkString(", ")})
+         |INTO $numBuckets BUCKETS
+         |LOCATION '$path'""".stripMargin)
+  }
+
   /** Join two bucketed tables on their bucket key — plans with no
     * Exchange when both sides share bucket count and key.
     */

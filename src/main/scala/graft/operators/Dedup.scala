@@ -1107,6 +1107,73 @@ object Dedup {
         col("dup_of"), col("dist"))
   }
 
+  /** RTBF deletion from a persisted [[writeHammingRegistry]] registry —
+    * dd22's contract for the media family, the registry-lifecycle
+    * matrix's last asymmetry (text could delete, images could not):
+    * drop EVERY banded row of the tombstoned asset ids and rewrite
+    * the table in place, so a deleted image stops flagging future
+    * re-crawls AND its hash leaves storage (the fold-forward screen
+    * would otherwise keep matching against a hash the data owner
+    * asked gone).
+    *
+    * Scale shape: the tombstone list broadcasts (bounded by the
+    * deletion-request batch, never the corpus) onto the bucketed
+    * scan — a narrow anti-join that PRESERVES the scan's
+    * one-partition-per-bucket layout — and the survivors rewrite
+    * through [[Bucketing.rewriteBucketedAt]], which skips the
+    * layout-establishing exchange precisely because the layout
+    * already holds: the whole delete is scan → broadcast-anti →
+    * write, 0.0 MB of shuffle at every registry decade (SCALE.md
+    * r20). The swap is crash-safe the house way: survivors land at
+    * `<path>.__next`, the live tree steps aside to `<path>.__pre`,
+    * next renames in, pre deletes last — an interrupted run leaves
+    * `__pre` (the previous registry, intact) and the next attempt
+    * refuses with the restore path named rather than guessing.
+    *
+    * The deleted registry is value-IDENTICAL to one rebuilt from the
+    * survivors (the sim27 contract): banding is a pure per-row
+    * function, so dropping an id's banded rows ≡ never having banded
+    * it (MultimodalSpec pins row-for-row equality). Malformed
+    * tombstone ids raise in-plan ([[Similarity.castTombstone]]) —
+    * a deletion that silently skipped an id would be a compliance
+    * bug, not a convenience.
+    */
+  def deleteFromHammingRegistry(spark: org.apache.spark.sql.SparkSession,
+                                table: String, path: String,
+                                tombstones: DataFrame,
+                                numBuckets: Int = 32): Unit = {
+    val reg = spark.table(table)
+    val idName = reg.columns.head
+    val tCol = tombstones.columns.head
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val pre = new org.apache.hadoop.fs.Path(s"$path.__pre")
+    require(!fs.exists(pre),
+      s"interrupted registry deletion: $pre still holds the previous " +
+        s"registry — restore it to $path (or delete it if the swap " +
+        "completed) before deleting again")
+    val survivors = reg.join(
+      broadcast(tombstones
+        .select(Similarity.castTombstone(col(tCol),
+          reg.schema(idName).dataType,
+          "deleteFromHammingRegistry").as(idName))
+        .distinct()),
+      Seq(idName), "left_anti")
+    val next = s"$path.__next"
+    Bucketing.rewriteBucketedAt(survivors, s"${table}_next",
+      Seq("band", "bv"), numBuckets, next)
+    val schemaDdl = survivors.schema.toDDL
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_next")
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val live = new org.apache.hadoop.fs.Path(path)
+    require(fs.rename(live, pre), s"rename $path -> $pre failed")
+    require(fs.rename(new org.apache.hadoop.fs.Path(next), live),
+      s"rename $next -> $path failed ($pre holds the previous registry)")
+    fs.delete(pre, true)
+    Bucketing.registerBucketedAt(spark, table, schemaDdl,
+      Seq("band", "bv"), numBuckets, path)
+  }
+
   /** Typo-pair detection over a token vocabulary (the fuzzy-key-matching
     * step of entity/token normalization): candidates blocked on (first
     * char, ±1 length band) so only plausible typo pairs ever meet, then

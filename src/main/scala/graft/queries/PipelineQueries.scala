@@ -4845,6 +4845,49 @@ object PipelineQueries {
       out
     },
 
+    // RTBF deletion from the media registry — dd22's arm for the
+    // hamming family, closing the registry-lifecycle matrix's last
+    // asymmetry (the text signature registry could delete; the image
+    // registry could not). Build the mm07 registry, tombstone every
+    // even-id image (the asset owner's deletion request), rewrite in
+    // place (broadcast anti-join on the bucketed scan, zero-exchange
+    // rewrite, crash-safe rename-swap), then screen the SAME clone
+    // batch mm07 screens: a clone whose source was deleted must now
+    // KEEP — its hash is out of storage, not just out of the result —
+    // while survivors' clones still flag with the same best match.
+    // Oracle = brute-force best-match against the SURVIVOR hash set
+    // (the deleted registry is value-identical to one built from the
+    // survivors; MultimodalSpec pins that row-for-row).
+    QueryDef("mm08_media_registry_delete",
+      graft.multimodal.Multimodal
+        .mediaRegistryDeleteOracleSql(300, 100, 5000L, 3, 2L)) { (s, dir) =>
+      val m = graft.multimodal.Multimodal
+      val work = gateWork(s, "mm08", dir)
+      val reg = s"$work/reg" // __next/__pre siblings stay inside the tree
+      val tbl = "graft_mm08_reg_" +
+        work.substring(work.lastIndexOf('/') + 1)
+          .replaceAll("[^A-Za-z0-9_]", "_")
+      Dedup.writeHammingRegistry(
+        m.dHashes(m.syntheticAssets(s, 300)).toDF(),
+        "asset_id", "dhash", tbl, reg, maxDist = 3, numBuckets = 16)
+      Dedup.deleteFromHammingRegistry(s, tbl, reg,
+        s.range(0, 300, 2).select(col("id").as("asset_id")),
+        numBuckets = 16)
+      val batch = m.cloneAssets(s, 300)
+        .unionByName(m.syntheticAssets(s, 100, offset = 5000L))
+      val screened = Dedup.incrementalHammingDup(
+        m.dHashes(batch).toDF(), s.table(tbl),
+        "asset_id", "dhash", maxDist = 3)
+        .select(col("asset_id"), col("keep").cast(LongType).as("keep"),
+          col("dup_of"), col("dist"))
+        .orderBy("asset_id")
+      val out = screened.localCheckpoint() // pin, then drop the registry
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      val p = new org.apache.hadoop.fs.Path(work)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      out
+    },
+
     // ================= events: JSON / sessions / windows =================
 
     QueryDef("ev01_json_extract",

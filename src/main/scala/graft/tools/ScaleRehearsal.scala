@@ -731,6 +731,17 @@ object ScaleRehearsal {
             "asset_id", "dhash", maxDist = 3)
             .filter(!col("keep")).count()
         }
+        // RTBF deletion at the same decades (mm08): a fixed 1000-id
+        // tombstone broadcast onto the bucketed scan + the
+        // no-repartition rewrite — 0.0 MB of shuffle at every decade
+        // or the "delete never exchanges the registry" claim is prose
+        val tomb = spark.range(1000L)
+          .select((col("id") * 97L % k).as("asset_id"))
+        measure(f"hm_delete reg=$k%-9d") {
+          Dedup.deleteFromHammingRegistry(spark, tbl, wd, tomb,
+            numBuckets = 32)
+          spark.table(tbl).count()
+        }
         spark.sql(s"DROP TABLE IF EXISTS $tbl")
         p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
       }

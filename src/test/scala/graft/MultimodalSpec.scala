@@ -273,4 +273,66 @@ class MultimodalSpec extends AnyFunSuite {
     val planted = got.count { case (a, b, _) => b == a + 1000000L }
     assert(planted == 20, s"planted recall $planted/20")
   }
+  test("deleteFromHammingRegistry: deleted registry == survivors-built registry, row-for-row; swap is crash-safe") {
+    import graft.operators.Dedup
+    val work = java.nio.file.Files.createTempDirectory("graft-mm08").toString
+    val reg = s"$work/reg"
+    val hashes = Multimodal.dHashes(Multimodal.syntheticAssets(spark, 90))
+      .toDF().cache()
+    Dedup.writeHammingRegistry(hashes, "asset_id", "dhash",
+      "graft_t_mm08", reg, maxDist = 3, numBuckets = 8)
+    // malformed tombstone raises in-plan, registry untouched
+    val bad = intercept[Exception] {
+      Dedup.deleteFromHammingRegistry(spark, "graft_t_mm08", reg,
+        Seq("7", "not-an-id").toDF("asset_id"), numBuckets = 8)
+    }
+    assert(bad.getMessage.contains("deleteFromHammingRegistry"),
+      bad.getMessage)
+    assert(spark.table("graft_t_mm08").count() == hashes.count() * 4,
+      "registry changed under a failed deletion")
+    // the real deletion: every even image id leaves
+    Dedup.deleteFromHammingRegistry(spark, "graft_t_mm08", reg,
+      spark.range(0, 90, 2).select($"id".as("asset_id")), numBuckets = 8)
+    val after = spark.table("graft_t_mm08")
+    // sim27 contract: identical to a registry that never held them
+    val rebuilt = s"$work/rebuilt"
+    Dedup.writeHammingRegistry(
+      hashes.filter($"asset_id" % 2 =!= 0), "asset_id", "dhash",
+      "graft_t_mm08_rb", rebuilt, maxDist = 3, numBuckets = 8)
+    val key = (df: org.apache.spark.sql.DataFrame) => df
+      .select("asset_id", "band", "bv", "h64").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .sorted.toSeq
+    assert(key(after) == key(spark.table("graft_t_mm08_rb")),
+      "deleted registry diverges from survivors-built registry")
+    // the re-registered table keeps the bucket spec (a bare scan shows
+    // "Bucketed: false (disabled by query planner)" — the planner only
+    // engages bucketing for operators that exploit it, so the LAYOUT
+    // claim checks the catalog; the serving pin is PlanSpec's mm08
+    // test, which screens against the rewritten table)
+    val desc = spark.sql("DESCRIBE EXTENDED graft_t_mm08").collect()
+      .map(r => s"${r.getString(0)}=${r.getString(1)}").mkString("\n")
+    assert(desc.contains("Num Buckets=8"), desc)
+    assert(desc.replaceAll("\\s+", "").contains("BucketColumns=[`band`,`bv`]"),
+      desc)
+    // the no-repartition rewrite preserves one-file-per-(non-empty)
+    // bucket: same file count as the repartition-established rebuilt
+    // layout over the identical rows, and never more than buckets
+    val files = (d: String) => new java.io.File(d).listFiles()
+      .count(_.getName.startsWith("part-"))
+    assert(files(reg) == files(rebuilt) && files(reg) <= 8,
+      s"${files(reg)} rewrite files vs ${files(rebuilt)} rebuilt, 8 buckets")
+    // crash-safety: a lingering __pre refuses with the restore named
+    val fs = new org.apache.hadoop.fs.Path(reg)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$reg.__pre"))
+    val stuck = intercept[IllegalArgumentException] {
+      Dedup.deleteFromHammingRegistry(spark, "graft_t_mm08", reg,
+        spark.range(1).select($"id".as("asset_id")), numBuckets = 8)
+    }
+    assert(stuck.getMessage.contains("__pre"), stuck.getMessage)
+    spark.sql("DROP TABLE IF EXISTS graft_t_mm08")
+    spark.sql("DROP TABLE IF EXISTS graft_t_mm08_rb")
+    fs.delete(new org.apache.hadoop.fs.Path(work), true)
+  }
 }

@@ -1231,6 +1231,59 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("mm08: media registry deletion is exchange-free and the rewritten table still serves bucketed") {
+    // the delete arm's scale claim (SCALE.md r20): tombstones
+    // broadcast onto the registry scan, the anti-join is narrow, and
+    // rewriteBucketedAt adds no layout-establishing repartition — so
+    // the survivors frame plans with NO data exchange of any kind
+    // (the broadcast of the bounded tombstone list is the one
+    // exchange, and it is the point). Then the END state: the
+    // rewritten, re-registered table must serve the mm07 screen with
+    // the same single batch-side exchange — deletion must not cost
+    // the layout.
+    import org.apache.spark.sql.functions._
+    val d = java.nio.file.Files.createTempDirectory("hm-del-plan").toString
+    try {
+      val reg = spark.range(4000L).select(col("id").as("asset_id"),
+        xxhash64(col("id")).as("dhash"))
+      graft.operators.Dedup.writeHammingRegistry(reg, "asset_id", "dhash",
+        "graft_plan_hm_del", s"$d/reg", maxDist = 3, numBuckets = 8)
+      val tomb = spark.range(0, 4000, 2).select(col("id").as("asset_id"))
+      val survivors = spark.table("graft_plan_hm_del").join(
+        broadcast(tomb), Seq("asset_id"), "left_anti")
+      survivors.collect()
+      val plan = survivors.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(plan.contains("BroadcastHashJoin"), plan)
+      assert(!plan.contains("Exchange hashpartitioning"), plan)
+      assert(!plan.contains("Exchange rangepartitioning"), plan)
+      graft.operators.Dedup.deleteFromHammingRegistry(spark,
+        "graft_plan_hm_del", s"$d/reg", tomb, numBuckets = 8)
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        // batch = 1-bit flips of SURVIVOR hashes (odd ids) — every row
+        // matches, so the candidate join cannot collapse away
+        val batch = spark.range(1, 4000, 2)
+          .select((col("id") + 4000L).as("asset_id"),
+            xxhash64(col("id")).bitwiseXOR(lit(1L)).as("dhash"))
+        val screened = graft.operators.Dedup.incrementalHammingDup(batch,
+          spark.table("graft_plan_hm_del"), "asset_id", "dhash",
+          maxDist = 3)
+        screened.collect()
+        val sp = screened.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==")(0)
+        assert(sp.contains("Bucketed: true"), sp)
+        assert(sp.linesIterator.count(
+          _.contains("Exchange hashpartitioning(band")) == 1, sp)
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_plan_hm_del")
+    }
+  }
+
   test("dd09: exact-hash registry anti-joins exchange-free under the bucketed layout") {
     // the same zero-exchange contract for the EXACT incremental
     // registry (incremental()'s scaladoc names it): persisted bucketed
