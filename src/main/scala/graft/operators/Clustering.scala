@@ -38,9 +38,10 @@ object Clustering {
     * [[Similarity.cosineExact]]).
     */
   private def sqDist(x: Column, c: Column): Column =
-    aggregate(zip_with(x, c, (a, b) => (a - b) * (a - b)),
-      lit(0).cast(DecimalType(30, 12)),
-      (acc, v) => (acc + v).cast(DecimalType(30, 12)))
+    // compiled kernel (r20): same exact decimal fold, one virtual call
+    // per row instead of an interpreted per-element expression walk
+    // (VecKernelsSpec pins bit-equality to the HOF chain)
+    graft.functions.VecKernels.vec_sqdist_dec(x, c)
 
   /** The k seed centroids: the minimum-id vector of each `id % k`
     * residue class — deterministic, engine-portable, well spread for

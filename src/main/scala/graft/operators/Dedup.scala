@@ -78,11 +78,16 @@ object Dedup {
     * the text once per shingle index.
     */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    // compiled word_ngrams kernel (r20) ≡ array_distinct(transform(
+    // sequence(0, len-n), i => concat_ws(" ", slice(words, i+1, n)))):
+    // the HOF chain walked ~n interpreted expression nodes per emitted
+    // gram — the single hottest text-path expression (every shingle
+    // consumer pays it per doc per pass). VecKernelsSpec pins
+    // first-occurrence-distinct order and concat_ws null-skipping.
     df.select(col(idCol), split(col(textCol), " ").as("_words"))
       .filter(size(col("_words")) >= n)
-      .select(col(idCol), explode(array_distinct(
-        transform(sequence(lit(0), size(col("_words")) - n),
-          i => concat_ws(" ", slice(col("_words"), i + 1, lit(n)))))).as("shingle"))
+      .select(col(idCol), explode(
+        graft.functions.VecKernels.word_ngrams(col("_words"), n)).as("shingle"))
 
   /** MinHash signatures: (id, sig array<long>[numHashes]), one pass via
     * the custom [[graft.functions.MinHashAggExpr]] TypedImperativeAggregate
@@ -189,8 +194,11 @@ object Dedup {
                                   minEstJac: Double): DataFrame = {
     val est = batchBanded.join(regBanded, Seq("band", "bucket"))
       .select(col("_bid"), col("_rid"),
-        (size(filter(zip_with(col("_bs"), col("_rs"), (x, y) => x === y),
-          v => v)).cast(DoubleType) / numHashes).as("_e"))
+        // compiled sig_agree kernel (r20) ≡ size(filter(zip_with(===)))
+        // — the per-collision estimate is the screen's hottest
+        // expression (numHashes interpreted walks per candidate pair)
+        (graft.functions.VecKernels.sig_agree(col("_bs"), col("_rs"))
+          .cast(DoubleType) / numHashes).as("_e"))
       .filter(col("_e") >= minEstJac)
       // bounded top-1, ties to the LOWEST registry id (TopKAgg's
       // (score desc, id asc) order) — never a struct-min SortAggregate
@@ -335,6 +343,35 @@ object Dedup {
     screenAgainstBanded(batch, bb, rb, idCol, numHashes, minEstJac)
   }
 
+  /** [[incrementalNearDupBanded]] when the BATCH side is already banded
+    * — the one-pass streaming-screen path (r20 optimization):
+    * `StreamingJobs.screenBatch` needs the batch's banded signatures
+    * twice (the screen join AND the survivors' registry append), and
+    * the two-entry-point shape forced it to re-run the whole
+    * shingle → MinHash → band pipeline for the append. Accepting the
+    * pre-banded rows (the exact [[bandedSignatures]] layout, typically
+    * checkpointed by the caller) removes one full batch pass per
+    * micro-batch; the screen itself is unchanged —
+    * [[screenAgainstBanded]] with the same guard on the registry side.
+    */
+  private[graft] def incrementalNearDupPreBanded(batch: DataFrame,
+                                                 batchBanded: DataFrame,
+                                                 registryBanded: DataFrame,
+                                                 idCol: String,
+                                                 numHashes: Int, bands: Int,
+                                                 minEstJac: Double): DataFrame = {
+    require(numHashes % bands == 0, s"bands must divide numHashes")
+    require(minEstJac > 0.0 && minEstJac <= 1.0, "need 0 < minEstJac <= 1")
+    Similarity.requireIntegralId(batch, idCol)
+    Similarity.requireIntegralId(registryBanded, idCol)
+    val bb = batchBanded.select(col(idCol).as("_bid"), col("band"),
+      col("bucket"), col("sig").as("_bs"))
+    val rb = registryBanded.select(col(idCol).as("_rid"), col("band"),
+      col("bucket"),
+      guardRegistrySig(col("sig"), col("band"), numHashes, bands).as("_rs"))
+    screenAgainstBanded(batch, bb, rb, idCol, numHashes, minEstJac)
+  }
+
   /** All-pairs word-n-gram Jaccard similarities: (da, db, jac) with
     * da < db. Shingles are keyed by xxhash64 (longs shuffle, not
     * strings); pair generation groups each shingle's doc list ONCE and
@@ -408,9 +445,11 @@ object Dedup {
             .as("dropped_shingles"))
         .filter(size(col("ids")) <= maxPosting)
     val inter = kept
-      .select(explode(flatten(transform(col("ids"), a =>
-        transform(filter(col("ids"), b => b > a),
-          b => struct(a.as("da"), b.as("db")))))).as("p"))
+      // compiled id_pairs kernel (r20) ≡ the nested
+      // transform/filter/struct/flatten pair emission — ≤ maxPosting²/2
+      // interpreted walks per posting before; VecKernelsSpec pins order
+      // and null handling
+      .select(explode(graft.functions.VecKernels.id_pairs(col("ids"))).as("p"))
       .groupBy(col("p.da").as("da"), col("p.db").as("db"))
       .agg(count(lit(1)).as("inter"))
     inter
@@ -932,18 +971,16 @@ object Dedup {
     * nondeterminism cannot leak into the result).
     */
   def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    // the 64-bit vote runs in the compiled simhash_vote kernel (r20):
+    // the nested-HOF form walked 64 × |tokens| interpreted expression
+    // nodes per doc; the kernel is the identical commutative vote in
+    // straight-line code (VecKernelsSpec pins it, null hashes vote -1)
     df.select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
       .select(col(idCol), xxhash64(col("tok")).as("h"))
       .groupBy(col(idCol))
       .agg(collect_list(col("h")).as("hs"))
-      .select(col(idCol), aggregate(
-        sequence(lit(0), lit(63)), lit(0L),
-        (acc, b) => acc + when(
-          aggregate(col("hs"), lit(0),
-            (v, h) => v + when(call_function("shiftright", h, b)
-              .bitwiseAND(1) === 1, 1).otherwise(-1)) > 0,
-          call_function("shiftleft", lit(1L), b)).otherwise(0L))
-        .cast(LongType).as("simhash"))
+      .select(col(idCol),
+        graft.functions.VecKernels.simhash_vote(col("hs")).as("simhash"))
 
   /** The (band, bv) blocking layout of a 64-bit hash column — the rows
     * [[hammingPairs]] self-joins and [[writeHammingRegistry]] persists:
@@ -1346,9 +1383,7 @@ object Dedup {
     def decV(c: Column): Column =
       transform(c, x => x.cast(DoubleType).cast(DecimalType(12, 6)))
     def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p * q),
-        lit(0).cast(DecimalType(30, 12)),
-        (acc, v) => (acc + v).cast(DecimalType(30, 12)))
+      graft.functions.VecKernels.vec_dot_dec(x, y)
     // twoLevelAssign is the big-corpus switch (k ∝ N makes the exact
     // assignment fold quadratic — the measured 718 s dd15 wall at the
     // 100× rehearsal): blocking cells become approximate for boundary

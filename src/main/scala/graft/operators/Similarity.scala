@@ -63,15 +63,16 @@ object Similarity {
       "exact-assign wall. Pass twoLevelAssign = true to acknowledge, " +
       "or threshold Int.MaxValue to force exact assignment.")
 
-  /** Higher-order-function cosine similarity between two double arrays
-    * (codegen'd; one pass, no explode).
+  /** One-pass cosine similarity between two float/double arrays —
+    * served by the compiled [[graft.functions.VecKernels.vec_dot_d]]
+    * kernel (r20: the HOF zip_with/aggregate fold is CodegenFallback,
+    * interpreted per ELEMENT; the kernel folds the identical IEEE sum
+    * in compiled code, bit-identical incl. the float→double widening
+    * the old dbl() transform performed — VecKernelsSpec pins it).
     */
   def cosine(a: Column, b: Column): Column = {
-    def dbl(c: Column) = transform(c, x => x.cast(DoubleType))
-    def dot(x: Column, y: Column) =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
-    val (da, db) = (dbl(a), dbl(b))
-    dot(da, db) / (sqrt(dot(da, da)) * sqrt(dot(db, db)))
+    import graft.functions.VecKernels.vec_dot_d
+    vec_dot_d(a, b) / (sqrt(vec_dot_d(a, a)) * sqrt(vec_dot_d(b, b)))
   }
 
   /** Exact-decimal cosine: same one-pass higher-order-function shape as
@@ -83,23 +84,20 @@ object Similarity {
     * HOF fast path from a rows-only check to a full hash-match oracle.
     */
   def cosineExact(a: Column, b: Column): Column = {
-    def dec(c: Column) =
-      transform(c, x => x.cast(DoubleType).cast(DecimalType(12, 6)))
-    def dot(x: Column, y: Column) =
-      // the accumulator must be SMALL enough that each fold step's add
-      // stays inside DECIMAL's 38-digit budget: products are
-      // DECIMAL(25,12), and (30,12)+(25,12) needs (31,12) — exact. A
-      // (38,12) accumulator would push the add to (39,12), which Spark
-      // silently re-scales to (38,11) — ROUNDING every step (measured:
-      // ~4e-11 drift vs the exact sum, enough to break hash-match). The
-      // cast back to (30,12) is lossless: 18 integer digits of headroom
-      // vs |x|≤1e6, 64-element vectors.
-      aggregate(zip_with(x, y, (p, q) => p * q),
-        lit(0).cast(DecimalType(30, 12)),
-        (acc, v) => (acc + v).cast(DecimalType(30, 12)))
-    val (da, db) = (dec(a), dec(b))
-    dot(da, db).cast(DoubleType) /
-      sqrt(dot(da, da).cast(DoubleType) * dot(db, db).cast(DoubleType))
+    // the exact fold now runs in the compiled
+    // [[graft.functions.VecKernels.vec_dot_dec]] kernel (r20): per
+    // element cast(double)→DECIMAL(12,6) HALF_UP, exact (25,12)
+    // products, per-step (30,12) accumulator cast — the accumulator
+    // must be SMALL enough that each fold step's add stays inside
+    // DECIMAL's 38-digit budget ((30,12)+(25,12) → (31,12), exact; a
+    // (38,12) accumulator would push the add to (39,12), which Spark
+    // silently re-scales to (38,11), ROUNDING every step — measured
+    // ~4e-11 drift, enough to break hash-match). VecKernelsSpec pins
+    // the kernel to the original HOF chain bit for bit.
+    import graft.functions.VecKernels.vec_dot_dec
+    vec_dot_dec(a, b).cast(DoubleType) /
+      sqrt(vec_dot_dec(a, a).cast(DoubleType) *
+        vec_dot_dec(b, b).cast(DoubleType))
   }
 
   /** Brute-force cosine top-k: every vector of `queries` scored against
@@ -145,30 +143,25 @@ object Similarity {
                           idCol: String, vecCol: String,
                           exact: Boolean): DataFrame = {
     requireIntegralIds(queries, candidates, idCol)
+    import graft.functions.VecKernels.{vec_dot_d, vec_dot_dec}
     def dec(c: Column) =
       transform(c, x => x.cast(DoubleType).cast(DecimalType(12, 6)))
-    def dotD(x: Column, y: Column) =
-      aggregate(zip_with(x, y, (p, q) => p * q),
-        lit(0).cast(DecimalType(30, 12)),
-        (acc, v) => (acc + v).cast(DecimalType(30, 12)))
     def dbl(c: Column) = transform(c, x => x.cast(DoubleType))
-    def dotI(x: Column, y: Column) =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
 
     def side(df: DataFrame, id: String, v: String, n: String): DataFrame =
       if (exact)
         df.select(col(idCol).cast(LongType).as(id), dec(col(vecCol)).as(v))
-          .withColumn(n, dotD(col(v), col(v)).cast(DoubleType))
+          .withColumn(n, vec_dot_dec(col(v), col(v)).cast(DoubleType))
       else
         df.select(col(idCol).cast(LongType).as(id), dbl(col(vecCol)).as(v))
-          .withColumn(n, sqrt(dotI(col(v), col(v))))
+          .withColumn(n, sqrt(vec_dot_d(col(v), col(v))))
 
     val q = side(queries, "qid", "qv", "qn")
     val c = side(candidates, "cid", "cv", "cn")
     val score =
-      if (exact) dotD(col("qv"), col("cv")).cast(DoubleType) /
+      if (exact) vec_dot_dec(col("qv"), col("cv")).cast(DoubleType) /
         sqrt(col("qn") * col("cn"))
-      else dotI(col("qv"), col("cv")) / (col("qn") * col("cn"))
+      else vec_dot_d(col("qv"), col("cv")) / (col("qn") * col("cn"))
     c.join(broadcast(q), col("qid") =!= col("cid"))
       .select(col("qid"), col("cid").cast(LongType).as("cid"),
         score.as("sim"))
@@ -224,18 +217,15 @@ object Similarity {
     require(k >= 1 && shortlist >= k,
       s"need 1 <= k <= shortlist, got k=$k shortlist=$shortlist")
     requireIntegralIds(queries, candidates, idCol)
+    import graft.functions.VecKernels.vec_dot_dec
     def dec(c: Column) =
       transform(c, x => x.cast(DoubleType).cast(DecimalType(12, 6)))
-    def dotD(x: Column, y: Column) =
-      aggregate(zip_with(x, y, (p, q) => p * q),
-        lit(0).cast(DecimalType(30, 12)),
-        (acc, v) => (acc + v).cast(DecimalType(30, 12)))
 
     val rel = cosineTopK(queries, candidates, shortlist, idCol, vecCol,
       exact = true)
     val cside = candidates
       .select(col(idCol).cast(LongType).as("cid"), dec(col(vecCol)).as("cv"))
-      .withColumn("cn", dotD(col("cv"), col("cv")).cast(DoubleType))
+      .withColumn("cn", vec_dot_dec(col("cv"), col("cv")).cast(DoubleType))
     // shortlist members with vectors: Q×s rows — broadcastable at any
     // corpus size, so the pair join below never shuffles the corpus
     val sv = rel.select(col("qid"), col("cid"), col("sim").as("rel"))
@@ -245,7 +235,7 @@ object Similarity {
         col("cv").as("_sv"), col("cn").as("_sn")),
         col("qid") === col("_q") && col("cid") =!= col("_sid"))
       .select(col("qid"), col("cid"), col("_sid"),
-        (dotD(col("cv"), col("_sv")).cast(DoubleType) /
+        (vec_dot_dec(col("cv"), col("_sv")).cast(DoubleType) /
           sqrt(col("cn") * col("_sn"))).as("psim"))
 
     var selected = rel.filter(col("rank") === 1)
@@ -284,17 +274,15 @@ object Similarity {
   def l2TopK(queries: DataFrame, candidates: DataFrame, k: Int,
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     requireIntegralIds(queries, candidates, idCol)
+    import graft.functions.VecKernels.vec_sqdist_d
     def dbl(c: Column) = transform(c, x => x.cast(DoubleType))
-    def l2(a: Column, b: Column) =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, v) => acc + v)
     val q = queries.select(col(idCol).cast(LongType).as("qid"), dbl(col(vecCol)).as("qv"))
     val c = candidates.select(col(idCol).as("cid"), dbl(col(vecCol)).as("cv"))
     // bounded map-side top-k (see cosineTopK): ascending — smallest
     // distance first; ties by cid match the window's orderBy(dist, cid)
     c.join(broadcast(q), col("qid") =!= col("cid"))
       .select(col("qid"), col("cid").cast(LongType).as("cid"),
-        l2(col("qv"), col("cv")).as("dist"))
+        vec_sqdist_d(col("qv"), col("cv")).as("dist"))
       .groupBy("qid")
       .agg(TopKAgg.top_k(col("dist"), col("cid"), k, ascending = true)
         .as("_tk"))
@@ -348,19 +336,15 @@ object Similarity {
 
   /** Per-row argmin code over a `_codes` array under IEEE squared-L2.
     * Codes iterate ascending with strict `<`, so equal distances keep
-    * the lowest code — identical to min(struct(_d, _code)).
+    * the lowest code — identical to min(struct(_d, _code)). Served by
+    * the compiled [[graft.functions.VecKernels.nearest_code_l2]] kernel
+    * (r20) — the interpreted struct-array when-fold cost ~codes×dim
+    * expression-tree walks per row; VecKernelsSpec pins the kernel to
+    * the original fold's exact semantics (strict <, null-distance
+    * first-capture, empty → null).
     */
   private def nearestCodeL2(v: Column): Column =
-    aggregate(col("_codes"),
-      struct(lit(null).cast(DoubleType).as("_d"),
-        lit(null).cast(LongType).as("_c")),
-      (acc, s) => {
-        val d = aggregate(zip_with(v, s.getField("cvec"),
-          (x, y) => (x - y) * (x - y)), lit(0.0), (a2, t) => a2 + t)
-        when(acc.getField("_c").isNull || d < acc.getField("_d"),
-          struct(d.as("_d"), s.getField("_code").cast(LongType).as("_c")))
-          .otherwise(acc)
-      }).getField("_c")
+    graft.functions.VecKernels.nearest_code_l2(col("_codes"), v)
 
   private def refineCodebook(seeds: DataFrame, subs: DataFrame,
                              iters: Int): DataFrame = {
@@ -427,10 +411,9 @@ object Similarity {
     require(m >= 1 && codes >= 2 && shortlist >= k,
       "need m >= 1, codes >= 2, shortlist >= k")
     requireIntegralIds(queries, candidates, idCol)
+    import graft.functions.VecKernels.vec_sqdist_d
     def dbl(c: Column) = transform(c, x => x.cast(DoubleType))
-    def l2(a: Column, b: Column) =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, v) => acc + v)
+    def l2(a: Column, b: Column) = vec_sqdist_d(a, b)
     def subSplit(v: Column): Column = subSplitExplode(v, m)
 
     val cand = candidates.select(col(idCol).as("cid"), dbl(col(vecCol)).as("cv"))
@@ -572,7 +555,15 @@ object Similarity {
     * them.
     */
   final case class IvfPqIndex(coarse: DataFrame, codebook: DataFrame,
-                              codes: DataFrame) {
+                              codes: DataFrame,
+                              builtM: Option[Int] = None) {
+    // builtM: the subvector count the index was built with, carried
+    // in-process so every serve/absorb on a freshly-built index skips
+    // the codebook-max derivation JOB (r20: one driver action per
+    // serve; ~15 such jobs across the maintain gates). Persisted
+    // indexes don't carry it — ivfPqLoad leaves None and the first
+    // consumer derives it from the codebook exactly as before. Not
+    // part of equality/the storage contract.
     def save(path: String): Unit = {
       coarse.write.mode("overwrite").parquet(s"$path/coarse")
       codebook.write.mode("overwrite").parquet(s"$path/codebook")
@@ -660,7 +651,8 @@ object Similarity {
     // free of the codebook re-derivation (the encode reads the
     // CHECKPOINTED frame, not the live chain)
     val cb = cents.localCheckpoint()
-    IvfPqIndex(coarse, cb, ivfPqEncode(assigned, cb, m, None))
+    IvfPqIndex(coarse, cb, ivfPqEncode(assigned, cb, m, None),
+      builtM = Some(m))
   }
 
   /** Serve top-`k` L2 neighbors against a built [[IvfPqIndex]]:
@@ -738,7 +730,8 @@ object Similarity {
     requireIntegralId(delta, idCol)
     val mEff =
       if (m > 0) m
-      else index.codebook.agg(max(col("sub"))).head().getInt(0) + 1
+      else index.builtM.getOrElse(
+        index.codebook.agg(max(col("sub"))).head().getInt(0) + 1)
     def dbl(c: Column) = transform(c, x => x.cast(DoubleType))
     val cand = delta.select(col(idCol).as("cid"), dbl(col(vecCol)).as("cv"))
     val coarse = index.coarse
@@ -749,7 +742,8 @@ object Similarity {
     val encoded = ivfPqEncode(
       ivfPqAssignResiduals(cand, coarse, twoLevel),
       index.codebook, mEff, Some("ivfPqAbsorbDelta"))
-    IvfPqIndex(coarse, index.codebook, index.codes.unionByName(encoded))
+    IvfPqIndex(coarse, index.codebook,
+      index.codes.unionByName(encoded), builtM = Some(mEff))
   }
 
   private def ivfPqServe(queries: DataFrame, index: IvfPqIndex,
@@ -760,11 +754,11 @@ object Similarity {
     requireIntegralId(queries, idCol)
     val mEff =
       if (m > 0) m
-      else index.codebook.agg(max(col("sub"))).head().getInt(0) + 1
+      else index.builtM.getOrElse(
+        index.codebook.agg(max(col("sub"))).head().getInt(0) + 1)
+    import graft.functions.VecKernels.{vec_sqdist_d, vec_sub_d}
     def dbl(c: Column) = transform(c, x => x.cast(DoubleType))
-    def l2(a: Column, b: Column) =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, v) => acc + v)
+    def l2(a: Column, b: Column) = vec_sqdist_d(a, b)
 
     val coarse = index.coarse
     val cents = index.codebook
@@ -793,7 +787,7 @@ object Similarity {
       .join(broadcast(q), "qid")
       .join(broadcast(coarse), "cell")
       .select(col("qid"), col("cell"),
-        zip_with(col("qv"), col("cellv"), (x, y) => x - y).as("qrv"))
+        vec_sub_d(col("qv"), col("cellv")).as("qrv"))
 
     // per-(query, probed cell) ADC table against the shared codebook
     val adc = probes.select(col("qid"), col("cell"),
@@ -865,17 +859,14 @@ object Similarity {
     * no stored projection matrix, fully codegen'd. Hamming-close
     * signatures ⇒ cosine-close vectors.
     */
-  def lshSignature(vec: Column, bits: Int): Column = {
-    val planes = (0 until bits).map { j =>
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1), (x, p) =>
-          x.cast(DoubleType) *
-            (when(pmod(xxhash64(lit(j), p), lit(2)) === 0, 1.0).otherwise(-1.0))),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj > 0, call_function("shiftleft", lit(1L), lit(j))).otherwise(0L)
-    }
-    planes.reduce(_ + _).cast(LongType)
-  }
+  def lshSignature(vec: Column, bits: Int): Column =
+    // compiled kernel (r20): one table's signature = element 1 of
+    // lsh_sigs(vec, bits, 1) — table 0's planes hash with seed
+    // t·bits + j = j, exactly the lit(j) chain the HOF form used. The
+    // HOF form re-evaluated xxhash64 per (element, plane) inside an
+    // interpreted zip_with; the kernel hashes each (plane, position)
+    // once in compiled code. VecKernelsSpec pins value equality.
+    element_at(graft.functions.VecKernels.lsh_sigs(vec, bits, 1), 1)
 
   /** Bucketed ANN: vectors grouped by LSH signature; probing joins on
     * the signature (hash-partitioned equi-join), then exact cosine +
@@ -895,24 +886,19 @@ object Similarity {
     * (vector, table): (id, vec, table, bucket).
     */
   def lshTables(df: DataFrame, bits: Int, tables: Int,
-                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    def sig(t: Column): Column = {
-      val planes = (0 until bits).map { j =>
-        val proj = aggregate(
-          zip_with(col(vecCol), sequence(lit(0), size(col(vecCol)) - 1), (x, p) =>
-            x.cast(DoubleType) *
-              (when(pmod(xxhash64(t * bits + j, p), lit(2)) === 0, 1.0)
-                .otherwise(-1.0))),
-          lit(0.0), (acc, v) => acc + v)
-        when(proj > 0, call_function("shiftleft", lit(1L), lit(j))).otherwise(0L)
-      }
-      planes.reduce(_ + _)
-    }
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    // compiled kernel (r20): the HOF formulation evaluated
+    // xxhash64(t·bits + j, p) inside an interpreted zip_with — dim ×
+    // bits × tables hash + branch expression-tree walks per ROW (4096
+    // at the gate defaults on 64-dim vectors). lsh_sigs derives the
+    // identical per-table signatures (same hash chain, same IEEE
+    // projection order, same null-folds-to-zero planes — VecKernelsSpec
+    // pins it) in one compiled pass; posexplode(pos → table) keeps the
+    // output schema byte-identical.
     df.select(col(idCol), col(vecCol),
-      posexplode(transform(sequence(lit(0), lit(tables - 1)), sig(_))))
+      posexplode(graft.functions.VecKernels.lsh_sigs(col(vecCol), bits, tables)))
       .withColumnRenamed("pos", "table")
       .withColumnRenamed("col", "bucket")
-  }
 
   /** The PERSISTABLE LSH index asset — the sim16 build/serve split for
     * the hyperplane-LSH family, which until now existed only fused
@@ -1072,7 +1058,7 @@ object Similarity {
 
   private def ivfDbl(c: Column): Column = transform(c, x => x.cast(DoubleType))
   private def ivfDot(x: Column, y: Column): Column =
-    aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    graft.functions.VecKernels.vec_dot_d(x, y)
   private def ivfWithNorm(df: DataFrame, idCol: String, vecCol: String,
                           id: String, v: String, n: String): DataFrame =
     df.select(col(idCol).cast(LongType).as(id), ivfDbl(col(vecCol)).as(v))
@@ -1201,7 +1187,7 @@ object Similarity {
       else ivfPqCellsExact(cand, coarse)
     cellPick.join(broadcast(coarse), "cell")
       .select(col("cid"), col("cell"),
-        zip_with(col("cv"), col("cellv"), (x, y) => x - y).as("rv"))
+        graft.functions.VecKernels.vec_sub_d(col("cv"), col("cellv")).as("rv"))
   }
 
   /** Encode assigned residuals (cid, cell, rv) against `codebook` via
@@ -1237,8 +1223,7 @@ object Similarity {
   private def ivfPqCellsTwoLevel(cand: DataFrame,
                                  coarse: DataFrame): DataFrame = {
     def l2d(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, v) => acc + v)
+      graft.functions.VecKernels.vec_sqdist_d(a, b)
     // g from the ACTUAL surviving cell count (hash-bucket collisions
     // can leave < nlist) — one count over nlist checkpointed rows
     val g = math.max(1, math.round(math.sqrt(coarse.count().toDouble)).toInt)
@@ -1776,7 +1761,9 @@ object Similarity {
       df.select(col(idCol).as("cid"), dbl(col(vecCol)).as("cv")),
       coarse, twoLevel)
       .select(col("cell"),
-        aggregate(col("rv"), lit(0.0), (a, v) => a + v * v).as("_d"))
+        // Σ v·v over one array ≡ vec_dot_d(rv, rv): same products, same
+        // IEEE order, same null poisoning — the compiled-kernel swap
+        graft.functions.VecKernels.vec_dot_d(col("rv"), col("rv")).as("_d"))
       .groupBy(col("cell"))
       .agg(count(lit(1)).as("_cnt"),
         sum(col("_d").cast(DecimalType(30, 12))).as("_sum"))
@@ -1942,7 +1929,7 @@ object Similarity {
           .select(castTombstone(col(tCol), index.codes.schema("cid").dataType,
             "ivfPqDeleteIds").as("cid"))
           .distinct()),
-        Seq("cid"), "left_anti"))
+        Seq("cid"), "left_anti"), index.builtM)
   }
 
   /** What [[ivfMaintain]] did and why: the absorbed-or-rebuilt index,
@@ -2052,7 +2039,8 @@ object Similarity {
       val nlist = index.coarse.count().toInt // quantizer-sized
       val mEff =
         if (m > 0) m
-        else index.codebook.agg(max(col("sub"))).head().getInt(0) + 1
+        else index.builtM.getOrElse(
+          index.codebook.agg(max(col("sub"))).head().getInt(0) + 1)
       val grown = corpus
         .select(col(idCol).cast(LongType).as(idCol),
           ivfDbl(col(vecCol)).as(vecCol))
@@ -2375,23 +2363,23 @@ object Similarity {
                                 rerank: DataFrame, k: Int,
                                 idCol: String, vecCol: String,
                                 dropZeroNormQueries: Boolean): DataFrame = {
+    import graft.functions.VecKernels.vec_dot_dec
     def dec(c: Column) =
       transform(c, x => x.cast(DoubleType).cast(DecimalType(12, 6)))
-    def dotD(x: Column, y: Column) =
-      aggregate(zip_with(x, y, (p, q) => p * q),
-        lit(0).cast(DecimalType(30, 12)),
-        (acc, v) => (acc + v).cast(DecimalType(30, 12)))
     val qv0 = queries
       .select(col(idCol).cast(LongType).as("qid"), dec(col(vecCol)).as("_qv"))
-      .withColumn("_qn", dotD(col("_qv"), col("_qv")))
+      .withColumn("_qn", vec_dot_dec(col("_qv"), col("_qv")))
     val qv = if (dropZeroNormQueries) qv0.filter(col("_qn") > 0) else qv0
     val cvRaw = rerank
       .select(col(idCol).cast(LongType).as("cid"), col(vecCol).as("_craw"))
-    val cd = dec(col("_craw"))
+    // the kernel fuses the per-element double→DECIMAL(12,6) cast, so
+    // the raw candidate array feeds it directly (same values as the
+    // old dec(_craw) projection — VecKernelsSpec pins both input forms)
     cvRaw.join(broadcast(sl), "cid").join(broadcast(qv), "qid")
       .select(col("qid"), col("cid"),
-        (dotD(col("_qv"), cd).cast(DoubleType) /
-          sqrt(col("_qn").cast(DoubleType) * dotD(cd, cd).cast(DoubleType)))
+        (vec_dot_dec(col("_qv"), col("_craw")).cast(DoubleType) /
+          sqrt(col("_qn").cast(DoubleType) *
+            vec_dot_dec(col("_craw"), col("_craw")).cast(DoubleType)))
           .as("sim"))
       .groupBy(col("qid"))
       .agg(TopKAgg.top_k(col("sim"), col("cid"), k, ascending = false)
@@ -2432,14 +2420,7 @@ object Similarity {
                      idCol: String = "vec_id",
                      vecCol: String = "embedding"): DataFrame = {
     requireIntegralIds(queries, candidates, idCol)
-    def dec(c: Column) =
-      transform(c, x => x.cast(DoubleType).cast(DecimalType(12, 6)))
-    def dotD(x: Column, y: Column) =
-      aggregate(zip_with(x, y, (p, q) => p * q),
-        lit(0).cast(DecimalType(30, 12)),
-        (acc, v) => (acc + v).cast(DecimalType(30, 12)))
-    def idot(a: Column, b: Column) =
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+    import graft.functions.VecKernels.{vec_dot_dec, vec_dot_l}
     // int8 side: (id, _q bigint[], _am double) — sim05's exact scheme
     def quant(df: DataFrame, id: String): DataFrame = {
       val xd = transform(col(vecCol), x => x.cast(DoubleType))
@@ -2452,12 +2433,12 @@ object Similarity {
     }
     val q = quant(queries, "qid").select(col("qid"), col("_q").as("_qq"))
     val c = quant(candidates, "cid")
-      .withColumn("_cn", dotD(dec(col("_x")), dec(col("_x"))))
+      .withColumn("_cn", vec_dot_dec(col("_x"), col("_x")))
       .filter(col("_cn") > 0)
       .select(col("cid"), col("_q").as("_cq"), col("_am").as("_cam"), col("_cn"))
     val sl = c.join(broadcast(q), col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
-        (idot(col("_qq"), col("_cq")).cast(DoubleType) * col("_cam") /
+        (vec_dot_l(col("_qq"), col("_cq")).cast(DoubleType) * col("_cam") /
           sqrt(col("_cn").cast(DoubleType))).as("_s1"))
       .groupBy(col("qid"))
       .agg(TopKAgg.top_k(col("_s1"), col("cid"), shortlist, ascending = false)

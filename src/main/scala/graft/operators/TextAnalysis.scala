@@ -338,13 +338,14 @@ object TextAnalysis {
     val nTok = size(col("_toks")).cast(LongType)
     val stopRatio = stopRatioCol(col("_toks"), lang)
     val punctRatio = punctRatioCol(col("_t"))
-    val g2 = when(size(col("_toks")) >= 2,
-      transform(sequence(lit(0), size(col("_toks")) - 2),
-        i => concat_ws(" ", slice(col("_toks"), i + 1, lit(2)))))
-      .otherwise(array().cast(ArrayType(StringType)))
-    val dup2 = when(size(g2) > 0,
-      (size(g2) - size(array_distinct(g2))).cast(DoubleType) /
-        size(g2).cast(DoubleType))
+    // compiled word_ngrams kernel (r20): total 2-grams = len − 1,
+    // distinct from the kernel — the same integers the old
+    // transform/array_distinct chain produced (see repetitionStats)
+    val total2 = size(col("_toks")) - 1
+    val dup2 = when(size(col("_toks")) >= 2,
+      (total2 - size(graft.functions.VecKernels
+        .word_ngrams(col("_toks"), 2))).cast(DoubleType) /
+        total2.cast(DoubleType))
       .otherwise(lit(0.0))
     val quality = qualityCol(stopRatio, nTok, punctRatio)
     base.select(col(idCol),
@@ -584,29 +585,27 @@ object TextAnalysis {
     * counts, so the doubles are bit-identical across engines.
     */
   def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // compiled kernels (r20): the n-gram dup fractions derive from
+    // word_ngrams' distinct count (total grams = len − n + 1, the same
+    // integers the transform/array_distinct chain produced) and the
+    // top-token run from max_run over the sorted tokens — both pinned
+    // bit-identical by VecKernelsSpec; the HOF forms walked
+    // O(len·n + len·log len) interpreted nodes per doc.
+    import graft.functions.VecKernels.{max_run, word_ngrams}
     val base = df.select(col(idCol), split(col(textCol), " ").as("_toks"))
-    def ngr(n: Int): Column =
+    def dupFrac(n: Int): Column = {
+      val total = size(col("_toks")) - (n - 1)
       when(size(col("_toks")) >= n,
-        transform(sequence(lit(0), size(col("_toks")) - n),
-          i => concat_ws(" ", slice(col("_toks"), i + 1, lit(n)))))
-        .otherwise(array().cast(ArrayType(StringType)))
-    def dupFrac(g: Column): Column =
-      when(size(g) > 0,
-        (size(g) - size(array_distinct(g))).cast(DoubleType) /
-          size(g).cast(DoubleType))
+        (total - size(word_ngrams(col("_toks"), n))).cast(DoubleType) /
+          total.cast(DoubleType))
         .otherwise(lit(0.0))
-    def run(acc: Column, x: Column): Column =
-      when(x === acc.getField("prev"), acc.getField("run") + 1).otherwise(lit(1L))
-    val topCount = aggregate(array_sort(col("_toks")),
-      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
-      (acc, x) => struct(x.as("prev"), run(acc, x).as("run"),
-        greatest(acc.getField("best"), run(acc, x)).as("best")),
-      acc => acc.getField("best"))
+    }
+    val topCount = max_run(array_sort(col("_toks")))
     base.select(col(idCol),
       (topCount.cast(DoubleType) / size(col("_toks")).cast(DoubleType))
         .as("top_token_frac"),
-      dupFrac(ngr(2)).as("dup_2gram_frac"),
-      dupFrac(ngr(3)).as("dup_3gram_frac"))
+      dupFrac(2).as("dup_2gram_frac"),
+      dupFrac(3).as("dup_3gram_frac"))
   }
 
   /** Bigram language-model scoring — the perplexity-style fluency
@@ -745,17 +744,18 @@ object TextAnalysis {
   def winnow(df: DataFrame, idCol: String, textCol: String,
              k: Int = 3, w: Int = 4): DataFrame = {
     require(k >= 1 && w >= 1, "k and w must be positive")
+    // compiled winnow_fps kernel (r20): md5-per-gram + per-window
+    // binary min + first-occurrence distinct fused into one compiled
+    // pass (the HOF form ran an interpreted md5 expression per gram
+    // and an O(len·w) interpreted window-min chain per doc) — same hex
+    // digests, same min/distinct semantics, VecKernelsSpec-pinned. A
+    // doc with no grams emits no fingerprints, exactly the old
+    // size(_grams) > 0 filter.
     val base = df.select(col(idCol), split(col(textCol), " ").as("_toks"))
-    val grams = when(size(col("_toks")) >= k,
-      transform(sequence(lit(0), size(col("_toks")) - k),
-        i => md5(concat_ws(" ", slice(col("_toks"), i + 1, lit(k))))))
-      .otherwise(array().cast(ArrayType(StringType)))
-    val mins = transform(
-      sequence(lit(0), greatest(size(col("_grams")) - w, lit(0))),
-      j => array_min(slice(col("_grams"), j + 1, lit(w))))
-    base.select(col(idCol), grams.as("_grams"))
-      .filter(size(col("_grams")) > 0)
-      .select(col(idCol), explode(array_distinct(mins)).as("fp"))
+    base.select(col(idCol),
+        graft.functions.VecKernels.winnow_fps(col("_toks"), k, w).as("_fps"))
+      .filter(size(col("_fps")) > 0)
+      .select(col(idCol), explode(col("_fps")).as("fp"))
   }
 
   /** Corpus composition — the "data card" aggregation every training

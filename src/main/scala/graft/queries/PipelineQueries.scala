@@ -455,14 +455,25 @@ object PipelineQueries {
     * inputs (≤ nq·k rows each), so the exceptAll exchanges are noise.
     */
   private def rankMismatches(a: DataFrame, b: DataFrame): Long = {
-    // pin both shortlists before the two exceptAll counts: each side
-    // feeds BOTH directions, and without the checkpoint every serve
-    // (an index build + probe + re-rank chain in the maintain gates)
-    // would execute twice (measured: sim34 19.6 → ~12 s, sim35
-    // 7.8 → ~5 s at sf0.1)
-    val ka = a.select(col("qid"), col("rank"), col("cid")).localCheckpoint()
-    val kb = b.select(col("qid"), col("rank"), col("cid")).localCheckpoint()
-    ka.exceptAll(kb).count() + kb.exceptAll(ka).count()
+    // ONE signed-multiplicity aggregation instead of two exceptAll
+    // counts over two localCheckpoints (r20 optimization):
+    // |A∖B| + |B∖A| over multisets = Σ_rows |cnt_A − cnt_B|, so tagging
+    // each side ±1 and summing per (qid, rank, cid) computes the same
+    // number in a single job — and because each serve chain now feeds
+    // exactly ONE consumer, the checkpoints that existed to stop the
+    // double execution (the r19 measurement: sim34 19.6 → ~12 s) are
+    // unnecessary too. Saves 3 driver actions per call; two calls per
+    // maintain gate.
+    val ka = a.select(col("qid"), col("rank"), col("cid"))
+      .withColumn("_s", lit(1L))
+    val kb = b.select(col("qid"), col("rank"), col("cid"))
+      .withColumn("_s", lit(-1L))
+    val d = ka.unionByName(kb)
+      .groupBy(col("qid"), col("rank"), col("cid"))
+      .agg(sum(col("_s")).as("_d"))
+      .agg(coalesce(sum(abs(col("_d"))), lit(0L)).as("_m"))
+      .head()
+    d.getLong(0)
   }
 
   private def recallFloor(exact: DataFrame, ann: DataFrame,
@@ -3761,7 +3772,8 @@ object PipelineQueries {
       // consumers would otherwise re-run the full PQ build each)
       val idx0 = Similarity.ivfPqBuild(e)
       val idx = Similarity.IvfPqIndex(idx0.coarse.localCheckpoint(),
-        idx0.codebook.localCheckpoint(), idx0.codes.localCheckpoint())
+        idx0.codebook.localCheckpoint(), idx0.codes.localCheckpoint(),
+        idx0.builtM)
       val stats = Similarity.ivfPqCellStats(idx, e).localCheckpoint()
       val slice = e.filter(col("vec_id") % 7 === 3)
         .select((col("vec_id") + 200000L).as("vec_id"), col("embedding"))

@@ -888,6 +888,19 @@ object StreamingJobs {
     if (live && compactEvery > 0)
       maybeCompactInStream(spark, fs, workDir, regDir, regTable, batchId,
         compactEvery)
+    // ONE shingle → MinHash → band pass per micro-batch (r20
+    // optimization): the banded batch rows feed BOTH the screen join
+    // and the survivors' registry append, so they are computed once
+    // and pinned — the previous two-entry-point shape re-ran the whole
+    // signature pipeline for the append (a second full batch pass
+    // every micro-batch, at any scale). Signatures are value-
+    // deterministic, so reusing the screened rows for the append is
+    // byte-identical to re-deriving them from the survivors.
+    val batchBanded = graft.operators.Dedup.bandedSignatures(
+      graft.operators.Dedup.minHashSignatures(
+        graft.operators.Dedup.shingles(batch, idCol, textCol, shingleN),
+        idCol, numHashes), idCol, numHashes, bands)
+      .localCheckpoint()
     val verdicts =
       if (live) {
         // batch < batchId is a PARTITION filter: a retry of this batch
@@ -896,26 +909,24 @@ object StreamingJobs {
         // join exchange-free (PlanSpec pins the shape).
         val reg = spark.table(regTable).filter(col("batch") < batchId)
           .select(col(idCol), col("band"), col("bucket"), col("sig"))
-        graft.operators.Dedup.incrementalNearDupBanded(
-          batch, reg, idCol, textCol, shingleN, numHashes, bands, minEstJac)
+        graft.operators.Dedup.incrementalNearDupPreBanded(
+          batch, batchBanded, reg, idCol, numHashes, bands, minEstJac)
       } else {
         import spark.implicits._
-        graft.operators.Dedup.incrementalNearDup(
-          batch, Seq.empty[(Long, Array[Long])].toDF(idCol, "sig"),
-          idCol, textCol, shingleN, numHashes, bands, minEstJac)
+        graft.operators.Dedup.incrementalNearDupPreBanded(
+          batch, batchBanded,
+          Seq.empty[(Long, Int, Long, Array[Long])]
+            .toDF(idCol, "band", "bucket", "sig"),
+          idCol, numHashes, bands, minEstJac)
       }
     verdicts.write.mode("overwrite")
       .parquet(s"$workDir/verdicts/batch=$batchId")
-    val survivors = batch.join(
-      spark.read.parquet(s"$workDir/verdicts/batch=$batchId")
-        .filter(col("keep")).select(col(idCol)), Seq(idCol))
     // survivors' signatures append to the registry PRE-BANDED in the
     // bucketed layout every later batch joins against; the pre-write
     // repartition on the bucket key writes one file per (batch, bucket)
-    val banded = graft.operators.Dedup.bandedSignatures(
-      graft.operators.Dedup.minHashSignatures(
-        graft.operators.Dedup.shingles(survivors, idCol, textCol, shingleN),
-        idCol, numHashes), idCol, numHashes, bands)
+    val banded = batchBanded.join(
+      spark.read.parquet(s"$workDir/verdicts/batch=$batchId")
+        .filter(col("keep")).select(col(idCol)), Seq(idCol))
       .withColumn("ingest_batch", lit(batchId))
       .withColumn("batch", lit(batchId))
       .repartition(regBuckets, col("band"), col("bucket"))
