@@ -111,6 +111,26 @@ object VecKernels {
   def id_pairs(ids: Column): Column =
     bridge.column(IdPairs(bridge.expression(ids)))
 
+  /** ≡ transform(arr, x => x.cast(double).cast(DECIMAL(12,6))) — the
+    * stored-decimal projection every exact-cosine side builds once per
+    * row (HALF_UP at scale 6, ANSI overflow-throw, null elements pass
+    * through).
+    */
+  def to_dec6(arr: Column): Column =
+    bridge.column(ToDec6(bridge.expression(arr)))
+
+  /** ≡ [[graft.operators.Dedup]]'s per-plane centered-sketch
+    * projections: for j in 0..bits-1,
+    * aggregate(zip_with(decArr, sequence(0, len-1), (x, p) =>
+    *   (x · hyperplaneSign(j, p)).cast(DEC(22,6))), 0, (a,t) =>
+    *   (a+t).cast(DEC(22,6))) — the double multiply–xorshift ±1 sign
+    * over (j·4096 + p + 1), exact ±x decimal sums, per-step (22,6)
+    * overflow (ANSI throw / legacy null), null elements poisoning
+    * plane j to null. Returns the array of `bits` projections.
+    */
+  def hplane_projs(decArr: Column, bits: Int): Column =
+    bridge.column(HplaneProjs(bridge.expression(decArr), bits))
+
   /** ≡ [[graft.operators.TextAnalysis.repetitionStats]]' top-token
     * fold over a SORTED string array:
     * aggregate(sorted, ("", 0L, 0L), (acc, x) => (x,
@@ -392,6 +412,75 @@ object VecKernels {
       i += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  def toDec6(arr: ArrayData, et: DataType, ansi: Boolean): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      out(i) =
+        if (arr.isNullAt(i)) null
+        else {
+          val v = elemDec6(arr, et, i, ansi)
+          if (v == null) null else Decimal(v, 12, 6)
+        }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  private val Dec22Cap = new java.math.BigDecimal(
+    java.math.BigInteger.TEN.pow(22), 6)
+
+  def hplaneProjs(arr: ArrayData, et: DataType, bits: Int,
+                  ansi: Boolean): ArrayData = {
+    val n = arr.numElements()
+    // decimal(12,6) element values; null ⇒ the plane folds to null
+    val xs = new Array[java.math.BigDecimal](n)
+    var i = 0
+    while (i < n) {
+      xs(i) = if (arr.isNullAt(i)) null else elemDec6(arr, et, i, ansi)
+      i += 1
+    }
+    val out = new Array[Any](bits)
+    // an EMPTY vector folds to null on every plane in the HOF form:
+    // sequence(0, size-1) = sequence(0, -1) = [0, -1] (descending), so
+    // zip_with pads the empty value side with nulls and the fold
+    // poisons — replicate (callers filter size >= bits, so this is
+    // edge-case fidelity, not a live path)
+    if (n == 0) {
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+    var j = 0
+    while (j < bits) {
+      var acc = java.math.BigDecimal.ZERO.setScale(6)
+      var poisoned = false
+      var p = 0
+      while (p < n && !poisoned) {
+        if (xs(p) == null) poisoned = true
+        else {
+          // hyperplaneSign(j, p): two multiply–xorshift rounds mod 2^31
+          val idx = j.toLong * 4096L + p + 1
+          val h1 = Math.floorMod(idx * 2654435761L, 2147483648L)
+          val h2 = h1 ^ (h1 >> 16)
+          val h3 = Math.floorMod(h2 * 1597334677L, 2147483648L)
+          val h4 = h3 ^ (h3 >> 16)
+          val term = if (Math.floorMod(h4, 2L) == 0L) xs(p) else xs(p).negate()
+          acc = acc.add(term)
+          if (acc.abs.compareTo(Dec22Cap) >= 0) {
+            if (ansi) throw new ArithmeticException(
+              s"$acc cannot be represented as Decimal(22, 6) " +
+                "(hplane_projs accumulator overflow under ANSI)")
+            poisoned = true
+          }
+        }
+        p += 1
+      }
+      out(j) = if (poisoned) null else Decimal(acc, 22, 6)
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
   def maxRun(sorted: ArrayData): Long = {
@@ -776,6 +865,63 @@ case class VecDotL(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression)
     : VecDotL = copy(left = l, right = r)
   override def prettyName: String = "vec_dot_l"
+}
+
+case class ToDec6(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(DecimalType(12, 6), containsNull = true)
+  override def nullable: Boolean = child.nullable
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(_: NumericType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs a numeric array, got ${other.sql}")
+    }
+  private def elemType: DataType =
+    child.dataType.asInstanceOf[ArrayType].elementType
+  private val ansi: Boolean =
+    org.apache.spark.sql.internal.SQLConf.get.ansiEnabled
+  override def nullSafeEval(arr: Any): Any =
+    VecKernels.toDec6(arr.asInstanceOf[ArrayData], elemType, ansi)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val helper = VecKernels.getClass.getName + ".MODULE$"
+    val et = ctx.addReferenceObj("et", elemType)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $helper.toDec6($c, $et, $ansi);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): ToDec6 =
+    copy(child = newChild)
+  override def prettyName: String = "to_dec6"
+}
+
+case class HplaneProjs(child: Expression, bits: Int)
+    extends UnaryExpression {
+  require(bits >= 1, s"hplane_projs needs bits >= 1, got $bits")
+  override def dataType: DataType =
+    ArrayType(DecimalType(22, 6), containsNull = true)
+  override def nullable: Boolean = child.nullable
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(_: NumericType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs a numeric array, got ${other.sql}")
+    }
+  private def elemType: DataType =
+    child.dataType.asInstanceOf[ArrayType].elementType
+  private val ansi: Boolean =
+    org.apache.spark.sql.internal.SQLConf.get.ansiEnabled
+  override def nullSafeEval(arr: Any): Any =
+    VecKernels.hplaneProjs(arr.asInstanceOf[ArrayData], elemType, bits, ansi)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val helper = VecKernels.getClass.getName + ".MODULE$"
+    val et = ctx.addReferenceObj("et", elemType)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $helper.hplaneProjs($c, $et, $bits, $ansi);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): HplaneProjs =
+    copy(child = newChild)
+  override def prettyName: String = "hplane_projs"
 }
 
 case class MaxRun(child: Expression)

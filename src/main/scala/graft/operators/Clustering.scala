@@ -29,7 +29,8 @@ import org.apache.spark.sql.types._
 object Clustering {
 
   private def dec(c: Column): Column =
-    transform(c, x => x.cast(DoubleType).cast(DecimalType(12, 6)))
+    // compiled to_dec6 kernel (r20) ≡ the per-element cast transform
+    graft.functions.VecKernels.to_dec6(c)
 
   /** Exact squared euclidean distance between two DECIMAL(12,6) arrays.
     * Per-position (a-b)² is DECIMAL(27,12); the accumulator adds at

@@ -872,9 +872,6 @@ object Dedup {
       lit(java.math.BigDecimal.ZERO).cast(acc),
       (a, t) => (a + t).cast(acc))
 
-  private def toDec(vec: Column): Column =
-    transform(vec, x => x.cast(DoubleType).cast(DecimalType(12, 6)))
-
   /** Candidate blocks of [[embeddingNearDup]]: input rows tagged with a
     * `sketchBits`-bit CENTERED hyperplane sign sketch in column `bk` —
     * bit j is the sign of the vector's projection onto pseudo-random
@@ -899,18 +896,28 @@ object Dedup {
       .groupBy("pos").agg(sum(col("x")).cast(DecimalType(22, 6)).as("s"))
       .agg(transform(sort_array(collect_list(struct(col("pos"), col("s")))),
         p => p("s")).as("smu"))
+    // corpus-side projections computed ONCE in the one-row stats frame
+    // (r20: they are constant across the corpus, but as a per-row
+    // expression Catalyst re-evaluated all sketchBits × dims decimal
+    // folds for EVERY vector — same values, N× the work); the per-row
+    // side runs in the compiled hplane_projs kernel (VecKernelsSpec
+    // pins it to the hyperplaneProj HOF fold bit for bit)
     val stats = e.agg(count(lit(1)).cast(DecimalType(10, 0)).as("nvec"))
       .crossJoin(dimSums)
+      .withColumn("_sproj",
+        transform(sequence(lit(0), lit(sketchBits - 1)),
+          j => hyperplaneProj(col("smu"), j, DecimalType(38, 6))))
     // width discipline keeps every product/sum inside DECIMAL(38, 6)
     // so neither engine rescales: per-vector projections accumulate in
     // (22,6) (≤ dims·|x|max, tiny), corpus-sum projections in (38,6),
     // and n·proj is (10,0)·(22,6) → (33,6) — all exact
     e.crossJoin(broadcast(stats))
+      .withColumn("_vproj",
+        graft.functions.VecKernels.hplane_projs(col("v"), sketchBits))
       .select(col("vid"), col("v"),
         concat_ws("", transform(sequence(lit(0), lit(sketchBits - 1)), j =>
-          when(col("nvec") *
-              hyperplaneProj(toDec(col("v")), j, DecimalType(22, 6)) >
-            hyperplaneProj(col("smu"), j, DecimalType(38, 6)),
+          when(col("nvec") * element_at(col("_vproj"), j + 1) >
+            element_at(col("_sproj"), j + 1),
             "1").otherwise("0"))).as("bk"))
   }
 
@@ -1380,8 +1387,7 @@ object Dedup {
                     twoLevelAssign: Boolean = false,
                     twoLevelAutoK: Int = 512): DataFrame = {
     require(k > 0 && tau > 0.0, "need k > 0 and tau > 0")
-    def decV(c: Column): Column =
-      transform(c, x => x.cast(DoubleType).cast(DecimalType(12, 6)))
+    def decV(c: Column): Column = graft.functions.VecKernels.to_dec6(c)
     def dot(x: Column, y: Column): Column =
       graft.functions.VecKernels.vec_dot_dec(x, y)
     // twoLevelAssign is the big-corpus switch (k ∝ N makes the exact

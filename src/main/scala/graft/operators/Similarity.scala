@@ -144,8 +144,7 @@ object Similarity {
                           exact: Boolean): DataFrame = {
     requireIntegralIds(queries, candidates, idCol)
     import graft.functions.VecKernels.{vec_dot_d, vec_dot_dec}
-    def dec(c: Column) =
-      transform(c, x => x.cast(DoubleType).cast(DecimalType(12, 6)))
+    def dec(c: Column) = graft.functions.VecKernels.to_dec6(c)
     def dbl(c: Column) = transform(c, x => x.cast(DoubleType))
 
     def side(df: DataFrame, id: String, v: String, n: String): DataFrame =
@@ -218,8 +217,7 @@ object Similarity {
       s"need 1 <= k <= shortlist, got k=$k shortlist=$shortlist")
     requireIntegralIds(queries, candidates, idCol)
     import graft.functions.VecKernels.vec_dot_dec
-    def dec(c: Column) =
-      transform(c, x => x.cast(DoubleType).cast(DecimalType(12, 6)))
+    def dec(c: Column) = graft.functions.VecKernels.to_dec6(c)
 
     val rel = cosineTopK(queries, candidates, shortlist, idCol, vecCol,
       exact = true)
@@ -2364,8 +2362,7 @@ object Similarity {
                                 idCol: String, vecCol: String,
                                 dropZeroNormQueries: Boolean): DataFrame = {
     import graft.functions.VecKernels.vec_dot_dec
-    def dec(c: Column) =
-      transform(c, x => x.cast(DoubleType).cast(DecimalType(12, 6)))
+    def dec(c: Column) = graft.functions.VecKernels.to_dec6(c)
     val qv0 = queries
       .select(col(idCol).cast(LongType).as("qid"), dec(col(vecCol)).as("_qv"))
       .withColumn("_qn", vec_dot_dec(col("_qv"), col("_qv")))

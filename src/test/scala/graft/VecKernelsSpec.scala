@@ -248,6 +248,41 @@ class VecKernelsSpec extends AnyFunSuite {
     assertSame(df, id_pairs(col("ids")), hof, "idPairs")
   }
 
+  test("to_dec6 ≡ transform(cast(double).cast(decimal(12,6)))") {
+    val df = dfDInRange.select(col("a"))
+    val hof = transform(col("a"), x => x.cast(DoubleType).cast(DecimalType(12, 6)))
+    assertSame(df, to_dec6(col("a")), hof, "toDec6")
+  }
+
+  test("hplane_projs ≡ the centered-sketch decimal projection folds") {
+    // verbatim hyperplaneSign/hyperplaneProj from Dedup (pre-kernel)
+    def hSign(j: Column, p: Column): Column = {
+      val idx = (j * 4096 + p + 1).cast(LongType)
+      val h1 = pmod(idx * 2654435761L, lit(2147483648L))
+      val h2 = h1.bitwiseXOR(call_function("shiftright", h1, lit(16)))
+      val h3 = pmod(h2 * 1597334677L, lit(2147483648L))
+      val h4 = h3.bitwiseXOR(call_function("shiftright", h3, lit(16)))
+      when(pmod(h4, lit(2)) === 0, 1).otherwise(-1)
+    }
+    def hProj(arr: Column, j: Column): Column =
+      aggregate(
+        zip_with(arr, sequence(lit(0), size(arr) - 1), (x, p) =>
+          (x * hSign(j, p)).cast(DecimalType(22, 6))),
+        lit(java.math.BigDecimal.ZERO).cast(DecimalType(22, 6)),
+        (a, t) => (a + t).cast(DecimalType(22, 6)))
+    val bits = 8
+    val rows = (1 to 20).map(_ => randVec(64)) ++
+      (1 to 5).map(_ => randVec(1 + rnd.nextInt(16))) ++
+      Seq(randVec(8, 3), Seq.empty[java.lang.Double])
+    val df = rows.toDF("v")
+      .select(transform(col("v"),
+        x => x.cast(DoubleType).cast(DecimalType(12, 6))).as("d"), col("v"))
+    val hof = transform(sequence(lit(0), lit(bits - 1)), j => hProj(col("d"), j))
+    // kernel over the RAW double array (fused dec6 cast) must equal
+    // the HOF over the pre-cast decimal array
+    assertSame(df, hplane_projs(col("v"), bits), hof, "hplaneProjs")
+  }
+
   test("max_run ≡ the sorted-token run fold (incl. empty-string tokens)") {
     val words = Seq("a", "b", "c", "", "dd", "a", "a", "b")
     val rows = (1 to 30).map { _ =>
