@@ -183,6 +183,68 @@ object VecKernels {
   def lsh_sigs(vec: Column, bits: Int, tables: Int): Column =
     bridge.column(LshSigs(bridge.expression(vec), bits, tables))
 
+  /** ≡ [[graft.operators.Similarity.bqSearch]]'s hamming fold:
+    * aggregate(zip_with(a, b, (x,y) => bit_count(x xor y).cast(long)),
+    *   lit(0L), _+_) over two bigint code arrays — null on length
+    * mismatch (zip_with pads null, bit_count(null) poisons the sum) or
+    * any null element, exactly the HOF chain. Each word adds ≤ 64 so
+    * the bigint sum cannot overflow regardless of ANSI mode.
+    */
+  def hamming_dist(a: Column, b: Column): Column =
+    bridge.column(HammingDist(bridge.expression(a), bridge.expression(b)))
+
+  /** ≡ [[graft.operators.Similarity.binaryCodes]]' packing chain:
+    * transform(sequence(0, int((size(v)-1)/64)), w =>
+    *   aggregate(sequence(0, 63), 0L, (acc, j) =>
+    *     acc + when(w·64+j+1 <= size(v) && v[w·64+j+1] cast double > 0,
+    *       shiftleft(1L, j)).otherwise(0L)))
+    * — one sign bit per dimension packed little-endian within each
+    * 64-dim word; a null element's `null > 0` comparison is null, so
+    * the when falls to otherwise(0): bit 0, exactly the HOF. An empty
+    * vector packs to the single word [0] (the (0-1)/64 = 0 truncation
+    * both Spark's double-divide-then-int-cast and Java's int division
+    * produce). Null vector → null (transform over null).
+    */
+  def binary_code(vec: Column): Column =
+    bridge.column(BinaryCode(bridge.expression(vec)))
+
+  /** ≡ transform(arr, x => x.cast(double)) — the per-element double
+    * widening every IEEE vector path builds once per row (float/int
+    * widen exactly, decimal via toDouble, null elements pass through).
+    */
+  def to_double(arr: Column): Column =
+    bridge.column(ToDouble(bridge.expression(arr)))
+
+  /** ≡ [[word_ngrams]] WITHOUT the distinct: transform(sequence(0,
+    * len-n), i => concat_ws(" ", slice(words, i+1, n))) — ALL word
+    * n-grams in position order (the posexplode'd dupSpanRegions shape,
+    * where gram POSITIONS matter). Same concat_ws null-skipping join;
+    * caller contract size(words) >= n (pinned by the existing filter).
+    */
+  def word_ngrams_all(words: Column, n: Int): Column =
+    bridge.column(WordNgramsAll(bridge.expression(words), n))
+
+  /** ≡ [[graft.operators.TextAnalysis.bigramLogProb]]'s bigram step:
+    * when(size(toks) >= 2, transform(sequence(0, size-2), i =>
+    *   struct(concat_ws(" ", slice(toks, i+1, 2)) AS bg,
+    *          element_at(toks, i+1) AS w1))).otherwise(array())
+    * — (bigram text, head token) per position. The when/otherwise
+    * yields an EMPTY array both for short docs and for a null toks
+    * (size(null) ≥ 2 is null → otherwise), replicated exactly: this
+    * expression is never null.
+    */
+  def bigram_heads(toks: Column): Column =
+    bridge.column(BigramHeads(bridge.expression(toks)))
+
+  /** ≡ [[graft.operators.TextAnalysis.pmiCollocations]]'s bigram step:
+    * when(size(toks) >= 2, transform(sequence(0, size-2), i =>
+    *   struct(element_at(toks, i+1) AS w1, element_at(toks, i+2) AS
+    *   w2))).otherwise(array()) — adjacent token pairs. Same
+    * empty-not-null contract as [[bigram_heads]].
+    */
+  def bigram_pairs(toks: Column): Column =
+    bridge.column(BigramPairs(bridge.expression(toks)))
+
   /** ≡ [[graft.operators.Similarity]]'s `nearestCodeL2` fold: argmin
     * code over an array<struct<_code, cvec array<double>>> (ascending
     * code order by caller contract) under IEEE squared L2 against `v`,
@@ -227,7 +289,18 @@ object VecKernels {
         val dec = arr.getDecimal(i, 12, 6)
         if (dec == null) null else dec.toJavaBigDecimal
       case DoubleType | FloatType | LongType | IntegerType | ShortType | ByteType =>
-        val v = java.math.BigDecimal.valueOf(elemD(arr, et, i))
+        val d = elemD(arr, et, i)
+        // Cast's non-finite handling (r20 advisory): BigDecimal.valueOf
+        // would throw NumberFormatException in BOTH modes, where the
+        // replaced cast(double).cast(DECIMAL(12,6)) throws only under
+        // ANSI and yields null under legacy
+        if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) {
+          if (ansi) throw new ArithmeticException(
+            s"$d cannot be represented as Decimal(12, 6) (non-finite " +
+              "element cast under ANSI)")
+          return null
+        }
+        val v = java.math.BigDecimal.valueOf(d)
           .setScale(6, java.math.RoundingMode.HALF_UP)
         if (v.precision > 12) {
           if (ansi) throw new ArithmeticException(
@@ -633,16 +706,20 @@ object VecKernels {
     var bestD: java.lang.Double = null
     var i = 0
     while (i < m) {
-      val s = codes.getStruct(i, 2)
+      // a null struct element behaves as (code null, cvec null) — the
+      // HOF fold's field reads on a null struct are null (r20 advisory;
+      // not reachable from collect_list-built inputs, but the
+      // expression accepts any array<struct>)
+      val s = if (codes.isNullAt(i)) null else codes.getStruct(i, 2)
       val code: java.lang.Long =
-        if (s.isNullAt(0)) null
+        if (s == null || s.isNullAt(0)) null
         else etCode match {
           case LongType => s.getLong(0)
           case IntegerType => s.getInt(0).toLong
           case other => throw new IllegalStateException(
             s"nearest_code_l2: unsupported code type $other")
         }
-      val cvec = if (s.isNullAt(1)) null else s.getArray(1)
+      val cvec = if (s == null || s.isNullAt(1)) null else s.getArray(1)
       val d: java.lang.Double =
         if (cvec == null) null else sqDistD(v, cvec, etV, etCv)
       // when(acc._c.isNull || d < acc._d, struct(d, code)).otherwise(acc):
@@ -655,6 +732,117 @@ object VecKernels {
       i += 1
     }
     bestCode
+  }
+
+  def hammingDist(a: ArrayData, b: ArrayData): java.lang.Long = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += java.lang.Long.bitCount(a.getLong(i) ^ b.getLong(i))
+      i += 1
+    }
+    acc
+  }
+
+  def binaryCode(vec: ArrayData, et: DataType): ArrayData = {
+    val n = vec.numElements()
+    // (n-1)/64 truncates toward zero in Java exactly like the HOF's
+    // double-divide-then-int-cast, so n = 0 also yields one word
+    val nWords = (n - 1) / 64 + 1
+    val out = new Array[Any](nWords)
+    var w = 0
+    while (w < nWords) {
+      var code = 0L
+      var j = 0
+      while (j < 64) {
+        val i = w * 64 + j
+        // null element: `null > 0` is null → when falls to otherwise(0)
+        if (i < n && !vec.isNullAt(i) && elemD(vec, et, i) > 0.0)
+          code |= (1L << j)
+        j += 1
+      }
+      out(w) = code
+      w += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  def toDoubleArr(arr: ArrayData, et: DataType): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      out(i) =
+        if (arr.isNullAt(i)) null
+        else java.lang.Double.valueOf(elemD(arr, et, i))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  def wordNgramsAll(words: ArrayData, n: Int): ArrayData = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val len = words.numElements()
+    val m = if (len >= n) len - n + 1 else 0
+    val out = new Array[Any](m)
+    val sep = UTF8String.fromString(" ")
+    var i = 0
+    while (i < m) {
+      // concat_ws(" ", slice(words, i+1, n)): null elements SKIPPED
+      val parts = new Array[UTF8String](n)
+      var j = 0
+      var k = 0
+      while (j < n) {
+        if (!words.isNullAt(i + j)) {
+          parts(k) = words.getUTF8String(i + j)
+          k += 1
+        }
+        j += 1
+      }
+      out(i) = UTF8String.concatWs(sep,
+        (if (k == n) parts else java.util.Arrays.copyOf(parts, k)).toSeq: _*)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Shared bigram emitter: one struct per adjacent-token position,
+    * fields per `withBg` — (bg, w1) for [[bigram_heads]], (w1, w2) for
+    * [[bigram_pairs]]. A null or < 2-token array emits EMPTY (the
+    * when/otherwise contract).
+    */
+  def bigrams(toks: ArrayData, withBg: Boolean): ArrayData = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val len = if (toks == null) 0 else toks.numElements()
+    val m = if (len >= 2) len - 1 else 0
+    val out = new Array[Any](m)
+    val sep = UTF8String.fromString(" ")
+    var i = 0
+    while (i < m) {
+      val a = if (toks.isNullAt(i)) null else toks.getUTF8String(i)
+      val b = if (toks.isNullAt(i + 1)) null else toks.getUTF8String(i + 1)
+      val row = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(2)
+      if (withBg) {
+        // concat_ws skips null parts
+        val bg =
+          if (a != null && b != null) UTF8String.concatWs(sep, a, b)
+          else if (a != null) a
+          else if (b != null) b
+          else UTF8String.EMPTY_UTF8
+        row.update(0, bg)
+        row.update(1, a)
+      } else {
+        row.update(0, a)
+        row.update(1, b)
+      }
+      out(i) = row
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 }
 
@@ -767,7 +955,8 @@ case class VecSubD(left: Expression, right: Expression)
   override def prettyName: String = "vec_sub_d"
 }
 
-case class VecDotDec(left: Expression, right: Expression)
+case class VecDotDec(left: Expression, right: Expression,
+    ansi: Boolean = org.apache.spark.sql.internal.SQLConf.get.ansiEnabled)
     extends VecBinaryKernel {
   override def dataType: DataType = DecimalType(30, 12)
   override def checkInputDataTypes()
@@ -781,10 +970,10 @@ case class VecDotDec(left: Expression, right: Expression)
             s"${left.dataType.sql} / ${right.dataType.sql}")
     }
   }
-  // captured at plan time on the driver, like Cast's evalMode; survives
-  // serialization as an instance field
-  private val ansi: Boolean =
-    org.apache.spark.sql.internal.SQLConf.get.ansiEnabled
+  // `ansi` is a CONSTRUCTOR parameter (defaulted from SQLConf at
+  // construction, the Cast.evalMode precedent — r20 advisory): part of
+  // case-class equality/canonicalization and the plan string, so two
+  // instances built under different conf values never compare equal
   override def nullSafeEval(a: Any, b: Any): Any =
     VecKernels.dotDec(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
       elemType(left), elemType(right), ansi)
@@ -804,7 +993,8 @@ case class VecDotDec(left: Expression, right: Expression)
   override def prettyName: String = "vec_dot_dec"
 }
 
-case class VecSqDistDec(left: Expression, right: Expression)
+case class VecSqDistDec(left: Expression, right: Expression,
+    ansi: Boolean = org.apache.spark.sql.internal.SQLConf.get.ansiEnabled)
     extends VecBinaryKernel {
   override def dataType: DataType = DecimalType(30, 12)
   override def checkInputDataTypes(): TypeCheckResult = {
@@ -816,8 +1006,6 @@ case class VecSqDistDec(left: Expression, right: Expression)
           s"${left.dataType.sql} / ${right.dataType.sql}")
     }
   }
-  private val ansi: Boolean =
-    org.apache.spark.sql.internal.SQLConf.get.ansiEnabled
   override def nullSafeEval(a: Any, b: Any): Any =
     VecKernels.sqDistDec(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
       elemType(left), elemType(right), ansi)
@@ -837,7 +1025,8 @@ case class VecSqDistDec(left: Expression, right: Expression)
   override def prettyName: String = "vec_sqdist_dec"
 }
 
-case class VecDotL(left: Expression, right: Expression)
+case class VecDotL(left: Expression, right: Expression,
+    ansi: Boolean = org.apache.spark.sql.internal.SQLConf.get.ansiEnabled)
     extends VecBinaryKernel {
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -848,8 +1037,6 @@ case class VecDotL(left: Expression, right: Expression)
           s"${left.dataType.sql} / ${right.dataType.sql}")
     }
   override def dataType: DataType = LongType
-  private val ansi: Boolean =
-    org.apache.spark.sql.internal.SQLConf.get.ansiEnabled
   override def nullSafeEval(a: Any, b: Any): Any =
     VecKernels.dotL(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], ansi)
   protected def helperCall: String = "dotL"
@@ -867,7 +1054,8 @@ case class VecDotL(left: Expression, right: Expression)
   override def prettyName: String = "vec_dot_l"
 }
 
-case class ToDec6(child: Expression)
+case class ToDec6(child: Expression,
+    ansi: Boolean = org.apache.spark.sql.internal.SQLConf.get.ansiEnabled)
     extends UnaryExpression {
   override def dataType: DataType =
     ArrayType(DecimalType(12, 6), containsNull = true)
@@ -880,8 +1068,6 @@ case class ToDec6(child: Expression)
     }
   private def elemType: DataType =
     child.dataType.asInstanceOf[ArrayType].elementType
-  private val ansi: Boolean =
-    org.apache.spark.sql.internal.SQLConf.get.ansiEnabled
   override def nullSafeEval(arr: Any): Any =
     VecKernels.toDec6(arr.asInstanceOf[ArrayData], elemType, ansi)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -895,7 +1081,8 @@ case class ToDec6(child: Expression)
   override def prettyName: String = "to_dec6"
 }
 
-case class HplaneProjs(child: Expression, bits: Int)
+case class HplaneProjs(child: Expression, bits: Int,
+    ansi: Boolean = org.apache.spark.sql.internal.SQLConf.get.ansiEnabled)
     extends UnaryExpression {
   require(bits >= 1, s"hplane_projs needs bits >= 1, got $bits")
   override def dataType: DataType =
@@ -909,8 +1096,6 @@ case class HplaneProjs(child: Expression, bits: Int)
     }
   private def elemType: DataType =
     child.dataType.asInstanceOf[ArrayType].elementType
-  private val ansi: Boolean =
-    org.apache.spark.sql.internal.SQLConf.get.ansiEnabled
   override def nullSafeEval(arr: Any): Any =
     VecKernels.hplaneProjs(arr.asInstanceOf[ArrayData], elemType, bits, ansi)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -1037,7 +1222,9 @@ case class SimHashVote(child: Expression)
   override def prettyName: String = "simhash_vote"
 }
 
-case class SigAgree(left: Expression, right: Expression)
+case class SigAgree(left: Expression, right: Expression,
+    legacySizeOfNull: Boolean =
+      org.apache.spark.sql.internal.SQLConf.get.legacySizeOfNull)
     extends BinaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -1049,10 +1236,9 @@ case class SigAgree(left: Expression, right: Expression)
     }
   override def dataType: DataType = IntegerType
   // size(null) follows the session's Size semantics: -1 under the
-  // legacy conf, NULL under ANSI (the Spark 4 default) — captured at
-  // plan time like the Size expression itself
-  private val legacySizeOfNull: Boolean =
-    org.apache.spark.sql.internal.SQLConf.get.legacySizeOfNull
+  // legacy conf, NULL under ANSI (the Spark 4 default) — a constructor
+  // parameter captured at construction, like the Size expression's own
+  // conf read but visible to equality/canonicalization (r20 advisory)
   override def nullable: Boolean = !legacySizeOfNull
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
     val a = left.eval(input)
@@ -1170,4 +1356,159 @@ case class NearestCodeL2K(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression)
     : NearestCodeL2K = copy(left = l, right = r)
   override def prettyName: String = "nearest_code_l2"
+}
+
+case class HammingDist(left: Expression, right: Expression)
+    extends VecBinaryKernel {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs two bigint arrays, got " +
+          s"${left.dataType.sql} / ${right.dataType.sql}")
+    }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecKernels.hammingDist(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  protected def helperCall: String = "hammingDist"
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val tmp = ctx.freshName("res")
+      s"""
+         |java.lang.Long $tmp = $helperObj.$helperCall($a, $b);
+         |${ev.isNull} = $tmp == null;
+         |${ev.value} = ${ev.isNull} ? -1L : $tmp.longValue();
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression)
+    : HammingDist = copy(left = l, right = r)
+  override def prettyName: String = "hamming_dist"
+}
+
+case class BinaryCode(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = true)
+  override def nullable: Boolean = child.nullable
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(_: NumericType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs a numeric array, got ${other.sql}")
+    }
+  private def elemType: DataType =
+    child.dataType.asInstanceOf[ArrayType].elementType
+  override def nullSafeEval(vec: Any): Any =
+    VecKernels.binaryCode(vec.asInstanceOf[ArrayData], elemType)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val helper = VecKernels.getClass.getName + ".MODULE$"
+    val et = ctx.addReferenceObj("et", elemType)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $helper.binaryCode($c, $et);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): BinaryCode =
+    copy(child = newChild)
+  override def prettyName: String = "binary_code"
+}
+
+case class ToDouble(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(DoubleType, containsNull = true)
+  override def nullable: Boolean = child.nullable
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(_: NumericType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs a numeric array, got ${other.sql}")
+    }
+  private def elemType: DataType =
+    child.dataType.asInstanceOf[ArrayType].elementType
+  override def nullSafeEval(arr: Any): Any =
+    VecKernels.toDoubleArr(arr.asInstanceOf[ArrayData], elemType)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val helper = VecKernels.getClass.getName + ".MODULE$"
+    val et = ctx.addReferenceObj("et", elemType)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $helper.toDoubleArr($c, $et);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): ToDouble =
+    copy(child = newChild)
+  override def prettyName: String = "to_double"
+}
+
+case class WordNgramsAll(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n >= 1, s"word_ngrams_all needs n >= 1, got $n")
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs a string array, got ${other.sql}")
+    }
+  override def nullSafeEval(words: Any): Any =
+    VecKernels.wordNgramsAll(words.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val helper = VecKernels.getClass.getName + ".MODULE$"
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $helper.wordNgramsAll($c, $n);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): WordNgramsAll =
+    copy(child = newChild)
+  override def prettyName: String = "word_ngrams_all"
+}
+
+/** Shared shape of the two bigram emitters: never null (the HOF
+  * when/otherwise folds a null or short toks array to EMPTY).
+  */
+private[functions] trait BigramKernel extends UnaryExpression {
+  protected def withBg: Boolean
+  protected def fieldNames: (String, String)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField(fieldNames._1, StringType, nullable = true),
+    StructField(fieldNames._2, StringType, nullable = true))),
+    containsNull = false)
+  override def nullable: Boolean = false
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs a string array, got ${other.sql}")
+    }
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    VecKernels.bigrams(
+      if (v == null) null else v.asInstanceOf[ArrayData], withBg)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val helper = VecKernels.getClass.getName + ".MODULE$"
+    val c = child.genCode(ctx)
+    ev.copy(
+      code = code"""
+         |${c.code}
+         |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+         |  $helper.bigrams(${c.isNull} ? null : ${c.value}, $withBg);
+       """.stripMargin,
+      isNull = FalseLiteral)
+  }
+}
+
+case class BigramHeads(child: Expression) extends BigramKernel {
+  protected def withBg: Boolean = true
+  protected def fieldNames: (String, String) = ("bg", "w1")
+  override protected def withNewChildInternal(newChild: Expression): BigramHeads =
+    copy(child = newChild)
+  override def prettyName: String = "bigram_heads"
+}
+
+case class BigramPairs(child: Expression) extends BigramKernel {
+  protected def withBg: Boolean = false
+  protected def fieldNames: (String, String) = ("w1", "w2")
+  override protected def withNewChildInternal(newChild: Expression): BigramPairs =
+    copy(child = newChild)
+  override def prettyName: String = "bigram_pairs"
 }

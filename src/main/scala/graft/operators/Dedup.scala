@@ -1277,9 +1277,10 @@ object Dedup {
     val spans = df
       .select(col(idCol), w.as("_w"))
       .filter(size(col("_w")) >= n)
-      .select(col(idCol), explode(array_distinct(
-        transform(sequence(lit(0), size(col("_w")) - n),
-          i => concat_ws(" ", slice(col("_w"), i + 1, lit(n)))))).as("span"))
+      // word_ngrams kernel (r21): same distinct n-grams as the
+      // transform/slice/concat_ws/array_distinct chain, compiled
+      .select(col(idCol), explode(
+        graft.functions.VecKernels.word_ngrams(col("_w"), n)).as("span"))
     // (doc, span) is already unique per row (array_distinct above); the
     // repartition+distinct exist for the PLAN, not the data — as in
     // [[TextAnalysis.invertedIndex]], they form the shared pruning-proof
@@ -1333,9 +1334,10 @@ object Dedup {
     val w = split(col(textCol), " ")
     val pos = df.select(col(idCol), w.as("_w"))
       .filter(size(col("_w")) >= n)
+      // word_ngrams_all kernel (r21): ALL grams in position order —
+      // the posexplode below needs positions, so no distinct here
       .select(col(idCol), posexplode(
-        transform(sequence(lit(0), size(col("_w")) - n),
-          i => concat_ws(" ", slice(col("_w"), i + 1, lit(n))))))
+        graft.functions.VecKernels.word_ngrams_all(col("_w"), n)))
       .select(col(idCol), (col("pos") + 1).as("i"), col("col").as("span"))
     val hot = pos.select(col(idCol), col("span")).distinct()
       .groupBy(col("span")).agg(count(lit(1)).as("_nd"))

@@ -42,6 +42,27 @@ object Graph {
     floor(c * 1000000000000.0 + 0.5).cast(DecimalType(14, 0)) *
       lit(new java.math.BigDecimal("0.000000000001"))
 
+  /** Lineage-truncation CADENCE for the single-consumer BSP loops
+    * ([[pageRank]], [[personalizedPageRank]], [[labelPropagation]]):
+    * checkpoint every 2nd round plus the final one, instead of every
+    * round (r21, guide §5). Each of these loops reads the previous
+    * round's frame EXACTLY ONCE per round (one contrib/vote join), so
+    * deferring a round's materialization duplicates no work — the
+    * skipped round simply fuses into the next checkpoint's job —
+    * while halving the per-round driver actions and block writes; the
+    * in-between plan is bounded at two rounds deep, so planning stays
+    * O(1) at any iteration count. NOT applied to the double-consumer
+    * loops (pageRankClassic's dangling read, hits' two chains, kCore's
+    * degree+semi-join reads, the CC rounds), where skipping a round's
+    * checkpoint would recompute its whole subtree per extra consumer.
+    * Results are bit-identical either way — the cadence changes WHEN
+    * frames materialize, never what they compute.
+    */
+  private val lineageEvery = 2
+  private def rollingEvery(cp: Checkpointing.Truncator, round: Int,
+                           last: Int)(df: DataFrame): DataFrame =
+    if (round % lineageEvery == 0 || round == last) cp.rolling(df) else df
+
   /** `iterations` rounds of damped PageRank over a directed edge list
     * (srcCol, dstCol). Returns (v, r) for every node with at least one
     * OUT-edge (symmetrize the input if every endpoint should score,
@@ -73,13 +94,13 @@ object Graph {
     val n = nodes.count()
     require(n > 0, "pageRank needs a non-empty graph (1/n teleport)")
     var ranks = nodes.select(col("v"), lit(1.0 / n).as("r"))
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       val contrib = ed
         .join(ranks.select(col("v").as("src"), col("r")), "src")
         .select(col("dst"),
           (col("r") / col("outdeg")).cast(DecimalType(18, 12)).as("c"))
         .groupBy("dst").agg(sum(col("c")).as("cs"))
-      val next = cp.rolling(nodes
+      val next = rollingEvery(cp, i, iterations)(nodes
         .join(contrib, col("v") === col("dst"), "left")
         .select(col("v"),
           (lit(reset / n) + lit(damping) *
@@ -199,12 +220,12 @@ object Graph {
     require(nSeeds > 0, "no seed id is a node of the graph")
     var ranks = nodes.select(col("v"),
       when(col("_isSeed") === 1, lit(1.0 / nSeeds)).otherwise(lit(0.0)).as("r"))
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       val contrib = ed
         .join(ranks.select(col("v").as("src"), col("r")), "src")
         .select(col("dst"), quant12(col("r") / col("outdeg")).as("c"))
         .groupBy("dst").agg(sum(col("c")).as("cs"))
-      val next = cp.rolling(nodes
+      val next = rollingEvery(cp, i, iterations)(nodes
         .join(contrib, col("v") === col("dst"), "left")
         .select(col("v"), col("_isSeed"),
           (when(col("_isSeed") === 1, lit(reset / nSeeds)).otherwise(lit(0.0)) +
@@ -468,14 +489,14 @@ object Graph {
       .union(und.select(col("b").as("u"), col("a").as("v"))))
     var lab = sym.select(col("u").as("n")).distinct()
       .select(col("n"), col("n").as("l"))
-    for (_ <- 1 to rounds) {
+    for (i <- 1 to rounds) {
       val votes = sym
         .join(lab.select(col("n").as("u"), col("l")), "u")
         .groupBy(col("v").as("n"), col("l"))
         .agg(count(lit(1)).as("c"))
       // argmax with (count desc, label asc) tie-break as ONE partial
       // aggregate: max over struct(count, -label) — no per-node window
-      val next = cp.rolling(votes.groupBy("n")
+      val next = rollingEvery(cp, i, rounds)(votes.groupBy("n")
         .agg(max(struct(col("c"), (-col("l")).as("nl"))).as("m"))
         .select(col("n"), (-col("m.nl")).cast(LongType).as("l")))
       lab = next

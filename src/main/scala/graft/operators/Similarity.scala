@@ -145,7 +145,8 @@ object Similarity {
     requireIntegralIds(queries, candidates, idCol)
     import graft.functions.VecKernels.{vec_dot_d, vec_dot_dec}
     def dec(c: Column) = graft.functions.VecKernels.to_dec6(c)
-    def dbl(c: Column) = transform(c, x => x.cast(DoubleType))
+    def dbl(c: Column) = graft.functions.VecKernels.to_double(c) // compiled cast kernel (r21): same values as the interpreted
+    // transform(cast) per element, one call per row
 
     def side(df: DataFrame, id: String, v: String, n: String): DataFrame =
       if (exact)
@@ -273,7 +274,8 @@ object Similarity {
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     requireIntegralIds(queries, candidates, idCol)
     import graft.functions.VecKernels.vec_sqdist_d
-    def dbl(c: Column) = transform(c, x => x.cast(DoubleType))
+    def dbl(c: Column) = graft.functions.VecKernels.to_double(c) // compiled cast kernel (r21): same values as the interpreted
+    // transform(cast) per element, one call per row
     val q = queries.select(col(idCol).cast(LongType).as("qid"), dbl(col(vecCol)).as("qv"))
     val c = candidates.select(col(idCol).as("cid"), dbl(col(vecCol)).as("cv"))
     // bounded map-side top-k (see cosineTopK): ascending — smallest
@@ -410,7 +412,8 @@ object Similarity {
       "need m >= 1, codes >= 2, shortlist >= k")
     requireIntegralIds(queries, candidates, idCol)
     import graft.functions.VecKernels.vec_sqdist_d
-    def dbl(c: Column) = transform(c, x => x.cast(DoubleType))
+    def dbl(c: Column) = graft.functions.VecKernels.to_double(c) // compiled cast kernel (r21): same values as the interpreted
+    // transform(cast) per element, one call per row
     def l2(a: Column, b: Column) = vec_sqdist_d(a, b)
     def subSplit(v: Column): Column = subSplitExplode(v, m)
 
@@ -596,7 +599,8 @@ object Similarity {
     val twoLevel = twoLevelAssign || nlist >= twoLevelAutoNlist
     if (!twoLevelAssign && twoLevel)
       warnAutoTwoLevel("ivfPqBuild", nlist, twoLevelAutoNlist)
-    def dbl(c: Column) = transform(c, x => x.cast(DoubleType))
+    def dbl(c: Column) = graft.functions.VecKernels.to_double(c) // compiled cast kernel (r21): same values as the interpreted
+    // transform(cast) per element, one call per row
     def subSplit(v: Column): Column = subSplitExplode(v, m)
 
     val cand = candidates.select(col(idCol).as("cid"), dbl(col(vecCol)).as("cv"))
@@ -730,7 +734,8 @@ object Similarity {
       if (m > 0) m
       else index.builtM.getOrElse(
         index.codebook.agg(max(col("sub"))).head().getInt(0) + 1)
-    def dbl(c: Column) = transform(c, x => x.cast(DoubleType))
+    def dbl(c: Column) = graft.functions.VecKernels.to_double(c) // compiled cast kernel (r21): same values as the interpreted
+    // transform(cast) per element, one call per row
     val cand = delta.select(col(idCol).as("cid"), dbl(col(vecCol)).as("cv"))
     val coarse = index.coarse
     val nlist = coarse.count() // quantizer-sized, never the corpus
@@ -755,7 +760,8 @@ object Similarity {
       else index.builtM.getOrElse(
         index.codebook.agg(max(col("sub"))).head().getInt(0) + 1)
     import graft.functions.VecKernels.{vec_sqdist_d, vec_sub_d}
-    def dbl(c: Column) = transform(c, x => x.cast(DoubleType))
+    def dbl(c: Column) = graft.functions.VecKernels.to_double(c) // compiled cast kernel (r21): same values as the interpreted
+    // transform(cast) per element, one call per row
     def l2(a: Column, b: Column) = vec_sqdist_d(a, b)
 
     val coarse = index.coarse
@@ -1054,7 +1060,8 @@ object Similarity {
 
   // ---- IVF internals (shared by build and search) -----------------------
 
-  private def ivfDbl(c: Column): Column = transform(c, x => x.cast(DoubleType))
+  private def ivfDbl(c: Column): Column =
+    graft.functions.VecKernels.to_double(c) // compiled cast kernel (r21)
   private def ivfDot(x: Column, y: Column): Column =
     graft.functions.VecKernels.vec_dot_d(x, y)
   private def ivfWithNorm(df: DataFrame, idCol: String, vecCol: String,
@@ -1691,8 +1698,8 @@ object Similarity {
           .agg(array_sort(collect_list(struct(col("centroid_id"),
             col("cvec"), col("cnorm")))).as("_cs"))
         delta
-          .select(col(idCol), transform(col(vecCol),
-            x => x.cast(DoubleType)).as("_v"))
+          .select(col(idCol),
+            graft.functions.VecKernels.to_double(col(vecCol)).as("_v"))
           .withColumn("_n", sqrt(ivfDot(col("_v"), col("_v"))))
           .crossJoin(broadcast(cn))
           .select(aggregate(col("_cs"),
@@ -1754,7 +1761,8 @@ object Similarity {
   private def pqPerCellResiduals(df: DataFrame, coarse: DataFrame,
                                  twoLevel: Boolean, idCol: String,
                                  vecCol: String): DataFrame = {
-    def dbl(c: Column) = transform(c, x => x.cast(DoubleType))
+    def dbl(c: Column) = graft.functions.VecKernels.to_double(c) // compiled cast kernel (r21): same values as the interpreted
+    // transform(cast) per element, one call per row
     ivfPqAssignResiduals(
       df.select(col(idCol).as("cid"), dbl(col(vecCol)).as("cv")),
       coarse, twoLevel)
@@ -2124,7 +2132,7 @@ object Similarity {
   def quantizeInt8(df: DataFrame,
                    idCol: String = "vec_id",
                    vecCol: String = "embedding"): DataFrame = {
-    val xd = transform(col(vecCol), x => x.cast(DoubleType))
+    val xd = graft.functions.VecKernels.to_double(col(vecCol))
     val q = when(col("_am") === 0.0,
       transform(col("_x"), _ => lit(0L)))
       .otherwise(transform(col("_x"),
@@ -2163,8 +2171,7 @@ object Similarity {
                              vecCol: String = "embedding"): DataFrame = {
     require(dims >= 1, s"dims must be >= 1, got $dims")
     requireIntegralId(df, idCol)
-    val decV = transform(col(vecCol),
-      x => x.cast(DoubleType).cast(DecimalType(12, 6)))
+    val decV = graft.functions.VecKernels.to_dec6(col(vecCol))
     val evenHex = Seq("0", "2", "4", "6", "8", "a", "c", "e")
     val coords = (0 until dims).map { kIdx =>
       val signed = zip_with(col("_v"), sequence(lit(1), size(col("_v"))),
@@ -2271,15 +2278,13 @@ object Similarity {
   def binaryCodes(df: DataFrame,
                   idCol: String = "vec_id",
                   vecCol: String = "embedding"): DataFrame =
+    // compiled packing kernel (r21): the previous transform/aggregate
+    // HOF chain walked 64 interpreted when/shiftleft nodes per WORD per
+    // row; binary_code packs the same little-endian sign bits (null
+    // element → bit 0, empty vector → [0], the (size-1)/64 word count)
+    // in one pass — VecKernelsSpec pins it against the HOF form
     df.select(col(idCol).cast(LongType).as(idCol),
-      transform(sequence(lit(0),
-        ((size(col(vecCol)) - 1) / 64).cast(IntegerType)), w =>
-        aggregate(sequence(lit(0), lit(63)), lit(0L), (acc, j) => {
-          val idx = w * 64 + j + 1
-          acc + when(idx <= size(col(vecCol)) &&
-            element_at(col(vecCol), idx).cast(DoubleType) > 0.0,
-            call_function("shiftleft", lit(1L), j)).otherwise(0L)
-        })).as("code"))
+      graft.functions.VecKernels.binary_code(col(vecCol)).as("code"))
 
   /** Delete vectors from a binary-quantized code store by id — the
     * right-to-be-forgotten arm of the BQ family, closing the lifecycle
@@ -2397,10 +2402,12 @@ object Similarity {
       .select(col(idCol).as("qid"), col("code").as("_qb"))
     val cp = codes.select(col(idCol).cast(LongType).as("cid"),
       col("code").as("_cb"))
-    val hamming = aggregate(
-      zip_with(col("_qb"), col("_cb"),
-        (a, b) => bit_count(a.bitwiseXOR(b)).cast(LongType)),
-      lit(0L), (acc, v) => acc + v)
+    // compiled hamming kernel (r21): the aggregate(zip_with(bit_count(
+    // xor))) fold ran interpreted per candidate PAIR — the scan stage's
+    // inner loop; hamming_dist is the same fold (null on length
+    // mismatch or null element) as straight-line code
+    val hamming = graft.functions.VecKernels
+      .hamming_dist(col("_qb"), col("_cb"))
     val sl = cp.join(broadcast(qp), col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"), hamming.cast(DoubleType).as("_h"))
       .groupBy(col("qid"))
@@ -2420,7 +2427,7 @@ object Similarity {
     import graft.functions.VecKernels.{vec_dot_dec, vec_dot_l}
     // int8 side: (id, _q bigint[], _am double) — sim05's exact scheme
     def quant(df: DataFrame, id: String): DataFrame = {
-      val xd = transform(col(vecCol), x => x.cast(DoubleType))
+      val xd = graft.functions.VecKernels.to_double(col(vecCol))
       df.select(col(idCol).cast(LongType).as(id), xd.as("_x"))
         .withColumn("_am", array_max(transform(col("_x"), x => abs(x))))
         .withColumn("_q",

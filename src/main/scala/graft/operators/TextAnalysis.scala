@@ -629,13 +629,11 @@ object TextAnalysis {
     */
   def bigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = split(col(textCol), " ")
+    // bigram_heads kernel (r21): same (bigram, head) structs as the
+    // when/transform/slice/concat_ws chain — null or < 2-token docs
+    // emit EMPTY, matching the otherwise branch — compiled
     val bi = df.select(col(idCol), explode(
-        when(size(toks) >= 2, transform(sequence(lit(0), size(toks) - 2),
-          i => struct(
-            concat_ws(" ", slice(toks, i + 1, lit(2))).as("bg"),
-            element_at(toks, i + 1).as("w1"))))
-          .otherwise(array().cast(ArrayType(StructType(Seq(
-            StructField("bg", StringType), StructField("w1", StringType))))))).as("_e"))
+        graft.functions.VecKernels.bigram_heads(toks)).as("_e"))
       .select(col(idCol), col("_e.bg").as("bg"), col("_e.w1").as("w1"))
     val bgCount = bi.groupBy("bg").agg(count(lit(1)).as("_cb"))
     val ctxCount = bi.groupBy("w1").agg(count(lit(1)).as("_cc"))
@@ -840,14 +838,10 @@ object TextAnalysis {
                       minCount: Int, topN: Int): DataFrame = {
     require(minCount >= 1, "minCount must be positive")
     val toks = split(col(textCol), " ")
+    // bigram_pairs kernel (r21): same adjacent (w1, w2) structs as
+    // the when/transform/element_at chain, compiled
     val bi = df.select(explode(
-        when(size(toks) >= 2, transform(sequence(lit(0), size(toks) - 2),
-          i => struct(
-            element_at(toks, i + 1).as("w1"),
-            element_at(toks, i + 2).as("w2"))))
-          .otherwise(array().cast(ArrayType(StructType(Seq(
-            StructField("w1", StringType),
-            StructField("w2", StringType))))))).as("_b"))
+        graft.functions.VecKernels.bigram_pairs(toks)).as("_b"))
       .select(col("_b.w1").as("w1"), col("_b.w2").as("w2"))
     val uni = tokens(df, idCol, textCol)
       .groupBy("tok").agg(count(lit(1)).as("cnt"))

@@ -354,4 +354,106 @@ class VecKernelsSpec extends AnyFunSuite {
       }).getField("_c")
     assertSame(df, nearest_code_l2(col("codes"), col("v")), hof, "nearestCodeL2")
   }
+
+  // ---------- r21 kernels ----------
+
+  test("hamming_dist ≡ aggregate(zip_with(bit_count(xor)), 0L, +)") {
+    val rows = (1 to 25).map { _ =>
+      val n = 1 + rnd.nextInt(8)
+      ((0 until n).map(_ => java.lang.Long.valueOf(rnd.nextLong())),
+        (0 until n).map(_ => java.lang.Long.valueOf(rnd.nextLong())))
+    } ++ Seq(
+      (Seq[java.lang.Long](1L, null, 3L), Seq[java.lang.Long](1L, 2L, 3L)),
+      (Seq[java.lang.Long](1L, 2L), Seq[java.lang.Long](1L, 2L, 3L)),
+      (Seq.empty[java.lang.Long], Seq.empty[java.lang.Long]),
+      (null, Seq[java.lang.Long](1L)),
+      (Seq[java.lang.Long](1L), null))
+      .asInstanceOf[Seq[(Seq[java.lang.Long], Seq[java.lang.Long])]]
+    val df = rows.toDF("a", "b")
+    val hof = aggregate(
+      zip_with(col("a"), col("b"),
+        (a, b) => bit_count(a.bitwiseXOR(b)).cast(LongType)),
+      lit(0L), (acc, v) => acc + v)
+    assertSame(df, hamming_dist(col("a"), col("b")), hof, "hammingDist")
+  }
+
+  test("binary_code ≡ the transform/aggregate sign-bit packing chain") {
+    // lengths straddling the 64-dim word boundary, null elements,
+    // exact zeros (strictly-positive test), empty and null vectors
+    val rows = (1 to 20).map { _ =>
+      randVec(1 + rnd.nextInt(140))
+    } ++ Seq(randVec(64), randVec(65), randVec(128), randVec(129),
+      randVec(20, 3), Seq[java.lang.Double](0.0, -0.0, 1.0, -1.0),
+      Seq.empty[java.lang.Double], null)
+    for ((df, label) <- Seq(
+      (rows.toDF("v"), "double"),
+      (rows.map(r => if (r == null) null else r.map(x =>
+        if (x == null) null else java.lang.Float.valueOf(x.floatValue())))
+        .toDF("v"), "float"))) {
+      val hof = transform(sequence(lit(0),
+        ((size(col("v")) - 1) / 64).cast(IntegerType)), w =>
+        aggregate(sequence(lit(0), lit(63)), lit(0L), (acc, j) => {
+          val idx = w * 64 + j + 1
+          acc + when(idx <= size(col("v")) &&
+            element_at(col("v"), idx).cast(DoubleType) > 0.0,
+            call_function("shiftleft", lit(1L), j)).otherwise(0L)
+        }))
+      assertSame(df, binary_code(col("v")), hof, s"binaryCode/$label")
+    }
+  }
+
+  test("to_double ≡ transform(cast(double)) over float/long/double") {
+    val base = (1 to 20).map(_ => randVec(1 + rnd.nextInt(32))) ++
+      Seq(randVec(8, 3), Seq.empty[java.lang.Double], null)
+    def hof = transform(col("v"), x => x.cast(DoubleType))
+    assertSame(base.toDF("v"), to_double(col("v")), hof, "toDouble/double")
+    val fl = base.map(r => if (r == null) null else r.map(x =>
+      if (x == null) null else java.lang.Float.valueOf(x.floatValue())))
+    assertSame(fl.toDF("v"), to_double(col("v")), hof, "toDouble/float")
+    val lg = base.map(r => if (r == null) null else r.map(x =>
+      if (x == null) null else java.lang.Long.valueOf(x.longValue())))
+    assertSame(lg.toDF("v"), to_double(col("v")), hof, "toDouble/long")
+  }
+
+  test("word_ngrams_all ≡ transform(sequence, concat_ws(slice)) in order") {
+    val words = Seq("the", "quick", "brown", "fox", "the", "quick")
+    val rows = (1 to 30).map { _ =>
+      val len = 3 + rnd.nextInt(40)
+      (0 until len).map(_ => words(rnd.nextInt(words.length)): String)
+    } ++ Seq(Seq("a", "b", "c"), Seq("x", "x", "x", "x"),
+      Seq[String]("a", null, "c", "d", "e"))
+    for (n <- Seq(3, 5)) {
+      val df = rows.filter(_.length >= n).toDF("w")
+      val hof = transform(sequence(lit(0), size(col("w")) - n),
+        i => concat_ws(" ", slice(col("w"), i + 1, lit(n))))
+      assertSame(df, word_ngrams_all(col("w"), n), hof, s"wordNgramsAll/n=$n")
+    }
+  }
+
+  test("bigram_heads / bigram_pairs ≡ the when/transform struct chains") {
+    val words = Seq("a", "bb", "ccc", "dd", "e")
+    val rows = (1 to 30).map { _ =>
+      val len = rnd.nextInt(12) // includes 0- and 1-token docs
+      (0 until len).map(_ => words(rnd.nextInt(words.length)): String)
+    } ++ Seq(Seq[String]("a", null, "c"), Seq[String](null, null),
+      Seq.empty[String], null)
+    val df = rows.toDF("t")
+    val toks = col("t")
+    val hofHeads =
+      when(size(toks) >= 2, transform(sequence(lit(0), size(toks) - 2),
+        i => struct(
+          concat_ws(" ", slice(toks, i + 1, lit(2))).as("bg"),
+          element_at(toks, i + 1).as("w1"))))
+        .otherwise(array().cast(ArrayType(StructType(Seq(
+          StructField("bg", StringType), StructField("w1", StringType))))))
+    val hofPairs =
+      when(size(toks) >= 2, transform(sequence(lit(0), size(toks) - 2),
+        i => struct(
+          element_at(toks, i + 1).as("w1"),
+          element_at(toks, i + 2).as("w2"))))
+        .otherwise(array().cast(ArrayType(StructType(Seq(
+          StructField("w1", StringType), StructField("w2", StringType))))))
+    assertSame(df, bigram_heads(toks), hofHeads, "bigramHeads")
+    assertSame(df, bigram_pairs(toks), hofPairs, "bigramPairs")
+  }
 }
