@@ -526,6 +526,30 @@ object Dedup {
                           checkpointDir: Option[String] = None): DataFrame = {
     val cp = Checkpointing.truncator(edges.sparkSession, enabled = true,
       checkpointDir)
+    // the non-self-loop edge count rides the dedup checkpoint's own
+    // observed metrics (r21) — it seeds the star loop's convergence
+    // counter, which previously cost a separate count() job
+    val obs = org.apache.spark.sql.Observation()
+    val e0 = cp(edges.distinct()
+      .observe(obs, count(when(col("src") =!= col("dst"), lit(1)))
+        .as("_n")))
+    starContractFrom(e0, obs.get("_n").asInstanceOf[Long], maxIter,
+      checkpointDir)
+  }
+
+  /** The star-contraction rounds of [[connectedComponents]] over an
+    * ALREADY deduped + lineage-truncated edge set (`e0`, with
+    * `nEdges` = its non-self-loop row count) — split out (r21) so
+    * [[connectedComponentsHybrid]]'s contraction-skipped arm can hand
+    * its own pinned `e0` straight in instead of paying a second
+    * distinct + checkpoint of the identical set. Releases `e0`'s
+    * storage once round 1 and the node-set pin have materialized
+    * (nothing reads it after that), exactly as the fused form did.
+    */
+  private def starContractFrom(e0: DataFrame, nEdges: Long, maxIter: Int,
+                               checkpointDir: Option[String]): DataFrame = {
+    val cp = Checkpointing.truncator(e0.sparkSession, enabled = true,
+      checkpointDir)
     def clean(e: DataFrame): DataFrame =
       e.filter(col("src") =!= col("dst")).distinct()
     // large-star: m(u) = min(Γ(u) ∪ {u}) over the SYMMETRIC view;
@@ -559,22 +583,25 @@ object Dedup {
         .select(col("dst").as("src"), col("_m").as("dst"))
         .unionAll(mins.select(col("src"), col("_m").as("dst"))))
     }
-    // one materialization of the (possibly expensive) upstream edge
-    // pipeline serves BOTH the node-set pin and round 0; self-loops
-    // are kept long enough to contribute their nodes (a (x, x)-only
-    // node must still label itself — BSP parity), then dropped
-    val e0 = cp(edges.distinct())
     // the original node set, pinned BEFORE the loop contracts edges
-    // away (roots lose their outgoing edges; they label themselves)
+    // away (roots lose their outgoing edges; they label themselves);
+    // self-loops contribute their nodes here (a (x, x)-only node must
+    // still label itself — BSP parity), then drop in the filter below
     val nodes = cp(e0.select(explode(array(col("src"), col("dst")))
       .as("id")).distinct())
     var e: DataFrame = e0.filter(col("src") =!= col("dst"))
-    var eCount = e.count()
+    var eCount = nEdges
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val next = cp(smallStar(largeStar(e)))
-      val nextCount = next.count()
+      // the round's edge count rides the checkpoint job's own observed
+      // metrics (r21) — the separate count() job per round is gone;
+      // ObserveProbe pins that eager localCheckpoint/checkpoint actions
+      // deliver observe() metrics
+      val obs = org.apache.spark.sql.Observation()
+      val next = cp(smallStar(largeStar(e))
+        .observe(obs, count(lit(1)).as("_n")))
+      val nextCount = obs.get("_n").asInstanceOf[Long]
       // deduped sets: equal size + empty one-sided difference ⇒ equal
       converged = nextCount == eCount && next.exceptAll(e).isEmpty
       cp.release(e) // only after the comparison read it
@@ -659,9 +686,16 @@ object Dedup {
         .groupBy(col("dst").as("id")).agg(min(col("label")).as("_nbr"))
       // one checkpointed join per round serves BOTH the convergence
       // check and the next label frame — a separate next-vs-previous
-      // join would shuffle the label table a second time every round
-      val joined = cp.rolling(labels.join(nbrMin, Seq("id"), "left"))
-      converged = joined.filter(col("_nbr") < col("label")).isEmpty
+      // join would shuffle the label table a second time every round.
+      // The improvement count rides the checkpoint job's observed
+      // metrics (r21): count(when(_nbr < label)) counts exactly the
+      // rows the old filter(...).isEmpty action scanned for (null
+      // comparisons fall out of count the same way filter drops them)
+      val obs = org.apache.spark.sql.Observation()
+      val joined = cp.rolling(labels.join(nbrMin, Seq("id"), "left")
+        .observe(obs, count(when(col("_nbr") < col("label"), lit(1)))
+          .as("_viol")))
+      converged = obs.get("_viol").asInstanceOf[Long] == 0L
       labels = joined.select(col("id"),
         least(col("label"), coalesce(col("_nbr"), col("label"))).as("label"))
       i += 1
@@ -744,8 +778,14 @@ object Dedup {
       checkpointDir)
     // one materialization of the (possibly expensive) upstream edge
     // pipeline serves the BSP rounds AND the contraction joins; the
-    // per-round symmetric view is a cheap explode over the checkpoint
-    val e0 = cp(edges.distinct())
+    // per-round symmetric view is a cheap explode over the checkpoint.
+    // The non-self-loop count rides the checkpoint's observed metrics
+    // (r21) — it seeds star contraction's convergence counter when the
+    // escape hatch hands e0 straight to starContractFrom
+    val obsE = org.apache.spark.sql.Observation()
+    val e0 = cp(edges.distinct()
+      .observe(obsE, count(when(col("src") =!= col("dst"), lit(1)))
+        .as("_n")))
     val sym = e0.select(explode(array(
         struct(col("src").as("src"), col("dst").as("dst")),
         struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
@@ -775,9 +815,12 @@ object Dedup {
           f"($nLabels%d labels / $nNodes%d nodes after $bspRounds%d BSP " +
           "rounds) — star contraction runs on the original edges. " +
           "Tune with contractMinShrink (0.0 always contracts).")
-        val star = connectedComponents(e0, maxIter, checkpointDir)
-        cp.release(e0)
-        star
+        // e0 is already deduped + pinned: hand it straight to the star
+        // rounds (r21; was a second distinct + checkpoint of the same
+        // set inside connectedComponents). starContractFrom releases
+        // e0's storage itself once round 1 and its node pin land.
+        starContractFrom(e0, obsE.get("_n").asInstanceOf[Long], maxIter,
+          checkpointDir)
       } else {
         // contract by the partial labels (two id-keyed joins over the
         // checkpointed edges) and let star contraction finish

@@ -273,6 +273,16 @@ object Graph {
       checkpointDir)
     val cpHub = Checkpointing.truncator(edges.sparkSession, checkpoint,
       checkpointDir)
+    // per-half-round contrib chain (r21): contrib feeds BOTH the L1
+    // normalizer broadcast and the score join — unpinned, the |E|-row
+    // join + aggregation evaluated TWICE per half-round (once under the
+    // broadcast, once in the main join; Spark does not dedupe common
+    // DataFrame subtrees). One rolling checkpoint makes both consumers
+    // read the materialized rows; a contrib is fully consumed by its
+    // own half-round's materialization, so the next rolling call's
+    // release can never strand a reader.
+    val cpContrib = Checkpointing.truncator(edges.sparkSession, checkpoint,
+      checkpointDir)
     val e = cp(edges.select(col(srcCol).cast(LongType).as("src"),
       col(dstCol).cast(LongType).as("dst")).distinct())
     val nodes = cp(e.select(explode(array(col("src"), col("dst"))).as("v"))
@@ -281,11 +291,13 @@ object Graph {
     require(n > 0, "hits needs a non-empty graph")
     // one half-round: scores flow across edges from `from`→`to`, sum
     // per target, L1-normalize; nodes with no in-flow score 0
+    var lastContrib: DataFrame = null
     def halfRound(scores: DataFrame, from: String, to: String): DataFrame = {
-      val contrib = e
+      val contrib = cpContrib.rolling(e
         .join(scores.select(col("v").as(from), col("s")), from)
         .select(col(to).as("v"), quant12(col("s")).as("c"))
-        .groupBy("v").agg(sum(col("c")).as("cs"))
+        .groupBy("v").agg(sum(col("c")).as("cs")))
+      lastContrib = contrib
       val tot = contrib.agg(sum(col("cs")).as("t"))
       nodes.join(contrib, Seq("v"), "left").crossJoin(broadcast(tot))
         .select(col("v"),
@@ -298,6 +310,11 @@ object Graph {
       auth = cpAuth.rolling(halfRound(hub, "src", "dst"))
       hub = cpHub.rolling(halfRound(auth, "dst", "src"))
     }
+    // the final half-round's contrib is fully consumed by the final
+    // hub checkpoint above — release it so the loop's storage residue
+    // stays the final hub + auth rounds only (the O(1) contract
+    // CurationOpsSpec pins)
+    cpContrib.release(lastContrib)
     // INNER join, matching the oracle: both chains emit exactly the
     // node set by construction (each half-round is nodes LEFT JOIN
     // contrib), so a full-outer + coalesce-to-0 would only MASK a

@@ -1714,12 +1714,13 @@ object Similarity {
             }).as("_best"))
           .select(col("_best._c").as("centroid_id"), col("_best._d").as("_d"))
       }
-    // checkpointed so the tiny downstream jobs never re-run the pass
+    // single consumer (driftReport's mix join, itself checkpointed) —
+    // the delta pass materializes exactly once there, so a second
+    // checkpoint here bought nothing but one extra job (r21)
     val perCell = scored
       .groupBy(col("centroid_id"))
       .agg(count(lit(1)).as("_dn"),
         sum(col("_d").cast(DecimalType(30, 12))).as("_ds"))
-      .localCheckpoint()
     driftReport(perCell, stats, "centroid_id", "ivfDriftCheck",
       "ivfBuild over the grown corpus", ratioThreshold, shiftThreshold)
   }
@@ -1804,9 +1805,10 @@ object Similarity {
     val twoLevel = twoLevelAssign || nlist >= twoLevelAutoNlist
     if (!twoLevelAssign && twoLevel)
       warnAutoTwoLevel("ivfPqDriftCheck", nlist, twoLevelAutoNlist)
+    // single consumer — materializes once inside driftReport's mix
+    // checkpoint; no second pin needed (r21)
     val perCell = pqPerCellResiduals(delta, coarse, twoLevel, idCol, vecCol)
       .select(col("cell"), col("_cnt").as("_dn"), col("_sum").as("_ds"))
-      .localCheckpoint()
     driftReport(perCell, stats, "cell", "ivfPqDriftCheck",
       "ivfPqBuild over the grown corpus", ratioThreshold, shiftThreshold)
   }
@@ -1829,12 +1831,27 @@ object Similarity {
       Seq(keyCol), "full_outer")
       .select(coalesce(col("_dn"), lit(0L)).as("_dn"), col("_ds"),
         coalesce(col("_bn"), lit(0L)).as("_bn"), col("mean_dist"))
-      .localCheckpoint() // quantizer-sized; two tiny aggs below read it
-    val tots = mix.agg(sum(col("_dn")).as("dTot"), sum(col("_bn")).as("bTot"),
-      sum(when(col("mean_dist").isNotNull, col("_dn"))).as("priced"),
-      sum(when(col("mean_dist").isNotNull, col("_ds"))).as("ds"),
+      .localCheckpoint() // quantizer-sized; the one agg below reads it
+    // ONE driver action (r21; was two sequential aggs): the totals ride
+    // a 1-row broadcast back across the quantizer-sized mix so the
+    // occupancy-shift sum computes in the same job; the driver reads
+    // everything from a single row. Same arithmetic, same guards.
+    val tot = mix.agg(sum(col("_dn")).as("_dTot"), sum(col("_bn")).as("_bTot"),
+      sum(when(col("mean_dist").isNotNull, col("_dn"))).as("_priced"),
+      sum(when(col("mean_dist").isNotNull, col("_ds"))).as("_dsT"),
       sum(when(col("mean_dist").isNotNull,
-        col("mean_dist").cast(DecimalType(30, 12)) * col("_dn"))).as("es"))
+        col("mean_dist").cast(DecimalType(30, 12)) * col("_dn"))).as("_esT"))
+    val tots = mix.crossJoin(broadcast(tot))
+      .agg(max(col("_dTot")).as("dTot"), max(col("_bTot")).as("bTot"),
+        max(col("_priced")).as("priced"), max(col("_dsT")).as("ds"),
+        max(col("_esT")).as("es"),
+        // zero-total guard INSIDE the expression: ANSI (the session
+        // default) throws on division by zero, and the old code never
+        // ran this agg when a total was 0 — CaseWhen evaluates only
+        // the taken branch, so the division never executes there
+        sum(when(col("_dTot") === 0 || col("_bTot") === 0, lit(0.0))
+          .otherwise(abs(col("_dn").cast(DoubleType) / col("_dTot") -
+            col("_bn").cast(DoubleType) / col("_bTot")))).as("_shiftSum"))
       .head()
     val dTot = tots.getLong(0)
     val bTot = tots.getLong(1)
@@ -1845,9 +1862,7 @@ object Similarity {
         tots.getDecimal(4).doubleValue() / priced)
     val shift =
       if (dTot == 0 || bTot == 0) 0.0
-      else mix.agg(sum(abs(col("_dn").cast(DoubleType) / dTot -
-          col("_bn").cast(DoubleType) / bTot)))
-        .head().getDouble(0) / 2.0
+      else tots.getDouble(5) / 2.0
     val fitTrip = priced > 0 && dm > ratioThreshold * em
     val shiftTrip = dTot > 0 && shift > shiftThreshold
     if (fitTrip || shiftTrip)

@@ -3722,9 +3722,13 @@ object PipelineQueries {
       val q = e.filter(col("vec_id") < 10)
       // pin the built index ONCE: stats, both maintain arms and the
       // expected-absorb serve all consume it, and an unpinned build
-      // chain re-runs per consumer (the sim12 checkpoint discipline)
+      // chain re-runs per consumer (the sim12 checkpoint discipline).
+      // centroids are ALREADY localCheckpoint-materialized inside
+      // ivfBuild (documented there) — re-pinning them was one extra
+      // job + block copy per gate run (r21); only the corpus-sized
+      // cell assignment needs the pin here
       val idx0 = Similarity.ivfBuild(e)
-      val idx = Similarity.IvfIndex(idx0.centroids.localCheckpoint(),
+      val idx = Similarity.IvfIndex(idx0.centroids,
         idx0.cells.localCheckpoint())
       val stats = Similarity.ivfCellStats(idx).localCheckpoint()
       val slice = e.filter(col("vec_id") % 7 === 3)
@@ -3769,10 +3773,14 @@ object PipelineQueries {
       val e = emb(s, dir)
       val q = e.filter(col("vec_id") < 10)
       // pin the built index ONCE (the sim33 discipline — five
-      // consumers would otherwise re-run the full PQ build each)
+      // consumers would otherwise re-run the full PQ build each).
+      // coarse and codebook are ALREADY localCheckpoint-materialized
+      // inside ivfPqBuild (documented there) — re-pinning them was two
+      // extra jobs + block copies per gate run (r21); only the
+      // corpus-sized codes table needs the pin here
       val idx0 = Similarity.ivfPqBuild(e)
-      val idx = Similarity.IvfPqIndex(idx0.coarse.localCheckpoint(),
-        idx0.codebook.localCheckpoint(), idx0.codes.localCheckpoint(),
+      val idx = Similarity.IvfPqIndex(idx0.coarse,
+        idx0.codebook, idx0.codes.localCheckpoint(),
         idx0.builtM)
       val stats = Similarity.ivfPqCellStats(idx, e).localCheckpoint()
       val slice = e.filter(col("vec_id") % 7 === 3)
